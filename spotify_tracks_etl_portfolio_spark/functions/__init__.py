@@ -1,0 +1,110 @@
+"""Scalar / array function layer (SURVEY.md §2.8) — pure Column expressions.
+
+Everything here is built from ``pyspark.sql.functions`` so it stays inside
+whole-stage codegen (no Python in the hot path). Functions that feed the
+DuckDB oracle are written for *bit-deterministic* results:
+
+- Big aggregations go through DECIMAL (exact, order-insensitive) and are
+  cast to DOUBLE at the output — the same exact value converts to the
+  same double on both engines, so the order Spark reduces partitions in
+  cannot perturb the hash. Plain double sums would differ in the last
+  ulps between engines/orders.
+- Small fixed-length float reductions (e.g. 64-dim dot products) are
+  rounded at the output instead.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+# Decimal wide enough for sf-scale money sums; scale 6 keeps cents exact.
+_DEC = "decimal(28,6)"
+
+
+def clamp(col: Column | str, lo: float, hi: float) -> Column:
+    """Range clamp ``LEAST(GREATEST(x, lo), hi)``
+    (reference: dags/sql/de_spotify_silver.sql:19-31)."""
+    c = F.col(col) if isinstance(col, str) else col
+    return F.least(F.greatest(c, F.lit(lo)), F.lit(hi))
+
+
+def dsum(col: Column | str, alias: str | None = None) -> Column:
+    """Order-insensitive exact sum of a money-like double column:
+    cast→DECIMAL, sum exactly, cast back to DOUBLE."""
+    c = F.col(col) if isinstance(col, str) else col
+    out = F.sum(c.cast(_DEC)).cast("double")
+    return out.alias(alias) if alias else out
+
+
+def davg(col: Column | str, alias: str | None = None) -> Column:
+    """Deterministic mean: exact decimal sum → double, divided by count."""
+    c = F.col(col) if isinstance(col, str) else col
+    out = F.sum(c.cast(_DEC)).cast("double") / F.count(c)
+    return out.alias(alias) if alias else out
+
+
+def bin_floor(col: Column | str, width: float, lo: float = 0.0) -> Column:
+    """Histogram bin lower edge: ``lo + floor((x - lo)/width) * width``
+    (dashboard binned aggregations, SURVEY.md §2.4 A10)."""
+    c = F.col(col) if isinstance(col, str) else col
+    return (F.floor((c - F.lit(lo)) / F.lit(width)) * F.lit(width) + F.lit(lo)).cast(
+        "double"
+    )
+
+
+# ---------------------------------------------------------------------------
+# Vector functions over array<float|double> embeddings (similarity surface)
+# ---------------------------------------------------------------------------
+
+
+def vec_dot(a: Column | str, b: Column | str) -> Column:
+    """Dot product via ``zip_with`` + ``aggregate`` — JVM-side, no UDF."""
+    ca = F.col(a) if isinstance(a, str) else a
+    cb = F.col(b) if isinstance(b, str) else b
+    prods = F.zip_with(ca, cb, lambda x, y: x.cast("double") * y.cast("double"))
+    return F.aggregate(prods, F.lit(0.0), lambda acc, x: acc + x)
+
+
+def vec_norm(a: Column | str) -> Column:
+    ca = F.col(a) if isinstance(a, str) else a
+    sq = F.aggregate(
+        ca, F.lit(0.0), lambda acc, x: acc + x.cast("double") * x.cast("double")
+    )
+    return F.sqrt(sq)
+
+
+def cosine_similarity(a: Column | str, b: Column | str) -> Column:
+    return vec_dot(a, b) / (vec_norm(a) * vec_norm(b))
+
+
+# ---------------------------------------------------------------------------
+# Text functions (text-analysis surface)
+# ---------------------------------------------------------------------------
+
+#: Large Mersenne-ish prime that keeps ``acc*31 + ch`` inside int64
+#: (acc < 1e9+7 → acc*31+255 < 3.2e10 ≪ 2^63) so the rolling hash is
+#: overflow-free on engines with checked 64-bit arithmetic.
+FINGERPRINT_MOD = 1_000_000_007
+
+
+def token_count(col: Column | str) -> Column:
+    """Whitespace token count; empty/blank strings count 0."""
+    c = F.col(col) if isinstance(col, str) else col
+    trimmed = F.trim(c)
+    return F.when(trimmed == "", F.lit(0)).otherwise(
+        F.size(F.split(trimmed, r"\s+"))
+    )
+
+
+def rolling_hash(col: Column | str) -> Column:
+    """Polynomial rolling hash of the characters (document fingerprint):
+    ``h = (h*31 + ascii(ch)) mod 1e9+7`` — expressible identically in
+    DuckDB via ``list_reduce`` for oracle parity."""
+    c = F.col(col) if isinstance(col, str) else col
+    chars = F.split(c, "")
+    return F.aggregate(
+        chars,
+        F.lit(0).cast("long"),
+        lambda acc, ch: (acc * F.lit(31) + F.ascii(ch)) % F.lit(FINGERPRINT_MOD),
+    )

@@ -1,0 +1,78 @@
+"""Imputation statistics — the two-phase stats job (SURVEY.md §3.2).
+
+The reference computes 11 medians + 4 modes over the *raw* bronze table
+(duplicates included) on the driver (``reference: dags/de_spotify_silver.py:49-70``)
+and splices them into the silver SQL as literals
+(``reference: dags/sql/de_spotify_silver.sql:1-3``). The engine keeps the
+same two-phase order — stats first, then applied as literals — because a
+fused single query that computed medians after dedup would silently
+diverge from the reference's semantics.
+
+Scale posture: the reference pulls the full table to pandas for this;
+here it is one distributed aggregation per stats family. Exact median is
+the default for oracle parity; ``exact=False`` switches to
+``percentile_approx`` for the 100 TB path (documented trade-off,
+SURVEY.md §4.2).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def column_medians(
+    df: DataFrame, cols: list[str], exact: bool = True, accuracy: int = 10000
+) -> dict[str, float]:
+    """Median per column in ONE aggregation pass (the reference loops
+    per-column in pandas, ``reference: dags/de_spotify_silver.py:56-63``)."""
+    if exact:
+        aggs = [F.median(c).alias(c) for c in cols]
+    else:
+        aggs = [F.percentile_approx(c, 0.5, accuracy).alias(c) for c in cols]
+    row = df.agg(*aggs).first()
+    return {c: row[c] for c in cols}
+
+
+def column_modes(df: DataFrame, cols: list[str]) -> dict[str, object]:
+    """Mode per column with the pandas tie-break.
+
+    ``pandas.Series.mode()`` drops NaN, sorts tied values ascending and the
+    reference takes ``.iloc[0]`` (``reference: dags/de_spotify_silver.py:64-69``)
+    — so ties break to the smallest value. One grouped count + one
+    ``max_by`` struct-ordering pass per column, unioned into a single job.
+
+    The struct trick keeps it order-insensitive and distributed: take the
+    max of ``struct(cnt, neg-ordered value)`` — i.e. highest count, then
+    lexicographically smallest value — with no driver-side sort.
+    """
+    out: dict[str, object] = {}
+    for c in cols:
+        counted = (
+            df.filter(F.col(c).isNotNull())
+            .groupBy(F.col(c).alias("val"))
+            .agg(F.count(F.lit(1)).alias("cnt"))
+        )
+        # min_by on (−cnt, val): smallest −cnt = highest cnt; ties → smallest val.
+        row = counted.agg(
+            F.min_by("val", F.struct((-F.col("cnt")).alias("nc"), F.col("val"))).alias(
+                "mode"
+            )
+        ).first()
+        out[c] = row["mode"]
+    return out
+
+
+def compute_impute_stats(
+    df: DataFrame,
+    median_cols: list[str],
+    mode_cols: list[str],
+    exact: bool = True,
+) -> dict[str, dict[str, object]]:
+    """The full stats job: ``{'medians': {...}, 'modes': {...}}`` — the
+    engine's version of the XCom stats dict
+    (``reference: dags/de_spotify_silver.py:70``)."""
+    return {
+        "medians": column_medians(df, median_cols, exact=exact),
+        "modes": column_modes(df, mode_cols),
+    }

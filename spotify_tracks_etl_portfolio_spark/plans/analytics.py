@@ -1,0 +1,203 @@
+"""Dashboard analytics queries (SURVEY.md §2.4 A1/A5-A10, §2.6 O2).
+
+The reference's analytics surface is 12 Metabase cards over the silver
+table (tiles, top-N bars, share donuts, binned histograms — SURVEY.md
+§3.3). Re-expressed here over the testdata tables with deterministic
+output naming and tie-breaks.
+
+Scale notes: every top-N is ``orderBy(...).limit(n)`` which Spark plans
+as TakeOrderedAndProject (true top-k, no global sort); shares use a
+single whole-table window; counts/averages are single hash aggregations
+with map-side partial aggregation.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from spotify_tracks_etl_portfolio_spark.functions import bin_floor, davg, dsum
+from spotify_tracks_etl_portfolio_spark.plans import register
+from spotify_tracks_etl_portfolio_spark.sources.readers import read_parquet_table
+
+
+@register(
+    "row_count_lineitem",
+    oracle="SELECT CAST(count(*) AS BIGINT) AS n_rows FROM lineitem",
+    description="A1: table row count (reference: dags/de_spotify_to_bronze.py:213-214)",
+    tags=("analytics",),
+)
+def row_count_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return read_parquet_table(spark, sf_dir, "lineitem").agg(
+        F.count(F.lit(1)).alias("n_rows")
+    )
+
+
+@register(
+    "events_overview",
+    oracle="""
+SELECT CAST(count(*) AS BIGINT) AS n_events,
+       CAST(count(DISTINCT user_id) AS BIGINT) AS n_users,
+       CAST(count(DISTINCT event_type) AS BIGINT) AS n_event_types,
+       CAST(SUM(CAST(value AS DECIMAL(28,6))) AS DOUBLE) / count(value) AS avg_value,
+       min(value) AS min_value,
+       max(value) AS max_value
+FROM events
+""",
+    description="A1/A5/A6: overview tiles — counts, distinct counts, average "
+    "(the 'Total Track'/'Unique Artists'/'Average Duration' tiles)",
+    tags=("analytics",),
+)
+def events_overview(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = read_parquet_table(spark, sf_dir, "events")
+    return events.agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.countDistinct("user_id").alias("n_users"),
+        F.countDistinct("event_type").alias("n_event_types"),
+        davg("value", "avg_value"),
+        F.min("value").alias("min_value"),
+        F.max("value").alias("max_value"),
+    )
+
+
+@register(
+    "top20_users_by_events",
+    oracle="""
+SELECT user_id, CAST(count(*) AS BIGINT) AS n_events
+FROM events
+GROUP BY user_id
+ORDER BY n_events DESC, user_id
+LIMIT 20
+""",
+    description="A7/O2: top-N group-by count ('Top 20 Most Prolific Artists'); "
+    "deterministic tie-break on the key",
+    tags=("analytics", "topn"),
+)
+def top20_users_by_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = read_parquet_table(spark, sf_dir, "events")
+    return (
+        events.groupBy("user_id")
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .orderBy(F.desc("n_events"), F.asc("user_id"))
+        .limit(20)
+    )
+
+
+@register(
+    "top_event_types_by_avg_value",
+    oracle="""
+SELECT event_type,
+       CAST(SUM(CAST(value AS DECIMAL(28,6))) AS DOUBLE) / count(value) AS avg_value
+FROM events
+GROUP BY event_type
+ORDER BY avg_value DESC, event_type
+LIMIT 3
+""",
+    description="A8: top-N by group average ('Top 20 Most Popular Genre')",
+    tags=("analytics", "topn"),
+)
+def top_event_types_by_avg_value(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = read_parquet_table(spark, sf_dir, "events")
+    return (
+        events.groupBy("event_type")
+        .agg(davg("value", "avg_value"))
+        .orderBy(F.desc("avg_value"), F.asc("event_type"))
+        .limit(3)
+    )
+
+
+@register(
+    "event_type_share",
+    oracle="""
+SELECT event_type,
+       CAST(count(*) AS BIGINT) AS n_events,
+       CAST(count(*) AS DOUBLE) / (SELECT count(*) FROM events) AS share
+FROM events
+GROUP BY event_type
+""",
+    description="A9/W2: percent-of-total via whole-table window "
+    "(genre donut / explicit share cards)",
+    tags=("analytics", "window"),
+)
+def event_type_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = read_parquet_table(spark, sf_dir, "events")
+    counted = events.groupBy("event_type").agg(F.count(F.lit(1)).alias("n_events"))
+    total = Window.partitionBy()
+    return counted.withColumn(
+        "share",
+        F.col("n_events").cast("double") / F.sum("n_events").over(total),
+    )
+
+
+@register(
+    "value_histogram",
+    oracle="""
+SELECT floor(value / 50.0) * 50.0 AS bin_lo,
+       CAST(count(*) AS BIGINT) AS n,
+       CAST(SUM(CAST(value AS DECIMAL(28,6))) AS DOUBLE) / count(value) AS avg_value
+FROM events
+WHERE value IS NOT NULL
+GROUP BY 1
+""",
+    description="A10: binned (histogram) aggregation "
+    "('Avg popularity by tempo bin', width-50 bins)",
+    tags=("analytics",),
+)
+def value_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = read_parquet_table(spark, sf_dir, "events")
+    return (
+        events.filter(F.col("value").isNotNull())
+        .groupBy(bin_floor("value", 50.0).alias("bin_lo"))
+        .agg(F.count(F.lit(1)).alias("n"), davg("value", "avg_value"))
+    )
+
+
+@register(
+    "hourly_event_rollup",
+    oracle="""
+SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS hour,
+       event_type,
+       CAST(count(*) AS BIGINT) AS n,
+       CAST(SUM(CAST(value AS DECIMAL(28,6))) AS DOUBLE) AS sum_value
+FROM events
+GROUP BY 1, 2
+""",
+    description="Tumbling-window batch analogue of the streaming rollup "
+    "(reference future-work intent, README.md:79; SURVEY.md §2.9)",
+    tags=("analytics", "streaming-analogue"),
+)
+def hourly_event_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = read_parquet_table(spark, sf_dir, "events")
+    return (
+        events.groupBy(
+            F.date_format(F.date_trunc("hour", "ts"), "yyyy-MM-dd HH:mm:ss").alias(
+                "hour"
+            ),
+            "event_type",
+        )
+        .agg(F.count(F.lit(1)).alias("n"), dsum("value", "sum_value"))
+    )
+
+
+@register(
+    "json_props_extract",
+    oracle="""
+SELECT CAST(json_extract(props, '$.k') AS INT) AS k,
+       CAST(count(*) AS BIGINT) AS n,
+       CAST(SUM(CAST(value AS DECIMAL(28,6))) AS DOUBLE) AS sum_value
+FROM events
+GROUP BY 1
+""",
+    description="F-ext: JSON field extraction over the events.props blob "
+    "(get_json_object; SURVEY.md §2.8 extension layer)",
+    tags=("analytics", "json"),
+)
+def json_props_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = read_parquet_table(spark, sf_dir, "events")
+    return (
+        events.withColumn(
+            "k", F.get_json_object("props", "$.k").cast("int")
+        )
+        .groupBy("k")
+        .agg(F.count(F.lit(1)).alias("n"), dsum("value", "sum_value"))
+    )

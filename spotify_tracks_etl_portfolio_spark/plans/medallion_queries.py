@@ -1,0 +1,131 @@
+"""Medallion parity queries — the reference's bronze→silver pipeline
+re-expressed over the ``events`` table (SURVEY.md §2.2, §2.5, §3.2).
+
+``events`` is the testdata analogue of ``spotify_tracks``: dedup key
+``event_id`` ↔ ``track_id``, tie-break ``ts`` ↔ ``index``, imputed metric
+``value`` ↔ the median-imputed audio features, clamp [0, 450] ↔ the
+popularity/feature clamps (reference: dags/sql/de_spotify_silver.sql).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from spotify_tracks_etl_portfolio_spark.operators.medallion import (
+    dedup_first,
+    impute_and_clamp,
+)
+from spotify_tracks_etl_portfolio_spark.operators.stats import (
+    column_medians,
+    column_modes,
+)
+from spotify_tracks_etl_portfolio_spark.plans import register
+from spotify_tracks_etl_portfolio_spark.sources.readers import read_parquet_table
+
+VALUE_CLAMP = (0.0, 450.0)
+
+
+def silver_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The flagship pipeline: two-phase stats → impute+clamp → window dedup."""
+    events = read_parquet_table(spark, sf_dir, "events")
+    medians = column_medians(events, ["value"], exact=True)
+    silver = impute_and_clamp(events, medians=medians, clamps={"value": VALUE_CLAMP})
+    silver = dedup_first(silver, "event_id", ["ts", "user_id"])
+    return silver.select(
+        "event_id",
+        "user_id",
+        "event_type",
+        "value",
+        "props",
+        F.date_format("ts", "yyyy-MM-dd").alias("event_day"),
+    )
+
+
+register(
+    "medallion_silver_events",
+    oracle="""
+WITH stats AS (SELECT median(value) AS med FROM events),
+ranked AS (
+  SELECT e.*, row_number() OVER (PARTITION BY event_id ORDER BY ts, user_id) AS rn
+  FROM events e
+)
+SELECT event_id, user_id, event_type,
+       least(greatest(coalesce(value, (SELECT med FROM stats)), 0.0), 450.0) AS value,
+       props,
+       strftime(ts, '%Y-%m-%d') AS event_day
+FROM ranked
+WHERE rn = 1
+""",
+    description="Full silver transform: stats-over-raw → COALESCE median impute "
+    "→ LEAST/GREATEST clamp → ROW_NUMBER dedup (reference: dags/sql/de_spotify_silver.sql:7-44)",
+    tags=("medallion", "flagship"),
+)(silver_events)
+
+
+@register(
+    "dedup_window_events",
+    oracle="""
+SELECT event_id, user_id, event_type, value
+FROM (
+  SELECT e.*, row_number() OVER (PARTITION BY event_id ORDER BY ts, user_id) AS rn
+  FROM events e
+) WHERE rn = 1
+""",
+    description="W1: keep-first-per-key window dedup "
+    "(reference: dags/sql/de_spotify_silver.sql:40-44)",
+    tags=("medallion", "window"),
+)
+def dedup_window_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = read_parquet_table(spark, sf_dir, "events")
+    return dedup_first(events, "event_id", ["ts", "user_id"]).select(
+        "event_id", "user_id", "event_type", "value"
+    )
+
+
+@register(
+    "impute_stats_events",
+    oracle="""
+SELECT (SELECT median(value) FROM events) AS median_value,
+       (SELECT event_type FROM events
+        WHERE event_type IS NOT NULL
+        GROUP BY event_type
+        ORDER BY count(*) DESC, event_type
+        LIMIT 1) AS mode_event_type
+""",
+    description="A3/A4: the two-phase stats job — exact median + mode with the "
+    "pandas tie-break (reference: dags/de_spotify_silver.py:56-69)",
+    tags=("medallion", "stats"),
+)
+def impute_stats_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = read_parquet_table(spark, sf_dir, "events")
+    med = column_medians(events, ["value"], exact=True)["value"]
+    mode = column_modes(events, ["event_type"])["event_type"]
+    return spark.createDataFrame(
+        [(float(med), str(mode))], "median_value double, mode_event_type string"
+    )
+
+
+@register(
+    "null_counts_events",
+    oracle="""
+SELECT CAST(sum(CASE WHEN event_id IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_event_id,
+       CAST(sum(CASE WHEN ts IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_ts,
+       CAST(sum(CASE WHEN user_id IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_user_id,
+       CAST(sum(CASE WHEN event_type IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_event_type,
+       CAST(sum(CASE WHEN value IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_value,
+       CAST(sum(CASE WHEN props IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_props
+FROM events
+""",
+    description="A2: per-column null counts in one aggregation pass "
+    "(reference: dags/de_spotify_to_bronze.py:127-137)",
+    tags=("medallion", "dq"),
+)
+def null_counts_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = read_parquet_table(spark, sf_dir, "events")
+    return events.agg(
+        *[
+            F.sum(F.col(c).isNull().cast("long")).alias(f"n_{c}")
+            for c in events.columns
+        ]
+    )

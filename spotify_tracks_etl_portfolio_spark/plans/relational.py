@@ -1,0 +1,274 @@
+"""Relational query surface: aggregation pipelines, joins, set ops,
+window functions, rollups (SURVEY.md §2.3/§2.4/§2.5/§2.7).
+
+The reference has no joins (single fact table, README.md:28), but the
+engine's query surface must carry them (SURVEY.md §2.3): they're thin
+declarative wrappers where Catalyst/AQE pick broadcast vs sort-merge.
+Small dimensions (region/nation/customer/supplier at dimension scale)
+are explicitly ``F.broadcast``-hinted on the build side; the fact-side
+scan keeps filter pushdown.
+
+Determinism for the DuckDB oracle: money sums go through DECIMAL(24,8)
+(order-insensitive exact accumulation) and are cast to DOUBLE only at
+the output; every LIMIT carries a total tie-break.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from spotify_tracks_etl_portfolio_spark.plans import register
+from spotify_tracks_etl_portfolio_spark.sources.readers import read_parquet_table
+
+# Per-row arithmetic stays in DOUBLE (bit-identical across engines for the
+# same operands); the decimal cast happens on the per-row RESULT so the
+# subsequent sum is exact and order-insensitive.
+_DEC = "decimal(24,8)"
+
+
+def _revenue(l) -> F.Column:
+    return (F.col("l_extendedprice") * (F.lit(1.0) - F.col("l_discount"))).cast(_DEC)
+
+
+@register(
+    "q1_pricing_summary",
+    oracle="""
+SELECT l_returnflag,
+       l_linestatus,
+       CAST(SUM(CAST(l_quantity AS DECIMAL(24,8))) AS DOUBLE) AS sum_qty,
+       CAST(SUM(CAST(l_extendedprice AS DECIMAL(24,8))) AS DOUBLE) AS sum_base_price,
+       CAST(SUM(CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(24,8))) AS DOUBLE) AS sum_disc_price,
+       CAST(SUM(CAST(l_extendedprice * (1.0 - l_discount) * (1.0 + l_tax) AS DECIMAL(24,8))) AS DOUBLE) AS sum_charge,
+       CAST(SUM(CAST(l_quantity AS DECIMAL(24,8))) AS DOUBLE) / count(l_quantity) AS avg_qty,
+       CAST(SUM(CAST(l_extendedprice AS DECIMAL(24,8))) AS DOUBLE) / count(l_extendedprice) AS avg_price,
+       CAST(SUM(CAST(l_discount AS DECIMAL(24,8))) AS DOUBLE) / count(l_discount) AS avg_disc,
+       CAST(count(*) AS BIGINT) AS count_order
+FROM lineitem
+WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+GROUP BY l_returnflag, l_linestatus
+""",
+    description="TPC-H Q1 pricing summary: filter pushdown + 8-agg hash "
+    "aggregation with map-side partials (SURVEY.md §2.4)",
+    tags=("relational", "tpch"),
+)
+def q1_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    l = read_parquet_table(spark, sf_dir, "lineitem").filter(
+        F.col("l_shipdate") <= F.lit("1998-09-02 00:00:00").cast("timestamp")
+    )
+    disc_price = F.col("l_extendedprice") * (F.lit(1.0) - F.col("l_discount"))
+    charge = disc_price * (F.lit(1.0) + F.col("l_tax"))
+    return l.groupBy("l_returnflag", "l_linestatus").agg(
+        F.sum(F.col("l_quantity").cast(_DEC)).cast("double").alias("sum_qty"),
+        F.sum(F.col("l_extendedprice").cast(_DEC)).cast("double").alias("sum_base_price"),
+        F.sum(disc_price.cast(_DEC)).cast("double").alias("sum_disc_price"),
+        F.sum(charge.cast(_DEC)).cast("double").alias("sum_charge"),
+        (F.sum(F.col("l_quantity").cast(_DEC)).cast("double") / F.count("l_quantity")).alias("avg_qty"),
+        (F.sum(F.col("l_extendedprice").cast(_DEC)).cast("double") / F.count("l_extendedprice")).alias("avg_price"),
+        (F.sum(F.col("l_discount").cast(_DEC)).cast("double") / F.count("l_discount")).alias("avg_disc"),
+        F.count(F.lit(1)).alias("count_order"),
+    )
+
+
+@register(
+    "top10_customers_by_revenue",
+    oracle="""
+SELECT c.c_custkey,
+       c.c_name,
+       CAST(SUM(CAST(l.l_extendedprice * (1.0 - l.l_discount) AS DECIMAL(24,8))) AS DOUBLE) AS revenue,
+       CAST(count(DISTINCT o.o_orderkey) AS BIGINT) AS n_orders
+FROM customer c
+JOIN orders o ON c.c_custkey = o.o_custkey
+JOIN lineitem l ON o.o_orderkey = l.l_orderkey
+GROUP BY c.c_custkey, c.c_name
+ORDER BY revenue DESC, c_custkey
+LIMIT 10
+""",
+    description="3-way fact-dim join + top-k (broadcast dim, "
+    "TakeOrderedAndProject top-k)",
+    tags=("relational", "join", "topn"),
+)
+def top10_customers_by_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = read_parquet_table(spark, sf_dir, "customer")
+    o = read_parquet_table(spark, sf_dir, "orders")
+    l = read_parquet_table(spark, sf_dir, "lineitem")
+    return (
+        l.join(o, l.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .groupBy("c_custkey", "c_name")
+        .agg(
+            F.sum(_revenue(l)).cast("double").alias("revenue"),
+            F.countDistinct("o_orderkey").alias("n_orders"),
+        )
+        .orderBy(F.desc("revenue"), F.asc("c_custkey"))
+        .limit(10)
+    )
+
+
+@register(
+    "regional_revenue",
+    oracle="""
+SELECT r.r_name AS region,
+       n.n_name AS nation,
+       CAST(SUM(CAST(l.l_extendedprice * (1.0 - l.l_discount) AS DECIMAL(24,8))) AS DOUBLE) AS revenue,
+       CAST(count(*) AS BIGINT) AS n_lineitems
+FROM lineitem l
+JOIN orders o ON l.l_orderkey = o.o_orderkey
+JOIN customer c ON o.o_custkey = c.c_custkey
+JOIN nation n ON c.c_nationkey = n.n_nationkey
+JOIN region r ON n.n_regionkey = r.r_regionkey
+GROUP BY r.r_name, n.n_name
+""",
+    description="TPC-H Q5-style snowflake join: fact → dims with broadcast "
+    "hints on every dimension",
+    tags=("relational", "join"),
+)
+def regional_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    l = read_parquet_table(spark, sf_dir, "lineitem")
+    o = read_parquet_table(spark, sf_dir, "orders")
+    c = read_parquet_table(spark, sf_dir, "customer")
+    n = read_parquet_table(spark, sf_dir, "nation")
+    r = read_parquet_table(spark, sf_dir, "region")
+    return (
+        l.join(o, l.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
+        .groupBy(F.col("r_name").alias("region"), F.col("n_name").alias("nation"))
+        .agg(
+            F.sum(_revenue(l)).cast("double").alias("revenue"),
+            F.count(F.lit(1)).alias("n_lineitems"),
+        )
+    )
+
+
+@register(
+    "customers_without_orders",
+    oracle="""
+SELECT c_custkey, c_mktsegment
+FROM customer
+WHERE c_custkey NOT IN (SELECT o_custkey FROM orders WHERE o_custkey IS NOT NULL)
+""",
+    description="Anti join (NOT EXISTS) — left_anti, broadcast-able build side",
+    tags=("relational", "join"),
+)
+def customers_without_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = read_parquet_table(spark, sf_dir, "customer")
+    o = read_parquet_table(spark, sf_dir, "orders")
+    return c.join(o, c.c_custkey == o.o_custkey, "left_anti").select(
+        "c_custkey", "c_mktsegment"
+    )
+
+
+@register(
+    "parts_in_open_orders_semi",
+    oracle="""
+SELECT CAST(count(*) AS BIGINT) AS n_parts
+FROM part p
+WHERE EXISTS (
+  SELECT 1 FROM lineitem l
+  JOIN orders o ON l.l_orderkey = o.o_orderkey
+  WHERE l.l_partkey = p.p_partkey AND o.o_orderstatus = 'O'
+)
+""",
+    description="Semi join (EXISTS) through a fact-side filter",
+    tags=("relational", "join"),
+)
+def parts_in_open_orders_semi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    p = read_parquet_table(spark, sf_dir, "part")
+    l = read_parquet_table(spark, sf_dir, "lineitem")
+    o = read_parquet_table(spark, sf_dir, "orders").filter(
+        F.col("o_orderstatus") == "O"
+    )
+    open_parts = l.join(o, l.l_orderkey == o.o_orderkey, "left_semi")
+    return (
+        p.join(open_parts, p.p_partkey == open_parts.l_partkey, "left_semi")
+        .agg(F.count(F.lit(1)).alias("n_parts"))
+    )
+
+
+@register(
+    "order_status_rollup",
+    oracle="""
+SELECT o_orderstatus,
+       o_orderpriority,
+       CAST(count(*) AS BIGINT) AS n_orders,
+       CAST(SUM(CAST(o_totalprice AS DECIMAL(24,8))) AS DOUBLE) AS total_price
+FROM orders
+GROUP BY ROLLUP(o_orderstatus, o_orderpriority)
+""",
+    description="ROLLUP grouping-sets aggregation (subtotals + grand total); "
+    "not in the reference, part of the general SQL surface (SURVEY.md §2.4)",
+    tags=("relational", "rollup"),
+)
+def order_status_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = read_parquet_table(spark, sf_dir, "orders")
+    return o.rollup("o_orderstatus", "o_orderpriority").agg(
+        F.count(F.lit(1)).alias("n_orders"),
+        F.sum(F.col("o_totalprice").cast(_DEC)).cast("double").alias("total_price"),
+    )
+
+
+@register(
+    "user_custkey_setops",
+    oracle="""
+SELECT
+  (SELECT count(*) FROM (SELECT DISTINCT user_id FROM events
+                         UNION SELECT DISTINCT c_custkey FROM customer)) AS n_union,
+  (SELECT count(*) FROM (SELECT DISTINCT user_id FROM events
+                         INTERSECT SELECT DISTINCT c_custkey FROM customer)) AS n_intersect,
+  (SELECT count(*) FROM (SELECT DISTINCT user_id FROM events
+                         EXCEPT SELECT DISTINCT c_custkey FROM customer)) AS n_except
+""",
+    description="Set operations: UNION / INTERSECT / EXCEPT (SURVEY.md §2.7)",
+    tags=("relational", "setops"),
+)
+def user_custkey_setops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    users = (
+        read_parquet_table(spark, sf_dir, "events").select("user_id").distinct()
+    )
+    custs = (
+        read_parquet_table(spark, sf_dir, "customer")
+        .select(F.col("c_custkey").alias("user_id"))
+        .distinct()
+    )
+    n_union = users.union(custs).distinct().count()
+    n_intersect = users.intersect(custs).count()
+    n_except = users.exceptAll(custs).count()
+    return spark.createDataFrame(
+        [(n_union, n_intersect, n_except)],
+        "n_union bigint, n_intersect bigint, n_except bigint",
+    )
+
+
+@register(
+    "user_session_windows",
+    oracle="""
+SELECT event_id,
+       user_id,
+       CAST(row_number() OVER w AS BIGINT) AS rn,
+       lag(value) OVER w AS prev_value,
+       lead(value) OVER w AS next_value,
+       CAST(SUM(CAST(value AS DECIMAL(24,8))) OVER (PARTITION BY user_id ORDER BY ts, event_id
+            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE) AS running_value
+FROM events
+WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+""",
+    description="Analytic window suite per user: row_number, lag, lead, "
+    "running sum with an explicit frame (SURVEY.md §2.5 extensions)",
+    tags=("relational", "window"),
+)
+def user_session_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = read_parquet_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    frame = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    return events.select(
+        "event_id",
+        "user_id",
+        F.row_number().over(w).cast("long").alias("rn"),
+        F.lag("value").over(w).alias("prev_value"),
+        F.lead("value").over(w).alias("next_value"),
+        F.sum(F.col("value").cast(_DEC)).over(frame).cast("double").alias(
+            "running_value"
+        ),
+    )

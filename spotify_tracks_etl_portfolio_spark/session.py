@@ -1,0 +1,67 @@
+"""SparkSession factory with scale-aware defaults.
+
+The reference delegates all execution to MySQL/pandas and has no session
+concept (SURVEY.md §4.1); here the session *is* the engine configuration
+surface, so the scale knobs live in one place.
+
+Local-mode notes: tests/bench run on ``local[N]`` where the driver is the
+only JVM. On a real cluster the same builder applies — only
+``master``/memory come from the environment.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+# Number of cores the driver harness gives us (local mode).
+DEFAULT_CPUS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+
+
+def get_spark(
+    app_name: str = "spotify_tracks_etl_portfolio_spark",
+    master: str | None = None,
+    shuffle_partitions: int | None = None,
+    extra_conf: dict[str, str] | None = None,
+) -> SparkSession:
+    """Build (or reuse) a SparkSession tuned for this engine.
+
+    Scale posture (matters at 100 TB, harmless at sf0.001):
+    - AQE on: runtime shuffle-partition coalescing + skew-join splitting,
+      so a plan sized for the small SF re-plans itself at the large one.
+    - ``shuffle.partitions`` ~ cores locally; on a cluster AQE's
+      coalescing makes the static value a ceiling, not a commitment.
+    - UTC session timezone: deterministic timestamp semantics and parity
+      with the DuckDB oracle (UTC-naive timestamps).
+    - Arrow on: vectorized pandas interchange for the few Pandas-UDF
+      operators (similarity/multimodal paths).
+    """
+    cpus = DEFAULT_CPUS
+    builder = (
+        SparkSession.builder.appName(app_name)
+        .config("spark.sql.shuffle.partitions", str(shuffle_partitions or cpus))
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        .config("spark.sql.session.timeZone", "UTC")
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        .config("spark.sql.parquet.filterPushdown", "true")
+        # events.ts is INT64 TIMESTAMP(NANOS) which Spark rejects natively;
+        # read as long and convert via `div 1000` in the reader (exact,
+        # matches DuckDB's ns→µs truncation).
+        .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+        .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
+        .config("spark.ui.enabled", "false")
+        .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
+    )
+    if master:
+        builder = builder.master(master)
+    elif not os.environ.get("SPARK_MASTER"):
+        builder = builder.master(f"local[{cpus}]")
+    if extra_conf:
+        for k, v in extra_conf.items():
+            builder = builder.config(k, v)
+    spark = builder.getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    return spark

@@ -1,0 +1,83 @@
+"""Sources: scans over CSV / Parquet / JSON (SURVEY.md §2.1 S1, S7).
+
+The reference's only source is a pandas CSV read with inferred types
+(``reference: dags/de_spotify_to_bronze.py:90``); its table scans go
+through MySQL (``reference: dags/de_spotify_silver.py:52-53`` pulls the
+full table to the driver — an anti-pattern this engine replaces with
+distributed scans that are never collected).
+
+Scale posture: strict schemas by default (no inference job over 100 TB),
+columnar Parquet scans so Catalyst gets predicate pushdown + column
+pruning for free.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from spotify_tracks_etl_portfolio_spark.schemas import TESTDATA_SCHEMAS, TESTDATA_TABLES
+
+DEFAULT_SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+
+
+def read_csv(
+    spark: SparkSession,
+    path: str,
+    schema: T.StructType | None = None,
+    infer: bool = False,
+) -> DataFrame:
+    """CSV scan (S1). Strict schema by default; ``infer=True`` mirrors the
+    reference's pandas-style schema-on-read (one extra pass — never at scale).
+    """
+    reader = spark.read.option("header", "true")
+    if schema is not None:
+        reader = reader.schema(schema)
+    elif infer:
+        reader = reader.option("inferSchema", "true")
+    return reader.csv(path)
+
+
+def read_parquet_table(
+    spark: SparkSession, sf_dir: str, table: str, schema: T.StructType | None = None
+) -> DataFrame:
+    """Parquet scan of one testdata table.
+
+    The explicit schema both documents intent and normalizes physical
+    types (e.g. the ns-precision ``events.ts``) to the engine's declared
+    types at scan time, keeping every downstream operator deterministic.
+    """
+    path = os.path.join(sf_dir, f"{table}.parquet")
+    # The driver may hand us a session built without our factory; the
+    # ns-timestamp reading mode is runtime-settable, so pin it here.
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    df = spark.read.parquet(path)
+    target = schema or TESTDATA_SCHEMAS.get(table)
+    if target is not None:
+        actual = dict(df.dtypes)
+        cols = []
+        for f in target.fields:
+            src = df[f.name]
+            if isinstance(f.dataType, T.TimestampType) and actual[f.name] == "bigint":
+                # ns-precision INT64 read via nanosAsLong: exact integer
+                # division to µs (truncation — same as DuckDB's ns→µs cast).
+                src = F.timestamp_micros(F.expr(f"`{f.name}` div 1000"))
+            cols.append(src.cast(f.dataType).alias(f.name))
+        df = df.select(*cols)
+    return df
+
+
+def load_testdata(
+    spark: SparkSession, sf_dir: str = DEFAULT_SF_DIR
+) -> dict[str, DataFrame]:
+    """Load every testdata table as a DataFrame dict."""
+    return {t: read_parquet_table(spark, sf_dir, t) for t in TESTDATA_TABLES}
+
+
+def register_testdata_views(spark: SparkSession, sf_dir: str = DEFAULT_SF_DIR) -> None:
+    """Register all testdata tables as temp views for the SQL surface."""
+    for name, df in load_testdata(spark, sf_dir).items():
+        df.createOrReplaceTempView(name)

@@ -1,0 +1,118 @@
+"""Local replica of the driver's correctness gate.
+
+Runs every registered query on Spark and its DuckDB oracle at sf0.01,
+then compares row count, column names, and an order-insensitive value
+multiset (columns sorted by name, rows sorted, values normalized).
+Use while iterating so CORRECTNESS_r{N}.json holds no surprises.
+
+    python tools/check_oracle.py [--sf /root/testdata/sf0.01] [name ...]
+"""
+
+from __future__ import annotations
+
+import argparse
+import math
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import duckdb
+
+from spotify_tracks_etl_portfolio_spark.schemas import TESTDATA_TABLES
+
+
+def _norm(v):
+    if v is None:
+        return None
+    if isinstance(v, float):
+        if math.isnan(v):
+            return "NaN"
+        return v
+    if isinstance(v, (int, str, bool)):
+        return v
+    return str(v)
+
+
+def _multiset(rows):
+    return sorted(
+        (tuple(_norm(v) for v in row) for row in rows),
+        key=lambda r: tuple((x is None, str(type(x)), str(x)) for x in r),
+    )
+
+
+def main() -> int:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--sf", default="/root/testdata/sf0.01")
+    ap.add_argument("names", nargs="*")
+    args = ap.parse_args()
+
+    from spotify_tracks_etl_portfolio_spark.plans import all_queries
+    from spotify_tracks_etl_portfolio_spark.session import get_spark
+
+    specs = all_queries()
+    names = args.names or list(specs)
+
+    spark = get_spark("check_oracle", shuffle_partitions=8)
+    con = duckdb.connect()
+    for t in TESTDATA_TABLES:
+        path = os.path.join(args.sf, f"{t}.parquet")
+        if os.path.exists(path):
+            con.execute(
+                f"CREATE OR REPLACE VIEW {t} AS SELECT * FROM read_parquet('{path}')"
+            )
+
+    failures = []
+    for name in names:
+        spec = specs[name]
+        t0 = time.time()
+        try:
+            sdf = spec.fn(spark, args.sf)
+            s_cols = list(sdf.columns)
+            s_rows = [tuple(r) for r in sdf.collect()]
+        except Exception as e:
+            print(f"FAIL {name}: spark error: {e}")
+            failures.append(name)
+            continue
+        if spec.oracle is None:
+            print(f"pass {name}: rows-only ({len(s_rows)} rows) "
+                  f"[{time.time()-t0:.1f}s]")
+            continue
+        try:
+            cur = con.execute(spec.oracle)
+            o_cols = [d[0] for d in cur.description]
+            o_rows = cur.fetchall()
+        except Exception as e:
+            print(f"FAIL {name}: oracle error: {e}")
+            failures.append(name)
+            continue
+
+        ok = True
+        if sorted(s_cols) != sorted(o_cols):
+            print(f"FAIL {name}: columns spark={sorted(s_cols)} oracle={sorted(o_cols)}")
+            ok = False
+        if len(s_rows) != len(o_rows):
+            print(f"FAIL {name}: rowcount spark={len(s_rows)} oracle={len(o_rows)}")
+            ok = False
+        if ok:
+            s_idx = [s_cols.index(c) for c in sorted(s_cols)]
+            o_idx = [o_cols.index(c) for c in sorted(o_cols)]
+            sm = _multiset([[r[i] for i in s_idx] for r in s_rows])
+            om = _multiset([[r[i] for i in o_idx] for r in o_rows])
+            if sm != om:
+                ok = False
+                diffs = [(a, b) for a, b in zip(sm, om) if a != b]
+                print(f"FAIL {name}: value mismatch ({len(diffs)} differing rows); "
+                      f"first: spark={diffs[0][0]} oracle={diffs[0][1]}")
+        if ok:
+            print(f"PASS {name} ({len(s_rows)} rows) [{time.time()-t0:.1f}s]")
+        else:
+            failures.append(name)
+
+    print(f"\n{len(names)-len(failures)}/{len(names)} passed")
+    return 1 if failures else 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())
