@@ -1,0 +1,264 @@
+"""Deduplication family for training-data pipelines (north star):
+exact, n-gram Jaccard, MinHash+LSH, SimHash, embedding-cosine near-dup.
+
+All variants are built from DataFrame ops (explode → hash → group/join);
+hashing is the engine's own overflow-free polynomial hash so every stage
+has an exactly-equivalent DuckDB SQL form (generated from the SAME
+constants in plans/extensions.py) — the LSH pipeline itself is
+oracle-checkable, not just trusted.
+
+Scale design (the point of each variant at 100 TB):
+- exact: one shuffle on the text hash; group by ``xxhash64(text)``
+  rather than the full text to keep shuffle rows narrow.
+- n-gram Jaccard: explode shingles → self-join on shingle hash. The
+  shingle join is the scale hazard (hot shingles fan out quadratically);
+  mitigate by dropping ultra-common shingles (document-frequency cap),
+  the standard trick — exposed as ``max_shingle_df``.
+- MinHash+LSH: signatures are a fixed-width agg (no quadratic term);
+  candidates only materialize for band collisions. Band join keys are
+  ``(band_idx, band_signature)`` — a narrow shuffle.
+- SimHash: fixed-width bit-vote agg; near-dup = Hamming ≤ k on int64
+  (bit_count(xor)) — cheap verify, no second shingle pass.
+- embedding cosine: brute-force pair filter locally; the scale path is
+  the block/LSH variants in operators/similarity.py.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from spotify_tracks_etl_portfolio_spark.functions import FINGERPRINT_MOD, rolling_hash
+from spotify_tracks_etl_portfolio_spark.operators.text import tokens
+
+# --------------------------------------------------------------------------
+# Shared MinHash/SimHash constants — plans/extensions.py generates the
+# DuckDB oracle SQL from these same values. Frozen; do not regenerate.
+# --------------------------------------------------------------------------
+
+SHINGLE_K = 3
+NUM_MINHASHES = 12
+LSH_BANDS = 4  # 4 bands × 3 rows
+LSH_ROWS = NUM_MINHASHES // LSH_BANDS
+#: (a, b) pairs for h_i(x) = (a_i * x + b_i) mod MINHASH_P; a < 2^20 and
+#: x < 2^30 keep a*x+b < 2^50 — overflow-free on checked-arithmetic engines.
+MINHASH_COEFFS: tuple[tuple[int, int], ...] = (
+    (131071, 524287), (262139, 8191), (524287, 131071), (786431, 262139),
+    (1000003, 999983), (917503, 700001), (655359, 350003), (999979, 131),
+    (786433, 524287), (333667, 100003), (888887, 222221), (444443, 777767),
+)
+MINHASH_P = 2_147_483_647  # 2^31 − 1 (Mersenne prime)
+SIMHASH_BITS = 30  # token hashes are < 2^30 (mod 1e9+7)
+
+
+def shingle_array(col: Column | str, k: int = SHINGLE_K) -> Column:
+    """Distinct k-word shingles as strings; docs with < k tokens get a
+    single shingle of the whole text (so they still participate)."""
+    toks = tokens(col)
+    n = F.size(toks)
+    joined = F.transform(
+        F.sequence(F.lit(0), n - k),
+        lambda i: F.concat_ws(
+            " ", *[F.element_at(toks, (i + j + 1).cast("int")) for j in range(k)]
+        ),
+    )
+    return F.when(n >= k, F.array_distinct(joined)).otherwise(
+        F.array(F.concat_ws(" ", toks))
+    )
+
+
+def exploded_shingle_hashes(
+    df: DataFrame, id_col: str, text_col: str, k: int = SHINGLE_K
+) -> DataFrame:
+    """(id, shingle_hash) rows — the shared base for Jaccard and MinHash.
+    Hash = the engine's polynomial rolling hash (< 2^30)."""
+    return (
+        df.select(id_col, F.explode(shingle_array(text_col, k)).alias("__shingle"))
+        .select(id_col, rolling_hash(F.col("__shingle")).alias("h"))
+        .distinct()
+    )
+
+
+def exact_dedup(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """Exact dedup: keep the lowest id per identical content. Groups on
+    the 64-bit content hash (narrow shuffle), resolves collisions by
+    grouping on the text within hash groups."""
+    return (
+        df.select(id_col, text_col, F.xxhash64(text_col).alias("__h"))
+        .groupBy("__h", text_col)
+        .agg(F.min(id_col).alias(id_col), F.count(F.lit(1)).alias("n_copies"))
+        .select(id_col, "n_copies")
+    )
+
+
+def jaccard_pairs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    threshold: float,
+    k: int = SHINGLE_K,
+    max_shingle_df: int | None = None,
+) -> DataFrame:
+    """All-pairs n-gram Jaccard similarity ≥ threshold via shingle-hash
+    self-join. ``max_shingle_df`` drops shingles appearing in more than
+    that many docs (the quadratic-fanout guard for scale)."""
+    sh = exploded_shingle_hashes(df, id_col, text_col, k)
+    if max_shingle_df is not None:
+        rare = (
+            sh.groupBy("h")
+            .agg(F.count(F.lit(1)).alias("df"))
+            .filter(F.col("df") <= max_shingle_df)
+            .select("h")
+        )
+        sh = sh.join(rare, "h", "left_semi")
+    sizes = sh.groupBy(id_col).agg(F.count(F.lit(1)).alias("n_sh"))
+
+    a = sh.select(F.col(id_col).alias("id_a"), "h")
+    b = sh.select(F.col(id_col).alias("id_b"), "h")
+    shared = (
+        a.join(b, "h")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .groupBy("id_a", "id_b")
+        .agg(F.count(F.lit(1)).alias("shared"))
+    )
+    sa = sizes.select(F.col(id_col).alias("id_a"), F.col("n_sh").alias("na"))
+    sb = sizes.select(F.col(id_col).alias("id_b"), F.col("n_sh").alias("nb"))
+    return (
+        shared.join(sa, "id_a")
+        .join(sb, "id_b")
+        .withColumn(
+            "jaccard",
+            F.round(
+                F.col("shared").cast("double")
+                / (F.col("na") + F.col("nb") - F.col("shared")),
+                6,
+            ),
+        )
+        .filter(F.col("jaccard") >= threshold)
+        .select("id_a", "id_b", "jaccard")
+    )
+
+
+def minhash_signatures(
+    df: DataFrame, id_col: str, text_col: str, k: int = SHINGLE_K
+) -> DataFrame:
+    """MinHash signature per doc: min over shingle hashes of each
+    permutation hash — one grouped agg, NUM_MINHASHES columns (mh_0..)."""
+    sh = exploded_shingle_hashes(df, id_col, text_col, k)
+    aggs = [
+        F.min((F.col("h") * F.lit(a) + F.lit(b)) % F.lit(MINHASH_P)).alias(f"mh_{i}")
+        for i, (a, b) in enumerate(MINHASH_COEFFS)
+    ]
+    return sh.groupBy(id_col).agg(*aggs)
+
+
+def minhash_lsh_candidates(signatures: DataFrame, id_col: str) -> DataFrame:
+    """LSH banding: docs sharing any band signature become candidates.
+    Bands explode to (band_idx, band_sig) rows; the self-join is an
+    equi-join on those narrow keys."""
+    bands = signatures.select(
+        id_col,
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(bi).alias("band"),
+                        F.concat_ws(
+                            "_",
+                            *[
+                                F.col(f"mh_{bi * LSH_ROWS + r}")
+                                for r in range(LSH_ROWS)
+                            ],
+                        ).alias("sig"),
+                    )
+                    for bi in range(LSH_BANDS)
+                ]
+            )
+        ).alias("bs"),
+    ).select(id_col, "bs.band", "bs.sig")
+    a = bands.select(F.col(id_col).alias("id_a"), "band", "sig")
+    b = bands.select(F.col(id_col).alias("id_b"), "band", "sig")
+    return (
+        a.join(b, ["band", "sig"])
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b")
+        .distinct()
+    )
+
+
+def minhash_near_dup_pairs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    threshold: float,
+    k: int = SHINGLE_K,
+) -> DataFrame:
+    """Full MinHash+LSH near-dup pipeline: signatures → band candidates →
+    exact-Jaccard verification of candidates only."""
+    sigs = minhash_signatures(df, id_col, text_col, k)
+    cands = minhash_lsh_candidates(sigs, id_col)
+    verified = jaccard_pairs(df, id_col, text_col, threshold, k)
+    return cands.join(verified, ["id_a", "id_b"]).select("id_a", "id_b", "jaccard")
+
+
+def simhash(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """SimHash per doc: per-token polynomial hash → per-bit ±1 votes →
+    sign bit-vector packed into a long. Token multiplicity counts
+    (standard SimHash weighting by term frequency)."""
+    tok = df.select(
+        id_col, F.explode(tokens(text_col)).alias("__t")
+    ).select(id_col, rolling_hash(F.col("__t")).alias("h"))
+    votes = [
+        F.sum(
+            F.when(F.shiftright(F.col("h"), j).bitwiseAND(F.lit(1)) == 1, 1).otherwise(
+                -1
+            )
+        ).alias(f"v_{j}")
+        for j in range(SIMHASH_BITS)
+    ]
+    voted = tok.groupBy(id_col).agg(*votes)
+    sim = None
+    for j in range(SIMHASH_BITS):
+        bit = F.when(F.col(f"v_{j}") > 0, F.lit(1 << j)).otherwise(F.lit(0))
+        sim = bit if sim is None else sim + bit
+    return voted.select(id_col, sim.cast("long").alias("simhash"))
+
+
+def simhash_near_dup_pairs(
+    df: DataFrame, id_col: str, text_col: str, max_hamming: int
+) -> DataFrame:
+    """Near-dup pairs by SimHash Hamming distance ≤ k. Brute-force pair
+    filter here; the scale path blocks on simhash bytes (split the 30
+    bits into max_hamming+1 chunks — pigeonhole guarantees a chunk-exact
+    match — and equi-join per chunk)."""
+    s = simhash(df, id_col, text_col)
+    a = s.select(F.col(id_col).alias("id_a"), F.col("simhash").alias("sh_a"))
+    b = s.select(F.col(id_col).alias("id_b"), F.col("simhash").alias("sh_b"))
+    return (
+        a.crossJoin(b)
+        .filter(F.col("id_a") < F.col("id_b"))
+        .withColumn(
+            "hamming",
+            F.bit_count(F.col("sh_a").bitwiseXOR(F.col("sh_b"))),
+        )
+        .filter(F.col("hamming") <= max_hamming)
+        .select("id_a", "id_b", "hamming")
+    )
+
+
+def embedding_near_dup_pairs(
+    df: DataFrame, id_col: str, vec_col: str, threshold: float
+) -> DataFrame:
+    """Embedding-cosine near-dup pairs (brute force). Scale path: LSH /
+    IVF blocking in operators/similarity.py."""
+    from spotify_tracks_etl_portfolio_spark.functions import cosine_similarity
+
+    a = df.select(F.col(id_col).alias("id_a"), F.col(vec_col).alias("va"))
+    b = df.select(F.col(id_col).alias("id_b"), F.col(vec_col).alias("vb"))
+    return (
+        a.crossJoin(b)
+        .filter(F.col("id_a") < F.col("id_b"))
+        .withColumn("cosine", F.round(cosine_similarity("va", "vb"), 6))
+        .filter(F.col("cosine") >= threshold)
+        .select("id_a", "id_b", "cosine")
+    )

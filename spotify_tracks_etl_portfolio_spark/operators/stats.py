@@ -26,6 +26,8 @@ def column_medians(
 ) -> dict[str, float]:
     """Median per column in ONE aggregation pass (the reference loops
     per-column in pandas, ``reference: dags/de_spotify_silver.py:56-63``)."""
+    if not cols:
+        return {}
     if exact:
         aggs = [F.median(c).alias(c) for c in cols]
     else:

@@ -1,0 +1,115 @@
+"""Text-analysis operators for training-data pipelines (north star:
+BASELINE.json; SURVEY.md §7 M4): language ID, quality scoring, token
+counting, fingerprinting — all pure Column expressions (JVM-side,
+codegen'd; no UDFs) so they run at 100 TB without Python in the loop.
+
+Determinism contract: every function here has an exactly-equivalent
+DuckDB SQL form (see plans/extensions.py) — fixed marker lists, fixed
+regexes, fixed tie-breaks.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+# Fixed marker-word lists for the n-gram/stopword language heuristic.
+# Order matters: ties break to the FIRST language in this list.
+LANG_MARKERS: dict[str, tuple[str, ...]] = {
+    "en": ("the", "a", "of", "and", "to", "is"),
+    "de": ("der", "die", "und", "das", "ein", "ist"),
+    "es": ("el", "la", "los", "las", "que", "es"),
+    "fr": ("le", "la", "les", "des", "et", "est"),
+    "zh": ("de5", "le5", "shi4", "zai4", "he2", "you3"),
+}
+
+#: BPE-ish pre-tokenization: letter runs, digit runs, single punctuation.
+BPE_TOKEN_PATTERN = r"[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9\s]"
+
+#: Quality-scoring stopword set (shared with plans/extensions.py oracle).
+QUALITY_STOPWORDS = ("the", "a", "of", "and", "to")
+
+
+def tokens(col: Column | str) -> Column:
+    """Whitespace tokens of trimmed text; empty text → empty array."""
+    c = F.col(col) if isinstance(col, str) else col
+    trimmed = F.trim(c)
+    return F.when(trimmed == "", F.array().cast("array<string>")).otherwise(
+        F.split(trimmed, r"\s+")
+    )
+
+
+def bpe_token_count(col: Column | str) -> Column:
+    """Sub-word-ish token count via the BPE pre-tokenizer regex."""
+    c = F.col(col) if isinstance(col, str) else col
+    return F.regexp_count(c, F.lit(BPE_TOKEN_PATTERN))
+
+
+def lang_scores(col: Column | str) -> dict[str, Column]:
+    """Marker-word hit count per language."""
+    toks = tokens(col)
+
+    def marker_filter(markers: tuple[str, ...]):
+        # NB: a `lambda t, m=markers:` default would make the lambda
+        # 2-ary and PySpark would bind the array INDEX to `m`.
+        return lambda t: t.isin(*markers)
+
+    return {
+        lang: F.size(F.filter(toks, marker_filter(markers)))
+        for lang, markers in LANG_MARKERS.items()
+    }
+
+
+def lang_id(col: Column | str) -> Column:
+    """Heuristic language ID: argmax marker hits; ties break to the first
+    language in LANG_MARKERS order; zero hits everywhere → 'und'."""
+    scores = lang_scores(col)
+    best = F.greatest(*scores.values())
+    expr: Column = F.lit("und")
+    # build the WHEN chain in reverse so the FIRST language wins ties
+    for lang in reversed(list(scores)):
+        expr = F.when(
+            (scores[lang] == best) & (best > 0), F.lit(lang)
+        ).otherwise(expr)
+    return expr
+
+
+def quality_features(col: Column | str) -> dict[str, Column]:
+    """Deterministic quality signals: token count, mean token length,
+    stopword ratio, punctuation ratio, digit ratio."""
+    c = F.col(col) if isinstance(col, str) else col
+    toks = tokens(c)
+    n_tok = F.size(toks)
+    n_chars = F.length(c)
+    n_stop = F.size(F.filter(toks, lambda t: t.isin(*QUALITY_STOPWORDS)))
+    n_punct = F.regexp_count(c, F.lit(r"[.,!?;:]"))
+    n_digit = F.regexp_count(c, F.lit(r"[0-9]"))
+    safe_tok = F.greatest(n_tok, F.lit(1))
+    safe_chars = F.greatest(n_chars, F.lit(1))
+    return {
+        "n_tokens": n_tok.cast("long"),
+        "mean_token_len": F.round(
+            (n_chars - (n_tok - 1)).cast("double") / safe_tok, 6
+        ),
+        "stopword_ratio": F.round(n_stop.cast("double") / safe_tok, 6),
+        "punct_ratio": F.round(n_punct.cast("double") / safe_chars, 6),
+        "digit_ratio": F.round(n_digit.cast("double") / safe_chars, 6),
+    }
+
+
+def quality_score(col: Column | str) -> Column:
+    """Composite [0,1] quality score — a fixed, documented formula (the
+    exact weights are a policy choice; determinism is the contract):
+    penalize too-short/too-long docs, reward stopword presence, penalize
+    digit/punct density."""
+    f = quality_features(col)
+    length_ok = F.when(
+        (f["n_tokens"] >= 5) & (f["n_tokens"] <= 5000), F.lit(1.0)
+    ).otherwise(F.lit(0.3))
+    stop_ok = F.least(f["stopword_ratio"] * 4.0, F.lit(1.0))
+    noise = F.least(
+        (f["punct_ratio"] + f["digit_ratio"]) * 2.0, F.lit(1.0)
+    )
+    return F.round(
+        length_ok * 0.5 + stop_ok * 0.3 + (F.lit(1.0) - noise) * 0.2, 6
+    )

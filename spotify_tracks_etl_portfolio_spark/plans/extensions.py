@@ -83,3 +83,417 @@ FROM documents
 def document_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = read_parquet_table(spark, sf_dir, "documents")
     return docs.select("doc_id", rolling_hash("text").alias("fingerprint"))
+
+
+# ===========================================================================
+# Dedup family (operators/dedup.py) — oracle SQL generated from the SAME
+# frozen constants as the Spark implementation.
+# ===========================================================================
+
+from spotify_tracks_etl_portfolio_spark.operators import dedup as _dd  # noqa: E402
+from spotify_tracks_etl_portfolio_spark.operators import text as _tx  # noqa: E402
+
+#: Shared DuckDB CTEs: whitespace tokens → distinct k-shingles → polynomial
+#: shingle hashes (mirrors operators/dedup.py exploded_shingle_hashes).
+_SHINGLE_CTES = f"""
+toks AS (
+  SELECT doc_id,
+         CASE WHEN trim(text) = '' THEN CAST([] AS VARCHAR[])
+              ELSE string_split_regex(trim(text), '\\s+') END AS w
+  FROM documents
+),
+sh AS (
+  SELECT doc_id,
+         CASE WHEN len(w) >= {_dd.SHINGLE_K}
+              THEN list_distinct([w[i] || ' ' || w[i+1] || ' ' || w[i+2]
+                                  for i in range(1, len(w) - 1)])
+              ELSE [list_aggregate(w, 'string_agg', ' ')] END AS shingles
+  FROM toks
+),
+shh AS (
+  SELECT DISTINCT doc_id,
+         list_reduce(
+           list_prepend(CAST(0 AS BIGINT),
+                        list_transform(string_split(s, ''),
+                                       c -> CAST(ascii(c) AS BIGINT))),
+           (a, b) -> (a * 31 + b) % 1000000007) AS h
+  FROM (SELECT doc_id, unnest(shingles) AS s FROM sh)
+)
+"""
+
+_JACCARD_CTES = f"""
+{_SHINGLE_CTES},
+sizes AS (SELECT doc_id, count(*) AS n FROM shh GROUP BY doc_id),
+pairs AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS shared
+  FROM shh a JOIN shh b ON a.h = b.h AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+),
+jac AS (
+  SELECT id_a, id_b,
+         round(shared * 1.0 / (sa.n + sb.n - shared), 6) AS jaccard
+  FROM pairs
+  JOIN sizes sa ON id_a = sa.doc_id
+  JOIN sizes sb ON id_b = sb.doc_id
+)
+"""
+
+JACCARD_THRESHOLD = 0.5
+
+
+@register(
+    "ngram_jaccard_pairs",
+    oracle=f"""
+WITH {_JACCARD_CTES}
+SELECT id_a, id_b, jaccard FROM jac WHERE jaccard >= {JACCARD_THRESHOLD}
+""",
+    description="Near-dup dedup via n-gram (3-word shingle) Jaccard "
+    "similarity: explode→hash→self-join with a document-frequency fanout "
+    "guard for scale",
+    tags=("extension", "dedup"),
+)
+def ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = read_parquet_table(spark, sf_dir, "documents")
+    return _dd.jaccard_pairs(docs, "doc_id", "text", JACCARD_THRESHOLD)
+
+
+def _minhash_sig_sql() -> str:
+    cols = ", ".join(
+        f"min((h * {a} + {b}) % {_dd.MINHASH_P}) AS mh_{i}"
+        for i, (a, b) in enumerate(_dd.MINHASH_COEFFS)
+    )
+    return f"sigs AS (SELECT doc_id, {cols} FROM shh GROUP BY doc_id)"
+
+
+def _minhash_bands_sql() -> str:
+    selects = []
+    for bi in range(_dd.LSH_BANDS):
+        sig = " || '_' || ".join(
+            f"CAST(mh_{bi * _dd.LSH_ROWS + r} AS VARCHAR)"
+            for r in range(_dd.LSH_ROWS)
+        )
+        selects.append(f"SELECT doc_id, {bi} AS band, {sig} AS sig FROM sigs")
+    return "bands AS (" + " UNION ALL ".join(selects) + ")"
+
+
+@register(
+    "minhash_lsh_near_dups",
+    oracle=f"""
+WITH {_JACCARD_CTES},
+{_minhash_sig_sql()},
+{_minhash_bands_sql()},
+cands AS (
+  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+  FROM bands a JOIN bands b
+    ON a.band = b.band AND a.sig = b.sig AND a.doc_id < b.doc_id
+)
+SELECT c.id_a, c.id_b, j.jaccard
+FROM cands c JOIN jac j ON c.id_a = j.id_a AND c.id_b = j.id_b
+WHERE j.jaccard >= {JACCARD_THRESHOLD}
+""",
+    description=f"MinHash({_dd.NUM_MINHASHES})+LSH({_dd.LSH_BANDS}×{_dd.LSH_ROWS}) "
+    "near-dup pipeline: signature agg → band-collision candidates → exact "
+    "Jaccard verify of candidates only (the 100 TB path — no all-pairs join)",
+    tags=("extension", "dedup", "lsh"),
+)
+def minhash_lsh_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = read_parquet_table(spark, sf_dir, "documents")
+    return _dd.minhash_near_dup_pairs(docs, "doc_id", "text", JACCARD_THRESHOLD)
+
+
+def _simhash_sql() -> str:
+    votes = ", ".join(
+        f"sum(CASE WHEN (h >> {j}) & 1 = 1 THEN 1 ELSE -1 END) AS v_{j}"
+        for j in range(_dd.SIMHASH_BITS)
+    )
+    packed = " + ".join(
+        f"(CASE WHEN v_{j} > 0 THEN CAST({1 << j} AS BIGINT) ELSE CAST(0 AS BIGINT) END)"
+        for j in range(_dd.SIMHASH_BITS)
+    )
+    return f"""
+tokh AS (
+  SELECT doc_id,
+         list_reduce(
+           list_prepend(CAST(0 AS BIGINT),
+                        list_transform(string_split(t, ''),
+                                       c -> CAST(ascii(c) AS BIGINT))),
+           (a, b) -> (a * 31 + b) % 1000000007) AS h
+  FROM (SELECT doc_id, unnest(w) AS t FROM toks)
+),
+votes AS (SELECT doc_id, {votes} FROM tokh GROUP BY doc_id),
+simh AS (SELECT doc_id, {packed} AS simhash FROM votes)
+"""
+
+
+@register(
+    "simhash_documents",
+    oracle=f"""
+WITH {_SHINGLE_CTES},
+{_simhash_sql()}
+SELECT doc_id, simhash FROM simh
+""",
+    description=f"{_dd.SIMHASH_BITS}-bit SimHash per document: per-token "
+    "polynomial hash → per-bit ±1 votes → packed sign vector (one "
+    "fixed-width agg; near-dup = Hamming ≤ k via bit_count(xor))",
+    tags=("extension", "dedup"),
+)
+def simhash_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = read_parquet_table(spark, sf_dir, "documents")
+    return _dd.simhash(docs, "doc_id", "text")
+
+
+@register(
+    "simhash_near_dups",
+    oracle=f"""
+WITH {_SHINGLE_CTES},
+{_simhash_sql()}
+SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+       CAST(bit_count(xor(a.simhash, b.simhash)) AS BIGINT) AS hamming
+FROM simh a JOIN simh b ON a.doc_id < b.doc_id
+WHERE bit_count(xor(a.simhash, b.simhash)) <= 3
+""",
+    description="SimHash near-dup pairs at Hamming ≤ 3 (scale path: "
+    "pigeonhole chunk blocking instead of the all-pairs filter)",
+    tags=("extension", "dedup"),
+)
+def simhash_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = read_parquet_table(spark, sf_dir, "documents")
+    out = _dd.simhash_near_dup_pairs(docs, "doc_id", "text", max_hamming=3)
+    return out.withColumn("hamming", F.col("hamming").cast("long"))
+
+
+# ===========================================================================
+# Similarity search (operators/similarity.py)
+# ===========================================================================
+
+from spotify_tracks_etl_portfolio_spark.operators import similarity as _sim  # noqa: E402
+
+EMB_NEAR_DUP_THRESHOLD = 0.4
+TOPK_K = 5
+TOPK_N_QUERIES = 10
+
+
+@register(
+    "embedding_cosine_topk",
+    oracle=f"""
+WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings),
+q AS (SELECT vec_id AS query_id, e AS qv FROM v WHERE vec_id < {TOPK_N_QUERIES}),
+scored AS (
+  SELECT query_id, v.vec_id AS neighbor_id,
+         round(list_dot_product(e, qv) /
+               (sqrt(list_dot_product(e, e)) * sqrt(list_dot_product(qv, qv))),
+               6) AS cosine
+  FROM v, q WHERE v.vec_id <> q.query_id
+),
+ranked AS (
+  SELECT *, row_number() OVER (PARTITION BY query_id
+                               ORDER BY cosine DESC, neighbor_id) AS rank
+  FROM scored
+)
+SELECT query_id, neighbor_id, cosine, CAST(rank AS BIGINT) AS rank
+FROM ranked WHERE rank <= {TOPK_K}
+""",
+    description="Exact brute-force cosine top-k neighbor search: broadcast "
+    "query set, zip_with/aggregate dot products (JVM-side), per-query "
+    "window top-k; cosine rounded before ranking for deterministic "
+    "membership",
+    tags=("extension", "similarity"),
+)
+def embedding_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = read_parquet_table(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < TOPK_N_QUERIES)
+    return _sim.cosine_topk(emb, queries, "vec_id", "embedding", TOPK_K)
+
+
+@register(
+    "embedding_near_dup_pairs",
+    oracle=f"""
+WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings)
+SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+       round(list_dot_product(a.e, b.e) /
+             (sqrt(list_dot_product(a.e, a.e)) * sqrt(list_dot_product(b.e, b.e))),
+             6) AS cosine
+FROM v a JOIN v b ON a.vec_id < b.vec_id
+WHERE round(list_dot_product(a.e, b.e) /
+            (sqrt(list_dot_product(a.e, a.e)) * sqrt(list_dot_product(b.e, b.e))),
+            6) >= {EMB_NEAR_DUP_THRESHOLD}
+""",
+    description="Embedding-cosine near-duplicate pairs (brute force; "
+    "LSH/IVF blocking is the scale path)",
+    tags=("extension", "dedup", "similarity"),
+)
+def embedding_near_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = read_parquet_table(spark, sf_dir, "embeddings")
+    return _dd.embedding_near_dup_pairs(
+        emb, "vec_id", "embedding", EMB_NEAR_DUP_THRESHOLD
+    )
+
+
+@register(
+    "embedding_ivf_topk",
+    oracle=None,  # approximate by design → rows-only check
+    description="IVF approximate top-k: centroid assignment join + "
+    "nprobe-cell-pruned search — touches nprobe/n_cells of the corpus "
+    "(the 100 TB ANN path). Approximate ⇒ no SQL oracle.",
+    tags=("extension", "similarity", "approx"),
+)
+def embedding_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = read_parquet_table(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < TOPK_N_QUERIES)
+    centroids = emb.filter(F.col("vec_id") % 31 == 0).limit(16)
+    return _sim.ivf_topk(
+        emb, queries, centroids, "vec_id", "embedding", TOPK_K, nprobe=2
+    )
+
+
+# ===========================================================================
+# Text analysis (operators/text.py)
+# ===========================================================================
+
+
+def _lang_sql() -> tuple[str, str]:
+    scores = []
+    for lang, markers in _tx.LANG_MARKERS.items():
+        lst = ", ".join(f"'{m}'" for m in markers)
+        scores.append(
+            f"len(list_filter(w, t -> t IN ({lst}))) AS s_{lang}"
+        )
+    best = ", ".join(f"s_{lang}" for lang in _tx.LANG_MARKERS)
+    whens = " ".join(
+        f"WHEN s_{lang} = best AND best > 0 THEN '{lang}'"
+        for lang in _tx.LANG_MARKERS
+    )
+    return (
+        f"scored AS (SELECT doc_id, lang, {', '.join(scores)} FROM toks2),\n"
+        f"best AS (SELECT *, greatest({best}) AS best FROM scored)",
+        f"CASE {whens} ELSE 'und' END",
+    )
+
+
+_LANG_CTES, _LANG_CASE = _lang_sql()
+
+
+@register(
+    "lang_id_documents",
+    oracle=f"""
+WITH toks2 AS (
+  SELECT doc_id, lang,
+         CASE WHEN trim(text) = '' THEN CAST([] AS VARCHAR[])
+              ELSE string_split_regex(trim(text), '\\s+') END AS w
+  FROM documents
+),
+{_LANG_CTES}
+SELECT doc_id, lang AS labeled_lang, {_LANG_CASE} AS predicted_lang FROM best
+""",
+    description="Heuristic language ID: marker-word hit argmax with fixed "
+    "tie-break order; pure Column exprs (no UDF)",
+    tags=("extension", "text"),
+)
+def lang_id_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = read_parquet_table(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id",
+        F.col("lang").alias("labeled_lang"),
+        _tx.lang_id("text").alias("predicted_lang"),
+    )
+
+
+@register(
+    "quality_score_documents",
+    oracle=f"""
+WITH f AS (
+  SELECT doc_id,
+         CASE WHEN trim(text) = '' THEN CAST([] AS VARCHAR[])
+              ELSE string_split_regex(trim(text), '\\s+') END AS w,
+         length(text) AS n_chars,
+         len(regexp_extract_all(text, '[.,!?;:]')) AS n_punct,
+         len(regexp_extract_all(text, '[0-9]')) AS n_digit
+  FROM documents
+),
+g AS (
+  SELECT doc_id,
+         len(w) AS n_tok,
+         len(list_filter(w, t -> t IN ('the', 'a', 'of', 'and', 'to'))) AS n_stop,
+         n_chars, n_punct, n_digit
+  FROM f
+),
+h AS (
+  SELECT doc_id,
+         CAST(n_tok AS BIGINT) AS n_tokens,
+         round(n_stop * 1.0 / greatest(n_tok, 1), 6) AS stopword_ratio,
+         round(n_punct * 1.0 / greatest(n_chars, 1), 6) AS punct_ratio,
+         round(n_digit * 1.0 / greatest(n_chars, 1), 6) AS digit_ratio
+  FROM g
+)
+SELECT doc_id, n_tokens, stopword_ratio, punct_ratio, digit_ratio,
+       round((CASE WHEN n_tokens >= 5 AND n_tokens <= 5000 THEN 1.0 ELSE 0.3 END) * 0.5
+             + least(stopword_ratio * 4.0, 1.0) * 0.3
+             + (1.0 - least((punct_ratio + digit_ratio) * 2.0, 1.0)) * 0.2,
+             6) AS quality_score
+FROM h
+""",
+    description="Document quality scoring: token/stopword/punct/digit "
+    "signals combined by a fixed formula",
+    tags=("extension", "text"),
+)
+def quality_score_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = read_parquet_table(spark, sf_dir, "documents")
+    feats = _tx.quality_features("text")
+    return docs.select(
+        "doc_id",
+        feats["n_tokens"].alias("n_tokens"),
+        feats["stopword_ratio"].alias("stopword_ratio"),
+        feats["punct_ratio"].alias("punct_ratio"),
+        feats["digit_ratio"].alias("digit_ratio"),
+        _tx.quality_score("text").alias("quality_score"),
+    )
+
+
+@register(
+    "bpe_token_counts",
+    oracle=r"""
+SELECT doc_id,
+       CAST(len(regexp_extract_all(text, '[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9\s]')) AS BIGINT)
+         AS n_bpe_tokens
+FROM documents
+""",
+    description="BPE-ish pre-tokenizer counts: letter runs, digit runs, "
+    "single punctuation (regexp_count, JVM-side)",
+    tags=("extension", "text"),
+)
+def bpe_token_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = read_parquet_table(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id", _tx.bpe_token_count("text").cast("long").alias("n_bpe_tokens")
+    )
+
+
+# ===========================================================================
+# Multimodal plumbing (operators/multimodal.py) — binary columns through
+# an Arrow-batched mapInPandas decode stub; the byte statistics are
+# deterministic, so even the Python-side path gets a SQL oracle.
+# ===========================================================================
+
+from spotify_tracks_etl_portfolio_spark.operators import multimodal as _mm  # noqa: E402
+
+
+@register(
+    "multimodal_decode_features",
+    oracle="""
+SELECT doc_id AS id,
+       CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
+       list_sum(list_transform(string_split(text, ''),
+                               c -> CAST(ascii(c) AS BIGINT))) * 1.0
+         / octet_length(encode(text)) AS mean_byte,
+       CAST(ascii(substring(text, 1, 1)) AS INT) AS first_byte
+FROM documents
+""",
+    description="Multimodal decode path: text→binary media column + "
+    "metadata struct, byte features via Arrow-batched mapInPandas (the "
+    "real-codec call site is gated behind NotImplementedError)",
+    tags=("extension", "multimodal"),
+)
+def multimodal_decode_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = read_parquet_table(spark, sf_dir, "documents")
+    media = _mm.attach_fake_media(docs, "text")
+    return _mm.decode_media_features(media, "doc_id")

@@ -129,3 +129,33 @@ def null_counts_events(spark: SparkSession, sf_dir: str) -> DataFrame:
             for c in events.columns
         ]
     )
+
+
+@register(
+    "dq_checks_events",
+    oracle="""
+SELECT CAST(count(*) AS BIGINT) AS row_count,
+       CAST(count(event_id) - count(DISTINCT event_id) AS BIGINT) AS dup_event_ids,
+       CAST(sum(CASE WHEN value IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS null_values,
+       CAST(sum(CASE WHEN value IS NOT NULL AND (value < 0.0 OR value > 450.0)
+                THEN 1 ELSE 0 END) AS BIGINT) AS out_of_range_values
+FROM events
+""",
+    description="A11-A15: the GX expectation families (row count, uniqueness, "
+    "not-null, value-range) batched into ONE aggregation pass — the engine's "
+    "operators/dq.py Suite compiled by hand (reference: GX suites at "
+    "dags/de_spotify_to_bronze.py:230-361, dags/de_spotify_silver.py:82-218)",
+    tags=("medallion", "dq"),
+)
+def dq_checks_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = read_parquet_table(spark, sf_dir, "events")
+    bad_range = (
+        F.col("value").isNotNull()
+        & (~F.col("value").between(0.0, 450.0))
+    )
+    return events.agg(
+        F.count(F.lit(1)).alias("row_count"),
+        (F.count("event_id") - F.countDistinct("event_id")).alias("dup_event_ids"),
+        F.sum(F.col("value").isNull().cast("long")).alias("null_values"),
+        F.sum(bad_range.cast("long")).alias("out_of_range_values"),
+    )

@@ -1,0 +1,114 @@
+"""Structured Streaming layer (SURVEY.md §2.9, §7 M5).
+
+The reference names streaming as future work — "simulate stream data and
+perform batch processing every date at designated time"
+(``reference: README.md:79``); its only existing mechanism is the batch
+load mode + ``batch_identifier``. This module implements that intent
+Spark-first:
+
+- file-source ``readStream`` over events-shaped parquet,
+- watermarked tumbling-window aggregation (late data bounded, state
+  evictable — the thing that makes it run forever at scale),
+- ``foreachBatch`` micro-batch upsert into silver (dedup-within-batch +
+  anti-join against what's already there — MERGE-without-Delta).
+
+The batch-equivalent of the windowed rollup is the oracle-checked
+``hourly_event_rollup`` query in plans/analytics.py; streaming tests
+drive these to completion with ``trigger(availableNow=...)``.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+
+def read_events_stream(
+    spark: SparkSession, path: str, max_files_per_trigger: int = 1
+) -> DataFrame:
+    """File-source stream over events-shaped parquet. The explicit schema
+    is mandatory for streaming reads; ``maxFilesPerTrigger`` shapes
+    micro-batches (and lets tests exercise multi-batch behavior)."""
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    raw_schema = (
+        "event_id long, ts long, user_id long, event_type string, "
+        "value double, props string"
+    )
+    df = (
+        spark.readStream.schema(raw_schema)
+        .option("maxFilesPerTrigger", max_files_per_trigger)
+        .parquet(path)
+    )
+    return df.withColumn(
+        "ts", F.timestamp_micros(F.expr("ts div 1000"))
+    )
+
+
+def streaming_hourly_rollup(
+    events: DataFrame, watermark: str = "2 hours"
+) -> DataFrame:
+    """Watermarked tumbling-window rollup — the streaming twin of the
+    batch ``hourly_event_rollup`` query. The watermark bounds state: at
+    100 TB/day the unbounded alternative OOMs by construction."""
+    return (
+        events.withWatermark("ts", watermark)
+        .groupBy(F.window("ts", "1 hour").alias("win"), "event_type")
+        .agg(F.count(F.lit(1)).alias("n"), F.sum("value").alias("sum_value"))
+        .select(
+            F.date_format(F.col("win.start"), "yyyy-MM-dd HH:mm:ss").alias("hour"),
+            "event_type",
+            "n",
+            "sum_value",
+        )
+    )
+
+
+def streaming_silver_events(
+    events: DataFrame,
+    silver_path: str,
+    checkpoint_path: str,
+    value_clamp: tuple[float, float] = (0.0, 450.0),
+):
+    """Micro-batch medallion: clamp projection + dedup-upsert into silver
+    via foreachBatch (idempotent per key — MERGE emulated with
+    dedup-within-batch + left_anti against existing keys).
+
+    Note the semantic delta vs batch silver, stated not hidden: median
+    imputation needs global stats, so the streaming path clamps only —
+    a periodic batch job refreshes imputation constants (the reference's
+    own two-phase split, SURVEY.md §3.2, just on a timer)."""
+    lo, hi = value_clamp
+
+    def upsert(batch: DataFrame, epoch_id: int) -> None:
+        spark = batch.sparkSession
+        cleaned = (
+            batch.withColumn(
+                "value", F.least(F.greatest(F.col("value"), F.lit(lo)), F.lit(hi))
+            )
+            .withColumn(
+                "__rn",
+                F.row_number().over(
+                    Window.partitionBy("event_id").orderBy("ts", "user_id")
+                ),
+            )
+            .filter(F.col("__rn") == 1)
+            .drop("__rn")
+        )
+        try:
+            existing = spark.read.parquet(silver_path).select("event_id")
+            cleaned = cleaned.join(existing, "event_id", "left_anti")
+        except Exception:
+            pass  # first batch: no silver yet
+        cleaned.write.mode("append").parquet(silver_path)
+
+    return (
+        events.writeStream.foreachBatch(upsert)
+        .option("checkpointLocation", checkpoint_path)
+        .trigger(availableNow=True)
+    )
+
+
+def run_stream_to_completion(query) -> None:
+    """Drive an availableNow stream until it drains (test/backfill mode)."""
+    q = query.start()
+    q.awaitTermination()

@@ -1,0 +1,118 @@
+"""Planted-case tests for the dedup family and text operators: exact
+dups, near-dups, and unrelated docs with known expected relationships."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from spotify_tracks_etl_portfolio_spark.operators import dedup as dd
+from spotify_tracks_etl_portfolio_spark.operators import text as tx
+
+BASE = "the quick brown fox jumps over the lazy dog near the river bank today"
+NEAR = "the quick brown fox jumps over the lazy cat near the river bank today"
+OTHER = "completely different words appear in this unrelated document about spark"
+
+DOCS = [
+    (0, BASE),
+    (1, BASE),      # exact dup of 0
+    (2, NEAR),      # near dup of 0/1 (1 word changed)
+    (3, OTHER),
+    (4, "tiny doc"),  # < k tokens
+]
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    return spark.createDataFrame(DOCS, "doc_id long, text string")
+
+
+def test_exact_dedup(docs):
+    out = {r["doc_id"]: r["n_copies"] for r in dd.exact_dedup(docs, "doc_id", "text").collect()}
+    assert out[0] == 2  # doc 1 collapsed into doc 0
+    assert 1 not in out
+    assert out[3] == 1 and out[4] == 1
+
+
+def test_jaccard_pairs_finds_planted_near_dup(docs):
+    pairs = {
+        (r["id_a"], r["id_b"]): r["jaccard"]
+        for r in dd.jaccard_pairs(docs, "doc_id", "text", 0.5).collect()
+    }
+    assert pairs[(0, 1)] == 1.0  # exact dup
+    assert 0.5 <= pairs[(0, 2)] < 1.0  # near dup
+    assert (0, 3) not in pairs  # unrelated
+
+
+def test_minhash_lsh_recalls_near_dups(docs):
+    out = {
+        (r["id_a"], r["id_b"])
+        for r in dd.minhash_near_dup_pairs(docs, "doc_id", "text", 0.5).collect()
+    }
+    # exact dups share every band; the 1-word near-dup shares most shingles
+    assert (0, 1) in out
+    assert (0, 2) in out
+    assert not any(3 in p or 4 in p for p in out)
+
+
+def test_minhash_signature_shape(docs):
+    sigs = dd.minhash_signatures(docs, "doc_id", "text")
+    assert sigs.count() == 5
+    assert len(sigs.columns) == 1 + dd.NUM_MINHASHES
+    # identical docs → identical signatures
+    rows = {r["doc_id"]: tuple(r[f"mh_{i}"] for i in range(dd.NUM_MINHASHES))
+            for r in sigs.collect()}
+    assert rows[0] == rows[1]
+    assert rows[0] != rows[3]
+
+
+def test_simhash_hamming_structure(docs):
+    pairs = {
+        (r["id_a"], r["id_b"]): r["hamming"]
+        for r in dd.simhash_near_dup_pairs(docs, "doc_id", "text", 30).collect()
+    }
+    assert pairs[(0, 1)] == 0  # identical
+    assert pairs[(0, 2)] <= pairs[(0, 3)]  # near-dup closer than unrelated
+
+
+def test_embedding_near_dup(spark):
+    emb = spark.createDataFrame(
+        [
+            (0, [1.0, 0.0, 0.0]),
+            (1, [0.99, 0.05, 0.0]),  # near dup of 0
+            (2, [0.0, 1.0, 0.0]),    # orthogonal
+        ],
+        "vec_id long, embedding array<double>",
+    )
+    pairs = {
+        (r["id_a"], r["id_b"]): r["cosine"]
+        for r in dd.embedding_near_dup_pairs(emb, "vec_id", "embedding", 0.9).collect()
+    }
+    assert (0, 1) in pairs and pairs[(0, 1)] > 0.99
+    assert (0, 2) not in pairs
+
+
+def test_lang_id_markers(spark):
+    df = spark.createDataFrame(
+        [
+            (0, "the cat and the dog of a to is house"),
+            (1, "der hund und die katze ist ein haus"),
+            (2, "xyz qqq zzz"),
+        ],
+        "doc_id long, text string",
+    )
+    out = {r["doc_id"]: r["lid"] for r in df.select("doc_id", tx.lang_id("text").alias("lid")).collect()}
+    assert out[0] == "en" and out[1] == "de" and out[2] == "und"
+
+
+def test_tokens_empty_string(spark):
+    df = spark.createDataFrame([(0, ""), (1, "  "), (2, "a b")], "i long, text string")
+    out = {r["i"]: r["n"] for r in df.select("i", F.size(tx.tokens("text")).alias("n")).collect()}
+    assert out[0] == 0 and out[1] == 0 and out[2] == 2
+
+
+def test_quality_score_bounds(docs):
+    scores = [
+        r["q"] for r in docs.select(tx.quality_score("text").alias("q")).collect()
+    ]
+    assert all(0.0 <= s <= 1.0 for s in scores)

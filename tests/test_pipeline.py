@@ -1,0 +1,123 @@
+"""End-to-end medallion pipeline on a dirty spotify-shaped CSV: the full
+reference flow (CSV → bronze parquet → silver parquet) with every
+operator observable (FIXTURES.md §3)."""
+
+from __future__ import annotations
+
+import pytest
+
+from spotify_tracks_etl_portfolio_spark.operators.dq import (
+    DataQualityError,
+    Suite,
+)
+from spotify_tracks_etl_portfolio_spark.pipeline import (
+    PipelineConfig,
+    run_bronze_ingest,
+    run_silver_transform,
+)
+from spotify_tracks_etl_portfolio_spark.schemas import SPOTIFY_CSV_SCHEMA
+from spotify_tracks_etl_portfolio_spark.sources.writers import (
+    ScheduledFullLoadError,
+    resolve_load_mode,
+)
+
+CSV_HEADER = ",".join(f.name for f in SPOTIFY_CSV_SCHEMA.fields)
+# index,track_id,artists,album_name,track_name,popularity,duration_ms,explicit,
+# danceability,energy,key,loudness,mode,speechiness,acousticness,
+# instrumentalness,liveness,valence,tempo,time_signature,track_genre
+CSV_ROWS = [
+    # duplicate track_id t1: index 0 wins; index 2 has popularity 150 (clamp)
+    "0,t1,ArtistA,Alb1,Song1,50,200000,true,0.5,0.6,5,-7.0,1,0.05,0.1,0.0,0.2,0.7,120.0,4,pop",
+    "2,t1,ArtistA,Alb1,Song1,150,200000,false,0.5,0.6,5,-7.0,1,0.05,0.1,0.0,0.2,0.7,120.0,4,pop",
+    # null popularity (median impute) + null artists (mode impute)
+    "1,t2,,Alb2,Song2,,180000,false,1.4,0.4,2,-9.0,0,0.03,0.2,0.1,0.1,0.5,95.0,4,rock",
+    "3,t3,ArtistA,Alb3,Song3,70,210000,true,0.7,0.8,7,-5.0,1,0.04,0.05,0.0,0.3,0.9,128.0,4,pop",
+    "4,t4,ArtistB,Alb4,Song4,30,240000,false,0.3,0.2,9,-12.0,0,0.06,0.5,0.2,0.4,0.3,80.0,3,rock",
+]
+
+
+@pytest.fixture(scope="module")
+def config(tmp_path_factory):
+    root = tmp_path_factory.mktemp("medallion")
+    csv = root / "dataset.csv"
+    csv.write_text(CSV_HEADER + "\n" + "\n".join(CSV_ROWS) + "\n")
+    return PipelineConfig(
+        csv_path=str(csv),
+        bronze_path=str(root / "bronze"),
+        silver_path=str(root / "silver"),
+        load_type="full",
+        batch_identifier="batch_20240101_000000",
+    )
+
+
+@pytest.fixture(scope="module")
+def bronze_report(spark, config):
+    return run_bronze_ingest(
+        spark,
+        config,
+        csv_schema=SPOTIFY_CSV_SCHEMA,
+        key_cols=["track_id", "track_name", "artists"],
+        dq_suite=Suite(name="bronze", row_count_min=1, not_null=["track_id"]),
+    )
+
+
+def test_bronze_ingest(spark, config, bronze_report):
+    r = bronze_report
+    assert r.rows_extracted == 5 and r.rows_loaded == 5
+    assert r.batch_identifier == "batch_20240101_000000"
+    # soft gate: artists has a null but the load still happened
+    assert r.validation["nulls_artists"] == 1
+    bronze = spark.read.parquet(config.bronze_path)
+    row = bronze.filter("track_id = 't3'").first()
+    assert row["source_identifier"] == "CSV"
+    assert row["batch_identifier"] == "batch_20240101_000000"
+    assert r.dq["success"]
+
+
+def test_silver_transform_end_to_end(spark, config, bronze_report):
+    result = run_silver_transform(
+        spark,
+        config,
+        dedup_key="track_id",
+        dedup_order=["index"],
+        median_cols=["popularity"],
+        mode_cols=["artists"],
+        clamps={"popularity": (0, 100), "danceability": (0.0, 1.0)},
+        dq_suite=Suite(
+            name="silver",
+            unique=["track_id"],
+            not_null=["track_id", "artists", "popularity"],
+            between={"popularity": (0, 100), "danceability": (0.0, 1.0)},
+        ),
+    )
+    assert result["rows_bronze"] == 5 and result["rows_silver"] == 4
+    silver = {r["track_id"]: r for r in spark.read.parquet(config.silver_path).collect()}
+    # dedup kept index 0 for t1 (lowest index; popularity 50, in range)
+    assert silver["t1"]["index"] == 0 and silver["t1"]["popularity"] == 50
+    # median over RAW bronze incl. dup: [50,150,70,30] → median 60 → t2 imputed
+    assert silver["t2"]["popularity"] == 60
+    # mode imputation: ArtistA (3 occurrences in raw bronze)
+    assert silver["t2"]["artists"] == "ArtistA"
+    # clamp: t2's danceability 1.4 → 1.0
+    assert silver["t2"]["danceability"] == 1.0
+
+
+def test_silver_hard_gate_raises(spark, config, bronze_report):
+    with pytest.raises(DataQualityError):
+        run_silver_transform(
+            spark,
+            config,
+            dedup_key="track_id",
+            dedup_order=["index"],
+            median_cols=[],
+            mode_cols=[],
+            clamps={},
+            # artists still has a null (no imputation) → not_null fails HARD
+            dq_suite=Suite(name="strict", not_null=["artists"]),
+        )
+
+
+def test_scheduled_full_load_rejected():
+    with pytest.raises(ScheduledFullLoadError):
+        resolve_load_mode("full", run_type="scheduled")
+    assert resolve_load_mode("batch", run_type="scheduled").value == "batch"

@@ -1,0 +1,62 @@
+"""Similarity-search tests: exact top-k ground truth on a constructed
+corpus; IVF recall sanity on the real embeddings table."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from spotify_tracks_etl_portfolio_spark.operators import similarity as sim
+from spotify_tracks_etl_portfolio_spark.sources.readers import read_parquet_table
+
+
+@pytest.fixture(scope="module")
+def corpus(spark):
+    # unit vectors at known angles from e1: cosines 1.0, ~0.995, ~0.707, 0
+    return spark.createDataFrame(
+        [
+            (0, [1.0, 0.0]),
+            (1, [0.995, 0.0999]),
+            (2, [0.7071, 0.7071]),
+            (3, [0.0, 1.0]),
+        ],
+        "vec_id long, embedding array<double>",
+    )
+
+
+def test_cosine_topk_exact_order(corpus):
+    q = corpus.filter(F.col("vec_id") == 0)
+    out = sim.cosine_topk(corpus, q, "vec_id", "embedding", k=3).collect()
+    assert [r["neighbor_id"] for r in sorted(out, key=lambda r: r["rank"])] == [1, 2, 3]
+    assert out[0]["cosine"] <= 1.0
+
+
+def test_ivf_assign_partitions_corpus(corpus):
+    centroids = corpus.filter(F.col("vec_id").isin(0, 3))
+    assigned = {r["vec_id"]: r["cell"] for r in
+                sim.ivf_assign(corpus, centroids, "vec_id", "embedding").collect()}
+    assert assigned[1] == 0  # near e1
+    assert assigned[3] == 3  # is its own centroid
+    assert assigned[2] in (0, 3)  # equidistant → deterministic tie to 0
+    assert assigned[2] == 0
+
+
+def test_ivf_topk_recall_on_testdata(spark, sf_dir):
+    emb = read_parquet_table(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 5)
+    centroids = emb.filter(F.col("vec_id") % 31 == 0).limit(16)
+    exact = sim.cosine_topk(emb, queries, "vec_id", "embedding", 5)
+    approx = sim.ivf_topk(emb, queries, centroids, "vec_id", "embedding", 5, nprobe=4)
+    e = {(r["query_id"], r["neighbor_id"]) for r in exact.collect()}
+    a = {(r["query_id"], r["neighbor_id"]) for r in approx.collect()}
+    recall = len(e & a) / len(e)
+    # random-ish embeddings + 16 cells/nprobe=4 → recall well above chance (4/16)
+    assert recall >= 0.3, recall
+
+
+def test_normalize_vectors(corpus):
+    from spotify_tracks_etl_portfolio_spark.functions import vec_norm
+
+    out = sim.normalize_vectors(corpus, "embedding")
+    norms = [r["n"] for r in out.select(vec_norm("embedding").alias("n")).collect()]
+    assert all(abs(n - 1.0) < 1e-12 for n in norms)
