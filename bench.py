@@ -31,6 +31,8 @@ HEADLINE = [
     "hourly_event_rollup",
     "dedup_exact_documents",
     "document_fingerprints",
+    "minhash_lsh_near_dups",
+    "embedding_cosine_topk",
 ]
 
 

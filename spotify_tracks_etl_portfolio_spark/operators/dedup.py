@@ -194,11 +194,49 @@ def minhash_near_dup_pairs(
     k: int = SHINGLE_K,
 ) -> DataFrame:
     """Full MinHash+LSH near-dup pipeline: signatures → band candidates →
-    exact-Jaccard verification of candidates only."""
-    sigs = minhash_signatures(df, id_col, text_col, k)
+    exact-Jaccard verification of CANDIDATES ONLY (never the all-pairs
+    join — that's the entire point of LSH at scale: the exact verify
+    touches |candidates| × shingles, not |docs|²)."""
+    sh = exploded_shingle_hashes(df, id_col, text_col, k)
+    sigs = _minhash_signatures_from_hashes(sh, id_col)
     cands = minhash_lsh_candidates(sigs, id_col)
-    verified = jaccard_pairs(df, id_col, text_col, threshold, k)
-    return cands.join(verified, ["id_a", "id_b"]).select("id_a", "id_b", "jaccard")
+
+    sizes = sh.groupBy(id_col).agg(F.count(F.lit(1)).alias("n_sh"))
+    a = sh.select(F.col(id_col).alias("id_a"), F.col("h").alias("ha"))
+    b = sh.select(F.col(id_col).alias("id_b2"), F.col("h").alias("hb"))
+    shared = (
+        cands.join(a, "id_a")
+        .join(
+            b,
+            (F.col("id_b") == F.col("id_b2")) & (F.col("ha") == F.col("hb")),
+        )
+        .groupBy("id_a", "id_b")
+        .agg(F.count(F.lit(1)).alias("shared"))
+    )
+    sa = sizes.select(F.col(id_col).alias("id_a"), F.col("n_sh").alias("na"))
+    sb = sizes.select(F.col(id_col).alias("id_b"), F.col("n_sh").alias("nb"))
+    return (
+        shared.join(sa, "id_a")
+        .join(sb, "id_b")
+        .withColumn(
+            "jaccard",
+            F.round(
+                F.col("shared").cast("double")
+                / (F.col("na") + F.col("nb") - F.col("shared")),
+                6,
+            ),
+        )
+        .filter(F.col("jaccard") >= threshold)
+        .select("id_a", "id_b", "jaccard")
+    )
+
+
+def _minhash_signatures_from_hashes(sh: DataFrame, id_col: str) -> DataFrame:
+    aggs = [
+        F.min((F.col("h") * F.lit(a) + F.lit(b)) % F.lit(MINHASH_P)).alias(f"mh_{i}")
+        for i, (a, b) in enumerate(MINHASH_COEFFS)
+    ]
+    return sh.groupBy(id_col).agg(*aggs)
 
 
 def simhash(df: DataFrame, id_col: str, text_col: str) -> DataFrame:

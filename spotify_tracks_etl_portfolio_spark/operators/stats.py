@@ -41,21 +41,60 @@ def column_modes(df: DataFrame, cols: list[str]) -> dict[str, object]:
 
     ``pandas.Series.mode()`` drops NaN, sorts tied values ascending and the
     reference takes ``.iloc[0]`` (``reference: dags/de_spotify_silver.py:64-69``)
-    — so ties break to the smallest value. One grouped count + one
-    ``max_by`` struct-ordering pass per column, unioned into a single job.
+    — so ties break to the smallest value.
 
-    The struct trick keeps it order-insensitive and distributed: take the
-    max of ``struct(cnt, neg-ordered value)`` — i.e. highest count, then
-    lexicographically smallest value — with no driver-side sort.
+    Scale shape: ALL string columns are unpivoted to (col, val) rows and
+    counted in ONE shuffle (the reference loops a pandas ``.mode()`` per
+    column); the argmax-per-column is a ``min_by`` over
+    ``struct(−cnt, val)`` — highest count, ties to smallest value — with
+    no driver-side sort. Non-string columns fall back to a per-column
+    pass (a shared unpivot would force a lossy common cast).
     """
+    if not cols:
+        return {}
+    dtypes = dict(df.dtypes)
     out: dict[str, object] = {}
-    for c in cols:
+
+    string_cols = [c for c in cols if dtypes[c] == "string"]
+    other_cols = [c for c in cols if dtypes[c] != "string"]
+
+    if string_cols:
+        stacked = df.select(
+            F.explode(
+                F.array(
+                    *[
+                        F.struct(
+                            F.lit(c).alias("col"), F.col(c).alias("val")
+                        )
+                        for c in string_cols
+                    ]
+                )
+            ).alias("cv")
+        ).select("cv.col", "cv.val")
+        counted = (
+            stacked.filter(F.col("val").isNotNull())
+            .groupBy("col", "val")
+            .agg(F.count(F.lit(1)).alias("cnt"))
+        )
+        rows = (
+            counted.groupBy("col")
+            .agg(
+                F.min_by(
+                    "val", F.struct((-F.col("cnt")).alias("nc"), F.col("val"))
+                ).alias("mode")
+            )
+            .collect()
+        )
+        found = {r["col"]: r["mode"] for r in rows}
+        for c in string_cols:
+            out[c] = found.get(c)
+
+    for c in other_cols:
         counted = (
             df.filter(F.col(c).isNotNull())
             .groupBy(F.col(c).alias("val"))
             .agg(F.count(F.lit(1)).alias("cnt"))
         )
-        # min_by on (−cnt, val): smallest −cnt = highest cnt; ties → smallest val.
         row = counted.agg(
             F.min_by("val", F.struct((-F.col("cnt")).alias("nc"), F.col("val"))).alias(
                 "mode"

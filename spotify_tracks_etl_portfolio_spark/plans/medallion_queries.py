@@ -132,6 +132,41 @@ def null_counts_events(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "metadata_enrichment_events",
+    oracle="""
+SELECT event_id,
+       '2024-06-01T00:00:00' AS ingestion_timestamp,
+       'PARQUET' AS source_identifier,
+       'batch_' || strftime(TIMESTAMP '2024-06-01 00:00:00', '%Y%m%d_%H%M%S')
+         AS batch_identifier
+FROM events
+""",
+    description="S2/F3-F5: ingestion-provenance projection — pinned "
+    "timestamp, source tag, batch_YYYYMMDD_HHMMSS id "
+    "(reference: dags/de_spotify_to_bronze.py:63,92-97)",
+    tags=("medallion",),
+)
+def metadata_enrichment_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from spotify_tracks_etl_portfolio_spark.operators.medallion import (
+        enrich_ingest_metadata,
+    )
+
+    events = read_parquet_table(spark, sf_dir, "events")
+    pinned = F.to_timestamp(F.lit("2024-06-01 00:00:00"))
+    enriched = enrich_ingest_metadata(
+        events, source_identifier="PARQUET", ingestion_timestamp=pinned
+    )
+    return enriched.select(
+        "event_id",
+        F.date_format("ingestion_timestamp", "yyyy-MM-dd'T'HH:mm:ss").alias(
+            "ingestion_timestamp"
+        ),
+        "source_identifier",
+        "batch_identifier",
+    )
+
+
+@register(
     "dq_checks_events",
     oracle="""
 SELECT CAST(count(*) AS BIGINT) AS row_count,
