@@ -49,6 +49,33 @@ MINHASH_COEFFS: tuple[tuple[int, int], ...] = (
 )
 MINHASH_P = 2_147_483_647  # 2^31 − 1 (Mersenne prime)
 SIMHASH_BITS = 30  # token hashes are < 2^30 (mod 1e9+7)
+#: Shingle hash = polynomial combine of the k TOKEN hashes:
+#: h = fold(th_i → (acc * SHINGLE_B + th_i) mod FINGERPRINT_MOD).
+#: Hashing each token's characters ONCE per doc and combining per
+#: shingle is ~10× less work than re-hashing every shingle string
+#: char-by-char (each char participates in k shingles otherwise).
+#: acc < 1e9+7 and B ≈ 2^20 keep acc*B + th < 2^51 — overflow-free.
+SHINGLE_B = 1_000_003
+
+#: InferFiltersFromGenerate turns explode(expensive_array_expr) into a
+#: pushed-down ``size(expr) > 0`` filter whose alias gets substituted
+#: with the FULL expression tree — the shingle-hash pipeline then
+#: re-evaluates per row inside the filter (observed 10×). Our arrays are
+#: never empty, so the inferred filter saves nothing. The driver may run
+#: us on a session built without our factory, so pin the exclusion at
+#: runtime (same pattern as sources/readers.py nanosAsLong).
+_EXCLUDED_RULES = "org.apache.spark.sql.catalyst.optimizer.InferFiltersFromGenerate"
+
+
+def _tune_generate(df: DataFrame) -> DataFrame:
+    conf = df.sparkSession.conf
+    current = conf.get("spark.sql.optimizer.excludedRules", None) or ""
+    if _EXCLUDED_RULES not in current:
+        conf.set(
+            "spark.sql.optimizer.excludedRules",
+            f"{current},{_EXCLUDED_RULES}" if current else _EXCLUDED_RULES,
+        )
+    return df
 
 
 def shingle_array(col: Column | str, k: int = SHINGLE_K) -> Column:
@@ -67,15 +94,59 @@ def shingle_array(col: Column | str, k: int = SHINGLE_K) -> Column:
     )
 
 
+def _fold_token_hashes(th: Column) -> Column:
+    """Combine a whole token-hash array into one shingle hash (the < k
+    tokens fallback; consistent with the windowed form since the fold
+    seed is 0)."""
+    return F.aggregate(
+        th,
+        F.lit(0).cast("long"),
+        lambda acc, x: (acc * F.lit(SHINGLE_B) + x) % F.lit(FINGERPRINT_MOD),
+    )
+
+
+def shingle_hash_arrays(
+    df: DataFrame, id_col: str, text_col: str, k: int = SHINGLE_K
+) -> DataFrame:
+    """(id, __hashes: array<long>) — one narrow row per doc, hashes
+    deduped LOCALLY via ``array_distinct`` (the exploded+global-distinct
+    form costs a full shuffle for the same result, since the id is part
+    of every key). Signatures, set sizes, and the candidate verify all
+    derive from this without touching the text again.
+
+    Token hashes are materialized as their own projection (``__th``) so
+    each token's characters are hashed exactly once; Catalyst keeps the
+    projections separate (non-cheap exprs aren't duplicated by
+    CollapseProject), and each shingle is then k multiply-adds."""
+    th = _tune_generate(df).select(
+        id_col, F.transform(tokens(text_col), rolling_hash).alias("__th")
+    )
+
+    def window_hash(i: Column) -> Column:
+        acc = F.element_at(F.col("__th"), (i + 1).cast("int"))
+        for j in range(1, k):
+            acc = (
+                acc * F.lit(SHINGLE_B)
+                + F.element_at(F.col("__th"), (i + j + 1).cast("int"))
+            ) % F.lit(FINGERPRINT_MOD)
+        return acc
+
+    n = F.size("__th")
+    windows = F.transform(F.sequence(F.lit(0), n - k), window_hash)
+    hashes = F.when(n >= k, F.array_distinct(windows)).otherwise(
+        F.array(_fold_token_hashes(F.col("__th")))
+    )
+    return th.select(id_col, hashes.alias("__hashes"))
+
+
 def exploded_shingle_hashes(
     df: DataFrame, id_col: str, text_col: str, k: int = SHINGLE_K
 ) -> DataFrame:
-    """(id, shingle_hash) rows — the shared base for Jaccard and MinHash.
-    Hash = the engine's polynomial rolling hash (< 2^30)."""
-    return (
-        df.select(id_col, F.explode(shingle_array(text_col, k)).alias("__shingle"))
-        .select(id_col, rolling_hash(F.col("__shingle")).alias("h"))
-        .distinct()
+    """(id, shingle_hash) rows — the base for the Jaccard self-join.
+    Hash = the engine's polynomial rolling hash (< 2^30); per-doc
+    dedup happens in the array layer, so this explode needs no shuffle."""
+    return shingle_hash_arrays(df, id_col, text_col, k).select(
+        id_col, F.explode("__hashes").alias("h")
     )
 
 
@@ -102,7 +173,11 @@ def jaccard_pairs(
     """All-pairs n-gram Jaccard similarity ≥ threshold via shingle-hash
     self-join. ``max_shingle_df`` drops shingles appearing in more than
     that many docs (the quadratic-fanout guard for scale)."""
-    sh = exploded_shingle_hashes(df, id_col, text_col, k)
+    # repartition(id) puts ONE narrow exchange after the expensive text
+    # hashing; ReuseExchange then shares the computed arrays across every
+    # branch below (self-join sides + sizes) instead of re-hashing 3×.
+    base = shingle_hash_arrays(df, id_col, text_col, k).repartition(F.col(id_col))
+    sh = base.select(id_col, F.explode("__hashes").alias("h"))
     if max_shingle_df is not None:
         rare = (
             sh.groupBy("h")
@@ -111,7 +186,11 @@ def jaccard_pairs(
             .select("h")
         )
         sh = sh.join(rare, "h", "left_semi")
-    sizes = sh.groupBy(id_col).agg(F.count(F.lit(1)).alias("n_sh"))
+        # sizes must reflect the capped shingle set
+        sizes = sh.groupBy(id_col).agg(F.count(F.lit(1)).alias("n_sh"))
+    else:
+        # shuffle-free: |set| straight off the per-doc array
+        sizes = base.select(id_col, F.size("__hashes").alias("n_sh"))
 
     a = sh.select(F.col(id_col).alias("id_a"), "h")
     b = sh.select(F.col(id_col).alias("id_b"), "h")
@@ -139,17 +218,28 @@ def jaccard_pairs(
     )
 
 
+def _signature_cols() -> list[Column]:
+    """mh_i = array_min(transform(hashes, h → (a_i·h + b_i) mod P)) —
+    a pure projection over the hash array: computing signatures costs
+    NO shuffle (vs. explode + groupBy, which shuffles every (id, h))."""
+    return [
+        F.array_min(
+            F.transform(
+                F.col("__hashes"),
+                lambda h: (h * F.lit(a) + F.lit(b)) % F.lit(MINHASH_P),
+            )
+        ).alias(f"mh_{i}")
+        for i, (a, b) in enumerate(MINHASH_COEFFS)
+    ]
+
+
 def minhash_signatures(
     df: DataFrame, id_col: str, text_col: str, k: int = SHINGLE_K
 ) -> DataFrame:
     """MinHash signature per doc: min over shingle hashes of each
-    permutation hash — one grouped agg, NUM_MINHASHES columns (mh_0..)."""
-    sh = exploded_shingle_hashes(df, id_col, text_col, k)
-    aggs = [
-        F.min((F.col("h") * F.lit(a) + F.lit(b)) % F.lit(MINHASH_P)).alias(f"mh_{i}")
-        for i, (a, b) in enumerate(MINHASH_COEFFS)
-    ]
-    return sh.groupBy(id_col).agg(*aggs)
+    permutation hash — NUM_MINHASHES columns (mh_0..), shuffle-free."""
+    base = shingle_hash_arrays(df, id_col, text_col, k)
+    return base.select(id_col, *_signature_cols())
 
 
 def minhash_lsh_candidates(signatures: DataFrame, id_col: str) -> DataFrame:
@@ -197,32 +287,28 @@ def minhash_near_dup_pairs(
     exact-Jaccard verification of CANDIDATES ONLY (never the all-pairs
     join — that's the entire point of LSH at scale: the exact verify
     touches |candidates| × shingles, not |docs|²)."""
-    sh = exploded_shingle_hashes(df, id_col, text_col, k)
-    sigs = _minhash_signatures_from_hashes(sh, id_col)
+    # One narrow exchange after the expensive text hashing → ReuseExchange
+    # shares the arrays across signatures + both verify-join sides
+    # (without it each branch re-hashes every document).
+    base = shingle_hash_arrays(df, id_col, text_col, k).repartition(F.col(id_col))
+    sigs = base.select(id_col, *_signature_cols())
     cands = minhash_lsh_candidates(sigs, id_col)
 
-    sizes = sh.groupBy(id_col).agg(F.count(F.lit(1)).alias("n_sh"))
-    a = sh.select(F.col(id_col).alias("id_a"), F.col("h").alias("ha"))
-    b = sh.select(F.col(id_col).alias("id_b2"), F.col("h").alias("hb"))
-    shared = (
-        cands.join(a, "id_a")
-        .join(
-            b,
-            (F.col("id_b") == F.col("id_b2")) & (F.col("ha") == F.col("hb")),
-        )
-        .groupBy("id_a", "id_b")
-        .agg(F.count(F.lit(1)).alias("shared"))
-    )
-    sa = sizes.select(F.col(id_col).alias("id_a"), F.col("n_sh").alias("na"))
-    sb = sizes.select(F.col(id_col).alias("id_b"), F.col("n_sh").alias("nb"))
+    # Verify by fetching each side's hash array and intersecting locally:
+    # two equi-joins keyed on doc id (candidate side is tiny after LSH —
+    # AQE broadcasts it), then set math as pure projections. No explode,
+    # no re-shuffle of the shingle table.
+    a = base.select(F.col(id_col).alias("id_a"), F.col("__hashes").alias("__ha"))
+    b = base.select(F.col(id_col).alias("id_b"), F.col("__hashes").alias("__hb"))
     return (
-        shared.join(sa, "id_a")
-        .join(sb, "id_b")
+        cands.join(a, "id_a")
+        .join(b, "id_b")
+        .withColumn("__shared", F.size(F.array_intersect("__ha", "__hb")))
         .withColumn(
             "jaccard",
             F.round(
-                F.col("shared").cast("double")
-                / (F.col("na") + F.col("nb") - F.col("shared")),
+                F.col("__shared").cast("double")
+                / (F.size("__ha") + F.size("__hb") - F.col("__shared")),
                 6,
             ),
         )
@@ -231,19 +317,11 @@ def minhash_near_dup_pairs(
     )
 
 
-def _minhash_signatures_from_hashes(sh: DataFrame, id_col: str) -> DataFrame:
-    aggs = [
-        F.min((F.col("h") * F.lit(a) + F.lit(b)) % F.lit(MINHASH_P)).alias(f"mh_{i}")
-        for i, (a, b) in enumerate(MINHASH_COEFFS)
-    ]
-    return sh.groupBy(id_col).agg(*aggs)
-
-
 def simhash(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     """SimHash per doc: per-token polynomial hash → per-bit ±1 votes →
     sign bit-vector packed into a long. Token multiplicity counts
     (standard SimHash weighting by term frequency)."""
-    tok = df.select(
+    tok = _tune_generate(df).select(
         id_col, F.explode(tokens(text_col)).alias("__t")
     ).select(id_col, rolling_hash(F.col("__t")).alias("h"))
     votes = [

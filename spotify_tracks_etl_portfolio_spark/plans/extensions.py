@@ -93,8 +93,11 @@ def document_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
 from spotify_tracks_etl_portfolio_spark.operators import dedup as _dd  # noqa: E402
 from spotify_tracks_etl_portfolio_spark.operators import text as _tx  # noqa: E402
 
-#: Shared DuckDB CTEs: whitespace tokens → distinct k-shingles → polynomial
-#: shingle hashes (mirrors operators/dedup.py exploded_shingle_hashes).
+#: Shared DuckDB CTEs: whitespace tokens → per-token rolling char hash →
+#: k-shingle hash = polynomial combine of the k token hashes (mirrors
+#: operators/dedup.py shingle_hash_arrays — SAME constants, SAME fold).
+_B = _dd.SHINGLE_B
+_M = 1_000_000_007  # FINGERPRINT_MOD
 _SHINGLE_CTES = f"""
 toks AS (
   SELECT doc_id,
@@ -102,22 +105,27 @@ toks AS (
               ELSE string_split_regex(trim(text), '\\s+') END AS w
   FROM documents
 ),
-sh AS (
+th AS (
   SELECT doc_id,
-         CASE WHEN len(w) >= {_dd.SHINGLE_K}
-              THEN list_distinct([w[i] || ' ' || w[i+1] || ' ' || w[i+2]
-                                  for i in range(1, len(w) - 1)])
-              ELSE [list_aggregate(w, 'string_agg', ' ')] END AS shingles
+         list_transform(w, t -> list_reduce(
+           list_prepend(CAST(0 AS BIGINT),
+                        list_transform(string_split(t, ''),
+                                       c -> CAST(ascii(c) AS BIGINT))),
+           (a, b) -> (a * 31 + b) % {_M})) AS th
   FROM toks
 ),
 shh AS (
-  SELECT DISTINCT doc_id,
-         list_reduce(
-           list_prepend(CAST(0 AS BIGINT),
-                        list_transform(string_split(s, ''),
-                                       c -> CAST(ascii(c) AS BIGINT))),
-           (a, b) -> (a * 31 + b) % 1000000007) AS h
-  FROM (SELECT doc_id, unnest(shingles) AS s FROM sh)
+  SELECT DISTINCT doc_id, h FROM (
+    SELECT doc_id,
+           unnest(CASE WHEN len(th) >= {_dd.SHINGLE_K}
+                  THEN list_distinct(
+                    [((th[i] * {_B} + th[i+1]) % {_M} * {_B} + th[i+2]) % {_M}
+                     for i in range(1, len(th) - 1)])
+                  ELSE [list_reduce(list_prepend(CAST(0 AS BIGINT), th),
+                                    (a, b) -> (a * {_B} + b) % {_M})]
+                  END) AS h
+    FROM th
+  )
 )
 """
 

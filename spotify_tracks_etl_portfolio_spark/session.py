@@ -52,6 +52,16 @@ def get_spark(
         # matches DuckDB's ns→µs truncation).
         .config("spark.sql.legacy.parquet.nanosAsLong", "true")
         .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
+        # InferFiltersFromGenerate turns explode(expensive_expr) into a
+        # pushed-down `size(expensive_expr) > 0` filter whose alias gets
+        # substituted with the FULL expression tree — the shingle-hash
+        # pipeline then re-evaluates per row inside the filter (observed
+        # 10× regression on the Jaccard self-join). The inferred filter
+        # saves nothing for our always-non-empty arrays; exclude the rule.
+        .config(
+            "spark.sql.optimizer.excludedRules",
+            "org.apache.spark.sql.catalyst.optimizer.InferFiltersFromGenerate",
+        )
         .config("spark.ui.enabled", "false")
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
     )

