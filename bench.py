@@ -33,6 +33,8 @@ HEADLINE = [
     "document_fingerprints",
     "minhash_lsh_near_dups",
     "embedding_cosine_topk",
+    "asof_click_purchase",
+    "embedding_lsh_near_dups",
 ]
 
 

@@ -366,15 +366,26 @@ def embedding_near_dup_pairs(
     df: DataFrame, id_col: str, vec_col: str, threshold: float
 ) -> DataFrame:
     """Embedding-cosine near-dup pairs (brute force). Scale path: LSH /
-    IVF blocking in operators/similarity.py."""
-    from spotify_tracks_etl_portfolio_spark.functions import cosine_similarity
+    IVF blocking in operators/similarity.py. Norms are computed once per
+    vector before the pair join — per pair only the dot remains."""
+    from spotify_tracks_etl_portfolio_spark.functions import vec_dot, vec_norm
 
-    a = df.select(F.col(id_col).alias("id_a"), F.col(vec_col).alias("va"))
-    b = df.select(F.col(id_col).alias("id_b"), F.col(vec_col).alias("vb"))
+    a = df.select(
+        F.col(id_col).alias("id_a"),
+        F.col(vec_col).alias("va"),
+        vec_norm(vec_col).alias("na"),
+    )
+    b = df.select(
+        F.col(id_col).alias("id_b"),
+        F.col(vec_col).alias("vb"),
+        vec_norm(vec_col).alias("nb"),
+    )
     return (
         a.crossJoin(b)
         .filter(F.col("id_a") < F.col("id_b"))
-        .withColumn("cosine", F.round(cosine_similarity("va", "vb"), 6))
+        .withColumn(
+            "cosine", F.round(vec_dot("va", "vb") / (F.col("na") * F.col("nb")), 6)
+        )
         .filter(F.col("cosine") >= threshold)
         .select("id_a", "id_b", "cosine")
     )

@@ -1,0 +1,122 @@
+"""Temporal join operators Spark lacks natively: as-of join and banded
+interval join (SURVEY.md §2.3 notes the reference has NO joins; these are
+the engine's extension surface for event/time-series data).
+
+Scale design:
+
+- ``asof_join`` is the MERGE form: union both sides, one shuffle on the
+  ``by`` keys, a sort within partitions, and a ``last(ignoreNulls)``
+  running window. The naive form — inequality join then argmax — builds
+  |left| × |right-per-key| intermediates; the merge form is linear in
+  the union and is the only shape that survives 100 TB. Skewed keys
+  split fine under AQE because the window partitions on ``by`` exactly
+  like the shuffle.
+- ``interval_pairs_within`` relies on an equi-key (the band) so Catalyst
+  plans a hash join, never a broadcast-nested-loop: each row joins only
+  its own and its neighbor band, turning an O(n²) theta join into
+  O(n × band_width) — the standard banded range-join decomposition.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def asof_join(
+    left: DataFrame,
+    right: DataFrame,
+    by: list[str],
+    left_ts: str,
+    right_ts: str,
+    right_prefix: str = "right_",
+    how: str = "inner",
+) -> DataFrame:
+    """For every left row, attach the LATEST right row with
+    ``right_ts <= left_ts`` sharing the ``by`` keys (backward as-of, the
+    pandas ``merge_asof`` / DuckDB ``ASOF JOIN`` semantics).
+
+    Implementation: union-merge, not a join —
+
+    1. tag right rows 0 / left rows 1, union on (by, ts) with the whole
+       right row packed into ONE struct (so a running ``last`` can never
+       mix columns from different right rows, even through NULL fields);
+    2. one window per ``by`` key ordered by (ts, side, payload):
+       ``last(payload, ignoreNulls)`` over unbounded-preceding..current.
+       Right-before-left at equal ts makes the match inclusive; payload
+       as the final sort key makes equal-timestamp right rows resolve
+       deterministically (greatest struct wins);
+    3. keep left rows; ``how='inner'`` drops unmatched, ``'left'`` keeps
+       them with NULL right columns.
+
+    Output: all left columns + every right column prefixed with
+    ``right_prefix``.
+    """
+    if how not in ("inner", "left"):
+        raise ValueError(f"asof_join: how must be 'inner' or 'left', got {how!r}")
+    payload = F.struct(*[F.col(c) for c in right.columns])
+    r = right.select(
+        *by,
+        F.col(right_ts).alias("__ts"),
+        payload.alias("__payload"),
+        F.lit(0).alias("__side"),
+    )
+    l = (
+        left.withColumn("__ts", F.col(left_ts))
+        .withColumn("__payload", F.lit(None).cast(r.schema["__payload"].dataType))
+        .withColumn("__side", F.lit(1))
+    )
+    u = l.unionByName(r, allowMissingColumns=True)
+    w = (
+        Window.partitionBy(*by)
+        .orderBy(F.col("__ts").asc(), F.col("__side").asc(), F.col("__payload").asc())
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    matched = u.withColumn("__m", F.last("__payload", ignorenulls=True).over(w)).filter(
+        F.col("__side") == 1
+    )
+    if how == "inner":
+        matched = matched.filter(F.col("__m").isNotNull())
+    out_cols = [F.col(c) for c in left.columns] + [
+        F.col("__m").getField(c).alias(f"{right_prefix}{c}") for c in right.columns
+    ]
+    return matched.select(*out_cols)
+
+
+def interval_pairs_within(
+    df: DataFrame,
+    by: list[str],
+    ts_col: str,
+    id_col: str,
+    max_gap: Column,
+) -> DataFrame:
+    """Ordered pairs (a, b) of rows sharing ``by`` where b happens no
+    later than ``max_gap`` after a (a strictly before b by
+    (ts, id) — so equal timestamps pair exactly once, never self).
+
+    The equi-join on ``by`` keeps this a hash join; the gap predicate is
+    evaluated post-match. When no equi-key exists at all, bucketize
+    ``ts`` by ``max_gap`` width and join bucket ∪ bucket+1 instead (the
+    banded decomposition) — with ``by`` present the key already bounds
+    the fanout.
+    """
+    a = df.select(
+        *by, F.col(id_col).alias("id_a"), F.col(ts_col).alias("__ts_a")
+    )
+    b = df.select(
+        *by, F.col(id_col).alias("id_b"), F.col(ts_col).alias("__ts_b")
+    )
+    after_a = (F.col("__ts_b") > F.col("__ts_a")) | (
+        (F.col("__ts_b") == F.col("__ts_a")) & (F.col("id_b") > F.col("id_a"))
+    )
+    return (
+        a.join(b, by)
+        .filter(after_a & (F.col("__ts_b") <= F.col("__ts_a") + max_gap))
+        .select(
+            *by,
+            "id_a",
+            "id_b",
+            F.col("__ts_a").alias("ts_a"),
+            F.col("__ts_b").alias("ts_b"),
+        )
+    )

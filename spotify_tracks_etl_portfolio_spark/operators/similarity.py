@@ -23,7 +23,11 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
-from spotify_tracks_etl_portfolio_spark.functions import cosine_similarity, vec_norm
+from spotify_tracks_etl_portfolio_spark.functions import (
+    cosine_similarity,
+    vec_dot,
+    vec_norm,
+)
 
 
 def cosine_topk(
@@ -40,19 +44,28 @@ def cosine_topk(
     deterministic across engines; ties then break to the smaller
     neighbor id. Queries are broadcast (they're the small side by
     construction); the corpus scan stays partition-parallel with no
-    shuffle until the per-query top-k window.
+    shuffle until the per-query top-k window. Norms are computed ONCE
+    per vector before the pair join — per pair only the dot product
+    remains (3× less higher-order-function work than norm-per-pair).
     """
     qid = query_id_col or id_col
     q = queries.select(
-        F.col(qid).alias("query_id"), F.col(vec_col).alias("__qv")
+        F.col(qid).alias("query_id"),
+        F.col(vec_col).alias("__qv"),
+        vec_norm(vec_col).alias("__qn"),
     )
     c = corpus.select(
-        F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("__cv")
+        F.col(id_col).alias("neighbor_id"),
+        F.col(vec_col).alias("__cv"),
+        vec_norm(vec_col).alias("__cn"),
     )
     scored = (
         c.crossJoin(F.broadcast(q))
         .filter(F.col("neighbor_id") != F.col("query_id"))
-        .withColumn("cosine", F.round(cosine_similarity("__cv", "__qv"), 6))
+        .withColumn(
+            "cosine",
+            F.round(vec_dot("__cv", "__qv") / (F.col("__cn") * F.col("__qn")), 6),
+        )
     )
     w = Window.partitionBy("query_id").orderBy(
         F.desc("cosine"), F.asc("neighbor_id")
@@ -71,12 +84,15 @@ def ivf_assign(
     ties to smaller centroid id): broadcast-join + per-vector argmax
     window. Output: (id, cell, vec)."""
     cent = centroids.select(
-        F.col(id_col).alias("cell"), F.col(vec_col).alias("__centv")
+        F.col(id_col).alias("cell"),
+        F.col(vec_col).alias("__centv"),
+        vec_norm(vec_col).alias("__centn"),
     )
     scored = corpus.select(
-        id_col, F.col(vec_col).alias("__v")
+        id_col, F.col(vec_col).alias("__v"), vec_norm(vec_col).alias("__vn")
     ).crossJoin(F.broadcast(cent)).withColumn(
-        "__sim", F.round(cosine_similarity("__v", "__centv"), 6)
+        "__sim",
+        F.round(vec_dot("__v", "__centv") / (F.col("__vn") * F.col("__centn")), 6),
     )
     w = Window.partitionBy(id_col).orderBy(F.desc("__sim"), F.asc("cell"))
     return (
@@ -100,12 +116,21 @@ def ivf_topk(
     nprobe/n_cells of the corpus."""
     assigned = ivf_assign(corpus, centroids, id_col, vec_col)
     cent = centroids.select(
-        F.col(id_col).alias("cell"), F.col(vec_col).alias("__centv")
+        F.col(id_col).alias("cell"),
+        F.col(vec_col).alias("__centv"),
+        vec_norm(vec_col).alias("__centn"),
     )
-    q = queries.select(F.col(id_col).alias("query_id"), F.col(vec_col).alias("__qv"))
+    q = queries.select(
+        F.col(id_col).alias("query_id"),
+        F.col(vec_col).alias("__qv"),
+        vec_norm(vec_col).alias("__qn"),
+    )
     qcells = (
         q.crossJoin(F.broadcast(cent))
-        .withColumn("__sim", F.round(cosine_similarity("__qv", "__centv"), 6))
+        .withColumn(
+            "__sim",
+            F.round(vec_dot("__qv", "__centv") / (F.col("__qn") * F.col("__centn")), 6),
+        )
         .withColumn(
             "__rn",
             F.row_number().over(
@@ -115,12 +140,16 @@ def ivf_topk(
             ),
         )
         .filter(F.col("__rn") <= nprobe)
-        .select("query_id", "cell", "__qv")
+        .select("query_id", "cell", "__qv", "__qn")
     )
     scored = (
-        assigned.join(qcells, "cell")
+        assigned.withColumn("__vn", vec_norm(vec_col))
+        .join(qcells, "cell")
         .filter(F.col(id_col) != F.col("query_id"))
-        .withColumn("cosine", F.round(cosine_similarity(vec_col, "__qv"), 6))
+        .withColumn(
+            "cosine",
+            F.round(vec_dot(vec_col, "__qv") / (F.col("__vn") * F.col("__qn")), 6),
+        )
     )
     w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc(id_col))
     return (
@@ -132,6 +161,129 @@ def ivf_topk(
             "cosine",
             F.col("rank").cast("long"),
         )
+    )
+
+
+# --------------------------------------------------------------------------
+# Random-hyperplane LSH (frozen deterministic planes — the DuckDB oracle in
+# plans/extensions.py regenerates the SAME coefficients from these numbers).
+# plane weight w(j, d) = ((j·A + d·B + C) mod M) / M − 0.5  ∈ [−0.5, 0.5)
+# --------------------------------------------------------------------------
+
+HP_PLANES = 32
+HP_BANDS = 4
+HP_ROWS = HP_PLANES // HP_BANDS
+HP_A, HP_B, HP_C, HP_M = 131_071, 524_287, 99_991, 1_000_003
+HP_DIM = 64
+#: Sign decisions use INTEGER arithmetic end-to-end: the vector is
+#: quantized to round(x·2²⁴) and the plane weight to (2r − M) — the sign
+#: of Σ q·w equals the sign of the quantized real dot product (positive
+#: scaling), is exactly reproducible on any engine regardless of
+#: reduction order, and costs long adds instead of decimal ops.
+#: Overflow: |q| < 2²⁵·max|x|, |w| < 2²⁰ → 64-term sum ≪ 2⁶³.
+HP_SCALE = 1 << 24
+
+
+def plane_weights_int(j: int, dim: int = HP_DIM) -> list[int]:
+    """Frozen integer plane weights: w(j,d) = 2·((j·A + d·B + C) mod M) − M
+    (an integer in (−M, M), uniform-ish sign pattern)."""
+    return [2 * ((j * HP_A + d * HP_B + HP_C) % HP_M) - HP_M for d in range(dim)]
+
+
+def hyperplane_sketch(
+    df: DataFrame, id_col: str, vec_col: str, dim: int = HP_DIM
+) -> DataFrame:
+    """Per-vector sign-bit sketch: bit_j = (v · plane_j ≥ 0), packed into
+    HP_BANDS band signatures of HP_ROWS bits each → (id, band_0..).
+
+    Shape: posexplode the quantized vector and compute all HP_PLANES dot
+    products as ONE hash aggregation (sum of q·w per plane, weights read
+    from literal arrays by position). The whole thing runs inside
+    whole-stage codegen; the higher-order-function formulation
+    (aggregate(zip_with(...)) per plane) is interpreted per element and
+    measured ~10× slower. Costs one narrow shuffle of (id, dots) — the
+    partial aggregation collapses each vector's 64 rows map-side."""
+    quantized = F.transform(
+        F.col(vec_col),
+        lambda x: F.round(x.cast("double") * F.lit(float(HP_SCALE))).cast("long"),
+    )
+    exploded = df.select(F.col(id_col), F.posexplode(quantized).alias("__d", "__q"))
+
+    def weight(j: int) -> Column:
+        # w(j, d) computed inline from the closed formula — no literal
+        # array lookups, just integer arithmetic in generated code.
+        raw = (
+            F.lit(j * HP_A) + F.col("__d").cast("long") * F.lit(HP_B) + F.lit(HP_C)
+        ) % F.lit(HP_M)
+        return raw * F.lit(2) - F.lit(HP_M)
+
+    dots = exploded.groupBy(id_col).agg(
+        *[
+            F.sum(F.col("__q") * weight(j)).alias(f"__dot_{j}")
+            for j in range(HP_PLANES)
+        ]
+    )
+
+    def band_sig(bi: int) -> Column:
+        sig = F.lit(0)
+        for r in range(HP_ROWS):
+            dot = F.col(f"__dot_{bi * HP_ROWS + r}")
+            sig = sig + F.when(dot >= 0, F.lit(1 << r)).otherwise(F.lit(0))
+        return sig.alias(f"band_{bi}")
+
+    return dots.select(F.col(id_col), *[band_sig(bi) for bi in range(HP_BANDS)])
+
+
+def hyperplane_lsh_near_dup_pairs(
+    df: DataFrame, id_col: str, vec_col: str, threshold: float
+) -> DataFrame:
+    """ANN near-dup pairs: vectors agreeing on ANY band of hyperplane
+    sign bits become candidates (narrow (band, sig) equi-join — the same
+    banding machinery as MinHash LSH); candidates are then verified with
+    the EXACT cosine, so precision is 1.0 and only recall is
+    approximate. At 100 TB the band join touches collision buckets only
+    — never the |v|² pair space."""
+    sk = hyperplane_sketch(df, id_col, vec_col)
+    bands = sk.select(
+        id_col,
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(bi).alias("band"), F.col(f"band_{bi}").alias("sig")
+                    )
+                    for bi in range(HP_BANDS)
+                ]
+            )
+        ).alias("bs"),
+    ).select(id_col, "bs.band", "bs.sig")
+    a = bands.select(F.col(id_col).alias("id_a"), "band", "sig")
+    b = bands.select(F.col(id_col).alias("id_b"), "band", "sig")
+    cands = (
+        a.join(b, ["band", "sig"])
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b")
+        .distinct()
+    )
+    va = df.select(
+        F.col(id_col).alias("id_a"),
+        F.col(vec_col).alias("__va"),
+        vec_norm(vec_col).alias("__na"),
+    )
+    vb = df.select(
+        F.col(id_col).alias("id_b"),
+        F.col(vec_col).alias("__vb"),
+        vec_norm(vec_col).alias("__nb"),
+    )
+    return (
+        cands.join(va, "id_a")
+        .join(vb, "id_b")
+        .withColumn(
+            "cosine",
+            F.round(vec_dot("__va", "__vb") / (F.col("__na") * F.col("__nb")), 6),
+        )
+        .filter(F.col("cosine") >= threshold)
+        .select("id_a", "id_b", "cosine")
     )
 
 

@@ -117,3 +117,31 @@ def compute_impute_stats(
         "medians": column_medians(df, median_cols, exact=exact),
         "modes": column_modes(df, mode_cols),
     }
+
+
+def salted_count(
+    df: DataFrame,
+    key_cols: list[str],
+    salt_from: str,
+    out_col: str = "n",
+    buckets: int = 16,
+) -> DataFrame:
+    """Two-stage skew-resistant count: stage 1 groups on
+    (keys, hash(salt_from) mod buckets) so a hot key's rows spread over
+    ``buckets`` reducers; stage 2 sums the partial counts per key.
+    Bit-identical to a direct groupBy-count — the salt only reshapes the
+    shuffle. (Spark's partial aggregation already absorbs most skew for
+    COUNT; the two-stage form is the general pattern for aggregates
+    whose partial state is wide — collect_set, exact distinct,
+    percentile buffers — where one hot reducer OOMs at 100 TB.)
+
+    The salt source is a deterministic hash of an existing column, not
+    ``rand()``: retried/speculated tasks must salt a row identically or
+    the partial counts double-count under task retry."""
+    salted = df.withColumn(
+        "__salt", F.pmod(F.xxhash64(salt_from), F.lit(buckets))
+    )
+    partial = salted.groupBy(*key_cols, "__salt").agg(
+        F.count(F.lit(1)).alias("__partial")
+    )
+    return partial.groupBy(*key_cols).agg(F.sum("__partial").alias(out_col))

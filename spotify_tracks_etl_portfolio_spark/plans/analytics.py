@@ -201,3 +201,30 @@ def json_props_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("k")
         .agg(F.count(F.lit(1)).alias("n"), dsum("value", "sum_value"))
     )
+
+
+@register(
+    "top20_users_by_events_salted",
+    oracle="""
+SELECT user_id, CAST(count(*) AS BIGINT) AS n_events
+FROM events
+GROUP BY user_id
+ORDER BY n_events DESC, user_id
+LIMIT 20
+""",
+    description="Skew-resistant two-stage count (salt = hash(event_id) mod "
+    "16 spreads hot keys over reducers, then re-sum per key) — "
+    "bit-identical to the direct count, same oracle as "
+    "top20_users_by_events",
+    tags=("analytics", "topn", "skew"),
+)
+def top20_users_by_events_salted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from spotify_tracks_etl_portfolio_spark.operators.stats import salted_count
+
+    events = read_parquet_table(spark, sf_dir, "events")
+    return (
+        salted_count(events, ["user_id"], "event_id", out_col="n_events")
+        .withColumn("n_events", F.col("n_events").cast("long"))
+        .orderBy(F.desc("n_events"), F.asc("user_id"))
+        .limit(20)
+    )

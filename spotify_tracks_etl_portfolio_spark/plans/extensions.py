@@ -505,3 +505,63 @@ def multimodal_decode_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = read_parquet_table(spark, sf_dir, "documents")
     media = _mm.attach_fake_media(docs, "text")
     return _mm.decode_media_features(media, "doc_id")
+
+
+def _hyperplane_lsh_oracle() -> str:
+    """DuckDB replica of operators/similarity.py hyperplane LSH — planes
+    regenerated from the SAME frozen constants; sign decisions via the
+    same all-integer quantized dot product (exact on both engines
+    regardless of reduction order)."""
+    s = _sim
+    return f"""
+WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings),
+qv AS (
+  SELECT vec_id, e,
+         list_transform(e, x -> CAST(round(x * {s.HP_SCALE}) AS BIGINT)) AS q
+  FROM v
+),
+planes AS (
+  SELECT j, d,
+         2 * ((j * {s.HP_A} + d * {s.HP_B} + {s.HP_C}) % {s.HP_M}) - {s.HP_M} AS w
+  FROM range({s.HP_PLANES}) pj(j), range({s.HP_DIM}) pd(d)
+),
+bits AS (
+  SELECT vec_id, j, sum(q[d + 1] * w) >= 0 AS bit
+  FROM qv, planes GROUP BY vec_id, j
+),
+bands AS (
+  SELECT vec_id, j // {s.HP_ROWS} AS band,
+         sum(CASE WHEN bit THEN 1 << (j % {s.HP_ROWS}) ELSE 0 END) AS sig
+  FROM bits GROUP BY vec_id, j // {s.HP_ROWS}
+),
+cands AS (
+  SELECT DISTINCT a.vec_id AS id_a, b.vec_id AS id_b
+  FROM bands a JOIN bands b
+    ON a.band = b.band AND a.sig = b.sig AND a.vec_id < b.vec_id
+)
+SELECT c.id_a, c.id_b,
+       round(list_dot_product(a.e, b.e) /
+             (sqrt(list_dot_product(a.e, a.e)) * sqrt(list_dot_product(b.e, b.e))),
+             6) AS cosine
+FROM cands c JOIN v a ON c.id_a = a.vec_id JOIN v b ON c.id_b = b.vec_id
+WHERE round(list_dot_product(a.e, b.e) /
+            (sqrt(list_dot_product(a.e, a.e)) * sqrt(list_dot_product(b.e, b.e))),
+            6) >= {EMB_NEAR_DUP_THRESHOLD}
+"""
+
+
+@register(
+    "embedding_lsh_near_dups",
+    oracle=_hyperplane_lsh_oracle(),
+    description=f"Random-hyperplane LSH near-dup pairs: "
+    f"{_sim.HP_PLANES} frozen sign-bit planes banded "
+    f"{_sim.HP_BANDS}×{_sim.HP_ROWS}, band-collision candidates, exact "
+    "cosine verify of candidates only — precision 1.0, recall "
+    "probabilistic; the band equi-join never touches the |v|² pair space",
+    tags=("extension", "dedup", "similarity", "lsh"),
+)
+def embedding_lsh_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = read_parquet_table(spark, sf_dir, "embeddings")
+    return _sim.hyperplane_lsh_near_dup_pairs(
+        emb, "vec_id", "embedding", EMB_NEAR_DUP_THRESHOLD
+    )

@@ -272,3 +272,96 @@ def user_session_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
             "running_value"
         ),
     )
+
+
+# ---------------------------------------------------------------------------
+# Temporal joins (operators/joins.py) — as-of + banded interval. The
+# reference has no joins at all (README.md:28); these extend the surface
+# for event/time-series workloads. DuckDB's native ASOF JOIN is the oracle.
+# ---------------------------------------------------------------------------
+
+from spotify_tracks_etl_portfolio_spark.operators.joins import (  # noqa: E402
+    asof_join,
+    interval_pairs_within,
+)
+
+
+@register(
+    "asof_click_purchase",
+    oracle="""
+WITH clicks AS (
+  SELECT event_id, user_id, ts FROM events WHERE event_type = 'click'
+),
+purchases AS (
+  SELECT event_id, user_id, ts, value FROM events WHERE event_type = 'purchase'
+)
+SELECT c.event_id AS click_id,
+       c.user_id,
+       epoch_us(c.ts) AS click_ts_us,
+       p.event_id AS purchase_id,
+       epoch_us(p.ts) AS purchase_ts_us,
+       p.value AS purchase_value
+FROM clicks c ASOF JOIN purchases p
+  ON c.user_id = p.user_id AND c.ts >= p.ts
+""",
+    description="Backward as-of join: each click matched to the user's "
+    "latest purchase at-or-before it. Implemented as a union-merge (one "
+    "shuffle on user_id + running last() window), never an inequality "
+    "join — the only shape that is linear at 100 TB",
+    tags=("relational", "join", "asof"),
+)
+def asof_click_purchase(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = read_parquet_table(spark, sf_dir, "events")
+    clicks = ev.filter(F.col("event_type") == "click").select(
+        F.col("event_id").alias("click_id"), "user_id", "ts"
+    )
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        "event_id", "user_id", "ts", "value"
+    )
+    joined = asof_join(
+        clicks, purchases, ["user_id"], "ts", "ts", right_prefix="p_"
+    )
+    return joined.select(
+        "click_id",
+        "user_id",
+        F.unix_micros("ts").alias("click_ts_us"),
+        F.col("p_event_id").alias("purchase_id"),
+        F.unix_micros("p_ts").alias("purchase_ts_us"),
+        F.col("p_value").alias("purchase_value"),
+    )
+
+
+@register(
+    "orders_within_30d_pairs",
+    oracle="""
+SELECT a.o_custkey,
+       a.o_orderkey AS id_a,
+       b.o_orderkey AS id_b,
+       CAST(date_diff('day', a.o_orderdate, b.o_orderdate) AS BIGINT) AS gap_days
+FROM orders a JOIN orders b
+  ON a.o_custkey = b.o_custkey
+ AND (b.o_orderdate > a.o_orderdate
+      OR (b.o_orderdate = a.o_orderdate AND b.o_orderkey > a.o_orderkey))
+ AND b.o_orderdate <= a.o_orderdate + INTERVAL 30 DAY
+""",
+    description="Banded interval self-join: ordered pairs of same-customer "
+    "orders ≤30 days apart. The custkey equi-key keeps it a hash join with "
+    "a post-match range predicate (bucketize-by-gap-width when no equi-key "
+    "exists)",
+    tags=("relational", "join", "interval"),
+)
+def orders_within_30d_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = read_parquet_table(spark, sf_dir, "orders")
+    pairs = interval_pairs_within(
+        orders,
+        ["o_custkey"],
+        "o_orderdate",
+        "o_orderkey",
+        F.expr("INTERVAL 30 DAYS"),
+    )
+    return pairs.select(
+        "o_custkey",
+        "id_a",
+        "id_b",
+        F.datediff("ts_b", "ts_a").cast("long").alias("gap_days"),
+    )

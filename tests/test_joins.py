@@ -1,0 +1,154 @@
+"""Planted-case tests for the temporal join operators (as-of, interval),
+the salted aggregation, and hyperplane-LSH ANN."""
+
+from __future__ import annotations
+
+from datetime import datetime
+
+from pyspark.sql import functions as F
+
+from spotify_tracks_etl_portfolio_spark.operators import similarity as sim
+from spotify_tracks_etl_portfolio_spark.operators.joins import (
+    asof_join,
+    interval_pairs_within,
+)
+from spotify_tracks_etl_portfolio_spark.operators.stats import salted_count
+
+
+def _ts(s: str) -> datetime:
+    return datetime.fromisoformat(s)
+
+
+def test_asof_join_backward_inclusive(spark):
+    left = spark.createDataFrame(
+        [
+            (1, 10, _ts("2024-01-01T10:00:00")),  # after p100, p101
+            (2, 10, _ts("2024-01-01T08:00:00")),  # exactly at p100 (inclusive)
+            (3, 10, _ts("2024-01-01T07:00:00")),  # before any purchase
+            (4, 20, _ts("2024-01-01T12:00:00")),  # other user
+        ],
+        "click_id long, user_id long, ts timestamp",
+    )
+    right = spark.createDataFrame(
+        [
+            (100, 10, _ts("2024-01-01T08:00:00"), 5.0),
+            (101, 10, _ts("2024-01-01T09:30:00"), 7.0),
+            (200, 20, _ts("2024-01-01T11:59:59"), 9.0),
+        ],
+        "event_id long, user_id long, ts timestamp, value double",
+    )
+    out = {
+        r["click_id"]: (r["p_event_id"], r["p_value"])
+        for r in asof_join(
+            left, right, ["user_id"], "ts", "ts", right_prefix="p_"
+        ).collect()
+    }
+    assert out[1] == (101, 7.0)  # latest of the two earlier purchases
+    assert out[2] == (100, 5.0)  # equal timestamps match (inclusive)
+    assert 3 not in out  # inner: no purchase at-or-before
+    assert out[4] == (200, 9.0)
+
+    left_out = {
+        r["click_id"]: r["p_event_id"]
+        for r in asof_join(
+            left, right, ["user_id"], "ts", "ts", right_prefix="p_", how="left"
+        ).collect()
+    }
+    assert left_out[3] is None  # left keeps unmatched with NULLs
+
+
+def test_asof_join_equal_right_ts_deterministic(spark):
+    """Two right rows at the identical (key, ts): the greatest packed
+    struct (= greatest event_id here) must win, every run."""
+    left = spark.createDataFrame(
+        [(1, 10, _ts("2024-01-01T10:00:00"))],
+        "click_id long, user_id long, ts timestamp",
+    )
+    right = spark.createDataFrame(
+        [
+            (100, 10, _ts("2024-01-01T09:00:00"), 1.0),
+            (101, 10, _ts("2024-01-01T09:00:00"), 2.0),
+        ],
+        "event_id long, user_id long, ts timestamp, value double",
+    )
+    for _ in range(3):
+        row = asof_join(
+            left, right, ["user_id"], "ts", "ts", right_prefix="p_"
+        ).collect()[0]
+        assert row["p_event_id"] == 101
+
+
+def test_interval_pairs_within(spark):
+    orders = spark.createDataFrame(
+        [
+            (1, 5, _ts("2024-01-01T00:00:00")),
+            (2, 5, _ts("2024-01-15T00:00:00")),  # 14d after #1
+            (3, 5, _ts("2024-03-01T00:00:00")),  # far from both
+            (4, 6, _ts("2024-01-02T00:00:00")),  # other customer
+            (5, 5, _ts("2024-01-15T00:00:00")),  # same instant as #2
+        ],
+        "o_orderkey long, o_custkey long, o_orderdate timestamp",
+    )
+    pairs = {
+        (r["id_a"], r["id_b"])
+        for r in interval_pairs_within(
+            orders,
+            ["o_custkey"],
+            "o_orderdate",
+            "o_orderkey",
+            F.expr("INTERVAL 30 DAYS"),
+        ).collect()
+    }
+    assert (1, 2) in pairs and (1, 5) in pairs
+    assert (2, 5) in pairs  # equal ts pairs once, id order
+    assert (5, 2) not in pairs and (2, 2) not in pairs
+    assert not any(3 in p or 4 in p for p in pairs)
+
+
+def test_salted_count_matches_direct(spark, sf_dir):
+    events = spark.read.parquet(f"{sf_dir}/events.parquet")
+    direct = {
+        r["user_id"]: r["n"]
+        for r in events.groupBy("user_id").agg(F.count(F.lit(1)).alias("n")).collect()
+    }
+    salted = {
+        r["user_id"]: r["n"]
+        for r in salted_count(events, ["user_id"], "event_id", out_col="n").collect()
+    }
+    assert salted == direct
+
+
+def test_hyperplane_lsh_subset_of_bruteforce(spark, sf_dir):
+    """Planted exact duplicates collide in EVERY band (recall 1.0 for
+    identical vectors); and the verify step gives precision 1.0 — every
+    reported pair appears in the brute-force set with the same cosine."""
+    from spotify_tracks_etl_portfolio_spark.operators.dedup import (
+        embedding_near_dup_pairs,
+    )
+
+    base = spark.read.parquet(f"{sf_dir}/embeddings.parquet").limit(200)
+    dup = base.filter(F.col("vec_id") < 5).withColumn(
+        "vec_id", F.col("vec_id") + 100_000
+    )
+    emb = base.unionByName(dup)
+    brute = {
+        (r["id_a"], r["id_b"]): r["cosine"]
+        for r in embedding_near_dup_pairs(emb, "vec_id", "embedding", 0.4).collect()
+    }
+    lsh = {
+        (r["id_a"], r["id_b"]): r["cosine"]
+        for r in sim.hyperplane_lsh_near_dup_pairs(
+            emb, "vec_id", "embedding", 0.4
+        ).collect()
+    }
+    for i in range(5):
+        assert lsh[(i, i + 100_000)] == 1.0  # planted dup always recalled
+    for pair, cos in lsh.items():
+        assert brute[pair] == cos  # precision 1.0, identical cosine
+
+
+def test_hyperplane_sketch_deterministic(spark, sf_dir):
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet").limit(50)
+    a = sim.hyperplane_sketch(emb, "vec_id", "embedding").drop("embedding").collect()
+    b = sim.hyperplane_sketch(emb, "vec_id", "embedding").drop("embedding").collect()
+    assert sorted(map(tuple, a)) == sorted(map(tuple, b))
