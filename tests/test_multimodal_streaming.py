@@ -118,3 +118,63 @@ def test_streaming_silver_upsert_idempotent(spark, sf_dir, tmp_path):
     df = spark.read.parquet(silver)
     assert df.count() == df.select("event_id").distinct().count()
     assert df.filter((F.col("value") < 0) | (F.col("value") > 450)).count() == 0
+
+
+def test_streaming_sessionize_stateful(spark, tmp_path):
+    """applyInPandasWithState sessionization: within-batch gap splits
+    emit closed sessions; the open session rides in state across
+    micro-batches and closes when a later batch's event exceeds the gap."""
+    import os
+    import time as _time
+
+    from spotify_tracks_etl_portfolio_spark.streaming.stateful import (
+        streaming_sessionize,
+    )
+
+    base_us = 1_700_000_000_000_000  # fixed epoch µs
+    m = 60 * 1_000_000
+
+    def write_batch(name, rows, mtime):
+        df = spark.createDataFrame(
+            [(eid, (base_us + off) * 1000, uid, "click", val, "{}") for eid, off, uid, val in rows],
+            "event_id long, ts long, user_id long, event_type string, value double, props string",
+        )
+        path = str(tmp_path / "stream_src" / name)
+        df.coalesce(1).write.mode("overwrite").parquet(path)
+        for root, _, files in os.walk(path):
+            for f in files:
+                os.utime(os.path.join(root, f), (mtime, mtime))
+        return path
+
+    src = str(tmp_path / "stream_src")
+    now = _time.time()
+    # batch 1: user 1 events at t0 and t0+5m (one open session);
+    #          user 2 events at t0 and t0+200m (first closes in-batch)
+    write_batch("b1", [(1, 0, 1, 1.0), (2, 5 * m, 1, 2.0),
+                       (10, 0, 2, 5.0), (11, 200 * m, 2, 7.0)], now - 60)
+    # batch 2: user 1 event at t0+120m → closes the open 2-event session
+    write_batch("b2", [(3, 120 * m, 1, 3.0)], now - 30)
+
+    from spotify_tracks_etl_portfolio_spark.streaming.pipeline import (
+        read_events_stream,
+    )
+
+    stream = read_events_stream(spark, src + "/*", max_files_per_trigger=1)
+    q = (
+        streaming_sessionize(stream, gap_minutes=30)
+        .writeStream.outputMode("append")
+        .format("memory")
+        .queryName("sessions_test")
+        .option("checkpointLocation", str(tmp_path / "sess_ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    got = {
+        (r["user_id"], r["n_events"], r["sum_value"])
+        for r in spark.sql("SELECT * FROM sessions_test").collect()
+    }
+    assert (2, 1, 5.0) in got  # user 2's first event closed within batch 1
+    assert (1, 2, 3.0) in got  # user 1's 2-event session closed by batch 2
+    # trailing open sessions (user1 @120m, user2 @200m) are NOT emitted
+    assert len(got) == 2
