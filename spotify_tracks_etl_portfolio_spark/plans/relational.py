@@ -365,3 +365,61 @@ def orders_within_30d_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         "id_b",
         F.datediff("ts_b", "ts_a").cast("long").alias("gap_days"),
     )
+
+
+@register(
+    "order_priority_cube",
+    oracle="""
+SELECT o_orderstatus,
+       o_orderpriority,
+       CAST(GROUPING(o_orderstatus) * 2 + GROUPING(o_orderpriority) AS BIGINT)
+         AS grouping_id,
+       CAST(count(*) AS BIGINT) AS n_orders,
+       CAST(SUM(CAST(o_totalprice AS DECIMAL(24,8))) AS DOUBLE) AS total_price
+FROM orders
+GROUP BY CUBE (o_orderstatus, o_orderpriority)
+""",
+    description="CUBE aggregation over (status, priority): all 4 grouping "
+    "sets in one pass with an explicit grouping_id to disambiguate rolled-up "
+    "NULLs (Spark grouping_id bit order matches DuckDB GROUPING()*2+GROUPING())",
+    tags=("relational", "rollup"),
+)
+def order_priority_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = read_parquet_table(spark, sf_dir, "orders")
+    return orders.cube("o_orderstatus", "o_orderpriority").agg(
+        F.grouping_id().cast("long").alias("grouping_id"),
+        F.count(F.lit(1)).alias("n_orders"),
+        F.sum(F.col("o_totalprice").cast(_DEC)).cast("double").alias("total_price"),
+    )
+
+
+@register(
+    "lineitem_quantity_percentiles",
+    oracle="""
+SELECT l_returnflag,
+       round(quantile_cont(l_quantity, 0.25), 6) AS p25,
+       round(quantile_cont(l_quantity, 0.50), 6) AS p50,
+       round(quantile_cont(l_quantity, 0.75), 6) AS p75,
+       round(quantile_cont(l_quantity, 0.99), 6) AS p99
+FROM lineitem
+GROUP BY l_returnflag
+""",
+    description="Exact interpolated percentiles per group (SURVEY.md §2.4 "
+    "A3 family). Exact percentile buffers all values per group — "
+    "percentile_approx(col, p, accuracy) is the documented 100 TB knob "
+    "(bounded-memory KLL-style sketch, mergeable map-side)",
+    tags=("relational", "stats"),
+)
+def lineitem_quantity_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    l = read_parquet_table(spark, sf_dir, "lineitem")
+    return l.groupBy("l_returnflag").agg(
+        *[
+            F.round(F.percentile("l_quantity", p), 6).alias(name)
+            for name, p in [
+                ("p25", 0.25),
+                ("p50", 0.50),
+                ("p75", 0.75),
+                ("p99", 0.99),
+            ]
+        ]
+    )
