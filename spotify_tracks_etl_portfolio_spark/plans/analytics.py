@@ -228,3 +228,56 @@ def top20_users_by_events_salted(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("n_events"), F.asc("user_id"))
         .limit(20)
     )
+
+
+@register(
+    "daily_active_users",
+    oracle="""
+SELECT strftime(date_trunc('day', ts), '%Y-%m-%d') AS day,
+       CAST(count(DISTINCT user_id) AS BIGINT) AS dau,
+       CAST(count(*) AS BIGINT) AS n_events
+FROM events
+GROUP BY 1
+""",
+    description="Daily active users: date-trunc rollup + exact distinct "
+    "count (approx_count_distinct(rsd) is the documented 100 TB knob — "
+    "mergeable HLL sketch, no second shuffle)",
+    tags=("analytics", "distinct"),
+)
+def daily_active_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = read_parquet_table(spark, sf_dir, "events")
+    return events.groupBy(
+        F.date_format(F.date_trunc("day", "ts"), "yyyy-MM-dd").alias("day")
+    ).agg(
+        F.countDistinct("user_id").alias("dau"),
+        F.count(F.lit(1)).alias("n_events"),
+    )
+
+
+@register(
+    "sql_passthrough_event_value",
+    oracle="""
+SELECT event_type,
+       CAST(count(*) AS BIGINT) AS n,
+       CAST(SUM(CAST(value AS DECIMAL(24,8))) AS DOUBLE) AS total_value
+FROM events
+GROUP BY event_type
+""",
+    description="S10 SQL-string surface: the same engine tables queried "
+    "through spark.sql over registered temp views — ANSI SQL in, Catalyst "
+    "plan out (parity with the DataFrame surface for free)",
+    tags=("analytics", "sql"),
+)
+def sql_passthrough_event_value(spark: SparkSession, sf_dir: str) -> DataFrame:
+    read_parquet_table(spark, sf_dir, "events").createOrReplaceTempView(
+        "events_sql_view"
+    )
+    return spark.sql(
+        """
+        SELECT event_type,
+               count(*) AS n,
+               CAST(SUM(CAST(value AS DECIMAL(24,8))) AS DOUBLE) AS total_value
+        FROM events_sql_view
+        GROUP BY event_type
+        """
+    )
