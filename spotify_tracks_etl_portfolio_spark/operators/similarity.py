@@ -102,6 +102,97 @@ def ivf_assign(
     )
 
 
+def probe_cells_udf(cent_rows: list[tuple[int, list[float]]], nprobe: int):
+    """Arrow-batched cell-probe: cosine of each vector against the (tiny,
+    closure-captured) centroid matrix as ONE numpy matmul per batch,
+    returning the ``nprobe`` best cells. This is the sanctioned Pandas-UDF
+    case — a dense 64×k GEMM per row that interpreted Column HOFs evaluate
+    element-by-element (~20× slower measured). Ties resolve to the
+    smallest cell (stable argsort over ascending cells), matching the
+    exact path's (desc sim, asc cell) ordering; similarities are rounded
+    to 6 dp before ranking, also matching."""
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql.functions import pandas_udf
+
+    cents = sorted(cent_rows)
+    cells = np.array([c for c, _ in cents], dtype=np.int64)
+    m = np.array([v for _, v in cents], dtype=np.float64)
+    mn = m / np.linalg.norm(m, axis=1, keepdims=True)
+
+    # no type hints: module-level `from __future__ import annotations`
+    # stringifies them and pyspark can't resolve function-local `pd`
+    @pandas_udf("array<long>")
+    def probe(vs):
+        x = np.stack(vs.to_numpy()).astype(np.float64)
+        xn = x / np.linalg.norm(x, axis=1, keepdims=True)
+        sims = np.round(xn @ mn.T, 6)
+        order = np.argsort(-sims, axis=1, kind="stable")[:, :nprobe]
+        return pd.Series(list(cells[order]))
+
+    return probe
+
+
+def kmeans_centroids(
+    df: DataFrame,
+    id_col: str,
+    vec_col: str,
+    k: int = 16,
+    iters: int = 3,
+) -> DataFrame:
+    """Deterministic distributed Lloyd's k-means over an embedding
+    column, expressed entirely in DataFrame ops (the iterative-algorithm
+    pattern: the loop lives on the driver, each step is a distributed
+    job; nothing is collected except the implicit broadcast of k
+    centroids per iteration).
+
+    - init: the k rows with the smallest ids (deterministic, no RNG);
+    - assign: broadcast argmax-cosine join (``ivf_assign``);
+    - update: per-cell per-dimension mean via posexplode + one hash
+      aggregation, arrays rebuilt with sort_array(collect_list) —
+      shuffle carries (cell, dim, partial sums), never vectors;
+    - empty cells keep their previous centroid (left join + coalesce).
+
+    Output: (cell, <vec_col>) — feed straight into ``ivf_topk``.
+    """
+    seed = df.select(id_col, vec_col).orderBy(F.asc(id_col)).limit(k)
+    # Centroids are driver state (k×dim doubles — MLlib holds them the
+    # same way): each iteration collects the k new means, so plans stay
+    # flat instead of nesting the whole training history into the
+    # consumer's lineage.
+    cent_rows: list[tuple[int, list[float]]] = [
+        (i, [float(x) for x in r[vec_col]])
+        for i, r in enumerate(seed.collect())
+    ]
+    for _ in range(iters):
+        probe = probe_cells_udf(cent_rows, nprobe=1)
+        assigned = df.select(
+            F.element_at(probe(F.col(vec_col)), 1).alias("__cell"),
+            F.posexplode(vec_col).alias("__d", "__x"),
+        )
+        # per-cell per-dimension mean: one hash aggregation over
+        # (cell, dim) — the shuffle carries partial sums, never vectors
+        means = (
+            assigned.groupBy("__cell", "__d")
+            .agg(F.avg("__x").alias("__m"))
+            .groupBy("__cell")
+            .agg(
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("__d", "__m"))),
+                    lambda s: s.getField("__m"),
+                ).alias("__newv")
+            )
+        )
+        new = {
+            r["__cell"]: [float(x) for x in r["__newv"]] for r in means.collect()
+        }
+        # empty cells keep their previous centroid
+        cent_rows = [(c, new.get(c, v)) for c, v in cent_rows]
+    return df.sparkSession.createDataFrame(
+        cent_rows, f"cell long, {vec_col} array<double>"
+    )
+
+
 def ivf_topk(
     corpus: DataFrame,
     queries: DataFrame,
@@ -113,34 +204,25 @@ def ivf_topk(
 ) -> DataFrame:
     """IVF approximate top-k: search only the ``nprobe`` cells nearest to
     each query. Recall < 1.0 by design; the win is touching
-    nprobe/n_cells of the corpus."""
-    assigned = ivf_assign(corpus, centroids, id_col, vec_col)
-    cent = centroids.select(
-        F.col(id_col).alias("cell"),
-        F.col(vec_col).alias("__centv"),
-        vec_norm(vec_col).alias("__centn"),
+    nprobe/n_cells of the corpus. Cell assignment (corpus) and cell
+    probing (queries) run through the Arrow-batched numpy probe; the
+    final candidate scoring stays exact Column math."""
+    cent_rows = [
+        (int(r[id_col]), [float(x) for x in r[vec_col]])
+        for r in centroids.select(id_col, vec_col).collect()
+    ]
+    assign1 = probe_cells_udf(cent_rows, nprobe=1)
+    assigned = corpus.select(
+        id_col,
+        F.col(vec_col),
+        F.element_at(assign1(F.col(vec_col)), 1).alias("cell"),
     )
-    q = queries.select(
+    probe_n = probe_cells_udf(cent_rows, nprobe=nprobe)
+    qcells = queries.select(
         F.col(id_col).alias("query_id"),
         F.col(vec_col).alias("__qv"),
         vec_norm(vec_col).alias("__qn"),
-    )
-    qcells = (
-        q.crossJoin(F.broadcast(cent))
-        .withColumn(
-            "__sim",
-            F.round(vec_dot("__qv", "__centv") / (F.col("__qn") * F.col("__centn")), 6),
-        )
-        .withColumn(
-            "__rn",
-            F.row_number().over(
-                Window.partitionBy("query_id").orderBy(
-                    F.desc("__sim"), F.asc("cell")
-                )
-            ),
-        )
-        .filter(F.col("__rn") <= nprobe)
-        .select("query_id", "cell", "__qv", "__qn")
+        F.explode(probe_n(F.col(vec_col))).alias("cell"),
     )
     scored = (
         assigned.withColumn("__vn", vec_norm(vec_col))

@@ -340,7 +340,8 @@ def embedding_near_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "embedding_ivf_topk",
     oracle=None,  # approximate by design → rows-only check
-    description="IVF approximate top-k: centroid assignment join + "
+    description="IVF approximate top-k: deterministic Lloyd's k-means "
+    "centroids (iterative DataFrame job), centroid assignment join + "
     "nprobe-cell-pruned search — touches nprobe/n_cells of the corpus "
     "(the 100 TB ANN path). Approximate ⇒ no SQL oracle.",
     tags=("extension", "similarity", "approx"),
@@ -348,7 +349,9 @@ def embedding_near_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 def embedding_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = read_parquet_table(spark, sf_dir, "embeddings")
     queries = emb.filter(F.col("vec_id") < TOPK_N_QUERIES)
-    centroids = emb.filter(F.col("vec_id") % 31 == 0).limit(16)
+    centroids = _sim.kmeans_centroids(
+        emb, "vec_id", "embedding", k=16, iters=2
+    ).withColumnRenamed("cell", "vec_id")
     return _sim.ivf_topk(
         emb, queries, centroids, "vec_id", "embedding", TOPK_K, nprobe=2
     )

@@ -60,3 +60,45 @@ def test_normalize_vectors(corpus):
     out = sim.normalize_vectors(corpus, "embedding")
     norms = [r["n"] for r in out.select(vec_norm("embedding").alias("n")).collect()]
     assert all(abs(n - 1.0) < 1e-12 for n in norms)
+
+
+def test_kmeans_centroids_deterministic_and_improving(spark, sf_dir):
+    from pyspark.sql import functions as F
+
+    from spotify_tracks_etl_portfolio_spark.functions import vec_dot, vec_norm
+    from spotify_tracks_etl_portfolio_spark.operators.similarity import (
+        ivf_assign,
+        kmeans_centroids,
+    )
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    cent = kmeans_centroids(emb, "vec_id", "embedding", k=8, iters=2)
+    rows = cent.collect()
+    assert len(rows) == 8
+    assert all(len(r["embedding"]) == 64 for r in rows)
+    # deterministic across runs
+    again = kmeans_centroids(emb, "vec_id", "embedding", k=8, iters=2).collect()
+    assert sorted(r["cell"] for r in rows) == sorted(r["cell"] for r in again)
+
+    def inertia(centroids):
+        c = centroids.withColumnRenamed("cell", "vec_id")
+        a = ivf_assign(emb, c, "vec_id", "embedding")
+        cv = c.select(
+            F.col("vec_id").alias("cell"), F.col("embedding").alias("__c")
+        )
+        return (
+            a.join(cv, "cell")
+            .select(
+                (
+                    1
+                    - vec_dot("embedding", "__c")
+                    / (vec_norm("embedding") * vec_norm("__c"))
+                ).alias("d")
+            )
+            .agg(F.sum("d"))
+            .first()[0]
+        )
+
+    seed = kmeans_centroids(emb, "vec_id", "embedding", k=8, iters=0)
+    trained = kmeans_centroids(emb, "vec_id", "embedding", k=8, iters=3)
+    assert inertia(trained) < inertia(seed)  # Lloyd iterations improve fit
