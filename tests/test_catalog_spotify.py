@@ -61,3 +61,47 @@ def test_spotify_drop_in_pipeline(spark, spotify_paths):
     assert result["dq"]["success"]
     # partition-by-batch survived to bronze layout (the index analogue)
     assert spark.read.parquet(bronze).select("batch_identifier").distinct().count() == 1
+
+
+def test_bucketed_join_has_no_shuffle(spark, sf_dir, tmp_path):
+    """Two tables bucketed on the join key join WITHOUT any Exchange —
+    the co-location contract write_bucketed exists for."""
+    import re
+
+    from pyspark.sql import functions as F
+
+    from spotify_tracks_etl_portfolio_spark.sources.writers import write_bucketed
+
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        orders = spark.read.parquet(f"{sf_dir}/orders.parquet")
+        lineitem = spark.read.parquet(f"{sf_dir}/lineitem.parquet").select(
+            "l_orderkey", "l_extendedprice"
+        )
+        write_bucketed(orders, "orders_bkt", ["o_orderkey"], 8)
+        write_bucketed(
+            lineitem.withColumnRenamed("l_orderkey", "o_orderkey"),
+            "lineitem_bkt",
+            ["o_orderkey"],
+            8,
+        )
+        joined = spark.table("orders_bkt").join(
+            spark.table("lineitem_bkt"), "o_orderkey"
+        )
+        plan = joined._jdf.queryExecution().executedPlan().toString()
+        assert not re.search(r"Exchange hashpartitioning", plan)
+        # and it computes the right thing
+        n = joined.count()
+        expected = (
+            spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+            .join(
+                spark.read.parquet(f"{sf_dir}/orders.parquet"),
+                F.col("l_orderkey") == F.col("o_orderkey"),
+            )
+            .count()
+        )
+        assert n == expected
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
+        spark.sql("DROP TABLE IF EXISTS orders_bkt")
+        spark.sql("DROP TABLE IF EXISTS lineitem_bkt")
