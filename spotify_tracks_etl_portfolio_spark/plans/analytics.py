@@ -281,3 +281,24 @@ def sql_passthrough_event_value(spark: SparkSession, sf_dir: str) -> DataFrame:
         GROUP BY event_type
         """
     )
+
+
+@register(
+    "events_overview_approx",
+    oracle=None,  # sketch outputs are engine-specific → rows-only check
+    description="The A5/A6/A3 scale knobs as a runnable surface: "
+    "approx_count_distinct (HLL++, mergeable, one pass) and "
+    "percentile_approx (KLL-style sketch, bounded memory per group) over "
+    "events — the forms that replace exact distinct/median at 100 TB. "
+    "Sketch results are engine-specific, hence rows-only.",
+    tags=("analytics", "approx"),
+)
+def events_overview_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = read_parquet_table(spark, sf_dir, "events")
+    return events.agg(
+        F.approx_count_distinct("user_id", rsd=0.01).alias("approx_users"),
+        F.approx_count_distinct("event_type", rsd=0.01).alias("approx_types"),
+        F.percentile_approx("value", 0.5, 10_000).alias("approx_median_value"),
+        F.percentile_approx("value", 0.99, 10_000).alias("approx_p99_value"),
+        F.count(F.lit(1)).alias("n_events"),
+    )
