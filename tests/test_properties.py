@@ -1,0 +1,121 @@
+"""Property-based tests (hypothesis): the engine's trickiest operators
+checked against independent reference implementations on randomized
+inputs — pandas.merge_asof for the as-of join, plain Python set algebra
+for Jaccard. Example counts are kept small (each example is a Spark
+job); deadlines disabled for JVM scheduling jitter."""
+
+from __future__ import annotations
+
+import pandas as pd
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+from pyspark.sql import functions as F
+
+from spotify_tracks_etl_portfolio_spark.operators.dedup import jaccard_pairs
+from spotify_tracks_etl_portfolio_spark.operators.joins import asof_join
+
+_slow = settings(
+    max_examples=12,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+
+
+@st.composite
+def asof_case(draw):
+    n_left = draw(st.integers(1, 12))
+    n_right = draw(st.integers(0, 12))
+    keys = st.integers(0, 2)
+    # distinct timestamps on the right per key are guaranteed unique
+    # by construction below; left may collide with right (inclusive match)
+    lefts = [
+        (i, draw(keys), draw(st.integers(0, 50)))
+        for i in range(n_left)
+    ]
+    rights_raw = {
+        (draw(keys), draw(st.integers(0, 50))): None for _ in range(n_right)
+    }
+    rights = [
+        (100 + i, k, ts, float(i)) for i, (k, ts) in enumerate(sorted(rights_raw))
+    ]
+    return lefts, rights
+
+
+@given(asof_case())
+@_slow
+def test_asof_join_matches_pandas_merge_asof(spark, case):
+    lefts, rights = case
+    ldf = spark.createDataFrame(
+        [(i, k, ts * 1_000_000) for i, k, ts in lefts],
+        "lid long, k long, us long",
+    ).withColumn("ts", F.timestamp_micros("us")).drop("us")
+    rdf = spark.createDataFrame(
+        [(i, k, ts * 1_000_000, v) for i, k, ts, v in rights],
+        "rid long, k long, us long, v double",
+    ).withColumn("ts", F.timestamp_micros("us")).drop("us")
+
+    got = {
+        r["lid"]: r["p_rid"]
+        for r in asof_join(
+            ldf, rdf, ["k"], "ts", "ts", right_prefix="p_", how="left"
+        ).collect()
+    }
+
+    lp = pd.DataFrame(
+        [(i, k, pd.Timestamp(ts, unit="s")) for i, k, ts in lefts],
+        columns=["lid", "k", "ts"],
+    ).sort_values(["ts", "lid"])
+    rp = pd.DataFrame(
+        [(i, k, pd.Timestamp(ts, unit="s"), v) for i, k, ts, v in rights],
+        columns=["rid", "k", "ts", "v"],
+    ).sort_values(["ts", "rid"])
+    if rp.empty:
+        expected = {i: None for i, *_ in lefts}
+    else:
+        merged = pd.merge_asof(
+            lp, rp, on="ts", by="k", direction="backward"
+        )
+        expected = {
+            int(r.lid): (None if pd.isna(r.rid) else int(r.rid))
+            for r in merged.itertuples()
+        }
+    assert got == expected
+
+
+@st.composite
+def docs_case(draw):
+    words = st.sampled_from(["a", "b", "c", "d", "e", "f"])
+    n_docs = draw(st.integers(2, 6))
+    return [
+        (i, " ".join(draw(st.lists(words, min_size=0, max_size=8))))
+        for i in range(n_docs)
+    ]
+
+
+def _py_shingles(text: str, k: int = 3) -> set[str]:
+    toks = text.split()
+    if not toks and text.strip() == "":
+        toks = []
+    if len(toks) >= k:
+        return {" ".join(toks[i : i + k]) for i in range(len(toks) - k + 1)}
+    return {" ".join(toks)}
+
+
+@given(docs_case())
+@_slow
+def test_jaccard_pairs_matches_python_sets(spark, docs):
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    got = {
+        (r["id_a"], r["id_b"]): r["jaccard"]
+        for r in jaccard_pairs(df, "doc_id", "text", 0.0).collect()
+    }
+    expected = {}
+    for i, ta in docs:
+        for j, tb in docs:
+            if i >= j:
+                continue
+            sa, sb = _py_shingles(ta), _py_shingles(tb)
+            inter = len(sa & sb)
+            if inter:
+                expected[(i, j)] = round(inter / len(sa | sb), 6)
+    assert got == expected
