@@ -409,17 +409,19 @@ def lang_id_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register(
-    "quality_score_documents",
-    oracle=f"""
-WITH f AS (
+def _quality_ctes(src: str) -> str:
+    """f/g/h quality-feature CTE block over any (doc_id, text) source —
+    shared between the standalone scoring query and the curation
+    pipeline so the formula exists exactly once."""
+    return f"""
+f AS (
   SELECT doc_id,
          CASE WHEN trim(text) = '' THEN CAST([] AS VARCHAR[])
               ELSE string_split_regex(trim(text), '\\s+') END AS w,
          length(text) AS n_chars,
          len(regexp_extract_all(text, '[.,!?;:]')) AS n_punct,
          len(regexp_extract_all(text, '[0-9]')) AS n_digit
-  FROM documents
+  FROM {src}
 ),
 g AS (
   SELECT doc_id,
@@ -435,12 +437,22 @@ h AS (
          round(n_punct * 1.0 / greatest(n_chars, 1), 6) AS punct_ratio,
          round(n_digit * 1.0 / greatest(n_chars, 1), 6) AS digit_ratio
   FROM g
+)"""
+
+
+_QUALITY_EXPR = (
+    "round((CASE WHEN n_tokens >= 5 AND n_tokens <= 5000 THEN 1.0 ELSE 0.3 END) * 0.5"
+    " + least(stopword_ratio * 4.0, 1.0) * 0.3"
+    " + (1.0 - least((punct_ratio + digit_ratio) * 2.0, 1.0)) * 0.2, 6)"
 )
+
+
+@register(
+    "quality_score_documents",
+    oracle=f"""
+WITH {_quality_ctes('documents')}
 SELECT doc_id, n_tokens, stopword_ratio, punct_ratio, digit_ratio,
-       round((CASE WHEN n_tokens >= 5 AND n_tokens <= 5000 THEN 1.0 ELSE 0.3 END) * 0.5
-             + least(stopword_ratio * 4.0, 1.0) * 0.3
-             + (1.0 - least((punct_ratio + digit_ratio) * 2.0, 1.0)) * 0.2,
-             6) AS quality_score
+       {_QUALITY_EXPR} AS quality_score
 FROM h
 """,
     description="Document quality scoring: token/stopword/punct/digit "
@@ -567,4 +579,56 @@ def embedding_lsh_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = read_parquet_table(spark, sf_dir, "embeddings")
     return _sim.hyperplane_lsh_near_dup_pairs(
         emb, "vec_id", "embedding", EMB_NEAR_DUP_THRESHOLD
+    )
+
+
+CURATE_MIN_QUALITY = 0.5
+
+
+@register(
+    "curate_training_documents",
+    oracle=f"""
+WITH dedup AS (
+  SELECT min(doc_id) AS doc_id, text FROM documents GROUP BY text
+),
+toks2 AS (
+  SELECT doc_id, '' AS lang,
+         CASE WHEN trim(text) = '' THEN CAST([] AS VARCHAR[])
+              ELSE string_split_regex(trim(text), '\\s+') END AS w
+  FROM dedup
+),
+{_LANG_CTES},
+{_quality_ctes('dedup')}
+SELECT b.doc_id,
+       {_LANG_CASE} AS lang,
+       h.n_tokens,
+       {_QUALITY_EXPR} AS quality_score
+FROM best b JOIN h ON b.doc_id = h.doc_id
+WHERE ({_LANG_CASE}) <> 'und'
+  AND {_QUALITY_EXPR} >= {CURATE_MIN_QUALITY}
+  AND h.n_tokens BETWEEN 5 AND 5000
+""",
+    description="End-to-end training-set curation pipeline composed from "
+    "the engine's operators: exact dedup (keep lowest id) → language ID "
+    "(drop 'und') → quality gate (score ≥ 0.5) → token-count bounds — "
+    "the whole chain is one Catalyst plan (dedup shuffle + pure "
+    "projections), and the full composition is oracle-checked end-to-end",
+    tags=("extension", "dedup", "text", "pipeline"),
+)
+def curate_training_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = read_parquet_table(spark, sf_dir, "documents")
+    deduped = docs.groupBy("text").agg(F.min("doc_id").alias("doc_id"))
+    toks = token_count("text").cast("long")
+    return (
+        deduped.select(
+            "doc_id",
+            _tx.lang_id("text").alias("lang"),
+            toks.alias("n_tokens"),
+            _tx.quality_score("text").alias("quality_score"),
+        )
+        .filter(
+            (F.col("lang") != "und")
+            & (F.col("quality_score") >= CURATE_MIN_QUALITY)
+            & F.col("n_tokens").between(5, 5000)
+        )
     )
