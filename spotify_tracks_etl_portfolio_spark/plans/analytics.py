@@ -302,3 +302,64 @@ def events_overview_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.percentile_approx("value", 0.99, 10_000).alias("approx_p99_value"),
         F.count(F.lit(1)).alias("n_events"),
     )
+
+
+_PIVOT_TYPES = ["click", "view", "purchase", "signup", "error"]
+
+
+@register(
+    "daily_event_type_pivot",
+    oracle=f"""
+SELECT strftime(date_trunc('day', ts), '%Y-%m-%d') AS day,
+       {', '.join(
+           "CAST(count(*) FILTER (WHERE event_type = '" + t + "') AS BIGINT)"
+           " AS " + t for t in _PIVOT_TYPES)}
+FROM events
+GROUP BY 1
+""",
+    description="Pivot crosstab (day × event_type counts) with an explicit "
+    "value list — the explicit list keeps pivot a single pass (Spark's "
+    "two-pass value-discovery variant needs an extra job at scale)",
+    tags=("analytics", "pivot"),
+)
+def daily_event_type_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = read_parquet_table(spark, sf_dir, "events")
+    return (
+        events.groupBy(
+            F.date_format(F.date_trunc("day", "ts"), "yyyy-MM-dd").alias("day")
+        )
+        .pivot("event_type", _PIVOT_TYPES)
+        .count()
+        .na.fill(0, _PIVOT_TYPES)
+    )
+
+
+@register(
+    "top50_tokens",
+    oracle="""
+WITH toks AS (
+  SELECT unnest(string_split_regex(trim(text), '\\s+')) AS token
+  FROM documents WHERE trim(text) <> ''
+)
+SELECT token, CAST(count(*) AS BIGINT) AS n
+FROM toks
+GROUP BY token
+ORDER BY n DESC, token
+LIMIT 50
+""",
+    description="Token wordcount top-N: explode(tokens) → count → "
+    "TakeOrderedAndProject (generate + partial-agg shape; map-side "
+    "combine collapses each partition's token counts before the shuffle)",
+    tags=("analytics", "text", "topn"),
+)
+def top50_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from spotify_tracks_etl_portfolio_spark.operators.text import tokens
+
+    docs = read_parquet_table(spark, sf_dir, "documents")
+    return (
+        docs.select(F.explode(tokens("text")).alias("token"))
+        .groupBy("token")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy(F.desc("n"), F.asc("token"))
+        .limit(50)
+    )
