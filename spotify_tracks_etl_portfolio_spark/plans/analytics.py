@@ -363,3 +363,122 @@ def top50_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("n"), F.asc("token"))
         .limit(50)
     )
+
+
+@register(
+    "weekly_moving_avg_events",
+    oracle="""
+WITH daily AS (
+  SELECT date_trunc('day', ts) AS d,
+         CAST(count(*) AS BIGINT) AS n_events
+  FROM events GROUP BY 1
+)
+SELECT strftime(d, '%Y-%m-%d') AS day,
+       n_events,
+       CAST(AVG(n_events) OVER (ORDER BY d
+            RANGE BETWEEN INTERVAL 6 DAY PRECEDING AND CURRENT ROW) AS DOUBLE)
+         AS ma7_events
+FROM daily
+""",
+    description="7-day trailing moving average via a RANGE frame. "
+    "Aggregate-then-window (daily rollup first, so the ordered window sees "
+    "one row per day, never the raw events); Spark's rangeBetween needs a "
+    "numeric ordering key, so the frame runs over epoch-day with "
+    "rangeBetween(-6, 0) — exactly DuckDB's INTERVAL 6 DAY PRECEDING",
+    tags=("analytics", "window", "timeseries"),
+)
+def weekly_moving_avg_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = read_parquet_table(spark, sf_dir, "events")
+    daily = events.groupBy(F.date_trunc("day", "ts").alias("d")).agg(
+        F.count(F.lit(1)).alias("n_events")
+    )
+    w = (
+        Window.orderBy(F.unix_date(F.col("d").cast("date")))
+        .rangeBetween(-6, 0)
+    )
+    return daily.select(
+        F.date_format("d", "yyyy-MM-dd").alias("day"),
+        "n_events",
+        F.avg("n_events").over(w).cast("double").alias("ma7_events"),
+    )
+
+
+@register(
+    "event_value_deciles",
+    oracle="""
+WITH t AS (
+  SELECT value,
+         ntile(10) OVER (ORDER BY value, event_id) AS decile
+  FROM events
+)
+SELECT CAST(decile AS INT) AS decile,
+       CAST(count(*) AS BIGINT) AS n,
+       min(value) AS min_value,
+       max(value) AS max_value
+FROM t GROUP BY decile
+""",
+    description="ntile(10) decile bucketing with a total-order tie-break "
+    "(value, event_id) for determinism. The unpartitioned ntile needs a "
+    "global sort — fine for ranked reporting output; at 100 TB the scale "
+    "path is approx-quantile boundaries (percentile_approx) + a "
+    "width_bucket-style assignment, which needs no global sort",
+    tags=("analytics", "window", "stats"),
+)
+def event_value_deciles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = read_parquet_table(spark, sf_dir, "events")
+    w = Window.orderBy("value", "event_id")
+    return (
+        events.select("value", F.ntile(10).over(w).cast("int").alias("decile"))
+        .groupBy("decile")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.min("value").alias("min_value"),
+            F.max("value").alias("max_value"),
+        )
+    )
+
+
+@register(
+    "click_purchase_funnel",
+    oracle="""
+WITH first_click AS (
+  SELECT user_id, min(ts) AS fct FROM events
+  WHERE event_type = 'click' GROUP BY user_id
+),
+last_purchase AS (
+  SELECT user_id, max(ts) AS lpt FROM events
+  WHERE event_type = 'purchase' GROUP BY user_id
+)
+SELECT CAST(count(*) AS BIGINT) AS n_clickers,
+       CAST(SUM(CASE WHEN lpt >= fct THEN 1 ELSE 0 END) AS BIGINT) AS n_converted,
+       CAST(SUM(CASE WHEN lpt >= fct THEN 1 ELSE 0 END) AS DOUBLE) / count(*)
+         AS conversion_rate
+FROM first_click LEFT JOIN last_purchase USING (user_id)
+""",
+    description="Click→purchase funnel: share of clicking users with a "
+    "purchase at-or-after their first click. The EXISTS-after-timestamp "
+    "predicate is decorrelated to last_purchase >= first_click, turning an "
+    "inequality join into two map-side-combinable aggs + one equi-join on "
+    "user_id — linear at any scale",
+    tags=("analytics", "funnel"),
+)
+def click_purchase_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = read_parquet_table(spark, sf_dir, "events")
+    first_click = (
+        events.filter(F.col("event_type") == "click")
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("fct"))
+    )
+    last_purchase = (
+        events.filter(F.col("event_type") == "purchase")
+        .groupBy("user_id")
+        .agg(F.max("ts").alias("lpt"))
+    )
+    converted = F.when(F.col("lpt") >= F.col("fct"), 1).otherwise(0)
+    return first_click.join(last_purchase, "user_id", "left").agg(
+        F.count(F.lit(1)).alias("n_clickers"),
+        F.sum(converted).cast("long").alias("n_converted"),
+        (F.sum(converted).cast("double") / F.count(F.lit(1))).alias(
+            "conversion_rate"
+        ),
+    )

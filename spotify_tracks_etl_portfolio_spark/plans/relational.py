@@ -423,3 +423,161 @@ def lineitem_quantity_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame
             ]
         ]
     )
+
+
+@register(
+    "q6_forecast_revenue",
+    oracle="""
+SELECT CAST(SUM(CAST(l_extendedprice * l_discount AS DECIMAL(24,8))) AS DOUBLE) AS revenue,
+       CAST(count(*) AS BIGINT) AS n_rows
+FROM lineitem
+WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+  AND l_shipdate <  TIMESTAMP '1997-01-01 00:00:00'
+  AND l_discount BETWEEN 0.03 AND 0.07
+  AND l_quantity < 24
+""",
+    description="TPC-H Q6 forecasting-revenue-change: pure filter+agg with "
+    "every predicate pushed to the parquet scan (shipdate min/max row-group "
+    "skipping, discount/quantity as PushedFilters) — zero shuffle beyond "
+    "the single-row final agg",
+    tags=("relational", "tpch"),
+)
+def q6_forecast_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    l = read_parquet_table(spark, sf_dir, "lineitem")
+    filtered = l.filter(
+        (F.col("l_shipdate") >= F.lit("1996-01-01 00:00:00").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1997-01-01 00:00:00").cast("timestamp"))
+        & F.col("l_discount").between(0.03, 0.07)
+        & (F.col("l_quantity") < 24)
+    )
+    return filtered.agg(
+        F.sum((F.col("l_extendedprice") * F.col("l_discount")).cast(_DEC))
+        .cast("double")
+        .alias("revenue"),
+        F.count(F.lit(1)).alias("n_rows"),
+    )
+
+
+@register(
+    "top3_customers_per_nation",
+    oracle="""
+WITH rev AS (
+  SELECT c.c_nationkey, c.c_custkey, c.c_name,
+         CAST(SUM(CAST(o.o_totalprice AS DECIMAL(24,8))) AS DOUBLE) AS revenue
+  FROM customer c JOIN orders o ON c.c_custkey = o.o_custkey
+  GROUP BY c.c_nationkey, c.c_custkey, c.c_name
+),
+ranked AS (
+  SELECT n.n_name AS nation, rev.c_custkey, rev.c_name, rev.revenue,
+         CAST(row_number() OVER (PARTITION BY rev.c_nationkey
+              ORDER BY rev.revenue DESC, rev.c_custkey) AS BIGINT) AS rnk
+  FROM rev JOIN nation n ON rev.c_nationkey = n.n_nationkey
+)
+SELECT nation, c_custkey, c_name, revenue, rnk
+FROM ranked WHERE rnk <= 3
+""",
+    description="Per-group top-N: rank within each nation, keep top 3. One "
+    "shuffle on the group key, per-partition sort only (no global sort) — "
+    "the window partition key distributes, so this scales to any number of "
+    "groups; the rank<=3 filter prunes before any downstream exchange",
+    tags=("relational", "window", "topn"),
+)
+def top3_customers_per_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = read_parquet_table(spark, sf_dir, "customer")
+    o = read_parquet_table(spark, sf_dir, "orders")
+    n = read_parquet_table(spark, sf_dir, "nation")
+    rev = (
+        o.join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .groupBy("c_nationkey", "c_custkey", "c_name")
+        .agg(F.sum(F.col("o_totalprice").cast(_DEC)).cast("double").alias("revenue"))
+    )
+    w = Window.partitionBy("c_nationkey").orderBy(
+        F.desc("revenue"), F.asc("c_custkey")
+    )
+    return (
+        rev.withColumn("rnk", F.row_number().over(w).cast("long"))
+        .filter(F.col("rnk") <= 3)
+        .join(F.broadcast(n), rev.c_nationkey == n.n_nationkey)
+        .select(
+            F.col("n_name").alias("nation"), "c_custkey", "c_name", "revenue", "rnk"
+        )
+    )
+
+
+@register(
+    "cumulative_daily_revenue",
+    oracle="""
+WITH daily AS (
+  SELECT strftime(date_trunc('day', o_orderdate), '%Y-%m-%d') AS day,
+         SUM(CAST(o_totalprice AS DECIMAL(24,8))) AS dec_rev,
+         CAST(count(*) AS BIGINT) AS n_orders
+  FROM orders GROUP BY 1
+)
+SELECT day,
+       CAST(dec_rev AS DOUBLE) AS day_revenue,
+       n_orders,
+       CAST(SUM(dec_rev) OVER (ORDER BY day
+            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE)
+         AS cumulative_revenue
+FROM daily
+""",
+    description="Running cumulative sum over pre-aggregated daily totals. "
+    "Aggregate-then-window: the unpartitioned ordered window runs over "
+    "~2.4k daily rows (one per day), not the raw fact table — the only "
+    "safe way to use a global window at 100 TB. Running sums stay DECIMAL "
+    "until output so the cumulative total is order-exact",
+    tags=("relational", "window"),
+)
+def cumulative_daily_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = read_parquet_table(spark, sf_dir, "orders")
+    daily = o.groupBy(
+        F.date_format(F.date_trunc("day", "o_orderdate"), "yyyy-MM-dd").alias("day")
+    ).agg(
+        F.sum(F.col("o_totalprice").cast(_DEC)).alias("dec_rev"),
+        F.count(F.lit(1)).alias("n_orders"),
+    )
+    w = Window.orderBy("day").rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    return daily.select(
+        "day",
+        F.col("dec_rev").cast("double").alias("day_revenue"),
+        "n_orders",
+        F.sum("dec_rev").over(w).cast("double").alias("cumulative_revenue"),
+    )
+
+
+@register(
+    "small_quantity_parts_revenue",
+    oracle="""
+WITH avg_qty AS (
+  SELECT l_partkey,
+         CAST(SUM(CAST(l_quantity AS DECIMAL(24,8))) AS DOUBLE) / count(*) AS aq
+  FROM lineitem GROUP BY l_partkey
+)
+SELECT CAST(SUM(CAST(l.l_extendedprice AS DECIMAL(24,8))) AS DOUBLE) / 7.0
+         AS avg_yearly,
+       CAST(count(*) AS BIGINT) AS n_rows
+FROM lineitem l JOIN avg_qty a ON l.l_partkey = a.l_partkey
+WHERE l.l_quantity < 0.5 * a.aq
+""",
+    description="TPC-H Q17 shape: correlated scalar subquery (per-part avg "
+    "quantity) decorrelated into a self-join against a pre-aggregated "
+    "side. Both sides shuffle on l_partkey once; AQE converts the "
+    "aggregated side to broadcast when it fits. Per-part averages use "
+    "DECIMAL sums so the 0.5*avg comparison is order-deterministic",
+    tags=("relational", "tpch", "join"),
+)
+def small_quantity_parts_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    l = read_parquet_table(spark, sf_dir, "lineitem")
+    avg_qty = l.groupBy(F.col("l_partkey").alias("ak")).agg(
+        (F.sum(F.col("l_quantity").cast(_DEC)).cast("double") / F.count(F.lit(1)))
+        .alias("aq")
+    )
+    return (
+        l.join(avg_qty, l.l_partkey == avg_qty.ak)
+        .filter(F.col("l_quantity") < 0.5 * F.col("aq"))
+        .agg(
+            (F.sum(F.col("l_extendedprice").cast(_DEC)).cast("double") / F.lit(7.0))
+            .alias("avg_yearly"),
+            F.count(F.lit(1)).alias("n_rows"),
+        )
+    )
