@@ -35,6 +35,9 @@ HEADLINE = [
     "embedding_cosine_topk",
     "asof_click_purchase",
     "embedding_lsh_near_dups",
+    "q6_forecast_revenue",
+    "top3_customers_per_nation",
+    "curate_training_documents",
 ]
 
 
