@@ -1,6 +1,9 @@
 from spotify_tracks_etl_portfolio_spark.streaming.pipeline import (
     read_events_stream,
     run_stream_to_completion,
+    streaming_click_purchase_join,
+    streaming_dedup_events,
+    streaming_enrich_events,
     streaming_hourly_rollup,
     streaming_silver_events,
 )
@@ -8,6 +11,9 @@ from spotify_tracks_etl_portfolio_spark.streaming.pipeline import (
 __all__ = [
     "read_events_stream",
     "run_stream_to_completion",
+    "streaming_click_purchase_join",
+    "streaming_dedup_events",
+    "streaming_enrich_events",
     "streaming_hourly_rollup",
     "streaming_silver_events",
 ]

@@ -112,3 +112,77 @@ def run_stream_to_completion(query) -> None:
     """Drive an availableNow stream until it drains (test/backfill mode)."""
     q = query.start()
     q.awaitTermination()
+
+
+def streaming_dedup_events(
+    events: DataFrame, watermark: str = "2 hours"
+) -> DataFrame:
+    """Streaming exact dedup on event_id with bounded state:
+    ``dropDuplicatesWithinWatermark`` keeps a key's state only until the
+    watermark passes its event time, so the dedup map cannot grow
+    without bound (plain ``dropDuplicates`` on a stream retains every
+    key forever — an OOM by construction at 100 TB/day). Replayed or
+    at-least-once-delivered events inside the watermark horizon are
+    suppressed; the batch twin is the ``dedup_exact_documents`` /
+    ``dedup_window_events`` family."""
+    return events.withWatermark("ts", watermark).dropDuplicatesWithinWatermark(
+        ["event_id"]
+    )
+
+
+def streaming_enrich_events(events: DataFrame, dim: DataFrame) -> DataFrame:
+    """Stream-static join: enrich the event stream with a slowly-changing
+    dimension. The static side is broadcast-hinted — each micro-batch
+    probes an executor-local hash map, no stream-side shuffle and no
+    join state to watermark (stream-static inner joins are stateless)."""
+    return events.join(
+        F.broadcast(dim),
+        events.user_id == dim.c_custkey,
+        "inner",
+    ).drop("c_custkey")
+
+
+def streaming_click_purchase_join(
+    events: DataFrame,
+    horizon_minutes: int = 60,
+    watermark: str = "2 hours",
+) -> DataFrame:
+    """Watermarked stream-stream self-join: each click matched to the
+    same user's purchases within ``horizon_minutes`` after it. Both
+    sides carry watermarks and the join condition bounds event-time
+    distance, so Spark can evict click/purchase state once the
+    watermark passes the horizon — the two ingredients that make
+    stream-stream joins run forever. Inner matches emit as soon as both
+    sides arrive."""
+    clicks = (
+        events.filter(F.col("event_type") == "click")
+        .select(
+            F.col("event_id").alias("click_id"),
+            F.col("user_id").alias("click_user"),
+            F.col("ts").alias("click_ts"),
+        )
+        .withWatermark("click_ts", watermark)
+    )
+    purchases = (
+        events.filter(F.col("event_type") == "purchase")
+        .select(
+            F.col("event_id").alias("purchase_id"),
+            F.col("user_id").alias("purchase_user"),
+            F.col("ts").alias("purchase_ts"),
+            F.col("value").alias("purchase_value"),
+        )
+        .withWatermark("purchase_ts", watermark)
+    )
+    return clicks.join(
+        purchases,
+        (F.col("click_user") == F.col("purchase_user"))
+        & (F.col("purchase_ts") >= F.col("click_ts"))
+        & (
+            F.col("purchase_ts")
+            <= F.col("click_ts") + F.expr(f"INTERVAL {horizon_minutes} MINUTES")
+        ),
+        "inner",
+    ).select(
+        "click_id", F.col("click_user").alias("user_id"), "click_ts",
+        "purchase_id", "purchase_ts", "purchase_value",
+    )

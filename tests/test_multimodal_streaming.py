@@ -178,3 +178,104 @@ def test_streaming_sessionize_stateful(spark, tmp_path):
     assert (1, 2, 3.0) in got  # user 1's 2-event session closed by batch 2
     # trailing open sessions (user1 @120m, user2 @200m) are NOT emitted
     assert len(got) == 2
+
+
+def test_streaming_dedup_within_watermark(spark, sf_dir, tmp_path):
+    """The same events file staged twice = every event delivered twice
+    (at-least-once replay); dropDuplicatesWithinWatermark suppresses the
+    replays, leaving exactly the batch-distinct count."""
+    d = tmp_path / "dup_in"
+    d.mkdir()
+    shutil.copy(f"{sf_dir}/events.parquet", d / "part-0.parquet")
+    shutil.copy(f"{sf_dir}/events.parquet", d / "part-1.parquet")
+
+    from spotify_tracks_etl_portfolio_spark.streaming import (
+        streaming_dedup_events,
+    )
+
+    # both copies in ONE micro-batch so the duplicate pair is live in
+    # state together regardless of watermark progress
+    stream = read_events_stream(spark, str(d), max_files_per_trigger=2)
+    q = (
+        streaming_dedup_events(stream)
+        .writeStream.outputMode("append")
+        .format("memory")
+        .queryName("dedup_test")
+        .option("checkpointLocation", str(tmp_path / "ckpt_dedup"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    got = spark.sql("SELECT count(*) AS n FROM dedup_test").first()["n"]
+    expected = spark.read.parquet(f"{sf_dir}/events.parquet").count()
+    assert got == expected
+
+
+def test_streaming_enrich_matches_batch_join(spark, sf_dir, tmp_path):
+    from spotify_tracks_etl_portfolio_spark.sources.readers import (
+        read_parquet_table,
+    )
+    from spotify_tracks_etl_portfolio_spark.streaming import (
+        streaming_enrich_events,
+    )
+
+    events_path = _stage_events_dir(sf_dir, tmp_path)
+    dim = read_parquet_table(spark, sf_dir, "customer").select(
+        "c_custkey", "c_mktsegment"
+    )
+    stream = read_events_stream(spark, events_path)
+    q = (
+        streaming_enrich_events(stream, dim)
+        .writeStream.outputMode("append")
+        .format("memory")
+        .queryName("enrich_test")
+        .option("checkpointLocation", str(tmp_path / "ckpt_enrich"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    got = spark.sql("SELECT count(*) AS n FROM enrich_test").first()["n"]
+    ev = read_parquet_table(spark, sf_dir, "events")
+    expected = ev.join(dim, ev.user_id == dim.c_custkey).count()
+    assert got == expected
+    assert "c_mktsegment" in spark.table("enrich_test").columns
+
+
+def test_streaming_stream_stream_join_matches_batch(spark, sf_dir, tmp_path):
+    from spotify_tracks_etl_portfolio_spark.sources.readers import (
+        read_parquet_table,
+    )
+    from spotify_tracks_etl_portfolio_spark.streaming import (
+        streaming_click_purchase_join,
+    )
+
+    events_path = _stage_events_dir(sf_dir, tmp_path)
+    stream = read_events_stream(spark, events_path)
+    q = (
+        streaming_click_purchase_join(stream, horizon_minutes=60)
+        .writeStream.outputMode("append")
+        .format("memory")
+        .queryName("ssj_test")
+        .option("checkpointLocation", str(tmp_path / "ckpt_ssj"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    got = spark.sql("SELECT count(*) AS n FROM ssj_test").first()["n"]
+
+    ev = read_parquet_table(spark, sf_dir, "events")
+    clicks = ev.filter(F.col("event_type") == "click").select(
+        F.col("event_id").alias("click_id"),
+        F.col("user_id").alias("cu"),
+        F.col("ts").alias("cts"),
+    )
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        F.col("user_id").alias("pu"), F.col("ts").alias("pts")
+    )
+    expected = clicks.join(
+        purchases,
+        (F.col("cu") == F.col("pu"))
+        & (F.col("pts") >= F.col("cts"))
+        & (F.col("pts") <= F.col("cts") + F.expr("INTERVAL 60 MINUTES")),
+    ).count()
+    assert got == expected and got > 0
