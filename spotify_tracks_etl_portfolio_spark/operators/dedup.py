@@ -389,3 +389,58 @@ def embedding_near_dup_pairs(
         .filter(F.col("cosine") >= threshold)
         .select("id_a", "id_b", "cosine")
     )
+
+
+def connected_components(
+    edges: DataFrame, src: str, dst: str, max_iter: int = 25
+) -> DataFrame:
+    """Connected components over an undirected edge list by iterative
+    min-label propagation: every node starts labeled with its own id;
+    each round every node takes the min label among itself and its
+    neighbors; fixpoint = each component labeled with its smallest
+    node id. Returns ``(node, comp)``.
+
+    This turns near-dup PAIRS into dedup GROUPS — the step that makes
+    LSH output actionable (keep one canonical doc per component).
+
+    Scale posture: one shuffle (join + groupBy on node) per round;
+    rounds = graph diameter, and near-dup graphs are shallow (dup
+    clusters are cliques or short chains), so 2–4 rounds in practice.
+    ``localCheckpoint(eager=True)`` truncates the growing lineage each
+    round — without it the plan doubles per iteration. For adversarial
+    deep graphs the alternating large-star/small-star algorithm
+    (Kiveris et al., "Connected Components in MapReduce") converges in
+    O(log n) rounds; not needed for dedup-shaped graphs.
+    """
+    e = edges.select(F.col(src).alias("a"), F.col(dst).alias("b"))
+    sym = e.union(
+        e.select(F.col("b").alias("a"), F.col("a").alias("b"))
+    ).distinct()
+    sym = sym.persist()
+    labels = (
+        sym.select(F.col("a").alias("node"))
+        .distinct()
+        .withColumn("comp", F.col("node"))
+        .localCheckpoint(eager=True)
+    )
+    for _ in range(max_iter):
+        nbr = sym.join(labels, sym["b"] == labels["node"]).select(
+            sym["a"].alias("node"), F.col("comp")
+        )
+        new_labels = (
+            labels.union(nbr)
+            .groupBy("node")
+            .agg(F.min("comp").alias("comp"))
+            .localCheckpoint(eager=True)
+        )
+        changed = (
+            labels.withColumnRenamed("comp", "old")
+            .join(new_labels, "node")
+            .filter(F.col("old") != F.col("comp"))
+            .count()
+        )
+        labels = new_labels
+        if changed == 0:
+            break
+    sym.unpersist()
+    return labels

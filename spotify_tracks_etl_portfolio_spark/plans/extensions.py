@@ -632,3 +632,66 @@ def curate_training_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
             & F.col("n_tokens").between(5, 5000)
         )
     )
+
+
+@register(
+    "near_dup_doc_clusters",
+    oracle=f"""
+WITH RECURSIVE {_JACCARD_CTES},
+{_minhash_sig_sql()},
+{_minhash_bands_sql()},
+cands AS (
+  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+  FROM bands a JOIN bands b
+    ON a.band = b.band AND a.sig = b.sig AND a.doc_id < b.doc_id
+),
+ndpairs AS (
+  SELECT c.id_a, c.id_b
+  FROM cands c JOIN jac j ON c.id_a = j.id_a AND c.id_b = j.id_b
+  WHERE j.jaccard >= {JACCARD_THRESHOLD}
+),
+ccedges AS (
+  SELECT id_a AS a, id_b AS b FROM ndpairs
+  UNION ALL
+  SELECT id_b AS a, id_a AS b FROM ndpairs
+),
+cc_nodes AS (SELECT DISTINCT a AS node FROM ccedges),
+reach AS (
+  SELECT node, node AS label FROM cc_nodes
+  UNION
+  SELECT e.b AS node, r.label FROM reach r JOIN ccedges e ON e.a = r.node
+),
+cccomp AS (SELECT node AS doc_id, min(label) AS cluster_id FROM reach GROUP BY node),
+ccsizes AS (
+  SELECT cluster_id, CAST(count(*) AS BIGINT) AS cluster_size
+  FROM cccomp GROUP BY cluster_id
+)
+SELECT c.doc_id, c.cluster_id,
+       (c.doc_id = c.cluster_id) AS is_canonical,
+       s.cluster_size
+FROM cccomp c JOIN ccsizes s ON c.cluster_id = s.cluster_id
+""",
+    description="Near-dup pairs → dedup GROUPS: MinHash+LSH pairs fed "
+    "through iterative min-label-propagation connected components "
+    "(operators/dedup.py: connected_components) — cluster id = smallest "
+    "doc_id in the component, is_canonical marks the one doc to keep. "
+    "The DuckDB oracle recomputes the same components with a recursive "
+    "CTE, so the iterative distributed algorithm is verified against a "
+    "declarative fixpoint",
+    tags=("extension", "dedup", "graph"),
+)
+def near_dup_doc_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    docs = read_parquet_table(spark, sf_dir, "documents")
+    pairs = _dd.minhash_near_dup_pairs(docs, "doc_id", "text", JACCARD_THRESHOLD)
+    comp = _dd.connected_components(pairs, "id_a", "id_b")
+    w = Window.partitionBy("cluster_id")
+    return (
+        comp.select(
+            F.col("node").alias("doc_id"), F.col("comp").alias("cluster_id")
+        )
+        .withColumn("cluster_size", F.count(F.lit(1)).over(w).cast("long"))
+        .withColumn("is_canonical", F.col("doc_id") == F.col("cluster_id"))
+        .select("doc_id", "cluster_id", "is_canonical", "cluster_size")
+    )

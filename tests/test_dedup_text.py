@@ -121,3 +121,25 @@ def test_quality_score_bounds(docs):
         r["q"] for r in docs.select(tx.quality_score("text").alias("q")).collect()
     ]
     assert all(0.0 <= s <= 1.0 for s in scores)
+
+
+def test_connected_components_chain_and_island(spark):
+    """A 5-chain (needs several propagation rounds), a 2-island, and a
+    triangle all collapse to min-id labels."""
+    from spotify_tracks_etl_portfolio_spark.operators.dedup import (
+        connected_components,
+    )
+
+    edges = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 4), (4, 5),      # chain 1-5
+         (10, 11),                            # island
+         (20, 21), (21, 22), (20, 22)],       # triangle
+        "id_a long, id_b long",
+    )
+    got = {
+        r["node"]: r["comp"]
+        for r in connected_components(edges, "id_a", "id_b").collect()
+    }
+    assert got == {1: 1, 2: 1, 3: 1, 4: 1, 5: 1,
+                   10: 10, 11: 10,
+                   20: 20, 21: 20, 22: 20}
