@@ -695,3 +695,75 @@ def near_dup_doc_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
         .withColumn("is_canonical", F.col("doc_id") == F.col("cluster_id"))
         .select("doc_id", "cluster_id", "is_canonical", "cluster_size")
     )
+
+
+#: DuckDB form of functions.rolling_hash — same constants (31, 1e9+7).
+_FP_SQL = """list_reduce(
+         list_prepend(CAST(0 AS BIGINT),
+                      list_transform(string_split(text, ''), c -> CAST(ascii(c) AS BIGINT))),
+         (a, b) -> (a * 31 + b) % 1000000007
+       )"""
+
+
+@register(
+    "train_val_test_split",
+    oracle=f"""
+WITH fp AS (SELECT doc_id, {_FP_SQL} AS f FROM documents)
+SELECT doc_id,
+       f % 100 AS bucket,
+       CASE WHEN f % 100 < 90 THEN 'train'
+            WHEN f % 100 < 95 THEN 'val'
+            ELSE 'test' END AS split
+FROM fp
+""",
+    description="Deterministic 90/5/5 train/val/test assignment by CONTENT "
+    "hash (rolling hash mod 100): reproducible on any cluster at any "
+    "parallelism (no RNG, no partition dependence), and duplicate texts "
+    "always land in the same split — the content-hash property that "
+    "prevents train/test leakage through near-copies. Pure projection: "
+    "zero shuffles at any scale",
+    tags=("extension", "curation"),
+)
+def train_val_test_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = read_parquet_table(spark, sf_dir, "documents")
+    bucket = F.pmod(rolling_hash("text"), F.lit(100))
+    return docs.select(
+        "doc_id",
+        bucket.cast("long").alias("bucket"),
+        F.when(bucket < 90, "train")
+        .when(bucket < 95, "val")
+        .otherwise("test")
+        .alias("split"),
+    )
+
+
+@register(
+    "incremental_dedup_documents",
+    oracle=f"""
+WITH fp AS (SELECT doc_id, {_FP_SQL} AS fingerprint FROM documents)
+SELECT b.doc_id, b.fingerprint
+FROM fp b
+WHERE b.doc_id % 2 = 1
+  AND NOT EXISTS (
+    SELECT 1 FROM fp c
+    WHERE c.doc_id % 2 = 0 AND c.fingerprint = b.fingerprint
+  )
+""",
+    description="Incremental corpus dedup: an incoming batch (odd doc_ids "
+    "stand in for 'new') anti-joins the existing corpus (even doc_ids) on "
+    "the content fingerprint — only genuinely new content survives. The "
+    "daily-ingest shape at 100 TB: the corpus side is a narrow "
+    "(fingerprint-only) table, the anti join shuffles both sides once on "
+    "the hash; with the corpus bucketed on fingerprint the shuffle "
+    "disappears entirely",
+    tags=("extension", "dedup", "curation"),
+)
+def incremental_dedup_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = read_parquet_table(spark, sf_dir, "documents").select(
+        "doc_id", rolling_hash("text").alias("fingerprint")
+    )
+    batch = docs.filter(F.col("doc_id") % 2 == 1)
+    corpus = docs.filter(F.col("doc_id") % 2 == 0).select("fingerprint")
+    return batch.join(corpus, "fingerprint", "left_anti").select(
+        "doc_id", "fingerprint"
+    )

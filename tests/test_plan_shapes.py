@@ -164,3 +164,15 @@ def test_dynamic_partition_overwrite_replaces_only_touched_day(spark, tmp_path):
     back = spark.read.parquet(path)
     assert {r["id"] for r in back.filter(F.col("day") == "2024-01-01").collect()} == {1, 2}
     assert {r["id"] for r in back.filter(F.col("day") == "2024-01-02").collect()} == {30}
+
+
+def test_lsh_pipelines_reuse_the_hashing_exchange(spark):
+    """The shingle-hash arrays feed the signature agg AND both verify-
+    join sides; the final adaptive plan must compute that exchange once
+    and reuse it (ReusedExchange) — re-hashing every document 3× would
+    triple the dominant cost at 100 TB."""
+    df = all_queries()["minhash_lsh_near_dups"].fn(spark, SF_DIR)
+    df.collect()
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "isFinalPlan=true" in plan
+    assert plan.count("ReusedExchange") >= 2
