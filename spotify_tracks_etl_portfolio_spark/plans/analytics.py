@@ -482,3 +482,95 @@ def click_purchase_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
             "conversion_rate"
         ),
     )
+
+
+@register(
+    "variant_props_rollup",
+    oracle="""
+SELECT CAST(json_extract(props, '$.k') AS INT) AS k,
+       CAST(count(*) AS BIGINT) AS n,
+       CAST(SUM(CAST(value AS DECIMAL(28,6))) AS DOUBLE) AS sum_value
+FROM events
+GROUP BY 1
+""",
+    description="Semi-structured rollup via Spark 4 VARIANT: parse_json "
+    "once into the binary variant encoding, then variant_get path "
+    "extraction — at scale this replaces per-row JSON string re-parsing "
+    "(get_json_object) with a parse-once binary representation; same "
+    "oracle as the get_json_object twin (json_props_extract)",
+    tags=("analytics", "json", "variant"),
+)
+def variant_props_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = read_parquet_table(spark, sf_dir, "events")
+    return (
+        events.withColumn("v", F.parse_json("props"))
+        .withColumn("k", F.variant_get("v", "$.k", "int"))
+        .groupBy("k")
+        .agg(F.count(F.lit(1)).alias("n"), dsum("value", "sum_value"))
+    )
+
+
+@register(
+    "tfidf_top_terms",
+    oracle="""
+WITH toks AS (
+  SELECT doc_id, unnest(string_split_regex(trim(text), '\\s+')) AS token
+  FROM documents WHERE trim(text) <> ''
+),
+tf AS (
+  SELECT doc_id, token, CAST(count(*) AS BIGINT) AS tf
+  FROM toks GROUP BY doc_id, token
+),
+dfreq AS (
+  SELECT token, count(DISTINCT doc_id) AS df FROM toks GROUP BY token
+),
+n AS (SELECT CAST(count(*) AS DOUBLE) AS n FROM documents),
+scored AS (
+  SELECT tf.doc_id, tf.token,
+         round(tf.tf * ln(n.n / dfreq.df), 6) AS tfidf
+  FROM tf JOIN dfreq USING (token) CROSS JOIN n
+),
+ranked AS (
+  SELECT doc_id, token, tfidf,
+         row_number() OVER (PARTITION BY doc_id ORDER BY tfidf DESC, token) AS rn
+  FROM scored
+)
+SELECT doc_id, token, tfidf FROM ranked WHERE rn <= 3
+""",
+    description="TF-IDF keyword extraction: term frequency per (doc, "
+    "token), document frequency across the corpus, idf = ln(N/df), top-3 "
+    "terms per doc by score. Two aggregations share one tokenization "
+    "pass; the per-doc rank is a partitioned window (WindowGroupLimit "
+    "prunes to 3 per doc before the final sort). Scores round to 6 dp "
+    "BEFORE ranking so top-k membership is engine-independent",
+    tags=("analytics", "text", "tfidf"),
+)
+def tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    from spotify_tracks_etl_portfolio_spark.operators.text import tokens
+
+    docs = read_parquet_table(spark, sf_dir, "documents")
+    toks = docs.select("doc_id", F.explode(tokens("text")).alias("token"))
+    tf = toks.groupBy("doc_id", "token").agg(F.count(F.lit(1)).alias("tf"))
+    dfreq = toks.groupBy("token").agg(
+        F.countDistinct("doc_id").alias("df")
+    )
+    n = docs.agg(F.count(F.lit(1)).cast("double").alias("n"))
+    scored = (
+        tf.join(dfreq, "token")
+        .crossJoin(F.broadcast(n))
+        .select(
+            "doc_id",
+            "token",
+            F.round(F.col("tf") * F.log(F.col("n") / F.col("df")), 6).alias(
+                "tfidf"
+            ),
+        )
+    )
+    w = Window.partitionBy("doc_id").orderBy(F.desc("tfidf"), F.asc("token"))
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 3)
+        .select("doc_id", "token", "tfidf")
+    )
