@@ -74,8 +74,21 @@ def vec_norm(a: Column | str) -> Column:
     return F.sqrt(sq)
 
 
+#: Norm clamp for cosine denominators: an all-zero vector would divide
+#: by 0 (NULL/NaN cosine + engine-dependent handling downstream); a
+#: norm below this is replaced so zero vectors get cosine 0 — a defined,
+#: engine-independent answer. No-op for any real vector (norm ≫ eps).
+VEC_NORM_EPS = 1e-12
+
+
+def vec_norm_safe(a: Column | str, eps: float = VEC_NORM_EPS) -> Column:
+    """``vec_norm`` clamped away from zero — use in any cosine
+    denominator so all-zero embeddings yield 0.0, not NaN."""
+    return F.greatest(vec_norm(a), F.lit(eps))
+
+
 def cosine_similarity(a: Column | str, b: Column | str) -> Column:
-    return vec_dot(a, b) / (vec_norm(a) * vec_norm(b))
+    return vec_dot(a, b) / (vec_norm_safe(a) * vec_norm_safe(b))
 
 
 # ---------------------------------------------------------------------------

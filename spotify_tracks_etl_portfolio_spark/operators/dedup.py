@@ -68,6 +68,15 @@ _EXCLUDED_RULES = "org.apache.spark.sql.catalyst.optimizer.InferFiltersFromGener
 
 
 def _tune_generate(df: DataFrame) -> DataFrame:
+    """SESSION-WIDE side effect, by design: excludedRules is an
+    optimizer conf read at planning time (lazily, after this returns),
+    so a set/restore scope around plan CONSTRUCTION would be a no-op.
+    The exclusion persists for the session; it is safe for unrelated
+    queries (InferFiltersFromGenerate only ever adds a redundant
+    ``size(e) > 0`` pre-filter; skipping it costs nothing when arrays
+    are non-empty and saves re-evaluating expensive generator inputs
+    when they are ours). Public entry points that hash text document
+    this."""
     conf = df.sparkSession.conf
     current = conf.get("spark.sql.optimizer.excludedRules", None) or ""
     if _EXCLUDED_RULES not in current:
@@ -117,7 +126,10 @@ def shingle_hash_arrays(
     Token hashes are materialized as their own projection (``__th``) so
     each token's characters are hashed exactly once; Catalyst keeps the
     projections separate (non-cheap exprs aren't duplicated by
-    CollapseProject), and each shingle is then k multiply-adds."""
+    CollapseProject), and each shingle is then k multiply-adds.
+
+    Note: excludes ``InferFiltersFromGenerate`` for the WHOLE session
+    (see ``_tune_generate``)."""
     th = _tune_generate(df).select(
         id_col, F.transform(tokens(text_col), rolling_hash).alias("__th")
     )
@@ -320,7 +332,9 @@ def minhash_near_dup_pairs(
 def simhash(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     """SimHash per doc: per-token polynomial hash → per-bit ±1 votes →
     sign bit-vector packed into a long. Token multiplicity counts
-    (standard SimHash weighting by term frequency)."""
+    (standard SimHash weighting by term frequency). Excludes
+    ``InferFiltersFromGenerate`` for the whole session (see
+    ``_tune_generate``)."""
     tok = _tune_generate(df).select(
         id_col, F.explode(tokens(text_col)).alias("__t")
     ).select(id_col, rolling_hash(F.col("__t")).alias("h"))
@@ -340,13 +354,80 @@ def simhash(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     return voted.select(id_col, sim.cast("long").alias("simhash"))
 
 
+def simhash_chunk_bounds(
+    max_hamming: int, bits: int = SIMHASH_BITS
+) -> list[tuple[int, int]]:
+    """(start_bit, n_bits) for each of the max_hamming+1 pigeonhole
+    chunks; lengths differ by at most one (30 bits / 4 chunks →
+    8,8,7,7)."""
+    n = max_hamming + 1
+    base, rem = divmod(bits, n)
+    bounds, start = [], 0
+    for i in range(n):
+        ln = base + (1 if i < rem else 0)
+        bounds.append((start, ln))
+        start += ln
+    return bounds
+
+
 def simhash_near_dup_pairs(
     df: DataFrame, id_col: str, text_col: str, max_hamming: int
 ) -> DataFrame:
-    """Near-dup pairs by SimHash Hamming distance ≤ k. Brute-force pair
-    filter here; the scale path blocks on simhash bytes (split the 30
-    bits into max_hamming+1 chunks — pigeonhole guarantees a chunk-exact
-    match — and equi-join per chunk)."""
+    """Near-dup pairs by SimHash Hamming distance ≤ k via pigeonhole
+    chunk blocking — the 100 TB path, NOT an all-pairs filter.
+
+    The 30-bit simhash splits into max_hamming+1 bit-chunks: a pair
+    within Hamming ≤ k has ≤ k differing bits spread over k+1 chunks,
+    so by pigeonhole at least one chunk matches EXACTLY. Candidates
+    come from k+1 narrow equi-joins on (chunk_idx, chunk_value) —
+    banding, same machinery as MinHash LSH — and are then verified with
+    ``bit_count(xor) ≤ k``. Result set is identical to the brute-force
+    filter (``simhash_all_pairs``, kept as the test-only cross-check),
+    with recall 1.0 because the pigeonhole guarantee is exact, but the
+    join never touches the |docs|² pair space."""
+    s = simhash(df, id_col, text_col)
+    chunks = F.array(
+        *[
+            F.struct(
+                F.lit(i).alias("ck"),
+                F.shiftright(F.col("simhash"), start)
+                .bitwiseAND(F.lit((1 << ln) - 1))
+                .alias("cv"),
+            )
+            for i, (start, ln) in enumerate(simhash_chunk_bounds(max_hamming))
+        ]
+    )
+    blocks = s.select(
+        id_col, "simhash", F.explode(chunks).alias("c")
+    ).select(id_col, "simhash", F.col("c.ck").alias("ck"), F.col("c.cv").alias("cv"))
+    a = blocks.select(
+        F.col(id_col).alias("id_a"), F.col("simhash").alias("sh_a"), "ck", "cv"
+    )
+    b = blocks.select(
+        F.col(id_col).alias("id_b"), F.col("simhash").alias("sh_b"), "ck", "cv"
+    )
+    return (
+        a.join(b, ["ck", "cv"])
+        .filter(F.col("id_a") < F.col("id_b"))
+        # a pair matching on m chunks appears m times — dedup BEFORE the
+        # verify so each candidate's xor is computed once
+        .select("id_a", "id_b", "sh_a", "sh_b")
+        .distinct()
+        .withColumn(
+            "hamming",
+            F.bit_count(F.col("sh_a").bitwiseXOR(F.col("sh_b"))),
+        )
+        .filter(F.col("hamming") <= max_hamming)
+        .select("id_a", "id_b", "hamming")
+    )
+
+
+def simhash_all_pairs(
+    df: DataFrame, id_col: str, text_col: str, max_hamming: int
+) -> DataFrame:
+    """Brute-force all-pairs Hamming filter — TEST-ONLY oracle baseline
+    for ``simhash_near_dup_pairs`` (quadratic; never register as a
+    query)."""
     s = simhash(df, id_col, text_col)
     a = s.select(F.col(id_col).alias("id_a"), F.col("simhash").alias("sh_a"))
     b = s.select(F.col(id_col).alias("id_b"), F.col("simhash").alias("sh_b"))
@@ -365,20 +446,23 @@ def simhash_near_dup_pairs(
 def embedding_near_dup_pairs(
     df: DataFrame, id_col: str, vec_col: str, threshold: float
 ) -> DataFrame:
-    """Embedding-cosine near-dup pairs (brute force). Scale path: LSH /
-    IVF blocking in operators/similarity.py. Norms are computed once per
-    vector before the pair join — per pair only the dot remains."""
-    from spotify_tracks_etl_portfolio_spark.functions import vec_dot, vec_norm
+    """Embedding-cosine near-dup pairs (brute force) — TEST-ONLY oracle
+    baseline for the scale path
+    (``similarity.hyperplane_lsh_near_dup_pairs``); never registered as
+    a query because the crossJoin is quadratic in the corpus. Norms are
+    computed once per vector before the pair join — per pair only the
+    dot remains."""
+    from spotify_tracks_etl_portfolio_spark.functions import vec_dot, vec_norm_safe
 
     a = df.select(
         F.col(id_col).alias("id_a"),
         F.col(vec_col).alias("va"),
-        vec_norm(vec_col).alias("na"),
+        vec_norm_safe(vec_col).alias("na"),
     )
     b = df.select(
         F.col(id_col).alias("id_b"),
         F.col(vec_col).alias("vb"),
-        vec_norm(vec_col).alias("nb"),
+        vec_norm_safe(vec_col).alias("nb"),
     )
     return (
         a.crossJoin(b)
@@ -392,7 +476,11 @@ def embedding_near_dup_pairs(
 
 
 def connected_components(
-    edges: DataFrame, src: str, dst: str, max_iter: int = 25
+    edges: DataFrame,
+    src: str,
+    dst: str,
+    max_iter: int = 25,
+    algorithm: str = "label",
 ) -> DataFrame:
     """Connected components over an undirected edge list by iterative
     min-label propagation: every node starts labeled with its own id;
@@ -408,10 +496,14 @@ def connected_components(
     clusters are cliques or short chains), so 2–4 rounds in practice.
     ``localCheckpoint(eager=True)`` truncates the growing lineage each
     round — without it the plan doubles per iteration. For adversarial
-    deep graphs the alternating large-star/small-star algorithm
-    (Kiveris et al., "Connected Components in MapReduce") converges in
-    O(log n) rounds; not needed for dedup-shaped graphs.
+    deep graphs (diameter > max_iter) pass ``algorithm="star"`` to use
+    alternating large-star/small-star (Kiveris et al., "Connected
+    Components in MapReduce and Beyond"), which converges in O(log n)
+    rounds regardless of diameter. The label path WARNS if it exits
+    before fixpoint (a silent wrong answer otherwise).
     """
+    if algorithm == "star":
+        return star_connected_components(edges, src, dst, max_iter)[0]
     e = edges.select(F.col(src).alias("a"), F.col(dst).alias("b"))
     sym = e.union(
         e.select(F.col("b").alias("a"), F.col("a").alias("b"))
@@ -442,5 +534,92 @@ def connected_components(
         labels = new_labels
         if changed == 0:
             break
+    else:
+        import warnings
+
+        warnings.warn(
+            f"connected_components: label propagation did not reach a "
+            f"fixpoint in {max_iter} rounds (graph diameter exceeds "
+            f"max_iter) — component labels may be non-minimal. Re-run "
+            f'with a larger max_iter or algorithm="star".',
+            RuntimeWarning,
+            stacklevel=2,
+        )
     sym.unpersist()
     return labels
+
+
+def star_connected_components(
+    edges: DataFrame, src: str, dst: str, max_iter: int = 50
+) -> tuple[DataFrame, int]:
+    """Connected components by alternating large-star/small-star
+    (Kiveris et al., "Connected Components in MapReduce and Beyond",
+    SoCC'14) — O(log n) rounds on ANY graph, including deep
+    paths where min-label propagation needs diameter rounds.
+
+    Each round is two narrow groupBy+join passes over the edge set:
+    - large-star(u): every neighbor v > u re-points to
+      m = min(N(u) ∪ {u});
+    - small-star(u): every neighbor v ≤ u (plus u itself) re-points to
+      m = min(N_small(u)).
+    At fixpoint the edge set is a union of stars centered at each
+    component's minimum node. Returns ``((node, comp), rounds)`` —
+    rounds is exposed so tests can assert the O(log n) bound.
+    """
+    e = (
+        edges.select(F.col(src).alias("a"), F.col(dst).alias("b"))
+        .filter(F.col("a") != F.col("b"))
+        .select(
+            F.greatest("a", "b").alias("u"), F.least("a", "b").alias("v")
+        )
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    rounds = 0
+    for _ in range(max_iter):
+        rounds += 1
+        # large-star over symmetric neighborhoods
+        sym = e.union(e.select(F.col("v").alias("u"), F.col("u").alias("v")))
+        mins = (
+            sym.groupBy("u")
+            .agg(F.min("v").alias("__mn"))
+            .select("u", F.least("__mn", "u").alias("m"))
+        )
+        large = (
+            sym.join(mins, "u")
+            .filter(F.col("v") > F.col("u"))
+            .select(
+                F.greatest("v", "m").alias("u"), F.least("v", "m").alias("v")
+            )
+            .filter(F.col("u") != F.col("v"))
+            .distinct()
+        )
+        # small-star: key every edge on its larger endpoint
+        mins2 = large.groupBy("u").agg(F.min("v").alias("m"))
+        small = (
+            large.join(mins2, "u")
+            .select(F.col("v").alias("x"), "m")
+            .union(mins2.select(F.col("u").alias("x"), "m"))
+            .filter(F.col("x") != F.col("m"))
+            .select(
+                F.greatest("x", "m").alias("u"), F.least("x", "m").alias("v")
+            )
+            .distinct()
+            .localCheckpoint(eager=True)
+        )
+        converged = (
+            small.exceptAll(e).union(e.exceptAll(small)).isEmpty()
+        )
+        e = small
+        if converged:
+            break
+    # fixpoint edges are (node, component_min) stars; roots map to
+    # themselves
+    non_roots = e.select(F.col("u").alias("node"), F.col("v").alias("comp"))
+    roots = (
+        e.select(F.col("v").alias("node"))
+        .distinct()
+        .join(non_roots.select("node"), "node", "left_anti")
+        .withColumn("comp", F.col("node"))
+    )
+    return non_roots.union(roots), rounds

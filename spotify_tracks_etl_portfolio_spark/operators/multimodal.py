@@ -65,24 +65,38 @@ def decode_media_features(
     id_col: str,
     media_col: str = "media",
     real: bool = False,
+    codec=None,
     batch_size_hint: int | None = None,
 ) -> DataFrame:
     """Decode → feature-extract over Arrow batches via ``mapInPandas``.
 
     ``real=True`` marks where the codec integration goes (PIL decode,
-    resize, frame sampling); it raises ``NotImplementedError`` in this
-    container. The fake path computes deterministic byte statistics with
-    identical batch shape and output schema, so everything downstream of
-    decode is genuinely exercised.
+    resize, frame sampling). The codec itself is INJECTED via ``codec``
+    — a callable taking the batch's blob ``pd.Series`` and returning a
+    ``pd.DataFrame`` with columns ``n_bytes, mean_byte, first_byte`` —
+    so the integration seam is testable without shipping PIL/ffmpeg;
+    with ``real=True`` and no codec the task raises
+    ``NotImplementedError`` (codecs are not in this container). The
+    default fake path computes deterministic byte statistics with
+    identical batch shape and output schema, so everything downstream
+    of decode is genuinely exercised.
     """
 
     def extract(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             if real:
-                raise NotImplementedError(
-                    "media codecs (PIL/ffmpeg) are not available in this "
-                    "container; integrate the real decode here"
+                if codec is None:
+                    raise NotImplementedError(
+                        "media codecs (PIL/ffmpeg) are not available in this "
+                        "container; integrate the real decode here"
+                    )
+                feats = codec(pdf[media_col])
+                feats = feats.assign(id=pdf[id_col].astype("int64").values)
+                yield feats[["id", "n_bytes", "mean_byte", "first_byte"]].astype(
+                    {"id": "int64", "n_bytes": "int64",
+                     "mean_byte": "float64", "first_byte": "int32"}
                 )
+                continue
             blobs = pdf[media_col]
             yield pd.DataFrame(
                 {

@@ -27,6 +27,7 @@ from spotify_tracks_etl_portfolio_spark.functions import (
     cosine_similarity,
     vec_dot,
     vec_norm,
+    vec_norm_safe,
 )
 
 
@@ -52,12 +53,12 @@ def cosine_topk(
     q = queries.select(
         F.col(qid).alias("query_id"),
         F.col(vec_col).alias("__qv"),
-        vec_norm(vec_col).alias("__qn"),
+        vec_norm_safe(vec_col).alias("__qn"),
     )
     c = corpus.select(
         F.col(id_col).alias("neighbor_id"),
         F.col(vec_col).alias("__cv"),
-        vec_norm(vec_col).alias("__cn"),
+        vec_norm_safe(vec_col).alias("__cn"),
     )
     scored = (
         c.crossJoin(F.broadcast(q))
@@ -86,10 +87,10 @@ def ivf_assign(
     cent = centroids.select(
         F.col(id_col).alias("cell"),
         F.col(vec_col).alias("__centv"),
-        vec_norm(vec_col).alias("__centn"),
+        vec_norm_safe(vec_col).alias("__centn"),
     )
     scored = corpus.select(
-        id_col, F.col(vec_col).alias("__v"), vec_norm(vec_col).alias("__vn")
+        id_col, F.col(vec_col).alias("__v"), vec_norm_safe(vec_col).alias("__vn")
     ).crossJoin(F.broadcast(cent)).withColumn(
         "__sim",
         F.round(vec_dot("__v", "__centv") / (F.col("__vn") * F.col("__centn")), 6),
@@ -118,14 +119,16 @@ def probe_cells_udf(cent_rows: list[tuple[int, list[float]]], nprobe: int):
     cents = sorted(cent_rows)
     cells = np.array([c for c, _ in cents], dtype=np.int64)
     m = np.array([v for _, v in cents], dtype=np.float64)
-    mn = m / np.linalg.norm(m, axis=1, keepdims=True)
+    # clamp norms so an all-zero vector/centroid gets similarity 0 and a
+    # defined (smallest-cell) assignment instead of NaN everywhere
+    mn = m / np.maximum(np.linalg.norm(m, axis=1, keepdims=True), 1e-12)
 
     # no type hints: module-level `from __future__ import annotations`
     # stringifies them and pyspark can't resolve function-local `pd`
     @pandas_udf("array<long>")
     def probe(vs):
         x = np.stack(vs.to_numpy()).astype(np.float64)
-        xn = x / np.linalg.norm(x, axis=1, keepdims=True)
+        xn = x / np.maximum(np.linalg.norm(x, axis=1, keepdims=True), 1e-12)
         sims = np.round(xn @ mn.T, 6)
         order = np.argsort(-sims, axis=1, kind="stable")[:, :nprobe]
         return pd.Series(list(cells[order]))
@@ -147,7 +150,9 @@ def kmeans_centroids(
     centroids per iteration).
 
     - init: the k rows with the smallest ids (deterministic, no RNG);
-    - assign: broadcast argmax-cosine join (``ivf_assign``);
+    - assign: the Arrow-batched numpy probe (``probe_cells_udf`` with
+      nprobe=1) — same 6-dp rounding and smallest-cell tie order as
+      ``ivf_assign``, ~20× faster than the Column-HOF path;
     - update: per-cell per-dimension mean via posexplode + one hash
       aggregation, arrays rebuilt with sort_array(collect_list) —
       shuffle carries (cell, dim, partial sums), never vectors;
@@ -221,11 +226,11 @@ def ivf_topk(
     qcells = queries.select(
         F.col(id_col).alias("query_id"),
         F.col(vec_col).alias("__qv"),
-        vec_norm(vec_col).alias("__qn"),
+        vec_norm_safe(vec_col).alias("__qn"),
         F.explode(probe_n(F.col(vec_col))).alias("cell"),
     )
     scored = (
-        assigned.withColumn("__vn", vec_norm(vec_col))
+        assigned.withColumn("__vn", vec_norm_safe(vec_col))
         .join(qcells, "cell")
         .filter(F.col(id_col) != F.col("query_id"))
         .withColumn(
@@ -350,12 +355,12 @@ def hyperplane_lsh_near_dup_pairs(
     va = df.select(
         F.col(id_col).alias("id_a"),
         F.col(vec_col).alias("__va"),
-        vec_norm(vec_col).alias("__na"),
+        vec_norm_safe(vec_col).alias("__na"),
     )
     vb = df.select(
         F.col(id_col).alias("id_b"),
         F.col(vec_col).alias("__vb"),
-        vec_norm(vec_col).alias("__nb"),
+        vec_norm_safe(vec_col).alias("__nb"),
     )
     return (
         cands.join(va, "id_a")
@@ -370,8 +375,10 @@ def hyperplane_lsh_near_dup_pairs(
 
 
 def normalize_vectors(df: DataFrame, vec_col: str) -> DataFrame:
-    """L2-normalize an embedding column (zip_with over the array)."""
-    norm = vec_norm(vec_col)
+    """L2-normalize an embedding column (zip_with over the array);
+    all-zero vectors stay all-zero (clamped denominator) instead of
+    going NaN."""
+    norm = vec_norm_safe(vec_col)
     return df.withColumn(
         vec_col,
         F.transform(F.col(vec_col), lambda x: x.cast("double") / norm),

@@ -574,3 +574,26 @@ def tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rn") <= 3)
         .select("doc_id", "token", "tfidf")
     )
+
+
+@register(
+    "scatter_value_user_sample",
+    oracle="""
+SELECT event_id, value, user_id
+FROM events
+WHERE event_id % 20 = 0
+""",
+    description="Scatter-card sampled projection (the Metabase scatter "
+    "card family — SELECT energy, popularity, danceability FROM silver, "
+    "reference/images/...04_53_40.png): a deterministic 5% hash-mod "
+    "sample (event_id % 20) of 2-3 numeric columns straight off the "
+    "scan. Both the sample predicate and the column projection push "
+    "down to the parquet reader; zero shuffles at any scale (a dashboard "
+    "scatter over 100 TB reads only the sampled row groups' 3 columns)",
+    tags=("analytics", "card"),
+)
+def scatter_value_user_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = read_parquet_table(spark, sf_dir, "events")
+    return events.filter(F.col("event_id") % 20 == 0).select(
+        "event_id", "value", "user_id"
+    )

@@ -147,22 +147,55 @@ jac AS (
 """
 
 JACCARD_THRESHOLD = 0.5
+#: Document-frequency cap on shingles entering the Jaccard self-join —
+#: THE quadratic-fanout guard: a shingle shared by d docs contributes
+#: d² candidate rows, so boilerplate shingles (headers, licenses)
+#: dominate the join at scale. Shingles with df > cap are dropped from
+#: BOTH the pair join and the per-doc set sizes (Spark and oracle
+#: apply the same cap, so the query stays exactly checkable).
+MAX_SHINGLE_DF = 100
+
+#: Capped twin of _JACCARD_CTES: same shingle pipeline, but shingles
+#: with document frequency > MAX_SHINGLE_DF are removed before sizes
+#: and pairs — mirrors jaccard_pairs(max_shingle_df=...).
+_JACCARD_CAPPED_CTES = f"""
+{_SHINGLE_CTES},
+rare AS (SELECT h FROM shh GROUP BY h HAVING count(*) <= {MAX_SHINGLE_DF}),
+shc AS (SELECT s.doc_id, s.h FROM shh s JOIN rare r ON s.h = r.h),
+csizes AS (SELECT doc_id, count(*) AS n FROM shc GROUP BY doc_id),
+cpairs AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS shared
+  FROM shc a JOIN shc b ON a.h = b.h AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+),
+cjac AS (
+  SELECT id_a, id_b,
+         round(shared * 1.0 / (sa.n + sb.n - shared), 6) AS jaccard
+  FROM cpairs
+  JOIN csizes sa ON id_a = sa.doc_id
+  JOIN csizes sb ON id_b = sb.doc_id
+)
+"""
 
 
 @register(
     "ngram_jaccard_pairs",
     oracle=f"""
-WITH {_JACCARD_CTES}
-SELECT id_a, id_b, jaccard FROM jac WHERE jaccard >= {JACCARD_THRESHOLD}
+WITH {_JACCARD_CAPPED_CTES}
+SELECT id_a, id_b, jaccard FROM cjac WHERE jaccard >= {JACCARD_THRESHOLD}
 """,
     description="Near-dup dedup via n-gram (3-word shingle) Jaccard "
-    "similarity: explode→hash→self-join with a document-frequency fanout "
-    "guard for scale",
+    "similarity: explode→hash→self-join with the document-frequency "
+    f"fanout guard ENGAGED (max_shingle_df={MAX_SHINGLE_DF}; hot "
+    "shingles are dropped via a left-semi join before the quadratic "
+    "self-join — the oracle applies the identical cap)",
     tags=("extension", "dedup"),
 )
 def ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = read_parquet_table(spark, sf_dir, "documents")
-    return _dd.jaccard_pairs(docs, "doc_id", "text", JACCARD_THRESHOLD)
+    return _dd.jaccard_pairs(
+        docs, "doc_id", "text", JACCARD_THRESHOLD, max_shingle_df=MAX_SHINGLE_DF
+    )
 
 
 def _minhash_sig_sql() -> str:
@@ -260,9 +293,13 @@ SELECT a.doc_id AS id_a, b.doc_id AS id_b,
 FROM simh a JOIN simh b ON a.doc_id < b.doc_id
 WHERE bit_count(xor(a.simhash, b.simhash)) <= 3
 """,
-    description="SimHash near-dup pairs at Hamming ≤ 3 (scale path: "
-    "pigeonhole chunk blocking instead of the all-pairs filter)",
-    tags=("extension", "dedup"),
+    description="SimHash near-dup pairs at Hamming ≤ 3 via pigeonhole "
+    "chunk blocking: the 30-bit simhash splits into 4 bit-chunks, any "
+    "pair within Hamming ≤ 3 matches at least one chunk exactly, so "
+    "candidates come from narrow (chunk, value) equi-joins — identical "
+    "result set to the all-pairs filter (recall 1.0 by pigeonhole), "
+    "never touching the |docs|² pair space",
+    tags=("extension", "dedup", "lsh"),
 )
 def simhash_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = read_parquet_table(spark, sf_dir, "documents")
@@ -313,28 +350,12 @@ def embedding_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _sim.cosine_topk(emb, queries, "vec_id", "embedding", TOPK_K)
 
 
-@register(
-    "embedding_near_dup_pairs",
-    oracle=f"""
-WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings)
-SELECT a.vec_id AS id_a, b.vec_id AS id_b,
-       round(list_dot_product(a.e, b.e) /
-             (sqrt(list_dot_product(a.e, a.e)) * sqrt(list_dot_product(b.e, b.e))),
-             6) AS cosine
-FROM v a JOIN v b ON a.vec_id < b.vec_id
-WHERE round(list_dot_product(a.e, b.e) /
-            (sqrt(list_dot_product(a.e, a.e)) * sqrt(list_dot_product(b.e, b.e))),
-            6) >= {EMB_NEAR_DUP_THRESHOLD}
-""",
-    description="Embedding-cosine near-duplicate pairs (brute force; "
-    "LSH/IVF blocking is the scale path)",
-    tags=("extension", "dedup", "similarity"),
-)
-def embedding_near_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    emb = read_parquet_table(spark, sf_dir, "embeddings")
-    return _dd.embedding_near_dup_pairs(
-        emb, "vec_id", "embedding", EMB_NEAR_DUP_THRESHOLD
-    )
+# NOTE: the brute-force embedding_near_dup_pairs query was DEMOTED in
+# round 2 — its full-corpus crossJoin is quadratic and the scale-safe
+# registered path is ``embedding_lsh_near_dups`` (hyperplane-LSH
+# banding + exact-cosine verify). The brute-force operator survives as
+# the test-only recall/precision baseline for the LSH path
+# (tests/test_similarity.py::test_hyperplane_lsh_vs_brute_force).
 
 
 @register(

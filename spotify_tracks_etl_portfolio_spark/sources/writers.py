@@ -57,6 +57,52 @@ def write_table(
     writer.parquet(path)
 
 
+def write_jdbc(
+    df: DataFrame,
+    url: str,
+    table: str,
+    mode: LoadMode = LoadMode.BATCH,
+    properties: dict[str, str] | None = None,
+    num_partitions: int | None = None,
+    batchsize: int = 1000,
+    save: bool = True,
+):
+    """Relational (JDBC) sink — direct parity with the reference's MySQL
+    insert (reference: dags/de_spotify_to_bronze.py:206-210, pandas
+    ``to_sql`` in 1000-row chunks): ``FULL`` ≡ overwrite (the TRUNCATE +
+    insert mode, :193-196), ``BATCH`` ≡ append (:198-200).
+
+    Scale posture: each partition opens one connection and streams its
+    rows in ``batchsize`` batches; ``num_partitions`` coalesces first so
+    a 1000-task stage doesn't open 1000 database connections — the
+    parallelism knob IS the connection count. (The parquet/catalog path
+    in ``write_table`` remains the analytics-grade sink; JDBC is for
+    serving-database handoff like the reference's MySQL.)
+
+    ``save=False`` returns the fully-configured writer without executing
+    (the container ships no JDBC driver; tests assert the configuration
+    seam).
+    """
+    if num_partitions is not None:
+        df = df.coalesce(num_partitions)
+    writer = (
+        df.write.mode("overwrite" if mode is LoadMode.FULL else "append")
+        .format("jdbc")
+        .option("url", url)
+        .option("dbtable", table)
+        .option("batchsize", str(batchsize))
+        # overwrite must TRUNCATE (keep indexes/DDL), not DROP+recreate —
+        # matches the reference's TRUNCATE TABLE semantics
+        .option("truncate", "true")
+    )
+    for k, v in (properties or {}).items():
+        writer = writer.option(k, v)
+    if save:
+        writer.save()
+        return None
+    return writer
+
+
 def write_bucketed(
     df: DataFrame,
     table: str,

@@ -1,5 +1,6 @@
 from __future__ import annotations
 
+import os
 import sys
 from pathlib import Path
 
@@ -9,7 +10,9 @@ sys.path.insert(0, str(Path(__file__).resolve().parents[1]))
 
 from spotify_tracks_etl_portfolio_spark.session import get_spark
 
-SF_SMOKE = "/root/testdata/sf0.001"
+#: Overridable like tools/dump_plans.py so the suite runs on machines
+#: where the driver-generated testdata lives elsewhere.
+SF_SMOKE = os.environ.get("SPARK_GRAFT_SMOKE_DIR", "/root/testdata/sf0.001")
 
 
 @pytest.fixture(scope="session")

@@ -143,3 +143,80 @@ def test_connected_components_chain_and_island(spark):
     assert got == {1: 1, 2: 1, 3: 1, 4: 1, 5: 1,
                    10: 10, 11: 10,
                    20: 20, 21: 20, 22: 20}
+
+
+def test_simhash_chunk_bounds_cover_all_bits():
+    for k in (1, 2, 3, 7, 29, 30):
+        bounds = dd.simhash_chunk_bounds(k)
+        assert len(bounds) == k + 1
+        assert sum(ln for _, ln in bounds) == dd.SIMHASH_BITS
+        pos = 0
+        for start, ln in bounds:
+            assert start == pos
+            pos += ln
+
+
+def test_simhash_blocked_equals_all_pairs(spark, sf_dir):
+    """Pigeonhole blocking is exact: the chunk-join candidates plus the
+    Hamming verify reproduce the brute-force pair set bit-for-bit."""
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    blocked = {
+        (r["id_a"], r["id_b"]): r["hamming"]
+        for r in dd.simhash_near_dup_pairs(docs, "doc_id", "text", 3).collect()
+    }
+    brute = {
+        (r["id_a"], r["id_b"]): r["hamming"]
+        for r in dd.simhash_all_pairs(docs, "doc_id", "text", 3).collect()
+    }
+    assert blocked == brute
+
+
+def test_jaccard_max_shingle_df_drops_boilerplate_pairs(spark):
+    """The fanout guard removes shingles shared by > cap docs: 10 docs
+    related ONLY through a boilerplate header stop pairing once the
+    header shingles are capped out."""
+    boiler = "common header line always present"
+    df = spark.createDataFrame(
+        [(i, f"{boiler} unique{i} content{i} words{i}") for i in range(10)],
+        "doc_id long, text string",
+    )
+    uncapped = dd.jaccard_pairs(df, "doc_id", "text", 0.1).count()
+    capped = dd.jaccard_pairs(df, "doc_id", "text", 0.1, max_shingle_df=5).count()
+    assert uncapped == 45  # all pairs, via the shared header shingles
+    assert capped == 0
+
+
+def test_star_components_path_graph_converges_logn(spark):
+    """100-node path graph (diameter 99): label propagation needs 99
+    rounds; alternating large-star/small-star must finish in O(log n)."""
+    edges = spark.createDataFrame(
+        [(i, i + 1) for i in range(99)], "id_a long, id_b long"
+    )
+    labels, rounds = dd.star_connected_components(edges, "id_a", "id_b")
+    got = {r["node"]: r["comp"] for r in labels.collect()}
+    assert got == {i: 0 for i in range(100)}
+    assert rounds <= 15, rounds  # ~2·log2(100) ≈ 13
+
+
+def test_star_components_matches_label_propagation(spark):
+    edges = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 4), (4, 5), (10, 11), (20, 21), (21, 22), (20, 22)],
+        "id_a long, id_b long",
+    )
+    star = {
+        r["node"]: r["comp"]
+        for r in dd.connected_components(
+            edges, "id_a", "id_b", algorithm="star"
+        ).collect()
+    }
+    assert star == {1: 1, 2: 1, 3: 1, 4: 1, 5: 1,
+                    10: 10, 11: 10,
+                    20: 20, 21: 20, 22: 20}
+
+
+def test_label_propagation_warns_below_diameter(spark):
+    edges = spark.createDataFrame(
+        [(i, i + 1) for i in range(10)], "id_a long, id_b long"
+    )
+    with pytest.warns(RuntimeWarning, match="fixpoint"):
+        dd.connected_components(edges, "id_a", "id_b", max_iter=2)

@@ -45,6 +45,41 @@ def test_real_decode_is_gated(media):
         mm.decode_media_features(media, "doc_id", real=True).collect()
 
 
+def test_real_decode_gate_message_is_documented(media):
+    """Contract: the gate names the missing codecs and the integration
+    point, so a user hitting it knows exactly what to plug in."""
+    with pytest.raises(Exception, match="media codecs .* not available"):
+        mm.decode_media_features(media, "doc_id", real=True).collect()
+
+
+def test_injected_codec_flows_through_real_path(media):
+    """Contract test for the codec seam: a fake codec injected at the
+    real=True integration point must flow through the identical Arrow
+    batch plumbing — schema coercion, id zip, row order — proving the
+    real-codec integration needs only the codec itself."""
+    import pandas as pd
+
+    def fake_codec(blobs):
+        return pd.DataFrame(
+            {
+                "n_bytes": blobs.map(len),
+                "mean_byte": blobs.map(lambda b: 42.0),
+                "first_byte": blobs.map(lambda b: 7),
+            }
+        )
+
+    out = {
+        r["id"]: r
+        for r in mm.decode_media_features(
+            media, "doc_id", real=True, codec=fake_codec
+        ).collect()
+    }
+    assert set(out) == {0, 1, 2}
+    assert out[1]["n_bytes"] == 3  # real blob lengths flow through
+    assert all(out[i]["mean_byte"] == 42.0 for i in out)
+    assert all(out[i]["first_byte"] == 7 for i in out)
+
+
 def test_resize_and_frame_sample(media):
     small = {r["id"]: r["media_small"] for r in mm.resize_stub(media, "doc_id", target_bytes=4).collect()}
     assert len(small[2]) == 4 and len(small[1]) == 3

@@ -121,3 +121,91 @@ def test_scheduled_full_load_rejected():
     with pytest.raises(ScheduledFullLoadError):
         resolve_load_mode("full", run_type="scheduled")
     assert resolve_load_mode("batch", run_type="scheduled").value == "batch"
+
+
+class _RecordingWriter:
+    """Stands in for DataFrameWriter: records the JDBC configuration
+    (no JDBC driver ships in this container)."""
+
+    def __init__(self):
+        self.rec = {"options": {}}
+
+    def mode(self, m):
+        self.rec["mode"] = m
+        return self
+
+    def format(self, f):
+        self.rec["format"] = f
+        return self
+
+    def option(self, k, v):
+        self.rec["options"][k] = v
+        return self
+
+    def save(self):
+        self.rec["saved"] = True
+
+
+class _FakeDF:
+    def __init__(self):
+        self.writer = _RecordingWriter()
+        self.coalesced = None
+
+    @property
+    def write(self):
+        return self.writer
+
+    def coalesce(self, n):
+        self.coalesced = n
+        return self
+
+
+def test_write_jdbc_mode_mapping_and_options():
+    """S3 JDBC parity (reference: dags/de_spotify_to_bronze.py:206-210):
+    FULL → overwrite+truncate (the TRUNCATE+insert mode), BATCH →
+    append; connection-count control via coalesce; chunked batches."""
+    from spotify_tracks_etl_portfolio_spark.sources.writers import (
+        LoadMode,
+        write_jdbc,
+    )
+
+    df = _FakeDF()
+    write_jdbc(
+        df,
+        url="jdbc:mysql://db:3306/spotify",
+        table="spotify_tracks",
+        mode=LoadMode.FULL,
+        properties={"user": "etl"},
+        num_partitions=4,
+        batchsize=1000,
+    )
+    rec = df.writer.rec
+    assert rec["mode"] == "overwrite"
+    assert rec["format"] == "jdbc"
+    assert rec["options"]["url"] == "jdbc:mysql://db:3306/spotify"
+    assert rec["options"]["dbtable"] == "spotify_tracks"
+    assert rec["options"]["batchsize"] == "1000"
+    assert rec["options"]["truncate"] == "true"  # TRUNCATE, not DROP
+    assert rec["options"]["user"] == "etl"
+    assert df.coalesced == 4
+    assert rec["saved"] is True
+
+    df2 = _FakeDF()
+    out = write_jdbc(
+        df2, url="jdbc:x", table="t", mode=LoadMode.BATCH, save=False
+    )
+    assert df2.writer.rec["mode"] == "append"
+    assert "saved" not in df2.writer.rec
+    assert out is df2.writer
+
+
+def test_write_jdbc_configures_real_dataframe_writer(spark):
+    """save=False on a real DataFrame returns a configured
+    DataFrameWriter without touching any database."""
+    from pyspark.sql.readwriter import DataFrameWriter
+
+    from spotify_tracks_etl_portfolio_spark.sources.writers import write_jdbc
+
+    df = spark.range(3)
+    w = write_jdbc(df, url="jdbc:derby:memory:t", table="t", save=False)
+    assert isinstance(w, DataFrameWriter)

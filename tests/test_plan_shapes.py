@@ -14,16 +14,14 @@ import pytest
 
 from spotify_tracks_etl_portfolio_spark.plans import all_queries
 
-SF_DIR = "/root/testdata/sf0.001"
 
-
-def plan_of(spark, name: str) -> str:
-    df = all_queries()[name].fn(spark, SF_DIR)
+def plan_of(spark, name: str, sf_dir: str) -> str:
+    df = all_queries()[name].fn(spark, sf_dir)
     return df._jdf.queryExecution().executedPlan().toString()
 
 
-def test_q6_pushes_every_predicate_to_scan(spark):
-    plan = plan_of(spark, "q6_forecast_revenue")
+def test_q6_pushes_every_predicate_to_scan(spark, sf_dir):
+    plan = plan_of(spark, "q6_forecast_revenue", sf_dir)
     assert plan.count("FileScan parquet") == 1
     # all three predicate families reach the parquet reader
     assert "PushedFilters: [" in plan
@@ -35,16 +33,16 @@ def test_q6_pushes_every_predicate_to_scan(spark):
     assert "Join" not in plan
 
 
-def test_topk_uses_take_ordered_not_global_sort(spark):
-    plan = plan_of(spark, "top10_customers_by_revenue")
+def test_topk_uses_take_ordered_not_global_sort(spark, sf_dir):
+    plan = plan_of(spark, "top10_customers_by_revenue", sf_dir)
     assert "TakeOrderedAndProject" in plan
     # top-k must never be planned as a global range-partitioned sort
     assert "rangepartitioning" not in plan
     assert "BroadcastHashJoin" in plan
 
 
-def test_per_group_topn_has_no_global_sort(spark):
-    plan = plan_of(spark, "top3_customers_per_nation")
+def test_per_group_topn_has_no_global_sort(spark, sf_dir):
+    plan = plan_of(spark, "top3_customers_per_nation", sf_dir)
     # rank runs within hash partitions of the group key; a global sort
     # (range partitioning) would serialize the whole table
     assert "rangepartitioning" not in plan
@@ -54,27 +52,27 @@ def test_per_group_topn_has_no_global_sort(spark):
     assert "WindowGroupLimit" in plan
 
 
-def test_window_dedup_gets_rank_limit_pushdown(spark):
-    plan = plan_of(spark, "dedup_window_events")
+def test_window_dedup_gets_rank_limit_pushdown(spark, sf_dir):
+    plan = plan_of(spark, "dedup_window_events", sf_dir)
     # rn=1 dedup must engage WindowGroupLimit (partial before the
     # shuffle, final after) so each map task forwards one row per key
     assert "WindowGroupLimit" in plan
     assert "Partial" in plan
 
 
-def test_funnel_and_asof_never_plan_nested_loops(spark):
+def test_funnel_and_asof_never_plan_nested_loops(spark, sf_dir):
     for name in ("click_purchase_funnel", "asof_click_purchase"):
-        plan = plan_of(spark, name)
+        plan = plan_of(spark, name, sf_dir)
         assert "BroadcastNestedLoopJoin" not in plan, name
         assert "CartesianProduct" not in plan, name
 
 
-def test_global_windows_run_on_aggregated_input(spark):
+def test_global_windows_run_on_aggregated_input(spark, sf_dir):
     """cumulative/moving-average queries: the unpartitioned ordered
     window must sit above a hash aggregation (daily rollup), so the
     single-partition stage sees one row per day, not the fact table."""
     for name in ("cumulative_daily_revenue", "weekly_moving_avg_events"):
-        plan = plan_of(spark, name)
+        plan = plan_of(spark, name, sf_dir)
         assert plan.count("FileScan parquet") == 1, name
         # partial+final agg pair below the window
         assert plan.count("HashAggregate") >= 2, name
@@ -86,8 +84,8 @@ def test_global_windows_run_on_aggregated_input(spark):
         )
 
 
-def test_broadcast_hints_survive_in_snowflake_join(spark):
-    plan = plan_of(spark, "regional_revenue")
+def test_broadcast_hints_survive_in_snowflake_join(spark, sf_dir):
+    plan = plan_of(spark, "regional_revenue", sf_dir)
     # every dimension (customer, nation, region) broadcasts; the fact
     # side joins orders via shuffle — at most one non-broadcast join
     assert plan.count("BroadcastHashJoin") >= 3
@@ -103,12 +101,12 @@ def test_broadcast_hints_survive_in_snowflake_join(spark):
         "top50_tokens",
     ],
 )
-def test_single_pass_aggregations_scan_once(spark, name):
-    plan = plan_of(spark, name)
+def test_single_pass_aggregations_scan_once(spark, sf_dir, name):
+    plan = plan_of(spark, name, sf_dir)
     assert plan.count("FileScan parquet") == 1, name
 
 
-def test_partitioned_write_prunes_partitions(spark, tmp_path):
+def test_partitioned_write_prunes_partitions(spark, sf_dir, tmp_path):
     """Day-partitioned bronze (the engine's replacement for the
     reference's B-tree indexes): a day-filtered read must hit only that
     day's directory — PartitionFilters in the scan, pruned row count."""
@@ -122,7 +120,7 @@ def test_partitioned_write_prunes_partitions(spark, tmp_path):
 
     from pyspark.sql import functions as F
 
-    ev = read_parquet_table(spark, SF_DIR, "events").withColumn(
+    ev = read_parquet_table(spark, sf_dir, "events").withColumn(
         "event_day", F.date_format("ts", "yyyy-MM-dd")
     )
     path = str(tmp_path / "events_by_day")
@@ -166,13 +164,55 @@ def test_dynamic_partition_overwrite_replaces_only_touched_day(spark, tmp_path):
     assert {r["id"] for r in back.filter(F.col("day") == "2024-01-02").collect()} == {30}
 
 
-def test_lsh_pipelines_reuse_the_hashing_exchange(spark):
+def test_lsh_pipelines_reuse_the_hashing_exchange(spark, sf_dir):
     """The shingle-hash arrays feed the signature agg AND both verify-
     join sides; the final adaptive plan must compute that exchange once
     and reuse it (ReusedExchange) — re-hashing every document 3× would
     triple the dominant cost at 100 TB."""
-    df = all_queries()["minhash_lsh_near_dups"].fn(spark, SF_DIR)
+    df = all_queries()["minhash_lsh_near_dups"].fn(spark, sf_dir)
     df.collect()
     plan = df._jdf.queryExecution().executedPlan().toString()
     assert "isFinalPlan=true" in plan
     assert plan.count("ReusedExchange") >= 2
+
+
+def test_simhash_near_dups_is_blocked_not_all_pairs(spark, sf_dir):
+    """Pigeonhole chunk-blocking replaced the quadratic crossJoin: the
+    executed plan must contain ONLY equi-joins — a CartesianProduct or
+    BroadcastNestedLoopJoin here is the |docs|² scale-killer."""
+    df = all_queries()["simhash_near_dups"].fn(spark, sf_dir)
+    df.collect()
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_jaccard_fanout_guard_is_engaged(spark, sf_dir):
+    """ngram_jaccard_pairs must run with the document-frequency cap: the
+    hot-shingle drop shows up as a left-semi join against the rare-
+    shingle set BEFORE the quadratic self-join."""
+    plan = plan_of(spark, "ngram_jaccard_pairs", sf_dir)
+    assert "LeftSemi" in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_no_registered_query_all_pairs_embedding_crossjoin(spark, sf_dir):
+    """The registered embedding near-dup path is hyperplane LSH; a full
+    corpus×corpus nested-loop join must never appear (the brute-force
+    baseline lives only in tests). cosine_topk's broadcast of the tiny
+    query set is the one sanctioned nested-loop shape."""
+    df = all_queries()["embedding_lsh_near_dups"].fn(spark, sf_dir)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_scatter_sample_pushes_filter_and_prunes_columns(spark, sf_dir):
+    """The scatter-card sample is a pure pushed-down scan: 3-column
+    ReadSchema, no shuffle anywhere in the plan."""
+    plan = plan_of(spark, "scatter_value_user_sample", sf_dir)
+    assert plan.count("FileScan parquet") == 1
+    assert "Exchange" not in plan
+    read_schema = plan.split("ReadSchema: ", 1)[1].splitlines()[0]
+    assert "event_id" in read_schema and "value" in read_schema
+    assert "props" not in read_schema and "event_type" not in read_schema
