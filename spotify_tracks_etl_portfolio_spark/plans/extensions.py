@@ -759,6 +759,195 @@ def train_val_test_split(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "benchmark_decontamination",
+    oracle=f"""
+WITH {_SHINGLE_CTES},
+bench AS (SELECT DISTINCT h FROM shh WHERE doc_id % 10 = 0)
+SELECT s.doc_id, CAST(count(*) AS BIGINT) AS n_shared_shingles
+FROM shh s JOIN bench b ON s.h = b.h
+WHERE s.doc_id % 10 <> 0
+GROUP BY s.doc_id
+""",
+    description="Benchmark decontamination (the eval-leakage gate every "
+    "LLM training pipeline needs): training docs sharing any word "
+    "n-gram with the benchmark set (doc_id % 10 = 0 stands in for the "
+    "held-out benchmark) are flagged with their overlap count; the "
+    "clean training set is the anti-join complement. Scale posture: the "
+    "benchmark shingle set is tiny and broadcast; the training side "
+    "streams through one equi-join on the shingle hash plus a narrow "
+    "per-doc count — never a doc×doc comparison",
+    tags=("extension", "curation", "dedup"),
+)
+def benchmark_decontamination(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = read_parquet_table(spark, sf_dir, "documents")
+    sh = _dd.exploded_shingle_hashes(docs, "doc_id", "text")
+    bench = (
+        sh.filter(F.col("doc_id") % 10 == 0).select("h").distinct()
+    )
+    train = sh.filter(F.col("doc_id") % 10 != 0)
+    return (
+        train.join(F.broadcast(bench), "h")
+        .groupBy("doc_id")
+        .agg(F.count(F.lit(1)).alias("n_shared_shingles"))
+    )
+
+
+@register(
+    "repetition_stats_documents",
+    oracle="""
+WITH dtoks AS (
+  SELECT doc_id, unnest(string_split_regex(trim(text), '\\s+')) AS token
+  FROM documents WHERE trim(text) <> ''
+),
+dtf AS (
+  SELECT doc_id, token, count(*) AS cnt FROM dtoks GROUP BY doc_id, token
+),
+dtop AS (
+  SELECT doc_id, token, cnt,
+         row_number() OVER (PARTITION BY doc_id
+                            ORDER BY cnt DESC, token DESC) AS rn,
+         CAST(sum(cnt) OVER (PARTITION BY doc_id) AS BIGINT) AS n_tokens,
+         CAST(count(*) OVER (PARTITION BY doc_id) AS BIGINT) AS n_distinct_tokens
+  FROM dtf
+)
+SELECT doc_id, n_tokens, n_distinct_tokens,
+       token AS top_token,
+       round(cnt * 1.0 / n_tokens, 6) AS top_token_ratio,
+       round(n_distinct_tokens * 1.0 / n_tokens, 6) AS distinct_ratio
+FROM dtop WHERE rn = 1
+""",
+    description="Repetition signals (Gopher-style quality rules): per "
+    "doc, total/distinct token counts, the most frequent token and its "
+    "frequency ratio (high top-token ratio or low distinct ratio = "
+    "degenerate repetitive text → filter candidate). One explode + two "
+    "hash aggregations; argmax is max(struct(cnt, token)) — no sort, "
+    "deterministic tie to the lexicographically larger token",
+    tags=("extension", "text", "curation"),
+)
+def repetition_stats_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from spotify_tracks_etl_portfolio_spark.operators.text import tokens
+
+    docs = read_parquet_table(spark, sf_dir, "documents")
+    toks = docs.select("doc_id", F.explode(tokens("text")).alias("token"))
+    tf = toks.groupBy("doc_id", "token").agg(F.count(F.lit(1)).alias("cnt"))
+    stats = tf.groupBy("doc_id").agg(
+        F.sum("cnt").alias("n_tokens"),
+        F.count(F.lit(1)).alias("n_distinct_tokens"),
+        F.max(F.struct("cnt", "token")).alias("__top"),
+    )
+    return stats.select(
+        "doc_id",
+        "n_tokens",
+        "n_distinct_tokens",
+        F.col("__top.token").alias("top_token"),
+        F.round(
+            F.col("__top.cnt").cast("double") / F.col("n_tokens"), 6
+        ).alias("top_token_ratio"),
+        F.round(
+            F.col("n_distinct_tokens").cast("double") / F.col("n_tokens"), 6
+        ).alias("distinct_ratio"),
+    )
+
+
+STRATA_SAMPLE_N = 20
+
+
+@register(
+    "stratified_sample_by_lang",
+    oracle=f"""
+WITH sfp AS (SELECT doc_id, lang, {_FP_SQL} AS f FROM documents),
+sr AS (
+  SELECT doc_id, lang,
+         row_number() OVER (PARTITION BY lang ORDER BY f, doc_id) AS rn
+  FROM sfp
+)
+SELECT doc_id, lang, CAST(rn AS BIGINT) AS sample_rank
+FROM sr WHERE rn <= {STRATA_SAMPLE_N}
+""",
+    description=f"Stratified sampling: {STRATA_SAMPLE_N} docs per "
+    "language, ordered by CONTENT hash (rolling fingerprint) with "
+    "doc_id tie-break — a reproducible quota sample at any parallelism "
+    "on any cluster (no RNG), the balanced-evaluation-set / "
+    "data-ablation primitive. Per-group top-N window → WindowGroupLimit "
+    "prunes each stratum map-side before the final rank",
+    tags=("extension", "curation"),
+)
+def stratified_sample_by_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    docs = read_parquet_table(spark, sf_dir, "documents")
+    w = Window.partitionBy("lang").orderBy(
+        rolling_hash("text").asc(), F.col("doc_id").asc()
+    )
+    return (
+        docs.withColumn("sample_rank", F.row_number().over(w).cast("long"))
+        .filter(F.col("sample_rank") <= STRATA_SAMPLE_N)
+        .select("doc_id", "lang", "sample_rank")
+    )
+
+
+@register(
+    "source_mixing_weights",
+    oracle="""
+WITH stok AS (
+  SELECT source,
+         CAST(CASE WHEN trim(text) = '' THEN 0
+              ELSE len(string_split_regex(trim(text), '\\s+')) END AS BIGINT) AS nt
+  FROM documents
+),
+sagg AS (
+  SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+         CAST(sum(nt) AS BIGINT) AS n_tokens
+  FROM stok GROUP BY source
+),
+sshare AS (
+  SELECT source, n_docs, n_tokens,
+         round(n_tokens * 1.0 / sum(n_tokens) OVER (), 6) AS token_share,
+         CAST(round(sqrt(n_tokens * 1.0 / sum(n_tokens) OVER ()), 6)
+              AS DECIMAL(18, 6)) AS w6
+  FROM sagg
+)
+SELECT source, n_docs, n_tokens, token_share,
+       round(CAST(w6 AS DOUBLE) / CAST(sum(w6) OVER () AS DOUBLE), 6)
+         AS mixing_weight
+FROM sshare
+""",
+    description="Domain-mixing weights: per source, doc/token counts, "
+    "token share, and a sqrt-scaled sampling weight (the standard "
+    "temperature-mixing shape that up-weights small sources). "
+    "Determinism: per-source sqrt is IEEE-exact from integer token "
+    "counts; the normalization sums 6-dp DECIMALs exactly, so no "
+    "float-summation-order dependence anywhere. One aggregation + one "
+    "broadcast-size window over |sources| rows",
+    tags=("extension", "curation"),
+)
+def source_mixing_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    docs = read_parquet_table(spark, sf_dir, "documents")
+    agg = docs.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum(token_count("text").cast("long")).alias("n_tokens"),
+    )
+    wall = Window.partitionBy()
+    share = F.col("n_tokens").cast("double") / F.sum("n_tokens").over(wall)
+    with_w = agg.withColumn("token_share", F.round(share, 6)).withColumn(
+        "w6", F.round(F.sqrt(share), 6).cast("decimal(18,6)")
+    )
+    return with_w.select(
+        "source",
+        "n_docs",
+        "n_tokens",
+        "token_share",
+        F.round(
+            F.col("w6").cast("double")
+            / F.sum("w6").over(wall).cast("double"),
+            6,
+        ).alias("mixing_weight"),
+    )
+
+
+@register(
     "incremental_dedup_documents",
     oracle=f"""
 WITH fp AS (SELECT doc_id, {_FP_SQL} AS fingerprint FROM documents)

@@ -207,6 +207,26 @@ def test_no_registered_query_all_pairs_embedding_crossjoin(spark, sf_dir):
     assert "BroadcastNestedLoopJoin" not in plan
 
 
+def test_stratified_sample_gets_rank_limit_pushdown(spark, sf_dir):
+    """Per-stratum quota sampling must engage WindowGroupLimit so each
+    map task forwards at most N rows per language before the shuffle —
+    without it the window sorts every stratum in full."""
+    plan = plan_of(spark, "stratified_sample_by_lang", sf_dir)
+    assert "WindowGroupLimit" in plan
+    assert "rangepartitioning" not in plan
+
+
+def test_decontamination_broadcasts_benchmark_side(spark, sf_dir):
+    """The benchmark shingle set is the small side by construction; the
+    training-side scan must stream through a broadcast join, never
+    shuffle on the shingle hash."""
+    df = all_queries()["benchmark_decontamination"].fn(spark, sf_dir)
+    df.collect()
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "isFinalPlan=true" in plan
+    assert "BroadcastHashJoin" in plan
+
+
 def test_scatter_sample_pushes_filter_and_prunes_columns(spark, sf_dir):
     """The scatter-card sample is a pure pushed-down scan: 3-column
     ReadSchema, no shuffle anywhere in the plan."""
