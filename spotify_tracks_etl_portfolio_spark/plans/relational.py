@@ -581,3 +581,138 @@ def small_quantity_parts_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count(F.lit(1)).alias("n_rows"),
         )
     )
+
+
+@register(
+    "customer_order_count_distribution",
+    oracle="""
+WITH per_cust AS (
+  SELECT c.c_custkey, CAST(count(o.o_orderkey) AS BIGINT) AS n_orders
+  FROM customer c LEFT JOIN orders o ON c.c_custkey = o.o_custkey
+  GROUP BY c.c_custkey
+)
+SELECT n_orders, CAST(count(*) AS BIGINT) AS n_customers
+FROM per_cust GROUP BY n_orders
+""",
+    description="TPC-H Q13 shape: distribution of order counts per "
+    "customer INCLUDING zero-order customers — the left outer join is "
+    "load-bearing (an inner join silently drops the n_orders=0 bucket; "
+    "count(o_orderkey) not count(*) makes the null-match rows count as "
+    "0). Two hash aggregations; at 100 TB the first groupBy rides the "
+    "join's existing c_custkey partitioning — no extra shuffle",
+    tags=("relational", "tpch", "join"),
+)
+def customer_order_count_distribution(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    c = read_parquet_table(spark, sf_dir, "customer")
+    o = read_parquet_table(spark, sf_dir, "orders")
+    per_cust = (
+        c.join(o, c.c_custkey == o.o_custkey, "left")
+        .groupBy("c_custkey")
+        .agg(F.count("o_orderkey").alias("n_orders"))
+    )
+    return per_cust.groupBy("n_orders").agg(
+        F.count(F.lit(1)).alias("n_customers")
+    )
+
+
+@register(
+    "significant_parts_by_revenue",
+    oracle="""
+WITH per_part AS (
+  SELECT l_partkey,
+         SUM(CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(24,8)))
+           AS dec_rev
+  FROM lineitem GROUP BY l_partkey
+),
+total AS (SELECT SUM(dec_rev) AS t, CAST(count(*) AS BIGINT) AS n FROM per_part)
+SELECT p.l_partkey,
+       CAST(p.dec_rev AS DOUBLE) AS revenue,
+       round(CAST(p.dec_rev AS DOUBLE) / CAST(t.t AS DOUBLE), 6)
+         AS revenue_share
+FROM per_part p CROSS JOIN total t
+WHERE CAST(p.dec_rev AS DOUBLE) / CAST(t.t AS DOUBLE) > 1.5 / t.n
+""",
+    description="TPC-H Q11 shape: keep groups whose aggregate exceeds a "
+    "fraction of the GLOBAL aggregate (here 1.5× the uniform share, so "
+    "the predicate is scale-invariant) — the global-threshold scalar "
+    "subquery decorrelated into a broadcast of a 1-row total (never a "
+    "window over the whole table). Both aggregates stay DECIMAL-exact; "
+    "the share division happens once per group in DOUBLE, so the "
+    "threshold comparison is order-deterministic",
+    tags=("relational", "tpch"),
+)
+def significant_parts_by_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    l = read_parquet_table(spark, sf_dir, "lineitem")
+    per_part = l.groupBy("l_partkey").agg(
+        F.sum(_revenue(l)).alias("dec_rev")
+    )
+    total = per_part.agg(
+        F.sum("dec_rev").alias("t"), F.count(F.lit(1)).alias("n")
+    )
+    share = F.col("dec_rev").cast("double") / F.col("t").cast("double")
+    return (
+        per_part.crossJoin(F.broadcast(total))
+        .filter(share > F.lit(1.5) / F.col("n"))
+        .select(
+            "l_partkey",
+            F.col("dec_rev").cast("double").alias("revenue"),
+            F.round(share, 6).alias("revenue_share"),
+        )
+    )
+
+
+@register(
+    "daily_revenue_gapfill",
+    oracle="""
+WITH bounds AS (
+  SELECT CAST(min(o_orderdate) AS DATE) AS d0,
+         CAST(max(o_orderdate) AS DATE) AS d1
+  FROM orders
+),
+cal AS (
+  SELECT CAST(unnest(generate_series(d0, d1, INTERVAL 1 DAY)) AS DATE) AS d
+  FROM bounds
+),
+daily AS (
+  SELECT CAST(o_orderdate AS DATE) AS d,
+         SUM(CAST(o_totalprice AS DECIMAL(24,8))) AS dec_rev,
+         CAST(count(*) AS BIGINT) AS n_orders
+  FROM orders GROUP BY 1
+)
+SELECT strftime(c.d, '%Y-%m-%d') AS day,
+       CAST(COALESCE(dd.dec_rev, 0) AS DOUBLE) AS revenue,
+       COALESCE(dd.n_orders, 0) AS n_orders
+FROM cal c LEFT JOIN daily dd ON c.d = dd.d
+""",
+    description="Calendar gap-fill: generate the full min..max day "
+    "sequence (explode(sequence(...)) off a 1-row bounds aggregate) and "
+    "left-join the daily rollup so empty days appear as explicit zeros "
+    "— the time-series densification every downstream window/forecast "
+    "needs. The calendar side is thousands of rows built from ONE "
+    "aggregate, never a driver-side loop; the daily rollup is one hash "
+    "aggregation of the fact table",
+    tags=("relational", "timeseries"),
+)
+def daily_revenue_gapfill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = read_parquet_table(spark, sf_dir, "orders")
+    daily = o.groupBy(F.to_date("o_orderdate").alias("d")).agg(
+        F.sum(F.col("o_totalprice").cast(_DEC)).alias("dec_rev"),
+        F.count(F.lit(1)).alias("n_orders"),
+    )
+    bounds = o.agg(
+        F.min(F.to_date("o_orderdate")).alias("d0"),
+        F.max(F.to_date("o_orderdate")).alias("d1"),
+    )
+    cal = bounds.select(F.explode(F.sequence("d0", "d1")).alias("d"))
+    return (
+        cal.join(daily, "d", "left")
+        .select(
+            F.date_format("d", "yyyy-MM-dd").alias("day"),
+            F.coalesce(F.col("dec_rev").cast("double"), F.lit(0.0)).alias(
+                "revenue"
+            ),
+            F.coalesce("n_orders", F.lit(0).cast("long")).alias("n_orders"),
+        )
+    )
