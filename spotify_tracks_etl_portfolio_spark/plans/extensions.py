@@ -849,6 +849,146 @@ def repetition_stats_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "top_bigrams",
+    oracle="""
+WITH bt AS (
+  SELECT doc_id,
+         string_split_regex(trim(text), '\\s+') AS w
+  FROM documents WHERE trim(text) <> ''
+),
+bg AS (
+  SELECT doc_id,
+         unnest([w[i] || ' ' || w[i+1] for i in range(1, len(w))]) AS bigram
+  FROM bt WHERE len(w) >= 2
+),
+bc AS (SELECT bigram, CAST(count(*) AS BIGINT) AS n FROM bg GROUP BY bigram)
+SELECT bigram, n FROM bc
+ORDER BY n DESC, bigram
+LIMIT 50
+""",
+    description="Corpus-wide top-50 bigrams (vocabulary/merge-rule "
+    "mining for BPE-style tokenizers): adjacent-token pairs built as a "
+    "pure array transform (no self-join), one explode + one hash "
+    "aggregation + TakeOrderedAndProject; count-desc with bigram "
+    "tie-break for deterministic membership",
+    tags=("extension", "text"),
+)
+def top_bigrams(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from spotify_tracks_etl_portfolio_spark.operators.text import tokens
+
+    docs = read_parquet_table(spark, sf_dir, "documents")
+    toks = tokens("text")
+    bigrams = F.transform(
+        F.sequence(F.lit(0), F.size(toks) - 2),
+        lambda i: F.concat_ws(
+            " ",
+            F.element_at(toks, (i + 1).cast("int")),
+            F.element_at(toks, (i + 2).cast("int")),
+        ),
+    )
+    return (
+        docs.filter(F.size(toks) >= 2)
+        .select(F.explode(bigrams).alias("bigram"))
+        .groupBy("bigram")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy(F.desc("n"), F.asc("bigram"))
+        .limit(50)
+    )
+
+
+@register(
+    "token_length_histogram",
+    oracle="""
+WITH tl AS (
+  SELECT CAST(CASE WHEN trim(text) = '' THEN 0
+              ELSE len(string_split_regex(trim(text), '\\s+')) END AS BIGINT) AS nt
+  FROM documents
+)
+SELECT (nt // 10) * 10 AS bucket, CAST(count(*) AS BIGINT) AS n_docs
+FROM tl GROUP BY 1
+""",
+    description="Document length distribution (curation dashboard "
+    "staple): token counts bucketed by 10 — one projection + one tiny "
+    "hash aggregation, the length-cutoff calibration view for quality "
+    "filtering",
+    tags=("extension", "text", "card"),
+)
+def token_length_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = read_parquet_table(spark, sf_dir, "documents")
+    nt = token_count("text").cast("long")
+    return (
+        docs.select((F.floor(nt / 10) * 10).alias("bucket"))
+        .groupBy("bucket")
+        .agg(F.count(F.lit(1)).alias("n_docs"))
+    )
+
+
+@register(
+    "unigram_logprob_documents",
+    oracle="""
+WITH utoks AS (
+  SELECT doc_id, unnest(string_split_regex(trim(text), '\\s+')) AS token
+  FROM documents WHERE trim(text) <> ''
+),
+utf AS (SELECT token, count(*) AS cnt FROM utoks GROUP BY token),
+utot AS (SELECT CAST(sum(cnt) AS DOUBLE) AS n FROM utf),
+ulp AS (
+  SELECT token,
+         CAST(round(ln(cnt / n), 9) AS DECIMAL(20, 9)) AS lp
+  FROM utf, utot
+)
+SELECT t.doc_id,
+       CAST(count(*) AS BIGINT) AS n_tokens,
+       CAST(round(CAST(sum(l.lp) AS DOUBLE), 6) AS DOUBLE) AS total_logprob,
+       round(CAST(sum(l.lp) AS DOUBLE) / count(*), 6) AS avg_logprob
+FROM utoks t JOIN ulp l ON t.token = l.token
+GROUP BY t.doc_id
+""",
+    description="Unigram LM log-probability per document (the "
+    "CCNet-style perplexity proxy for quality filtering: low avg "
+    "logprob = rare-token-heavy text): corpus token frequencies feed "
+    "per-token logprobs, per-doc totals come from ONE broadcast join "
+    "(the unigram table is small) + a hash aggregation. Determinism: "
+    "each logprob is rounded to 9 dp and summed as DECIMAL — exact and "
+    "order-insensitive regardless of partitioning — then divided once "
+    "in DOUBLE at the output",
+    tags=("extension", "text", "curation"),
+)
+def unigram_logprob_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from spotify_tracks_etl_portfolio_spark.operators.text import tokens
+
+    docs = read_parquet_table(spark, sf_dir, "documents")
+    toks = docs.select("doc_id", F.explode(tokens("text")).alias("token"))
+    tf = toks.groupBy("token").agg(F.count(F.lit(1)).alias("cnt"))
+    total = tf.agg(F.sum("cnt").cast("double").alias("n"))
+    lp = (
+        tf.crossJoin(F.broadcast(total))
+        .select(
+            "token",
+            F.round(F.log(F.col("cnt") / F.col("n")), 9)
+            .cast("decimal(20,9)")
+            .alias("lp"),
+        )
+    )
+    return (
+        toks.join(F.broadcast(lp), "token")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_tokens"),
+            F.sum("lp").alias("__dec_lp"),
+        )
+        .select(
+            "doc_id",
+            "n_tokens",
+            F.round(F.col("__dec_lp").cast("double"), 6).alias("total_logprob"),
+            F.round(
+                F.col("__dec_lp").cast("double") / F.col("n_tokens"), 6
+            ).alias("avg_logprob"),
+        )
+    )
+
+
 STRATA_SAMPLE_N = 20
 
 
