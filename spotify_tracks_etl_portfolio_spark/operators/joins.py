@@ -120,3 +120,44 @@ def interval_pairs_within(
             F.col("__ts_b").alias("ts_b"),
         )
     )
+
+
+def salted_join(
+    left: DataFrame,
+    right: DataFrame,
+    left_key: str,
+    right_key: str,
+    salt_from: str,
+    buckets: int = 8,
+    how: str = "inner",
+) -> DataFrame:
+    """Skew-resistant shuffle join: the big (left) side gets a
+    deterministic salt in [0, buckets) from ``hash(salt_from)``; the
+    right side is replicated buckets× via an exploded sequence; the join
+    key becomes (key, salt), so one hot key's rows spread over
+    ``buckets`` reducers instead of melting a single task. Result is
+    row-identical to the plain join — the salt only reshapes the
+    shuffle.
+
+    The salt source is a hash of an existing column, never ``rand()``:
+    a retried/speculated task must salt a row identically or join
+    results change under retry. Cost: the right side's shuffle volume
+    multiplies by ``buckets`` — use AQE's skew-join split for moderate
+    skew and salting when a single key exceeds one executor's memory
+    (the 100 TB hot-partition case: a null-ish default key, a celebrity
+    user, a boilerplate document hash)."""
+    sl = left.withColumn(
+        "__salt_l", F.pmod(F.xxhash64(salt_from), F.lit(buckets))
+    )
+    sr = right.withColumn(
+        "__salt_r",
+        F.explode(
+            F.sequence(F.lit(0).cast("long"), F.lit(buckets - 1).cast("long"))
+        ),
+    )
+    out = sl.join(
+        sr,
+        (sl[left_key] == sr[right_key]) & (sl["__salt_l"] == sr["__salt_r"]),
+        how,
+    )
+    return out.drop("__salt_l", "__salt_r")

@@ -716,3 +716,49 @@ def daily_revenue_gapfill(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.coalesce("n_orders", F.lit(0).cast("long")).alias("n_orders"),
         )
     )
+
+
+@register(
+    "top10_customers_by_revenue_salted",
+    oracle="""
+SELECT c.c_custkey,
+       c.c_name,
+       CAST(SUM(CAST(l.l_extendedprice * (1.0 - l.l_discount) AS DECIMAL(24,8))) AS DOUBLE) AS revenue,
+       CAST(count(DISTINCT o.o_orderkey) AS BIGINT) AS n_orders
+FROM customer c
+JOIN orders o ON c.c_custkey = o.o_custkey
+JOIN lineitem l ON o.o_orderkey = l.l_orderkey
+GROUP BY c.c_custkey, c.c_name
+ORDER BY revenue DESC, c_custkey
+LIMIT 10
+""",
+    description="Skew-resistant twin of top10_customers_by_revenue: the "
+    "lineitem⋈orders shuffle join runs SALTED (salt = hash(l_linenumber) "
+    "mod 8 on the fact side, orders replicated 8×, join on (key, salt)) "
+    "so a hot orderkey's rows spread over 8 reducers — bit-identical "
+    "result, same oracle; the deliberate-salt pattern for when a single "
+    "key exceeds one executor and AQE's skew split isn't enough",
+    tags=("relational", "join", "topn", "skew"),
+)
+def top10_customers_by_revenue_salted(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    from spotify_tracks_etl_portfolio_spark.operators.joins import salted_join
+
+    c = read_parquet_table(spark, sf_dir, "customer")
+    o = read_parquet_table(spark, sf_dir, "orders")
+    l = read_parquet_table(spark, sf_dir, "lineitem")
+    lo = salted_join(l, o, "l_orderkey", "o_orderkey", "l_linenumber", buckets=8)
+    return (
+        lo.join(F.broadcast(c), F.col("o_custkey") == c.c_custkey)
+        .groupBy("c_custkey", "c_name")
+        .agg(
+            F.sum(
+                (F.col("l_extendedprice") * (F.lit(1.0) - F.col("l_discount")))
+                .cast(_DEC)
+            ).cast("double").alias("revenue"),
+            F.countDistinct("o_orderkey").alias("n_orders"),
+        )
+        .orderBy(F.desc("revenue"), F.asc("c_custkey"))
+        .limit(10)
+    )

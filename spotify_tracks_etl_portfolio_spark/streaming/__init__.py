@@ -5,6 +5,7 @@ from spotify_tracks_etl_portfolio_spark.streaming.pipeline import (
     streaming_dedup_events,
     streaming_enrich_events,
     streaming_hourly_rollup,
+    streaming_incremental_dedup,
     streaming_silver_events,
 )
 
@@ -15,5 +16,6 @@ __all__ = [
     "streaming_dedup_events",
     "streaming_enrich_events",
     "streaming_hourly_rollup",
+    "streaming_incremental_dedup",
     "streaming_silver_events",
 ]

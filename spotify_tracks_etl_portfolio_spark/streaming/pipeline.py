@@ -142,6 +142,30 @@ def streaming_enrich_events(events: DataFrame, dim: DataFrame) -> DataFrame:
     ).drop("c_custkey")
 
 
+def streaming_incremental_dedup(
+    batch_stream: DataFrame, corpus_fp: DataFrame, fp_col: str = "fingerprint"
+) -> DataFrame:
+    """Streaming twin of ``incremental_dedup_documents``: an incoming
+    document stream anti-joined against the STATIC corpus fingerprint
+    set, so only genuinely new content flows downstream — the daily-
+    ingest dedup gate, continuously.
+
+    Stream-static left_anti joins aren't supported by Structured
+    Streaming; the standard equivalent is a left-outer join against a
+    marker column + IS NULL filter, which IS supported stream-side and
+    stateless (the static side is an executor-local broadcast hash map
+    probed per micro-batch — no watermark, no join state). At 100 TB
+    the corpus side stays narrow (fingerprint-only)."""
+    marker = corpus_fp.select(F.col(fp_col)).dropDuplicates([fp_col]).withColumn(
+        "__seen", F.lit(True)
+    )
+    return (
+        batch_stream.join(F.broadcast(marker), fp_col, "left_outer")
+        .filter(F.col("__seen").isNull())
+        .drop("__seen")
+    )
+
+
 def streaming_click_purchase_join(
     events: DataFrame,
     horizon_minutes: int = 60,

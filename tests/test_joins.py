@@ -152,3 +152,28 @@ def test_hyperplane_sketch_deterministic(spark, sf_dir):
     a = sim.hyperplane_sketch(emb, "vec_id", "embedding").drop("embedding").collect()
     b = sim.hyperplane_sketch(emb, "vec_id", "embedding").drop("embedding").collect()
     assert sorted(map(tuple, a)) == sorted(map(tuple, b))
+
+
+def test_salted_join_matches_plain_join(spark):
+    """Salting only reshapes the shuffle: on a deliberately skewed key
+    distribution (one key holding half the rows) the salted join must
+    return exactly the plain join's rows."""
+    from spotify_tracks_etl_portfolio_spark.operators.joins import salted_join
+
+    left = spark.createDataFrame(
+        [(1 if i < 50 else i, i, float(i)) for i in range(100)],
+        "k long, rid long, v double",
+    )
+    right = spark.createDataFrame(
+        [(k, f"dim{k}") for k in set([1] + list(range(50, 100)))],
+        "rk long, name string",
+    )
+    plain = {
+        (r["rid"], r["name"])
+        for r in left.join(right, left.k == right.rk).collect()
+    }
+    salted = {
+        (r["rid"], r["name"])
+        for r in salted_join(left, right, "k", "rk", "rid", buckets=4).collect()
+    }
+    assert salted == plain and len(plain) == 100

@@ -314,3 +314,48 @@ def test_streaming_stream_stream_join_matches_batch(spark, sf_dir, tmp_path):
         & (F.col("pts") <= F.col("cts") + F.expr("INTERVAL 60 MINUTES")),
     ).count()
     assert got == expected and got > 0
+
+
+def test_streaming_incremental_dedup_matches_batch(spark, sf_dir, tmp_path):
+    """Stream-static anti-join dedup == the batch incremental dedup
+    query: stream the odd-doc_id 'incoming batch', anti-join the static
+    even-doc_id corpus fingerprints, compare surviving doc_ids."""
+    from spotify_tracks_etl_portfolio_spark.functions import rolling_hash
+    from spotify_tracks_etl_portfolio_spark.plans import all_queries
+    from spotify_tracks_etl_portfolio_spark.streaming import (
+        run_stream_to_completion,
+        streaming_incremental_dedup,
+    )
+
+    d = tmp_path / "docs_in"
+    d.mkdir()
+    shutil.copy(f"{sf_dir}/documents.parquet", d / "part-0.parquet")
+    schema = spark.read.parquet(str(d)).schema
+    stream = (
+        spark.readStream.schema(schema)
+        .parquet(str(d))
+        .filter(F.col("doc_id") % 2 == 1)
+        .select("doc_id", rolling_hash("text").alias("fingerprint"))
+    )
+    corpus = (
+        spark.read.parquet(f"{sf_dir}/documents.parquet")
+        .filter(F.col("doc_id") % 2 == 0)
+        .select(rolling_hash("text").alias("fingerprint"))
+    )
+    out = streaming_incremental_dedup(stream, corpus)
+    assert out.isStreaming
+    q = (
+        out.writeStream.outputMode("append")
+        .format("memory")
+        .queryName("inc_dedup_test")
+        .option("checkpointLocation", str(tmp_path / "ckpt_inc"))
+        .trigger(availableNow=True)
+    )
+    run_stream_to_completion(q)
+    got = {
+        r["doc_id"]
+        for r in spark.sql("SELECT doc_id FROM inc_dedup_test").collect()
+    }
+    batch = all_queries()["incremental_dedup_documents"].fn(spark, sf_dir)
+    want = {r["doc_id"] for r in batch.collect()}
+    assert got == want

@@ -119,3 +119,70 @@ def test_jaccard_pairs_matches_python_sets(spark, docs):
             if inter:
                 expected[(i, j)] = round(inter / len(sa | sb), 6)
     assert got == expected
+
+
+@st.composite
+def graph_case(draw):
+    n = draw(st.integers(2, 20))
+    raw = draw(
+        st.lists(
+            st.tuples(st.integers(0, n - 1), st.integers(0, n - 1)),
+            min_size=1,
+            max_size=25,
+        )
+    )
+    edges = [e for e in raw if e[0] != e[1]]
+    return edges or [(0, 1)]
+
+
+@given(graph_case())
+@_slow
+def test_star_components_match_union_find(spark, edges):
+    """Alternating large-star/small-star vs plain Python union-find
+    (union-by-min keeps the component root at the minimum id, matching
+    the star fixpoint's star centers)."""
+    from spotify_tracks_etl_portfolio_spark.operators.dedup import (
+        star_connected_components,
+    )
+
+    df = spark.createDataFrame(edges, "a long, b long")
+    labels, _rounds = star_connected_components(df, "a", "b")
+    got = {r["node"]: r["comp"] for r in labels.collect()}
+
+    parent: dict[int, int] = {}
+
+    def find(x: int) -> int:
+        while parent.setdefault(x, x) != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in edges:
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    expected = {x: find(x) for x in parent}
+    assert got == expected
+
+
+@given(docs_case(), st.integers(0, 6))
+@_slow
+def test_simhash_blocking_matches_all_pairs(spark, docs, max_hamming):
+    """Pigeonhole chunk-blocking must reproduce the brute-force Hamming
+    pair set exactly for ANY max_hamming (including k >= bits, where a
+    zero-length chunk makes every pair a candidate)."""
+    from spotify_tracks_etl_portfolio_spark.operators.dedup import (
+        simhash_all_pairs,
+        simhash_near_dup_pairs,
+    )
+
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    blocked = {
+        (r["id_a"], r["id_b"]): r["hamming"]
+        for r in simhash_near_dup_pairs(df, "doc_id", "text", max_hamming).collect()
+    }
+    brute = {
+        (r["id_a"], r["id_b"]): r["hamming"]
+        for r in simhash_all_pairs(df, "doc_id", "text", max_hamming).collect()
+    }
+    assert blocked == brute
