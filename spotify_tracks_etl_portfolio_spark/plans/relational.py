@@ -719,6 +719,55 @@ def daily_revenue_gapfill(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "customer_scd2_segment_update",
+    oracle="""
+SELECT c_custkey, c_mktsegment,
+       '2020-01-01' AS valid_from,
+       '2024-01-01' AS valid_to,
+       false AS is_current
+FROM customer WHERE c_custkey % 7 = 0 AND c_mktsegment <> 'UPDATED'
+UNION ALL
+SELECT c_custkey, c_mktsegment, '2020-01-01', NULL, true
+FROM customer WHERE NOT (c_custkey % 7 = 0 AND c_mktsegment <> 'UPDATED')
+UNION ALL
+SELECT c_custkey, 'UPDATED', '2024-01-01', NULL, true
+FROM customer WHERE c_custkey % 7 = 0 AND c_mktsegment <> 'UPDATED'
+""",
+    description="SCD Type-2 dimension merge (operators/scd.py: "
+    "scd2_apply) — the versioned alternative to the reference's "
+    "overwrite-in-place silver: a segment change CLOSES the current row "
+    "(valid_to stamped, is_current=false) and inserts a new version; "
+    "identical updates are no-ops (idempotent replays). Expressed as "
+    "key-equi-join set algebra (no MERGE INTO needed on plain parquet); "
+    "the update batch here is every 7th customer moving to segment "
+    "'UPDATED' at a pinned timestamp, so the oracle enumerates the "
+    "closed/untouched/new partitions declaratively",
+    tags=("relational", "scd", "warehouse"),
+)
+def customer_scd2_segment_update(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from spotify_tracks_etl_portfolio_spark.operators.scd import scd2_apply
+
+    c = read_parquet_table(spark, sf_dir, "customer")
+    dim = c.select(
+        "c_custkey",
+        "c_mktsegment",
+        F.lit("2020-01-01").alias("valid_from"),
+        F.lit(None).cast("string").alias("valid_to"),
+        F.lit(True).alias("is_current"),
+    )
+    updates = c.filter(F.col("c_custkey") % 7 == 0).select(
+        "c_custkey", F.lit("UPDATED").alias("c_mktsegment")
+    )
+    return scd2_apply(
+        dim,
+        updates,
+        key_cols=["c_custkey"],
+        attr_cols=["c_mktsegment"],
+        update_ts=F.lit("2024-01-01"),
+    )
+
+
+@register(
     "top10_customers_by_revenue_salted",
     oracle="""
 SELECT c.c_custkey,
