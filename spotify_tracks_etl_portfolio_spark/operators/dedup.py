@@ -385,16 +385,20 @@ def simhash_near_dup_pairs(
     filter (``simhash_all_pairs``, kept as the test-only cross-check),
     with recall 1.0 because the pigeonhole guarantee is exact, but the
     join never touches the |docs|² pair space."""
+    bounds = simhash_chunk_bounds(max_hamming)
+
+    def chunk_val(col: Column, j: int) -> Column:
+        start, ln = bounds[j]
+        return F.shiftright(col, start).bitwiseAND(F.lit((1 << ln) - 1))
+
     s = simhash(df, id_col, text_col)
     chunks = F.array(
         *[
             F.struct(
                 F.lit(i).alias("ck"),
-                F.shiftright(F.col("simhash"), start)
-                .bitwiseAND(F.lit((1 << ln) - 1))
-                .alias("cv"),
+                chunk_val(F.col("simhash"), i).alias("cv"),
             )
-            for i, (start, ln) in enumerate(simhash_chunk_bounds(max_hamming))
+            for i in range(len(bounds))
         ]
     )
     blocks = s.select(
@@ -406,13 +410,20 @@ def simhash_near_dup_pairs(
     b = blocks.select(
         F.col(id_col).alias("id_b"), F.col("simhash").alias("sh_b"), "ck", "cv"
     )
+    # A pair matching on m chunks would surface m times; keep ONLY the
+    # row from the FIRST matching chunk (no earlier chunk equal) — an
+    # exactly-once guarantee from a per-row filter, saving the wide
+    # distinct exchange over the whole candidate set.
+    earlier_match = None
+    for j in range(len(bounds)):
+        cond = (F.col("ck") > j) & (
+            chunk_val(F.col("sh_a"), j) == chunk_val(F.col("sh_b"), j)
+        )
+        earlier_match = cond if earlier_match is None else (earlier_match | cond)
     return (
         a.join(b, ["ck", "cv"])
         .filter(F.col("id_a") < F.col("id_b"))
-        # a pair matching on m chunks appears m times — dedup BEFORE the
-        # verify so each candidate's xor is computed once
-        .select("id_a", "id_b", "sh_a", "sh_b")
-        .distinct()
+        .filter(~earlier_match)
         .withColumn(
             "hamming",
             F.bit_count(F.col("sh_a").bitwiseXOR(F.col("sh_b"))),
