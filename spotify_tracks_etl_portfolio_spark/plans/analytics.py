@@ -597,3 +597,40 @@ def scatter_value_user_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     return events.filter(F.col("event_id") % 20 == 0).select(
         "event_id", "value", "user_id"
     )
+
+
+@register(
+    "user_retention_cohorts",
+    oracle="""
+WITH fu AS (
+  SELECT user_id, min(date_trunc('day', ts)) AS d0 FROM events GROUP BY user_id
+),
+act AS (SELECT DISTINCT user_id, date_trunc('day', ts) AS d FROM events)
+SELECT strftime(f.d0, '%Y-%m-%d') AS cohort_day,
+       CAST(date_diff('day', f.d0, a.d) AS BIGINT) AS day_offset,
+       CAST(count(*) AS BIGINT) AS n_users
+FROM act a JOIN fu f ON a.user_id = f.user_id
+GROUP BY 1, 2
+""",
+    description="Retention cohort matrix (product-analytics staple): "
+    "users grouped by first-seen day, counted on each later active day "
+    "as an offset — cohort_day × day_offset × n_users. Two hash "
+    "aggregations sharing one scan + a join on user_id; at 100 TB both "
+    "sides of the join arrive partitioned by user_id from their "
+    "aggregations, so AQE reuses the partitioning instead of "
+    "re-shuffling",
+    tags=("analytics", "retention"),
+)
+def user_retention_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = read_parquet_table(spark, sf_dir, "events")
+    day = F.date_trunc("day", "ts")
+    first = events.groupBy("user_id").agg(F.min(day).alias("d0"))
+    active = events.select("user_id", day.alias("d")).distinct()
+    return (
+        active.join(first, "user_id")
+        .groupBy(
+            F.date_format("d0", "yyyy-MM-dd").alias("cohort_day"),
+            F.datediff("d", "d0").cast("long").alias("day_offset"),
+        )
+        .agg(F.count(F.lit(1)).alias("n_users"))
+    )

@@ -811,3 +811,55 @@ def top10_customers_by_revenue_salted(
         .orderBy(F.desc("revenue"), F.asc("c_custkey"))
         .limit(10)
     )
+
+
+@register(
+    "referential_integrity_checks",
+    oracle="""
+SELECT 'lineitem_without_order' AS check_name,
+       CAST((SELECT count(*) FROM lineitem l
+             WHERE NOT EXISTS (SELECT 1 FROM orders o
+                               WHERE o.o_orderkey = l.l_orderkey)) AS BIGINT)
+         AS n_orphans
+UNION ALL
+SELECT 'order_without_customer',
+       CAST((SELECT count(*) FROM orders o
+             WHERE NOT EXISTS (SELECT 1 FROM customer c
+                               WHERE c.c_custkey = o.o_custkey)) AS BIGINT)
+UNION ALL
+SELECT 'lineitem_without_part',
+       CAST((SELECT count(*) FROM lineitem l
+             WHERE NOT EXISTS (SELECT 1 FROM part p
+                               WHERE p.p_partkey = l.l_partkey)) AS BIGINT)
+""",
+    description="Referential-integrity audit (the foreign-key DQ family "
+    "the reference's MySQL schema enforced with constraints, "
+    "reference: dags/sql/de_spotify_create_table.sql — Spark has no FK "
+    "enforcement, so integrity becomes a declarative anti-join audit): "
+    "orphaned fact rows per relationship in one result. Each check is a "
+    "left-anti join that AQE turns into a broadcast probe when the "
+    "parent's keys fit; counts are map-side partial",
+    tags=("relational", "dq"),
+)
+def referential_integrity_checks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    l = read_parquet_table(spark, sf_dir, "lineitem")
+    o = read_parquet_table(spark, sf_dir, "orders")
+    c = read_parquet_table(spark, sf_dir, "customer")
+    p = read_parquet_table(spark, sf_dir, "part")
+
+    def orphan_count(child, parent, ck, pk, name):
+        return (
+            child.join(parent, child[ck] == parent[pk], "left_anti")
+            .agg(F.count(F.lit(1)).alias("n_orphans"))
+            .select(F.lit(name).alias("check_name"), "n_orphans")
+        )
+
+    return (
+        orphan_count(l, o, "l_orderkey", "o_orderkey", "lineitem_without_order")
+        .unionByName(
+            orphan_count(o, c, "o_custkey", "c_custkey", "order_without_customer")
+        )
+        .unionByName(
+            orphan_count(l, p, "l_partkey", "p_partkey", "lineitem_without_part")
+        )
+    )
