@@ -1117,3 +1117,57 @@ def incremental_dedup_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     return batch.join(corpus, "fingerprint", "left_anti").select(
         "doc_id", "fingerprint"
     )
+
+
+SHARD_TOKEN_BUDGET = 2000
+
+
+@register(
+    "token_budget_shards",
+    oracle=f"""
+WITH tb AS (
+  SELECT doc_id, lang,
+         CAST(CASE WHEN trim(text) = '' THEN 0
+              ELSE len(string_split_regex(trim(text), '\\s+')) END AS BIGINT) AS nt,
+         {_FP_SQL} AS f
+  FROM documents
+),
+csum AS (
+  SELECT doc_id, lang, nt,
+         sum(nt) OVER (PARTITION BY lang ORDER BY f, doc_id
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+  FROM tb
+)
+SELECT doc_id, lang, nt AS n_tokens,
+       CAST((cum - nt) // {SHARD_TOKEN_BUDGET} AS BIGINT) AS shard
+FROM csum
+""",
+    description="Token-budget shard assignment (the corpus-packing "
+    f"primitive for training): within each language, docs ordered by "
+    "content hash accumulate token counts and spill into the next shard "
+    f"every {SHARD_TOKEN_BUDGET} tokens — deterministic at any "
+    "parallelism (content-hash order, integer cumulative sums, no RNG), "
+    "so every re-run of the pipeline produces identical shard "
+    "membership. One window per language partition; at 100 TB the "
+    "per-stratum windows parallelize across languages/sources and the "
+    "cumulative sums stay integer-exact",
+    tags=("extension", "curation"),
+)
+def token_budget_shards(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    docs = read_parquet_table(spark, sf_dir, "documents")
+    nt = token_count("text").cast("long")
+    w = (
+        Window.partitionBy("lang")
+        .orderBy(rolling_hash("text").asc(), F.col("doc_id").asc())
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return docs.select(
+        "doc_id",
+        "lang",
+        nt.alias("n_tokens"),
+        F.floor(
+            (F.sum(nt).over(w) - nt) / SHARD_TOKEN_BUDGET
+        ).cast("long").alias("shard"),
+    )

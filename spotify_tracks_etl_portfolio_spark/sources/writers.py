@@ -57,6 +57,34 @@ def write_table(
     writer.parquet(path)
 
 
+def compact_table(
+    spark,
+    src_path: str,
+    dst_path: str,
+    target_files: int,
+    sort_within_partitions: list[str] | None = None,
+) -> int:
+    """Small-files compaction: rewrite a parquet directory into
+    ``target_files`` files (the operational fix for streaming/append
+    sinks that accumulate thousands of tiny files — at 100 TB the
+    driver-side file listing and per-file open cost dominate reads
+    long before data volume does).
+
+    Uses ``coalesce`` (shuffle-free narrow merge of input splits), not
+    ``repartition``: compaction should move bytes once, not hash them.
+    ``sort_within_partitions`` re-sorts rows inside each output file
+    for min/max row-group skipping on a hot key. Writes to ``dst_path``
+    (never in-place — reading and overwriting the same parquet path in
+    one job corrupts it). Returns the row count written.
+    """
+    df = spark.read.parquet(src_path)
+    out = df.coalesce(target_files)
+    if sort_within_partitions:
+        out = out.sortWithinPartitions(*sort_within_partitions)
+    out.write.mode("overwrite").parquet(dst_path)
+    return spark.read.parquet(dst_path).count()
+
+
 def write_jdbc(
     df: DataFrame,
     url: str,

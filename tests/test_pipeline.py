@@ -209,3 +209,19 @@ def test_write_jdbc_configures_real_dataframe_writer(spark):
     df = spark.range(3)
     w = write_jdbc(df, url="jdbc:derby:memory:t", table="t", save=False)
     assert isinstance(w, DataFrameWriter)
+
+
+def test_compact_table_reduces_files(spark, tmp_path):
+    from spotify_tracks_etl_portfolio_spark.sources.writers import compact_table
+
+    src = str(tmp_path / "fragmented")
+    spark.range(0, 1000).repartition(16).write.parquet(src)
+    import glob
+
+    assert len(glob.glob(f"{src}/part-*.parquet")) == 16
+    dst = str(tmp_path / "compacted")
+    n = compact_table(spark, src, dst, target_files=2)
+    assert n == 1000
+    assert len(glob.glob(f"{dst}/part-*.parquet")) == 2
+    got = {r["id"] for r in spark.read.parquet(dst).collect()}
+    assert got == set(range(1000))
