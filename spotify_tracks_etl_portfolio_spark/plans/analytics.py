@@ -634,3 +634,73 @@ def user_retention_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .agg(F.count(F.lit(1)).alias("n_users"))
     )
+
+
+@register(
+    "lineitem_metrics_unpivot",
+    oracle="""
+WITH u AS (
+  SELECT 'l_quantity' AS metric, l_quantity AS val FROM lineitem
+  UNION ALL SELECT 'l_extendedprice', l_extendedprice FROM lineitem
+  UNION ALL SELECT 'l_discount', l_discount FROM lineitem
+  UNION ALL SELECT 'l_tax', l_tax FROM lineitem
+)
+SELECT metric, CAST(count(val) AS BIGINT) AS n,
+       CAST(SUM(CAST(val AS DECIMAL(28,8))) AS DOUBLE) / count(val) AS avg_val
+FROM u GROUP BY metric
+""",
+    description="Wide-to-long UNPIVOT (df.unpivot / melt): four numeric "
+    "lineitem measures stacked into (metric, val) rows map-side (no "
+    "shuffle until the 4-group aggregate) — the profiling shape that "
+    "computes every column's stats in ONE pass over a wide fact table "
+    "instead of one scan per column; DECIMAL-exact averages",
+    tags=("analytics", "unpivot"),
+)
+def lineitem_metrics_unpivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    l = read_parquet_table(spark, sf_dir, "lineitem")
+    long = l.unpivot(
+        [],
+        ["l_quantity", "l_extendedprice", "l_discount", "l_tax"],
+        "metric",
+        "val",
+    )
+    return long.groupBy("metric").agg(
+        F.count("val").alias("n"),
+        (
+            F.sum(F.col("val").cast("decimal(28,8)")).cast("double")
+            / F.count("val")
+        ).alias("avg_val"),
+    )
+
+
+@register(
+    "props_map_rollup",
+    oracle="""
+WITH kv AS (
+  SELECT unnest(json_keys(props)) AS key,
+         CAST(json_extract(props, '$.k') AS INT) AS v
+  FROM events
+)
+SELECT key, CAST(count(*) AS BIGINT) AS n,
+       CAST(SUM(v) AS BIGINT) AS sum_v
+FROM kv GROUP BY key
+""",
+    description="Map-typed column handling: props parsed once via "
+    "from_json into map<string,int>, entries exploded to (key, value) "
+    "rows, rolled up per key — the generic semi-structured shape when "
+    "keys are dynamic (the VARIANT twin handles fixed paths). The "
+    "oracle leans on this dataset's single-key payloads for the value "
+    "extraction; the Spark side is fully generic over any key set",
+    tags=("analytics", "json", "map"),
+)
+def props_map_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = read_parquet_table(spark, sf_dir, "events")
+    m = F.from_json("props", "map<string,int>")
+    return (
+        events.select(F.explode(m).alias("key", "v"))
+        .groupBy("key")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum("v").cast("long").alias("sum_v"),
+        )
+    )
