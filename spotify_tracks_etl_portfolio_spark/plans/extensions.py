@@ -1171,3 +1171,41 @@ def token_budget_shards(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.sum(nt).over(w) - nt) / SHARD_TOKEN_BUDGET
         ).cast("long").alias("shard"),
     )
+
+
+@register(
+    "embedding_dimension_stats",
+    oracle="""
+WITH ed AS (
+  SELECT u.d - 1 AS dim, e.embedding[u.d] AS x
+  FROM embeddings e, unnest(generate_series(1, len(e.embedding))) u(d)
+)
+SELECT CAST(dim AS BIGINT) AS dim,
+       CAST(count(*) AS BIGINT) AS n,
+       round(CAST(SUM(CAST(round(x, 9) AS DECIMAL(28,9))) AS DOUBLE)
+             / count(*), 6) AS mean,
+       round(min(x), 6) AS min_x,
+       round(max(x), 6) AS max_x
+FROM ed GROUP BY dim
+""",
+    description="Per-dimension embedding statistics (the normalization/"
+    "whitening prep every vector pipeline runs before indexing): "
+    "posexplode to (dim, value), one hash aggregation over 64 dims — "
+    "the shuffle carries 64 partial states, never vectors. Means sum "
+    "9-dp-rounded DECIMALs so the per-dimension totals are "
+    "partition-order-independent",
+    tags=("extension", "similarity", "stats"),
+)
+def embedding_dimension_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = read_parquet_table(spark, sf_dir, "embeddings")
+    ed = emb.select(F.posexplode("embedding").alias("dim", "x"))
+    return ed.groupBy(F.col("dim").cast("long").alias("dim")).agg(
+        F.count(F.lit(1)).alias("n"),
+        F.round(
+            F.sum(F.round(F.col("x"), 9).cast("decimal(28,9)")).cast("double")
+            / F.count(F.lit(1)),
+            6,
+        ).alias("mean"),
+        F.round(F.min("x"), 6).alias("min_x"),
+        F.round(F.max("x"), 6).alias("max_x"),
+    )

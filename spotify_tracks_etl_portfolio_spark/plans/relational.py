@@ -863,3 +863,54 @@ def referential_integrity_checks(spark: SparkSession, sf_dir: str) -> DataFrame:
             orphan_count(l, p, "l_partkey", "p_partkey", "lineitem_without_part")
         )
     )
+
+
+@register(
+    "click_since_purchase_latency",
+    oracle="""
+WITH clicks AS (
+  SELECT event_id, user_id, ts FROM events WHERE event_type = 'click'
+),
+purchases AS (
+  SELECT event_id, user_id, ts FROM events WHERE event_type = 'purchase'
+),
+matched AS (
+  SELECT epoch_us(c.ts) - epoch_us(p.ts) AS lat_us
+  FROM clicks c ASOF JOIN purchases p
+    ON c.user_id = p.user_id AND c.ts >= p.ts
+)
+SELECT CAST(count(*) AS BIGINT) AS n_matched,
+       round(quantile_cont(lat_us / 1e6, 0.50), 6) AS p50_s,
+       round(quantile_cont(lat_us / 1e6, 0.90), 6) AS p90_s,
+       round(quantile_cont(lat_us / 1e6, 0.99), 6) AS p99_s
+FROM matched
+""",
+    description="Recency-latency distribution composed from the as-of "
+    "join: per click, microseconds since the user's latest prior "
+    "purchase, reduced to exact interpolated percentiles — the "
+    "operator-composition shape (as-of union-merge → projection → "
+    "percentile agg) stays one linear pipeline, no inequality join "
+    "anywhere",
+    tags=("relational", "asof", "stats"),
+)
+def click_since_purchase_latency(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from spotify_tracks_etl_portfolio_spark.operators.joins import asof_join
+
+    ev = read_parquet_table(spark, sf_dir, "events")
+    clicks = ev.filter(F.col("event_type") == "click").select(
+        F.col("event_id").alias("click_id"), "user_id", "ts"
+    )
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        "event_id", "user_id", "ts"
+    )
+    joined = asof_join(
+        clicks, purchases, ["user_id"], "ts", "ts", right_prefix="p_"
+    ).filter(F.col("p_ts").isNotNull())
+    lat_s = (F.unix_micros("ts") - F.unix_micros("p_ts")) / F.lit(1e6)
+    matched = joined.select(lat_s.alias("lat_s"))
+    return matched.agg(
+        F.count(F.lit(1)).alias("n_matched"),
+        F.round(F.percentile("lat_s", 0.50), 6).alias("p50_s"),
+        F.round(F.percentile("lat_s", 0.90), 6).alias("p90_s"),
+        F.round(F.percentile("lat_s", 0.99), 6).alias("p99_s"),
+    )
