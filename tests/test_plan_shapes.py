@@ -207,6 +207,33 @@ def test_no_registered_query_all_pairs_embedding_crossjoin(spark, sf_dir):
     assert "BroadcastNestedLoopJoin" not in plan
 
 
+#: The ONLY registered queries allowed to plan a nested-loop join, each
+#: because one side is deliberately tiny and broadcast — never a
+#: corpus×corpus pair space.
+SANCTIONED_NESTED_LOOP = {
+    "embedding_cosine_topk": "query set (10 rows) broadcast against the corpus",
+    "embedding_ivf_topk": "probe set broadcast against pruned cells",
+    "significant_parts_by_revenue": "1-row global-total broadcast",
+    "tfidf_top_terms": "1-row corpus-count broadcast",
+    "unigram_logprob_documents": "1-row token-total broadcast",
+}
+
+
+def test_no_registered_query_plans_unsanctioned_nested_loop(spark, sf_dir):
+    """Global scale invariant: a CartesianProduct or
+    BroadcastNestedLoopJoin in ANY registered query is a |n|² pair-space
+    scan at 100 TB unless the build side is provably tiny — every
+    occurrence must be on the sanctioned list with its justification."""
+    offenders = {}
+    for name, spec in sorted(all_queries().items()):
+        plan = plan_of(spark, name, sf_dir)
+        if "CartesianProduct" in plan:
+            offenders[name] = "CartesianProduct"
+        elif "BroadcastNestedLoopJoin" in plan and name not in SANCTIONED_NESTED_LOOP:
+            offenders[name] = "BroadcastNestedLoopJoin"
+    assert not offenders, offenders
+
+
 def test_stratified_sample_gets_rank_limit_pushdown(spark, sf_dir):
     """Per-stratum quota sampling must engage WindowGroupLimit so each
     map task forwards at most N rows per language before the shuffle —
