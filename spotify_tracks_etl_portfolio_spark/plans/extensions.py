@@ -1209,3 +1209,55 @@ def embedding_dimension_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.min("x"), 6).alias("min_x"),
         F.round(F.max("x"), 6).alias("max_x"),
     )
+
+
+@register(
+    "source_quality_summary",
+    oracle=f"""
+WITH {_quality_ctes('documents')},
+base AS (
+  SELECT d.source, d.lang, d.text, h.doc_id,
+         {_QUALITY_EXPR} AS q
+  FROM documents d JOIN h ON d.doc_id = h.doc_id
+),
+dupes AS (
+  SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+         CAST(count(DISTINCT text) AS BIGINT) AS n_unique_texts,
+         CAST(count(DISTINCT lang) AS BIGINT) AS n_langs,
+         round(CAST(SUM(CAST(q AS DECIMAL(18,6))) AS DOUBLE) / count(*), 6)
+           AS avg_quality
+  FROM base GROUP BY source
+)
+SELECT source, n_docs, n_unique_texts, n_langs, avg_quality,
+       round((n_docs - n_unique_texts) * 1.0 / n_docs, 6) AS dup_ratio
+FROM dupes
+""",
+    description="Per-source corpus health card (the curation dashboard's "
+    "triage view): doc count, exact-duplicate ratio, language diversity, "
+    "and mean quality score per source — one hash aggregation composing "
+    "the quality-score operator; quality means sum 6-dp DECIMALs "
+    "(order-exact). At 100 TB this is the query that decides which "
+    "source to drop or re-crawl",
+    tags=("extension", "text", "curation", "card"),
+)
+def source_quality_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = read_parquet_table(spark, sf_dir, "documents")
+    q = _tx.quality_score("text")
+    agg = docs.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.countDistinct("text").alias("n_unique_texts"),
+        F.countDistinct("lang").alias("n_langs"),
+        F.round(
+            F.sum(F.round(q, 6).cast("decimal(18,6)")).cast("double")
+            / F.count(F.lit(1)),
+            6,
+        ).alias("avg_quality"),
+    )
+    return agg.withColumn(
+        "dup_ratio",
+        F.round(
+            (F.col("n_docs") - F.col("n_unique_texts")).cast("double")
+            / F.col("n_docs"),
+            6,
+        ),
+    )

@@ -16,6 +16,7 @@ from __future__ import annotations
 from enum import Enum
 
 from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
 
 
 class LoadMode(str, Enum):
@@ -55,6 +56,33 @@ def write_table(
     if partition_by:
         writer = writer.partitionBy(*partition_by)
     writer.parquet(path)
+
+
+def write_with_metrics(
+    df: DataFrame,
+    path: str,
+    mode: LoadMode = LoadMode.BATCH,
+    count_nulls: list[str] | None = None,
+) -> dict:
+    """Write + observe in ONE pass: the reference validates loads by
+    re-counting the table after insert (reference:
+    dags/de_spotify_to_bronze.py:213-214 — a second full scan); Spark's
+    Observation API attaches aggregates to the write job itself, so row
+    count and per-column null counts are collected as the data streams
+    to the sink — zero extra scans at any scale. Returns the observed
+    metrics dict (``n_rows`` + ``nulls_<col>``)."""
+    from pyspark.sql import Observation
+
+    metrics = [F.count(F.lit(1)).alias("n_rows")] + [
+        F.sum(F.col(c).isNull().cast("long")).alias(f"nulls_{c}")
+        for c in (count_nulls or [])
+    ]
+    obs = Observation("load_metrics")
+    observed = df.observe(obs, *metrics)
+    observed.write.mode(
+        "overwrite" if mode is LoadMode.FULL else "append"
+    ).parquet(path)
+    return dict(obs.get)
 
 
 def compact_table(

@@ -225,3 +225,25 @@ def test_compact_table_reduces_files(spark, tmp_path):
     assert len(glob.glob(f"{dst}/part-*.parquet")) == 2
     got = {r["id"] for r in spark.read.parquet(dst).collect()}
     assert got == set(range(1000))
+
+
+def test_write_with_metrics_single_pass(spark, tmp_path):
+    """Observation metrics ride the write job itself — row count and
+    null counts come back without a second scan, and they match the
+    written data exactly."""
+    from spotify_tracks_etl_portfolio_spark.sources.writers import (
+        LoadMode,
+        write_with_metrics,
+    )
+    from pyspark.sql import functions as F
+
+    df = spark.createDataFrame(
+        [(1, "a"), (2, None), (3, "c"), (4, None)], "id long, name string"
+    )
+    dst = str(tmp_path / "observed")
+    m = write_with_metrics(df, dst, LoadMode.FULL, count_nulls=["name"])
+    assert m["n_rows"] == 4
+    assert m["nulls_name"] == 2
+    back = spark.read.parquet(dst)
+    assert back.count() == 4
+    assert back.filter(F.col("name").isNull()).count() == 2
