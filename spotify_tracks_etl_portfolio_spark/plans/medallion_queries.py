@@ -194,3 +194,59 @@ def dq_checks_events(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(F.col("value").isNull().cast("long")).alias("null_values"),
         F.sum(bad_range.cast("long")).alias("out_of_range_values"),
     )
+
+
+@register(
+    "streaming_hourly_rollup_sync",
+    oracle="""
+SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS hour,
+       event_type,
+       CAST(count(*) AS BIGINT) AS n,
+       CAST(SUM(CAST(value AS DECIMAL(28,6))) AS DOUBLE) AS sum_value
+FROM events
+GROUP BY 1, 2
+""",
+    description="Structured Streaming under the CORRECTNESS gate: the "
+    "watermarked tumbling-window rollup runs as a real stream "
+    "(file-source readStream, micro-batches, streaming state store) "
+    "driven to completion with trigger(availableNow) into a memory "
+    "sink, then hash-checked against the SAME DuckDB oracle as the "
+    "batch twin hourly_event_rollup — exactly-equal results because "
+    "window sums merge DECIMAL-exact streaming state. Complete output "
+    "mode emits every window at drain (append's watermark withholding "
+    "is a liveness policy, not a correctness difference)",
+    tags=("streaming", "analytics"),
+)
+def streaming_hourly_rollup_sync(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import shutil
+    import tempfile
+    import uuid
+
+    from spotify_tracks_etl_portfolio_spark.streaming import (
+        read_events_stream,
+        streaming_hourly_rollup,
+    )
+
+    tag = uuid.uuid4().hex[:8]
+    d = tempfile.mkdtemp(prefix="stream_sync_")
+    try:
+        in_dir = f"{d}/in"
+        import os
+
+        os.makedirs(in_dir)
+        shutil.copy(f"{sf_dir}/events.parquet", f"{in_dir}/part-0.parquet")
+        stream = read_events_stream(spark, in_dir)
+        agg = streaming_hourly_rollup(stream)
+        name = f"hourly_sync_{tag}"
+        q = (
+            agg.writeStream.outputMode("complete")
+            .format("memory")
+            .queryName(name)
+            .option("checkpointLocation", f"{d}/ckpt")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+    finally:
+        shutil.rmtree(d, ignore_errors=True)
+    return spark.table(name)

@@ -53,7 +53,15 @@ def streaming_hourly_rollup(
     return (
         events.withWatermark("ts", watermark)
         .groupBy(F.window("ts", "1 hour").alias("win"), "event_type")
-        .agg(F.count(F.lit(1)).alias("n"), F.sum("value").alias("sum_value"))
+        # DECIMAL-exact sum (cast back to double at output): streaming
+        # state merges partial sums in arbitrary arrival order, so a
+        # plain double sum would drift from the batch twin's oracle
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.col("value").cast("decimal(28,6)"))
+            .cast("double")
+            .alias("sum_value"),
+        )
         .select(
             F.date_format(F.col("win.start"), "yyyy-MM-dd HH:mm:ss").alias("hour"),
             "event_type",
