@@ -250,3 +250,89 @@ def streaming_hourly_rollup_sync(spark: SparkSession, sf_dir: str) -> DataFrame:
     finally:
         shutil.rmtree(d, ignore_errors=True)
     return spark.table(name)
+
+
+SESSION_GAP_US = 30 * 60 * 1_000_000
+
+
+@register(
+    "streaming_sessionize_sync",
+    oracle=f"""
+WITH se AS (
+  SELECT user_id, event_id, value, epoch_us(ts) AS us FROM events
+),
+sg AS (
+  SELECT *, CASE WHEN lag(us) OVER sw IS NULL
+                   OR us - lag(us) OVER sw > {SESSION_GAP_US}
+            THEN 1 ELSE 0 END AS brk
+  FROM se WINDOW sw AS (PARTITION BY user_id ORDER BY us, event_id)
+),
+ss AS (
+  SELECT *, SUM(brk) OVER (PARTITION BY user_id ORDER BY us, event_id
+                           ROWS UNBOUNDED PRECEDING) AS sid
+  FROM sg
+),
+sagg AS (
+  SELECT user_id, sid,
+         min(us) AS session_start_us,
+         max(us) AS session_end_us,
+         CAST(count(*) AS BIGINT) AS n_events,
+         list_reduce(list(value ORDER BY us, event_id),
+                     (a, b) -> a + b) AS sum_value
+  FROM ss GROUP BY user_id, sid
+),
+slast AS (SELECT user_id, max(sid) AS max_sid FROM sagg GROUP BY user_id)
+SELECT a.user_id, a.session_start_us, a.session_end_us,
+       a.n_events, a.sum_value
+FROM sagg a JOIN slast l
+  ON a.user_id = l.user_id AND a.sid < l.max_sid
+""",
+    description="Custom stateful streaming (applyInPandasWithState "
+    "sessionization) under the CORRECTNESS gate: the per-user O(1) "
+    "session state runs as a real stream to completion; emitted CLOSED "
+    "sessions are hash-checked against a declarative gap-session oracle "
+    "(lag-break + cumulative session id) that excludes each user's "
+    "trailing open session — the one the stateful operator correctly "
+    "holds in state. Session sums compare bit-exactly because BOTH "
+    "engines fold values in the same (ts, event_id) order: pandas "
+    "running sum vs DuckDB ordered list_reduce",
+    tags=("streaming", "stateful"),
+)
+def streaming_sessionize_sync(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import os
+    import shutil
+    import tempfile
+    import uuid
+
+    from spotify_tracks_etl_portfolio_spark.streaming import read_events_stream
+    from spotify_tracks_etl_portfolio_spark.streaming.stateful import (
+        streaming_sessionize,
+    )
+
+    tag = uuid.uuid4().hex[:8]
+    d = tempfile.mkdtemp(prefix="sessionize_sync_")
+    try:
+        in_dir = f"{d}/in"
+        os.makedirs(in_dir)
+        shutil.copy(f"{sf_dir}/events.parquet", f"{in_dir}/part-0.parquet")
+        stream = read_events_stream(spark, in_dir)
+        sessions = streaming_sessionize(stream, gap_minutes=30)
+        name = f"sessions_sync_{tag}"
+        q = (
+            sessions.writeStream.outputMode("append")
+            .format("memory")
+            .queryName(name)
+            .option("checkpointLocation", f"{d}/ckpt")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+    finally:
+        shutil.rmtree(d, ignore_errors=True)
+    return spark.table(name).select(
+        "user_id",
+        F.unix_micros("session_start").alias("session_start_us"),
+        F.unix_micros("session_end").alias("session_end_us"),
+        "n_events",
+        "sum_value",
+    )
