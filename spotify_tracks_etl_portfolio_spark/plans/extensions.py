@@ -1261,3 +1261,55 @@ def source_quality_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
             6,
         ),
     )
+
+
+@register(
+    "embedding_int8_quantization",
+    oracle="""
+WITH eq AS (
+  SELECT vec_id,
+         list_transform(embedding::DOUBLE[],
+                        x -> CAST(round(x * 127.0) AS BIGINT)) AS q,
+         embedding::DOUBLE[] AS e
+  FROM embeddings
+),
+er AS (
+  SELECT vec_id,
+         list_transform(range(1, len(e) + 1),
+                        i -> abs(e[i] - q[i] / 127.0)) AS errs
+  FROM eq
+)
+SELECT vec_id,
+       round(list_max(errs), 6) AS max_abs_err,
+       round(list_sum(errs) / len(errs), 6) AS mean_abs_err
+FROM er
+""",
+    description="Scalar int8 quantization audit (the vector-index "
+    "compression step: 4x smaller embeddings before ANN indexing): "
+    "quantize each dimension to round(x*127), reconstruct, and report "
+    "per-vector max/mean absolute error — all array HOFs (transform / "
+    "zip_with / aggregate), no UDF, one pass, no shuffle. The error "
+    "stats are the go/no-go gate for running LSH/IVF over the "
+    "compressed vectors",
+    tags=("extension", "similarity"),
+)
+def embedding_int8_quantization(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = read_parquet_table(spark, sf_dir, "embeddings")
+    q = F.transform(
+        F.col("embedding"),
+        lambda x: F.round(x.cast("double") * F.lit(127.0)).cast("long"),
+    )
+    errs = F.zip_with(
+        F.col("embedding"),
+        q,
+        lambda x, qi: F.abs(x.cast("double") - qi.cast("double") / F.lit(127.0)),
+    )
+    return emb.select(
+        "vec_id",
+        F.round(F.array_max(errs), 6).alias("max_abs_err"),
+        F.round(
+            F.aggregate(errs, F.lit(0.0), lambda a, b: a + b)
+            / F.size(errs),
+            6,
+        ).alias("mean_abs_err"),
+    )

@@ -1043,3 +1043,114 @@ def q14_promo_revenue_share(spark: SparkSession, sf_dir: str) -> DataFrame:
             6,
         ).alias("promo_revenue_pct")
     )
+
+
+@register(
+    "q18_large_volume_customers",
+    oracle="""
+WITH big AS (
+  SELECT l_orderkey
+  FROM lineitem GROUP BY l_orderkey
+  HAVING SUM(CAST(l_quantity AS DECIMAL(24,8))) > 150
+)
+SELECT c.c_name, c.c_custkey, o.o_orderkey,
+       strftime(o.o_orderdate, '%Y-%m-%d') AS o_orderdate,
+       o.o_totalprice,
+       CAST(SUM(CAST(l.l_quantity AS DECIMAL(24,8))) AS DOUBLE) AS total_qty
+FROM customer c
+JOIN orders o ON c.c_custkey = o.o_custkey
+JOIN lineitem l ON o.o_orderkey = l.l_orderkey
+JOIN big b ON b.l_orderkey = o.o_orderkey
+GROUP BY c.c_name, c.c_custkey, o.o_orderkey, o.o_orderdate, o.o_totalprice
+ORDER BY o.o_totalprice DESC, o.o_orderkey
+LIMIT 20
+""",
+    description="TPC-H Q18 large-volume customers: HAVING on a grouped "
+    "DECIMAL sum becomes a pre-aggregated semi-side joined back to the "
+    "fact (group-filter-join decorrelation); AQE broadcasts the "
+    "filtered key set, top-20 via TakeOrderedAndProject",
+    tags=("relational", "tpch", "join", "topn"),
+)
+def q18_large_volume_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = read_parquet_table(spark, sf_dir, "customer")
+    o = read_parquet_table(spark, sf_dir, "orders")
+    l = read_parquet_table(spark, sf_dir, "lineitem")
+    big = (
+        l.groupBy("l_orderkey")
+        .agg(F.sum(F.col("l_quantity").cast(_DEC)).alias("__q"))
+        .filter(F.col("__q") > 150)
+        .select("l_orderkey")
+    )
+    return (
+        l.join(big.withColumnRenamed("l_orderkey", "__bk"),
+               F.col("l_orderkey") == F.col("__bk"))
+        .join(o, F.col("l_orderkey") == o.o_orderkey)
+        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .groupBy(
+            "c_name",
+            "c_custkey",
+            "o_orderkey",
+            F.date_format("o_orderdate", "yyyy-MM-dd").alias("o_orderdate"),
+            "o_totalprice",
+        )
+        .agg(
+            F.sum(F.col("l_quantity").cast(_DEC)).cast("double").alias(
+                "total_qty"
+            )
+        )
+        .orderBy(F.desc("o_totalprice"), F.asc("o_orderkey"))
+        .limit(20)
+    )
+
+
+@register(
+    "nation_revenue_ranks",
+    oracle="""
+WITH nr AS (
+  SELECT n.n_name AS nation,
+         SUM(CAST(l.l_extendedprice * (1.0 - l.l_discount) AS DECIMAL(24,8)))
+           AS dec_rev
+  FROM lineitem l
+  JOIN orders o ON l.l_orderkey = o.o_orderkey
+  JOIN customer c ON o.o_custkey = c.c_custkey
+  JOIN nation n ON c.c_nationkey = n.n_nationkey
+  GROUP BY n.n_name
+)
+SELECT nation,
+       CAST(dec_rev AS DOUBLE) AS revenue,
+       CAST(rank() OVER w AS BIGINT) AS rnk,
+       CAST(dense_rank() OVER w AS BIGINT) AS dense_rnk,
+       round(percent_rank() OVER w, 6) AS pct_rank,
+       round(cume_dist() OVER w, 6) AS cume
+FROM nr
+WINDOW w AS (ORDER BY dec_rev DESC, nation)
+""",
+    description="Ranking-function suite (rank / dense_rank / "
+    "percent_rank / cume_dist) over PRE-AGGREGATED nation revenue: the "
+    "unpartitioned ordered window sees 25 rows, never the fact table — "
+    "the aggregate-then-window discipline for global rankings at scale; "
+    "DECIMAL revenue makes the ORDER BY (and hence every rank) "
+    "engine-deterministic",
+    tags=("relational", "window"),
+)
+def nation_revenue_ranks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    l = read_parquet_table(spark, sf_dir, "lineitem")
+    o = read_parquet_table(spark, sf_dir, "orders")
+    c = read_parquet_table(spark, sf_dir, "customer")
+    n = read_parquet_table(spark, sf_dir, "nation")
+    nr = (
+        l.join(o, l.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .groupBy(F.col("n_name").alias("nation"))
+        .agg(F.sum(_revenue(l)).alias("dec_rev"))
+    )
+    w = Window.orderBy(F.desc("dec_rev"), F.asc("nation"))
+    return nr.select(
+        "nation",
+        F.col("dec_rev").cast("double").alias("revenue"),
+        F.rank().over(w).cast("long").alias("rnk"),
+        F.dense_rank().over(w).cast("long").alias("dense_rnk"),
+        F.round(F.percent_rank().over(w), 6).alias("pct_rank"),
+        F.round(F.cume_dist().over(w), 6).alias("cume"),
+    )
