@@ -1313,3 +1313,92 @@ def embedding_int8_quantization(spark: SparkSession, sf_dir: str) -> DataFrame:
             6,
         ).alias("mean_abs_err"),
     )
+
+
+@register(
+    "near_dup_keep_best_quality",
+    oracle=f"""
+WITH RECURSIVE {_JACCARD_CTES},
+{_minhash_sig_sql()},
+{_minhash_bands_sql()},
+cands AS (
+  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+  FROM bands a JOIN bands b
+    ON a.band = b.band AND a.sig = b.sig AND a.doc_id < b.doc_id
+),
+ndpairs AS (
+  SELECT c.id_a, c.id_b
+  FROM cands c JOIN jac j ON c.id_a = j.id_a AND c.id_b = j.id_b
+  WHERE j.jaccard >= {JACCARD_THRESHOLD}
+),
+ccedges AS (
+  SELECT id_a AS a, id_b AS b FROM ndpairs
+  UNION ALL
+  SELECT id_b AS a, id_a AS b FROM ndpairs
+),
+cc_nodes AS (SELECT DISTINCT a AS node FROM ccedges),
+reach AS (
+  SELECT node, node AS label FROM cc_nodes
+  UNION
+  SELECT e.b AS node, r.label FROM reach r JOIN ccedges e ON e.a = r.node
+),
+cccomp AS (SELECT node AS doc_id, min(label) AS cluster_id FROM reach GROUP BY node),
+alldocs AS (
+  SELECT d.doc_id, COALESCE(c.cluster_id, d.doc_id) AS cluster_id
+  FROM documents d LEFT JOIN cccomp c ON d.doc_id = c.doc_id
+),
+{_quality_ctes('documents')},
+qq AS (SELECT doc_id, {_QUALITY_EXPR} AS q FROM h),
+jj AS (
+  SELECT a.cluster_id, a.doc_id, qq.q
+  FROM alldocs a JOIN qq ON a.doc_id = qq.doc_id
+),
+rr AS (
+  SELECT *, row_number() OVER (PARTITION BY cluster_id
+                               ORDER BY q DESC, doc_id) AS rn,
+         count(*) OVER (PARTITION BY cluster_id) AS csize
+  FROM jj
+)
+SELECT cluster_id, doc_id AS kept_doc_id, q AS kept_quality,
+       CAST(csize AS BIGINT) AS cluster_size
+FROM rr WHERE rn = 1
+""",
+    description="Quality-aware canonical selection — the production "
+    "dedup policy (keep the BEST copy, not the lowest id): MinHash+LSH "
+    "near-dup pairs → connected components → per-cluster argmax of the "
+    "quality score (ties to smaller doc_id); singleton docs are their "
+    "own canonical via the left join. Composes three operator families "
+    "in one Catalyst plan, and the whole composition — banding, "
+    "clustering fixpoint, quality formula, argmax — is hash-checked "
+    "against a single declarative oracle (recursive CTE + window)",
+    tags=("extension", "dedup", "curation", "pipeline"),
+)
+def near_dup_keep_best_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    docs = read_parquet_table(spark, sf_dir, "documents")
+    pairs = _dd.minhash_near_dup_pairs(docs, "doc_id", "text", JACCARD_THRESHOLD)
+    comp = _dd.connected_components(pairs, "id_a", "id_b")
+    labeled = (
+        docs.join(comp, docs.doc_id == comp.node, "left")
+        .select(
+            "doc_id",
+            F.coalesce("comp", "doc_id").alias("cluster_id"),
+            _tx.quality_score("text").alias("q"),
+        )
+    )
+    w = Window.partitionBy("cluster_id").orderBy(F.desc("q"), F.asc("doc_id"))
+    return (
+        labeled.withColumn("rn", F.row_number().over(w))
+        .withColumn(
+            "cluster_size",
+            F.count(F.lit(1)).over(Window.partitionBy("cluster_id")).cast("long"),
+        )
+        .filter(F.col("rn") == 1)
+        .select(
+            "cluster_id",
+            F.col("doc_id").alias("kept_doc_id"),
+            F.col("q").alias("kept_quality"),
+            "cluster_size",
+        )
+    )
