@@ -59,3 +59,65 @@ def test_aqe_coalesces_small_shuffle_partitions(spark):
     plan = df._jdf.queryExecution().executedPlan().toString()
     assert "isFinalPlan=true" in plan
     assert "coalesced" in plan
+
+
+def test_zorder_layout_tightens_both_columns_rowgroup_ranges(spark, tmp_path):
+    """Z-order vs single-column sort, measured on REAL parquet footer
+    stats: sorting by morton_code(x, y) must keep per-row-group min/max
+    ranges tight for BOTH columns, where a plain sort on x leaves y's
+    ranges as wide as the table. This is the multi-dimensional
+    data-skipping story: a scan filtered on y prunes row groups only if
+    y's per-group ranges are narrow."""
+    import pyarrow.parquet as pq
+    from pyspark.sql import functions as F
+
+    from spotify_tracks_etl_portfolio_spark.functions import morton_code
+
+    n = 1 << 14
+    grid = spark.range(n).select(
+        (F.col("id") % 128).alias("x"),
+        (F.col("id") / 128).cast("long").alias("y"),
+    )
+
+    def avg_rowgroup_range(path: str, col: str) -> float:
+        import glob
+
+        spans, rows = [], []
+        for f in glob.glob(f"{path}/part-*.parquet"):
+            md = pq.ParquetFile(f).metadata
+            for rg in range(md.num_row_groups):
+                g = md.row_group(rg)
+                idx = [g.column(i).path_in_schema for i in range(g.num_columns)].index(col)
+                st = g.column(idx).statistics
+                spans.append(st.max - st.min)
+                rows.append(g.num_rows)
+        return sum(s * r for s, r in zip(spans, rows)) / sum(rows)
+
+    plain = str(tmp_path / "plain")
+    (
+        grid.repartition(1)
+        .sortWithinPartitions("x")
+        .write.option("parquet.block.size", 64 * 1024)
+        .parquet(plain)
+    )
+    zordered = str(tmp_path / "zordered")
+    (
+        grid.withColumn("__z", morton_code("x", "y"))
+        .repartition(1)
+        .sortWithinPartitions("__z")
+        .drop("__z")
+        .write.option("parquet.block.size", 64 * 1024)
+        .parquet(zordered)
+    )
+
+    # x-sorted layout: x ranges tight but y ranges ~whole-table, so a
+    # y-filtered scan prunes nothing. Z-order must (a) at least halve
+    # the skipped dimension's ranges and (b) beat the single-sort layout
+    # on its WORST dimension — the measure that decides whether a scan
+    # filtered on either column can skip row groups.
+    zx = avg_rowgroup_range(zordered, "x")
+    zy = avg_rowgroup_range(zordered, "y")
+    px = avg_rowgroup_range(plain, "x")
+    py = avg_rowgroup_range(plain, "y")
+    assert zy < py / 2, (zy, py)
+    assert max(zx, zy) < 0.75 * max(px, py), (zx, zy, px, py)
