@@ -29,15 +29,31 @@ def read_csv(
     path: str,
     schema: T.StructType | None = None,
     infer: bool = False,
+    capture_corrupt: bool = False,
 ) -> DataFrame:
     """CSV scan (S1). Strict schema by default; ``infer=True`` mirrors the
     reference's pandas-style schema-on-read (one extra pass — never at scale).
+
+    ``capture_corrupt=True`` adds a ``_corrupt_record`` column holding
+    each malformed line verbatim (PERMISSIVE mode): at 100 TB a single
+    bad row must neither kill the job (FAILFAST) nor vanish silently
+    (DROPMALFORMED) — it lands in a quarantine column the DQ layer can
+    count and route, the scale-grade version of the reference's pandas
+    validation pass (reference: dags/de_spotify_to_bronze.py:139-150).
     """
     reader = spark.read.option("header", "true")
     if schema is not None:
+        if capture_corrupt:
+            schema = T.StructType(
+                [*schema.fields, T.StructField("_corrupt_record", T.StringType())]
+            )
         reader = reader.schema(schema)
     elif infer:
         reader = reader.option("inferSchema", "true")
+    if capture_corrupt:
+        reader = reader.option("mode", "PERMISSIVE").option(
+            "columnNameOfCorruptRecord", "_corrupt_record"
+        )
     return reader.csv(path)
 
 

@@ -247,3 +247,34 @@ def test_write_with_metrics_single_pass(spark, tmp_path):
     back = spark.read.parquet(dst)
     assert back.count() == 4
     assert back.filter(F.col("name").isNull()).count() == 2
+
+
+def test_csv_corrupt_records_quarantined_not_dropped(spark, tmp_path):
+    """PERMISSIVE ingestion: malformed rows land in _corrupt_record
+    (quarantine-able by the DQ layer) instead of killing the job or
+    silently vanishing."""
+    from pyspark.sql import functions as F
+    from pyspark.sql import types as T
+
+    from spotify_tracks_etl_portfolio_spark.sources.readers import read_csv
+
+    csv = tmp_path / "dirty.csv"
+    csv.write_text(
+        "id,score\n"
+        "1,10.5\n"
+        "2,not_a_number\n"
+        "3,30.0\n"
+    )
+    schema = T.StructType(
+        [
+            T.StructField("id", T.LongType()),
+            T.StructField("score", T.DoubleType()),
+        ]
+    )
+    df = read_csv(spark, str(csv), schema=schema, capture_corrupt=True).cache()
+    assert df.count() == 3  # nothing dropped
+    bad = df.filter(F.col("_corrupt_record").isNotNull()).collect()
+    assert len(bad) == 1 and "not_a_number" in bad[0]["_corrupt_record"]
+    good = df.filter(F.col("_corrupt_record").isNull())
+    assert {r["id"] for r in good.collect()} == {1, 3}
+    df.unpersist()

@@ -186,3 +186,55 @@ def test_simhash_blocking_matches_all_pairs(spark, docs, max_hamming):
         for r in simhash_all_pairs(df, "doc_id", "text", max_hamming).collect()
     }
     assert blocked == brute
+
+
+@st.composite
+def scd2_case(draw):
+    keys = st.integers(0, 4)
+    vals = st.sampled_from(["A", "B", "C"])
+    n_batches = draw(st.integers(1, 3))
+    return [
+        draw(
+            st.lists(
+                st.tuples(keys, vals),
+                min_size=0,
+                max_size=4,
+                unique_by=lambda t: t[0],
+            )
+        )
+        for _ in range(n_batches)
+    ]
+
+
+@given(scd2_case())
+@_slow
+def test_scd2_invariants_vs_python_model(spark, batches):
+    """SCD2 under random update batches vs a dict reference model:
+    after every batch, each key has exactly one current row whose attr
+    matches the model, and the total version count equals the model's
+    change count."""
+    from spotify_tracks_etl_portfolio_spark.operators.scd import scd2_apply
+
+    dim = spark.createDataFrame(
+        [],
+        "k long, attr string, valid_from string, valid_to string, is_current boolean",
+    )
+    model: dict[int, str] = {}
+    n_versions = 0
+    for i, batch in enumerate(batches):
+        if not batch:
+            continue
+        updates = spark.createDataFrame(batch, "k long, attr string")
+        dim = scd2_apply(
+            dim, updates, ["k"], ["attr"], F.lit(f"2024-01-{i + 1:02d}")
+        )
+        for k, v in batch:
+            if model.get(k) != v:
+                model[k] = v
+                n_versions += 1
+        rows = dim.collect()
+        cur = {r["k"]: r["attr"] for r in rows if r["is_current"]}
+        assert cur == model
+        per_key_current = [r["k"] for r in rows if r["is_current"]]
+        assert len(per_key_current) == len(set(per_key_current))
+        assert len(rows) == n_versions
