@@ -1154,3 +1154,53 @@ def nation_revenue_ranks(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.percent_rank().over(w), 6).alias("pct_rank"),
         F.round(F.cume_dist().over(w), 6).alias("cume"),
     )
+
+
+@register(
+    "q7_nation_trade_volume",
+    oracle="""
+SELECT ns.n_name AS supp_nation,
+       nc.n_name AS cust_nation,
+       CAST(SUM(CAST(l.l_extendedprice * (1.0 - l.l_discount) AS DECIMAL(24,8))) AS DOUBLE) AS volume,
+       CAST(count(*) AS BIGINT) AS n_lineitems
+FROM lineitem l
+JOIN supplier s ON l.l_suppkey = s.s_suppkey
+JOIN nation ns ON s.s_nationkey = ns.n_nationkey
+JOIN orders o ON l.l_orderkey = o.o_orderkey
+JOIN customer c ON o.o_custkey = c.c_custkey
+JOIN nation nc ON c.c_nationkey = nc.n_nationkey
+WHERE ns.n_name <> nc.n_name
+GROUP BY ns.n_name, nc.n_name
+""",
+    description="TPC-H Q7 trade-volume shape: the nation dimension joins "
+    "TWICE under different roles (supplier's nation vs customer's "
+    "nation — role-aliased broadcast dims), cross-nation filter, one "
+    "grouped DECIMAL sum. The only query exercising the supplier table, "
+    "closing full testdata-table coverage",
+    tags=("relational", "tpch", "join"),
+)
+def q7_nation_trade_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
+    l = read_parquet_table(spark, sf_dir, "lineitem")
+    s = read_parquet_table(spark, sf_dir, "supplier")
+    o = read_parquet_table(spark, sf_dir, "orders")
+    c = read_parquet_table(spark, sf_dir, "customer")
+    n = read_parquet_table(spark, sf_dir, "nation")
+    ns = n.select(
+        F.col("n_nationkey").alias("__ns_key"), F.col("n_name").alias("supp_nation")
+    )
+    nc = n.select(
+        F.col("n_nationkey").alias("__nc_key"), F.col("n_name").alias("cust_nation")
+    )
+    return (
+        l.join(F.broadcast(s), l.l_suppkey == s.s_suppkey)
+        .join(F.broadcast(ns), F.col("s_nationkey") == F.col("__ns_key"))
+        .join(o, l.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .join(F.broadcast(nc), F.col("c_nationkey") == F.col("__nc_key"))
+        .filter(F.col("supp_nation") != F.col("cust_nation"))
+        .groupBy("supp_nation", "cust_nation")
+        .agg(
+            F.sum(_revenue(l)).cast("double").alias("volume"),
+            F.count(F.lit(1)).alias("n_lineitems"),
+        )
+    )
