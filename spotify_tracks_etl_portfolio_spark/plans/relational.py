@@ -1204,3 +1204,81 @@ def q7_nation_trade_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count(F.lit(1)).alias("n_lineitems"),
         )
     )
+
+
+@register(
+    "q10_returned_item_customers",
+    oracle="""
+SELECT c.c_custkey, c.c_name, n.n_name AS nation,
+       CAST(SUM(CAST(l.l_extendedprice * (1.0 - l.l_discount) AS DECIMAL(24,8))) AS DOUBLE) AS revenue
+FROM customer c
+JOIN orders o ON c.c_custkey = o.o_custkey
+JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+JOIN nation n ON c.c_nationkey = n.n_nationkey
+WHERE l.l_returnflag = 'R'
+GROUP BY c.c_custkey, c.c_name, n.n_name
+ORDER BY revenue DESC, c.c_custkey
+LIMIT 20
+""",
+    description="TPC-H Q10 returned-item ranking: the returnflag filter "
+    "pushes to the fact scan (PushedFilters), customer+nation broadcast, "
+    "top-20 lossy customers via TakeOrderedAndProject",
+    tags=("relational", "tpch", "join", "topn"),
+)
+def q10_returned_item_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = read_parquet_table(spark, sf_dir, "customer")
+    o = read_parquet_table(spark, sf_dir, "orders")
+    n = read_parquet_table(spark, sf_dir, "nation")
+    l = read_parquet_table(spark, sf_dir, "lineitem").filter(
+        F.col("l_returnflag") == "R"
+    )
+    return (
+        l.join(o, l.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .join(F.broadcast(n), F.col("c_nationkey") == n.n_nationkey)
+        .groupBy("c_custkey", "c_name", F.col("n_name").alias("nation"))
+        .agg(F.sum(_revenue(l)).cast("double").alias("revenue"))
+        .select("c_custkey", "c_name", "nation", "revenue")
+        .orderBy(F.desc("revenue"), F.asc("c_custkey"))
+        .limit(20)
+    )
+
+
+@register(
+    "q19_disjunctive_promo_revenue",
+    oracle="""
+SELECT CAST(SUM(CAST(l.l_extendedprice * (1.0 - l.l_discount) AS DECIMAL(24,8))) AS DOUBLE) AS revenue,
+       CAST(count(*) AS BIGINT) AS n_rows
+FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+WHERE (p.p_brand = 'Brand#1' AND p.p_size BETWEEN 1 AND 15
+       AND l.l_quantity BETWEEN 1 AND 25)
+   OR (p.p_brand = 'Brand#2' AND p.p_size BETWEEN 5 AND 25
+       AND l.l_quantity BETWEEN 10 AND 40)
+""",
+    description="TPC-H Q19 shape: disjunction of conjunctive predicate "
+    "groups spanning both join sides — Catalyst extracts the part-only "
+    "disjunction ((brand,size) OR-group) as a pushable part-scan filter "
+    "while the mixed residual evaluates post-join; one DECIMAL sum",
+    tags=("relational", "tpch", "join"),
+)
+def q19_disjunctive_promo_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    l = read_parquet_table(spark, sf_dir, "lineitem")
+    p = read_parquet_table(spark, sf_dir, "part")
+    cond1 = (
+        (F.col("p_brand") == "Brand#1")
+        & F.col("p_size").between(1, 15)
+        & F.col("l_quantity").between(1, 25)
+    )
+    cond2 = (
+        (F.col("p_brand") == "Brand#2")
+        & F.col("p_size").between(5, 25)
+        & F.col("l_quantity").between(10, 40)
+    )
+    return (
+        l.join(F.broadcast(p), l.l_partkey == p.p_partkey)
+        .filter(cond1 | cond2)
+        .agg(
+            F.sum(_revenue(l)).cast("double").alias("revenue"),
+            F.count(F.lit(1)).alias("n_rows"),
+        )
+    )

@@ -121,3 +121,21 @@ def test_zorder_layout_tightens_both_columns_rowgroup_ranges(spark, tmp_path):
     py = avg_rowgroup_range(plain, "y")
     assert zy < py / 2, (zy, py)
     assert max(zx, zy) < 0.75 * max(px, py), (zx, zy, px, py)
+
+
+def test_approx_sketches_within_error_bounds(spark, sf_dir):
+    """Quantitative gate for the rows-only-checked sketch query: HLL++
+    distinct estimates must land within 5% of exact, and the KLL-style
+    median within 10% of the exact median — the sketch path is a
+    documented trade-off, not an unchecked answer."""
+    from spotify_tracks_etl_portfolio_spark.plans import all_queries
+    from pyspark.sql import functions as F
+
+    approx = all_queries()["events_overview_approx"].fn(spark, sf_dir).first()
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    exact_users = ev.select("user_id").distinct().count()
+    exact_median = ev.agg(F.percentile("value", 0.5)).first()[0]
+
+    assert abs(approx["approx_users"] - exact_users) <= 0.05 * exact_users
+    assert approx["approx_types"] == ev.select("event_type").distinct().count()
+    assert abs(approx["approx_median_value"] - exact_median) <= 0.1 * abs(exact_median)
