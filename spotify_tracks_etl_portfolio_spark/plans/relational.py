@@ -1282,3 +1282,36 @@ def q19_disjunctive_promo_revenue(spark: SparkSession, sf_dir: str) -> DataFrame
             F.count(F.lit(1)).alias("n_rows"),
         )
     )
+
+
+@register(
+    "cheapest_part_per_size",
+    oracle="""
+WITH pr AS (
+  SELECT p_size, p_partkey, p_name, p_retailprice,
+         row_number() OVER (PARTITION BY p_size
+                            ORDER BY p_retailprice, p_partkey) AS rn
+  FROM part
+)
+SELECT p_size, p_partkey AS cheapest_partkey, p_name AS cheapest_name,
+       p_retailprice AS min_price
+FROM pr WHERE rn = 1
+""",
+    description="Arg-min per group (the TPC-H Q2 min-cost-supplier "
+    "shape, single-table form): ONE hash aggregation of "
+    "min(struct(price, key, name)) — no window, no join-back, and the "
+    "struct ordering makes the tie-break (smaller partkey) explicit "
+    "where a bare min_by is nondeterministic under ties",
+    tags=("relational", "tpch"),
+)
+def cheapest_part_per_size(spark: SparkSession, sf_dir: str) -> DataFrame:
+    p = read_parquet_table(spark, sf_dir, "part")
+    best = p.groupBy("p_size").agg(
+        F.min(F.struct("p_retailprice", "p_partkey", "p_name")).alias("__b")
+    )
+    return best.select(
+        "p_size",
+        F.col("__b.p_partkey").alias("cheapest_partkey"),
+        F.col("__b.p_name").alias("cheapest_name"),
+        F.col("__b.p_retailprice").alias("min_price"),
+    )

@@ -278,3 +278,33 @@ def test_csv_corrupt_records_quarantined_not_dropped(spark, tmp_path):
     good = df.filter(F.col("_corrupt_record").isNull())
     assert {r["id"] for r in good.collect()} == {1, 3}
     df.unpersist()
+
+
+def test_parquet_schema_evolution_merge(spark, tmp_path):
+    """Schema evolution on append-only bronze: a later batch adds a
+    column; mergeSchema reads reconcile old batches with nulls, and
+    unionByName(allowMissingColumns) handles the same in-memory — the
+    append-forever table contract at scale (columns may be ADDED, never
+    silently retyped)."""
+    from pyspark.sql import functions as F
+
+    path = str(tmp_path / "evolving")
+    spark.createDataFrame([(1, "a")], "id long, name string").write.parquet(
+        f"{path}/batch=1"
+    )
+    spark.createDataFrame(
+        [(2, "b", 9.5)], "id long, name string, score double"
+    ).write.parquet(f"{path}/batch=2")
+
+    merged = spark.read.option("mergeSchema", "true").parquet(path)
+    assert set(merged.columns) >= {"id", "name", "score"}
+    rows = {r["id"]: r["score"] for r in merged.collect()}
+    assert rows[1] is None and rows[2] == 9.5
+
+    old = spark.createDataFrame([(1, "a")], "id long, name string")
+    new = spark.createDataFrame(
+        [(2, "b", 9.5)], "id long, name string, score double"
+    )
+    u = old.unionByName(new, allowMissingColumns=True)
+    got = {r["id"]: r["score"] for r in u.collect()}
+    assert got[1] is None and got[2] == 9.5
