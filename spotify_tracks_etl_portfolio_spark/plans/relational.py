@@ -1315,3 +1315,85 @@ def cheapest_part_per_size(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("__b.p_name").alias("cheapest_name"),
         F.col("__b.p_retailprice").alias("min_price"),
     )
+
+
+@register(
+    "q4_late_shipment_priority",
+    oracle="""
+SELECT o.o_orderpriority, CAST(count(*) AS BIGINT) AS n_orders
+FROM orders o
+WHERE EXISTS (
+  SELECT 1 FROM lineitem l
+  WHERE l.l_orderkey = o.o_orderkey AND l.l_shipdate > o.o_orderdate
+)
+GROUP BY o.o_orderpriority
+""",
+    description="TPC-H Q4 shape: EXISTS-per-order decorrelated to a "
+    "left-semi join (each order counted once no matter how many "
+    "qualifying lineitems — a plain inner join would double-count), "
+    "then a tiny priority rollup. The correlated inequality "
+    "(shipdate > orderdate) rides inside the semi join condition",
+    tags=("relational", "tpch", "join"),
+)
+def q4_late_shipment_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = read_parquet_table(spark, sf_dir, "orders")
+    l = read_parquet_table(spark, sf_dir, "lineitem")
+    with_late = o.join(
+        l,
+        (o.o_orderkey == l.l_orderkey) & (l.l_shipdate > o.o_orderdate),
+        "left_semi",
+    )
+    return with_late.groupBy("o_orderpriority").agg(
+        F.count(F.lit(1)).alias("n_orders")
+    )
+
+
+@register(
+    "q22_rich_customers_without_orders",
+    oracle="""
+WITH avg_bal AS (
+  SELECT CAST(SUM(CAST(c_acctbal AS DECIMAL(24,8))) AS DOUBLE) / count(*) AS ab
+  FROM customer WHERE c_acctbal > 0
+)
+SELECT c.c_mktsegment,
+       CAST(count(*) AS BIGINT) AS n_customers,
+       CAST(SUM(CAST(c.c_acctbal AS DECIMAL(24,8))) AS DOUBLE) AS total_acctbal
+FROM customer c CROSS JOIN avg_bal a
+WHERE c.c_acctbal > a.ab
+  AND NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey
+                  AND o.o_orderdate >= TIMESTAMP '2000-01-01 00:00:00')
+GROUP BY c.c_mktsegment
+""",
+    description="TPC-H Q22 shape: two decorrelations in one query — a "
+    "global-average scalar subquery (broadcast 1-row DECIMAL-exact "
+    "aggregate) filtering the dimension, then NOT EXISTS (no RECENT "
+    "order — date-scoped so the check is non-degenerate on this data) "
+    "as a left-anti join with the date filter pushed to the orders "
+    "scan; per-segment rollup of the surviving rows",
+    tags=("relational", "tpch", "join"),
+)
+def q22_rich_customers_without_orders(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    c = read_parquet_table(spark, sf_dir, "customer")
+    o = read_parquet_table(spark, sf_dir, "orders")
+    avg_bal = c.filter(F.col("c_acctbal") > 0).agg(
+        (
+            F.sum(F.col("c_acctbal").cast(_DEC)).cast("double")
+            / F.count(F.lit(1))
+        ).alias("ab")
+    )
+    rich = (
+        c.crossJoin(F.broadcast(avg_bal))
+        .filter(F.col("c_acctbal") > F.col("ab"))
+    )
+    recent = o.filter(
+        F.col("o_orderdate") >= F.lit("2000-01-01 00:00:00").cast("timestamp")
+    )
+    no_orders = rich.join(recent, rich.c_custkey == recent.o_custkey, "left_anti")
+    return no_orders.groupBy("c_mktsegment").agg(
+        F.count(F.lit(1)).alias("n_customers"),
+        F.sum(F.col("c_acctbal").cast(_DEC)).cast("double").alias(
+            "total_acctbal"
+        ),
+    )
