@@ -113,6 +113,70 @@ def compact_table(
     return spark.read.parquet(dst_path).count()
 
 
+def optimize_table(
+    spark,
+    src_path: str,
+    dst_path: str,
+    target_files: int,
+    zorder_by: tuple[str, str] | None = None,
+) -> int:
+    """OPTIMIZE-style table maintenance: compaction plus optional
+    Z-order clustering in one rewrite — the parquet-native analogue of
+    a lakehouse ``OPTIMIZE ... ZORDER BY (a, b)``. With ``zorder_by``,
+    rows are sorted by the Morton interleave of the two columns so
+    row-group min/max stats stay tight for BOTH (multi-dimensional
+    data skipping); without it this is plain ``compact_table``. One
+    shuffle-free coalesce + an in-partition sort; returns rows written.
+    """
+    from spotify_tracks_etl_portfolio_spark.functions import morton_code
+
+    df = spark.read.parquet(src_path)
+    out = df.coalesce(target_files)
+    if zorder_by is not None:
+        a, b = zorder_by
+        out = (
+            out.withColumn("__z", morton_code(a, b))
+            .sortWithinPartitions("__z")
+            .drop("__z")
+        )
+    out.write.mode("overwrite").parquet(dst_path)
+    return spark.read.parquet(dst_path).count()
+
+
+def refresh_rollup_partition(
+    spark,
+    fact_path: str,
+    rollup_path: str,
+    day: str,
+    ts_col: str = "ts",
+) -> None:
+    """Incremental materialized-rollup refresh: recompute ONE day's
+    aggregate partition from the fact table and overwrite ONLY that
+    partition (dynamic partitionOverwriteMode) — the daily-refresh
+    pattern that keeps a 100 TB rollup current by touching 1/Nth of it.
+    The fact scan prunes to the day via the partition-able date
+    predicate; every other rollup partition's files are untouched."""
+    from pyspark.sql import functions as F
+
+    facts = spark.read.parquet(fact_path)
+    day_col = F.date_format(F.date_trunc("day", ts_col), "yyyy-MM-dd")
+    one_day = facts.filter(day_col == day)
+    rollup = one_day.groupBy(
+        day_col.alias("day"), "event_type"
+    ).agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.col("value").cast("decimal(28,6)")).cast("double").alias(
+            "sum_value"
+        ),
+    )
+    prev = spark.conf.get("spark.sql.sources.partitionOverwriteMode")
+    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+    try:
+        rollup.write.mode("overwrite").partitionBy("day").parquet(rollup_path)
+    finally:
+        spark.conf.set("spark.sql.sources.partitionOverwriteMode", prev)
+
+
 def write_jdbc(
     df: DataFrame,
     url: str,

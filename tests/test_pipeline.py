@@ -308,3 +308,78 @@ def test_parquet_schema_evolution_merge(spark, tmp_path):
     u = old.unionByName(new, allowMissingColumns=True)
     got = {r["id"]: r["score"] for r in u.collect()}
     assert got[1] is None and got[2] == 9.5
+
+
+def test_optimize_table_zorder_and_compact(spark, tmp_path):
+    from pyspark.sql import functions as F
+
+    from spotify_tracks_etl_portfolio_spark.sources.writers import optimize_table
+
+    src = str(tmp_path / "opt_src")
+    spark.range(4096).select(
+        (F.col("id") % 64).alias("x"), (F.col("id") / 64).cast("long").alias("y")
+    ).repartition(8).write.parquet(src)
+    dst = str(tmp_path / "opt_dst")
+    n = optimize_table(spark, src, dst, target_files=2, zorder_by=("x", "y"))
+    assert n == 4096
+    import glob
+
+    assert len(glob.glob(f"{dst}/part-*.parquet")) == 2
+    back = spark.read.parquet(dst)
+    assert back.count() == 4096
+    assert {tuple(r) for r in back.collect()} == {
+        (i % 64, i // 64) for i in range(4096)
+    }
+
+
+def test_refresh_rollup_partition_touches_one_day(spark, sf_dir, tmp_path):
+    """Incremental rollup refresh: rebuild one day's partition, leave
+    the rest byte-identical; the refreshed day matches a from-scratch
+    aggregation of the same day."""
+    import glob
+
+    from pyspark.sql import functions as F
+
+    from spotify_tracks_etl_portfolio_spark.sources.readers import (
+        read_parquet_table,
+    )
+    from spotify_tracks_etl_portfolio_spark.sources.writers import (
+        refresh_rollup_partition,
+    )
+
+    events = read_parquet_table(spark, sf_dir, "events")
+    fact_path = str(tmp_path / "facts")
+    events.write.parquet(fact_path)
+    rollup_path = str(tmp_path / "rollup")
+
+    days = sorted(
+        r["d"]
+        for r in events.select(
+            F.date_format(F.date_trunc("day", "ts"), "yyyy-MM-dd").alias("d")
+        ).distinct().collect()
+    )
+    d0, d1 = days[0], days[1]
+    refresh_rollup_partition(spark, fact_path, rollup_path, d0)
+    refresh_rollup_partition(spark, fact_path, rollup_path, d1)
+    files_before = set(glob.glob(f"{rollup_path}/day={d0}/*.parquet"))
+
+    # refreshing d1 again must not touch d0's files
+    refresh_rollup_partition(spark, fact_path, rollup_path, d1)
+    assert set(glob.glob(f"{rollup_path}/day={d0}/*.parquet")) == files_before
+
+    got = {
+        (r["event_type"], r["n"])
+        for r in spark.read.parquet(rollup_path)
+        .filter(F.col("day") == d1)
+        .collect()
+    }
+    want = {
+        (r["event_type"], r["n"])
+        for r in events.filter(
+            F.date_format(F.date_trunc("day", "ts"), "yyyy-MM-dd") == d1
+        )
+        .groupBy("event_type")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .collect()
+    }
+    assert got == want
