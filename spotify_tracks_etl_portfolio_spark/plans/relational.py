@@ -1397,3 +1397,48 @@ def q22_rich_customers_without_orders(
             "total_acctbal"
         ),
     )
+
+
+@register(
+    "lineitem_column_stats",
+    oracle="""
+SELECT 'l_quantity' AS column_name,
+       CAST(count(l_quantity) AS BIGINT) AS n,
+       CAST(count(*) - count(l_quantity) AS BIGINT) AS n_null,
+       CAST(count(DISTINCT l_quantity) AS BIGINT) AS ndv,
+       round(min(l_quantity), 6) AS min_v,
+       round(max(l_quantity), 6) AS max_v
+FROM lineitem
+UNION ALL
+SELECT 'l_extendedprice', CAST(count(l_extendedprice) AS BIGINT),
+       CAST(count(*) - count(l_extendedprice) AS BIGINT),
+       CAST(count(DISTINCT l_extendedprice) AS BIGINT),
+       round(min(l_extendedprice), 6), round(max(l_extendedprice), 6)
+FROM lineitem
+UNION ALL
+SELECT 'l_discount', CAST(count(l_discount) AS BIGINT),
+       CAST(count(*) - count(l_discount) AS BIGINT),
+       CAST(count(DISTINCT l_discount) AS BIGINT),
+       round(min(l_discount), 6), round(max(l_discount), 6)
+FROM lineitem
+""",
+    description="ANALYZE-TABLE-style column statistics (the CBO/stats "
+    "collection operator): per column, non-null count, null count, "
+    "exact NDV, min, max — computed in ONE scan by unpivoting the "
+    "measures to (column_name, val) rows and aggregating per column "
+    "(one pass + one shuffle, vs one scan per column the naive way; "
+    "approx_count_distinct is the documented NDV knob at 100 TB)",
+    tags=("relational", "stats"),
+)
+def lineitem_column_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    l = read_parquet_table(spark, sf_dir, "lineitem")
+    long = l.unpivot(
+        [], ["l_quantity", "l_extendedprice", "l_discount"], "column_name", "val"
+    )
+    return long.groupBy("column_name").agg(
+        F.count("val").alias("n"),
+        (F.count(F.lit(1)) - F.count("val")).alias("n_null"),
+        F.countDistinct("val").alias("ndv"),
+        F.round(F.min("val"), 6).alias("min_v"),
+        F.round(F.max("val"), 6).alias("max_v"),
+    )
