@@ -216,6 +216,7 @@ SANCTIONED_NESTED_LOOP = {
     "significant_parts_by_revenue": "1-row global-total broadcast",
     "tfidf_top_terms": "1-row corpus-count broadcast",
     "unigram_logprob_documents": "1-row token-total broadcast",
+    "q22_rich_customers_without_orders": "1-row global-average broadcast",
 }
 
 
