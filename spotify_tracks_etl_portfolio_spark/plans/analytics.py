@@ -704,3 +704,56 @@ def props_map_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum("v").cast("long").alias("sum_v"),
         )
     )
+
+
+@register(
+    "event_value_outliers",
+    oracle="""
+WITH om AS (
+  SELECT event_type,
+         CAST(SUM(CAST(value AS DECIMAL(28,6))) AS DOUBLE) / count(value) AS mu,
+         CAST(SUM(CAST(round(value * value, 6) AS DECIMAL(28,6))) AS DOUBLE)
+           / count(value) AS m2,
+         count(value) AS n
+  FROM events GROUP BY event_type
+),
+os AS (
+  SELECT event_type, mu, sqrt(m2 - mu * mu) AS sigma FROM om WHERE n >= 2
+)
+SELECT e.event_id, e.event_type, e.value,
+       round((e.value - s.mu) / s.sigma, 6) AS zscore
+FROM events e JOIN os s ON e.event_type = s.event_type
+WHERE s.sigma > 0 AND abs((e.value - s.mu) / s.sigma) > 2.5
+""",
+    description="Statistical outlier detection: per-event-type z-scores "
+    "from DECIMAL-exact first/second moments (squares rounded to 6 dp "
+    "before the exact sum, so mu and sigma are bit-identical across "
+    "partitionings and engines), then a broadcast join of the tiny "
+    "per-type stats back onto the stream of events — the data-quality "
+    "anomaly filter that runs as one aggregation + one broadcast probe "
+    "at any scale",
+    tags=("analytics", "stats", "dq"),
+)
+def event_value_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = read_parquet_table(spark, sf_dir, "events")
+    om = events.groupBy("event_type").agg(
+        (
+            F.sum(F.col("value").cast("decimal(28,6)")).cast("double")
+            / F.count("value")
+        ).alias("mu"),
+        (
+            F.sum(F.round(F.col("value") * F.col("value"), 6).cast("decimal(28,6)"))
+            .cast("double")
+            / F.count("value")
+        ).alias("m2"),
+        F.count("value").alias("n"),
+    )
+    os_ = om.filter(F.col("n") >= 2).select(
+        "event_type", "mu", F.sqrt(F.col("m2") - F.col("mu") * F.col("mu")).alias("sigma")
+    )
+    z = (F.col("value") - F.col("mu")) / F.col("sigma")
+    return (
+        events.join(F.broadcast(os_), "event_type")
+        .filter((F.col("sigma") > 0) & (F.abs(z) > 2.5))
+        .select("event_id", "event_type", "value", F.round(z, 6).alias("zscore"))
+    )
