@@ -264,3 +264,34 @@ def test_scatter_sample_pushes_filter_and_prunes_columns(spark, sf_dir):
     read_schema = plan.split("ReadSchema: ", 1)[1].splitlines()[0]
     assert "event_id" in read_schema and "value" in read_schema
     assert "props" not in read_schema and "event_type" not in read_schema
+
+
+def test_sql_surface_twin_matches_dataframe_api(spark, sf_dir):
+    """BI/SQL surface (S10): the same query written as plain Spark SQL
+    over registered temp views must return exactly the DataFrame API's
+    rows — the engine's two front doors cannot drift."""
+    from spotify_tracks_etl_portfolio_spark.sources.readers import (
+        read_parquet_table,
+    )
+
+    for t in ("customer", "orders", "lineitem"):
+        read_parquet_table(spark, sf_dir, t).createOrReplaceTempView(t)
+    sql_rows = spark.sql(
+        """
+        SELECT c.c_custkey,
+               c.c_name,
+               CAST(SUM(CAST(l.l_extendedprice * (1.0 - l.l_discount)
+                             AS DECIMAL(24,8))) AS DOUBLE) AS revenue,
+               count(DISTINCT o.o_orderkey) AS n_orders
+        FROM customer c
+        JOIN orders o ON c.c_custkey = o.o_custkey
+        JOIN lineitem l ON o.o_orderkey = l.l_orderkey
+        GROUP BY c.c_custkey, c.c_name
+        ORDER BY revenue DESC, c_custkey
+        LIMIT 10
+        """
+    ).collect()
+    api_rows = (
+        all_queries()["top10_customers_by_revenue"].fn(spark, sf_dir).collect()
+    )
+    assert [tuple(r) for r in sql_rows] == [tuple(r) for r in api_rows]
