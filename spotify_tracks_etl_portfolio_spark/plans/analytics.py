@@ -757,3 +757,105 @@ def event_value_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter((F.col("sigma") > 0) & (F.abs(z) > 2.5))
         .select("event_id", "event_type", "value", F.round(z, 6).alias("zscore"))
     )
+
+
+@register(
+    "sliding_6h_event_counts",
+    oracle="""
+WITH sw AS (
+  SELECT event_type, value,
+         CAST(floor(epoch(ts) / 10800) AS BIGINT) * 10800 AS s1
+  FROM events
+),
+slots AS (
+  SELECT event_type, value, s1 AS ws FROM sw
+  UNION ALL
+  SELECT event_type, value, s1 - 10800 FROM sw
+)
+SELECT strftime(make_timestamp(ws * 1000000), '%Y-%m-%d %H:%M:%S')
+         AS window_start,
+       event_type,
+       CAST(count(*) AS BIGINT) AS n,
+       CAST(SUM(CAST(value AS DECIMAL(28,6))) AS DOUBLE) AS sum_value
+FROM slots GROUP BY 1, 2
+""",
+    description="SLIDING window aggregation (6-hour windows every 3 "
+    "hours — each event lands in exactly 2 overlapping windows): "
+    "F.window(ts, '6 hours', '3 hours') expands events to their window "
+    "slots map-side, then one hash aggregation; the oracle rebuilds the "
+    "same slide-aligned slots arithmetically. Complements the tumbling "
+    "hourly rollup (slide == duration) already covered",
+    tags=("analytics", "window", "timeseries"),
+)
+def sliding_6h_event_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = read_parquet_table(spark, sf_dir, "events")
+    return (
+        events.groupBy(
+            F.window("ts", "6 hours", "3 hours").alias("win"), "event_type"
+        )
+        .agg(F.count(F.lit(1)).alias("n"), dsum("value", "sum_value"))
+        .select(
+            F.date_format("win.start", "yyyy-MM-dd HH:mm:ss").alias(
+                "window_start"
+            ),
+            "event_type",
+            "n",
+            "sum_value",
+        )
+    )
+
+
+@register(
+    "user_recency_weighted_activity",
+    oracle="""
+WITH mx AS (SELECT max(epoch_us(ts)) AS m FROM events),
+terms AS (
+  SELECT user_id,
+         CAST(round(value * 1000) AS BIGINT)
+           * (CAST(1 AS BIGINT) << CAST(29 - least((m - epoch_us(ts)) // 86400000000, 29) AS BIGINT))
+           AS term
+  FROM events CROSS JOIN mx
+)
+SELECT user_id,
+       CAST(count(*) AS BIGINT) AS n_events,
+       CAST(SUM(term) AS DOUBLE) / 536870912.0 / 1000.0 AS recency_score
+FROM terms GROUP BY user_id
+""",
+    description="Recency-weighted user activity (the feature-engineering "
+    "shape for ranking/freshness models): each event's value decays by "
+    "half per whole day of age relative to the corpus max timestamp, "
+    "summed per user. Determinism by construction: the whole sum is "
+    "INTEGER arithmetic — 3-dp-scaled values times power-of-two weights "
+    "(a left shift), summed exactly as BIGINT, unscaled once at the "
+    "output by exact power-of-two and one IEEE division; no float "
+    "rounding anywhere, so no round-half boundary can diverge between "
+    "engines. One broadcast 1-row max + one aggregation",
+    tags=("analytics", "features"),
+)
+def user_recency_weighted_activity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = read_parquet_table(spark, sf_dir, "events")
+    mx = events.agg(F.max(F.unix_micros("ts")).alias("m"))
+    days = F.least(
+        ((F.col("m") - F.unix_micros("ts")) / F.lit(86_400_000_000)).cast(
+            "long"
+        ),
+        F.lit(29),
+    )
+    vi = F.round(F.col("value") * 1000).cast("long")
+    return (
+        events.crossJoin(F.broadcast(mx))
+        .select("user_id", vi.alias("__vi"), days.alias("__dd"))
+        .select(
+            "user_id",
+            F.expr("__vi * shiftleft(1L, CAST(29 - __dd AS INT))").alias("term"),
+        )
+        .groupBy("user_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            (
+                F.sum("term").cast("double")
+                / F.lit(536870912.0)
+                / F.lit(1000.0)
+            ).alias("recency_score"),
+        )
+    )

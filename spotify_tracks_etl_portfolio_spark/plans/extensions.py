@@ -1402,3 +1402,100 @@ def near_dup_keep_best_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
             "cluster_size",
         )
     )
+
+
+def _hyperplane_pairs_ctes() -> str:
+    """Hyperplane-LSH candidate-pair CTE chain with e-prefixed names (no
+    collisions with the MinHash block when both live in one WITH) —
+    regenerated from the SAME frozen constants as operators/similarity."""
+    s = _sim
+    return f"""
+ev AS (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings),
+eqv AS (
+  SELECT vec_id, e,
+         list_transform(e, x -> CAST(round(x * {s.HP_SCALE}) AS BIGINT)) AS q
+  FROM ev
+),
+eplanes AS (
+  SELECT j, d,
+         2 * ((j * {s.HP_A} + d * {s.HP_B} + {s.HP_C}) % {s.HP_M}) - {s.HP_M} AS w
+  FROM range({s.HP_PLANES}) pj(j), range({s.HP_DIM}) pd(d)
+),
+ebits AS (
+  SELECT vec_id, j, sum(q[d + 1] * w) >= 0 AS bit
+  FROM eqv, eplanes GROUP BY vec_id, j
+),
+ebands AS (
+  SELECT vec_id, j // {s.HP_ROWS} AS band,
+         sum(CASE WHEN bit THEN 1 << (j % {s.HP_ROWS}) ELSE 0 END) AS sig
+  FROM ebits GROUP BY vec_id, j // {s.HP_ROWS}
+),
+ecands AS (
+  SELECT DISTINCT a.vec_id AS id_a, b.vec_id AS id_b
+  FROM ebands a JOIN ebands b
+    ON a.band = b.band AND a.sig = b.sig AND a.vec_id < b.vec_id
+),
+epairs AS (
+  SELECT c.id_a, c.id_b
+  FROM ecands c JOIN ev a ON c.id_a = a.vec_id JOIN ev b ON c.id_b = b.vec_id
+  WHERE round(list_dot_product(a.e, b.e) /
+              (sqrt(list_dot_product(a.e, a.e)) * sqrt(list_dot_product(b.e, b.e))),
+              6) >= {EMB_NEAR_DUP_THRESHOLD}
+)"""
+
+
+@register(
+    "ensemble_near_dups",
+    oracle=f"""
+WITH {_JACCARD_CTES},
+{_minhash_sig_sql()},
+{_minhash_bands_sql()},
+cands AS (
+  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+  FROM bands a JOIN bands b
+    ON a.band = b.band AND a.sig = b.sig AND a.doc_id < b.doc_id
+),
+tpairs AS (
+  SELECT c.id_a, c.id_b
+  FROM cands c JOIN jac j ON c.id_a = j.id_a AND c.id_b = j.id_b
+  WHERE j.jaccard >= {JACCARD_THRESHOLD}
+),
+{_hyperplane_pairs_ctes()},
+unioned AS (
+  SELECT id_a, id_b, 'text_minhash' AS signal FROM tpairs
+  UNION ALL
+  SELECT id_a, id_b, 'embedding_lsh' AS signal FROM epairs
+)
+SELECT id_a, id_b,
+       array_to_string(list_sort(list_distinct(list(signal))), ',') AS signals,
+       CAST(count(DISTINCT signal) AS BIGINT) AS n_signals
+FROM unioned GROUP BY id_a, id_b
+""",
+    description="Ensemble near-dup detection — production pipelines "
+    "union MULTIPLE dedup signals: MinHash-LSH over the text and "
+    "hyperplane-LSH over the embedding (doc_id and vec_id share the id "
+    "space) merge into one pair list with sorted signal provenance and "
+    "agreement count. Both branches are the scale-safe banded paths; "
+    "the union adds one narrow pair-keyed aggregation. The full "
+    "two-modality composition is hash-checked against a single oracle",
+    tags=("extension", "dedup", "similarity", "lsh", "pipeline"),
+)
+def ensemble_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = read_parquet_table(spark, sf_dir, "documents")
+    emb = read_parquet_table(spark, sf_dir, "embeddings")
+    text_pairs = _dd.minhash_near_dup_pairs(
+        docs, "doc_id", "text", JACCARD_THRESHOLD
+    ).select("id_a", "id_b", F.lit("text_minhash").alias("signal"))
+    emb_pairs = _sim.hyperplane_lsh_near_dup_pairs(
+        emb, "vec_id", "embedding", EMB_NEAR_DUP_THRESHOLD
+    ).select("id_a", "id_b", F.lit("embedding_lsh").alias("signal"))
+    return (
+        text_pairs.unionByName(emb_pairs)
+        .groupBy("id_a", "id_b")
+        .agg(
+            F.array_join(F.sort_array(F.collect_set("signal")), ",").alias(
+                "signals"
+            ),
+            F.countDistinct("signal").alias("n_signals"),
+        )
+    )
