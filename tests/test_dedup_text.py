@@ -220,3 +220,35 @@ def test_label_propagation_warns_below_diameter(spark):
     )
     with pytest.warns(RuntimeWarning, match="fixpoint"):
         dd.connected_components(edges, "id_a", "id_b", max_iter=2)
+
+
+def test_operators_handle_empty_inputs(spark):
+    """Degenerate-input sweep: every core operator must return an empty
+    result on an empty table, never raise — at 100 TB a partition-
+    pruned-to-nothing input or an empty daily batch is routine."""
+    from spotify_tracks_etl_portfolio_spark.operators import similarity as sim
+    from spotify_tracks_etl_portfolio_spark.operators.scd import scd2_apply
+
+    docs = spark.createDataFrame([], "doc_id long, text string")
+    assert dd.exact_dedup(docs, "doc_id", "text").count() == 0
+    assert dd.jaccard_pairs(docs, "doc_id", "text", 0.5).count() == 0
+    assert dd.minhash_near_dup_pairs(docs, "doc_id", "text", 0.5).count() == 0
+    assert dd.simhash_near_dup_pairs(docs, "doc_id", "text", 3).count() == 0
+
+    emb = spark.createDataFrame([], "vec_id long, embedding array<double>")
+    assert sim.cosine_topk(emb, emb, "vec_id", "embedding", 5).count() == 0
+    assert sim.hyperplane_lsh_near_dup_pairs(
+        emb, "vec_id", "embedding", 0.4
+    ).count() == 0
+
+    edges = spark.createDataFrame([], "id_a long, id_b long")
+    assert dd.connected_components(edges, "id_a", "id_b").count() == 0
+    labels, rounds = dd.star_connected_components(edges, "id_a", "id_b")
+    assert labels.count() == 0
+
+    dim = spark.createDataFrame(
+        [],
+        "k long, attr string, valid_from string, valid_to string, is_current boolean",
+    )
+    ups = spark.createDataFrame([], "k long, attr string")
+    assert scd2_apply(dim, ups, ["k"], ["attr"], F.lit("2024-01-01")).count() == 0
