@@ -217,6 +217,7 @@ SANCTIONED_NESTED_LOOP = {
     "tfidf_top_terms": "1-row corpus-count broadcast",
     "unigram_logprob_documents": "1-row token-total broadcast",
     "q22_rich_customers_without_orders": "1-row global-average broadcast",
+    "user_recency_weighted_activity": "1-row max-timestamp broadcast",
 }
 
 
