@@ -1442,3 +1442,232 @@ def lineitem_column_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.min("val"), 6).alias("min_v"),
         F.round(F.max("val"), 6).alias("max_v"),
     )
+
+
+@register(
+    "q5_local_supplier_volume",
+    oracle="""
+SELECT n.n_name AS nation,
+       CAST(SUM(CAST(l.l_extendedprice * (1.0 - l.l_discount) AS DECIMAL(24,8))) AS DOUBLE) AS revenue
+FROM customer c
+JOIN orders o ON c.c_custkey = o.o_custkey
+JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+JOIN supplier s ON l.l_suppkey = s.s_suppkey AND s.s_nationkey = c.c_nationkey
+JOIN nation n ON s.s_nationkey = n.n_nationkey
+JOIN region r ON n.n_regionkey = r.r_regionkey
+WHERE r.r_name = 'ASIA'
+  AND o.o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+  AND o.o_orderdate < TIMESTAMP '1997-01-01 00:00:00'
+GROUP BY n.n_name
+""",
+    description="TPC-H Q5 local-supplier volume: 6-way star join whose "
+    "supplier join carries a SECOND equi-condition (s_nationkey = "
+    "c_nationkey — customer and supplier in the same nation), region "
+    "filter reaching the nation dim, date filter pushed to the orders "
+    "scan; all dims broadcast, the fact table never re-shuffles",
+    tags=("relational", "tpch", "join"),
+)
+def q5_local_supplier_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = read_parquet_table(spark, sf_dir, "customer")
+    o = read_parquet_table(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("1996-01-01 00:00:00").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1997-01-01 00:00:00").cast("timestamp"))
+    )
+    l = read_parquet_table(spark, sf_dir, "lineitem")
+    s = read_parquet_table(spark, sf_dir, "supplier")
+    n = read_parquet_table(spark, sf_dir, "nation")
+    r = read_parquet_table(spark, sf_dir, "region").filter(
+        F.col("r_name") == "ASIA"
+    )
+    return (
+        l.join(o, l.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .join(
+            F.broadcast(s),
+            (l.l_suppkey == s.s_suppkey)
+            & (s.s_nationkey == c.c_nationkey),
+        )
+        .join(F.broadcast(n), s.s_nationkey == n.n_nationkey)
+        .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
+        .groupBy(F.col("n_name").alias("nation"))
+        .agg(F.sum(_revenue(l)).cast("double").alias("revenue"))
+    )
+
+
+@register(
+    "q8_nation_market_share",
+    oracle="""
+SELECT CAST(year(o.o_orderdate) AS BIGINT) AS o_year,
+       CAST(SUM(CASE WHEN ns.n_name = 'NATION_7'
+                     THEN CAST(l.l_extendedprice * (1.0 - l.l_discount) AS DECIMAL(24,8))
+                     ELSE CAST(0 AS DECIMAL(24,8)) END) AS DOUBLE)
+       / CAST(SUM(CAST(l.l_extendedprice * (1.0 - l.l_discount) AS DECIMAL(24,8))) AS DOUBLE) AS mkt_share
+FROM lineitem l
+JOIN part p ON p.p_partkey = l.l_partkey
+JOIN supplier s ON l.l_suppkey = s.s_suppkey
+JOIN nation ns ON s.s_nationkey = ns.n_nationkey
+JOIN orders o ON l.l_orderkey = o.o_orderkey
+JOIN customer c ON o.o_custkey = c.c_custkey
+JOIN nation nc ON c.c_nationkey = nc.n_nationkey
+JOIN region r ON nc.n_regionkey = r.r_regionkey
+WHERE r.r_name = 'AMERICA' AND p.p_type = 'PROMO'
+GROUP BY year(o.o_orderdate)
+""",
+    description="TPC-H Q8 national market share: nation joins twice "
+    "under different roles (supplier nation feeds the CASE numerator, "
+    "customer nation carries the region filter), part-type filter "
+    "pushed to the broadcast part dim, conditional DECIMAL sum over "
+    "total DECIMAL sum per order-year — one hash aggregation after a "
+    "broadcast-only join tree",
+    tags=("relational", "tpch", "join"),
+)
+def q8_nation_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    l = read_parquet_table(spark, sf_dir, "lineitem")
+    p = read_parquet_table(spark, sf_dir, "part").filter(
+        F.col("p_type") == "PROMO"
+    )
+    s = read_parquet_table(spark, sf_dir, "supplier")
+    o = read_parquet_table(spark, sf_dir, "orders")
+    c = read_parquet_table(spark, sf_dir, "customer")
+    n = read_parquet_table(spark, sf_dir, "nation")
+    r = read_parquet_table(spark, sf_dir, "region").filter(
+        F.col("r_name") == "AMERICA"
+    )
+    ns = n.select(
+        F.col("n_nationkey").alias("__ns_key"),
+        F.col("n_name").alias("supp_nation"),
+    )
+    # customer-side nations restricted to the region up front: the
+    # region filter prunes the broadcast build instead of the fact rows
+    nc = (
+        n.join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
+        .select(F.col("n_nationkey").alias("__nc_key"))
+    )
+    vol = _revenue(l)
+    national = F.when(F.col("supp_nation") == "NATION_7", vol).otherwise(
+        F.lit(0).cast(_DEC)
+    )
+    return (
+        l.join(F.broadcast(p), l.l_partkey == p.p_partkey)
+        .join(F.broadcast(s), l.l_suppkey == s.s_suppkey)
+        .join(F.broadcast(ns), F.col("s_nationkey") == F.col("__ns_key"))
+        .join(o, l.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .join(F.broadcast(nc), F.col("c_nationkey") == F.col("__nc_key"))
+        .groupBy(F.year("o_orderdate").cast("long").alias("o_year"))
+        .agg(
+            (
+                F.sum(national).cast("double")
+                / F.sum(vol).cast("double")
+            ).alias("mkt_share")
+        )
+    )
+
+
+@register(
+    "q15_top_supplier",
+    oracle="""
+WITH rev AS (
+  SELECT l_suppkey,
+         SUM(CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(24,8))) AS total
+  FROM lineitem
+  WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+    AND l_shipdate < TIMESTAMP '1996-04-01 00:00:00'
+  GROUP BY l_suppkey)
+SELECT s.s_suppkey, s.s_name, CAST(r.total AS DOUBLE) AS total_revenue
+FROM supplier s JOIN rev r ON s.s_suppkey = r.l_suppkey
+WHERE r.total = (SELECT max(total) FROM rev)
+""",
+    description="TPC-H Q15 top supplier: quarterly per-supplier revenue "
+    "CTE consumed twice — once for the 1-row global max (broadcast "
+    "scalar-subquery decorrelation, same sanctioned shape as Q22's "
+    "average), once as the probe filtered by DECIMAL-exact equality "
+    "against it; supplier dim broadcast onto the one surviving row(s)",
+    tags=("relational", "tpch", "join"),
+)
+def q15_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    s = read_parquet_table(spark, sf_dir, "supplier")
+    l = read_parquet_table(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1996-01-01 00:00:00").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1996-04-01 00:00:00").cast("timestamp"))
+    )
+    rev = l.groupBy("l_suppkey").agg(F.sum(_revenue(l)).alias("__tot"))
+    mx = rev.agg(F.max("__tot").alias("__mx"))
+    top = rev.crossJoin(F.broadcast(mx)).filter(F.col("__tot") == F.col("__mx"))
+    return (
+        top.join(F.broadcast(s), F.col("l_suppkey") == s.s_suppkey)
+        .select(
+            "s_suppkey",
+            "s_name",
+            F.col("__tot").cast("double").alias("total_revenue"),
+        )
+    )
+
+
+@register(
+    "q21_waiting_suppliers",
+    oracle="""
+SELECT s.s_name, CAST(count(*) AS BIGINT) AS numwait
+FROM supplier s
+JOIN lineitem l1 ON s.s_suppkey = l1.l_suppkey
+JOIN orders o ON o.o_orderkey = l1.l_orderkey
+WHERE o.o_orderstatus = 'F'
+  AND l1.l_shipdate > o.o_orderdate + INTERVAL 60 DAY
+  AND EXISTS (SELECT 1 FROM lineitem l2
+              WHERE l2.l_orderkey = l1.l_orderkey AND l2.l_suppkey <> l1.l_suppkey)
+  AND NOT EXISTS (SELECT 1 FROM lineitem l3
+                  WHERE l3.l_orderkey = l1.l_orderkey AND l3.l_suppkey <> l1.l_suppkey
+                    AND l3.l_shipdate > o.o_orderdate + INTERVAL 60 DAY)
+GROUP BY s.s_name
+ORDER BY numwait DESC, s.s_name
+LIMIT 20
+""",
+    description="TPC-H Q21 waiting-supplier shape (adapted: 'late' = "
+    "shipped > 60 days after order date, since the testdata lineitem "
+    "carries no commit/receipt dates): EXISTS decorrelated to a "
+    "left-semi self-join (another supplier in the order), NOT EXISTS "
+    "to a left-anti self-join whose condition references the OUTER "
+    "order date (another supplier also late) — both ride the same "
+    "l_orderkey shuffle key — then broadcast supplier and top-20 via "
+    "TakeOrderedAndProject",
+    tags=("relational", "tpch", "join"),
+)
+def q21_waiting_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    s = read_parquet_table(spark, sf_dir, "supplier")
+    o = read_parquet_table(spark, sf_dir, "orders").filter(
+        F.col("o_orderstatus") == "F"
+    )
+    l = read_parquet_table(spark, sf_dir, "lineitem")
+    late_cut = F.col("o_orderdate") + F.expr("INTERVAL 60 DAYS")
+    l1 = (
+        l.join(o, l.l_orderkey == o.o_orderkey)
+        .filter(F.col("l_shipdate") > late_cut)
+        .select("l_orderkey", "l_suppkey", "o_orderdate")
+    )
+    l2 = l.select(
+        F.col("l_orderkey").alias("__ok2"), F.col("l_suppkey").alias("__sk2")
+    )
+    l3 = l.select(
+        F.col("l_orderkey").alias("__ok3"),
+        F.col("l_suppkey").alias("__sk3"),
+        F.col("l_shipdate").alias("__sd3"),
+    )
+    waiting = l1.join(
+        l2,
+        (F.col("l_orderkey") == F.col("__ok2"))
+        & (F.col("l_suppkey") != F.col("__sk2")),
+        "left_semi",
+    ).join(
+        l3,
+        (F.col("l_orderkey") == F.col("__ok3"))
+        & (F.col("l_suppkey") != F.col("__sk3"))
+        & (F.col("__sd3") > F.col("o_orderdate") + F.expr("INTERVAL 60 DAYS")),
+        "left_anti",
+    )
+    return (
+        waiting.join(F.broadcast(s), F.col("l_suppkey") == s.s_suppkey)
+        .groupBy("s_name")
+        .agg(F.count(F.lit(1)).alias("numwait"))
+        .orderBy(F.desc("numwait"), F.asc("s_name"))
+        .limit(20)
+    )

@@ -218,6 +218,7 @@ SANCTIONED_NESTED_LOOP = {
     "unigram_logprob_documents": "1-row token-total broadcast",
     "q22_rich_customers_without_orders": "1-row global-average broadcast",
     "user_recency_weighted_activity": "1-row max-timestamp broadcast",
+    "q15_top_supplier": "1-row max-revenue broadcast",
 }
 
 
