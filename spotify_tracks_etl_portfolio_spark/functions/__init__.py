@@ -11,6 +11,13 @@ DuckDB oracle are written for *bit-deterministic* results:
   ulps between engines/orders.
 - Small fixed-length float reductions (e.g. 64-dim dot products) are
   rounded at the output instead.
+- Known oracle-side hazard: DuckDB's direct decimal→double cast divides
+  the int128 mantissa by 10^scale in binary and can land 1 ulp off the
+  correctly-rounded double at whole-table magnitudes (≳2^53 scaled
+  units), while Spark/Python convert correctly rounded. Where a single
+  output aggregates the entire fact table, route the oracle through
+  ``CAST(CAST(x AS VARCHAR) AS DOUBLE)`` — DuckDB's string→double parse
+  IS correctly rounded (see lineitem_grouping_sets).
 """
 
 from __future__ import annotations

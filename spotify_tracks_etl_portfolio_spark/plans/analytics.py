@@ -859,3 +859,35 @@ def user_recency_weighted_activity(spark: SparkSession, sf_dir: str) -> DataFram
             ).alias("recency_score"),
         )
     )
+
+
+@register(
+    "redact_numeric_props_events",
+    oracle="""
+SELECT event_id,
+       regexp_replace(props, '\\d+(\\.\\d+)?', '<NUM>', 'g') AS redacted,
+       CAST(length(regexp_extract_all(props, '\\d+(\\.\\d+)?')) AS BIGINT) AS n_redacted
+FROM events
+ORDER BY event_id
+LIMIT 100
+""",
+    description="Regex scrubbing, the PII-redaction plumbing for a "
+    "training-data pipeline (mask emails/phones/IDs before the corpus "
+    "ships): pattern -> replacement over a string column plus a "
+    "per-row match count, all JVM-side regexp_replace/regexp_count "
+    "Column expressions — no UDF. Registered instance masks numeric "
+    "literals in the events props payload (the only PII-shaped tokens "
+    "in the synthetic corpus); the pattern is a parameter, not a "
+    "hard-code, in operators/text.py redact()",
+    tags=("extension", "text"),
+)
+def redact_numeric_props_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from spotify_tracks_etl_portfolio_spark.operators.text import redact
+
+    events = read_parquet_table(spark, sf_dir, "events")
+    return (
+        redact(events, "props", r"\d+(\.\d+)?", "<NUM>", out_col="redacted")
+        .select("event_id", "redacted", "n_redacted")
+        .orderBy("event_id")
+        .limit(100)
+    )

@@ -1671,3 +1671,50 @@ def q21_waiting_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("numwait"), F.asc("s_name"))
         .limit(20)
     )
+
+
+@register(
+    "lineitem_grouping_sets",
+    oracle="""
+SELECT coalesce(l_returnflag, 'ALL') AS returnflag,
+       coalesce(l_linestatus, 'ALL') AS linestatus,
+       CAST(GROUPING(l_returnflag, l_linestatus) AS BIGINT) AS gid,
+       -- the varchar hop: DuckDB's direct decimal->double conversion can
+       -- be 1 ulp off correctly-rounded at whole-table magnitude (int128
+       -- / 10^8 in binary), while its string->double parse IS correctly
+       -- rounded, matching Spark's decimal->double exactly
+       CAST(CAST(SUM(CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(24,8))) AS VARCHAR) AS DOUBLE) AS revenue,
+       CAST(count(*) AS BIGINT) AS n_rows
+FROM lineitem
+GROUP BY GROUPING SETS ((l_returnflag, l_linestatus), (l_returnflag), ())
+""",
+    description="Explicit GROUPING SETS (the third grouping-analytics "
+    "shape beside the registered CUBE and ROLLUP queries): three "
+    "chosen aggregation levels in ONE scan + ONE Expand-fed hash "
+    "aggregation rather than three scans unioned; grouping_id "
+    "disambiguates genuine NULL keys from superaggregate rows, and "
+    "both engines compute the identical (flag,status)/(flag)/() "
+    "lattice",
+    tags=("relational", "rollup"),
+)
+def lineitem_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    l = read_parquet_table(spark, sf_dir, "lineitem")
+    return (
+        l.groupingSets(
+            [["l_returnflag", "l_linestatus"], ["l_returnflag"], []],
+            "l_returnflag",
+            "l_linestatus",
+        )
+        .agg(
+            F.grouping_id().cast("long").alias("gid"),
+            F.sum(_revenue(l)).cast("double").alias("revenue"),
+            F.count(F.lit(1)).alias("n_rows"),
+        )
+        .select(
+            F.coalesce("l_returnflag", F.lit("ALL")).alias("returnflag"),
+            F.coalesce("l_linestatus", F.lit("ALL")).alias("linestatus"),
+            "gid",
+            "revenue",
+            "n_rows",
+        )
+    )
