@@ -336,3 +336,72 @@ def streaming_sessionize_sync(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_events",
         "sum_value",
     )
+
+
+@register(
+    "streaming_stream_stream_join_sync",
+    oracle="""
+SELECT c.event_id AS click_id,
+       c.user_id,
+       epoch_us(c.ts) AS click_ts_us,
+       p.event_id AS purchase_id,
+       epoch_us(p.ts) AS purchase_ts_us,
+       p.value AS purchase_value
+FROM events c
+JOIN events p
+  ON c.user_id = p.user_id
+ AND p.ts >= c.ts
+ AND p.ts <= c.ts + INTERVAL 60 MINUTE
+WHERE c.event_type = 'click' AND p.event_type = 'purchase'
+""",
+    description="Watermarked stream-stream interval self-join under the "
+    "CORRECTNESS gate: clicks matched to same-user purchases within a "
+    "60-minute horizon run as a REAL stream (two watermarked sides, "
+    "streaming join state, availableNow drain into a memory sink) and "
+    "hash-match the batch interval-join oracle row-for-row — inner "
+    "stream-stream matches emit exactly once, and the bounded "
+    "event-time distance plus watermarks are what let Spark evict join "
+    "state at 100 TB instead of buffering both streams forever",
+    tags=("streaming", "join"),
+)
+def streaming_stream_stream_join_sync(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    import os
+    import shutil
+    import tempfile
+    import uuid
+
+    from spotify_tracks_etl_portfolio_spark.streaming import (
+        read_events_stream,
+        streaming_click_purchase_join,
+    )
+
+    tag = uuid.uuid4().hex[:8]
+    d = tempfile.mkdtemp(prefix="ssjoin_sync_")
+    try:
+        in_dir = f"{d}/in"
+        os.makedirs(in_dir)
+        shutil.copy(f"{sf_dir}/events.parquet", f"{in_dir}/part-0.parquet")
+        stream = read_events_stream(spark, in_dir)
+        joined = streaming_click_purchase_join(stream, horizon_minutes=60)
+        name = f"ssjoin_sync_{tag}"
+        q = (
+            joined.writeStream.outputMode("append")
+            .format("memory")
+            .queryName(name)
+            .option("checkpointLocation", f"{d}/ckpt")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+    finally:
+        shutil.rmtree(d, ignore_errors=True)
+    return spark.table(name).select(
+        "click_id",
+        "user_id",
+        F.unix_micros("click_ts").alias("click_ts_us"),
+        "purchase_id",
+        F.unix_micros("purchase_ts").alias("purchase_ts_us"),
+        "purchase_value",
+    )

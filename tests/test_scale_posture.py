@@ -139,3 +139,42 @@ def test_approx_sketches_within_error_bounds(spark, sf_dir):
     assert abs(approx["approx_users"] - exact_users) <= 0.05 * exact_users
     assert approx["approx_types"] == ev.select("event_type").distinct().count()
     assert abs(approx["approx_median_value"] - exact_median) <= 0.1 * abs(exact_median)
+
+
+def test_runtime_bloom_filter_prunes_fact_side_of_smj(spark, sf_dir):
+    """When the dim side of a sort-merge join is selective, Spark's
+    runtime-filter rule injects a bloom filter built from the dim keys
+    as a pre-shuffle semi-filter on the FACT side — at 100 TB this
+    drops most fact rows before the join exchange instead of shuffling
+    them to die in the join. Broadcast is disabled to force the SMJ
+    path (when the dim fits in memory a broadcast join subsumes this);
+    thresholds are scaled down the same way the AQE tests do."""
+    confs = {
+        "spark.sql.autoBroadcastJoinThreshold": "-1",
+        "spark.sql.adaptive.autoBroadcastJoinThreshold": "-1",
+        "spark.sql.optimizer.runtime.bloomFilter.creationSideThreshold": "10GB",
+        "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold": "0",
+    }
+    saved = {k: spark.conf.get(k, None) for k in confs}
+    try:
+        for k, v in confs.items():
+            spark.conf.set(k, v)
+        o = (
+            spark.read.parquet(f"{sf_dir}/orders.parquet")
+            .filter(F.col("o_orderpriority") == "1-URGENT")
+        )
+        l = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+        j = l.join(o, l.l_orderkey == o.o_orderkey).groupBy(
+            "o_orderpriority"
+        ).count()
+        plan = j._jdf.queryExecution().executedPlan().toString()
+        assert "bloom_filter_agg" in plan, plan[:2000]
+        assert "might_contain" in plan, plan[:2000]
+        # and the filter is applied on the fact (lineitem) side scan key
+        assert "l_orderkey" in plan.split("might_contain")[1][:200]
+    finally:
+        for k, v in saved.items():
+            if v is None:
+                spark.conf.unset(k)
+            else:
+                spark.conf.set(k, v)
