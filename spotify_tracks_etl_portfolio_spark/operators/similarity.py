@@ -383,3 +383,29 @@ def normalize_vectors(df: DataFrame, vec_col: str) -> DataFrame:
         vec_col,
         F.transform(F.col(vec_col), lambda x: x.cast("double") / norm),
     )
+
+
+def diversity_sample_cells(
+    df: DataFrame, id_col: str, vec_col: str
+) -> DataFrame:
+    """Coverage-first diversity subsampling: quantize each embedding to
+    its HP_ROWS-bit hyperplane sign cell (band 0 of the frozen sketch —
+    2^HP_ROWS coarse cells partitioning the embedding space) and keep
+    ONE representative per occupied cell (min id, with the member count
+    so samplers can weight by density).
+
+    This is the cheap semantic-diversity primitive for corpus curation:
+    where uniform sampling over-represents dense regions, one-per-cell
+    keeps coverage of the space. Cost at 100 TB: the sketch's one
+    narrow (id, dots) aggregation plus one groupBy on the cell — no
+    pairwise term anywhere. Integer-exact sign decisions make the cell
+    assignment bit-reproducible on any engine (same constants as the
+    near-dup LSH, see plane_weights_int)."""
+    sk = hyperplane_sketch(df, id_col, vec_col)
+    return (
+        sk.groupBy(F.col("band_0").alias("cell"))
+        .agg(
+            F.min(id_col).alias("rep_id"),
+            F.count(F.lit(1)).alias("n_members"),
+        )
+    )

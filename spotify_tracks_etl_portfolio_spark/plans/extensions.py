@@ -1499,3 +1499,50 @@ def ensemble_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.countDistinct("signal").alias("n_signals"),
         )
     )
+
+
+def _diversity_cells_oracle() -> str:
+    """DuckDB replica of diversity_sample_cells: band-0 sign bits from
+    the SAME frozen integer plane constants as the hyperplane LSH."""
+    s = _sim
+    return f"""
+WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings),
+qv AS (
+  SELECT vec_id,
+         list_transform(e, x -> CAST(round(x * {s.HP_SCALE}) AS BIGINT)) AS q
+  FROM v
+),
+planes AS (
+  SELECT j, d,
+         2 * ((j * {s.HP_A} + d * {s.HP_B} + {s.HP_C}) % {s.HP_M}) - {s.HP_M} AS w
+  FROM range({s.HP_ROWS}) pj(j), range({s.HP_DIM}) pd(d)
+),
+bits AS (
+  SELECT vec_id, j, sum(q[d + 1] * w) >= 0 AS bit
+  FROM qv, planes GROUP BY vec_id, j
+),
+cells AS (
+  SELECT vec_id, sum(CASE WHEN bit THEN 1 << j ELSE 0 END) AS cell
+  FROM bits GROUP BY vec_id
+)
+SELECT cell, min(vec_id) AS rep_id, CAST(count(*) AS BIGINT) AS n_members
+FROM cells GROUP BY cell
+"""
+
+
+@register(
+    "embedding_diverse_sample",
+    oracle=_diversity_cells_oracle(),
+    description=f"Coverage-first diversity subsampling: each embedding "
+    f"quantized to its {_sim.HP_ROWS}-bit hyperplane sign cell "
+    f"(2^{_sim.HP_ROWS} coarse cells over the space), ONE representative "
+    "kept per occupied cell with the member count — the semantic "
+    "de-densification primitive for corpus curation (uniform sampling "
+    "over-picks dense regions; one-per-cell preserves coverage). No "
+    "pairwise term: one narrow sketch aggregation + one cell groupBy, "
+    "integer-exact cell assignment on both engines",
+    tags=("extension", "similarity", "sampling"),
+)
+def embedding_diverse_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = read_parquet_table(spark, sf_dir, "embeddings")
+    return _sim.diversity_sample_cells(emb, "vec_id", "embedding")

@@ -238,3 +238,87 @@ def test_scd2_invariants_vs_python_model(spark, batches):
         per_key_current = [r["k"] for r in rows if r["is_current"]]
         assert len(per_key_current) == len(set(per_key_current))
         assert len(rows) == n_versions
+
+
+@settings(
+    max_examples=15,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(
+    texts=st.lists(
+        st.text(
+            alphabet=st.sampled_from("ab3 .7@-x"),
+            max_size=40,
+        ),
+        min_size=1,
+        max_size=12,
+    )
+)
+def test_redact_matches_python_re(spark, texts):
+    """redact() must agree with Python's re on arbitrary text: same
+    redacted string, same match count (Java and Python regex agree on
+    this digit-run pattern class)."""
+    import re
+
+    from spotify_tracks_etl_portfolio_spark.operators.text import redact
+
+    pat = r"\d+(\.\d+)?"
+    df = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "id long, s string"
+    )
+    got = {
+        r["id"]: (r["redacted"], r["n_redacted"])
+        for r in redact(df, "s", pat, "<NUM>").collect()
+    }
+    for i, t in enumerate(texts):
+        want = (re.sub(pat, "<NUM>", t), len(re.findall(pat, t)))
+        assert got[i] == want, (t, got[i], want)
+
+
+def test_redact_idempotent_when_replacement_unmatched(spark):
+    """Redacting already-redacted text is a no-op when the replacement
+    token cannot match the pattern — the safety property that makes
+    re-running a scrub pipeline harmless."""
+    from spotify_tracks_etl_portfolio_spark.operators.text import redact
+
+    df = spark.createDataFrame([(1, "call 555 and 8.25 now")], "id long, s string")
+    once = redact(df, "s", r"\d+(\.\d+)?", "<NUM>").select(
+        F.col("redacted").alias("s")
+    )
+    twice = redact(once, "s", r"\d+(\.\d+)?", "<NUM>").collect()[0]
+    assert twice["redacted"] == "call <NUM> and <NUM> now"
+    assert twice["n_redacted"] == 0
+
+
+def test_grouping_sets_levels_are_consistent(spark, sf_dir):
+    """The () superaggregate row must equal the sum of the per-flag
+    rows, which must equal the sum of the finest level — the lattice
+    consistency invariant of one-pass GROUPING SETS."""
+    from spotify_tracks_etl_portfolio_spark.plans import all_queries
+
+    rows = all_queries()["lineitem_grouping_sets"].fn(spark, sf_dir).collect()
+    by_gid = {}
+    for r in rows:
+        by_gid.setdefault(r["gid"], []).append(r)
+    assert set(by_gid) == {0, 1, 3}
+    total = by_gid[3][0]
+    assert total["n_rows"] == sum(r["n_rows"] for r in by_gid[0])
+    assert total["n_rows"] == sum(r["n_rows"] for r in by_gid[1])
+    assert abs(total["revenue"] - sum(r["revenue"] for r in by_gid[1])) < 1e-3
+
+
+def test_diversity_sample_covers_every_vector(spark, sf_dir):
+    """Every vector maps to exactly one cell; representatives are real
+    corpus members; member counts add back to the corpus size."""
+    from spotify_tracks_etl_portfolio_spark.operators.similarity import (
+        diversity_sample_cells,
+    )
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    cells = diversity_sample_cells(emb, "vec_id", "embedding").collect()
+    n = emb.count()
+    ids = {r["vec_id"] for r in emb.select("vec_id").collect()}
+    assert sum(r["n_members"] for r in cells) == n
+    assert all(r["rep_id"] in ids for r in cells)
+    assert all(0 <= r["cell"] < 256 for r in cells)
