@@ -1718,3 +1718,170 @@ def lineitem_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
             "n_rows",
         )
     )
+
+@register(
+    "q9_nation_profit",
+    oracle="""
+SELECT n.n_name AS nation,
+       CAST(YEAR(o.o_orderdate) AS BIGINT) AS o_year,
+       CAST(SUM(CAST(l.l_extendedprice * (1.0 - l.l_discount)
+                     - CAST(0.6 AS DOUBLE) * p.p_retailprice * l.l_quantity
+                     AS DECIMAL(24,8))) AS DOUBLE) AS sum_profit
+FROM lineitem l
+JOIN part p ON p.p_partkey = l.l_partkey
+JOIN supplier s ON s.s_suppkey = l.l_suppkey
+JOIN nation n ON n.n_nationkey = s.s_nationkey
+JOIN orders o ON o.o_orderkey = l.l_orderkey
+WHERE p.p_name LIKE '%widget%'
+GROUP BY n.n_name, YEAR(o.o_orderdate)
+""",
+    description="TPC-H Q9 product-type-profit shape (adapted: the "
+    "testdata has no partsupp table, so unit supply cost is the "
+    "deterministic proxy 0.6 * p_retailprice): part filter pushed "
+    "into a broadcast build side prunes lineitem BEFORE the one big "
+    "fact-fact shuffle (lineitem join orders on orderkey); supplier "
+    "and nation are broadcast; per-row profit in DOUBLE, summed as "
+    "DECIMAL(24,8) for order-insensitive exactness",
+    tags=("relational", "tpch", "join"),
+)
+def q9_nation_profit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    l = read_parquet_table(spark, sf_dir, "lineitem")
+    p = read_parquet_table(spark, sf_dir, "part").filter(
+        F.col("p_name").like("%widget%")
+    )
+    s = read_parquet_table(spark, sf_dir, "supplier")
+    n = read_parquet_table(spark, sf_dir, "nation")
+    o = read_parquet_table(spark, sf_dir, "orders")
+    profit = (
+        F.col("l_extendedprice") * (F.lit(1.0) - F.col("l_discount"))
+        - F.lit(0.6) * F.col("p_retailprice") * F.col("l_quantity")
+    ).cast(_DEC)
+    return (
+        l.join(F.broadcast(p), l.l_partkey == p.p_partkey)
+        .join(F.broadcast(s), l.l_suppkey == s.s_suppkey)
+        .join(F.broadcast(n), s.s_nationkey == n.n_nationkey)
+        .join(o, l.l_orderkey == o.o_orderkey)
+        .groupBy(
+            F.col("n_name").alias("nation"),
+            F.year("o_orderdate").cast("long").alias("o_year"),
+        )
+        .agg(F.sum(profit).cast("double").alias("sum_profit"))
+    )
+
+
+@register(
+    "q16_supplier_part_variety",
+    oracle="""
+SELECT p.p_brand, p.p_type, p.p_size,
+       CAST(count(DISTINCT ps.l_suppkey) AS BIGINT) AS supplier_cnt
+FROM (SELECT DISTINCT l_partkey, l_suppkey FROM lineitem) ps
+JOIN part p ON p.p_partkey = ps.l_partkey
+WHERE p.p_brand <> 'Brand#13'
+  AND p.p_type <> 'PROMO'
+  AND p.p_size IN (1, 4, 9, 14, 19, 24, 29, 34, 39, 44, 49)
+  AND ps.l_suppkey NOT IN (SELECT s_suppkey FROM supplier WHERE s_acctbal < 0)
+GROUP BY p.p_brand, p.p_type, p.p_size
+ORDER BY supplier_cnt DESC, p.p_brand, p.p_type, p.p_size
+""",
+    description="TPC-H Q16 supplier-relationship shape (adapted: the "
+    "lineitem (partkey, suppkey) bridge stands in for partsupp, and "
+    "'suppliers with complaints' becomes s_acctbal < 0): distinct "
+    "bridge agg rides the same partkey shuffle as the count-distinct; "
+    "the NOT IN exclusion is a broadcast left-anti join (null-safe "
+    "because s_suppkey is a key, never NULL); brand/type/size "
+    "predicates push into the broadcast part build side",
+    tags=("relational", "tpch", "join"),
+)
+def q16_supplier_part_variety(spark: SparkSession, sf_dir: str) -> DataFrame:
+    l = read_parquet_table(spark, sf_dir, "lineitem")
+    p = read_parquet_table(spark, sf_dir, "part").filter(
+        (F.col("p_brand") != "Brand#13")
+        & (F.col("p_type") != "PROMO")
+        & F.col("p_size").isin(1, 4, 9, 14, 19, 24, 29, 34, 39, 44, 49)
+    )
+    bad_suppliers = read_parquet_table(spark, sf_dir, "supplier").filter(
+        F.col("s_acctbal") < 0
+    ).select("s_suppkey")
+    ps = l.select("l_partkey", "l_suppkey").distinct()
+    return (
+        ps.join(
+            F.broadcast(bad_suppliers),
+            ps.l_suppkey == F.col("s_suppkey"),
+            "left_anti",
+        )
+        .join(F.broadcast(p), F.col("l_partkey") == p.p_partkey)
+        .groupBy("p_brand", "p_type", "p_size")
+        .agg(F.countDistinct("l_suppkey").alias("supplier_cnt"))
+        .orderBy(
+            F.desc("supplier_cnt"),
+            F.asc("p_brand"),
+            F.asc("p_type"),
+            F.asc("p_size"),
+        )
+    )
+
+
+@register(
+    "q20_excess_quantity_suppliers",
+    oracle="""
+WITH shipped AS (
+  SELECT l.l_partkey, l.l_suppkey,
+         SUM(CAST(l.l_quantity AS DECIMAL(24,8))) AS ps_qty
+  FROM lineitem l
+  JOIN part p ON p.p_partkey = l.l_partkey
+  WHERE p.p_name LIKE '%bolt%'
+    AND l.l_shipdate >= TIMESTAMP '1997-01-01 00:00:00'
+    AND l.l_shipdate <  TIMESTAMP '1998-01-01 00:00:00'
+  GROUP BY l.l_partkey, l.l_suppkey
+), part_totals AS (
+  SELECT l_partkey, SUM(ps_qty) AS part_qty
+  FROM shipped GROUP BY l_partkey
+)
+SELECT s.s_name, CAST(s.s_acctbal AS DOUBLE) AS s_acctbal
+FROM supplier s
+WHERE s.s_suppkey IN (
+  SELECT sh.l_suppkey
+  FROM shipped sh
+  JOIN part_totals pt ON pt.l_partkey = sh.l_partkey
+  WHERE sh.ps_qty * 2 > pt.part_qty
+)
+ORDER BY s.s_name
+""",
+    description="TPC-H Q20 excess-inventory shape (adapted: no "
+    "partsupp availqty, so the nested comparison becomes 'this "
+    "supplier shipped more than half of the part's total 1997 "
+    "volume'): inner agg per (partkey, suppkey) and the per-part "
+    "total reuse ONE partkey shuffle; the threshold compare is exact "
+    "decimal (2*x > total, no float division); the qualifying "
+    "suppkey set semi-joins supplier — nested-aggregate decorrelation "
+    "with zero driver round-trips",
+    tags=("relational", "tpch", "join"),
+)
+def q20_excess_quantity_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    l = read_parquet_table(spark, sf_dir, "lineitem")
+    p = read_parquet_table(spark, sf_dir, "part").filter(
+        F.col("p_name").like("%bolt%")
+    )
+    s = read_parquet_table(spark, sf_dir, "supplier")
+    shipped = (
+        l.filter(
+            (F.col("l_shipdate") >= F.lit("1997-01-01 00:00:00").cast("timestamp"))
+            & (F.col("l_shipdate") < F.lit("1998-01-01 00:00:00").cast("timestamp"))
+        )
+        .join(F.broadcast(p), l.l_partkey == p.p_partkey)
+        .groupBy("l_partkey", "l_suppkey")
+        .agg(F.sum(F.col("l_quantity").cast(_DEC)).alias("ps_qty"))
+    )
+    part_totals = shipped.groupBy(F.col("l_partkey").alias("__pk")).agg(
+        F.sum("ps_qty").alias("part_qty")
+    )
+    excess = (
+        shipped.join(part_totals, F.col("l_partkey") == F.col("__pk"))
+        .filter(F.col("ps_qty") * 2 > F.col("part_qty"))
+        .select("l_suppkey")
+    )
+    return (
+        s.join(excess, s.s_suppkey == F.col("l_suppkey"), "left_semi")
+        .select("s_name", F.col("s_acctbal").cast("double").alias("s_acctbal"))
+        .orderBy("s_name")
+    )
