@@ -254,11 +254,10 @@ def minhash_signatures(
     return base.select(id_col, *_signature_cols())
 
 
-def minhash_lsh_candidates(signatures: DataFrame, id_col: str) -> DataFrame:
-    """LSH banding: docs sharing any band signature become candidates.
-    Bands explode to (band_idx, band_sig) rows; the self-join is an
-    equi-join on those narrow keys."""
-    bands = signatures.select(
+def minhash_band_rows(signatures: DataFrame, id_col: str) -> DataFrame:
+    """(id, band, sig) rows — the LSH blocking key. A pure projection +
+    explode of the signature columns (4 rows/doc, no shuffle)."""
+    return signatures.select(
         id_col,
         F.explode(
             F.array(
@@ -278,6 +277,13 @@ def minhash_lsh_candidates(signatures: DataFrame, id_col: str) -> DataFrame:
             )
         ).alias("bs"),
     ).select(id_col, "bs.band", "bs.sig")
+
+
+def minhash_lsh_candidates(signatures: DataFrame, id_col: str) -> DataFrame:
+    """LSH banding: docs sharing any band signature become candidates.
+    Bands explode to (band_idx, band_sig) rows; the self-join is an
+    equi-join on those narrow keys."""
+    bands = minhash_band_rows(signatures, id_col)
     a = bands.select(F.col(id_col).alias("id_a"), "band", "sig")
     b = bands.select(F.col(id_col).alias("id_b"), "band", "sig")
     return (
@@ -634,3 +640,129 @@ def star_connected_components(
         .withColumn("comp", F.col("node"))
     )
     return non_roots.union(roots), rounds
+
+
+def cross_corpus_near_dup_ids(
+    new_df: DataFrame,
+    old_df: DataFrame,
+    id_col: str,
+    text_col: str,
+    threshold: float,
+    k: int = SHINGLE_K,
+) -> DataFrame:
+    """Ids of NEW-corpus docs that are near-dups (n-gram Jaccard ≥
+    threshold) of ANY old-corpus doc — the near-dup twin of the exact
+    fingerprint anti-join in incremental corpus dedup.
+
+    Scale shape (the point at 100 TB, where old is the full corpus and
+    new is one day's crawl): both sides reduce to MinHash band rows
+    (pure projections), candidates come from a narrow (band, sig)
+    equi-join — never new×old — and the exact-Jaccard verify touches
+    candidates only, fetching each side's shingle array by id.
+    """
+    nb = shingle_hash_arrays(new_df, id_col, text_col, k).repartition(
+        F.col(id_col)
+    )
+    ob = shingle_hash_arrays(old_df, id_col, text_col, k).repartition(
+        F.col(id_col)
+    )
+    nbands = minhash_band_rows(
+        nb.select(id_col, *_signature_cols()), id_col
+    ).select(F.col(id_col).alias("id_new"), "band", "sig")
+    obands = minhash_band_rows(
+        ob.select(id_col, *_signature_cols()), id_col
+    ).select(F.col(id_col).alias("id_old"), "band", "sig")
+    cands = (
+        nbands.join(obands, ["band", "sig"])
+        .select("id_new", "id_old")
+        .distinct()
+    )
+    a = nb.select(F.col(id_col).alias("id_new"), F.col("__hashes").alias("__ha"))
+    b = ob.select(F.col(id_col).alias("id_old"), F.col("__hashes").alias("__hb"))
+    return (
+        cands.join(a, "id_new")
+        .join(b, "id_old")
+        .withColumn("__shared", F.size(F.array_intersect("__ha", "__hb")))
+        .withColumn(
+            "jaccard",
+            F.round(
+                F.col("__shared").cast("double")
+                / (F.size("__ha") + F.size("__hb") - F.col("__shared")),
+                6,
+            ),
+        )
+        .filter(F.col("jaccard") >= threshold)
+        .select(F.col("id_new").alias(id_col))
+        .distinct()
+    )
+
+
+#: Tokens per passage for passage-level dedup. The synthetic corpus is
+#: single-line, so fixed token blocks stand in for the newline splitter
+#: a web corpus would use (C4/RefinedWeb line dedup); the operator shape
+#: is identical either way: split → global first-occurrence window →
+#: in-order reassembly.
+PASSAGE_TOKENS = 16
+
+
+def passage_dedup(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    block_tokens: int = PASSAGE_TOKENS,
+) -> DataFrame:
+    """Passage-level exact dedup with document reassembly (the C4-style
+    line-dedup operator): split each doc into consecutive
+    ``block_tokens``-token passages, keep only the globally FIRST
+    occurrence of each distinct passage (lowest (id, position)), and
+    rebuild each doc from its surviving passages in original order.
+
+    Exactly two shuffles at any scale: one window partitioned by passage
+    content (the dedup), one hash-agg by doc id (the reassembly) — no
+    self-joins, no all-pairs anything. Docs whose every passage is a
+    repeat disappear (same semantics as C4 dropping boilerplate-only
+    pages).
+    """
+    from pyspark.sql import Window
+
+    trimmed = F.trim(F.col(text_col))
+    toks = F.when(trimmed == "", F.array().cast("array<string>")).otherwise(
+        F.split(trimmed, r"\s+")
+    )
+    nb = F.ceil(F.size(toks) / F.lit(block_tokens)).cast("int")
+    blocks = F.when(
+        nb >= 1,
+        F.transform(
+            F.sequence(F.lit(1), nb),
+            lambda i: F.array_join(
+                F.slice(toks, (i - F.lit(1)) * block_tokens + F.lit(1), block_tokens),
+                " ",
+            ),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+
+    ex = df.select(
+        F.col(id_col), F.posexplode(blocks).alias("pos", "passage")
+    )
+    w = Window.partitionBy("passage").orderBy(
+        F.col(id_col).asc(), F.col("pos").asc()
+    )
+    kept = (
+        ex.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") == 1)
+        .drop("__rn")
+    )
+    rebuilt = kept.groupBy(id_col).agg(
+        F.array_join(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("pos", "passage"))),
+                lambda s: s.passage,
+            ),
+            " ",
+        ).alias("text_clean"),
+        F.count(F.lit(1)).cast("long").alias("n_kept"),
+    )
+    totals = df.select(F.col(id_col), nb.cast("long").alias("n_passages"))
+    return rebuilt.join(totals, id_col).select(
+        id_col, "text_clean", "n_passages", "n_kept"
+    )

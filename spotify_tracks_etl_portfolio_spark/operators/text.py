@@ -142,3 +142,49 @@ def redact(
             ).cast("long"),
         }
     )
+
+
+#: Sliding-window chunking defaults (chars). Stride < size ⇒ adjacent
+#: chunks overlap by (size − stride) chars, the standard RAG/embedding
+#: prep so no sentence is ever split across a boundary without context.
+CHUNK_CHARS = 200
+CHUNK_STRIDE = 150
+
+
+def sliding_chunks(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    size: int = CHUNK_CHARS,
+    stride: int = CHUNK_STRIDE,
+) -> DataFrame:
+    """Split each document into overlapping fixed-width char chunks —
+    the embedding/RAG prep operator: (id, chunk_idx, chunk, n_chunks)
+    rows, chunk_idx 1-based, n_chunks = max(1, ceil((len − size) /
+    stride) + 1) so a short doc still yields exactly one chunk and the
+    final chunk always reaches the end of the text.
+
+    Pure projection + generator (sequence → posexplode → substr): no
+    shuffle at all, parallelizes with the scan at any scale; chunk
+    boundaries are deterministic functions of the text length, so the
+    operator re-runs identically on retry.
+    """
+    n = F.greatest(
+        F.lit(1),
+        (F.ceil((F.length(F.col(text_col)) - F.lit(size)) / F.lit(stride)) + 1),
+    ).cast("int")
+    starts = F.transform(
+        F.sequence(F.lit(1), n), lambda i: (i - 1) * stride + 1
+    )
+    ex = df.select(
+        F.col(id_col),
+        F.col(text_col).alias("__text"),
+        n.cast("long").alias("n_chunks"),
+        F.posexplode(starts).alias("pos", "start"),
+    )
+    return ex.select(
+        id_col,
+        (F.col("pos") + 1).cast("long").alias("chunk_idx"),
+        F.col("__text").substr(F.col("start"), F.lit(size)).alias("chunk"),
+        "n_chunks",
+    )

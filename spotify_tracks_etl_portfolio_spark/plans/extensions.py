@@ -1546,3 +1546,128 @@ FROM cells GROUP BY cell
 def embedding_diverse_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = read_parquet_table(spark, sf_dir, "embeddings")
     return _sim.diversity_sample_cells(emb, "vec_id", "embedding")
+
+
+# ===========================================================================
+# Passage-level dedup, cross-corpus near-dedup, sliding chunks (round 2+)
+# ===========================================================================
+
+_PB = _dd.PASSAGE_TOKENS
+
+
+@register(
+    "passage_dedup_documents",
+    oracle=f"""
+WITH tb AS (
+  SELECT doc_id,
+         CASE WHEN trim(text) = '' THEN CAST([] AS VARCHAR[])
+              ELSE string_split_regex(trim(text), '\\s+') END AS w
+  FROM documents
+),
+blk AS (
+  SELECT doc_id, i AS pos,
+         array_to_string(w[((i-1)*{_PB}+1):(i*{_PB})], ' ') AS passage
+  FROM tb, unnest(range(1, CAST(ceil(len(w) / {_PB}.0) AS BIGINT) + 1)) AS t(i)
+),
+keep AS (
+  SELECT doc_id, pos, passage,
+         row_number() OVER (PARTITION BY passage ORDER BY doc_id, pos) AS rn
+  FROM blk
+),
+np AS (SELECT doc_id, CAST(ceil(len(w) / {_PB}.0) AS BIGINT) AS n_passages FROM tb)
+SELECT k.doc_id,
+       string_agg(k.passage, ' ' ORDER BY k.pos) AS text_clean,
+       any_value(np.n_passages) AS n_passages,
+       CAST(count(*) AS BIGINT) AS n_kept
+FROM keep k JOIN np USING (doc_id)
+WHERE k.rn = 1
+GROUP BY k.doc_id
+""",
+    description=f"Passage-level exact dedup with reassembly (C4/"
+    f"RefinedWeb line-dedup shape over {_PB}-token blocks): global "
+    "first-occurrence window keyed on passage content, then in-order "
+    "per-doc rebuild — exactly two shuffles (window on passage, agg on "
+    "doc id) at any corpus size; boilerplate passages are dropped "
+    "everywhere but their first occurrence, never via pairwise joins",
+    tags=("extension", "dedup"),
+)
+def passage_dedup_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = read_parquet_table(spark, sf_dir, "documents")
+    return _dd.passage_dedup(docs, "doc_id", "text")
+
+
+@register(
+    "near_dedup_new_vs_corpus",
+    oracle=f"""
+WITH {_SHINGLE_CTES},
+sizes AS (SELECT doc_id, count(*) AS n FROM shh GROUP BY doc_id),
+{_minhash_sig_sql()},
+{_minhash_bands_sql()},
+cands AS (
+  SELECT DISTINCT a.doc_id AS id_new, b.doc_id AS id_old
+  FROM bands a JOIN bands b ON a.band = b.band AND a.sig = b.sig
+  WHERE a.doc_id % 2 = 1 AND b.doc_id % 2 = 0
+),
+shared AS (
+  SELECT c.id_new, c.id_old, count(*) AS shared
+  FROM cands c
+  JOIN shh n ON n.doc_id = c.id_new
+  JOIN shh o ON o.doc_id = c.id_old AND o.h = n.h
+  GROUP BY 1, 2
+),
+flagged AS (
+  SELECT DISTINCT s.id_new
+  FROM shared s
+  JOIN sizes sa ON s.id_new = sa.doc_id
+  JOIN sizes sb ON s.id_old = sb.doc_id
+  WHERE round(s.shared * 1.0 / (sa.n + sb.n - s.shared), 6) >= {JACCARD_THRESHOLD}
+)
+SELECT d.doc_id FROM documents d
+WHERE d.doc_id % 2 = 1
+  AND d.doc_id NOT IN (SELECT id_new FROM flagged)
+""",
+    description="Cross-corpus NEAR-dedup anti-join (the near-dup twin "
+    "of incremental_dedup_documents, which is exact-only): new docs "
+    "(odd ids stand in for today's crawl) MinHash-band-join against the "
+    "existing corpus (even ids), candidates verify by exact Jaccard, "
+    "flagged ids anti-join away. Never materializes new×old — bands "
+    "narrow the join, verify touches candidates only; at 100 TB the "
+    "old-corpus band table is a precomputed, bucketed artifact",
+    tags=("extension", "dedup", "lsh"),
+)
+def near_dedup_new_vs_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = read_parquet_table(spark, sf_dir, "documents")
+    new = docs.filter(F.col("doc_id") % 2 == 1)
+    old = docs.filter(F.col("doc_id") % 2 == 0)
+    flagged = _dd.cross_corpus_near_dup_ids(
+        new, old, "doc_id", "text", JACCARD_THRESHOLD
+    )
+    return new.join(flagged, "doc_id", "left_anti").select("doc_id")
+
+
+@register(
+    "chunk_documents_sliding",
+    oracle=f"""
+WITH ch AS (
+  SELECT doc_id,
+         greatest(1, CAST(ceil((len(text) - {_tx.CHUNK_CHARS}) / {_tx.CHUNK_STRIDE}.0) AS BIGINT) + 1) AS n_chunks
+  FROM documents
+)
+SELECT d.doc_id,
+       i AS chunk_idx,
+       substr(d.text, CAST((i-1)*{_tx.CHUNK_STRIDE} + 1 AS INT), {_tx.CHUNK_CHARS}) AS chunk,
+       c.n_chunks
+FROM documents d
+JOIN ch c USING (doc_id), unnest(range(1, c.n_chunks + 1)) AS t(i)
+""",
+    description=f"Sliding-window chunking ({_tx.CHUNK_CHARS}-char chunks, "
+    f"{_tx.CHUNK_STRIDE}-char stride ⇒ {_tx.CHUNK_CHARS - _tx.CHUNK_STRIDE}-char "
+    "overlap) — the embedding/RAG prep operator: sequence → posexplode → "
+    "substr is a pure generator projection with ZERO shuffles; chunk "
+    "count is a deterministic function of text length so re-runs and "
+    "retries produce identical chunk ids at any scale",
+    tags=("extension", "text"),
+)
+def chunk_documents_sliding(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = read_parquet_table(spark, sf_dir, "documents")
+    return _tx.sliding_chunks(docs, "doc_id", "text")

@@ -28,20 +28,27 @@ def read_events_stream(
 ) -> DataFrame:
     """File-source stream over events-shaped parquet. The explicit schema
     is mandatory for streaming reads; ``maxFilesPerTrigger`` shapes
-    micro-batches (and lets tests exercise multi-batch behavior)."""
+    micro-batches (and lets tests exercise multi-batch behavior).
+
+    ``ts`` physical type is probed with a driver-side batch schema read
+    (metadata only, no data scan): TIMESTAMP(NANOS) files arrive as
+    INT64 under ``nanosAsLong`` and are truncated to µs exactly like the
+    batch reader; TIMESTAMP(MICROS) files stream natively — so the same
+    pipeline runs over either vintage of the data without edits."""
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    nanos = dict(spark.read.parquet(path).dtypes).get("ts") == "bigint"
     raw_schema = (
-        "event_id long, ts long, user_id long, event_type string, "
-        "value double, props string"
+        f"event_id long, ts {'long' if nanos else 'timestamp'}, "
+        "user_id long, event_type string, value double, props string"
     )
     df = (
         spark.readStream.schema(raw_schema)
         .option("maxFilesPerTrigger", max_files_per_trigger)
         .parquet(path)
     )
-    return df.withColumn(
-        "ts", F.timestamp_micros(F.expr("ts div 1000"))
-    )
+    if nanos:
+        df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    return df
 
 
 def streaming_hourly_rollup(

@@ -252,3 +252,79 @@ def test_operators_handle_empty_inputs(spark):
     )
     ups = spark.createDataFrame([], "k long, attr string")
     assert scd2_apply(dim, ups, ["k"], ["attr"], F.lit("2024-01-01")).count() == 0
+
+
+def test_passage_dedup_plants_and_reassembles(spark):
+    # 20-token docs → passages of 16 + 4 tokens; doc 11 repeats doc 10's
+    # first 16-token block exactly (then diverges), doc 12 is disjoint.
+    block = " ".join(f"w{i}" for i in range(16))
+    tail_a = "a1 a2 a3 a4"
+    tail_b = "b1 b2 b3 b4"
+    docs = spark.createDataFrame(
+        [
+            (10, f"{block} {tail_a}"),
+            (11, f"{block} {tail_b}"),
+            (12, "x1 x2 x3"),
+        ],
+        "doc_id long, text string",
+    )
+    out = {
+        r["doc_id"]: r
+        for r in dd.passage_dedup(docs, "doc_id", "text").collect()
+    }
+    # doc 10 keeps both passages; doc 11 loses the repeated block but
+    # keeps its distinct tail; doc 12 (single short passage) survives
+    assert out[10]["text_clean"] == f"{block} {tail_a}"
+    assert out[10]["n_passages"] == 2 and out[10]["n_kept"] == 2
+    assert out[11]["text_clean"] == tail_b
+    assert out[11]["n_passages"] == 2 and out[11]["n_kept"] == 1
+    assert out[12]["text_clean"] == "x1 x2 x3"
+    assert out[12]["n_passages"] == 1 and out[12]["n_kept"] == 1
+
+
+def test_passage_dedup_drops_all_repeat_doc(spark):
+    # a doc that is exactly one already-seen passage disappears
+    block = " ".join(f"w{i}" for i in range(16))
+    docs = spark.createDataFrame(
+        [(1, block), (2, block)], "doc_id long, text string"
+    )
+    out = dd.passage_dedup(docs, "doc_id", "text").collect()
+    assert {r["doc_id"] for r in out} == {1}
+
+
+def test_cross_corpus_near_dup_flags_planted_pair(spark):
+    # old corpus holds BASE (id 0); new corpus holds an exact copy (1),
+    # the near dup (3), and an unrelated doc (5)
+    old = spark.createDataFrame([(0, BASE)], "doc_id long, text string")
+    new = spark.createDataFrame(
+        [(1, BASE), (3, NEAR), (5, OTHER)], "doc_id long, text string"
+    )
+    flagged = {
+        r["doc_id"]
+        for r in dd.cross_corpus_near_dup_ids(
+            new, old, "doc_id", "text", 0.5
+        ).collect()
+    }
+    assert 1 in flagged  # exact copy always recalled
+    assert 3 in flagged  # near dup band-collides under frozen coeffs
+    assert 5 not in flagged
+
+
+def test_sliding_chunks_cover_and_overlap(spark):
+    txt = "abcdefghij" * 50  # 500 chars → chunks at 1, 151, 301 
+    df = spark.createDataFrame([(1, txt), (2, "short")], "doc_id long, text string")
+    rows = tx.sliding_chunks(df, "doc_id", "text").collect()
+    by_doc = {}
+    for r in rows:
+        by_doc.setdefault(r["doc_id"], []).append(r)
+    c1 = sorted(by_doc[1], key=lambda r: r["chunk_idx"])
+    assert [r["chunk_idx"] for r in c1] == [1, 2, 3]
+    assert all(r["n_chunks"] == 3 for r in c1)
+    assert c1[0]["chunk"] == txt[0:200]
+    assert c1[1]["chunk"] == txt[150:350]
+    assert c1[2]["chunk"] == txt[300:500]
+    # overlap region agrees between neighbors
+    assert c1[0]["chunk"][150:] == c1[1]["chunk"][:50]
+    # short doc → exactly one whole-text chunk
+    c2 = by_doc[2]
+    assert len(c2) == 1 and c2[0]["chunk"] == "short" and c2[0]["n_chunks"] == 1
