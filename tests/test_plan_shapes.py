@@ -297,3 +297,33 @@ def test_sql_surface_twin_matches_dataframe_api(spark, sf_dir):
         all_queries()["top10_customers_by_revenue"].fn(spark, sf_dir).collect()
     )
     assert [tuple(r) for r in sql_rows] == [tuple(r) for r in api_rows]
+
+
+def test_passage_dedup_window_group_limit_and_two_shuffles(spark, sf_dir):
+    """The first-occurrence window must engage partial+final
+    WindowGroupLimit (map tasks forward one row per passage before the
+    shuffle) and the whole pipeline must stay at two hash exchanges —
+    the no-pairwise-join scale claim of C4-style passage dedup."""
+    import re
+
+    plan = plan_of(spark, "passage_dedup_documents", sf_dir)
+    assert plan.count("WindowGroupLimit") == 2  # Partial + Final
+    assert "CartesianProduct" not in plan
+    assert len(re.findall(r"Exchange hashpartitioning", plan)) == 2
+
+
+def test_chunk_documents_is_shuffle_free_generator(spark, sf_dir):
+    """Chunking must compile to scan → generate → project with NO
+    exchange of any kind: it parallelizes with the scan at 100 TB."""
+    plan = plan_of(spark, "chunk_documents_sliding", sf_dir)
+    assert "Exchange" not in plan
+    assert "Generate posexplode" in plan
+    assert plan.count("FileScan parquet") == 1
+
+
+def test_cross_corpus_near_dedup_only_equi_joins(spark, sf_dir):
+    """The new×old candidate space must come from band equi-joins and
+    id-keyed verify joins only — never a nested-loop pair scan."""
+    plan = plan_of(spark, "near_dedup_new_vs_corpus", sf_dir)
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
