@@ -67,8 +67,12 @@ def read_parquet_table(
     types at scan time, keeping every downstream operator deterministic.
     """
     path = os.path.join(sf_dir, f"{table}.parquet")
-    # The driver may hand us a session built without our factory; the
-    # ns-timestamp reading mode is runtime-settable, so pin it here.
+    # The driver may hand us a session built without our factory; both
+    # confs below are runtime-settable, so pin them here. UTC matters on
+    # any non-UTC host: date_format/window outputs feed the DuckDB
+    # oracle, whose timestamps are UTC-naive — a session in local time
+    # would shift every formatted hour/day string.
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     df = spark.read.parquet(path)
     target = schema or TESTDATA_SCHEMAS.get(table)
