@@ -322,3 +322,114 @@ def test_diversity_sample_covers_every_vector(spark, sf_dir):
     assert sum(r["n_members"] for r in cells) == n
     assert all(r["rep_id"] in ids for r in cells)
     assert all(0 <= r["cell"] < 256 for r in cells)
+
+
+# ---------------------------------------------------------------------------
+# Sliding chunks: lossless-reconstruction property
+# ---------------------------------------------------------------------------
+
+@given(
+    st.lists(
+        st.text(alphabet=st.characters(min_codepoint=33, max_codepoint=126),
+                min_size=0, max_size=700),
+        min_size=1, max_size=6,
+    )
+)
+@_slow
+def test_sliding_chunks_reconstruct_text(spark, texts):
+    """Dropping each non-final chunk's overlap tail and concatenating
+    must reproduce the document byte-for-byte, for any length (shorter,
+    equal, or longer than the chunk size)."""
+    from spotify_tracks_etl_portfolio_spark.operators.text import (
+        CHUNK_STRIDE,
+        sliding_chunks,
+    )
+
+    df = spark.createDataFrame(
+        list(enumerate(texts)), "doc_id long, text string"
+    )
+    by_doc: dict[int, list] = {}
+    for r in sliding_chunks(df, "doc_id", "text").collect():
+        by_doc.setdefault(r["doc_id"], []).append(r)
+    for i, text in enumerate(texts):
+        chunks = sorted(by_doc[i], key=lambda r: r["chunk_idx"])
+        n = chunks[-1]["n_chunks"]
+        assert len(chunks) == n
+        rebuilt = "".join(c["chunk"][:CHUNK_STRIDE] for c in chunks[:-1])
+        rebuilt += chunks[-1]["chunk"]
+        assert rebuilt == text
+
+
+# ---------------------------------------------------------------------------
+# Passage dedup: identity on all-distinct corpora; multiset preservation
+# ---------------------------------------------------------------------------
+
+@given(st.lists(st.integers(1, 40), min_size=1, max_size=5))
+@_slow
+def test_passage_dedup_identity_when_all_passages_distinct(spark, sizes):
+    """If no passage repeats anywhere in the corpus, dedup must be a
+    no-op: every doc reassembles to its exact (whitespace-normalized)
+    text and n_kept == n_passages."""
+    from spotify_tracks_etl_portfolio_spark.operators.dedup import passage_dedup
+
+    docs = [
+        (d, " ".join(f"d{d}w{i}" for i in range(n)))
+        for d, n in enumerate(sizes)
+    ]
+    out = {
+        r["doc_id"]: r
+        for r in passage_dedup(
+            spark.createDataFrame(docs, "doc_id long, text string"),
+            "doc_id",
+            "text",
+        ).collect()
+    }
+    for d, text in docs:
+        assert out[d]["text_clean"] == text
+        assert out[d]["n_kept"] == out[d]["n_passages"]
+
+
+@given(
+    st.lists(
+        st.lists(st.integers(0, 3), min_size=1, max_size=4),
+        min_size=1, max_size=5,
+    )
+)
+@_slow
+def test_passage_dedup_keeps_first_occurrence_exactly(spark, doc_blocks):
+    """Against a plain-Python model: docs built from a tiny pool of
+    16-token blocks (so collisions are common); the surviving passage
+    set per doc must match first-occurrence-by-(doc_id, pos) order."""
+    from spotify_tracks_etl_portfolio_spark.operators.dedup import passage_dedup
+
+    pool = [
+        " ".join(f"b{b}t{i}" for i in range(16)) for b in range(4)
+    ]
+    docs = [
+        (d, " ".join(pool[b] for b in blocks))
+        for d, blocks in enumerate(doc_blocks)
+    ]
+    # python model
+    seen: set[str] = set()
+    expect: dict[int, list[str]] = {}
+    for d, blocks in enumerate(doc_blocks):
+        kept = []
+        for b in blocks:
+            if pool[b] not in seen:
+                seen.add(pool[b])
+                kept.append(pool[b])
+        if kept:
+            expect[d] = kept
+    out = {
+        r["doc_id"]: r
+        for r in passage_dedup(
+            spark.createDataFrame(docs, "doc_id long, text string"),
+            "doc_id",
+            "text",
+        ).collect()
+    }
+    assert set(out) == set(expect)
+    for d, kept in expect.items():
+        assert out[d]["text_clean"] == " ".join(kept)
+        assert out[d]["n_kept"] == len(kept)
+        assert out[d]["n_passages"] == len(doc_blocks[d])
