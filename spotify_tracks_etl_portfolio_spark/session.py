@@ -47,9 +47,11 @@ def get_spark(
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.sql.parquet.filterPushdown", "true")
-        # events.ts is INT64 TIMESTAMP(NANOS) which Spark rejects natively;
-        # read as long and convert via `div 1000` in the reader (exact,
-        # matches DuckDB's ns→µs truncation).
+        # Some testdata vintages ship events.ts as INT64 TIMESTAMP(NANOS)
+        # which Spark rejects natively; with this conf such columns read
+        # as long and the readers convert via `div 1000` (exact, matches
+        # DuckDB's ns→µs truncation). Harmless when the data is µs — the
+        # readers probe the actual type and skip the conversion.
         .config("spark.sql.legacy.parquet.nanosAsLong", "true")
         .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
         # InferFiltersFromGenerate turns explode(expensive_expr) into a

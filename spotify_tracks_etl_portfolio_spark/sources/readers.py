@@ -63,8 +63,10 @@ def read_parquet_table(
     """Parquet scan of one testdata table.
 
     The explicit schema both documents intent and normalizes physical
-    types (e.g. the ns-precision ``events.ts``) to the engine's declared
-    types at scan time, keeping every downstream operator deterministic.
+    types to the engine's declared types at scan time, keeping every
+    downstream operator deterministic. Timestamp columns adapt to the
+    data vintage: ns-precision INT64 (round-1 testdata) is truncated to
+    µs by exact integer division; native µs passes through untouched.
     """
     path = os.path.join(sf_dir, f"{table}.parquet")
     # The driver may hand us a session built without our factory; both
