@@ -891,3 +891,74 @@ def redact_numeric_props_events(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy("event_id")
         .limit(100)
     )
+
+
+@register(
+    "ordered_funnel_view_click_purchase",
+    oracle="""
+WITH s1 AS (
+  SELECT user_id, min(ts) AS t1 FROM events
+  WHERE event_type = 'view' GROUP BY user_id
+),
+s2 AS (
+  SELECT e.user_id, min(e.ts) AS t2
+  FROM events e JOIN s1 USING (user_id)
+  WHERE e.event_type = 'click' AND e.ts > s1.t1
+  GROUP BY e.user_id
+),
+s3 AS (
+  SELECT e.user_id, min(e.ts) AS t3
+  FROM events e JOIN s2 USING (user_id)
+  WHERE e.event_type = 'purchase' AND e.ts > s2.t2
+  GROUP BY e.user_id
+)
+SELECT CAST(1 AS INT) AS stage, CAST(count(*) AS BIGINT) AS users FROM s1
+UNION ALL
+SELECT CAST(2 AS INT), CAST(count(*) AS BIGINT) FROM s2
+UNION ALL
+SELECT CAST(3 AS INT), CAST(count(*) AS BIGINT) FROM s3
+ORDER BY stage
+""",
+    description="Ordered 3-step funnel (view → click → purchase, each "
+    "step strictly AFTER the user's earliest previous step — the "
+    "MATCH_RECOGNIZE-style sequence pattern, expressed as chained "
+    "conditional-min aggregations): per-step tables shrink "
+    "monotonically and every join/agg is keyed on user_id, so one "
+    "partitioning serves the whole chain and no window ever scans the "
+    "full event stream; the 2-step EXISTS funnel (click_purchase_"
+    "funnel) can't express the strict event ORDERING this one does",
+    tags=("analytics", "funnel"),
+)
+def ordered_funnel_view_click_purchase(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    ev = read_parquet_table(spark, sf_dir, "events").select(
+        "user_id", "event_type", "ts"
+    )
+    s1 = (
+        ev.filter(F.col("event_type") == "view")
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t1"))
+    )
+    s2 = (
+        ev.filter(F.col("event_type") == "click")
+        .join(s1, "user_id")
+        .filter(F.col("ts") > F.col("t1"))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t2"))
+    )
+    s3 = (
+        ev.filter(F.col("event_type") == "purchase")
+        .join(s2, "user_id")
+        .filter(F.col("ts") > F.col("t2"))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t3"))
+    )
+
+    def stage(n: int, df: DataFrame) -> DataFrame:
+        return df.agg(
+            F.lit(n).cast("int").alias("stage"),
+            F.count(F.lit(1)).alias("users"),
+        )
+
+    return stage(1, s1).union(stage(2, s2)).union(stage(3, s3)).orderBy("stage")
