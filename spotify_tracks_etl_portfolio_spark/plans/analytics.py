@@ -962,3 +962,50 @@ def ordered_funnel_view_click_purchase(
         )
 
     return stage(1, s1).union(stage(2, s2)).union(stage(3, s3)).orderBy("stage")
+
+
+@register(
+    "winsorized_event_values",
+    oracle="""
+WITH b AS (
+  SELECT quantile_cont(value, 0.01) AS p01,
+         quantile_cont(value, 0.99) AS p99
+  FROM events
+)
+SELECT round(b.p01, 6) AS p01,
+       round(b.p99, 6) AS p99,
+       CAST(count(*) FILTER (WHERE value < b.p01) AS BIGINT) AS n_clipped_low,
+       CAST(count(*) FILTER (WHERE value > b.p99) AS BIGINT) AS n_clipped_high,
+       round(sum(CAST(least(greatest(value, b.p01), b.p99) AS DECIMAL(28,6)))
+             / count(value), 6) AS avg_winsorized
+FROM events, b
+GROUP BY b.p01, b.p99
+""",
+    description="Data-driven winsorization (the medallion clamp P4 with "
+    "COMPUTED bounds): phase 1 computes exact interpolated p01/p99 of "
+    "the value column, phase 2 clips to those bounds and reports "
+    "clip counts + the DECIMAL-exact winsorized mean — the same frozen "
+    "two-phase stats-then-transform semantics as the silver pipeline "
+    "(reference: dags/de_spotify_silver.py:49-70), with only two "
+    "scalars ever leaving the cluster between phases",
+    tags=("analytics", "stats"),
+)
+def winsorized_event_values(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = read_parquet_table(spark, sf_dir, "events")
+    b = ev.agg(
+        F.percentile("value", F.lit(0.01)).alias("p01"),
+        F.percentile("value", F.lit(0.99)).alias("p99"),
+    ).first()
+    lo, hi = float(b["p01"]), float(b["p99"])
+    clamped = F.least(F.greatest(F.col("value"), F.lit(lo)), F.lit(hi))
+    return ev.agg(
+        F.round(F.lit(lo), 6).alias("p01"),
+        F.round(F.lit(hi), 6).alias("p99"),
+        F.sum(
+            F.when(F.col("value") < lo, F.lit(1)).otherwise(F.lit(0))
+        ).alias("n_clipped_low"),
+        F.sum(
+            F.when(F.col("value") > hi, F.lit(1)).otherwise(F.lit(0))
+        ).alias("n_clipped_high"),
+        F.round(davg(clamped), 6).alias("avg_winsorized"),
+    )
