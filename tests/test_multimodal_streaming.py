@@ -359,3 +359,44 @@ def test_streaming_incremental_dedup_matches_batch(spark, sf_dir, tmp_path):
     batch = all_queries()["incremental_dedup_documents"].fn(spark, sf_dir)
     want = {r["doc_id"] for r in batch.collect()}
     assert got == want
+
+
+def test_streaming_checkpoint_recovery_processes_only_new_files(
+    spark, sf_dir, tmp_path
+):
+    """Source-offset recovery = exactly-once at the FILE level: stop a
+    query, add new input files, restart on the SAME checkpoint — the
+    restarted query must skip every already-committed file (no sink
+    dedup involved; the parquet sink here appends blindly, so any replay
+    would double rows)."""
+    src = tmp_path / "recovery_src"
+    src.mkdir()
+    out = str(tmp_path / "recovery_out")
+    ckpt = str(tmp_path / "recovery_ckpt")
+
+    full = spark.read.parquet(f"{sf_dir}/events.parquet")
+    n_total = full.count()
+    half1 = full.filter(F.col("event_id") % 2 == 0)
+    half2 = full.filter(F.col("event_id") % 2 == 1)
+    half1.coalesce(1).write.mode("overwrite").parquet(str(src / "b1"))
+
+    def run_once():
+        stream = read_events_stream(spark, str(src / "*"))
+        q = (
+            stream.writeStream.format("parquet")
+            .option("path", out)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+
+    run_once()
+    n1 = spark.read.parquet(out).count()
+    assert n1 == half1.count()
+
+    half2.coalesce(1).write.mode("overwrite").parquet(str(src / "b2"))
+    run_once()  # SAME checkpoint: only b2 may be processed
+    got = spark.read.parquet(out)
+    assert got.count() == n_total  # no replay of b1, nothing missed
+    assert got.select("event_id").distinct().count() == n_total
