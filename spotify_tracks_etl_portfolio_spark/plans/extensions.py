@@ -1596,9 +1596,7 @@ def passage_dedup_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _dd.passage_dedup(docs, "doc_id", "text")
 
 
-@register(
-    "near_dedup_new_vs_corpus",
-    oracle=f"""
+_NEAR_DEDUP_NEW_VS_CORPUS_ORACLE = f"""
 WITH {_SHINGLE_CTES},
 sizes AS (SELECT doc_id, count(*) AS n FROM shh GROUP BY doc_id),
 {_minhash_sig_sql()},
@@ -1625,7 +1623,12 @@ flagged AS (
 SELECT d.doc_id FROM documents d
 WHERE d.doc_id % 2 = 1
   AND d.doc_id NOT IN (SELECT id_new FROM flagged)
-""",
+"""
+
+
+@register(
+    "near_dedup_new_vs_corpus",
+    oracle=_NEAR_DEDUP_NEW_VS_CORPUS_ORACLE,
     description="Cross-corpus NEAR-dedup anti-join (the near-dup twin "
     "of incremental_dedup_documents, which is exact-only): new docs "
     "(odd ids stand in for today's crawl) MinHash-band-join against the "
@@ -1671,3 +1674,54 @@ JOIN ch c USING (doc_id), unnest(range(1, c.n_chunks + 1)) AS t(i)
 def chunk_documents_sliding(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = read_parquet_table(spark, sf_dir, "documents")
     return _tx.sliding_chunks(docs, "doc_id", "text")
+
+@register(
+    "streaming_near_dedup_sync",
+    oracle=_NEAR_DEDUP_NEW_VS_CORPUS_ORACLE,
+    description="Streaming curation under the CORRECTNESS gate: the "
+    "incoming-doc stream (odd ids, staged as TWO files → two real "
+    "micro-batches) is near-dedup-checked per batch against the static "
+    "corpus (even ids) via foreachBatch + the cross-corpus MinHash "
+    "band/verify operator, survivors appended to a parquet sink — then "
+    "hash-checked against the SAME DuckDB oracle as the batch twin "
+    "near_dedup_new_vs_corpus. Batch boundaries provably can't change "
+    "the result (new docs compare only against the corpus, never each "
+    "other), and the gate proves it",
+    tags=("streaming", "extension", "dedup"),
+)
+def streaming_near_dedup_sync(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import shutil
+    import tempfile
+
+    from spotify_tracks_etl_portfolio_spark.streaming.pipeline import (
+        read_documents_stream,
+        streaming_near_dedup_new_docs,
+    )
+
+    docs = read_parquet_table(spark, sf_dir, "documents")
+    corpus = docs.filter(F.col("doc_id") % 2 == 0)
+    new = docs.filter(F.col("doc_id") % 2 == 1)
+
+    d = tempfile.mkdtemp(prefix="nd_sync_")
+    out = f"{d}/out"
+    try:
+        new.filter(F.col("doc_id") % 4 == 1).coalesce(1).write.parquet(
+            f"{d}/src/f1"
+        )
+        new.filter(F.col("doc_id") % 4 == 3).coalesce(1).write.parquet(
+            f"{d}/src/f2"
+        )
+        stream = read_documents_stream(spark, f"{d}/src/*")
+        q = (
+            streaming_near_dedup_new_docs(
+                stream, corpus, out, f"{d}/ckpt", JACCARD_THRESHOLD
+            )
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+        # materialize before the temp dir disappears
+        rows = spark.read.parquet(out).collect()
+    finally:
+        shutil.rmtree(d, ignore_errors=True)
+    return spark.createDataFrame(rows, "doc_id long")

@@ -225,3 +225,59 @@ def streaming_click_purchase_join(
         "click_id", F.col("click_user").alias("user_id"), "click_ts",
         "purchase_id", "purchase_ts", "purchase_value",
     )
+
+
+def read_documents_stream(
+    spark: SparkSession, path: str, max_files_per_trigger: int = 1
+) -> DataFrame:
+    """File-source stream over documents-shaped parquet (the incoming
+    crawl in a streaming curation pipeline)."""
+    schema = (
+        "doc_id long, text string, lang string, source string, "
+        "n_chars long"
+    )
+    return (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", max_files_per_trigger)
+        .parquet(path)
+    )
+
+
+def streaming_near_dedup_new_docs(
+    new_stream: DataFrame,
+    corpus: DataFrame,
+    out_path: str,
+    checkpoint: str,
+    threshold: float,
+):
+    """Streaming curation: each micro-batch of incoming docs is
+    near-dedup-checked against the STATIC corpus (MinHash bands →
+    candidates → exact-Jaccard verify, operators/dedup.py
+    cross_corpus_near_dup_ids) and survivors append to ``out_path``.
+
+    Batch boundaries cannot change the result: every new doc is compared
+    against the corpus only — never against other new docs — so any
+    split of the stream into micro-batches yields exactly the batch
+    operator's output (the equivalence the sync query hash-checks).
+    At scale the corpus band table is a precomputed bucketed artifact;
+    here it is recomputed per batch, which only costs time, not
+    correctness. Returns the DataStreamWriter (caller sets the
+    trigger)."""
+    from spotify_tracks_etl_portfolio_spark.operators.dedup import (
+        cross_corpus_near_dup_ids,
+    )
+
+    def process(batch: DataFrame, epoch_id: int) -> None:
+        flagged = cross_corpus_near_dup_ids(
+            batch, corpus, "doc_id", "text", threshold
+        )
+        (
+            batch.join(flagged, "doc_id", "left_anti")
+            .select("doc_id")
+            .write.mode("append")
+            .parquet(out_path)
+        )
+
+    return new_stream.writeStream.foreachBatch(process).option(
+        "checkpointLocation", checkpoint
+    )

@@ -400,3 +400,48 @@ def test_streaming_checkpoint_recovery_processes_only_new_files(
     got = spark.read.parquet(out)
     assert got.count() == n_total  # no replay of b1, nothing missed
     assert got.select("event_id").distinct().count() == n_total
+
+
+def test_streaming_near_dedup_matches_batch_operator(spark, sf_dir, tmp_path):
+    """Streaming curation == batch operator, across micro-batch splits:
+    new docs arrive in TWO files (two batches); survivors must equal the
+    batch cross-corpus anti-join run on all new docs at once (batch
+    boundaries can't matter — new docs compare only against the static
+    corpus, never each other)."""
+    from spotify_tracks_etl_portfolio_spark.operators.dedup import (
+        cross_corpus_near_dup_ids,
+    )
+    from spotify_tracks_etl_portfolio_spark.streaming.pipeline import (
+        read_documents_stream,
+        streaming_near_dedup_new_docs,
+    )
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    corpus = docs.filter(F.col("doc_id") % 2 == 0)
+    new = docs.filter(F.col("doc_id") % 2 == 1)
+
+    src = tmp_path / "nd_src"
+    new.filter(F.col("doc_id") % 4 == 1).coalesce(1).write.parquet(
+        str(src / "f1")
+    )
+    new.filter(F.col("doc_id") % 4 == 3).coalesce(1).write.parquet(
+        str(src / "f2")
+    )
+    out = str(tmp_path / "nd_out")
+    stream = read_documents_stream(spark, str(src / "*"))
+    q = (
+        streaming_near_dedup_new_docs(
+            stream, corpus, out, str(tmp_path / "nd_ckpt"), 0.5
+        )
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+
+    flagged = cross_corpus_near_dup_ids(new, corpus, "doc_id", "text", 0.5)
+    want = {
+        r["doc_id"]
+        for r in new.join(flagged, "doc_id", "left_anti").select("doc_id").collect()
+    }
+    got = {r["doc_id"] for r in spark.read.parquet(out).collect()}
+    assert got == want
