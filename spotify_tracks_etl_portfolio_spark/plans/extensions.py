@@ -1725,3 +1725,37 @@ def streaming_near_dedup_sync(spark: SparkSession, sf_dir: str) -> DataFrame:
     finally:
         shutil.rmtree(d, ignore_errors=True)
     return spark.createDataFrame(rows, "doc_id long")
+
+
+@register(
+    "jsonl_corpus_roundtrip",
+    oracle="SELECT doc_id, text, lang, source, n_chars FROM documents",
+    description="JSONL corpus interchange under the gate: the documents "
+    "table exports to gzip'd JSON-Lines (write_jsonl: round-robin "
+    "resharded, one object per line — the format training stacks and "
+    "labeling tools ingest) and reads back with a strict schema "
+    "(read_jsonl refuses inference: that's a full extra pass at "
+    "100 TB), then hash-matches the original table byte-for-byte — "
+    "proving JSON string escaping round-trips every document exactly",
+    tags=("extension", "sources"),
+)
+def jsonl_corpus_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import shutil
+    import tempfile
+
+    from spotify_tracks_etl_portfolio_spark.sources.readers import read_jsonl
+    from spotify_tracks_etl_portfolio_spark.sources.writers import write_jsonl
+
+    schema = (
+        "doc_id long, text string, lang string, source string, n_chars long"
+    )
+    docs = read_parquet_table(spark, sf_dir, "documents")
+    d = tempfile.mkdtemp(prefix="jsonl_rt_")
+    try:
+        write_jsonl(docs, f"{d}/corpus", shards=2)
+        rows = read_jsonl(spark, f"{d}/corpus", schema).collect()
+    finally:
+        shutil.rmtree(d, ignore_errors=True)
+    return spark.createDataFrame(rows, schema).select(
+        "doc_id", "text", "lang", "source", "n_chars"
+    )

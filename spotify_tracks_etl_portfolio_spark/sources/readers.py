@@ -103,3 +103,18 @@ def register_testdata_views(spark: SparkSession, sf_dir: str = DEFAULT_SF_DIR) -
     """Register all testdata tables as temp views for the SQL surface."""
     for name, df in load_testdata(spark, sf_dir).items():
         df.createOrReplaceTempView(name)
+
+
+def read_jsonl(
+    spark: SparkSession, path: str, schema: T.StructType | str
+) -> DataFrame:
+    """JSON-Lines scan with a MANDATORY explicit schema — JSONL is the
+    interchange format of LLM training corpora (one document object per
+    line), and schema inference over 100 TB of it costs a full extra
+    pass, so this reader refuses to infer.
+
+    Spark parallelizes JSONL by line-splitting each file, so a single
+    huge shard still fans out across executors; compression should be
+    splittable (or shards kept small) for that to hold.
+    """
+    return spark.read.schema(schema).json(path)

@@ -252,3 +252,25 @@ def write_bucketed(
     if sort_by:
         writer = writer.sortBy(*sort_by)
     writer.saveAsTable(table)
+
+
+def write_jsonl(
+    df: DataFrame,
+    path: str,
+    mode: str = "overwrite",
+    compression: str | None = "gzip",
+    shards: int | None = None,
+) -> None:
+    """Export a corpus as JSON-Lines (the format training stacks and
+    labeling tools ingest): one object per line, optionally gzip'd and
+    re-sharded.
+
+    ``shards`` uses ``repartition`` (round-robin, even shard sizes for
+    downstream loaders) rather than ``coalesce`` (which skews shard
+    sizes by collapsing neighbors). At 100 TB pick shards so each
+    compressed file lands in the 100 MB–1 GB sweet spot."""
+    w = df.repartition(shards) if shards else df
+    writer = w.write.mode(mode)
+    if compression:
+        writer = writer.option("compression", compression)
+    writer.json(path)

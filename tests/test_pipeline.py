@@ -383,3 +383,25 @@ def test_refresh_rollup_partition_touches_one_day(spark, sf_dir, tmp_path):
         .collect()
     }
     assert got == want
+
+
+def test_jsonl_roundtrip_shards_and_compression(spark, tmp_path):
+    from spotify_tracks_etl_portfolio_spark.sources.readers import read_jsonl
+    from spotify_tracks_etl_portfolio_spark.sources.writers import write_jsonl
+
+    df = spark.createDataFrame(
+        [(1, 'line with "quotes" and \\ backslash', "en"),
+         (2, "tab\tnewline\nunicode é", "de"),
+         (3, "", "en")],
+        "doc_id long, text string, lang string",
+    )
+    out = str(tmp_path / "jsonl")
+    write_jsonl(df, out, shards=2)
+    import glob
+
+    parts = glob.glob(f"{out}/part-*.json.gz")
+    assert len(parts) == 2  # round-robin resharded, gzip'd
+    back = read_jsonl(spark, out, "doc_id long, text string, lang string")
+    got = {r["doc_id"]: (r["text"], r["lang"]) for r in back.collect()}
+    want = {r["doc_id"]: (r["text"], r["lang"]) for r in df.collect()}
+    assert got == want  # escaping round-trips exactly
