@@ -277,6 +277,60 @@ def plane_weights_int(j: int, dim: int = HP_DIM) -> list[int]:
     return [2 * ((j * HP_A + d * HP_B + HP_C) % HP_M) - HP_M for d in range(dim)]
 
 
+def plane_dots(
+    df: DataFrame,
+    id_col: str,
+    vec_col: str,
+    n_planes: int,
+    prefix: str = "__dot_",
+) -> DataFrame:
+    """Integer dot products of every vector against the first
+    ``n_planes`` frozen planes — the shared kernel under both the
+    hyperplane sign sketch and random-projection dimensionality
+    reduction. posexplode the quantized vector, then ONE hash
+    aggregation computes all plane sums (weights from the closed
+    formula, inline integer arithmetic in generated code); map-side
+    partials collapse each vector's rows before the only shuffle."""
+    quantized = F.transform(
+        F.col(vec_col),
+        lambda x: F.round(x.cast("double") * F.lit(float(HP_SCALE))).cast("long"),
+    )
+    exploded = df.select(F.col(id_col), F.posexplode(quantized).alias("__d", "__q"))
+
+    def weight(j: int) -> Column:
+        raw = (
+            F.lit(j * HP_A) + F.col("__d").cast("long") * F.lit(HP_B) + F.lit(HP_C)
+        ) % F.lit(HP_M)
+        return raw * F.lit(2) - F.lit(HP_M)
+
+    return exploded.groupBy(id_col).agg(
+        *[
+            F.sum(F.col("__q") * weight(j)).alias(f"{prefix}{j}")
+            for j in range(n_planes)
+        ]
+    )
+
+
+#: Output dimensionality of the random projection (Johnson–Lindenstrauss
+#: style reduction with the frozen integer planes). 64 → 8 dims.
+RP_DIMS = 8
+
+
+def random_projection(
+    df: DataFrame, id_col: str, vec_col: str, out_dims: int = RP_DIMS
+) -> DataFrame:
+    """Dimensionality reduction by deterministic random projection:
+    project each embedding onto the first ``out_dims`` frozen integer
+    planes (the same closed-formula family the LSH sketch signs). The
+    projected coordinates stay INTEGERS — exact on any engine and any
+    reduction order, no RNG, no fitted model to ship — so downstream
+    coarse filtering / bucketing on the reduced vectors is reproducible
+    across reruns and engines (JL-style distance preservation comes from
+    the planes' uniform-ish signs; signs-only is the LSH special case).
+    One narrow shuffle per corpus, identical plan shape to the sketch."""
+    return plane_dots(df, id_col, vec_col, out_dims, "proj_")
+
+
 def hyperplane_sketch(
     df: DataFrame, id_col: str, vec_col: str, dim: int = HP_DIM
 ) -> DataFrame:
@@ -290,26 +344,7 @@ def hyperplane_sketch(
     (aggregate(zip_with(...)) per plane) is interpreted per element and
     measured ~10× slower. Costs one narrow shuffle of (id, dots) — the
     partial aggregation collapses each vector's 64 rows map-side."""
-    quantized = F.transform(
-        F.col(vec_col),
-        lambda x: F.round(x.cast("double") * F.lit(float(HP_SCALE))).cast("long"),
-    )
-    exploded = df.select(F.col(id_col), F.posexplode(quantized).alias("__d", "__q"))
-
-    def weight(j: int) -> Column:
-        # w(j, d) computed inline from the closed formula — no literal
-        # array lookups, just integer arithmetic in generated code.
-        raw = (
-            F.lit(j * HP_A) + F.col("__d").cast("long") * F.lit(HP_B) + F.lit(HP_C)
-        ) % F.lit(HP_M)
-        return raw * F.lit(2) - F.lit(HP_M)
-
-    dots = exploded.groupBy(id_col).agg(
-        *[
-            F.sum(F.col("__q") * weight(j)).alias(f"__dot_{j}")
-            for j in range(HP_PLANES)
-        ]
-    )
+    dots = plane_dots(df, id_col, vec_col, HP_PLANES, "__dot_")
 
     def band_sig(bi: int) -> Column:
         sig = F.lit(0)

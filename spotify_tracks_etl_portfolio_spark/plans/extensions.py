@@ -1759,3 +1759,50 @@ def jsonl_corpus_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.createDataFrame(rows, schema).select(
         "doc_id", "text", "lang", "source", "n_chars"
     )
+
+
+def _random_projection_oracle() -> str:
+    s = _sim
+    projs = ",\n       ".join(
+        f"max(CASE WHEN j = {j} THEN s END) AS proj_{j}"
+        for j in range(s.RP_DIMS)
+    )
+    return f"""
+WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings),
+qv AS (
+  SELECT vec_id,
+         list_transform(e, x -> CAST(round(x * {s.HP_SCALE}) AS BIGINT)) AS q
+  FROM v
+),
+planes AS (
+  SELECT j, d,
+         2 * ((j * {s.HP_A} + d * {s.HP_B} + {s.HP_C}) % {s.HP_M}) - {s.HP_M} AS w
+  FROM range({s.RP_DIMS}) pj(j), range({s.HP_DIM}) pd(d)
+),
+dots AS (
+  SELECT vec_id, j, sum(q[d + 1] * w) AS s
+  FROM qv, planes GROUP BY vec_id, j
+)
+SELECT vec_id,
+       {projs}
+FROM dots GROUP BY vec_id
+"""
+
+
+@register(
+    "embedding_random_projection",
+    oracle=_random_projection_oracle(),
+    description=f"Dimensionality reduction by deterministic random "
+    f"projection ({_sim.HP_DIM}→{_sim.RP_DIMS} dims, Johnson–"
+    "Lindenstrauss style): each embedding projected onto frozen "
+    "closed-formula integer planes — coordinates stay INTEGER-exact on "
+    "both engines (no RNG, no fitted model, reruns bit-identical), so "
+    "reduced-space bucketing/coarse filtering is reproducible. Shares "
+    "the plane_dots kernel with the LSH sign sketch (signs-only is the "
+    "special case); one posexplode + one hash agg, map-side partials "
+    "collapse each vector before the single narrow shuffle",
+    tags=("extension", "similarity"),
+)
+def embedding_random_projection(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = read_parquet_table(spark, sf_dir, "embeddings")
+    return _sim.random_projection(emb, "vec_id", "embedding")
