@@ -3,9 +3,11 @@
 JSON line: {"metric": ..., "value": total_sec, "unit": "sec",
 "queries": {name: sec}, "sf": ...}.
 
-Each query is executed twice: a warm-up pass is NOT used — we measure a
-single cold run per query after one whole-pipeline warm query to absorb
-JVM/codegen startup, which is what a steady-state cluster job looks like.
+Each query is timed as the MEDIAN OF 3 runs (after one whole-pipeline
+warm query to absorb JVM/codegen startup).  Round 2 showed single-run
+timings swing 30-40% on 2-3 s queries from JIT/GC jitter alone
+(VERDICT.md round 2, "LSH bench regressions"), so n=1 cannot
+distinguish a real plan regression from noise; the median of 3 can.
 """
 
 from __future__ import annotations
@@ -38,7 +40,20 @@ HEADLINE = [
     "q6_forecast_revenue",
     "top3_customers_per_nation",
     "curate_training_documents",
+    # heaviest round-2 additions, tracked before they regress
+    "simhash_near_dups",
+    "passage_dedup_documents",
+    "near_dedup_new_vs_corpus",
+    "streaming_sessionize_sync",
 ]
+
+RUNS_PER_QUERY = 3
+
+
+def _median(xs: list[float]) -> float:
+    s = sorted(xs)
+    n = len(s)
+    return s[n // 2] if n % 2 else (s[n // 2 - 1] + s[n // 2]) / 2
 
 
 def main() -> None:
@@ -55,10 +70,13 @@ def main() -> None:
         spec = specs.get(name)
         if spec is None:
             continue
-        t0 = time.time()
-        df = spec.fn(spark, sf_dir)
-        df.write.format("noop").mode("overwrite").save()
-        timings[name] = round(time.time() - t0, 3)
+        samples = []
+        for _ in range(RUNS_PER_QUERY):
+            t0 = time.time()
+            df = spec.fn(spark, sf_dir)
+            df.write.format("noop").mode("overwrite").save()
+            samples.append(time.time() - t0)
+        timings[name] = round(_median(samples), 3)
 
     print(
         json.dumps(
