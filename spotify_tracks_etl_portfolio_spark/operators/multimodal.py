@@ -3,11 +3,13 @@ columns with typed metadata, processed by Arrow-batched ``mapInPandas``
 operators (north star: multimodal training-data pipelines).
 
 The Spark-side plumbing is real and tested — schema, partitioning, UDF
-signatures, batch shapes. The actual codecs (PIL/ffmpeg/soundfile) are
-NOT in this container, so decode is gated: ``decode_media(..., real=True)``
-raises ``NotImplementedError`` where the codec call would go, and the
-default path runs a deterministic fake decode (byte statistics) with the
-exact same plumbing.
+signatures, batch shapes. Image decode is REAL for three formats via
+pure-Python/stdlib codecs: PNG (zlib inflate + full scanline
+de-filtering, CRC-checked), uncompressed 24-bit BMP (bottom-up and
+top-down), and binary PPM (P6). Formats that would need a native codec
+(JPEG/ffmpeg/soundfile — not in this container) raise a documented
+``NotImplementedError`` at the same seam, and an external ``codec``
+callable can be injected there.
 
 Scale notes: media bytes dominate row size — keep them in their own
 column, never in join keys; ``mapInPandas`` streams Arrow batches so one
@@ -17,6 +19,8 @@ task never holds a partition of raw media in Python memory at once;
 
 from __future__ import annotations
 
+import struct
+import zlib
 from collections.abc import Iterator
 from typing import Literal
 
@@ -57,6 +61,214 @@ def attach_fake_media(
     )
 
 
+# ===========================================================================
+# Pure-Python image codecs (stdlib only): PNG, 24-bit BMP, PPM (P6).
+# Encoders emit grayscale images whose pixel payload is an arbitrary byte
+# string (zero-padded to width*height); decoders are general within the
+# documented subset and are what `decode_image_features` runs on executors.
+# ===========================================================================
+
+_PNG_SIG = b"\x89PNG\r\n\x1a\n"
+
+
+def _png_chunk(typ: bytes, data: bytes) -> bytes:
+    return (
+        struct.pack(">I", len(data))
+        + typ
+        + data
+        + struct.pack(">I", zlib.crc32(typ + data) & 0xFFFFFFFF)
+    )
+
+
+def _pad_to_grid(data: bytes, width: int) -> tuple[bytes, int]:
+    height = max(1, -(-len(data) // width))
+    return data + b"\x00" * (width * height - len(data)), height
+
+
+def encode_png_gray(data: bytes, width: int = 16) -> bytes:
+    """Real PNG (8-bit grayscale, filter 0, non-interlaced): IHDR + IDAT
+    (zlib) + IEND with correct CRCs; payload zero-padded to the grid."""
+    padded, height = _pad_to_grid(data, width)
+    raw = b"".join(
+        b"\x00" + padded[r * width : (r + 1) * width] for r in range(height)
+    )
+    ihdr = struct.pack(">IIBBBBB", width, height, 8, 0, 0, 0, 0)
+    return (
+        _PNG_SIG
+        + _png_chunk(b"IHDR", ihdr)
+        + _png_chunk(b"IDAT", zlib.compress(raw))
+        + _png_chunk(b"IEND", b"")
+    )
+
+
+def decode_png(blob: bytes) -> dict:
+    """Decode PNG: 8-bit depth, color types 0/2/4/6, non-interlaced; all
+    five scanline filter types (None/Sub/Up/Average/Paeth); chunk CRCs
+    verified. Returns format/width/height/channels/samples."""
+    if blob[:8] != _PNG_SIG:
+        raise ValueError("not a PNG")
+    pos, idat = 8, b""
+    width = height = bit_depth = color_type = interlace = None
+    while pos + 12 <= len(blob):
+        (length,) = struct.unpack(">I", blob[pos : pos + 4])
+        typ = blob[pos + 4 : pos + 8]
+        data = blob[pos + 8 : pos + 8 + length]
+        (crc,) = struct.unpack(">I", blob[pos + 8 + length : pos + 12 + length])
+        if zlib.crc32(typ + data) & 0xFFFFFFFF != crc:
+            raise ValueError(f"PNG chunk {typ!r} CRC mismatch")
+        if typ == b"IHDR":
+            width, height, bit_depth, color_type, _c, _f, interlace = struct.unpack(
+                ">IIBBBBB", data
+            )
+        elif typ == b"IDAT":
+            idat += data
+        elif typ == b"IEND":
+            break
+        pos += 12 + length
+    channels = {0: 1, 2: 3, 4: 2, 6: 4}.get(color_type)
+    if width is None or channels is None or bit_depth != 8 or interlace != 0:
+        raise NotImplementedError(
+            f"PNG subset supported is 8-bit non-interlaced color types 0/2/4/6; "
+            f"got bit_depth={bit_depth} color_type={color_type} interlace={interlace}"
+        )
+    raw = zlib.decompress(idat)
+    stride = width * channels
+    bpp = channels  # bytes per pixel at 8-bit depth
+    out = bytearray()
+    prev = bytearray(stride)
+    rpos = 0
+    for _ in range(height):
+        ftype = raw[rpos]
+        row = bytearray(raw[rpos + 1 : rpos + 1 + stride])
+        rpos += 1 + stride
+        if ftype == 1:  # Sub
+            for i in range(bpp, stride):
+                row[i] = (row[i] + row[i - bpp]) & 0xFF
+        elif ftype == 2:  # Up
+            for i in range(stride):
+                row[i] = (row[i] + prev[i]) & 0xFF
+        elif ftype == 3:  # Average
+            for i in range(stride):
+                a = row[i - bpp] if i >= bpp else 0
+                row[i] = (row[i] + ((a + prev[i]) >> 1)) & 0xFF
+        elif ftype == 4:  # Paeth
+            for i in range(stride):
+                a = row[i - bpp] if i >= bpp else 0
+                b = prev[i]
+                c = prev[i - bpp] if i >= bpp else 0
+                p = a + b - c
+                pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+                row[i] = (row[i] + (a if pa <= pb and pa <= pc else b if pb <= pc else c)) & 0xFF
+        elif ftype != 0:
+            raise ValueError(f"bad PNG filter type {ftype}")
+        out += row
+        prev = row
+    return {
+        "format": "png", "width": width, "height": height,
+        "channels": channels, "samples": bytes(out),
+    }
+
+
+def encode_bmp_gray(data: bytes, width: int = 16) -> bytes:
+    """Real uncompressed 24-bit BMP (BITMAPINFOHEADER, bottom-up,
+    4-byte-aligned rows); each payload byte becomes one gray BGR pixel."""
+    padded, height = _pad_to_grid(data, width)
+    row_pad = (-(width * 3)) % 4
+    rows = []
+    for r in range(height - 1, -1, -1):  # bottom-up
+        row = bytearray()
+        for b in padded[r * width : (r + 1) * width]:
+            row += bytes((b, b, b))
+        rows.append(bytes(row) + b"\x00" * row_pad)
+    pixel_data = b"".join(rows)
+    info = struct.pack("<IiiHHIIiiII", 40, width, height, 1, 24, 0,
+                       len(pixel_data), 2835, 2835, 0, 0)
+    header = struct.pack("<2sIHHI", b"BM", 54 + len(pixel_data), 0, 0, 54)
+    return header + info + pixel_data
+
+
+def decode_bmp(blob: bytes) -> dict:
+    """Decode uncompressed 24-bit BMP, bottom-up (height>0) or top-down
+    (height<0), honoring the pixel-array offset and row padding."""
+    if blob[:2] != b"BM":
+        raise ValueError("not a BMP")
+    (offset,) = struct.unpack("<I", blob[10:14])
+    hdr_size, width, height = struct.unpack("<Iii", blob[14:26])
+    planes, bpp, compression = struct.unpack("<HHI", blob[26:34])
+    if bpp != 24 or compression != 0:
+        raise NotImplementedError(
+            f"BMP subset supported is uncompressed 24-bit; got bpp={bpp} "
+            f"compression={compression}"
+        )
+    top_down = height < 0
+    height = abs(height)
+    row_stride = (width * 3 + 3) & ~3
+    samples = bytearray()
+    row_range = range(height) if top_down else range(height - 1, -1, -1)
+    for r in row_range:
+        start = offset + r * row_stride
+        row = blob[start : start + width * 3]
+        for px in range(width):
+            b, g, rr = row[px * 3 : px * 3 + 3]
+            samples += bytes((rr, g, b))  # normalize BGR → RGB
+    return {
+        "format": "bmp", "width": width, "height": height,
+        "channels": 3, "samples": bytes(samples),
+    }
+
+
+def encode_ppm_gray(data: bytes, width: int = 16) -> bytes:
+    """Binary PPM (P6, maxval 255); each payload byte → one gray RGB pixel."""
+    padded, height = _pad_to_grid(data, width)
+    body = b"".join(bytes((b, b, b)) for b in padded)
+    return f"P6\n{width} {height}\n255\n".encode("ascii") + body
+
+
+def decode_ppm(blob: bytes) -> dict:
+    """Decode binary PPM (P6, maxval 255), tolerating '#' comments and
+    arbitrary whitespace in the header per the Netpbm spec."""
+    if blob[:2] != b"P6":
+        raise ValueError("not a P6 PPM")
+    pos, fields = 2, []
+    while len(fields) < 3:
+        while pos < len(blob) and blob[pos : pos + 1].isspace():
+            pos += 1
+        if blob[pos : pos + 1] == b"#":
+            while pos < len(blob) and blob[pos] != 0x0A:
+                pos += 1
+            continue
+        start = pos
+        while pos < len(blob) and not blob[pos : pos + 1].isspace():
+            pos += 1
+        fields.append(int(blob[start:pos]))
+    pos += 1  # single whitespace after maxval
+    width, height, maxval = fields
+    if maxval != 255:
+        raise NotImplementedError(f"PPM maxval 255 only; got {maxval}")
+    samples = blob[pos : pos + width * height * 3]
+    return {
+        "format": "ppm", "width": width, "height": height,
+        "channels": 3, "samples": samples,
+    }
+
+
+def decode_image(blob: bytes) -> dict:
+    """Sniff + decode with the built-in pure-Python codecs. Raises the
+    documented ``NotImplementedError`` for formats that need a native
+    codec (JPEG etc.) — the injection seam for external codecs."""
+    if blob[:8] == _PNG_SIG:
+        return decode_png(blob)
+    if blob[:2] == b"BM":
+        return decode_bmp(blob)
+    if blob[:2] == b"P6":
+        return decode_ppm(blob)
+    raise NotImplementedError(
+        "media codecs (PIL/ffmpeg) are not available in this container for "
+        "this format; built-in pure-Python codecs cover png/bmp/ppm — "
+        "integrate the real decode here (or inject `codec=`)"
+    )
+
+
 FEATURE_SCHEMA = "id long, n_bytes long, mean_byte double, first_byte int"
 
 
@@ -85,12 +297,8 @@ def decode_media_features(
     def extract(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             if real:
-                if codec is None:
-                    raise NotImplementedError(
-                        "media codecs (PIL/ffmpeg) are not available in this "
-                        "container; integrate the real decode here"
-                    )
-                feats = codec(pdf[media_col])
+                active = codec if codec is not None else _builtin_byte_codec
+                feats = active(pdf[media_col])
                 feats = feats.assign(id=pdf[id_col].astype("int64").values)
                 yield feats[["id", "n_bytes", "mean_byte", "first_byte"]].astype(
                     {"id": "int64", "n_bytes": "int64",
@@ -112,6 +320,91 @@ def decode_media_features(
             )
 
     return df.select(id_col, media_col).mapInPandas(extract, FEATURE_SCHEMA)
+
+
+def _builtin_byte_codec(blobs: pd.Series) -> pd.DataFrame:
+    """Default ``real=True`` codec: built-in image decode (png/bmp/ppm),
+    byte statistics over the DECODED samples. Unrecognized formats raise
+    the documented ``NotImplementedError`` from ``decode_image``."""
+    rows = []
+    for blob in blobs:
+        img = decode_image(bytes(blob))
+        s = img["samples"]
+        rows.append(
+            (len(s), float(sum(s)) / len(s) if s else 0.0, s[0] if s else -1)
+        )
+    return pd.DataFrame(rows, columns=["n_bytes", "mean_byte", "first_byte"])
+
+
+#: Output of the real image-decode path: true decoded dimensions +
+#: channel statistics.
+IMAGE_FEATURE_SCHEMA = (
+    "id long, format string, width int, height int, channels int, "
+    "n_pixels long, mean_pixel double"
+)
+
+
+def attach_encoded_media(
+    df: DataFrame, id_col: str, text_col: str, width: int = 16
+) -> DataFrame:
+    """Deterministic REAL media: encode each row's text bytes as a
+    grayscale image — PNG, BMP, or PPM chosen by ``id % 3`` — so the
+    binary column holds genuinely decodable files of mixed formats."""
+
+    def encode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        encoders = (encode_png_gray, encode_bmp_gray, encode_ppm_gray)
+        for pdf in batches:
+            ids = pdf[id_col].astype("int64")
+            yield pd.DataFrame(
+                {
+                    "doc_id" if id_col == "doc_id" else id_col: ids,
+                    "media": [
+                        encoders[int(i) % 3](t.encode("utf-8"), width)
+                        for i, t in zip(ids, pdf[text_col])
+                    ],
+                }
+            )
+
+    return df.select(id_col, text_col).mapInPandas(
+        encode, f"{id_col} long, media binary"
+    )
+
+
+def decode_image_features(
+    df: DataFrame, id_col: str, media_col: str = "media"
+) -> DataFrame:
+    """REAL decode → feature extraction over Arrow batches: sniff the
+    format, run the built-in pure-Python codec (PNG inflate+defilter /
+    BMP / PPM), return true width/height/channel statistics. The
+    ``NotImplementedError`` seam in ``decode_image`` is unreachable for
+    the built-in formats."""
+
+    def extract(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for _id, blob in zip(pdf[id_col], pdf[media_col]):
+                img = decode_image(bytes(blob))
+                s = img["samples"]
+                n_px = img["width"] * img["height"]
+                rows.append(
+                    (
+                        int(_id), img["format"], img["width"], img["height"],
+                        img["channels"], n_px,
+                        float(sum(s)) / len(s) if s else 0.0,
+                    )
+                )
+            yield pd.DataFrame(
+                rows,
+                columns=[
+                    "id", "format", "width", "height", "channels",
+                    "n_pixels", "mean_pixel",
+                ],
+            ).astype(
+                {"id": "int64", "width": "int32", "height": "int32",
+                 "channels": "int32", "n_pixels": "int64"}
+            )
+
+    return df.select(id_col, media_col).mapInPandas(extract, IMAGE_FEATURE_SCHEMA)
 
 
 def resize_stub(

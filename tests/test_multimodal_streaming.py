@@ -80,6 +80,140 @@ def test_injected_codec_flows_through_real_path(media):
     assert all(out[i]["first_byte"] == 7 for i in out)
 
 
+def test_codec_roundtrips():
+    """Every built-in codec round-trips arbitrary payload bytes through a
+    real file encoding (PNG chunks+zlib, BMP headers+padding, PPM)."""
+    import math
+
+    data = bytes(range(0, 200, 3)) + b"hello world"
+    h = max(1, math.ceil(len(data) / 16))
+    padded = data + b"\x00" * (16 * h - len(data))
+    for enc, fmt, ch in [
+        (mm.encode_png_gray, "png", 1),
+        (mm.encode_bmp_gray, "bmp", 3),
+        (mm.encode_ppm_gray, "ppm", 3),
+    ]:
+        img = mm.decode_image(enc(data, 16))
+        assert (img["format"], img["width"], img["height"], img["channels"]) == (
+            fmt, 16, h, ch,
+        )
+        expect = padded if ch == 1 else b"".join(bytes((b, b, b)) for b in padded)
+        assert img["samples"] == expect
+
+
+def test_png_defilter_all_filter_types():
+    """Decoder reconstructs rows filtered with Sub/Up/Average/Paeth —
+    formats our encoder never emits (it uses filter 0), so this pins the
+    general de-filter logic, grayscale (bpp=1) and RGB (bpp=3)."""
+    import struct
+    import zlib
+
+    def filt(ftype, row, prev, bpp):
+        out = bytearray([ftype])
+        for i, x in enumerate(row):
+            a = row[i - bpp] if i >= bpp else 0
+            b = prev[i]
+            c = prev[i - bpp] if i >= bpp else 0
+            if ftype == 0:
+                out.append(x)
+            elif ftype == 1:
+                out.append((x - a) & 0xFF)
+            elif ftype == 2:
+                out.append((x - b) & 0xFF)
+            elif ftype == 3:
+                out.append((x - ((a + b) >> 1)) & 0xFF)
+            else:
+                p = a + b - c
+                pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+                pr = a if (pa <= pb and pa <= pc) else (b if pb <= pc else c)
+                out.append((x - pr) & 0xFF)
+        return bytes(out)
+
+    def build(width, height, color_type, bpp, rows_px, ftypes):
+        raw, prev = b"", bytes(width * bpp)
+        for ftype, row in zip(ftypes, rows_px):
+            raw += filt(ftype, row, prev, bpp)
+            prev = row
+        ihdr = struct.pack(">IIBBBBB", width, height, 8, color_type, 0, 0, 0)
+        return (
+            mm._PNG_SIG
+            + mm._png_chunk(b"IHDR", ihdr)
+            + mm._png_chunk(b"IDAT", zlib.compress(raw))
+            + mm._png_chunk(b"IEND", b"")
+        )
+
+    gray_rows = [bytes([10, 20, 30, 40]), bytes([15, 25, 35, 45]),
+                 bytes([100, 110, 120, 130]), bytes([5, 6, 7, 8]),
+                 bytes([250, 251, 252, 253])]
+    img = mm.decode_png(build(4, 5, 0, 1, gray_rows, [0, 1, 2, 3, 4]))
+    assert img["samples"] == b"".join(gray_rows)
+
+    rgb = bytes(range(36))
+    rgb_rows = [rgb[i * 12 : (i + 1) * 12] for i in range(3)]
+    img = mm.decode_png(build(4, 3, 2, 3, rgb_rows, [4, 4, 4]))
+    assert img["channels"] == 3 and img["samples"] == rgb
+
+
+def test_png_crc_checked():
+    import pytest as _pytest
+
+    blob = bytearray(mm.encode_png_gray(b"payload", 4))
+    blob[40] ^= 0xFF  # corrupt inside IDAT
+    with _pytest.raises(ValueError, match="CRC"):
+        mm.decode_png(bytes(blob))
+
+
+def test_bmp_top_down_and_ppm_comments():
+    import struct
+
+    w, h = 3, 2
+    px = [[(1, 2, 3), (4, 5, 6), (7, 8, 9)],
+          [(10, 11, 12), (13, 14, 15), (16, 17, 18)]]
+    row_pad = (-(w * 3)) % 4
+    body = b"".join(
+        b"".join(bytes((B, G, R)) for (R, G, B) in r) + b"\x00" * row_pad
+        for r in px
+    )
+    info = struct.pack("<IiiHHIIiiII", 40, w, -h, 1, 24, 0, len(body), 0, 0, 0, 0)
+    hdr = struct.pack("<2sIHHI", b"BM", 54 + len(body), 0, 0, 54)
+    img = mm.decode_bmp(hdr + info + body)
+    assert img["samples"] == b"".join(bytes(p) for r in px for p in r)
+    assert img["height"] == 2
+
+    img = mm.decode_ppm(b"P6\n# c\n3 1\n# c2\n255\n" + bytes(9))
+    assert (img["width"], img["height"]) == (3, 1)
+
+
+def test_decode_image_features_end_to_end(spark):
+    """attach_encoded_media → decode_image_features: real mixed-format
+    encode on executors, real decode back, true dimensions out."""
+    df = spark.createDataFrame(DOCS, "doc_id long, text string")
+    media = mm.attach_encoded_media(df, "doc_id", "text", width=16)
+    out = {r["id"]: r for r in mm.decode_image_features(media, "doc_id").collect()}
+    assert {out[i]["format"] for i in out} == {"png", "bmp", "ppm"}
+    for i, text in DOCS:
+        n = len(text.encode("utf-8"))
+        h = max(1, -(-n // 16))
+        r = out[i]
+        assert (r["width"], r["height"], r["n_pixels"]) == (16, h, 16 * h)
+        assert r["mean_pixel"] == sum(text.encode("utf-8")) / (16 * h)
+        assert r["channels"] == (1 if i % 3 == 0 else 3)
+
+
+def test_real_decode_default_codec_decodes_builtin_formats(spark):
+    """real=True with no injected codec now runs the built-in image
+    codecs — the NotImplementedError seam is unreachable for png/bmp/ppm."""
+    df = spark.createDataFrame(DOCS, "doc_id long, text string")
+    media = mm.attach_encoded_media(df, "doc_id", "text", width=16)
+    out = {
+        r["id"]: r
+        for r in mm.decode_media_features(media, "doc_id", real=True).collect()
+    }
+    # doc 1 ("abc") → bmp (1%3): 16x1 grid, 3 channels → 48 decoded samples
+    assert out[1]["n_bytes"] == 48
+    assert out[1]["mean_byte"] == pytest.approx((97 + 98 + 99) * 3 / 48)
+
+
 def test_resize_and_frame_sample(media):
     small = {r["id"]: r["media_small"] for r in mm.resize_stub(media, "doc_id", target_bytes=4).collect()}
     assert len(small[2]) == 4 and len(small[1]) == 3
