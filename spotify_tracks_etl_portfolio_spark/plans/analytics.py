@@ -977,8 +977,8 @@ SELECT round(b.p01, 6) AS p01,
        CAST(count(*) FILTER (WHERE value < b.p01) AS BIGINT) AS n_clipped_low,
        CAST(count(*) FILTER (WHERE value > b.p99) AS BIGINT) AS n_clipped_high,
        round(sum(CAST(least(greatest(value, b.p01), b.p99) AS DECIMAL(28,6)))
-             / count(value), 6) AS avg_winsorized
-FROM events, b
+             / count(*), 6) AS avg_winsorized
+FROM (SELECT value FROM events WHERE value IS NOT NULL) e, b
 GROUP BY b.p01, b.p99
 """,
     description="Data-driven winsorization (the medallion clamp P4 with "
@@ -991,7 +991,13 @@ GROUP BY b.p01, b.p99
     tags=("analytics", "stats"),
 )
 def winsorized_event_values(spark: SparkSession, sf_dir: str) -> DataFrame:
-    ev = read_parquet_table(spark, sf_dir, "events")
+    # NULL values are excluded up front so both phases agree with the
+    # oracle even if the value column ever carries NULLs: otherwise
+    # Spark's non-nullable greatest(value, lit) would clamp NULLs to p01
+    # and count them in the mean, while the SQL twin drops them.
+    ev = read_parquet_table(spark, sf_dir, "events").filter(
+        F.col("value").isNotNull()
+    )
     b = ev.agg(
         F.percentile("value", F.lit(0.01)).alias("p01"),
         F.percentile("value", F.lit(0.99)).alias("p99"),

@@ -8,12 +8,34 @@ module registers the oracle-checked query surface.
 
 from __future__ import annotations
 
+import os
+import tempfile
+import uuid
+
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from spotify_tracks_etl_portfolio_spark.functions import rolling_hash, token_count
 from spotify_tracks_etl_portfolio_spark.plans import register
 from spotify_tracks_etl_portfolio_spark.sources.readers import read_parquet_table
+
+
+def _session_scratch(spark: SparkSession, name: str) -> str:
+    """Session-scoped scratch dir for queries that must materialize an
+    intermediate sink (streaming gates, interchange round-trips). Keyed
+    by Spark application id under the OS temp root, so the written data
+    outlives the query call and the result can be returned as a LAZY
+    ``spark.read`` — no ``.collect()`` through the driver. On a cluster
+    this would be a warehouse/object-store path; the whole tree dies
+    with the OS temp dir."""
+    base = os.path.join(
+        tempfile.gettempdir(),
+        "spark_graft_scratch",
+        spark.sparkContext.applicationId,
+    )
+    path = os.path.join(base, f"{name}_{uuid.uuid4().hex[:8]}")
+    os.makedirs(path, exist_ok=True)
+    return path
 
 
 @register(
@@ -1709,9 +1731,6 @@ def chunk_documents_sliding(spark: SparkSession, sf_dir: str) -> DataFrame:
     tags=("streaming", "extension", "dedup"),
 )
 def streaming_near_dedup_sync(spark: SparkSession, sf_dir: str) -> DataFrame:
-    import shutil
-    import tempfile
-
     from spotify_tracks_etl_portfolio_spark.streaming.pipeline import (
         read_documents_stream,
         streaming_near_dedup_new_docs,
@@ -1721,29 +1740,22 @@ def streaming_near_dedup_sync(spark: SparkSession, sf_dir: str) -> DataFrame:
     corpus = docs.filter(F.col("doc_id") % 2 == 0)
     new = docs.filter(F.col("doc_id") % 2 == 1)
 
-    d = tempfile.mkdtemp(prefix="nd_sync_")
+    d = _session_scratch(spark, "nd_sync")
     out = f"{d}/out"
-    try:
-        new.filter(F.col("doc_id") % 4 == 1).coalesce(1).write.parquet(
-            f"{d}/src/f1"
+    new.filter(F.col("doc_id") % 4 == 1).coalesce(1).write.parquet(f"{d}/src/f1")
+    new.filter(F.col("doc_id") % 4 == 3).coalesce(1).write.parquet(f"{d}/src/f2")
+    stream = read_documents_stream(spark, f"{d}/src/*")
+    q = (
+        streaming_near_dedup_new_docs(
+            stream, corpus, out, f"{d}/ckpt", JACCARD_THRESHOLD
         )
-        new.filter(F.col("doc_id") % 4 == 3).coalesce(1).write.parquet(
-            f"{d}/src/f2"
-        )
-        stream = read_documents_stream(spark, f"{d}/src/*")
-        q = (
-            streaming_near_dedup_new_docs(
-                stream, corpus, out, f"{d}/ckpt", JACCARD_THRESHOLD
-            )
-            .trigger(availableNow=True)
-            .start()
-        )
-        q.awaitTermination()
-        # materialize before the temp dir disappears
-        rows = spark.read.parquet(out).collect()
-    finally:
-        shutil.rmtree(d, ignore_errors=True)
-    return spark.createDataFrame(rows, "doc_id long")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    # lazy read from the session-scoped sink: the result never transits
+    # the driver (epoch_id is the sink's idempotency partition column)
+    return spark.read.parquet(out).select(F.col("doc_id").cast("long").alias("doc_id"))
 
 
 @register(
@@ -1759,9 +1771,6 @@ def streaming_near_dedup_sync(spark: SparkSession, sf_dir: str) -> DataFrame:
     tags=("extension", "sources"),
 )
 def jsonl_corpus_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
-    import shutil
-    import tempfile
-
     from spotify_tracks_etl_portfolio_spark.sources.readers import read_jsonl
     from spotify_tracks_etl_portfolio_spark.sources.writers import write_jsonl
 
@@ -1769,13 +1778,10 @@ def jsonl_corpus_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id long, text string, lang string, source string, n_chars long"
     )
     docs = read_parquet_table(spark, sf_dir, "documents")
-    d = tempfile.mkdtemp(prefix="jsonl_rt_")
-    try:
-        write_jsonl(docs, f"{d}/corpus", shards=2)
-        rows = read_jsonl(spark, f"{d}/corpus", schema).collect()
-    finally:
-        shutil.rmtree(d, ignore_errors=True)
-    return spark.createDataFrame(rows, schema).select(
+    d = _session_scratch(spark, "jsonl_rt")
+    write_jsonl(docs, f"{d}/corpus", shards=2)
+    # lazy read back from the session-scoped export — no .collect()
+    return read_jsonl(spark, f"{d}/corpus", schema).select(
         "doc_id", "text", "lang", "source", "n_chars"
     )
 

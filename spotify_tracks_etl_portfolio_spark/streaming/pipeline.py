@@ -34,9 +34,16 @@ def read_events_stream(
     (metadata only, no data scan): TIMESTAMP(NANOS) files arrive as
     INT64 under ``nanosAsLong`` and are truncated to µs exactly like the
     batch reader; TIMESTAMP(MICROS) files stream natively — so the same
-    pipeline runs over either vintage of the data without edits."""
+    pipeline runs over either vintage of the data without edits. If the
+    source directory is empty or absent at stream-definition time
+    (normal for a stream that starts before its producers), the probe
+    falls back to native TIMESTAMP(MICROS) — the current testdata
+    vintage — instead of failing."""
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    nanos = dict(spark.read.parquet(path).dtypes).get("ts") == "bigint"
+    try:
+        nanos = dict(spark.read.parquet(path).dtypes).get("ts") == "bigint"
+    except Exception:  # AnalysisException: path missing / no files yet
+        nanos = False
     raw_schema = (
         f"event_id long, ts {'long' if nanos else 'timestamp'}, "
         "user_id long, event_type string, value double, props string"
@@ -261,8 +268,15 @@ def streaming_near_dedup_new_docs(
     operator's output (the equivalence the sync query hash-checks).
     At scale the corpus band table is a precomputed bucketed artifact;
     here it is recomputed per batch, which only costs time, not
-    correctness. Returns the DataStreamWriter (caller sets the
-    trigger)."""
+    correctness.
+
+    Sink semantics: foreachBatch is at-least-once — a micro-batch can be
+    retried after a partial or even completed write. The sink is made
+    EFFECTIVELY EXACTLY-ONCE by writing each epoch to its own partition
+    directory (``epoch_id=<n>``) with overwrite mode: a replayed epoch
+    rewrites its own directory instead of appending duplicates. Readers
+    see ``epoch_id`` as an ordinary partition column. Returns the
+    DataStreamWriter (caller sets the trigger)."""
     from spotify_tracks_etl_portfolio_spark.operators.dedup import (
         cross_corpus_near_dup_ids,
     )
@@ -274,8 +288,8 @@ def streaming_near_dedup_new_docs(
         (
             batch.join(flagged, "doc_id", "left_anti")
             .select("doc_id")
-            .write.mode("append")
-            .parquet(out_path)
+            .write.mode("overwrite")
+            .parquet(f"{out_path}/epoch_id={int(epoch_id)}")
         )
 
     return new_stream.writeStream.foreachBatch(process).option(

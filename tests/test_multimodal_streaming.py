@@ -80,6 +80,15 @@ def test_injected_codec_flows_through_real_path(media):
     assert all(out[i]["first_byte"] == 7 for i in out)
 
 
+def test_read_events_stream_on_absent_source(spark, tmp_path):
+    """Defining the stream before any producer has written a file must
+    not raise (ADVICE r2): the ts-type probe falls back to native
+    TIMESTAMP(MICROS) when the directory is empty/absent."""
+    df = read_events_stream(spark, str(tmp_path / "not_yet_created" / "*"))
+    assert df.isStreaming
+    assert dict(df.dtypes)["ts"] == "timestamp"
+
+
 def test_codec_roundtrips():
     """Every built-in codec round-trips arbitrary payload bytes through a
     real file encoding (PNG chunks+zlib, BMP headers+padding, PPM)."""

@@ -38,6 +38,41 @@ def test_registry_contract():
     assert len(qs) >= 20
 
 
+def test_winsorized_null_robust(spark, tmp_path):
+    """winsorized_event_values must agree with its DuckDB oracle even
+    when events.value contains NULLs (ADVICE r2: Spark's non-nullable
+    greatest(value, lit) would otherwise clamp NULLs to p01 and count
+    them in the mean while the oracle drops them)."""
+    import duckdb
+    import pandas as pd
+
+    pdf = pd.DataFrame(
+        {
+            "event_id": range(100),
+            "ts": pd.to_datetime("2024-01-01") + pd.to_timedelta(range(100), "h"),
+            "user_id": [i % 7 for i in range(100)],
+            "event_type": ["click"] * 100,
+            "value": [float(i) if i % 5 else None for i in range(100)],
+            "props": ["{}"] * 100,
+        }
+    )
+    pdf["ts"] = pdf["ts"].astype("datetime64[us]")
+    sf = tmp_path / "sfnull"
+    sf.mkdir()
+    pdf.to_parquet(sf / "events.parquet")
+
+    spec = SPECS["winsorized_event_values"]
+    got = spec.fn(spark, str(sf)).first().asDict()
+
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW events AS SELECT * FROM read_parquet('{sf}/events.parquet')"
+    )
+    cols = [d[0] for d in con.execute(spec.oracle).description]
+    want = dict(zip(cols, con.execute(spec.oracle).fetchone()))
+    assert got == pytest.approx(want), (got, want)
+
+
 def test_queries_pin_utc_on_foreign_timezone_session(spark, sf_dir):
     """The driver hands queries a session IT built (no factory confs).
     On a non-UTC host every date_format/window string would shift
