@@ -513,11 +513,12 @@ def connected_components(
     clusters are cliques or short chains), so 2–4 rounds in practice.
     ``localCheckpoint(eager=True)`` truncates the growing lineage each
     round — without it the plan doubles per iteration. For adversarial
-    deep graphs (diameter > max_iter) pass ``algorithm="star"`` to use
+    deep graphs (diameter > max_iter) the label path AUTO-SWITCHES to
     alternating large-star/small-star (Kiveris et al., "Connected
     Components in MapReduce and Beyond"), which converges in O(log n)
-    rounds regardless of diameter. The label path WARNS if it exits
-    before fixpoint (a silent wrong answer otherwise).
+    rounds regardless of diameter — so the result is always minimal
+    labels, never a truncated fixpoint. Pass ``algorithm="star"`` to
+    skip label propagation entirely.
     """
     if algorithm == "star":
         return star_connected_components(edges, src, dst, max_iter)[0]
@@ -552,16 +553,17 @@ def connected_components(
         if changed == 0:
             break
     else:
-        import warnings
-
-        warnings.warn(
-            f"connected_components: label propagation did not reach a "
-            f"fixpoint in {max_iter} rounds (graph diameter exceeds "
-            f"max_iter) — component labels may be non-minimal. Re-run "
-            f'with a larger max_iter or algorithm="star".',
-            RuntimeWarning,
-            stacklevel=2,
-        )
+        # no fixpoint within max_iter (diameter > max_iter): returning
+        # the truncated labels would be silently non-minimal, so finish
+        # the job with the diameter-independent star algorithm instead.
+        comp, _ = star_connected_components(edges, src, dst)
+        # star drops isolated/self-loop-only nodes; restore them from
+        # the label universe as their own singleton components
+        singletons = labels.select("node").join(
+            comp.select("node"), "node", "left_anti"
+        ).withColumn("comp", F.col("node"))
+        sym.unpersist()
+        return comp.union(singletons)
     sym.unpersist()
     return labels
 

@@ -214,12 +214,42 @@ def test_star_components_matches_label_propagation(spark):
                     20: 20, 21: 20, 22: 20}
 
 
-def test_label_propagation_warns_below_diameter(spark):
+def test_label_propagation_auto_falls_back_to_star(spark):
+    """Deep path graph (diameter 99) with max_iter=5: label propagation
+    cannot converge, so connected_components must auto-switch to the
+    star algorithm and still return correct MINIMAL labels — with no
+    warning (warnings are errors here)."""
+    import warnings
+
     edges = spark.createDataFrame(
-        [(i, i + 1) for i in range(10)], "id_a long, id_b long"
+        [(i, i + 1) for i in range(99)], "id_a long, id_b long"
     )
-    with pytest.warns(RuntimeWarning, match="fixpoint"):
-        dd.connected_components(edges, "id_a", "id_b", max_iter=2)
+    with warnings.catch_warnings():
+        warnings.simplefilter("error")
+        got = {
+            r["node"]: r["comp"]
+            for r in dd.connected_components(
+                edges, "id_a", "id_b", max_iter=5
+            ).collect()
+        }
+    assert got == {i: 0 for i in range(100)}
+
+
+def test_label_propagation_fallback_keeps_singletons(spark):
+    """The star fallback drops self-loop-only nodes; the auto-fallback
+    must restore them as their own components (same node universe as
+    the pure label path)."""
+    edges = spark.createDataFrame(
+        [(i, i + 1) for i in range(50)] + [(90, 90)], "id_a long, id_b long"
+    )
+    got = {
+        r["node"]: r["comp"]
+        for r in dd.connected_components(
+            edges, "id_a", "id_b", max_iter=3
+        ).collect()
+    }
+    assert got[90] == 90
+    assert all(got[i] == 0 for i in range(51))
 
 
 def test_operators_handle_empty_inputs(spark):
