@@ -66,6 +66,30 @@ class ValidationReport:
             ],
         }
 
+    def to_markdown(self) -> str:
+        """One-page human-readable validation report — the engine's
+        analogue of GX's rendered evidence artifact (reference:
+        ``images/ss_silver_validation_gx.png``, produced by
+        dags/de_spotify_silver.py:82-218). Failures are listed first so
+        the page leads with what needs attention."""
+        n_pass = sum(1 for r in self.results if r.success)
+        status = "PASSED" if self.success else "FAILED"
+        lines = [
+            f"# Validation report — `{self.suite}`",
+            "",
+            f"**{status}** — {n_pass}/{len(self.results)} expectations met",
+            "",
+            "| expectation | status | observed | detail |",
+            "|---|---|---|---|",
+        ]
+        ordered = self.failures() + [r for r in self.results if r.success]
+        for r in ordered:
+            mark = "✅ pass" if r.success else "❌ FAIL"
+            lines.append(
+                f"| `{r.name}` | {mark} | {r.observed} | {r.detail} |"
+            )
+        return "\n".join(lines) + "\n"
+
 
 class DataQualityError(RuntimeError):
     pass

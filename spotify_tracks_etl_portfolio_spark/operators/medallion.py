@@ -55,6 +55,45 @@ def enrich_ingest_metadata(
     )
 
 
+def merge_with_audit_timestamps(
+    existing: DataFrame,
+    incoming: DataFrame,
+    key: str | list[str],
+    write_ts: Column | None = None,
+) -> DataFrame:
+    """Upsert with the reference's audit-timestamp trigger semantics
+    (reference: dags/sql/de_spotify_create_table.sql:29-30 —
+    ``created_at DEFAULT CURRENT_TIMESTAMP`` / ``updated_at ... ON
+    UPDATE CURRENT_TIMESTAMP``) re-expressed for immutable tables, the
+    deviation documented in SURVEY.md §1.2:
+
+    - a key already present keeps its ORIGINAL ``created_at`` and gets
+      ``updated_at`` = this write's pinned timestamp (the trigger's
+      on-update behavior, applied at write time);
+    - a new key gets ``created_at = updated_at`` = this write's
+      timestamp (the insert default).
+
+    The result is the full-refresh merge of ``existing`` and
+    ``incoming`` (incoming wins per key). One shuffle on the key; at
+    scale this is the foreachBatch/MERGE upsert shape with the audit
+    columns made explicit rather than trigger-magic."""
+    keys = [key] if isinstance(key, str) else key
+    ts = write_ts if write_ts is not None else F.current_timestamp()
+    prior = existing.select(
+        *keys, F.col("created_at").alias("__orig_created_at")
+    )
+    merged = (
+        incoming.join(prior, keys, "left")
+        .withColumn(
+            "created_at", F.coalesce(F.col("__orig_created_at"), ts)
+        )
+        .withColumn("updated_at", ts)
+        .drop("__orig_created_at")
+    )
+    untouched = existing.join(incoming.select(*keys), keys, "left_anti")
+    return untouched.unionByName(merged)
+
+
 def dedup_first(df: DataFrame, key: str | list[str], order_by: list[str]) -> DataFrame:
     """Keep the first row per key, "first" = lowest ``order_by`` (W1;
     reference: dags/sql/de_spotify_silver.sql:40-44 — ROW_NUMBER

@@ -70,3 +70,32 @@ def test_nulls_dont_trip_range_checks(spark):
     df = spark.createDataFrame([(1, "a", None)], SCHEMA)
     report = Suite(name="t", between={"score": (0.0, 1.0)}).run(df)
     assert report.success
+
+
+def test_validation_report_renders_markdown(spark):
+    """Human-readable one-page artifact from ValidationReport — the
+    engine's twin of the reference's rendered GX evidence
+    (images/ss_silver_validation_gx.png). Failures lead the table."""
+    suite = Suite(
+        name="render_demo",
+        not_null=["a"],
+        between={"b": (0.0, 1.0)},
+        row_count_min=1,
+    )
+    df = spark.createDataFrame(
+        [(None, 0.5), ("x", 5.0)], "a string, b double"
+    )
+    report = suite.run(df)
+    md = report.to_markdown()
+    assert "# Validation report — `render_demo`" in md
+    assert "**FAILED**" in md and "1/3 expectations met" in md
+    # every expectation appears exactly once
+    for name in ("not_null:a", "between:b", "row_count_min"):
+        assert md.count(f"`{name}`") == 1
+    # failures come before the passing row
+    assert md.index("not_null:a") < md.index("row_count_min")
+    assert md.index("between:b") < md.index("row_count_min")
+    assert "❌ FAIL" in md and "✅ pass" in md
+
+    ok = Suite(name="all_green", row_count_min=1).run(df)
+    assert "**PASSED**" in ok.to_markdown()

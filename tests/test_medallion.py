@@ -108,3 +108,44 @@ def test_nan_to_null(spark):
     df = spark.createDataFrame([(float("nan"),), (1.0,), (None,)], "v double")
     vals = [r["v"] for r in nan_to_null(df).collect()]
     assert vals.count(None) == 2 and 1.0 in vals
+
+
+def test_merge_with_audit_timestamps(spark):
+    """updated_at write-time semantics on the upsert/replay path — the
+    immutable-table re-expression of the reference's ON UPDATE
+    CURRENT_TIMESTAMP trigger (de_spotify_create_table.sql:29-30,
+    SURVEY.md §1.2 deviation): updates refresh updated_at but preserve
+    the original created_at; inserts set both; untouched rows keep both."""
+    from spotify_tracks_etl_portfolio_spark.operators.medallion import (
+        merge_with_audit_timestamps,
+    )
+
+    t0 = F.to_timestamp(F.lit("2024-01-01 00:00:00"))
+    t1 = F.to_timestamp(F.lit("2024-02-01 00:00:00"))
+    t2 = F.to_timestamp(F.lit("2024-03-01 00:00:00"))
+    existing = (
+        spark.createDataFrame([(1, "a"), (2, "b")], "id long, val string")
+        .withColumn("created_at", t0)
+        .withColumn("updated_at", t0)
+    )
+    incoming = spark.createDataFrame([(2, "b2"), (3, "c")], "id long, val string")
+
+    merged = merge_with_audit_timestamps(existing, incoming, "id", t1)
+    rows = {r["id"]: r for r in merged.collect()}
+    assert rows[1]["val"] == "a"  # untouched row intact
+    assert str(rows[1]["updated_at"]) == "2024-01-01 00:00:00"
+    assert rows[2]["val"] == "b2"  # updated: new value
+    assert str(rows[2]["created_at"]) == "2024-01-01 00:00:00"  # preserved
+    assert str(rows[2]["updated_at"]) == "2024-02-01 00:00:00"  # refreshed
+    assert str(rows[3]["created_at"]) == "2024-02-01 00:00:00"  # insert
+    assert str(rows[3]["updated_at"]) == "2024-02-01 00:00:00"
+
+    # replay the same incoming batch at t2: created_at stays stable,
+    # updated_at advances — exactly what the MySQL trigger would do
+    replayed = merge_with_audit_timestamps(merged, incoming, "id", t2)
+    rows = {r["id"]: r for r in replayed.collect()}
+    assert str(rows[2]["created_at"]) == "2024-01-01 00:00:00"
+    assert str(rows[2]["updated_at"]) == "2024-03-01 00:00:00"
+    assert str(rows[3]["created_at"]) == "2024-02-01 00:00:00"
+    assert str(rows[3]["updated_at"]) == "2024-03-01 00:00:00"
+    assert replayed.count() == 3
