@@ -43,6 +43,85 @@ def test_aqe_splits_skewed_join(spark):
         spark.conf.unset("spark.sql.adaptive.skewJoin.skewedPartitionFactor")
 
 
+def test_salted_join_balances_hot_key_and_is_bit_identical(spark):
+    """Skew-at-scale proof on an sf0.1-sized join (600k fact rows, ONE
+    hot custkey holding 30% of them): with AQE and broadcast disabled —
+    the worst case salting exists for — the plain shuffle join melts one
+    reducer (its input share ≈ the hot key's 30%), while the salted
+    twin spreads the hot key over 8 buckets and keeps every reducer's
+    input bounded. Balance is measured from the actual per-reducer row
+    counts (spark_partition_id of the join output = the task that
+    consumed that shuffle partition), and the salted output is verified
+    bit-identical to the unsalted join via an order-insensitive
+    multiset hash."""
+    from spotify_tracks_etl_portfolio_spark.operators.joins import salted_join
+
+    n, hot_n = 600_000, 180_000
+    fact = spark.range(n).select(
+        F.when(F.col("id") < hot_n, F.lit(7))
+        .otherwise(F.col("id") % 1000 + 100)
+        .alias("custkey"),
+        (F.col("id") * 13 % 997).alias("amount"),
+    )
+    dim = spark.range(1200).select(
+        F.col("id").alias("c_custkey"),
+        F.concat(F.lit("seg_"), F.col("id") % 5).alias("segment"),
+    )
+
+    confs = {
+        "spark.sql.adaptive.enabled": "false",  # measure the static shuffle
+        "spark.sql.autoBroadcastJoinThreshold": "-1",
+        # more reducers than salt buckets, so balance is measurable (the
+        # session fixture's 4 would put the perfectly-balanced floor at
+        # 25% per reducer)
+        "spark.sql.shuffle.partitions": "32",
+    }
+    saved = {k: spark.conf.get(k, None) for k in confs}
+
+    def reducer_shares(df):
+        counts = [
+            r["count"]
+            for r in df.withColumn("pid", F.spark_partition_id())
+            .groupBy("pid")
+            .count()
+            .collect()
+        ]
+        return max(counts) / sum(counts)
+
+    def multiset_hash(df):
+        cols = sorted(df.columns)
+        h = F.xxhash64(*cols)
+        return df.agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(h.cast("decimal(38,0)")).alias("s"),  # no ANSI overflow
+            F.bit_xor(h).alias("x"),
+        ).first()
+
+    try:
+        for k, v in confs.items():
+            spark.conf.set(k, v)
+        plain = fact.join(dim, fact.custkey == dim.c_custkey)
+        salted = salted_join(fact, dim, "custkey", "c_custkey",
+                             salt_from="amount", buckets=8)
+
+        plain_share = reducer_shares(plain)
+        salted_share = reducer_shares(salted)
+        # unmitigated: the hot key's 30% of rows land on ONE reducer
+        assert plain_share >= 0.29, plain_share
+        # salted: hot key spread over 8 buckets → no melted task
+        assert salted_share <= plain_share / 3, (plain_share, salted_share)
+        assert salted_share <= 0.10, salted_share
+
+        # the salt only reshapes the shuffle — results are identical
+        assert multiset_hash(plain) == multiset_hash(salted)
+    finally:
+        for k, v in saved.items():
+            if v is None:
+                spark.conf.unset(k)
+            else:
+                spark.conf.set(k, v)
+
+
 def test_aqe_coalesces_small_shuffle_partitions(spark):
     """A tiny aggregation shuffled over 32 static partitions is read
     back as far fewer coalesced partitions — the mechanism that lets a
