@@ -62,6 +62,7 @@ _PRIORITY_UNRECORDED = (
     "streaming_stream_stream_join_sync",
     "streaming_near_dedup_sync",
     # TPC-H shapes never recorded by the driver
+    "q2_min_cost_supplier",
     "q3_shipping_priority",
     "q4_late_shipment_priority",
     "q5_local_supplier_volume",

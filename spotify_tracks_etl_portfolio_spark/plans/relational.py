@@ -1885,3 +1885,79 @@ def q20_excess_quantity_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame
         .select("s_name", F.col("s_acctbal").cast("double").alias("s_acctbal"))
         .orderBy("s_name")
     )
+
+
+@register(
+    "q2_min_cost_supplier",
+    oracle="""
+WITH ps AS (
+  SELECT l_partkey, l_suppkey,
+         min(l_extendedprice / l_quantity) AS unit_cost
+  FROM lineitem GROUP BY l_partkey, l_suppkey
+),
+elig AS (
+  SELECT ps.l_partkey, ps.unit_cost, s.s_name, s.s_acctbal, n.n_name
+  FROM ps JOIN supplier s ON ps.l_suppkey = s.s_suppkey
+          JOIN nation n ON s.s_nationkey = n.n_nationkey
+          JOIN region r ON n.n_regionkey = r.r_regionkey
+  WHERE r.r_name = 'EUROPE'
+),
+mn AS (SELECT l_partkey, min(unit_cost) AS min_cost FROM elig GROUP BY l_partkey)
+SELECT CAST(e.s_acctbal AS DOUBLE) AS s_acctbal, e.s_name,
+       e.n_name AS nation, p.p_partkey, p.p_type,
+       round(e.unit_cost, 6) AS unit_cost
+FROM elig e
+JOIN mn ON e.l_partkey = mn.l_partkey AND e.unit_cost = mn.min_cost
+JOIN part p ON e.l_partkey = p.p_partkey
+WHERE p.p_size <= 10 AND p.p_type = 'STANDARD'
+ORDER BY s_acctbal DESC, nation, e.s_name, p.p_partkey
+LIMIT 100
+""",
+    description="TPC-H Q2 shape (minimum-cost supplier): the testdata has "
+    "no partsupp table, so per-(part,supplier) unit cost is DERIVED from "
+    "lineitem (min extendedprice/quantity — exact double math on both "
+    "engines); region-filtered supplier dims broadcast onto the derived "
+    "table, the part filter prunes BEFORE the per-part min (legal: the "
+    "min is over eligible suppliers only, independent of part attrs, so "
+    "pruning first shrinks the window input at scale), and the "
+    "correlated min resolves as one window over l_partkey — no "
+    "self-join, fully deterministic tie-broken top-100",
+    tags=("relational", "tpch", "join"),
+)
+def q2_min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    l = read_parquet_table(spark, sf_dir, "lineitem")
+    s = read_parquet_table(spark, sf_dir, "supplier")
+    n = read_parquet_table(spark, sf_dir, "nation")
+    r = read_parquet_table(spark, sf_dir, "region").filter(
+        F.col("r_name") == "EUROPE"
+    )
+    ps = l.groupBy("l_partkey", "l_suppkey").agg(
+        F.min(F.col("l_extendedprice") / F.col("l_quantity")).alias("unit_cost")
+    )
+    dims = (
+        s.join(F.broadcast(n), s.s_nationkey == n.n_nationkey)
+        .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
+        .select("s_suppkey", "s_name", "s_acctbal", "n_name")
+    )
+    elig = ps.join(F.broadcast(dims), ps.l_suppkey == dims.s_suppkey)
+    pf = read_parquet_table(spark, sf_dir, "part").filter(
+        (F.col("p_size") <= 10) & (F.col("p_type") == "STANDARD")
+    )
+    elig_f = elig.join(F.broadcast(pf), elig.l_partkey == pf.p_partkey)
+    w = Window.partitionBy("l_partkey")
+    return (
+        elig_f.withColumn("__mn", F.min("unit_cost").over(w))
+        .filter(F.col("unit_cost") == F.col("__mn"))
+        .select(
+            F.col("s_acctbal").cast("double").alias("s_acctbal"),
+            "s_name",
+            F.col("n_name").alias("nation"),
+            "p_partkey",
+            "p_type",
+            F.round("unit_cost", 6).alias("unit_cost"),
+        )
+        .orderBy(
+            F.desc("s_acctbal"), "nation", "s_name", "p_partkey"
+        )
+        .limit(100)
+    )
