@@ -144,6 +144,38 @@ def redact(
     )
 
 
+#: Ordered PII scrub patterns — order matters (URLs may embed emails and
+#: digits, emails embed dots, so broader containers replace first). Each
+#: pattern stays inside the common Java-regex ∩ RE2 subset so the DuckDB
+#: oracle can run the identical expressions.
+PII_PATTERNS: tuple[tuple[str, str, str], ...] = (
+    ("url", r"https?://[^\s]+", "[URL]"),
+    ("email", r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}", "[EMAIL]"),
+    ("ip", r"\b\d{1,3}(\.\d{1,3}){3}\b", "[IP]"),
+    ("number", r"\d{7,}", "[NUMBER]"),
+)
+
+
+def pii_scrub(
+    df: DataFrame, col: str, out_col: str = "text_clean"
+) -> DataFrame:
+    """Multi-category PII scrub (corpus-shipping hygiene): sequentially
+    replace URLs → emails → IPv4s → long digit runs with typed mask
+    tokens, counting each category at its stage (after broader
+    containers are gone, so a URL's digits are never double-counted as
+    a phone number).
+
+    Scale posture: one whole-stage-codegen projection of chained
+    ``regexp_replace``/``regexp_count`` Column expressions — no UDF, no
+    shuffle, streams at scan speed."""
+    cur = F.col(col)
+    counts = {}
+    for cat, pat, token in PII_PATTERNS:
+        counts[f"n_{cat}"] = F.regexp_count(cur, F.lit(pat)).cast("long")
+        cur = F.regexp_replace(cur, pat, token)
+    return df.withColumns({**counts, out_col: cur})
+
+
 #: Sliding-window chunking defaults (chars). Stride < size ⇒ adjacent
 #: chunks overlap by (size − stride) chars, the standard RAG/embedding
 #: prep so no sentence is ever split across a boundary without context.

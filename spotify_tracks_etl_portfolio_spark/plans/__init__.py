@@ -86,6 +86,8 @@ _PRIORITY_UNRECORDED = (
     "chunk_documents_sliding",
     "jsonl_corpus_roundtrip",
     "embedding_random_projection",
+    "pii_scrub_documents",
+    "orc_corpus_roundtrip",
 )
 
 

@@ -1788,6 +1788,82 @@ def jsonl_corpus_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "pii_scrub_documents",
+    oracle=r"""
+WITH base AS (
+  SELECT doc_id,
+         text || ' Contact: user' || doc_id ||
+         '@example.com via https://example.org/u/' || doc_id ||
+         ' from 10.' || (doc_id % 250) || '.0.1 ref 5551234' ||
+         lpad(CAST(doc_id AS VARCHAR), 4, '0') AS t0
+  FROM documents
+),
+s1 AS (SELECT doc_id,
+              CAST(len(regexp_extract_all(t0, 'https?://[^\s]+')) AS BIGINT) AS n_url,
+              regexp_replace(t0, 'https?://[^\s]+', '[URL]', 'g') AS t1 FROM base),
+s2 AS (SELECT doc_id, n_url,
+              CAST(len(regexp_extract_all(t1, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')) AS BIGINT) AS n_email,
+              regexp_replace(t1, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '[EMAIL]', 'g') AS t2 FROM s1),
+s3 AS (SELECT doc_id, n_url, n_email,
+              CAST(len(regexp_extract_all(t2, '\b\d{1,3}(\.\d{1,3}){3}\b')) AS BIGINT) AS n_ip,
+              regexp_replace(t2, '\b\d{1,3}(\.\d{1,3}){3}\b', '[IP]', 'g') AS t3 FROM s2)
+SELECT doc_id, n_url, n_email, n_ip,
+       CAST(len(regexp_extract_all(t3, '\d{7,}')) AS BIGINT) AS n_number,
+       regexp_replace(t3, '\d{7,}', '[NUMBER]', 'g') AS text_clean
+FROM s3
+""",
+    description="Multi-category PII scrub (URL → email → IPv4 → long "
+    "digit runs, typed mask tokens, per-category counts at each stage): "
+    "a deterministic contact footer is appended to every document (the "
+    "synthetic corpus carries no PII-shaped tokens) and scrubbed — one "
+    "chained regexp projection, whole-stage codegen, no UDF",
+    tags=("extension", "text"),
+)
+def pii_scrub_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = read_parquet_table(spark, sf_dir, "documents")
+    footered = docs.select(
+        "doc_id",
+        F.concat(
+            F.col("text"),
+            F.lit(" Contact: user"), F.col("doc_id"),
+            F.lit("@example.com via https://example.org/u/"), F.col("doc_id"),
+            F.lit(" from 10."), F.col("doc_id") % 250,
+            F.lit(".0.1 ref 5551234"),
+            F.lpad(F.col("doc_id").cast("string"), 4, "0"),
+        ).alias("t0"),
+    )
+    return _tx.pii_scrub(footered, "t0").select(
+        "doc_id", "n_url", "n_email", "n_ip", "n_number", "text_clean"
+    )
+
+
+@register(
+    "orc_corpus_roundtrip",
+    oracle="SELECT doc_id, text, lang, source, n_chars FROM documents",
+    description="ORC corpus interchange under the gate: the documents "
+    "table exports to zstd ORC (write_orc: round-robin resharded — the "
+    "columnar format Hive/Trino stacks ingest natively) and reads back "
+    "with an explicit schema, then hash-matches the original table "
+    "byte-for-byte — proving the second columnar interchange format "
+    "round-trips exactly like parquet/JSONL",
+    tags=("extension", "sources"),
+)
+def orc_corpus_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from spotify_tracks_etl_portfolio_spark.sources.readers import read_orc
+    from spotify_tracks_etl_portfolio_spark.sources.writers import write_orc
+
+    schema = (
+        "doc_id long, text string, lang string, source string, n_chars long"
+    )
+    docs = read_parquet_table(spark, sf_dir, "documents")
+    d = _session_scratch(spark, "orc_rt")
+    write_orc(docs, f"{d}/corpus", shards=2)
+    return read_orc(spark, f"{d}/corpus", schema).select(
+        "doc_id", "text", "lang", "source", "n_chars"
+    )
+
+
 def _random_projection_oracle() -> str:
     s = _sim
     projs = ",\n       ".join(

@@ -118,3 +118,16 @@ def read_jsonl(
     splittable (or shards kept small) for that to hold.
     """
     return spark.read.schema(schema).json(path)
+
+
+def read_orc(
+    spark: SparkSession, path: str, schema: T.StructType | str | None = None
+) -> DataFrame:
+    """ORC scan (columnar interchange with Hive/Trino/Presto stacks).
+    Like the parquet reader, an explicit schema skips inference and
+    normalizes physical types; ORC gets the same vectorized reader +
+    predicate pushdown treatment from Spark as parquet."""
+    reader = spark.read
+    if schema is not None:
+        reader = reader.schema(schema)
+    return reader.orc(path)

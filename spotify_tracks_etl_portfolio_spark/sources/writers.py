@@ -274,3 +274,17 @@ def write_jsonl(
     if compression:
         writer = writer.option("compression", compression)
     writer.json(path)
+
+
+def write_orc(
+    df: DataFrame,
+    path: str,
+    mode: str = "overwrite",
+    compression: str = "zstd",
+    shards: int | None = None,
+) -> None:
+    """Export as ORC (the columnar interchange Hive/Trino stacks read
+    natively) — same round-robin resharding contract as ``write_jsonl``
+    so downstream loaders see even shard sizes."""
+    w = df.repartition(shards) if shards else df
+    w.write.mode(mode).option("compression", compression).orc(path)

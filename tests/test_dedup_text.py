@@ -358,3 +358,44 @@ def test_sliding_chunks_cover_and_overlap(spark):
     # short doc → exactly one whole-text chunk
     c2 = by_doc[2]
     assert len(c2) == 1 and c2[0]["chunk"] == "short" and c2[0]["n_chunks"] == 1
+
+
+def test_pii_scrub_order_and_counts(spark):
+    """URL replaced before email/digits so its contents are never
+    double-counted; every category masks with its typed token and
+    reports its stage count."""
+    rows = spark.createDataFrame(
+        [
+            (1, "mail me at a.b+c@corp.io or see https://x.io/u/9?id=12345678"),
+            (2, "server 192.168.0.1 called 5551234567 twice"),
+            (3, "clean text with a short 123 number"),
+        ],
+        "id long, t string",
+    )
+    out = {r["id"]: r for r in dd_pii(rows).collect()}
+    assert out[1]["text_clean"] == "mail me at [EMAIL] or see [URL]"
+    assert (out[1]["n_url"], out[1]["n_email"], out[1]["n_number"]) == (1, 1, 0)
+    assert out[2]["text_clean"] == "server [IP] called [NUMBER] twice"
+    assert (out[2]["n_ip"], out[2]["n_number"]) == (1, 1)
+    assert out[3]["text_clean"] == out[3]["t"]  # nothing PII-shaped
+    assert (out[3]["n_url"], out[3]["n_email"], out[3]["n_ip"],
+            out[3]["n_number"]) == (0, 0, 0, 0)
+
+
+def dd_pii(df):
+    from spotify_tracks_etl_portfolio_spark.operators.text import pii_scrub
+
+    return pii_scrub(df, "t")
+
+
+def test_orc_roundtrip_and_sharding(spark, tmp_path):
+    from spotify_tracks_etl_portfolio_spark.sources.readers import read_orc
+    from spotify_tracks_etl_portfolio_spark.sources.writers import write_orc
+
+    df = spark.range(100).selectExpr("id", "concat('d', id) AS s")
+    write_orc(df, str(tmp_path / "orc"), shards=3)
+    import glob
+
+    assert len(glob.glob(str(tmp_path / "orc" / "part-*.orc"))) == 3
+    back = read_orc(spark, str(tmp_path / "orc"), "id long, s string")
+    assert back.orderBy("id").collect() == df.orderBy("id").collect()
