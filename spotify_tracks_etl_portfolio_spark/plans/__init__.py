@@ -88,6 +88,7 @@ _PRIORITY_UNRECORDED = (
     "embedding_random_projection",
     "pii_scrub_documents",
     "orc_corpus_roundtrip",
+    "pack_training_sequences",
 )
 
 

@@ -1216,6 +1216,91 @@ def token_budget_shards(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+#: Model context length for sequence packing (tokens).
+PACK_CONTEXT_LEN = 512
+
+
+@register(
+    "pack_training_sequences",
+    oracle=f"""
+WITH t AS (
+  SELECT doc_id, lang,
+         CAST(CASE WHEN trim(text) = '' THEN 0
+              ELSE len(string_split_regex(trim(text), '\\s+')) END AS BIGINT) AS n_tokens,
+         {_FP_SQL} AS h
+  FROM documents
+),
+base AS (
+  SELECT lang,
+         COALESCE(SUM(lt) OVER (ORDER BY lang
+           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS base
+  FROM (SELECT lang, SUM(n_tokens) AS lt FROM t GROUP BY lang)
+),
+c AS (
+  SELECT t.doc_id, t.n_tokens,
+         b.base + COALESCE(SUM(t.n_tokens) OVER (
+           PARTITION BY t.lang ORDER BY t.h, t.doc_id
+           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cum_before
+  FROM t JOIN base b USING (lang)
+)
+SELECT doc_id, n_tokens,
+       CAST(cum_before // {PACK_CONTEXT_LEN} AS BIGINT) AS seq_id,
+       CAST(cum_before % {PACK_CONTEXT_LEN} AS BIGINT) AS seq_offset,
+       CAST((cum_before + greatest(n_tokens, 1) - 1) // {PACK_CONTEXT_LEN}
+            - cum_before // {PACK_CONTEXT_LEN} AS BIGINT) AS n_boundary_crossings
+FROM c
+""",
+    description=f"GPT-style concatenative sequence packing: documents are "
+    f"laid end-to-end in a deterministic global order (lang, then content "
+    f"hash, then id — no RNG, so re-runs pack identically) and cut every "
+    f"{PACK_CONTEXT_LEN} tokens; each doc gets its (seq_id, seq_offset) "
+    f"plus how many context boundaries it spans. Scale shape: the global "
+    f"prefix sum is two-level — per-lang running-sum windows that "
+    f"parallelize across strata, offset by a broadcast per-lang base "
+    f"(the standard distributed scan), never a single-partition global "
+    f"window. The shared polynomial content hash orders both engines "
+    f"identically, same as token_budget_shards",
+    tags=("extension", "curation"),
+)
+def pack_training_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    docs = read_parquet_table(spark, sf_dir, "documents")
+    nt = token_count("text").cast("long")
+    # tiny per-stratum totals → running base offsets (rows = #langs, so
+    # the unpartitioned window is over a handful of rows, not the data)
+    lang_tot = docs.groupBy("lang").agg(F.sum(nt).alias("__lt"))
+    wb = Window.orderBy("lang").rowsBetween(Window.unboundedPreceding, -1)
+    base = lang_tot.select(
+        "lang",
+        F.coalesce(F.sum("__lt").over(wb), F.lit(0).cast("long")).alias("__base"),
+    )
+    w = (
+        Window.partitionBy("lang")
+        .orderBy(rolling_hash("text").asc(), F.col("doc_id").asc())
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    cum_before = F.col("__base") + F.coalesce(
+        F.sum(nt).over(w), F.lit(0).cast("long")
+    )
+    return (
+        docs.join(F.broadcast(base), "lang")
+        .select(
+            "doc_id",
+            nt.alias("n_tokens"),
+            F.floor(cum_before / PACK_CONTEXT_LEN).cast("long").alias("seq_id"),
+            (cum_before % PACK_CONTEXT_LEN).cast("long").alias("seq_offset"),
+            (
+                F.floor(
+                    (cum_before + F.greatest(nt, F.lit(1)) - 1)
+                    / PACK_CONTEXT_LEN
+                )
+                - F.floor(cum_before / PACK_CONTEXT_LEN)
+            ).cast("long").alias("n_boundary_crossings"),
+        )
+    )
+
+
 @register(
     "embedding_dimension_stats",
     oracle="""

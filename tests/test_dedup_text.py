@@ -399,3 +399,33 @@ def test_orc_roundtrip_and_sharding(spark, tmp_path):
     assert len(glob.glob(str(tmp_path / "orc" / "part-*.orc"))) == 3
     back = read_orc(spark, str(tmp_path / "orc"), "id long, s string")
     assert back.orderBy("id").collect() == df.orderBy("id").collect()
+
+
+def test_pack_training_sequences_invariants(spark, sf_dir):
+    """Concatenative packing geometry: offsets live inside the context
+    window, boundary-crossing counts match each doc's token span, and
+    consecutive docs in pack order tile the token line with no gaps."""
+    from spotify_tracks_etl_portfolio_spark.plans import all_queries
+    from spotify_tracks_etl_portfolio_spark.plans.extensions import (
+        PACK_CONTEXT_LEN,
+    )
+
+    out = (
+        all_queries()["pack_training_sequences"]
+        .fn(spark, sf_dir)
+        .collect()
+    )
+    assert len(out) > 0
+    starts = []
+    for r in out:
+        assert 0 <= r["seq_offset"] < PACK_CONTEXT_LEN
+        start = r["seq_id"] * PACK_CONTEXT_LEN + r["seq_offset"]
+        end = start + max(r["n_tokens"], 1) - 1
+        assert r["n_boundary_crossings"] == end // PACK_CONTEXT_LEN - r["seq_id"]
+        starts.append((start, r["n_tokens"]))
+    # docs tile the concatenated token line contiguously
+    starts.sort()
+    pos = 0
+    for start, nt in starts:
+        assert start == pos, (start, pos)
+        pos += nt
