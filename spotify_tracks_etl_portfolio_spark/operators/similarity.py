@@ -444,3 +444,75 @@ def diversity_sample_cells(
             F.count(F.lit(1)).alias("n_members"),
         )
     )
+
+
+def semantic_dedup(
+    df: DataFrame,
+    id_col: str,
+    vec_col: str,
+    threshold: float = 0.95,
+    k: int = 8,
+    iters: int = 3,
+) -> DataFrame:
+    """SemDeDup-style semantic deduplication (Abbas et al. 2023,
+    arXiv:2303.09540): cluster the embedding space with deterministic
+    k-means, then WITHIN each cluster drop every vector that has a
+    lower-id neighbor with cosine ≥ ``threshold`` — semantic duplicates
+    (paraphrases, re-crawls, template variants) collapse to one
+    canonical representative per cluster.
+
+    Scale design: the pairwise comparison is scoped to cluster members
+    only — one shuffle on the cell id, then a per-cell self-join whose
+    cost is Σ|cell|² ≈ n²/k instead of n² (pick k so cells fit a task;
+    at 100 TB k is 10⁴-10⁵ and cells are ~10⁴ vectors). Cell
+    assignment reuses the Arrow-batched k-means probe; the verify stays
+    exact Column math. Deterministic end-to-end: no RNG anywhere, so
+    re-runs drop the identical set.
+
+    Returns (id, cell, is_kept) for every input vector.
+    """
+    cents = kmeans_centroids(df, id_col, vec_col, k=k, iters=iters)
+    cent_rows = [
+        (int(r["cell"]), [float(x) for x in r[vec_col]])
+        for r in cents.collect()
+    ]
+    assign1 = probe_cells_udf(cent_rows, nprobe=1)
+    assigned = df.select(
+        F.col(id_col),
+        F.col(vec_col),
+        F.element_at(assign1(F.col(vec_col)), 1).alias("cell"),
+        vec_norm_safe(vec_col).alias("__n"),
+    )
+    a = assigned.select(
+        "cell",
+        F.col(id_col).alias("__ida"),
+        F.col(vec_col).alias("__va"),
+        F.col("__n").alias("__na"),
+    )
+    b = assigned.select(
+        "cell",
+        F.col(id_col).alias("__idb"),
+        F.col(vec_col).alias("__vb"),
+        F.col("__n").alias("__nb"),
+    )
+    # every vector with a LOWER-id near-duplicate in its cell is dropped
+    dropped = (
+        a.join(b, "cell")
+        .filter(F.col("__idb") < F.col("__ida"))
+        .withColumn(
+            "__cos",
+            F.round(
+                vec_dot("__va", "__vb") / (F.col("__na") * F.col("__nb")), 6
+            ),
+        )
+        .filter(F.col("__cos") >= threshold)
+        .select(F.col("__ida").alias(id_col))
+        .distinct()
+    )
+    return assigned.join(
+        dropped.withColumn("__drop", F.lit(True)), id_col, "left"
+    ).select(
+        id_col,
+        "cell",
+        F.col("__drop").isNull().alias("is_kept"),
+    )

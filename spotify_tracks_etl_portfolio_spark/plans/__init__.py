@@ -89,6 +89,7 @@ _PRIORITY_UNRECORDED = (
     "pii_scrub_documents",
     "orc_corpus_roundtrip",
     "pack_training_sequences",
+    "semantic_dedup_embeddings",
 )
 
 

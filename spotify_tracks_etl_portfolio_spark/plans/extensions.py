@@ -1216,6 +1216,24 @@ def token_budget_shards(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "semantic_dedup_embeddings",
+    oracle=None,  # k-means cells → approximate by design, rows-only check
+    description="SemDeDup-style semantic dedup (arXiv:2303.09540): "
+    "deterministic k-means clusters the embedding space, then within "
+    "each cluster every vector with a lower-id cosine>=0.9 neighbor is "
+    "dropped — pairwise work scoped to cells (n²/k, the SemDeDup design "
+    "point), exact Column-math verify, no RNG so re-runs drop the "
+    "identical set. Quantitative pytest gates: planted duplicates drop, "
+    "soundness vs global brute force. Approximate (cluster-scoped) ⇒ "
+    "no SQL oracle.",
+    tags=("extension", "similarity", "dedup", "approx"),
+)
+def semantic_dedup_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = read_parquet_table(spark, sf_dir, "embeddings")
+    return _sim.semantic_dedup(emb, "vec_id", "embedding", threshold=0.9)
+
+
 #: Model context length for sequence packing (tokens).
 PACK_CONTEXT_LEN = 512
 

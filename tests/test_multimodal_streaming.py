@@ -588,3 +588,41 @@ def test_streaming_near_dedup_matches_batch_operator(spark, sf_dir, tmp_path):
     }
     got = {r["doc_id"] for r in spark.read.parquet(out).collect()}
     assert got == want
+
+
+def test_near_dedup_sink_epoch_replay_is_idempotent(spark, tmp_path):
+    """foreachBatch is at-least-once: a retried micro-batch re-runs its
+    process function with the SAME epoch_id. The epoch-partitioned
+    overwrite sink must yield identical contents after a replay, not
+    appended duplicates (ADVICE r2)."""
+    from pyspark.sql import functions as F
+
+    from spotify_tracks_etl_portfolio_spark.operators.dedup import (
+        cross_corpus_near_dup_ids,
+    )
+
+    corpus = spark.createDataFrame(
+        [(0, "the quick brown fox jumps over the lazy dog today")],
+        "doc_id long, text string",
+    )
+    batch = spark.createDataFrame(
+        [(1, "a completely different document about spark window joins"),
+         (3, "the quick brown fox jumps over the lazy dog today")],
+        "doc_id long, text string",
+    )
+    out = str(tmp_path / "out")
+
+    def process(b, epoch_id):
+        flagged = cross_corpus_near_dup_ids(b, corpus, "doc_id", "text", 0.5)
+        (
+            b.join(flagged, "doc_id", "left_anti")
+            .select("doc_id")
+            .write.mode("overwrite")
+            .parquet(f"{out}/epoch_id={int(epoch_id)}")
+        )
+
+    process(batch, 0)
+    first = sorted(r["doc_id"] for r in spark.read.parquet(out).collect())
+    process(batch, 0)  # replay the same epoch
+    replayed = sorted(r["doc_id"] for r in spark.read.parquet(out).collect())
+    assert first == replayed == [1]  # survivor once, dup of corpus dropped

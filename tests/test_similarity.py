@@ -174,3 +174,47 @@ def test_zero_vector_gets_defined_cosine_not_nan(spark):
     cells = emb.select("vec_id", probe(F.col("embedding")).alias("c")).collect()
     got = {r["vec_id"]: r["c"][0] for r in cells}
     assert got[1] == 0  # zero vector → similarity 0 to both → smallest cell
+
+
+def test_semantic_dedup_drops_planted_duplicates(spark):
+    """Planted near-copies collapse to the lowest id; distinct directions
+    survive — and the result is identical across re-runs (no RNG)."""
+    base = [
+        (0, [1.0, 0.0, 0.0, 0.0]),
+        (1, [0.0, 1.0, 0.0, 0.0]),
+        (2, [0.0, 0.0, 1.0, 0.0]),
+        (3, [0.999, 0.01, 0.0, 0.0]),   # near-copy of 0
+        (4, [0.0, 0.998, 0.02, 0.0]),   # near-copy of 1
+        (5, [0.5, 0.5, 0.5, 0.5]),      # genuinely new direction
+    ]
+    emb = spark.createDataFrame(base, "vec_id long, embedding array<double>")
+    out = {
+        r["vec_id"]: r["is_kept"]
+        for r in sim.semantic_dedup(emb, "vec_id", "embedding",
+                                    threshold=0.95, k=3, iters=2).collect()
+    }
+    assert out[0] and out[1] and out[2] and out[5]
+    assert not out[3] and not out[4]
+    rerun = {
+        r["vec_id"]: r["is_kept"]
+        for r in sim.semantic_dedup(emb, "vec_id", "embedding",
+                                    threshold=0.95, k=3, iters=2).collect()
+    }
+    assert rerun == out
+
+
+def test_semantic_dedup_soundness_on_testdata(spark, sf_dir):
+    """Soundness: every vector semantic_dedup drops must ALSO be a
+    brute-force global near-dup of some lower-id vector (cluster scoping
+    can only lose recall, never drop a non-duplicate)."""
+    emb = read_parquet_table(spark, sf_dir, "embeddings")
+    out = sim.semantic_dedup(emb, "vec_id", "embedding", threshold=0.9)
+    dropped = {r["vec_id"] for r in out.filter(~F.col("is_kept")).collect()}
+
+    from spotify_tracks_etl_portfolio_spark.operators.dedup import (
+        embedding_near_dup_pairs,
+    )
+
+    brute = embedding_near_dup_pairs(emb, "vec_id", "embedding", 0.9)
+    has_lower = {r["id_b"] for r in brute.collect()}  # id_b > id_a pairs
+    assert dropped <= has_lower, dropped - has_lower
