@@ -327,3 +327,40 @@ def test_cross_corpus_near_dedup_only_equi_joins(spark, sf_dir):
     plan = plan_of(spark, "near_dedup_new_vs_corpus", sf_dir)
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_q2_broadcasts_dims_and_avoids_self_join(spark, sf_dir):
+    """Q2's correlated min resolves as ONE window over the derived
+    partsupp — no second aggregation-join pass over it, no cartesian;
+    supplier/nation/region/part dims all broadcast."""
+    plan = plan_of(spark, "q2_min_cost_supplier", sf_dir)
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert plan.count("BroadcastHashJoin") >= 2  # dims + part filter
+    assert "SortMergeJoin" not in plan  # nothing big joins big
+    assert "TakeOrderedAndProject" in plan  # top-100 never sorts fully
+
+
+def test_pii_scrub_is_single_projection_no_shuffle(spark, sf_dir):
+    """The chained regexp scrub must compile to scan → project with no
+    exchange and no Python evaluation: it streams at scan speed."""
+    plan = plan_of(spark, "pii_scrub_documents", sf_dir)
+    assert "Exchange" not in plan
+    assert "BatchEvalPython" not in plan and "ArrowEval" not in plan
+    assert plan.count("FileScan parquet") == 1
+
+
+def test_pack_sequences_partitions_by_lang_not_global(spark, sf_dir):
+    """The scalable prefix-sum shape: the per-doc running sum must window
+    over lang partitions (hashpartitioning on lang), with the lang-base
+    join broadcast — NOT a single-partition global window over the
+    data."""
+    plan = plan_of(spark, "pack_training_sequences", sf_dir)
+    assert "Exchange hashpartitioning(lang" in plan
+    assert "BroadcastHashJoin" in plan
+    # the only SinglePartition exchange allowed feeds the tiny per-lang
+    # base table (#langs rows), never the documents scan
+    import re
+
+    singles = len(re.findall(r"Exchange SinglePartition", plan))
+    assert singles <= 1, plan[:3000]
