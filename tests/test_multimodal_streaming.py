@@ -626,3 +626,34 @@ def test_near_dedup_sink_epoch_replay_is_idempotent(spark, tmp_path):
     process(batch, 0)  # replay the same epoch
     replayed = sorted(r["doc_id"] for r in spark.read.parquet(out).collect())
     assert first == replayed == [1]  # survivor once, dup of corpus dropped
+
+
+def test_resize_images_real_decode_resample_reencode(spark):
+    """Real resize path: encode text → PNG/BMP/PPM, decode, nearest-
+    neighbor resample to 8x8, re-encode PNG — the output is itself a
+    valid decodable 8x8 grayscale PNG with pixels drawn from the
+    source grid."""
+    df = spark.createDataFrame(DOCS, "doc_id long, text string")
+    media = mm.attach_encoded_media(df, "doc_id", "text", width=16)
+    out = {
+        r["id"]: bytes(r["thumb"])
+        for r in mm.resize_images(media, "doc_id", target_w=8, target_h=8).collect()
+    }
+    assert set(out) == {0, 1, 2}
+    for i, text in DOCS:
+        img = mm.decode_image(out[i])
+        assert (img["format"], img["width"], img["height"], img["channels"]) == (
+            "png", 8, 8, 1,
+        )
+        # nearest-neighbor of row 0 col 0 == first payload byte
+        payload = text.encode("utf-8")
+        assert img["samples"][0] == payload[0]
+
+
+def test_resample_nearest_identity_and_downsample():
+    src = bytes(range(16))  # 4x4 grayscale
+    assert mm._resample_nearest(src, 4, 4, 1, 4, 4) == src  # identity
+    half = mm._resample_nearest(src, 4, 4, 1, 2, 2)
+    assert half == bytes([0, 2, 8, 10])  # every other row/col
+    rgb = bytes(range(12))  # 2x2 RGB
+    assert mm._resample_nearest(rgb, 2, 2, 3, 1, 1) == bytes([0, 1, 2])
