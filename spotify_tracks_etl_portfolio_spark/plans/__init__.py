@@ -90,6 +90,7 @@ _PRIORITY_UNRECORDED = (
     "orc_corpus_roundtrip",
     "pack_training_sequences",
     "semantic_dedup_embeddings",
+    "bm25_search_documents",
 )
 
 

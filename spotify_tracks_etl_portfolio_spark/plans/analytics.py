@@ -576,6 +576,120 @@ def tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+#: BM25 retrieval parameters (Robertson/Sparck Jones defaults) + a fixed
+#: query drawn from the corpus vocabulary.
+BM25_K1 = 1.2
+BM25_B = 0.75
+BM25_TERMS = ("spark", "join", "window")
+
+
+def _bm25_oracle() -> str:
+    terms = ", ".join(f"'{t}'" for t in BM25_TERMS)
+    per_term = " + ".join(
+        f"COALESCE(max(CASE WHEN token = '{t}' THEN ts END), 0.0)"
+        for t in BM25_TERMS
+    )
+    return f"""
+WITH toks AS (
+  SELECT doc_id, unnest(string_split_regex(trim(text), '\\s+')) AS token
+  FROM documents WHERE trim(text) <> ''
+),
+dl AS (SELECT doc_id, CAST(count(*) AS DOUBLE) AS dl FROM toks GROUP BY doc_id),
+stats AS (SELECT CAST(count(*) AS DOUBLE) AS n, avg(dl) AS avgdl FROM dl),
+tf AS (
+  SELECT doc_id, token, CAST(count(*) AS DOUBLE) AS tf
+  FROM toks WHERE token IN ({terms}) GROUP BY doc_id, token
+),
+dfreq AS (
+  SELECT token, CAST(count(DISTINCT doc_id) AS DOUBLE) AS df
+  FROM toks WHERE token IN ({terms}) GROUP BY token
+),
+ts AS (
+  SELECT tf.doc_id, tf.token,
+         ln((s.n - d.df + 0.5) / (d.df + 0.5) + 1.0)
+           * tf.tf * ({BM25_K1} + 1.0)
+           / (tf.tf + {BM25_K1} * (1.0 - {BM25_B} + {BM25_B} * dl.dl / s.avgdl))
+           AS ts
+  FROM tf JOIN dfreq d USING (token) JOIN dl USING (doc_id) CROSS JOIN stats s
+)
+SELECT doc_id, round({per_term}, 6) AS bm25
+FROM ts GROUP BY doc_id
+ORDER BY bm25 DESC, doc_id LIMIT 20
+"""
+
+
+@register(
+    "bm25_search_documents",
+    oracle=_bm25_oracle(),
+    description=f"BM25 full-text retrieval (the RAG/search primitive): "
+    f"Lucene-style idf = ln((N-df+.5)/(df+.5)+1), k1={BM25_K1} b={BM25_B} "
+    f"length normalization, fixed query {BM25_TERMS}, top-20 docs. "
+    f"Per-term scores pivot to columns and add in FIXED left-to-right "
+    f"order (never a float SUM across rows, whose reduction order is "
+    f"engine-dependent), rounded before ranking — same determinism "
+    f"contract as tfidf_top_terms. One tokenization pass feeds tf, df "
+    f"and doc-length aggs; corpus stats cross the plan as a broadcast "
+    f"1-row table",
+    tags=("analytics", "text", "search"),
+)
+def bm25_search_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from spotify_tracks_etl_portfolio_spark.operators.text import tokens
+
+    docs = read_parquet_table(spark, sf_dir, "documents")
+    toks = docs.select("doc_id", F.explode(tokens("text")).alias("token"))
+    dl = toks.groupBy("doc_id").agg(
+        F.count(F.lit(1)).cast("double").alias("dl")
+    )
+    stats = dl.agg(
+        F.count(F.lit(1)).cast("double").alias("n"),
+        F.avg("dl").alias("avgdl"),
+    )
+    qtoks = toks.filter(F.col("token").isin(*BM25_TERMS))
+    tf = qtoks.groupBy("doc_id", "token").agg(
+        F.count(F.lit(1)).cast("double").alias("tf")
+    )
+    dfreq = qtoks.groupBy("token").agg(
+        F.countDistinct("doc_id").cast("double").alias("df")
+    )
+    idf = F.log(
+        (F.col("n") - F.col("df") + 0.5) / (F.col("df") + 0.5) + 1.0
+    )
+    ts = (
+        tf.join(F.broadcast(dfreq), "token")
+        .join(dl, "doc_id")
+        .crossJoin(F.broadcast(stats))
+        .select(
+            "doc_id",
+            "token",
+            (
+                idf
+                * F.col("tf")
+                * (BM25_K1 + 1.0)
+                / (
+                    F.col("tf")
+                    + BM25_K1
+                    * (1.0 - BM25_B + BM25_B * F.col("dl") / F.col("avgdl"))
+                )
+            ).alias("ts"),
+        )
+    )
+    per_term = [
+        F.coalesce(
+            F.max(F.when(F.col("token") == t, F.col("ts"))), F.lit(0.0)
+        )
+        for t in BM25_TERMS
+    ]
+    score = per_term[0]
+    for p in per_term[1:]:
+        score = score + p
+    return (
+        ts.groupBy("doc_id")
+        .agg(F.round(score, 6).alias("bm25"))
+        .orderBy(F.desc("bm25"), F.asc("doc_id"))
+        .limit(20)
+    )
+
+
 @register(
     "scatter_value_user_sample",
     oracle="""
