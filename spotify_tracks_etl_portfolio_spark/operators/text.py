@@ -220,3 +220,81 @@ def sliding_chunks(
         F.col("__text").substr(F.col("start"), F.lit(size)).alias("chunk"),
         "n_chunks",
     )
+
+
+def bpe_train_merges(
+    df: DataFrame,
+    text_col: str,
+    num_merges: int = 10,
+) -> list[tuple[int, str, str, int]]:
+    """Distributed BPE tokenizer training (Sennrich et al. 2016,
+    arXiv:1508.07909) — the tokenizer-learning step of an LLM data
+    pipeline, expressed Spark-first:
+
+    1. collapse the corpus to a (word, frequency) table — one shuffle;
+       every later pass runs over unique words weighted by count, not
+       raw text (the standard BPE corpus compression);
+    2. per merge round: explode adjacent symbol pairs, one weighted
+       count aggregation, take the most frequent pair (ties break
+       lexicographically — deterministic, no RNG), then apply the merge
+       to every word's symbol array with a greedy left-to-right
+       ``aggregate`` HOF (JVM-side, no UDF);
+    3. the driver holds only the learned merge table (num_merges rows —
+       the same bounded-driver-state pattern as k-means centroids) and
+       each round's word table is localCheckpoint'd so plans stay flat.
+
+    Returns [(rank, left, right, weighted_count), ...].
+    """
+    words = (
+        df.select(F.explode(tokens(text_col)).alias("w"))
+        .groupBy("w")
+        .agg(F.count(F.lit(1)).alias("freq"))
+        .select(
+            F.split(F.col("w"), "").alias("syms"),
+            F.col("freq"),
+        )
+        .localCheckpoint(eager=True)
+    )
+    merges: list[tuple[int, str, str, int]] = []
+    for rank in range(num_merges):
+        pairs = words.select(
+            F.posexplode(F.slice("syms", 1, F.size("syms") - 1)).alias(
+                "i", "a"
+            ),
+            F.col("syms"),
+            F.col("freq"),
+        ).select(
+            F.col("a"),
+            F.element_at("syms", F.col("i") + 2).alias("b"),
+            F.col("freq"),
+        )
+        top = (
+            pairs.groupBy("a", "b")
+            .agg(F.sum("freq").alias("n"))
+            .orderBy(F.desc("n"), F.asc("a"), F.asc("b"))
+            .limit(1)
+            .collect()
+        )
+        if not top or top[0]["n"] is None:
+            break
+        a, b, n = top[0]["a"], top[0]["b"], int(top[0]["n"])
+        merges.append((rank, a, b, n))
+        merged = a + b
+        # greedy left-to-right merge of (a, b) inside every symbol array:
+        # overlapping occurrences resolve leftmost-first (aaa + merge
+        # 'a','a' → ['aa','a']), the classic BPE application order
+        words = words.select(
+            F.aggregate(
+                "syms",
+                F.array().cast("array<string>"),
+                lambda acc, x: F.when(
+                    (F.try_element_at(acc, F.lit(-1)) == a) & (x == F.lit(b)),
+                    F.concat(
+                        F.slice(acc, 1, F.size(acc) - 1),
+                        F.array(F.lit(merged)),
+                    ),
+                ).otherwise(F.concat(acc, F.array(x))),
+            ).alias("syms"),
+            F.col("freq"),
+        ).localCheckpoint(eager=True)
+    return merges

@@ -91,6 +91,7 @@ _PRIORITY_UNRECORDED = (
     "pack_training_sequences",
     "semantic_dedup_embeddings",
     "bm25_search_documents",
+    "bpe_train_merges_documents",
 )
 
 

@@ -1217,6 +1217,28 @@ def token_budget_shards(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "bpe_train_merges_documents",
+    oracle=None,  # iterative algorithm → rows-only check + pytest gate
+    description="Distributed BPE tokenizer training (arXiv:1508.07909) — "
+    "the tokenizer-learning step of an LLM data pipeline: corpus "
+    "collapses to a weighted (word, freq) table once, then each merge "
+    "round is one pair-count aggregation + a greedy left-to-right merge "
+    "applied via a JVM-side aggregate HOF (no UDF); ties break "
+    "lexicographically, no RNG. Driver holds only the learned merge "
+    "table (num_merges rows, the k-means-centroid pattern). Iterative ⇒ "
+    "no SQL oracle; pytest proves exact equality with a reference "
+    "Python BPE on a planted corpus.",
+    tags=("extension", "text", "iterative"),
+)
+def bpe_train_merges_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = read_parquet_table(spark, sf_dir, "documents")
+    merges = _tx.bpe_train_merges(docs, "text", num_merges=10)
+    return spark.createDataFrame(
+        merges, "merge_rank int, left string, right string, weighted_count long"
+    )
+
+
+@register(
     "semantic_dedup_embeddings",
     oracle=None,  # k-means cells → approximate by design, rows-only check
     description="SemDeDup-style semantic dedup (arXiv:2303.09540): "

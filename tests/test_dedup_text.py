@@ -429,3 +429,45 @@ def test_pack_training_sequences_invariants(spark, sf_dir):
     for start, nt in starts:
         assert start == pos, (start, pos)
         pos += nt
+
+
+def test_bpe_train_merges_matches_reference(spark):
+    """Distributed BPE must learn EXACTLY the reference algorithm's merge
+    sequence (Sennrich-style: weighted pair counts, lexicographic ties,
+    greedy leftmost-first application) on a planted corpus."""
+    from collections import Counter
+
+    corpus = "low low low lower lower newest newest newest newest widest widest"
+    df = spark.createDataFrame([(corpus,)], "text string")
+
+    def ref_bpe(words, num):
+        wf = Counter(words)
+        syms = {w: list(w) for w in wf}
+        merges = []
+        for rank in range(num):
+            pc = Counter()
+            for w, f in wf.items():
+                s = syms[w]
+                for i in range(len(s) - 1):
+                    pc[(s[i], s[i + 1])] += f
+            if not pc:
+                break
+            (a, b), n = sorted(pc.items(), key=lambda kv: (-kv[1], kv[0]))[0]
+            merges.append((rank, a, b, n))
+            for w in syms:
+                s, out, i = syms[w], [], 0
+                while i < len(s):
+                    if i + 1 < len(s) and s[i] == a and s[i + 1] == b:
+                        out.append(a + b)
+                        i += 2
+                    else:
+                        out.append(s[i])
+                        i += 1
+                syms[w] = out
+        return merges
+
+    want = ref_bpe(corpus.split(), 6)
+    got = tx.bpe_train_merges(df, "text", num_merges=6)
+    assert got == want
+    # deterministic across re-runs (no RNG anywhere)
+    assert tx.bpe_train_merges(df, "text", num_merges=6) == want
