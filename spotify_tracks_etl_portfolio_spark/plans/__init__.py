@@ -61,6 +61,7 @@ _PRIORITY_UNRECORDED = (
     "streaming_sessionize_sync",
     "streaming_stream_stream_join_sync",
     "streaming_near_dedup_sync",
+    "streaming_scd2_sync",
     # TPC-H shapes never recorded by the driver
     "q2_min_cost_supplier",
     "q3_shipping_priority",

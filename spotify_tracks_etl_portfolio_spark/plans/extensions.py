@@ -1217,6 +1217,108 @@ def token_budget_shards(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "streaming_scd2_sync",
+    oracle="""
+WITH flags AS (
+  SELECT c_custkey, c_mktsegment AS orig,
+         c_custkey % 6 = 0 AS u1, c_custkey % 4 = 0 AS u2
+  FROM customer
+)
+SELECT c_custkey, orig AS c_mktsegment,
+       '2020-01-01' AS valid_from,
+       CASE WHEN u1 THEN '2024-01-01'
+            WHEN u2 THEN '2024-06-01' END AS valid_to,
+       NOT (u1 OR u2) AS is_current
+FROM flags
+UNION ALL
+SELECT c_custkey, 'SEG_B1', '2024-01-01',
+       CASE WHEN u2 THEN '2024-06-01' END, NOT u2
+FROM flags WHERE u1
+UNION ALL
+SELECT c_custkey, 'SEG_B2', '2024-06-01', NULL, true
+FROM flags WHERE u2
+""",
+    description="Streaming SCD Type-2 under the CORRECTNESS gate: two "
+    "ordered micro-batches of segment updates (every-6th customer at "
+    "2024-01-01, then every-4th at 2024-06-01) flow through foreachBatch "
+    "+ the batch scd2_apply operator against a versioned state dir "
+    "(epoch-numbered overwrite → replay-idempotent), and the final "
+    "dimension hash-matches the oracle's declarative enumeration of "
+    "close/insert chains — a customer hit by both updates carries the "
+    "full 3-version history. Updates must arrive in order (a real CDC "
+    "feed keys on a sequence column); the staged files pin mtimes to "
+    "guarantee it",
+    tags=("streaming", "extension", "scd", "warehouse"),
+)
+def streaming_scd2_sync(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import glob as _glob
+
+    from spotify_tracks_etl_portfolio_spark.operators.scd import scd2_apply
+
+    c = read_parquet_table(spark, sf_dir, "customer")
+    dim0 = c.select(
+        "c_custkey",
+        "c_mktsegment",
+        F.lit("2020-01-01").alias("valid_from"),
+        F.lit(None).cast("string").alias("valid_to"),
+        F.lit(True).alias("is_current"),
+    )
+    d = _session_scratch(spark, "scd2_sync")
+    b1 = c.filter(F.col("c_custkey") % 6 == 0).select(
+        "c_custkey",
+        F.lit("SEG_B1").alias("c_mktsegment"),
+        F.lit("2024-01-01").alias("update_ts"),
+    )
+    b2 = c.filter(F.col("c_custkey") % 4 == 0).select(
+        "c_custkey",
+        F.lit("SEG_B2").alias("c_mktsegment"),
+        F.lit("2024-06-01").alias("update_ts"),
+    )
+    b1.coalesce(1).write.parquet(f"{d}/src/f1")
+    b2.coalesce(1).write.parquet(f"{d}/src/f2")
+    # the file source orders micro-batches by modification time: pin
+    # mtimes so batch 1 provably precedes batch 2
+    for i, sub in enumerate(("f1", "f2")):
+        for p in _glob.glob(f"{d}/src/{sub}/*.parquet"):
+            os.utime(p, (1_700_000_000 + 100 * i, 1_700_000_000 + 100 * i))
+
+    stream = (
+        spark.readStream.schema(
+            "c_custkey long, c_mktsegment string, update_ts string"
+        )
+        .option("maxFilesPerTrigger", 1)
+        .parquet(f"{d}/src/*")
+    )
+
+    def process(batch: DataFrame, epoch_id: int) -> None:
+        ts_val = batch.agg(F.max("update_ts")).first()[0]
+        if ts_val is None:  # empty replayed batch
+            return
+        versions = sorted(_glob.glob(f"{d}/state_v*"))
+        cur = spark.read.parquet(versions[-1]) if versions else dim0
+        new = scd2_apply(
+            cur,
+            batch.select("c_custkey", "c_mktsegment"),
+            key_cols=["c_custkey"],
+            attr_cols=["c_mktsegment"],
+            update_ts=F.lit(ts_val),
+        )
+        new.write.mode("overwrite").parquet(f"{d}/state_v{int(epoch_id):05d}")
+
+    q = (
+        stream.writeStream.foreachBatch(process)
+        .option("checkpointLocation", f"{d}/ckpt")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    latest = sorted(_glob.glob(f"{d}/state_v*"))[-1]
+    return spark.read.parquet(latest).select(
+        "c_custkey", "c_mktsegment", "valid_from", "valid_to", "is_current"
+    )
+
+
+@register(
     "bpe_train_merges_documents",
     oracle=None,  # iterative algorithm → rows-only check + pytest gate
     description="Distributed BPE tokenizer training (arXiv:1508.07909) — "
