@@ -512,3 +512,226 @@ def frame_sample_stub(
     return df.select(id_col, media_col).mapInPandas(
         sample, "id long, frame_idx int, frame binary"
     )
+
+
+# ===========================================================================
+# Audio (PCM WAV via stdlib `wave`) and video (YUV4MPEG2 / .y4m — the
+# plain-header raw-frame format) codecs: with these, all three media
+# modalities decode for real in this container.
+# ===========================================================================
+
+
+def encode_wav_pcm(data: bytes, sample_rate: int = 8000) -> bytes:
+    """Real RIFF/WAVE file: 8-bit unsigned PCM, mono — each payload byte
+    is one audio sample."""
+    import io
+    import wave
+
+    buf = io.BytesIO()
+    with wave.open(buf, "wb") as w:
+        w.setnchannels(1)
+        w.setsampwidth(1)
+        w.setframerate(sample_rate)
+        w.writeframes(data)
+    return buf.getvalue()
+
+
+def decode_wav(blob: bytes) -> dict:
+    """Decode PCM WAV via stdlib ``wave``: 8-bit mono/stereo subsets.
+    Returns sample_rate / channels / n_samples / duration_ms / samples."""
+    import io
+    import wave
+
+    with wave.open(io.BytesIO(blob), "rb") as w:
+        if w.getsampwidth() != 1:
+            raise NotImplementedError(
+                f"WAV subset supported is 8-bit PCM; got sampwidth="
+                f"{w.getsampwidth()}"
+            )
+        rate = w.getframerate()
+        channels = w.getnchannels()
+        frames = w.readframes(w.getnframes())
+    n_frames = len(frames) // max(channels, 1)
+    return {
+        "format": "wav",
+        "sample_rate": rate,
+        "channels": channels,
+        "n_samples": n_frames,
+        "duration_ms": n_frames * 1000 // rate if rate else 0,
+        "samples": frames,
+    }
+
+
+def encode_y4m_mono(
+    data: bytes, width: int = 8, height: int = 8, fps: int = 5
+) -> bytes:
+    """Real YUV4MPEG2 stream (Cmono: one W×H luma plane per frame):
+    payload bytes fill frames in order, zero-padded to a whole frame."""
+    fsz = width * height
+    n_frames = max(1, -(-len(data) // fsz))
+    padded = data + b"\x00" * (n_frames * fsz - len(data))
+    head = f"YUV4MPEG2 W{width} H{height} F{fps}:1 Ip A1:1 Cmono\n".encode()
+    body = b"".join(
+        b"FRAME\n" + padded[i * fsz : (i + 1) * fsz] for i in range(n_frames)
+    )
+    return head + body
+
+
+def decode_y4m(blob: bytes) -> dict:
+    """Decode YUV4MPEG2 (Cmono subset): parse the parameter header,
+    split FRAME blocks, return per-frame luma planes."""
+    nl = blob.index(b"\n")
+    header = blob[:nl].decode("ascii", "strict")
+    if not header.startswith("YUV4MPEG2"):
+        raise ValueError("not a YUV4MPEG2 stream")
+    width = height = fps = None
+    colorspace = "C420"
+    for tok in header.split()[1:]:
+        if tok[0] == "W":
+            width = int(tok[1:])
+        elif tok[0] == "H":
+            height = int(tok[1:])
+        elif tok[0] == "F":
+            fps = int(tok[1:].split(":")[0])
+        elif tok[0] == "C":
+            colorspace = tok
+    if colorspace != "Cmono":
+        raise NotImplementedError(
+            f"y4m subset supported is Cmono; got {colorspace}"
+        )
+    fsz = width * height
+    frames = []
+    pos = nl + 1
+    while pos < len(blob):
+        fnl = blob.index(b"\n", pos)
+        if not blob[pos:fnl].startswith(b"FRAME"):
+            raise ValueError("bad y4m FRAME marker")
+        frames.append(blob[fnl + 1 : fnl + 1 + fsz])
+        pos = fnl + 1 + fsz
+    return {
+        "format": "y4m",
+        "width": width,
+        "height": height,
+        "fps": fps,
+        "n_frames": len(frames),
+        "frames": frames,
+    }
+
+
+def attach_encoded_audio(
+    df: DataFrame, id_col: str, text_col: str, sample_rate: int = 8000
+) -> DataFrame:
+    """Deterministic REAL audio: each row's text bytes become the PCM
+    samples of a genuine WAV file."""
+
+    def encode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            yield pd.DataFrame(
+                {
+                    id_col: pdf[id_col].astype("int64"),
+                    "media": [
+                        encode_wav_pcm(t.encode("utf-8"), sample_rate)
+                        for t in pdf[text_col]
+                    ],
+                }
+            )
+
+    return df.select(id_col, text_col).mapInPandas(
+        encode, f"{id_col} long, media binary"
+    )
+
+
+def decode_audio_features(
+    df: DataFrame, id_col: str, media_col: str = "media"
+) -> DataFrame:
+    """REAL audio decode over Arrow batches: WAV container parse via
+    stdlib, true sample-rate/duration/amplitude statistics out."""
+
+    def extract(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for _id, blob in zip(pdf[id_col], pdf[media_col]):
+                a = decode_wav(bytes(blob))
+                s = a["samples"]
+                rows.append(
+                    (
+                        int(_id), a["sample_rate"], a["channels"],
+                        a["n_samples"], a["duration_ms"],
+                        float(sum(s)) / len(s) if s else 0.0,
+                    )
+                )
+            yield pd.DataFrame(
+                rows,
+                columns=["id", "sample_rate", "channels", "n_samples",
+                         "duration_ms", "mean_sample"],
+            ).astype(
+                {"id": "int64", "sample_rate": "int32", "channels": "int32",
+                 "n_samples": "int64", "duration_ms": "int64"}
+            )
+
+    return df.select(id_col, media_col).mapInPandas(
+        extract,
+        "id long, sample_rate int, channels int, n_samples long, "
+        "duration_ms long, mean_sample double",
+    )
+
+
+def attach_encoded_video(
+    df: DataFrame, id_col: str, text_col: str,
+    width: int = 8, height: int = 8,
+) -> DataFrame:
+    """Deterministic REAL video: each row's text bytes fill the luma
+    planes of a genuine multi-frame YUV4MPEG2 stream."""
+
+    def encode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            yield pd.DataFrame(
+                {
+                    id_col: pdf[id_col].astype("int64"),
+                    "media": [
+                        encode_y4m_mono(t.encode("utf-8"), width, height)
+                        for t in pdf[text_col]
+                    ],
+                }
+            )
+
+    return df.select(id_col, text_col).mapInPandas(
+        encode, f"{id_col} long, media binary"
+    )
+
+
+def sample_video_frames(
+    df: DataFrame, id_col: str, media_col: str = "media", stride: int = 2
+) -> DataFrame:
+    """REAL video frame sampling (1→N explode): decode the y4m stream,
+    keep every ``stride``-th frame, emit per-frame luma statistics —
+    the frame-extraction shape of a video training pipeline, with a
+    genuine container format end-to-end."""
+
+    def sample(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for _id, blob in zip(pdf[id_col], pdf[media_col]):
+                v = decode_y4m(bytes(blob))
+                for fi in range(0, v["n_frames"], stride):
+                    fr = v["frames"][fi]
+                    rows.append(
+                        (
+                            int(_id), v["n_frames"], v["width"], v["height"],
+                            fi, float(sum(fr)) / len(fr) if fr else 0.0,
+                        )
+                    )
+            yield pd.DataFrame(
+                rows,
+                columns=["id", "n_frames", "width", "height",
+                         "frame_idx", "mean_luma"],
+            ).astype(
+                {"id": "int64", "n_frames": "int64", "width": "int32",
+                 "height": "int32", "frame_idx": "int32"}
+            )
+
+    return df.select(id_col, media_col).mapInPandas(
+        sample,
+        "id long, n_frames long, width int, height int, frame_idx int, "
+        "mean_luma double",
+    )

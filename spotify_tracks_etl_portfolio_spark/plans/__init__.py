@@ -93,6 +93,8 @@ _PRIORITY_UNRECORDED = (
     "semantic_dedup_embeddings",
     "bm25_search_documents",
     "bpe_train_merges_documents",
+    "multimodal_audio_features",
+    "multimodal_video_frame_sample",
 )
 
 

@@ -657,3 +657,55 @@ def test_resample_nearest_identity_and_downsample():
     assert half == bytes([0, 2, 8, 10])  # every other row/col
     rgb = bytes(range(12))  # 2x2 RGB
     assert mm._resample_nearest(rgb, 2, 2, 3, 1, 1) == bytes([0, 1, 2])
+
+
+def test_wav_roundtrip_and_subset_gate():
+    data = bytes(range(200))
+    a = mm.decode_wav(mm.encode_wav_pcm(data, 8000))
+    assert (a["sample_rate"], a["channels"], a["n_samples"]) == (8000, 1, 200)
+    assert a["duration_ms"] == 200 * 1000 // 8000
+    assert a["samples"] == data
+    # 16-bit WAV is outside the pure-Python subset → documented gate
+    import io
+    import wave
+
+    buf = io.BytesIO()
+    with wave.open(buf, "wb") as w:
+        w.setnchannels(1)
+        w.setsampwidth(2)
+        w.setframerate(8000)
+        w.writeframes(b"\x00\x01" * 4)
+    with pytest.raises(NotImplementedError, match="8-bit"):
+        mm.decode_wav(buf.getvalue())
+
+
+def test_y4m_roundtrip_multiframe():
+    data = bytes(range(150))  # 8x8 frames → 3 frames (64+64+22pad)
+    v = mm.decode_y4m(mm.encode_y4m_mono(data, 8, 8))
+    assert (v["width"], v["height"], v["n_frames"]) == (8, 8, 3)
+    assert b"".join(v["frames"]) == data + b"\x00" * (192 - 150)
+    with pytest.raises(NotImplementedError, match="Cmono"):
+        mm.decode_y4m(b"YUV4MPEG2 W2 H2 F25:1 C420\nFRAME\n" + bytes(6))
+
+
+def test_audio_video_features_end_to_end(spark):
+    df = spark.createDataFrame(DOCS, "doc_id long, text string")
+    audio = {
+        r["id"]: r
+        for r in mm.decode_audio_features(
+            mm.attach_encoded_audio(df, "doc_id", "text"), "doc_id"
+        ).collect()
+    }
+    payload = DOCS[2][1].encode("utf-8")
+    assert audio[2]["n_samples"] == len(payload)
+    assert audio[2]["mean_sample"] == sum(payload) / len(payload)
+
+    frames = mm.sample_video_frames(
+        mm.attach_encoded_video(df, "doc_id", "text", 4, 4), "doc_id", stride=2
+    ).collect()
+    doc2 = sorted(
+        (r["frame_idx"], r["mean_luma"]) for r in frames if r["id"] == 2
+    )
+    n_frames = -(-len(payload) // 16)
+    assert [fi for fi, _ in doc2] == list(range(0, n_frames, 2))
+    assert doc2[0][1] == sum(payload[:16]) / 16
