@@ -45,6 +45,9 @@ HEADLINE = [
     "passage_dedup_documents",
     "near_dedup_new_vs_corpus",
     "streaming_sessionize_sync",
+    # round-3 JVM-heavy additions (first recorded round = their baseline)
+    "bm25_search_documents",
+    "pack_training_sequences",
 ]
 
 RUNS_PER_QUERY = 3
