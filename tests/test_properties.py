@@ -433,3 +433,63 @@ def test_passage_dedup_keeps_first_occurrence_exactly(spark, doc_blocks):
         assert out[d]["text_clean"] == " ".join(kept)
         assert out[d]["n_kept"] == len(kept)
         assert out[d]["n_passages"] == len(doc_blocks[d])
+
+
+@given(st.binary(min_size=0, max_size=400))
+@_slow
+def test_media_codecs_roundtrip_arbitrary_bytes(payload):
+    """Every pure-Python codec (PNG/BMP/PPM/WAV/Y4M) must round-trip an
+    ARBITRARY byte payload exactly (zero-padded to its grid/frame)."""
+    import math
+
+    from spotify_tracks_etl_portfolio_spark.operators import multimodal as mm
+
+    w = 16
+    h = max(1, math.ceil(len(payload) / w))
+    padded = payload + b"\x00" * (w * h - len(payload))
+    assert mm.decode_image(mm.encode_png_gray(payload, w))["samples"] == padded
+    assert mm.decode_image(mm.encode_bmp_gray(payload, w))["samples"] == b"".join(
+        bytes((b, b, b)) for b in padded
+    )
+    assert mm.decode_image(mm.encode_ppm_gray(payload, w))["samples"] == b"".join(
+        bytes((b, b, b)) for b in padded
+    )
+    assert mm.decode_wav(mm.encode_wav_pcm(payload))["samples"] == payload
+    fsz = 64
+    nf = max(1, math.ceil(len(payload) / fsz))
+    vid = mm.decode_y4m(mm.encode_y4m_mono(payload, 8, 8))
+    assert b"".join(vid["frames"]) == payload + b"\x00" * (nf * fsz - len(payload))
+
+
+@given(
+    st.lists(
+        st.text(
+            alphabet=st.characters(min_codepoint=32, max_codepoint=126),
+            max_size=80,
+        ),
+        min_size=1,
+        max_size=6,
+    )
+)
+@_slow
+def test_pii_scrub_matches_python_re(spark, texts):
+    """The chained JVM-side scrub must agree with Python `re` applying
+    the SAME patterns in the SAME order (counts at each stage, final
+    masked text)."""
+    import re
+
+    from spotify_tracks_etl_portfolio_spark.operators.text import (
+        PII_PATTERNS,
+        pii_scrub,
+    )
+
+    df = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "i long, t string"
+    )
+    got = {r["i"]: r for r in pii_scrub(df, "t").collect()}
+    for i, t in enumerate(texts):
+        cur = t
+        for cat, pat, token in PII_PATTERNS:
+            assert got[i][f"n_{cat}"] == len(re.findall(pat, cur)), (cat, cur)
+            cur = re.sub(pat, token.replace("\\", "\\\\"), cur)
+        assert got[i]["text_clean"] == cur, t
