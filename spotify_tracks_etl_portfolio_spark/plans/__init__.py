@@ -95,6 +95,7 @@ _PRIORITY_UNRECORDED = (
     "bpe_train_merges_documents",
     "multimodal_audio_features",
     "multimodal_video_frame_sample",
+    "daily_activity_reconciliation",
 )
 
 

@@ -1129,3 +1129,50 @@ def winsorized_event_values(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("n_clipped_high"),
         F.round(davg(clamped), 6).alias("avg_winsorized"),
     )
+
+
+@register(
+    "daily_activity_reconciliation",
+    oracle="""
+WITH od AS (
+  SELECT strftime(CAST(o_orderdate AS DATE), '%Y-%m-%d') AS day,
+         CAST(count(*) AS BIGINT) AS n_orders
+  FROM orders GROUP BY 1
+),
+ed AS (
+  SELECT strftime(CAST(ts AS DATE), '%Y-%m-%d') AS day,
+         CAST(count(*) AS BIGINT) AS n_events
+  FROM events GROUP BY 1
+)
+SELECT COALESCE(od.day, ed.day) AS day,
+       COALESCE(od.n_orders, 0) AS n_orders,
+       COALESCE(ed.n_events, 0) AS n_events,
+       od.day IS NULL AS events_only,
+       ed.day IS NULL AS orders_only
+FROM od FULL OUTER JOIN ed ON od.day = ed.day
+""",
+    description="Cross-source reconciliation via FULL OUTER join (the one "
+    "join type no other query exercises): per-day order counts against "
+    "per-day event counts, unmatched days surfaced from BOTH sides with "
+    "explicit zero fills and side flags — the daily ops check that "
+    "catches a silent ingestion gap in either pipeline. Both inputs "
+    "pre-aggregate to one row per day BEFORE the join, so the full-outer "
+    "shuffle moves day-grain rows, never raw facts",
+    tags=("analytics", "join", "dq"),
+)
+def daily_activity_reconciliation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = read_parquet_table(spark, sf_dir, "orders")
+    e = read_parquet_table(spark, sf_dir, "events")
+    od = o.groupBy(
+        F.date_format("o_orderdate", "yyyy-MM-dd").alias("od_day")
+    ).agg(F.count(F.lit(1)).alias("n_orders"))
+    ed = e.groupBy(F.date_format("ts", "yyyy-MM-dd").alias("ed_day")).agg(
+        F.count(F.lit(1)).alias("n_events")
+    )
+    return od.join(ed, od.od_day == ed.ed_day, "full_outer").select(
+        F.coalesce("od_day", "ed_day").alias("day"),
+        F.coalesce("n_orders", F.lit(0).cast("long")).alias("n_orders"),
+        F.coalesce("n_events", F.lit(0).cast("long")).alias("n_events"),
+        F.col("od_day").isNull().alias("events_only"),
+        F.col("ed_day").isNull().alias("orders_only"),
+    )
