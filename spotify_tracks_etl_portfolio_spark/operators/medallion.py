@@ -172,3 +172,45 @@ def silver_transform(
     stats = compute_impute_stats(bronze, median_cols, mode_cols, exact=exact_stats)
     imputed = impute_and_clamp(bronze, stats["medians"], stats["modes"], clamps)
     return dedup_first(imputed, dedup_key, dedup_order)
+
+
+def propagate_deletes(
+    tables: dict[str, DataFrame],
+    delete_keys: DataFrame,
+    key_col: str,
+    tombstone_ts: Column | None = None,
+) -> tuple[dict[str, DataFrame], DataFrame]:
+    """Deletion propagation across a medallion lineage (the
+    right-to-be-forgotten / takedown operator a governed training-data
+    pipeline must run): every table keyed by ``key_col`` drops the
+    requested keys via a broadcast anti-join, and a tombstone audit
+    table records WHAT was deleted WHEN and from WHERE — the evidence
+    a compliance review asks for, without retaining the payload.
+
+    Scale posture: the deletion list is small by construction (a legal
+    request, not a data stream) — broadcast anti-joins mean each table
+    is one scan-and-rewrite with no shuffle; at 100 TB pair this with
+    partition pruning on the key's partition column so only affected
+    files rewrite. Returns ``(cleaned_tables, tombstones)``.
+    """
+    ts = tombstone_ts if tombstone_ts is not None else F.current_timestamp()
+    keys = delete_keys.select(key_col).distinct()
+    cleaned: dict[str, DataFrame] = {}
+    tombstone_parts = []
+    for name, df in tables.items():
+        cleaned[name] = df.join(F.broadcast(keys), key_col, "left_anti")
+        hit = df.join(F.broadcast(keys), key_col, "left_semi")
+        tombstone_parts.append(
+            hit.groupBy(key_col).agg(
+                F.count(F.lit(1)).alias("n_rows_deleted")
+            ).select(
+                key_col,
+                F.lit(name).alias("table_name"),
+                "n_rows_deleted",
+                ts.alias("deleted_at"),
+            )
+        )
+    tombstones = tombstone_parts[0]
+    for p in tombstone_parts[1:]:
+        tombstones = tombstones.unionByName(p)
+    return cleaned, tombstones

@@ -96,6 +96,7 @@ _PRIORITY_UNRECORDED = (
     "multimodal_audio_features",
     "multimodal_video_frame_sample",
     "daily_activity_reconciliation",
+    "gdpr_delete_documents",
 )
 
 

@@ -586,6 +586,41 @@ def multimodal_decode_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _mm.decode_image_features(media, "doc_id")
 
 
+@register(
+    "gdpr_delete_documents",
+    oracle="""
+SELECT doc_id, 'documents' AS table_name,
+       CAST(1 AS BIGINT) AS n_rows_deleted,
+       CAST((SELECT count(*) FROM documents) - count(*) OVER () AS BIGINT)
+         AS n_rows_surviving
+FROM documents WHERE doc_id % 97 = 0
+""",
+    description="Deletion propagation (right-to-be-forgotten / takedown "
+    "gate): a deletion-request list anti-joins every keyed table in the "
+    "lineage (broadcast — one scan-and-rewrite per table, no shuffle) "
+    "and emits a tombstone audit of what was deleted where, WITHOUT "
+    "retaining the payload; the surviving count proves the rewrite "
+    "dropped exactly the requested keys",
+    tags=("extension", "curation", "governance"),
+)
+def gdpr_delete_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from spotify_tracks_etl_portfolio_spark.operators.medallion import (
+        propagate_deletes,
+    )
+
+    docs = read_parquet_table(spark, sf_dir, "documents")
+    requests = docs.filter(F.col("doc_id") % 97 == 0).select("doc_id")
+    cleaned, tombstones = propagate_deletes(
+        {"documents": docs}, requests, "doc_id", F.lit("2026-01-01")
+    )
+    surviving = cleaned["documents"].agg(
+        F.count(F.lit(1)).alias("n_rows_surviving")
+    )
+    return tombstones.crossJoin(F.broadcast(surviving)).select(
+        "doc_id", "table_name", "n_rows_deleted", "n_rows_surviving"
+    )
+
+
 _WAV_RATE = 8000
 
 

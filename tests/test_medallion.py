@@ -149,3 +149,29 @@ def test_merge_with_audit_timestamps(spark):
     assert str(rows[3]["created_at"]) == "2024-02-01 00:00:00"
     assert str(rows[3]["updated_at"]) == "2024-03-01 00:00:00"
     assert replayed.count() == 3
+
+
+def test_propagate_deletes_multi_table_with_tombstones(spark):
+    """Right-to-be-forgotten: keys vanish from EVERY table in the
+    lineage; the tombstone audit records per-table deleted row counts
+    but never the payload."""
+    from spotify_tracks_etl_portfolio_spark.operators.medallion import (
+        propagate_deletes,
+    )
+
+    bronze = spark.createDataFrame(
+        [(1, "a"), (1, "a2"), (2, "b"), (3, "c")], "k long, payload string"
+    )
+    silver = spark.createDataFrame(
+        [(1, "A"), (2, "B"), (3, "C")], "k long, payload string"
+    )
+    reqs = spark.createDataFrame([(1,), (3,), (99,)], "k long")
+    cleaned, tombs = propagate_deletes(
+        {"bronze": bronze, "silver": silver}, reqs, "k", F.lit("2026-01-01")
+    )
+    assert {r["k"] for r in cleaned["bronze"].collect()} == {2}
+    assert {r["k"] for r in cleaned["silver"].collect()} == {2}
+    t = {(r["table_name"], r["k"]): r["n_rows_deleted"] for r in tombs.collect()}
+    assert t == {("bronze", 1): 2, ("bronze", 3): 1,
+                 ("silver", 1): 1, ("silver", 3): 1}  # 99: never existed
+    assert "payload" not in tombs.columns
