@@ -216,6 +216,7 @@ SANCTIONED_NESTED_LOOP = {
     "significant_parts_by_revenue": "1-row global-total broadcast",
     "tfidf_top_terms": "1-row corpus-count broadcast",
     "bm25_search_documents": "1-row (N, avgdl) corpus-stats broadcast",
+    "gdpr_delete_documents": "1-row surviving-count broadcast onto the tombstone audit",
     "unigram_logprob_documents": "1-row token-total broadcast",
     "q22_rich_customers_without_orders": "1-row global-average broadcast",
     "user_recency_weighted_activity": "1-row max-timestamp broadcast",
