@@ -438,7 +438,9 @@ def diversity_sample_cells(
     near-dup LSH, see plane_weights_int)."""
     sk = hyperplane_sketch(df, id_col, vec_col)
     return (
-        sk.groupBy(F.col("band_0").alias("cell"))
+        # long cell: match the oracle's BIGINT so the driver's
+        # dtype-aware hash sees int64 on both engines.
+        sk.groupBy(F.col("band_0").cast("long").alias("cell"))
         .agg(
             F.min(id_col).alias("rep_id"),
             F.count(F.lit(1)).alias("n_members"),

@@ -17,7 +17,7 @@ SURVEY.md §4.2).
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 
@@ -117,6 +117,112 @@ def compute_impute_stats(
         "medians": column_medians(df, median_cols, exact=exact),
         "modes": column_modes(df, mode_cols),
     }
+
+
+def global_row_number(
+    df: DataFrame,
+    order_cols: list[str],
+    out_col: str = "rn",
+    buckets: int = 64,
+) -> DataFrame:
+    """EXACT global row number over a total order WITHOUT ever moving the
+    table to one partition (``Window.orderBy`` with no partitionBy is a
+    single-partition stage — a straight OOM at 100 TB).
+
+    Shape: (1) one tiny aggregation computes ``buckets-1`` approximate
+    quantile boundaries of the leading order column (bounded driver
+    state: <= 63 doubles); (2) every row is assigned its bucket by a
+    broadcast-literal monotone CASE — all rows in bucket b sort before
+    all rows in bucket b+1, so the assignment's *approximation* only
+    affects balance, never correctness; (3) ``row_number`` runs inside
+    each bucket (a partitioned window, ~N/buckets rows per partition);
+    (4) exact per-bucket counts (a second tiny aggregation) become
+    literal offsets added to the in-bucket rank. The global rank is
+    exact for any boundary choice because the bucketing is monotone and
+    ties stay inside one bucket (ranking below uses the full
+    ``order_cols`` tie-break).
+
+    This is the distributed-exact-rank primitive under
+    ``exact_ntile`` / ``event_value_deciles``; the same shape scales to
+    percentile/median-rank jobs. Largest stage at 100 TB: the hash
+    exchange on bucket id — the same cost class as one groupBy shuffle.
+    """
+    ranked, _ = _bucketed_global_ranks(df, order_cols, out_col, buckets)
+    return ranked
+
+
+def _bucketed_global_ranks(
+    df: DataFrame, order_cols: list[str], out_col: str, buckets: int
+) -> tuple[DataFrame, int]:
+    """Shared kernel for :func:`global_row_number` / :func:`exact_ntile`:
+    returns (df + exact global rank column, exact total row count). The
+    total comes free from the per-bucket offset pass — no extra scan."""
+    bcol = order_cols[0]
+    qs = [i / buckets for i in range(1, buckets)]
+    row = df.agg(
+        F.percentile_approx(bcol, qs, 2000).alias("bs"),
+    ).first()
+    bounds = sorted(set(row["bs"] or []))
+
+    bucket = F.lit(0)
+    for b in bounds:
+        bucket = bucket + (F.col(bcol) > F.lit(b)).cast("int")
+    bucketed = df.withColumn("__bkt", bucket)
+
+    counts = {
+        r["__bkt"]: r["cnt"]
+        for r in bucketed.groupBy("__bkt")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .collect()
+    }
+    offset = 0
+    offsets: dict[int, int] = {}
+    for bkt in sorted(counts):
+        offsets[bkt] = offset
+        offset += counts[bkt]
+
+    off_expr = F.lit(0)
+    for bkt, off in offsets.items():
+        off_expr = F.when(F.col("__bkt") == F.lit(bkt), F.lit(off)).otherwise(
+            off_expr
+        )
+    wb = Window.partitionBy("__bkt").orderBy(*order_cols)
+    ranked = (
+        bucketed.withColumn(
+            out_col,
+            (F.row_number().over(wb).cast("long") + off_expr.cast("long")),
+        )
+        .drop("__bkt")
+    )
+    return ranked, offset
+
+
+def exact_ntile(
+    df: DataFrame,
+    order_cols: list[str],
+    n_tiles: int,
+    out_col: str = "tile",
+    buckets: int = 64,
+) -> DataFrame:
+    """EXACT ``ntile(n)`` semantics (first ``N mod n`` tiles get the
+    extra row) built on :func:`global_row_number` — no single-partition
+    window, bit-identical to the SQL ``ntile`` given a total order.
+    ``N`` is already known exactly from the primitive's per-bucket
+    counts, so the tile is a pure arithmetic projection of the rank."""
+    ranked, n_rows = _bucketed_global_ranks(df, order_cols, "__grn", buckets)
+    q, r = divmod(n_rows, n_tiles)
+    rank = F.col("__grn")
+    if q == 0:
+        tile = rank
+    else:
+        head = r * (q + 1)
+        tile = F.when(
+            rank <= F.lit(head),
+            F.floor((rank + F.lit(q)) / F.lit(q + 1)),
+        ).otherwise(
+            F.lit(r) + F.floor((rank - F.lit(head) + F.lit(q - 1)) / F.lit(q))
+        )
+    return ranked.withColumn(out_col, tile.cast("int")).drop("__grn")
 
 
 def salted_count(

@@ -417,14 +417,38 @@ SELECT CAST(decile AS INT) AS decile,
        max(value) AS max_value
 FROM t GROUP BY decile
 """,
-    description="ntile(10) decile bucketing with a total-order tie-break "
-    "(value, event_id) for determinism. The unpartitioned ntile needs a "
-    "global sort — fine for ranked reporting output; at 100 TB the scale "
-    "path is approx-quantile boundaries (percentile_approx) + a "
-    "width_bucket-style assignment, which needs no global sort",
+    description="EXACT ntile(10) decile bucketing with a total-order "
+    "tie-break (value, event_id) — but computed WITHOUT the "
+    "single-partition global-sort window a plain ntile() plans (that "
+    "stage is an OOM at 100 TB). Shape: approx-quantile boundaries "
+    "bucket the rows monotonically (approximation affects only balance, "
+    "never correctness), row_number runs per bucket, exact per-bucket "
+    "counts become literal rank offsets, and the ntile value is pure "
+    "arithmetic on the exact global rank. Bit-identical to the SQL "
+    "ntile — the ntile-window twin is kept as a test-only cross-check "
+    "(tests/test_analytics_extra.py)",
     tags=("analytics", "window", "stats"),
 )
 def event_value_deciles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from spotify_tracks_etl_portfolio_spark.operators.stats import exact_ntile
+
+    events = read_parquet_table(spark, sf_dir, "events").select(
+        "value", "event_id"
+    )
+    tiled = exact_ntile(events, ["value", "event_id"], 10, "decile")
+    return tiled.groupBy("decile").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.min("value").alias("min_value"),
+        F.max("value").alias("max_value"),
+    )
+
+
+def event_value_deciles_ntile_crosscheck(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Test-only twin of :func:`event_value_deciles` using the literal
+    ntile() window (single-partition global sort — NOT registered, NOT
+    scale-safe); tests assert it matches the bucketed plan exactly."""
     events = read_parquet_table(spark, sf_dir, "events")
     w = Window.orderBy("value", "event_id")
     return (

@@ -1904,7 +1904,10 @@ bits AS (
   FROM qv, planes GROUP BY vec_id, j
 ),
 cells AS (
-  SELECT vec_id, sum(CASE WHEN bit THEN 1 << j ELSE 0 END) AS cell
+  -- CAST: sum() would emit HUGEINT → decimal128 through the driver's
+  -- Arrow fetch, hash-mismatching Spark's int64 (round-3 failure).
+  SELECT vec_id,
+         CAST(sum(CASE WHEN bit THEN 1 << j ELSE 0 END) AS BIGINT) AS cell
   FROM bits GROUP BY vec_id
 )
 SELECT cell, min(vec_id) AS rep_id, CAST(count(*) AS BIGINT) AS n_members
@@ -2222,7 +2225,11 @@ planes AS (
   FROM range({s.RP_DIMS}) pj(j), range({s.HP_DIM}) pd(d)
 ),
 dots AS (
-  SELECT vec_id, j, sum(q[d + 1] * w) AS s
+  -- CAST: DuckDB sum(BIGINT) is HUGEINT, which crosses the driver's
+  -- Arrow fetch as decimal128 and hash-mismatches Spark's int64 even
+  -- for identical values (round-3 failure); magnitudes are < 2^45 so
+  -- BIGINT is exact.
+  SELECT vec_id, j, CAST(sum(q[d + 1] * w) AS BIGINT) AS s
   FROM qv, planes GROUP BY vec_id, j
 )
 SELECT vec_id,

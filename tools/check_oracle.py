@@ -24,15 +24,37 @@ from spotify_tracks_etl_portfolio_spark.schemas import TESTDATA_TABLES
 
 
 def _norm(v):
+    """TYPE-STRICT value normalization.
+
+    The driver's hash is dtype-aware: DuckDB's uncast ``sum(BIGINT)``
+    yields HUGEINT, which crosses the Arrow/pandas boundary as
+    decimal128/float64 and hash-mismatches Spark's int64 even when the
+    numeric values are identical (the round-3
+    ``embedding_random_projection`` / ``embedding_diverse_sample``
+    failures).  Python's ``5 == 5.0 == Decimal(5)`` hid that here, so we
+    tag every value with its type family: int vs float vs Decimal vs
+    bool never compare equal across families.
+    """
+    import datetime
+    import decimal
+
     if v is None:
         return None
+    if isinstance(v, bool):  # before int (bool subclasses int)
+        return ("b", v)
+    if isinstance(v, int):
+        return ("i", v)
     if isinstance(v, float):
         if math.isnan(v):
-            return "NaN"
-        return v
-    if isinstance(v, (int, str, bool)):
-        return v
-    return str(v)
+            return ("f", "NaN")
+        return ("f", repr(v))
+    if isinstance(v, decimal.Decimal):
+        return ("dec", str(v))
+    if isinstance(v, str):
+        return ("s", v)
+    if isinstance(v, (datetime.datetime, datetime.date)):
+        return ("t", str(v))
+    return ("o", str(v))
 
 
 def _multiset(rows):
@@ -80,9 +102,16 @@ def main() -> int:
                   f"[{time.time()-t0:.1f}s]")
             continue
         try:
-            cur = con.execute(spec.oracle)
-            o_cols = [d[0] for d in cur.description]
-            o_rows = cur.fetchall()
+            # Fetch through Arrow, like the driver: DuckDB HUGEINT /
+            # other exotic types take the same conversion hit they take
+            # in the real harness (uncast sums become decimal128, not
+            # exact Python ints), so the replica can no longer pass an
+            # oracle the driver would hash-fail.
+            tbl = con.execute(spec.oracle).fetch_arrow_table()
+            o_cols = list(tbl.column_names)
+            o_rows = [
+                tuple(d[c] for c in o_cols) for d in tbl.to_pylist()
+            ]
         except Exception as e:
             print(f"FAIL {name}: oracle error: {e}")
             failures.append(name)
