@@ -100,27 +100,66 @@ _PRIORITY_UNRECORDED = (
 )
 
 
-def _recorded_names() -> frozenset[str]:
-    """Query names that already have a row in any past round's
-    CORRECTNESS_r*.json (repo root)."""
+#: Queries whose IMPLEMENTATION materially changed this round: their old
+#: green row no longer certifies the current code, so they jump the
+#: staleness queue (right behind failures/upgrades) to get re-recorded.
+_FORCE_RERECORD = (
+    "event_value_deciles",  # r04: single-partition ntile → bucketed exact rank
+    "top10_customers_by_revenue",  # r04: customer broadcast hint removed
+    "regional_revenue",  # r04: customer broadcast hint removed
+)
+
+
+def _recorded_status() -> dict[str, tuple[int, str]]:
+    """``{name: (last_recorded_round, status)}`` from every past round's
+    CORRECTNESS_r*.json (repo root); status ∈ pass|fail|no_oracle."""
     import glob
     import json
     import os
+    import re
 
     root = os.path.dirname(os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
-    names: set[str] = set()
-    for path in glob.glob(os.path.join(root, "CORRECTNESS_r*.json")):
+    out: dict[str, tuple[int, str]] = {}
+    for path in sorted(glob.glob(os.path.join(root, "CORRECTNESS_r*.json"))):
+        m = re.search(r"_r(\d+)\.json$", path)
+        rnd = int(m.group(1)) if m else 0
         try:
             with open(path) as fh:
-                names.update(json.load(fh).keys())
+                rows = json.load(fh)
         except (OSError, ValueError):
             continue
-    return frozenset(names)
+        for name, row in rows.items():
+            if row.get("err") == "no_oracle":
+                status = "no_oracle"
+            elif row.get("hash_match") and row.get("rows_match"):
+                status = "pass"
+            else:
+                status = "fail"
+            prev = out.get(name)
+            if prev is None or rnd >= prev[0]:
+                out[name] = (rnd, status)
+    return out
 
 
 def all_queries() -> dict[str, QuerySpec]:
-    """Import every plan module (side-effect: registration) and return the
-    full registry, rotated so never-recorded queries come first."""
+    """Import every plan module (side-effect: registration) and return
+    the full registry, ordered for the driver's 50-slot recording
+    window. Priority (most-urgent first):
+
+    0. never recorded — must get a first row;
+    1. last record FAILED — the fix needs a green row;
+    2. last record was rows-only (``no_oracle``) but the query NOW has
+       an oracle — the upgrade needs a hash row;
+    3. implementation changed this round (``_FORCE_RERECORD``) — the
+       old green row certifies dead code;
+    4. everything else, STALEST recorded round first — so previously
+       recorded queries keep cycling back through the window and a
+       late regression can't hide forever (round-3 advice).
+
+    With no artifacts on disk (fresh checkout) every query is group 0
+    and the order is the deterministic priority list + registration
+    order — no environment dependence beyond the artifacts themselves.
+    """
     from spotify_tracks_etl_portfolio_spark.plans import (  # noqa: F401
         analytics,
         extensions,
@@ -128,16 +167,23 @@ def all_queries() -> dict[str, QuerySpec]:
         relational,
     )
 
-    recorded = _recorded_names()
+    recorded = _recorded_status()
     prio = {name: i for i, name in enumerate(_PRIORITY_UNRECORDED)}
+    force = {name: i for i, name in enumerate(_FORCE_RERECORD)}
 
-    def sort_key(item: tuple[int, str]) -> tuple[int, int, int]:
+    def sort_key(item: tuple[int, str]) -> tuple[int, int, int, int]:
         idx, name = item
-        return (
-            1 if name in recorded else 0,  # never-recorded first
-            prio.get(name, len(prio)),  # must-haves lead
-            idx,  # then stable registration order
-        )
+        rec = recorded.get(name)
+        if rec is None:
+            return (0, prio.get(name, len(prio)), 0, idx)
+        rnd, status = rec
+        if status == "fail":
+            return (1, 0, rnd, idx)
+        if status == "no_oracle" and QUERIES[name].oracle is not None:
+            return (2, 0, rnd, idx)
+        if name in force:
+            return (3, force[name], 0, idx)
+        return (4, 0, rnd, idx)
 
     ordered = sorted(enumerate(QUERIES), key=sort_key)
     return {name: QUERIES[name] for _, name in ordered}

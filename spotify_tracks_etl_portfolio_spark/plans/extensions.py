@@ -340,6 +340,135 @@ TOPK_K = 5
 TOPK_N_QUERIES = 10
 
 
+def _sql_cos(ae: str, be: str) -> str:
+    """6-dp-rounded cosine in DuckDB, clamped denominators — mirrors
+    ``functions.cosine_similarity`` + the probe's 1e-12 norm clamp."""
+    return (
+        f"round(list_dot_product({ae}, {be}) / "
+        f"(greatest(sqrt(list_dot_product({ae}, {ae})), 1e-12) * "
+        f"greatest(sqrt(list_dot_product({be}, {be})), 1e-12)), 6)"
+    )
+
+
+def _kmeans_cent_ctes(k: int, iters: int) -> tuple[list[str], str]:
+    """SQL replay of the engine's deterministic Lloyd's k-means
+    (``operators/similarity.py::kmeans_centroids``) — possible because
+    it has NO RNG anywhere (smallest-id seed rows, 6-dp-rounded cosine
+    assignment with smallest-cell ties, per-dimension mean update,
+    empty cells keep their centroid). The iteration count is a
+    compile-time constant, so the loop unrolls into a CTE chain
+    cent0 → (asg_t, means_t, cent_t)×iters. Returns (ctes,
+    final_cent_name); callers append their own consumers. Assumes a
+    CTE ``v(vec_id, e)`` with DOUBLE[] embeddings."""
+
+    def argmax_cell(cent: str, out: str) -> str:
+        return f"""{out} AS (
+  SELECT vec_id, e, cell FROM (
+    SELECT v.vec_id, v.e, ct.cell,
+           row_number() OVER (PARTITION BY v.vec_id
+                              ORDER BY {_sql_cos('v.e', 'ct.c')} DESC,
+                                       ct.cell ASC) AS rn
+    FROM v, {cent} ct) WHERE rn = 1
+)"""
+
+    ctes = [
+        f"""cent0 AS (
+  SELECT row_number() OVER (ORDER BY vec_id) - 1 AS cell, e AS c
+  FROM v ORDER BY vec_id LIMIT {k}
+)""",
+    ]
+    prev = "cent0"
+    for t in range(1, iters + 1):
+        ctes.append(argmax_cell(prev, f"asg{t}"))
+        ctes.append(f"""means{t} AS (
+  SELECT cell, d, avg(e[d]) AS m
+  FROM asg{t}, unnest(range(1, len(e) + 1)) AS t(d)
+  GROUP BY cell, d
+)""")
+        ctes.append(f"""cent{t} AS (
+  SELECT p.cell, coalesce(m.c, p.c) AS c
+  FROM {prev} p LEFT JOIN (
+    SELECT cell, list(m ORDER BY d) AS c FROM means{t} GROUP BY cell
+  ) m USING (cell)
+)""")
+        prev = f"cent{t}"
+    ctes.append(argmax_cell(prev, "final_asg"))
+    return ctes, prev
+
+
+def _semantic_dedup_oracle(
+    k: int = 8, iters: int = 3, threshold: float = 0.9
+) -> str:
+    """SemDeDup replay: unrolled k-means (``_kmeans_cent_ctes``) → final
+    assignment → within-cell lower-id near-dup drop. 6-dp rounding
+    before every ranking absorbs engine float-summation-order
+    differences."""
+    ctes = ["v AS (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings)"]
+    cent_ctes, _ = _kmeans_cent_ctes(k, iters)
+    ctes.extend(cent_ctes)
+    ctes.append(f"""dropped AS (
+  SELECT DISTINCT a.vec_id
+  FROM final_asg a JOIN final_asg b
+    ON a.cell = b.cell AND b.vec_id < a.vec_id
+  WHERE {_sql_cos('a.e', 'b.e')} >= {threshold}
+)""")
+    return (
+        "WITH "
+        + ",\n".join(ctes)
+        + """
+SELECT f.vec_id, CAST(f.cell AS BIGINT) AS cell,
+       (d.vec_id IS NULL) AS is_kept
+FROM final_asg f LEFT JOIN dropped d USING (vec_id)
+"""
+    )
+
+
+def _ivf_topk_oracle(
+    k_cells: int = 8,
+    iters: int = 3,
+    nprobe: int = 2,
+    topk: int = 5,
+    n_queries: int = 10,
+) -> str:
+    """IVF replay: the SAME unrolled k-means, then corpus→cell
+    assignment (final_asg), query→top-nprobe cell probing, exact
+    scoring within the probed cells, per-query top-k — deterministic
+    end-to-end, so the 'approximate' ANN path is exactly checkable
+    (approximate refers to recall vs brute force, not to
+    nondeterminism)."""
+    ctes = ["v AS (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings)"]
+    cent_ctes, final_cent = _kmeans_cent_ctes(k_cells, iters)
+    ctes.extend(cent_ctes)
+    ctes.append(f"""qcells AS (
+  SELECT vec_id AS query_id, e AS qe, cell FROM (
+    SELECT v.vec_id, v.e, ct.cell,
+           row_number() OVER (PARTITION BY v.vec_id
+                              ORDER BY {_sql_cos('v.e', 'ct.c')} DESC,
+                                       ct.cell ASC) AS rn
+    FROM v, {final_cent} ct
+    WHERE v.vec_id < {n_queries}) WHERE rn <= {nprobe}
+)""")
+    ctes.append(f"""ivf_scored AS (
+  SELECT q.query_id, a.vec_id AS neighbor_id,
+         {_sql_cos('a.e', 'q.qe')} AS cosine
+  FROM final_asg a JOIN qcells q USING (cell)
+  WHERE a.vec_id <> q.query_id
+)""")
+    return (
+        "WITH "
+        + ",\n".join(ctes)
+        + f"""
+SELECT query_id, neighbor_id, cosine, CAST(rank AS BIGINT) AS rank
+FROM (
+  SELECT *, row_number() OVER (PARTITION BY query_id
+                               ORDER BY cosine DESC, neighbor_id) AS rank
+  FROM ivf_scored
+) WHERE rank <= {topk}
+"""
+    )
+
+
+
 @register(
     "embedding_cosine_topk",
     oracle=f"""
@@ -382,13 +511,18 @@ def embedding_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "embedding_ivf_topk",
-    oracle=None,  # approximate by design → rows-only check
+    oracle=_ivf_topk_oracle(
+        k_cells=8, iters=3, nprobe=2, topk=TOPK_K, n_queries=TOPK_N_QUERIES
+    ),
     description="IVF approximate top-k: deterministic Lloyd's k-means "
     "centroids (iterative DataFrame job), centroid assignment join + "
     "nprobe-cell-pruned search — touches nprobe/n_cells of the corpus "
     "(the 100 TB ANN path). Measured recall@5 vs the exact brute-force "
     "oracle: 0.92 at sf0.01 with k=8/iters=3/nprobe=2 (pytest enforces "
-    "a 0.6 floor). Approximate ⇒ no SQL oracle.",
+    "a 0.6 floor). 'Approximate' = recall vs brute force, NOT "
+    "nondeterminism: the zero-RNG pipeline replays exactly as an "
+    "unrolled DuckDB CTE chain, so the ANN result set itself is "
+    "hash-checked.",
     tags=("extension", "similarity", "approx"),
 )
 def embedding_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1127,7 +1261,10 @@ def unigram_logprob_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     return (
-        toks.join(F.broadcast(lp), "token")
+        # no broadcast hint: lp is one row per DISTINCT token — a
+        # vocabulary-scaled table at 100 TB; size-based planning
+        # broadcasts it at small SF and shuffle-joins it at large.
+        toks.join(lp, "token")
         .groupBy("doc_id")
         .agg(
             F.count(F.lit(1)).alias("n_tokens"),
@@ -1454,16 +1591,17 @@ def bpe_train_merges_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "semantic_dedup_embeddings",
-    oracle=None,  # k-means cells → approximate by design, rows-only check
+    oracle=_semantic_dedup_oracle(k=8, iters=3, threshold=0.9),
     description="SemDeDup-style semantic dedup (arXiv:2303.09540): "
     "deterministic k-means clusters the embedding space, then within "
     "each cluster every vector with a lower-id cosine>=0.9 neighbor is "
     "dropped — pairwise work scoped to cells (n²/k, the SemDeDup design "
     "point), exact Column-math verify, no RNG so re-runs drop the "
-    "identical set. Quantitative pytest gates: planted duplicates drop, "
-    "soundness vs global brute force. Approximate (cluster-scoped) ⇒ "
-    "no SQL oracle.",
-    tags=("extension", "similarity", "dedup", "approx"),
+    "identical set. Fully oracle-checked: the zero-RNG design lets the "
+    "whole pipeline (seeded Lloyd's, 6-dp assignment, within-cell "
+    "verify) replay as an unrolled DuckDB CTE chain. Extra pytest "
+    "gates: planted duplicates drop, soundness vs global brute force.",
+    tags=("extension", "similarity", "dedup"),
 )
 def semantic_dedup_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = read_parquet_table(spark, sf_dir, "embeddings")

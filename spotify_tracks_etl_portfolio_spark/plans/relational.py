@@ -84,8 +84,10 @@ GROUP BY c.c_custkey, c.c_name
 ORDER BY revenue DESC, c_custkey
 LIMIT 10
 """,
-    description="3-way fact-dim join + top-k (broadcast dim, "
-    "TakeOrderedAndProject top-k)",
+    description="3-way fact-dim join + top-k (TakeOrderedAndProject "
+    "top-k). customer carries NO broadcast hint — it scales with SF "
+    "(~1.7B rows at 100 TB); size-based planning broadcasts it at "
+    "small SF and sort-merge-joins at large",
     tags=("relational", "join", "topn"),
 )
 def top10_customers_by_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -94,7 +96,7 @@ def top10_customers_by_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     l = read_parquet_table(spark, sf_dir, "lineitem")
     return (
         l.join(o, l.l_orderkey == o.o_orderkey)
-        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .join(c, o.o_custkey == c.c_custkey)
         .groupBy("c_custkey", "c_name")
         .agg(
             F.sum(_revenue(l)).cast("double").alias("revenue"),
@@ -119,8 +121,10 @@ JOIN nation n ON c.c_nationkey = n.n_nationkey
 JOIN region r ON n.n_regionkey = r.r_regionkey
 GROUP BY r.r_name, n.n_name
 """,
-    description="TPC-H Q5-style snowflake join: fact → dims with broadcast "
-    "hints on every dimension",
+    description="TPC-H Q5-style snowflake join: fact → dims. Hard "
+    "broadcast hints only on the fixed-cardinality dims (nation=25, "
+    "region=5 rows at ANY scale); customer is size-gated by the "
+    "planner — broadcast at small SF, shuffle join at 100 TB",
     tags=("relational", "join"),
 )
 def regional_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -131,7 +135,7 @@ def regional_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     r = read_parquet_table(spark, sf_dir, "region")
     return (
         l.join(o, l.l_orderkey == o.o_orderkey)
-        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .join(c, o.o_custkey == c.c_custkey)
         .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
         .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
         .groupBy(F.col("r_name").alias("region"), F.col("n_name").alias("nation"))
@@ -487,7 +491,7 @@ def top3_customers_per_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
     o = read_parquet_table(spark, sf_dir, "orders")
     n = read_parquet_table(spark, sf_dir, "nation")
     rev = (
-        o.join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        o.join(c, o.o_custkey == c.c_custkey)
         .groupBy("c_nationkey", "c_custkey", "c_name")
         .agg(F.sum(F.col("o_totalprice").cast(_DEC)).cast("double").alias("revenue"))
     )
@@ -799,7 +803,7 @@ def top10_customers_by_revenue_salted(
     l = read_parquet_table(spark, sf_dir, "lineitem")
     lo = salted_join(l, o, "l_orderkey", "o_orderkey", "l_linenumber", buckets=8)
     return (
-        lo.join(F.broadcast(c), F.col("o_custkey") == c.c_custkey)
+        lo.join(c, F.col("o_custkey") == c.c_custkey)
         .groupBy("c_custkey", "c_name")
         .agg(
             F.sum(
@@ -953,7 +957,7 @@ def q3_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return (
         l.join(o, l.l_orderkey == o.o_orderkey)
-        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .join(c, o.o_custkey == c.c_custkey)
         .groupBy(
             "l_orderkey",
             F.date_format("o_orderdate", "yyyy-MM-dd").alias("o_orderdate"),
@@ -1035,7 +1039,7 @@ def q14_promo_revenue_share(spark: SparkSession, sf_dir: str) -> DataFrame:
     promo = F.when(F.col("p_type").like("PROMO%"), rev).otherwise(
         F.lit(0).cast(_DEC)
     )
-    return l.join(F.broadcast(p), l.l_partkey == p.p_partkey).agg(
+    return l.join(p, l.l_partkey == p.p_partkey).agg(
         F.round(
             F.lit(100.0)
             * F.sum(promo).cast("double")
@@ -1085,7 +1089,7 @@ def q18_large_volume_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
         l.join(big.withColumnRenamed("l_orderkey", "__bk"),
                F.col("l_orderkey") == F.col("__bk"))
         .join(o, F.col("l_orderkey") == o.o_orderkey)
-        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .join(c, o.o_custkey == c.c_custkey)
         .groupBy(
             "c_name",
             "c_custkey",
@@ -1140,7 +1144,7 @@ def nation_revenue_ranks(spark: SparkSession, sf_dir: str) -> DataFrame:
     n = read_parquet_table(spark, sf_dir, "nation")
     nr = (
         l.join(o, l.l_orderkey == o.o_orderkey)
-        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .join(c, o.o_custkey == c.c_custkey)
         .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
         .groupBy(F.col("n_name").alias("nation"))
         .agg(F.sum(_revenue(l)).alias("dec_rev"))
@@ -1192,10 +1196,10 @@ def q7_nation_trade_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("n_nationkey").alias("__nc_key"), F.col("n_name").alias("cust_nation")
     )
     return (
-        l.join(F.broadcast(s), l.l_suppkey == s.s_suppkey)
+        l.join(s, l.l_suppkey == s.s_suppkey)
         .join(F.broadcast(ns), F.col("s_nationkey") == F.col("__ns_key"))
         .join(o, l.l_orderkey == o.o_orderkey)
-        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .join(c, o.o_custkey == c.c_custkey)
         .join(F.broadcast(nc), F.col("c_nationkey") == F.col("__nc_key"))
         .filter(F.col("supp_nation") != F.col("cust_nation"))
         .groupBy("supp_nation", "cust_nation")
@@ -1234,7 +1238,7 @@ def q10_returned_item_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return (
         l.join(o, l.l_orderkey == o.o_orderkey)
-        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .join(c, o.o_custkey == c.c_custkey)
         .join(F.broadcast(n), F.col("c_nationkey") == n.n_nationkey)
         .groupBy("c_custkey", "c_name", F.col("n_name").alias("nation"))
         .agg(F.sum(_revenue(l)).cast("double").alias("revenue"))
@@ -1275,7 +1279,7 @@ def q19_disjunctive_promo_revenue(spark: SparkSession, sf_dir: str) -> DataFrame
         & F.col("l_quantity").between(10, 40)
     )
     return (
-        l.join(F.broadcast(p), l.l_partkey == p.p_partkey)
+        l.join(p, l.l_partkey == p.p_partkey)
         .filter(cond1 | cond2)
         .agg(
             F.sum(_revenue(l)).cast("double").alias("revenue"),
@@ -1481,9 +1485,9 @@ def q5_local_supplier_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return (
         l.join(o, l.l_orderkey == o.o_orderkey)
-        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .join(c, o.o_custkey == c.c_custkey)
         .join(
-            F.broadcast(s),
+            s,
             (l.l_suppkey == s.s_suppkey)
             & (s.s_nationkey == c.c_nationkey),
         )
@@ -1548,11 +1552,11 @@ def q8_nation_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lit(0).cast(_DEC)
     )
     return (
-        l.join(F.broadcast(p), l.l_partkey == p.p_partkey)
-        .join(F.broadcast(s), l.l_suppkey == s.s_suppkey)
+        l.join(p, l.l_partkey == p.p_partkey)
+        .join(s, l.l_suppkey == s.s_suppkey)
         .join(F.broadcast(ns), F.col("s_nationkey") == F.col("__ns_key"))
         .join(o, l.l_orderkey == o.o_orderkey)
-        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .join(c, o.o_custkey == c.c_custkey)
         .join(F.broadcast(nc), F.col("c_nationkey") == F.col("__nc_key"))
         .groupBy(F.year("o_orderdate").cast("long").alias("o_year"))
         .agg(
@@ -1595,7 +1599,7 @@ def q15_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
     mx = rev.agg(F.max("__tot").alias("__mx"))
     top = rev.crossJoin(F.broadcast(mx)).filter(F.col("__tot") == F.col("__mx"))
     return (
-        top.join(F.broadcast(s), F.col("l_suppkey") == s.s_suppkey)
+        top.join(s, F.col("l_suppkey") == s.s_suppkey)
         .select(
             "s_suppkey",
             "s_name",
@@ -1665,7 +1669,7 @@ def q21_waiting_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
         "left_anti",
     )
     return (
-        waiting.join(F.broadcast(s), F.col("l_suppkey") == s.s_suppkey)
+        waiting.join(s, F.col("l_suppkey") == s.s_suppkey)
         .groupBy("s_name")
         .agg(F.count(F.lit(1)).alias("numwait"))
         .orderBy(F.desc("numwait"), F.asc("s_name"))
@@ -1757,8 +1761,8 @@ def q9_nation_profit(spark: SparkSession, sf_dir: str) -> DataFrame:
         - F.lit(0.6) * F.col("p_retailprice") * F.col("l_quantity")
     ).cast(_DEC)
     return (
-        l.join(F.broadcast(p), l.l_partkey == p.p_partkey)
-        .join(F.broadcast(s), l.l_suppkey == s.s_suppkey)
+        l.join(p, l.l_partkey == p.p_partkey)
+        .join(s, l.l_suppkey == s.s_suppkey)
         .join(F.broadcast(n), s.s_nationkey == n.n_nationkey)
         .join(o, l.l_orderkey == o.o_orderkey)
         .groupBy(
@@ -1805,11 +1809,11 @@ def q16_supplier_part_variety(spark: SparkSession, sf_dir: str) -> DataFrame:
     ps = l.select("l_partkey", "l_suppkey").distinct()
     return (
         ps.join(
-            F.broadcast(bad_suppliers),
+            bad_suppliers,
             ps.l_suppkey == F.col("s_suppkey"),
             "left_anti",
         )
-        .join(F.broadcast(p), F.col("l_partkey") == p.p_partkey)
+        .join(p, F.col("l_partkey") == p.p_partkey)
         .groupBy("p_brand", "p_type", "p_size")
         .agg(F.countDistinct("l_suppkey").alias("supplier_cnt"))
         .orderBy(
@@ -1868,7 +1872,7 @@ def q20_excess_quantity_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame
             (F.col("l_shipdate") >= F.lit("1997-01-01 00:00:00").cast("timestamp"))
             & (F.col("l_shipdate") < F.lit("1998-01-01 00:00:00").cast("timestamp"))
         )
-        .join(F.broadcast(p), l.l_partkey == p.p_partkey)
+        .join(p, l.l_partkey == p.p_partkey)
         .groupBy("l_partkey", "l_suppkey")
         .agg(F.sum(F.col("l_quantity").cast(_DEC)).alias("ps_qty"))
     )
@@ -1939,11 +1943,11 @@ def q2_min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
         .select("s_suppkey", "s_name", "s_acctbal", "n_name")
     )
-    elig = ps.join(F.broadcast(dims), ps.l_suppkey == dims.s_suppkey)
+    elig = ps.join(dims, ps.l_suppkey == dims.s_suppkey)
     pf = read_parquet_table(spark, sf_dir, "part").filter(
         (F.col("p_size") <= 10) & (F.col("p_type") == "STANDARD")
     )
-    elig_f = elig.join(F.broadcast(pf), elig.l_partkey == pf.p_partkey)
+    elig_f = elig.join(pf, elig.l_partkey == pf.p_partkey)
     w = Window.partitionBy("l_partkey")
     return (
         elig_f.withColumn("__mn", F.min("unit_cost").over(w))

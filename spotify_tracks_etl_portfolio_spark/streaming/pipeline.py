@@ -154,11 +154,12 @@ def streaming_dedup_events(
 
 def streaming_enrich_events(events: DataFrame, dim: DataFrame) -> DataFrame:
     """Stream-static join: enrich the event stream with a slowly-changing
-    dimension. The static side is broadcast-hinted — each micro-batch
-    probes an executor-local hash map, no stream-side shuffle and no
-    join state to watermark (stream-static inner joins are stateless)."""
+    dimension — stateless (no join state to watermark). No hard
+    broadcast hint: the dimension scales with SF, so size-based planning
+    broadcasts it while it fits (executor-local hash-map probe per
+    micro-batch) and falls back to a shuffled join when it doesn't."""
     return events.join(
-        F.broadcast(dim),
+        dim,
         events.user_id == dim.c_custkey,
         "inner",
     ).drop("c_custkey")
@@ -175,14 +176,17 @@ def streaming_incremental_dedup(
     Stream-static left_anti joins aren't supported by Structured
     Streaming; the standard equivalent is a left-outer join against a
     marker column + IS NULL filter, which IS supported stream-side and
-    stateless (the static side is an executor-local broadcast hash map
-    probed per micro-batch — no watermark, no join state). At 100 TB
-    the corpus side stays narrow (fingerprint-only)."""
+    stateless (no watermark, no join state). The marker side carries NO
+    hard broadcast hint: the corpus fingerprint set scales with the
+    corpus, so size-based planning broadcasts it while it fits and
+    shuffle-joins the micro-batch against it when it doesn't (the
+    fingerprint-only projection keeps the static side narrow either
+    way)."""
     marker = corpus_fp.select(F.col(fp_col)).dropDuplicates([fp_col]).withColumn(
         "__seen", F.lit(True)
     )
     return (
-        batch_stream.join(F.broadcast(marker), fp_col, "left_outer")
+        batch_stream.join(marker, fp_col, "left_outer")
         .filter(F.col("__seen").isNull())
         .drop("__seen")
     )

@@ -1,0 +1,92 @@
+"""Exact distributed ranking (global_row_number / exact_ntile) and the
+scale-safe event_value_deciles built on it.
+
+The correctness claim is strong: the bucketed plan must be
+BIT-IDENTICAL to the single-partition SQL forms (``row_number()`` /
+``ntile()`` over an unpartitioned ordered window), for any boundary
+choice, because bucketing is monotone and ties never cross buckets.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Window
+from pyspark.sql import functions as F
+
+from spotify_tracks_etl_portfolio_spark.operators.stats import (
+    exact_ntile,
+    global_row_number,
+)
+from spotify_tracks_etl_portfolio_spark.plans.analytics import (
+    event_value_deciles,
+    event_value_deciles_ntile_crosscheck,
+)
+from spotify_tracks_etl_portfolio_spark.sources.readers import (
+    read_parquet_table,
+)
+
+
+def test_global_row_number_matches_window_row_number(spark, sf_dir):
+    ev = read_parquet_table(spark, sf_dir, "events").select(
+        "value", "event_id"
+    )
+    got = {
+        r["event_id"]: r["rn"]
+        for r in global_row_number(ev, ["value", "event_id"], "rn").collect()
+    }
+    w = Window.orderBy("value", "event_id")
+    want = {
+        r["event_id"]: r["rn"]
+        for r in ev.select(
+            "event_id", F.row_number().over(w).cast("long").alias("rn")
+        ).collect()
+    }
+    assert got == want
+
+
+def test_global_row_number_few_buckets_still_exact(spark, sf_dir):
+    """Boundary quality only affects balance — correctness must hold
+    even with a pathological 2-bucket split."""
+    ev = read_parquet_table(spark, sf_dir, "events").select(
+        "value", "event_id"
+    )
+    ranked = global_row_number(ev, ["value", "event_id"], "rn", buckets=2)
+    rows = ranked.orderBy("rn").select("rn").collect()
+    assert [r["rn"] for r in rows] == list(range(1, len(rows) + 1))
+
+
+def test_exact_ntile_matches_sql_ntile(spark, sf_dir):
+    ev = read_parquet_table(spark, sf_dir, "events").select(
+        "value", "event_id"
+    )
+    got = {
+        r["event_id"]: r["tile"]
+        for r in exact_ntile(ev, ["value", "event_id"], 7).collect()
+    }
+    w = Window.orderBy("value", "event_id")
+    want = {
+        r["event_id"]: r["tile"]
+        for r in ev.select(
+            "event_id", F.ntile(7).over(w).alias("tile")
+        ).collect()
+    }
+    assert got == want
+
+
+def test_exact_ntile_more_tiles_than_rows(spark):
+    """q == 0 branch: with N < n_tiles, ntile assigns tile == rank."""
+    df = spark.createDataFrame(
+        [(3, "c"), (1, "a"), (2, "b")], ["k", "s"]
+    )
+    got = sorted(
+        (r["k"], r["t"]) for r in exact_ntile(df, ["k"], 10, "t").collect()
+    )
+    assert got == [(1, 1), (2, 2), (3, 3)]
+
+
+def test_event_value_deciles_equals_ntile_crosscheck(spark, sf_dir):
+    a = sorted(tuple(r) for r in event_value_deciles(spark, sf_dir).collect())
+    b = sorted(
+        tuple(r)
+        for r in event_value_deciles_ntile_crosscheck(spark, sf_dir).collect()
+    )
+    assert a == b

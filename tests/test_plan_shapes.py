@@ -86,10 +86,39 @@ def test_global_windows_run_on_aggregated_input(spark, sf_dir):
 
 def test_broadcast_hints_survive_in_snowflake_join(spark, sf_dir):
     plan = plan_of(spark, "regional_revenue", sf_dir)
-    # every dimension (customer, nation, region) broadcasts; the fact
-    # side joins orders via shuffle — at most one non-broadcast join
+    # at small SF every dimension (customer via SIZE-BASED planning,
+    # nation/region via hard hints) broadcasts; the fact side joins
+    # orders via shuffle — at most one non-broadcast join
     assert plan.count("BroadcastHashJoin") >= 3
     assert plan.count("SortMergeJoin") + plan.count("ShuffledHashJoin") <= 1
+
+
+def test_sf_scaled_tables_have_no_hard_broadcast_hint(spark, sf_dir):
+    """100 TB simulation (round-3 verdict item): with the
+    auto-broadcast size gate closed (threshold=-1, i.e. 'every table is
+    too big'), the only joins still planned as broadcast must come from
+    hard hints — and hard hints are only allowed on fixed-cardinality
+    dims (nation=25, region=5 rows at ANY scale) or provably-tiny
+    derived aggregates. A leftover F.broadcast() on customer / part /
+    supplier (~1.7B / 20B / 1B rows at 100 TB) is a driver OOM."""
+    old = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        # top10: all three tables SF-scaled → zero broadcasts survive
+        plan = plan_of(spark, "top10_customers_by_revenue", sf_dir)
+        assert "BroadcastHashJoin" not in plan
+        # snowflake: only the hinted nation+region broadcasts survive
+        plan = plan_of(spark, "regional_revenue", sf_dir)
+        assert plan.count("BroadcastHashJoin") == 2
+        # Q5-asia variant: nation+region hints only
+        plan = plan_of(spark, "q5_local_supplier_volume", sf_dir)
+        assert plan.count("BroadcastHashJoin") == 2
+        # part/supplier joins: no hint survives the closed gate
+        for name in ("q14_promo_revenue_share", "q16_supplier_part_variety"):
+            plan = plan_of(spark, name, sf_dir)
+            assert "BroadcastHashJoin" not in plan, name
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
 
 
 @pytest.mark.parametrize(
@@ -237,6 +266,75 @@ def test_no_registered_query_plans_unsanctioned_nested_loop(spark, sf_dir):
         elif "BroadcastNestedLoopJoin" in plan and name not in SANCTIONED_NESTED_LOOP:
             offenders[name] = "BroadcastNestedLoopJoin"
     assert not offenders, offenders
+
+
+#: Node prefixes that sanction a single-partition exchange: the exchange
+#: input is aggregated / rank-limited / literal-small, so the one-task
+#: stage sees a bounded row count at ANY data scale.
+_SINGLE_PARTITION_OK_BELOW = (
+    "HashAggregate",
+    "SortAggregate",
+    "ObjectHashAggregate",
+    "TakeOrderedAndProject",
+    "WindowGroupLimit",
+    "LocalTableScan",
+    "ReusedExchange",
+)
+
+
+def _plan_nodes(plan: str) -> list[tuple[int, str]]:
+    """(indent_depth, node_text) per line of a physical-plan string; a
+    node's subtree is the following lines with strictly greater depth."""
+    import re
+
+    nodes = []
+    for line in plan.splitlines():
+        m = re.match(r"^([ :]*)(?:[+:]- )?(.*)$", line)
+        nodes.append((len(m.group(1)), m.group(2)))
+    return nodes
+
+
+def test_no_registered_query_single_partitions_raw_input(spark, sf_dir):
+    """Global scale invariant (round-3 verdict item): an ``Exchange
+    SinglePartition`` whose subtree has no aggregation / rank-limit /
+    literal input moves the ENTIRE input to one task — the
+    unpartitioned-window OOM at 100 TB.  Every single-partition exchange
+    in every registered query must sit above bounded input."""
+    offenders = {}
+    for name, spec in sorted(all_queries().items()):
+        if name.startswith("streaming_"):
+            continue  # streams drain in their own gates; plans differ
+        plan = plan_of(spark, name, sf_dir)
+        nodes = _plan_nodes(plan)
+        for i, (d, txt) in enumerate(nodes):
+            if "Exchange SinglePartition" not in txt:
+                continue
+            sub = []
+            for d2, t2 in nodes[i + 1 :]:
+                if d2 <= d:
+                    break
+                sub.append(t2)
+            if not any(
+                t2.startswith(ok)
+                for t2 in sub
+                for ok in _SINGLE_PARTITION_OK_BELOW
+            ):
+                offenders[name] = [s.split("[")[0].strip() for s in sub][:6]
+    assert not offenders, (
+        f"single-partition exchange over raw (unaggregated) input: {offenders}"
+    )
+
+
+def test_event_value_deciles_never_single_partitions(spark, sf_dir):
+    """The decile query computes EXACT ntile(10) without the
+    single-partition global-sort window: ranks come from per-bucket
+    row_number (hash-partitioned on the quantile bucket) plus literal
+    offsets.  No stage may see the whole events table in one task."""
+    plan = plan_of(spark, "event_value_deciles", sf_dir)
+    assert "Exchange SinglePartition" not in plan
+    assert "rangepartitioning" not in plan
+    # the rank window is partitioned on the bucket column
+    assert "Window" in plan
 
 
 def test_stratified_sample_gets_rank_limit_pushdown(spark, sf_dir):
