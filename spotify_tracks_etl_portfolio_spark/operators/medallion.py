@@ -193,6 +193,11 @@ def propagate_deletes(
     partition pruning on the key's partition column so only affected
     files rewrite. Returns ``(cleaned_tables, tombstones)``.
     """
+    if not tables:
+        raise ValueError(
+            "propagate_deletes needs at least one table — the tombstone "
+            "audit schema is derived from the tables' key column"
+        )
     ts = tombstone_ts if tombstone_ts is not None else F.current_timestamp()
     keys = delete_keys.select(key_col).distinct()
     cleaned: dict[str, DataFrame] = {}

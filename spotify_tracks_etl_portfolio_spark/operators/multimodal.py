@@ -245,6 +245,13 @@ def decode_ppm(blob: bytes) -> dict:
     width, height, maxval = fields
     if maxval != 255:
         raise NotImplementedError(f"PPM maxval 255 only; got {maxval}")
+    if len(blob) - pos < width * height * 3:
+        # a short payload would otherwise yield silently-wrong stats
+        # (mean over fewer bytes while n_pixels stays w*h)
+        raise ValueError(
+            f"truncated PPM payload: need {width * height * 3} sample "
+            f"bytes, have {len(blob) - pos}"
+        )
     samples = blob[pos : pos + width * height * 3]
     return {
         "format": "ppm", "width": width, "height": height,
@@ -606,6 +613,11 @@ def decode_y4m(blob: bytes) -> dict:
         fnl = blob.index(b"\n", pos)
         if not blob[pos:fnl].startswith(b"FRAME"):
             raise ValueError("bad y4m FRAME marker")
+        if len(blob) - (fnl + 1) < fsz:
+            raise ValueError(
+                f"truncated y4m frame: need {fsz} luma bytes, "
+                f"have {len(blob) - fnl - 1}"
+            )
         frames.append(blob[fnl + 1 : fnl + 1 + fsz])
         pos = fnl + 1 + fsz
     return {

@@ -684,14 +684,43 @@ from spotify_tracks_etl_portfolio_spark.operators import multimodal as _mm  # no
 _MM_WIDTH = 16
 
 
+def _utf8_bytes_sql(txt: str) -> str:
+    """DuckDB list of the UTF-8 BYTE values of a string column.
+
+    The multimodal encoders operate on ``text.encode('utf-8')`` — i.e.
+    bytes — while DuckDB's ``ascii(c)`` yields the CODE POINT per
+    character, which only coincides with the byte value for pure-ASCII
+    input (round-3 advice). Expanding each code point into its UTF-8
+    byte sequence makes the oracle's byte geometry (sums, slices,
+    lengths) exact for ANY input, so ``len(<this>)`` also equals
+    ``octet_length(encode(text))``."""
+    u = "unicode(c)"
+    return f"""flatten(list_transform(
+      list_filter(string_split({txt}, ''), c -> c != ''), c ->
+      CASE
+        WHEN {u} < 128 THEN [CAST({u} AS BIGINT)]
+        WHEN {u} < 2048 THEN [
+          CAST(192 + ({u} // 64) AS BIGINT),
+          CAST(128 + ({u} % 64) AS BIGINT)]
+        WHEN {u} < 65536 THEN [
+          CAST(224 + ({u} // 4096) AS BIGINT),
+          CAST(128 + (({u} // 64) % 64) AS BIGINT),
+          CAST(128 + ({u} % 64) AS BIGINT)]
+        ELSE [
+          CAST(240 + ({u} // 262144) AS BIGINT),
+          CAST(128 + (({u} // 4096) % 64) AS BIGINT),
+          CAST(128 + (({u} // 64) % 64) AS BIGINT),
+          CAST(128 + ({u} % 64) AS BIGINT)]
+      END))"""
+
+
 @register(
     "multimodal_decode_features",
     oracle=f"""
 WITH d AS (
   SELECT doc_id,
          octet_length(encode(text)) AS n,
-         COALESCE(list_sum(list_transform(string_split(text, ''),
-                                          c -> CAST(ascii(c) AS BIGINT))), 0) AS s
+         COALESCE(CAST(list_sum({_utf8_bytes_sql('text')}) AS BIGINT), 0) AS s
   FROM documents
 ),
 g AS (
@@ -764,8 +793,7 @@ _WAV_RATE = 8000
 WITH d AS (
   SELECT doc_id,
          octet_length(encode(text)) AS n,
-         COALESCE(list_sum(list_transform(string_split(text, ''),
-                                          c -> CAST(ascii(c) AS BIGINT))), 0) AS s
+         COALESCE(CAST(list_sum({_utf8_bytes_sql('text')}) AS BIGINT), 0) AS s
   FROM documents
 )
 SELECT doc_id AS id,
@@ -798,8 +826,7 @@ _Y4M_W, _Y4M_H, _Y4M_STRIDE = 8, 8, 2
 WITH d AS (
   SELECT doc_id,
          octet_length(encode(text)) AS n,
-         list_transform(string_split(text, ''),
-                        c -> CAST(ascii(c) AS BIGINT)) AS bs
+         {_utf8_bytes_sql('text')} AS bs
   FROM documents
 ),
 g AS (

@@ -77,7 +77,7 @@ def start_sql_endpoint(
     while True:
         try:
             with socket.create_connection(("localhost", port), timeout=2):
-                return port
+                pass
         except OSError:
             if time.time() > deadline:
                 raise TimeoutError(
@@ -85,6 +85,30 @@ def start_sql_endpoint(
                     f"{startup_timeout_s}s"
                 )
             time.sleep(0.5)
+            continue
+        # A raw TCP connect is not proof OUR server bound the port:
+        # between _free_port() and the JVM's bind another process could
+        # have grabbed it (TOCTOU), and the JVM's own bind failure is
+        # only logged. Prove the listener speaks HiveServer2 by running
+        # a trivial query through the real JDBC path before returning.
+        try:
+            rows = jdbc_query(spark, "SELECT 1", port)
+        except Exception:
+            if time.time() > deadline:
+                raise TimeoutError(
+                    f"port {port} accepts TCP but did not answer a "
+                    f"Thrift query within {startup_timeout_s}s — the "
+                    "listener may be a foreign process (port grabbed "
+                    "between probe and bind) or the server failed to "
+                    "start; check the JVM logs"
+                )
+            time.sleep(0.5)
+            continue
+        if rows != [(1,)]:
+            raise RuntimeError(
+                f"endpoint on port {port} answered SELECT 1 with {rows!r}"
+            )
+        return port
 
 
 def jdbc_query(

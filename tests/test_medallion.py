@@ -151,6 +151,18 @@ def test_merge_with_audit_timestamps(spark):
     assert replayed.count() == 3
 
 
+def test_propagate_deletes_rejects_empty_lineage(spark):
+    import pytest
+
+    from spotify_tracks_etl_portfolio_spark.operators.medallion import (
+        propagate_deletes,
+    )
+
+    reqs = spark.createDataFrame([(1,)], "k long")
+    with pytest.raises(ValueError, match="at least one table"):
+        propagate_deletes({}, reqs, "k")
+
+
 def test_propagate_deletes_multi_table_with_tombstones(spark):
     """Right-to-be-forgotten: keys vanish from EVERY table in the
     lineage; the tombstone audit records per-table deleted row counts

@@ -193,6 +193,18 @@ def test_bmp_top_down_and_ppm_comments():
     assert (img["width"], img["height"]) == (3, 1)
 
 
+def test_truncated_ppm_and_y4m_raise_not_silently_misdecode():
+    """A short payload must raise, never emit statistics computed over
+    fewer bytes than the header promises (round-3 advice)."""
+    import pytest
+
+    with pytest.raises(ValueError, match="truncated PPM"):
+        mm.decode_ppm(b"P6\n3 1\n255\n" + bytes(8))  # needs 9
+    good = mm.encode_y4m_mono(bytes(range(64)), 8, 8)
+    with pytest.raises(ValueError, match="truncated y4m"):
+        mm.decode_y4m(good[:-1])
+
+
 def test_decode_image_features_end_to_end(spark):
     """attach_encoded_media → decode_image_features: real mixed-format
     encode on executors, real decode back, true dimensions out."""

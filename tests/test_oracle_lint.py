@@ -22,6 +22,34 @@ from spotify_tracks_etl_portfolio_spark.plans import all_queries
 from spotify_tracks_etl_portfolio_spark.schemas import TESTDATA_TABLES
 
 
+def test_utf8_bytes_sql_is_exact_for_non_ascii():
+    """The multimodal oracles' byte geometry must equal Python's
+    ``str.encode('utf-8')`` for ANY input, not just ASCII (round-3
+    advice: ascii(c) per character silently diverges on non-ASCII)."""
+    from spotify_tracks_etl_portfolio_spark.plans.extensions import (
+        _utf8_bytes_sql,
+    )
+
+    samples = [
+        "plain ascii",
+        "café naïve",  # 2-byte sequences
+        "€100 中文",  # 3-byte sequences
+        "emoji \U0001f600\U0001f680",  # 4-byte sequences
+        "",
+    ]
+    con = duckdb.connect()
+    expr = _utf8_bytes_sql("t")
+    for s in samples:
+        got = con.execute(
+            f"SELECT {expr} AS b, octet_length(encode(t)) AS n "
+            "FROM (SELECT ? AS t)",
+            [s],
+        ).fetchone()
+        want = list(s.encode("utf-8"))
+        assert list(got[0] or []) == want, s
+        assert got[1] == len(want), s
+
+
 def test_no_oracle_emits_hugeint(sf_dir):
     con = duckdb.connect()
     for t in TESTDATA_TABLES:
