@@ -48,6 +48,11 @@ HEADLINE = [
     # round-3 JVM-heavy additions (first recorded round = their baseline)
     "bm25_search_documents",
     "pack_training_sequences",
+    # round-4: fixed/replanned this round — timing history starts here
+    "embedding_random_projection",
+    "embedding_diverse_sample",
+    "event_value_deciles",
+    "semantic_dedup_embeddings",
 ]
 
 RUNS_PER_QUERY = 3
@@ -73,6 +78,12 @@ def main() -> None:
         spec = specs.get(name)
         if spec is None:
             continue
+        # Decouple queries: a full JVM GC between queries stops heap
+        # garbage from query N inflating query N+1's times (observed
+        # 2-5x swings on late-list queries in otherwise idle runs —
+        # r04 BENCH_NOTES).  Measured inside the sample window a GC
+        # pause would be noise; between windows it's isolation.
+        spark._jvm.System.gc()
         samples = []
         for _ in range(RUNS_PER_QUERY):
             t0 = time.time()

@@ -1594,18 +1594,86 @@ def streaming_scd2_sync(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _bpe_merges_oracle(num_merges: int = 10) -> str:
+    """SQL replay of the deterministic BPE training loop — the merge
+    count is a compile-time constant, so the rounds unroll into a CTE
+    chain like the k-means oracles.  The only non-set-based step, the
+    greedy left-to-right merge application, becomes set-based via run
+    analysis: occurrences of pair (a,b) can only overlap when a = b
+    (consecutive positions force syms[i+1] = b = a), and within each
+    maximal run of consecutive occurrence positions greedy selection
+    keeps exactly the odd-ranked ones — so ``row_number per run % 2 = 1``
+    reproduces the engine's aggregate-HOF semantics exactly, for any
+    corpus. MATERIALIZED CTEs stop DuckDB from inlining the word table
+    3× per round (exponential plan blowup over 10 rounds)."""
+    ctes = [
+        r"""w0 AS MATERIALIZED (
+  SELECT w, CAST(count(*) AS BIGINT) AS freq
+  FROM (SELECT unnest(CASE WHEN trim(text) = '' THEN CAST([] AS VARCHAR[])
+               ELSE string_split_regex(trim(text), '\s+') END) AS w
+        FROM documents)
+  GROUP BY w
+)""",
+        "words0 AS MATERIALIZED "
+        "(SELECT w, string_split(w, '') AS syms, freq FROM w0)",
+    ]
+    prev = "words0"
+    for r in range(1, num_merges + 1):
+        ctes.append(f"""top{r} AS MATERIALIZED (
+  SELECT syms[i] AS a, syms[i + 1] AS b, CAST(sum(freq) AS BIGINT) AS n
+  FROM {prev}, unnest(range(1, len(syms))) t(i)
+  GROUP BY a, b
+  ORDER BY n DESC, a ASC, b ASC LIMIT 1
+)""")
+        ctes.append(f"""keep{r} AS MATERIALIZED (
+  SELECT w, i FROM (
+    SELECT w, i, row_number() OVER (PARTITION BY w, grp ORDER BY i) AS rn
+    FROM (SELECT o.w, o.i,
+                 o.i - row_number() OVER (PARTITION BY o.w ORDER BY o.i) AS grp
+          FROM (SELECT p.w, t.i
+                FROM {prev} p, unnest(range(1, len(p.syms))) t(i), top{r} tp
+                WHERE p.syms[t.i] = tp.a AND p.syms[t.i + 1] = tp.b) o))
+  WHERE rn % 2 = 1
+)""")
+        ctes.append(f"""words{r} AS MATERIALIZED (
+  SELECT q.w,
+         list(CASE WHEN q.hit THEN q.s1 || q.s2 ELSE q.s1 END
+              ORDER BY q.j) AS syms,
+         any_value(q.freq) AS freq
+  FROM (
+    SELECT p.w, p.freq, t.j, p.syms[t.j] AS s1, p.syms[t.j + 1] AS s2,
+           k.i IS NOT NULL AS hit, k2.i IS NOT NULL AS drop_
+    FROM {prev} p
+    CROSS JOIN unnest(range(1, len(p.syms) + 1)) t(j)
+    LEFT JOIN keep{r} k ON k.w = p.w AND k.i = t.j
+    LEFT JOIN keep{r} k2 ON k2.w = p.w AND k2.i = t.j - 1
+  ) q
+  WHERE NOT q.drop_
+  GROUP BY q.w
+)""")
+        prev = f"words{r}"
+    union = "\nUNION ALL ".join(
+        f"SELECT CAST({r - 1} AS INT) AS merge_rank, a AS \"left\", "
+        f"b AS \"right\", n AS weighted_count FROM top{r}"
+        for r in range(1, num_merges + 1)
+    )
+    return "WITH " + ",\n".join(ctes) + "\n" + union
+
+
 @register(
     "bpe_train_merges_documents",
-    oracle=None,  # iterative algorithm → rows-only check + pytest gate
+    oracle=_bpe_merges_oracle(10),
     description="Distributed BPE tokenizer training (arXiv:1508.07909) — "
     "the tokenizer-learning step of an LLM data pipeline: corpus "
     "collapses to a weighted (word, freq) table once, then each merge "
     "round is one pair-count aggregation + a greedy left-to-right merge "
     "applied via a JVM-side aggregate HOF (no UDF); ties break "
     "lexicographically, no RNG. Driver holds only the learned merge "
-    "table (num_merges rows, the k-means-centroid pattern). Iterative ⇒ "
-    "no SQL oracle; pytest proves exact equality with a reference "
-    "Python BPE on a planted corpus.",
+    "table (num_merges rows, the k-means-centroid pattern). Fully "
+    "oracle-checked: the zero-RNG loop unrolls into a DuckDB CTE chain "
+    "whose greedy merge application is reproduced set-based by run "
+    "analysis. Pytest additionally proves exact equality with a "
+    "reference Python BPE on a planted corpus.",
     tags=("extension", "text", "iterative"),
 )
 def bpe_train_merges_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
