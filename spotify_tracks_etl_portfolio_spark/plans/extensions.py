@@ -2439,6 +2439,65 @@ def orc_corpus_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "cowtable_merge_roundtrip",
+    oracle="""
+WITH upd AS (
+  SELECT doc_id, CAST(-n_chars AS BIGINT) AS n_chars
+  FROM documents WHERE doc_id % 50 = 0
+),
+ins AS (
+  SELECT CAST(doc_id + 1000000 AS BIGINT) AS doc_id, CAST(-1 AS BIGINT) AS n_chars
+  FROM documents WHERE doc_id % 50 = 0
+),
+base AS (
+  SELECT doc_id, CAST(n_chars AS BIGINT) AS n_chars
+  FROM documents WHERE doc_id % 97 <> 0 AND doc_id % 50 <> 0
+)
+SELECT doc_id, n_chars FROM base
+UNION ALL SELECT doc_id, n_chars FROM upd
+UNION ALL SELECT doc_id, n_chars FROM ins
+""",
+    description="ACID-style table lifecycle under the correctness gate "
+    "(sources/cowtable.py — the round-3 'no merge table format' gap, "
+    "filled with the env's means): CREATE a copy-on-write manifest "
+    "table clustered on doc_id, DELETE the %97 keys, MERGE upserts for "
+    "the %50 keys plus brand-new inserted keys, then snapshot-read the "
+    "final version. Commits are O_EXCL-atomic manifests; DELETE/MERGE "
+    "rewrite ONLY the files whose footer [min,max] actually contains "
+    "an affected key (exact range-join pruning — file-granular at "
+    "100 TB, never a table rewrite); untouched files carry over by "
+    "reference. Time travel + conflict detection covered in "
+    "tests/test_cowtable.py.",
+    tags=("extension", "sources", "acid"),
+)
+def cowtable_merge_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from spotify_tracks_etl_portfolio_spark.sources import cowtable as _ct
+
+    docs = read_parquet_table(spark, sf_dir, "documents").select(
+        "doc_id", F.col("n_chars").cast("long").alias("n_chars")
+    )
+    root = os.path.join(
+        _session_scratch(spark, "cowtable"), uuid.uuid4().hex
+    )
+    _ct.create_table(spark, root, docs, cluster_by="doc_id", n_files=8)
+    _ct.delete_where(
+        spark, root, "doc_id",
+        docs.filter(F.col("doc_id") % 97 == 0).select("doc_id"),
+    )
+    upserts = docs.filter(F.col("doc_id") % 50 == 0).select(
+        "doc_id", (-F.col("n_chars")).alias("n_chars")
+    )
+    inserts = docs.filter(F.col("doc_id") % 50 == 0).select(
+        (F.col("doc_id") + 1000000).alias("doc_id"),
+        F.lit(-1).cast("long").alias("n_chars"),
+    )
+    _ct.merge_into(
+        spark, root, upserts.unionByName(inserts), "doc_id"
+    )
+    return _ct.read_table(spark, root).select("doc_id", "n_chars")
+
+
 def _random_projection_oracle() -> str:
     s = _sim
     projs = ",\n       ".join(

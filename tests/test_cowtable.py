@@ -1,0 +1,104 @@
+"""Copy-on-write table format: snapshot isolation, file-granular
+DELETE/MERGE, footer-stats pruning, atomic commit conflicts."""
+
+from __future__ import annotations
+
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from spotify_tracks_etl_portfolio_spark.sources import cowtable as ct
+
+
+@pytest.fixture()
+def table(spark, tmp_path):
+    root = str(tmp_path / "tbl")
+    df = spark.range(0, 1000).select(
+        F.col("id").alias("k"),
+        (F.col("id") * 2).alias("v"),
+    )
+    ct.create_table(spark, root, df, cluster_by="k", n_files=8)
+    return root
+
+
+def test_create_read_roundtrip_and_history(spark, table):
+    got = ct.read_table(spark, table)
+    assert got.count() == 1000
+    assert {r["k"] for r in got.filter("k < 5").collect()} == {0, 1, 2, 3, 4}
+    (h,) = ct.history(table)
+    assert h == {
+        "version": 0, "operation": "create", "n_files": 8, "n_rows": 1000,
+    }
+
+
+def test_delete_rewrites_only_overlapping_files(spark, table):
+    m0 = ct._read_manifest(table, 0)
+    # keys 100-119 live in one clustered file's range
+    keys = spark.range(100, 120).select(F.col("id").alias("k"))
+    res = ct.delete_where(spark, table, "k", keys)
+    assert res["files_kept"] > 0, "stats pruning never skipped a file"
+    assert res["files_rewritten"] + res["files_kept"] == 8
+    m1 = ct._read_manifest(table, 1)
+    kept_paths = {f["path"] for f in m0["files"]} & {
+        f["path"] for f in m1["files"]
+    }
+    assert len(kept_paths) == res["files_kept"], (
+        "untouched files must carry over BY REFERENCE, not be rewritten"
+    )
+    got = ct.read_table(spark, table)
+    assert got.count() == 980
+    assert got.filter((F.col("k") >= 100) & (F.col("k") < 120)).count() == 0
+
+
+def test_merge_upserts_and_inserts(spark, table):
+    updates = spark.createDataFrame(
+        [(5, -5), (6, -6), (2000, -1)], "k long, v long"
+    )
+    res = ct.merge_into(spark, table, updates, "k")
+    assert res["files_kept"] > 0
+    got = {r["k"]: r["v"] for r in ct.read_table(spark, table).collect()}
+    assert len(got) == 1001  # 1000 original + 1 insert
+    assert got[5] == -5 and got[6] == -6 and got[2000] == -1
+    assert got[7] == 14  # untouched row intact
+
+
+def test_time_travel_snapshot_isolation(spark, table):
+    keys = spark.range(0, 500).select(F.col("id").alias("k"))
+    ct.delete_where(spark, table, "k", keys)
+    assert ct.read_table(spark, table).count() == 500
+    # version 0 still reads the full original table
+    assert ct.read_table(spark, table, version=0).count() == 1000
+    ops = [h["operation"] for h in ct.history(table)]
+    assert ops == ["create", "delete"]
+
+
+def test_commit_conflict_is_detected_not_corrupting(spark, table):
+    m = ct._read_manifest(table, 0)
+    ct._commit(table, 1, {**m, "version": 1, "operation": "delete"})
+    with pytest.raises(ct.CommitConflictError):
+        ct._commit(table, 1, {**m, "version": 1, "operation": "merge"})
+    # the winning commit is intact
+    assert ct._read_manifest(table, 1)["operation"] == "delete"
+
+
+def test_scan_pruned_skips_files_and_matches_full_scan(spark, table):
+    df, scanned, total = ct.scan_pruned(spark, table, "k", 250, 260)
+    assert total == 8 and 0 < scanned < total
+    want = set(range(250, 261))
+    assert {r["k"] for r in df.collect()} == want
+    # physical plan reads only the pruned subset of files
+    n_input_files = df.select(F.input_file_name()).distinct().count()
+    assert n_input_files == scanned
+
+
+def test_empty_delete_is_metadata_only_commit(spark, table):
+    keys = spark.createDataFrame([], "k long")
+    res = ct.delete_where(spark, table, "k", keys)
+    assert res == {"version": 1, "files_rewritten": 0, "files_kept": 8}
+    assert ct.read_table(spark, table).count() == 1000
+
+
+def test_create_refuses_existing_table(spark, table):
+    with pytest.raises(FileExistsError):
+        ct.create_table(spark, table, spark.range(1))
