@@ -279,22 +279,58 @@ def bpe_train_merges(
             break
         a, b, n = top[0]["a"], top[0]["b"], int(top[0]["n"])
         merges.append((rank, a, b, n))
-        merged = a + b
-        # greedy left-to-right merge of (a, b) inside every symbol array:
-        # overlapping occurrences resolve leftmost-first (aaa + merge
-        # 'a','a' → ['aa','a']), the classic BPE application order
         words = words.select(
-            F.aggregate(
-                "syms",
-                F.array().cast("array<string>"),
-                lambda acc, x: F.when(
-                    (F.try_element_at(acc, F.lit(-1)) == a) & (x == F.lit(b)),
-                    F.concat(
-                        F.slice(acc, 1, F.size(acc) - 1),
-                        F.array(F.lit(merged)),
-                    ),
-                ).otherwise(F.concat(acc, F.array(x))),
-            ).alias("syms"),
+            apply_merge("syms", a, b).alias("syms"),
             F.col("freq"),
         ).localCheckpoint(eager=True)
     return merges
+
+
+def apply_merge(syms: Column | str, a: str, b: str) -> Column:
+    """Greedy left-to-right application of ONE BPE merge (a, b) to a
+    symbol array: overlapping occurrences resolve leftmost-first
+    (``aaa`` + merge ('a','a') → ``['aa','a']``), the classic BPE
+    application order. JVM-side aggregate HOF, no UDF — shared by
+    training (``bpe_train_merges``) and inference
+    (``bpe_segment_words``)."""
+    c = F.col(syms) if isinstance(syms, str) else syms
+    merged = a + b
+    return F.aggregate(
+        c,
+        F.array().cast("array<string>"),
+        lambda acc, x: F.when(
+            (F.try_element_at(acc, F.lit(-1)) == a) & (x == F.lit(b)),
+            F.concat(
+                F.slice(acc, 1, F.size(acc) - 1),
+                F.array(F.lit(merged)),
+            ),
+        ).otherwise(F.concat(acc, F.array(x))),
+    )
+
+
+def bpe_segment_words(
+    df: DataFrame,
+    text_col: str,
+    merges: list[tuple[int, str, str, int]],
+) -> DataFrame:
+    """BPE tokenizer INFERENCE — the other half of ``bpe_train_merges``:
+    segment every document's words with a learned merge table.
+
+    Shape for 100 TB: the corpus collapses to its DISTINCT words first
+    (one shuffle), the merge chain (a bounded, driver-held table — the
+    model) applies per unique word once, and documents join the
+    resulting vocabulary (word → subword count) instead of re-running
+    the merges per occurrence. The vocab join carries no broadcast
+    hint: vocabulary scales with the corpus, size-based planning picks
+    the strategy.
+
+    Returns (``__word``, ``n_subwords``) — the segmented vocabulary.
+    """
+    words = (
+        df.select(F.explode(tokens(text_col)).alias("__word"))
+        .distinct()
+    )
+    syms = F.split(F.col("__word"), "")
+    for _, a, b, _ in merges:
+        syms = apply_merge(syms, a, b)
+    return words.select("__word", F.size(syms).cast("long").alias("n_subwords"))

@@ -1594,18 +1594,20 @@ def streaming_scd2_sync(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _bpe_merges_oracle(num_merges: int = 10) -> str:
-    """SQL replay of the deterministic BPE training loop — the merge
-    count is a compile-time constant, so the rounds unroll into a CTE
-    chain like the k-means oracles.  The only non-set-based step, the
-    greedy left-to-right merge application, becomes set-based via run
+def _bpe_round_ctes(num_merges: int) -> list[str]:
+    """Shared CTE chain replaying the deterministic BPE training loop —
+    the merge count is a compile-time constant, so the rounds unroll
+    like the k-means oracles.  The only non-set-based step, the greedy
+    left-to-right merge application, becomes set-based via run
     analysis: occurrences of pair (a,b) can only overlap when a = b
     (consecutive positions force syms[i+1] = b = a), and within each
     maximal run of consecutive occurrence positions greedy selection
     keeps exactly the odd-ranked ones — so ``row_number per run % 2 = 1``
     reproduces the engine's aggregate-HOF semantics exactly, for any
     corpus. MATERIALIZED CTEs stop DuckDB from inlining the word table
-    3× per round (exponential plan blowup over 10 rounds)."""
+    3× per round (exponential plan blowup over 10 rounds).  Exposes
+    ``top{r}`` (the merge table) and ``words{num_merges}`` (the final
+    segmented vocabulary) to consumers."""
     ctes = [
         r"""w0 AS MATERIALIZED (
   SELECT w, CAST(count(*) AS BIGINT) AS freq
@@ -1652,12 +1654,46 @@ def _bpe_merges_oracle(num_merges: int = 10) -> str:
   GROUP BY q.w
 )""")
         prev = f"words{r}"
+    return ctes
+
+
+def _bpe_merges_oracle(num_merges: int = 10) -> str:
+    """Training oracle: the merge table (one row per unrolled round)."""
+    ctes = _bpe_round_ctes(num_merges)
     union = "\nUNION ALL ".join(
         f"SELECT CAST({r - 1} AS INT) AS merge_rank, a AS \"left\", "
         f"b AS \"right\", n AS weighted_count FROM top{r}"
         for r in range(1, num_merges + 1)
     )
     return "WITH " + ",\n".join(ctes) + "\n" + union
+
+
+def _bpe_segment_oracle(num_merges: int = 10) -> str:
+    """Inference oracle: after the same unrolled rounds, every word's
+    final symbol list is sitting in ``words{N}`` — per-document subword
+    counts are a words-join away (empty documents keep 0/0 through the
+    left join)."""
+    ctes = _bpe_round_ctes(num_merges)
+    ctes.append(r"""doc_words AS (
+  SELECT doc_id, unnest(string_split_regex(trim(text), '\s+')) AS w
+  FROM documents WHERE trim(text) <> ''
+)""")
+    return (
+        "WITH "
+        + ",\n".join(ctes)
+        + f"""
+SELECT d.doc_id,
+       COALESCE(c.n_words, 0) AS n_words,
+       COALESCE(c.n_bpe_tokens, 0) AS n_bpe_tokens
+FROM documents d LEFT JOIN (
+  SELECT dw.doc_id,
+         CAST(count(*) AS BIGINT) AS n_words,
+         CAST(sum(len(wf.syms)) AS BIGINT) AS n_bpe_tokens
+  FROM doc_words dw JOIN words{num_merges} wf USING (w)
+  GROUP BY dw.doc_id
+) c USING (doc_id)
+"""
+    )
 
 
 @register(
@@ -1681,6 +1717,45 @@ def bpe_train_merges_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     merges = _tx.bpe_train_merges(docs, "text", num_merges=10)
     return spark.createDataFrame(
         merges, "merge_rank int, left string, right string, weighted_count long"
+    )
+
+
+@register(
+    "bpe_segment_documents",
+    oracle=_bpe_segment_oracle(10),
+    description="BPE tokenizer INFERENCE — the other half of the "
+    "trainer: the 10 learned merges segment every document, emitting "
+    "per-doc word and subword counts (the token accounting a training "
+    "mix needs AFTER the tokenizer exists, vs the regex-approximation "
+    "bpe_token_counts). Scale shape: merges apply once per DISTINCT "
+    "word (the corpus vocabulary), documents then join the segmented "
+    "vocab — no per-occurrence re-merging, no broadcast hint on the "
+    "vocabulary (it scales with the corpus). Oracle reuses the unrolled "
+    "training CTE chain: words10 already holds every word's final "
+    "segmentation.",
+    tags=("extension", "text", "iterative"),
+)
+def bpe_segment_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = read_parquet_table(spark, sf_dir, "documents")
+    merges = _tx.bpe_train_merges(docs, "text", num_merges=10)
+    vocab = _tx.bpe_segment_words(docs, "text", merges)
+    doc_words = docs.select(
+        "doc_id", F.explode(_tx.tokens("text")).alias("__word")
+    )
+    counts = (
+        doc_words.join(vocab, "__word")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_words"),
+            F.sum("n_subwords").alias("n_bpe_tokens"),
+        )
+    )
+    return docs.select("doc_id").join(counts, "doc_id", "left").select(
+        "doc_id",
+        F.coalesce("n_words", F.lit(0).cast("long")).alias("n_words"),
+        F.coalesce("n_bpe_tokens", F.lit(0).cast("long")).alias(
+            "n_bpe_tokens"
+        ),
     )
 
 

@@ -147,6 +147,66 @@ def regional_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "bucketed_orders_lineitem_revenue",
+    oracle="""
+SELECT o.o_orderstatus,
+       CAST(SUM(CAST(l.l_extendedprice * (1.0 - l.l_discount) AS DECIMAL(24,8))) AS DOUBLE) AS revenue,
+       CAST(count(*) AS BIGINT) AS n_lineitems
+FROM orders o JOIN lineitem l ON o.o_orderkey = l.l_orderkey
+GROUP BY o.o_orderstatus
+""",
+    description="Co-located fact-fact join via PERSISTED BUCKETING — "
+    "the shuffle-elimination primitive for 100 TB fact joins: orders "
+    "and lineitem are written as bucketed tables (hash on the order "
+    "key, same bucket count, one sorted file per bucket), so the join "
+    "plans with NO exchange on either side — the one-time write "
+    "shuffle is amortized over every later join/agg on the key. The "
+    "residual per-bucket Sort is narrow (no data movement; Spark 3+ "
+    "only propagates bucket sort order under the legacy "
+    "bucketedTableScan.outputOrdering conf). Plan-gated: "
+    "tests/test_plan_shapes.py::test_bucketed_join_has_no_shuffle",
+    tags=("relational", "join", "bucketing"),
+)
+def bucketed_orders_lineitem_revenue(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    import os
+
+    from spotify_tracks_etl_portfolio_spark.plans.extensions import (
+        _session_scratch,
+    )
+    from spotify_tracks_etl_portfolio_spark.sources.catalog import (
+        create_bucketed_table,
+    )
+
+    d = _session_scratch(spark, "bucketed")
+    create_bucketed_table(
+        spark, "b_orders",
+        read_parquet_table(spark, sf_dir, "orders").select(
+            "o_orderkey", "o_orderstatus"
+        ),
+        "o_orderkey", 8, os.path.join(d, "b_orders"),
+    )
+    create_bucketed_table(
+        spark, "b_lineitem",
+        read_parquet_table(spark, sf_dir, "lineitem").select(
+            "l_orderkey", "l_extendedprice", "l_discount"
+        ),
+        "l_orderkey", 8, os.path.join(d, "b_lineitem"),
+    )
+    o = spark.table("b_orders")
+    l = spark.table("b_lineitem")
+    return (
+        o.join(l, o.o_orderkey == l.l_orderkey)
+        .groupBy("o_orderstatus")
+        .agg(
+            F.sum(_revenue(l)).cast("double").alias("revenue"),
+            F.count(F.lit(1)).alias("n_lineitems"),
+        )
+    )
+
+
+@register(
     "customers_without_orders",
     oracle="""
 SELECT c_custkey, c_mktsegment

@@ -50,6 +50,42 @@ def insert_into(df: DataFrame, table: str, overwrite: bool = False) -> None:
     df.write.insertInto(table, overwrite=overwrite)
 
 
+def create_bucketed_table(
+    spark: SparkSession,
+    name: str,
+    df: DataFrame,
+    bucket_col: str,
+    n_buckets: int,
+    location: str,
+) -> None:
+    """Write ``df`` as a BUCKETED catalog table: rows are hash-assigned
+    to ``n_buckets`` files by ``bucket_col`` and sorted within each —
+    Spark's persisted co-location primitive.
+
+    This is the shuffle-elimination story the dedup/join docstrings
+    promise at 100 TB: two tables bucketed on the join key with the
+    same bucket count join with NO exchange on either side (the
+    bucketed scan already satisfies the join's hash-distribution
+    requirement) and, being sorted, with no sort either — a 100 TB
+    fact-fact join becomes a zip of pre-sorted bucket pairs. The write
+    pays one shuffle ONCE; every subsequent join/aggregation on the
+    bucket key reads for free. ``location`` makes the table external so
+    nothing lands in the session's default warehouse directory."""
+    from pyspark.sql import functions as F
+
+    (
+        # one task per bucket → ONE file per bucket, which is the
+        # condition under which Spark trusts the per-bucket sort order
+        # and drops the local Sort below a sort-merge join entirely
+        df.repartition(n_buckets, F.col(bucket_col))
+        .write.mode("overwrite")
+        .option("path", location)
+        .bucketBy(n_buckets, bucket_col)
+        .sortBy(bucket_col)
+        .saveAsTable(name)
+    )
+
+
 def table_row_count(spark: SparkSession, table: str) -> int:
     """Post-load scalar check (S9;
     reference: dags/de_spotify_to_bronze.py:213-214)."""

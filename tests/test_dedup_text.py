@@ -471,3 +471,35 @@ def test_bpe_train_merges_matches_reference(spark):
     assert got == want
     # deterministic across re-runs (no RNG anywhere)
     assert tx.bpe_train_merges(df, "text", num_merges=6) == want
+
+
+def test_bpe_segment_words_matches_reference_application(spark):
+    """Inference: applying the learned merges must segment every word
+    exactly like the reference greedy leftmost-first loop (overlap case
+    included: 'aaa' + merge ('a','a') → ['aa','a'])."""
+    corpus = "low low lower newest newest widest aaa"
+    df = spark.createDataFrame([(corpus,)], "text string")
+    merges = tx.bpe_train_merges(df, "text", num_merges=4) + [
+        (4, "a", "a", 1)  # force the overlap case into the table
+    ]
+
+    def ref_apply(word):
+        s = list(word)
+        for _, a, b, _ in merges:
+            out, i = [], 0
+            while i < len(s):
+                if i + 1 < len(s) and s[i] == a and s[i + 1] == b:
+                    out.append(a + b)
+                    i += 2
+                else:
+                    out.append(s[i])
+                    i += 1
+            s = out
+        return s
+
+    got = {
+        r["__word"]: r["n_subwords"]
+        for r in tx.bpe_segment_words(df, "text", merges).collect()
+    }
+    want = {w: len(ref_apply(w)) for w in set(corpus.split())}
+    assert got == want

@@ -325,6 +325,26 @@ def test_no_registered_query_single_partitions_raw_input(spark, sf_dir):
     )
 
 
+def test_bucketed_join_has_no_shuffle(spark, sf_dir):
+    """Persisted bucketing must eliminate the join-time exchange on
+    BOTH fact sides even when neither can broadcast (threshold=-1
+    simulates two 100 TB fact tables): the only exchange left in the
+    whole plan is the final small groupBy on order status."""
+    old = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        plan = plan_of(spark, "bucketed_orders_lineitem_revenue", sf_dir)
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
+    assert "SortMergeJoin" in plan
+    assert plan.count("Bucketed: true") == 2
+    assert plan.count("Exchange") == 1  # the post-join status groupBy only
+    join_pos = plan.index("SortMergeJoin")
+    assert "Exchange" not in plan[join_pos:], (
+        "exchange below the bucketed join — co-location lost"
+    )
+
+
 def test_event_value_deciles_never_single_partitions(spark, sf_dir):
     """The decile query computes EXACT ntile(10) without the
     single-partition global-sort window: ranks come from per-bucket
