@@ -1034,6 +1034,95 @@ def near_dup_doc_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "near_dup_quality_canonicals",
+    oracle=f"""
+WITH RECURSIVE {_JACCARD_CTES},
+{_minhash_sig_sql()},
+{_minhash_bands_sql()},
+cands AS (
+  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+  FROM bands a JOIN bands b
+    ON a.band = b.band AND a.sig = b.sig AND a.doc_id < b.doc_id
+),
+ndpairs AS (
+  SELECT c.id_a, c.id_b
+  FROM cands c JOIN jac j ON c.id_a = j.id_a AND c.id_b = j.id_b
+  WHERE j.jaccard >= {JACCARD_THRESHOLD}
+),
+ccedges AS (
+  SELECT id_a AS a, id_b AS b FROM ndpairs
+  UNION ALL
+  SELECT id_b AS a, id_a AS b FROM ndpairs
+),
+cc_nodes AS (SELECT DISTINCT a AS node FROM ccedges),
+reach AS (
+  SELECT node, node AS label FROM cc_nodes
+  UNION
+  SELECT e.b AS node, r.label FROM reach r JOIN ccedges e ON e.a = r.node
+),
+cccomp AS (SELECT node AS doc_id, min(label) AS cluster_id FROM reach GROUP BY node),
+{_quality_ctes('documents').lstrip()},
+q AS (SELECT doc_id, {_QUALITY_EXPR} AS quality_score FROM h),
+cl AS (
+  SELECT q.doc_id, COALESCE(c.cluster_id, q.doc_id) AS cluster_id,
+         q.quality_score
+  FROM q LEFT JOIN cccomp c USING (doc_id)
+),
+rk AS (
+  SELECT *, row_number() OVER (PARTITION BY cluster_id
+                               ORDER BY quality_score DESC, doc_id) AS rn
+  FROM cl
+)
+SELECT doc_id, CAST(cluster_id AS BIGINT) AS cluster_id,
+       (rn = 1) AS is_kept, quality_score
+FROM rk
+""",
+    description="Quality-aware canonical selection over near-dup "
+    "clusters — the curation policy layered on the dedup graph: within "
+    "each MinHash-LSH connected component KEEP the HIGHEST-quality "
+    "member (ties → smallest id) instead of the arbitrary min-id "
+    "representative; unclustered docs are their own canonical. The "
+    "quality argmax is a min_by over struct(-score, id) — one grouped "
+    "aggregation, no per-cluster sort; the whole composition "
+    "(banded LSH → exact-Jaccard verify → iterative connected "
+    "components → quality formula → argmax) is oracle-checked "
+    "end-to-end against a recursive-CTE fixpoint",
+    tags=("extension", "dedup", "curation", "graph"),
+)
+def near_dup_quality_canonicals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = read_parquet_table(spark, sf_dir, "documents")
+    pairs = _dd.minhash_near_dup_pairs(
+        docs, "doc_id", "text", JACCARD_THRESHOLD
+    )
+    comp = _dd.connected_components(pairs, "id_a", "id_b")
+    scored = docs.select(
+        "doc_id", _tx.quality_score("text").alias("quality_score")
+    )
+    clustered = (
+        scored.join(comp, scored.doc_id == comp.node, "left")
+        .select(
+            "doc_id",
+            F.coalesce("comp", "doc_id").alias("cluster_id"),
+            "quality_score",
+        )
+    )
+    best = clustered.groupBy("cluster_id").agg(
+        F.min_by(
+            "doc_id",
+            F.struct(
+                (-F.col("quality_score")).alias("nq"), F.col("doc_id")
+            ),
+        ).alias("__keep_id")
+    )
+    return clustered.join(best, "cluster_id").select(
+        "doc_id",
+        "cluster_id",
+        (F.col("doc_id") == F.col("__keep_id")).alias("is_kept"),
+        "quality_score",
+    )
+
+
 #: DuckDB form of functions.rolling_hash — same constants (31, 1e9+7).
 _FP_SQL = """list_reduce(
          list_prepend(CAST(0 AS BIGINT),

@@ -28,6 +28,13 @@ not by copying them, but by implementing their shared design point:
 Scale posture: manifests are O(#files) driver-side metadata (the same
 trade Delta makes before checkpointing); data movement is entirely
 distributed Spark jobs over the pruned file subset.
+
+Storage scoping: manifest IO uses local-filesystem primitives
+(``os.open(O_EXCL)``, ``os.listdir``, pyarrow footer reads) because
+that is what this environment serves. On an object store the same
+protocol maps to conditional PUTs (S3 If-None-Match / GCS
+generation-match) for the O_EXCL commit and ranged GETs for footers —
+the protocol, pruning, and COW logic above this seam are unchanged.
 """
 
 from __future__ import annotations
@@ -330,6 +337,52 @@ def merge_into(
         "version": v + 1,
         "files_rewritten": len(maybe),
         "files_kept": len(keep),
+    }
+
+
+def vacuum(root: str, retain_last: int = 1) -> dict:
+    """Garbage-collect the table: drop manifests older than the last
+    ``retain_last`` versions and delete every data file no retained
+    manifest references (including files orphaned by failed commits).
+
+    Safety property (same as Delta's VACUUM): only UNREFERENCED files
+    are touched, so every retained version still reads exactly as
+    committed; time travel beyond the horizon raises a clean
+    FileNotFoundError instead of returning partial data. Driver-side
+    metadata work is O(#files); deletion itself is embarrassingly
+    parallel on a real store."""
+    if retain_last < 1:
+        raise ValueError("retain_last must be >= 1")
+    latest = latest_version(root)
+    if latest < 0:
+        return {"manifests_dropped": 0, "files_deleted": 0}
+    horizon = max(0, latest - retain_last + 1)
+    referenced: set[str] = set()
+    for v in range(horizon, latest + 1):
+        referenced |= {f["path"] for f in _read_manifest(root, v)["files"]}
+
+    files_deleted = 0
+    data_root = os.path.join(root, _DATA_DIR)
+    for prefix in sorted(os.listdir(data_root)) if os.path.isdir(data_root) else []:
+        d = os.path.join(data_root, prefix)
+        for name in sorted(os.listdir(d)):
+            p = os.path.join(d, name)
+            if name.endswith(".parquet") and p not in referenced:
+                os.remove(p)
+                files_deleted += 1
+        if not any(f.endswith(".parquet") for f in os.listdir(d)):
+            import shutil
+
+            shutil.rmtree(d)
+    manifests_dropped = 0
+    for v in range(horizon):
+        p = _manifest_path(root, v)
+        if os.path.exists(p):
+            os.remove(p)
+            manifests_dropped += 1
+    return {
+        "manifests_dropped": manifests_dropped,
+        "files_deleted": files_deleted,
     }
 
 

@@ -99,6 +99,30 @@ def test_empty_delete_is_metadata_only_commit(spark, table):
     assert ct.read_table(spark, table).count() == 1000
 
 
+def test_vacuum_drops_only_unreferenced_files(spark, table):
+    keys = spark.range(100, 120).select(F.col("id").alias("k"))
+    ct.delete_where(spark, table, "k", keys)
+    assert ct.read_table(spark, table, version=0).count() == 1000
+    res = ct.vacuum(table, retain_last=1)
+    assert res["manifests_dropped"] == 1
+    assert res["files_deleted"] > 0
+    # the retained snapshot reads exactly as committed
+    assert ct.read_table(spark, table).count() == 980
+    # time travel beyond the horizon fails cleanly, no partial data
+    with pytest.raises(FileNotFoundError):
+        ct.read_table(spark, table, version=0)
+
+
+def test_vacuum_sweeps_files_from_failed_commits(spark, table, tmp_path):
+    # simulate a loser of a commit race: data written, manifest lost
+    orphan_df = spark.range(5).select(F.col("id").alias("k"), F.col("id").alias("v"))
+    ct._write_data_files(orphan_df, table)
+    before = ct.read_table(spark, table).count()
+    res = ct.vacuum(table, retain_last=1)
+    assert res["files_deleted"] > 0  # the orphans
+    assert ct.read_table(spark, table).count() == before
+
+
 def test_create_refuses_existing_table(spark, table):
     with pytest.raises(FileExistsError):
         ct.create_table(spark, table, spark.range(1))

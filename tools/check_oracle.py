@@ -67,16 +67,37 @@ def _multiset(rows):
 def main() -> int:
     ap = argparse.ArgumentParser()
     ap.add_argument("--sf", default="/root/testdata/sf0.01")
+    ap.add_argument(
+        "--plain",
+        action="store_true",
+        help="worst-case driver session: a BARE SparkSession with none "
+        "of session.py's confs (no UTC timezone, no AQE, no "
+        "nanosAsLong) — what the real harness runs queries under",
+    )
+    ap.add_argument("--first", type=int, default=0,
+                    help="only the first N registry entries (0 = all)")
     ap.add_argument("names", nargs="*")
     args = ap.parse_args()
 
     from spotify_tracks_etl_portfolio_spark.plans import all_queries
-    from spotify_tracks_etl_portfolio_spark.session import get_spark
 
     specs = all_queries()
     names = args.names or list(specs)
+    if args.first:
+        names = names[: args.first]
 
-    spark = get_spark("check_oracle", shuffle_partitions=8)
+    if args.plain:
+        from pyspark.sql import SparkSession
+
+        spark = (
+            SparkSession.builder.master("local[8]")
+            .config("spark.ui.enabled", "false")
+            .getOrCreate()
+        )
+    else:
+        from spotify_tracks_etl_portfolio_spark.session import get_spark
+
+        spark = get_spark("check_oracle", shuffle_partitions=8)
     con = duckdb.connect()
     for t in TESTDATA_TABLES:
         path = os.path.join(args.sf, f"{t}.parquet")
