@@ -1683,6 +1683,98 @@ def streaming_scd2_sync(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "streaming_cow_upsert_sync",
+    oracle="""
+WITH latest AS (
+  SELECT user_id, event_id, value,
+         row_number() OVER (PARTITION BY user_id
+                            ORDER BY event_id DESC) AS rn
+  FROM events
+)
+SELECT user_id, event_id AS last_event_id, value AS last_value
+FROM latest WHERE rn = 1
+""",
+    description="Streaming EXACTLY-ONCE upsert sink into the COW table "
+    "format (6th streaming gate): the events stream drains in "
+    "micro-batches via availableNow, each batch compacts to its latest "
+    "row per user and merge_latest-upserts into a manifest-committed "
+    "table — latest-wins argmax makes out-of-order batches safe, the "
+    "manifest-recorded stream_batch_id makes replayed batches no-ops "
+    "(foreachBatch is at-least-once; the TABLE STATE is exactly-once). "
+    "File-granular COW per batch: only files whose key range contains "
+    "a batch key rewrite. Final state hash-checked against the "
+    "arg-max-per-user SQL over the full event log.",
+    tags=("extension", "streaming", "acid"),
+)
+def streaming_cow_upsert_sync(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from spotify_tracks_etl_portfolio_spark.sources import cowtable as _ct
+
+    events = read_parquet_table(spark, sf_dir, "events").select(
+        "user_id", "event_id", "value"
+    )
+    d = _session_scratch(spark, "cow_sync")
+    root = f"{d}/table"
+    # seed: version 0 holds events from the first third of the log,
+    # clustered on user_id so per-batch COW merges stay file-granular
+    seed_latest = (
+        events.filter(F.col("event_id") % 3 == 0)
+        .groupBy("user_id")
+        .agg(
+            F.max_by(
+                F.struct("user_id", "event_id", "value"), F.col("event_id")
+            ).alias("__r")
+        )
+        .select("__r.*")
+    )
+    _ct.create_table(spark, root, seed_latest, cluster_by="user_id")
+    # the remaining two thirds arrive as ordered micro-batches
+    for i in (1, 2):
+        events.filter(F.col("event_id") % 3 == i).coalesce(1).write.parquet(
+            f"{d}/src/f{i}"
+        )
+    import glob as _glob
+
+    for i in (1, 2):
+        for p in _glob.glob(f"{d}/src/f{i}/*.parquet"):
+            os.utime(p, (1_700_000_000 + 100 * i,) * 2)
+
+    stream = (
+        spark.readStream.schema("user_id long, event_id long, value double")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(f"{d}/src/*")
+    )
+
+    def process(batch: DataFrame, epoch_id: int) -> None:
+        compacted = (
+            batch.groupBy("user_id")
+            .agg(
+                F.max_by(
+                    F.struct("user_id", "event_id", "value"),
+                    F.col("event_id"),
+                ).alias("__r")
+            )
+            .select("__r.*")
+        )
+        _ct.merge_latest(
+            spark, root, compacted, "user_id", ["event_id"],
+            stream_batch_id=int(epoch_id),
+        )
+
+    q = (
+        stream.writeStream.foreachBatch(process)
+        .option("checkpointLocation", f"{d}/ckpt")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return _ct.read_table(spark, root).select(
+        "user_id",
+        F.col("event_id").alias("last_event_id"),
+        F.col("value").alias("last_value"),
+    )
+
+
 def _bpe_round_ctes(num_merges: int) -> list[str]:
     """Shared CTE chain replaying the deterministic BPE training loop —
     the merge count is a compile-time constant, so the rounds unroll

@@ -294,6 +294,8 @@ def delete_where(
         "schema": m["schema"],
         "files": keep + new_files,
     }
+    if m.get("stream_batch_id") is not None:  # keep the replay watermark
+        manifest["stream_batch_id"] = m["stream_batch_id"]
     _commit(root, v + 1, manifest)
     return {
         "version": v + 1,
@@ -332,12 +334,89 @@ def merge_into(
         "schema": m["schema"],
         "files": keep + new_files,
     }
+    if m.get("stream_batch_id") is not None:  # keep the replay watermark
+        manifest["stream_batch_id"] = m["stream_batch_id"]
     _commit(root, v + 1, manifest)
     return {
         "version": v + 1,
         "files_rewritten": len(maybe),
         "files_kept": len(keep),
     }
+
+
+def merge_latest(
+    spark: SparkSession,
+    root: str,
+    updates: DataFrame,
+    key_col: str,
+    order_cols: list[str],
+    stream_batch_id: int | None = None,
+) -> dict:
+    """Conditional LATEST-WINS upsert: for each key keep the row with
+    the greatest ``order_cols`` tuple among the existing row and the
+    updates — the CDC/stream-compaction merge (plain ``merge_into`` is
+    the unconditional special case). Out-of-order delivery is safe: an
+    update older than the stored row loses the argmax and changes
+    nothing.
+
+    ``stream_batch_id`` makes commits IDEMPOTENT for streaming sinks:
+    the id is recorded in the manifest, and a batch with id <= the last
+    recorded one is skipped without a commit — exactly-once table
+    state under foreachBatch's at-least-once replay contract.
+    """
+    v = latest_version(root)
+    m = _read_manifest(root, v)
+    if stream_batch_id is not None:
+        last = last_stream_batch_id(root)
+        if last is not None and stream_batch_id <= last:
+            return {"version": v, "skipped_replay": True}
+    maybe, keep = _affected_files(spark, m, key_col, updates)
+    combined = updates
+    if maybe:
+        affected = spark.read.parquet(*[f["path"] for f in maybe])
+        combined = affected.unionByName(updates)
+    w_struct = F.struct(*[F.col(c) for c in order_cols])
+    latest = (
+        combined.groupBy(key_col)
+        .agg(
+            F.max_by(
+                F.struct(*[F.col(c) for c in combined.columns]), w_struct
+            ).alias("__row")
+        )
+        .select("__row.*")
+    )
+    new_files = _write_data_files(latest, root)
+    manifest = {
+        "version": v + 1,
+        "parent": v,
+        "operation": "merge_latest",
+        "schema": m["schema"],
+        "files": keep + new_files,
+    }
+    sbid = stream_batch_id
+    if sbid is None:
+        sbid = m.get("stream_batch_id")  # carry the watermark forward
+    if sbid is not None:
+        manifest["stream_batch_id"] = sbid
+    _commit(root, v + 1, manifest)
+    return {
+        "version": v + 1,
+        "files_rewritten": len(maybe),
+        "files_kept": len(keep),
+        "skipped_replay": False,
+    }
+
+
+def last_stream_batch_id(root: str) -> int | None:
+    """Highest ``stream_batch_id`` recorded in any manifest (None if no
+    streaming commit has happened) — the sink's replay watermark."""
+    best = None
+    for v in range(latest_version(root), -1, -1):
+        b = _read_manifest(root, v).get("stream_batch_id")
+        if b is not None:
+            best = b if best is None else max(best, b)
+            break  # manifests are ordered; the newest recorded id wins
+    return best
 
 
 def vacuum(root: str, retain_last: int = 1) -> dict:

@@ -123,6 +123,29 @@ def test_vacuum_sweeps_files_from_failed_commits(spark, table, tmp_path):
     assert ct.read_table(spark, table).count() == before
 
 
+def test_merge_latest_wins_and_replay_is_idempotent(spark, table):
+    # older update for k=5 (v column is the order key: stored v=10 wins)
+    older = spark.createDataFrame([(5, 1)], "k long, v long")
+    r1 = ct.merge_latest(spark, table, older, "k", ["v"], stream_batch_id=0)
+    assert not r1["skipped_replay"]
+    got = {r["k"]: r["v"] for r in ct.read_table(spark, table).collect()}
+    assert got[5] == 10  # existing row had the greater order key — it stays
+    # newer update wins
+    newer = spark.createDataFrame([(5, 99)], "k long, v long")
+    r2 = ct.merge_latest(spark, table, newer, "k", ["v"], stream_batch_id=1)
+    v2 = r2["version"]
+    assert {r["k"]: r["v"] for r in ct.read_table(spark, table).collect()}[5] == 99
+    # replaying batch 1 (foreachBatch at-least-once) is a NO-OP
+    r3 = ct.merge_latest(spark, table, newer, "k", ["v"], stream_batch_id=1)
+    assert r3 == {"version": v2, "skipped_replay": True}
+    assert ct.latest_version(table) == v2
+    # the watermark survives an unrelated batch commit (delete)
+    ct.delete_where(
+        spark, table, "k", spark.createDataFrame([(7,)], "k long")
+    )
+    assert ct.last_stream_batch_id(table) == 1
+
+
 def test_create_refuses_existing_table(spark, table):
     with pytest.raises(FileExistsError):
         ct.create_table(spark, table, spark.range(1))
