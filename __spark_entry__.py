@@ -11,9 +11,28 @@ queries are registered in ``spotify_tracks_etl_portfolio_spark/plans/``.
 
 from __future__ import annotations
 
+import os
+import sys
 from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
+
+# Make the engine importable for BOTH the driver process and its Python
+# WORKERS. The driver may import this file from any cwd via sys.path
+# surgery, but pandas-UDF workers (the multimodal/ANN seams) resolve
+# closure references by MODULE NAME on their own interpreter, which only
+# sees PYTHONPATH — a sys.path.insert in the driver never reaches them.
+# Exporting PYTHONPATH before the first session/worker spawns closes the
+# gap for every launch cwd.
+_ROOT = os.path.dirname(os.path.abspath(__file__))
+if _ROOT not in sys.path:
+    sys.path.insert(0, _ROOT)
+if _ROOT not in os.environ.get("PYTHONPATH", "").split(os.pathsep):
+    os.environ["PYTHONPATH"] = (
+        _ROOT + os.pathsep + os.environ["PYTHONPATH"]
+        if os.environ.get("PYTHONPATH")
+        else _ROOT
+    )
 
 
 def entry(spark: SparkSession) -> DataFrame:

@@ -146,6 +146,16 @@ def global_row_number(
     ``exact_ntile`` / ``event_value_deciles``; the same shape scales to
     percentile/median-rank jobs. Largest stage at 100 TB: the hash
     exchange on bucket id — the same cost class as one groupBy shuffle.
+
+    Skew caveat: every row TIED on the leading order column lands in
+    one bucket (monotone bucketing cannot split a tie — splitting
+    would need the tie-break column, whose boundaries percentile_approx
+    of the leading column cannot see). For near-unique leading columns
+    (values, timestamps, revenues) buckets stay balanced; a
+    pathological distribution where one value dominates degrades to
+    that value's run in a single partition — still bounded by the run
+    length, never by the table (tested:
+    ``test_global_row_number_heavy_ties_still_exact``).
     """
     ranked, _ = _bucketed_global_ranks(df, order_cols, out_col, buckets)
     return ranked

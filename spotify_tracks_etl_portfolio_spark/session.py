@@ -37,6 +37,18 @@ def get_spark(
     - Arrow on: vectorized pandas interchange for the few Pandas-UDF
       operators (similarity/multimodal paths).
     """
+    # Python WORKERS resolve pandas-UDF closure references by module
+    # name through PYTHONPATH only — export the repo root so the
+    # multimodal/ANN seams import regardless of the launch cwd (a
+    # driver-side sys.path entry never reaches workers).
+    repo_root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    if repo_root not in os.environ.get("PYTHONPATH", "").split(os.pathsep):
+        os.environ["PYTHONPATH"] = (
+            repo_root + os.pathsep + os.environ["PYTHONPATH"]
+            if os.environ.get("PYTHONPATH")
+            else repo_root
+        )
+
     cpus = DEFAULT_CPUS
     builder = (
         SparkSession.builder.appName(app_name)

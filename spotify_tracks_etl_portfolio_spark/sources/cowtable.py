@@ -54,10 +54,6 @@ class CommitConflictError(RuntimeError):
 _MANIFEST_DIR = "_manifests"
 _DATA_DIR = "data"
 
-#: Stats are kept for these parquet logical types only — min/max on
-#: strings/binary can be huge and Spark prunes those poorly anyway.
-_STATS_TYPES = ("int32", "int64", "double", "float")
-
 
 def _manifest_path(root: str, version: int) -> str:
     return os.path.join(root, _MANIFEST_DIR, f"v{version}.json")

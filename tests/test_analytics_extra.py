@@ -54,6 +54,30 @@ def test_global_row_number_few_buckets_still_exact(spark, sf_dir):
     assert [r["rn"] for r in rows] == list(range(1, len(rows) + 1))
 
 
+def test_global_row_number_heavy_ties_still_exact(spark):
+    """Pathological skew: 90% of rows tie on the leading order column
+    (all land in ONE bucket). Ranks must still be exact — the tie run
+    sorts within its bucket by the tie-break column."""
+    rows = [(5.0, i) for i in range(900)] + [
+        (float(i % 7), 1000 + i) for i in range(100)
+    ]
+    df = spark.createDataFrame(rows, "value double, event_id long")
+    got = {
+        r["event_id"]: r["rn"]
+        for r in global_row_number(
+            df, ["value", "event_id"], "rn", buckets=8
+        ).collect()
+    }
+    w = Window.orderBy("value", "event_id")
+    want = {
+        r["event_id"]: r["rn"]
+        for r in df.select(
+            "event_id", F.row_number().over(w).cast("long").alias("rn")
+        ).collect()
+    }
+    assert got == want
+
+
 def test_exact_ntile_matches_sql_ntile(spark, sf_dir):
     ev = read_parquet_table(spark, sf_dir, "events").select(
         "value", "event_id"

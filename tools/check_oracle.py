@@ -16,7 +16,15 @@ import os
 import sys
 import time
 
-sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+_REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, _REPO)
+# Python workers need the repo on PYTHONPATH (sys.path doesn't reach
+# them) — matters when running this tool from any cwd outside the repo.
+os.environ["PYTHONPATH"] = (
+    _REPO + os.pathsep + os.environ["PYTHONPATH"]
+    if os.environ.get("PYTHONPATH")
+    else _REPO
+)
 
 import duckdb
 
