@@ -1397,6 +1397,115 @@ def unigram_logprob_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+#: Add-k smoothing constant for the bigram LM (k=0.5, Jeffreys prior).
+BIGRAM_K = 0.5
+
+
+@register(
+    "bigram_logprob_documents",
+    oracle=f"""
+WITH btb AS (
+  SELECT doc_id, string_split_regex(trim(text), '\\s+') AS w
+  FROM documents WHERE trim(text) <> ''
+),
+bpairs AS (
+  SELECT doc_id, w[i] AS w1, w[i + 1] AS w2
+  FROM btb, unnest(range(1, len(w))) t(i)
+  WHERE len(w) >= 2
+),
+bbc AS (SELECT w1, w2, count(*) AS cab FROM bpairs GROUP BY w1, w2),
+buc AS (SELECT w1, count(*) AS ca FROM bpairs GROUP BY w1),
+bv AS (
+  SELECT CAST(count(DISTINCT t) AS DOUBLE) AS vv
+  FROM (SELECT unnest(w) AS t FROM btb)
+),
+blp AS (
+  SELECT p.doc_id,
+         CAST(round(ln((bc.cab + {BIGRAM_K}) / (uc.ca + {BIGRAM_K} * v.vv)), 9)
+              AS DECIMAL(20, 9)) AS l
+  FROM bpairs p
+  JOIN bbc bc ON p.w1 = bc.w1 AND p.w2 = bc.w2
+  JOIN buc uc ON p.w1 = uc.w1, bv v
+),
+bagg AS (
+  SELECT doc_id, CAST(count(*) AS BIGINT) AS n_bigrams,
+         sum(l) AS s
+  FROM blp GROUP BY doc_id
+)
+SELECT d.doc_id,
+       COALESCE(a.n_bigrams, 0) AS n_bigrams,
+       COALESCE(round(CAST(a.s AS DOUBLE) / a.n_bigrams, 6), 0.0)
+         AS avg_logprob
+FROM documents d LEFT JOIN bagg a USING (doc_id)
+""",
+    description="BIGRAM LM log-probability per document (the step past "
+    "the unigram proxy toward CCNet's KenLM filter): corpus bigram and "
+    "first-position unigram counts feed add-k-smoothed conditional "
+    "logprobs P(w2|w1)=(c12+k)/(c1+kV); per-doc averages flag "
+    "incoherent word SEQUENCES that unigram frequency cannot see "
+    "(shuffled text scores like fluent text under a unigram LM). "
+    "Scale shape: two hash aggregations for the model, one "
+    "vocabulary-scaled equi-join for scoring (no broadcast hint — "
+    "bigram tables grow with the corpus), per-doc 9-dp DECIMAL sums "
+    "for order-insensitive determinism; docs with <2 tokens come back "
+    "0/0.0 through the left join",
+    tags=("extension", "text", "curation"),
+)
+def bigram_logprob_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from spotify_tracks_etl_portfolio_spark.operators.text import tokens
+
+    docs = read_parquet_table(spark, sf_dir, "documents")
+    toks = tokens("text")
+    # greatest(…, 0): slice() rejects negative lengths, and empty/1-token
+    # docs would produce size-1 = -1 (verified crash) — they must yield
+    # zero pairs instead.
+    n_pairs = F.greatest(F.size(toks) - 1, F.lit(0))
+    pairs = docs.select(
+        "doc_id",
+        F.explode(
+            F.zip_with(
+                F.slice(toks, 1, n_pairs),
+                F.slice(toks, 2, n_pairs),
+                lambda x, y: F.struct(x.alias("w1"), y.alias("w2")),
+            )
+        ).alias("p"),
+    ).select("doc_id", "p.w1", "p.w2")
+    bc = pairs.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("cab"))
+    uc = pairs.groupBy("w1").agg(F.count(F.lit(1)).alias("ca"))
+    v = docs.select(F.explode(toks).alias("t")).agg(
+        F.countDistinct("t").cast("double").alias("vv")
+    )
+    lp = (
+        pairs.join(bc, ["w1", "w2"])
+        .join(uc, "w1")
+        .crossJoin(F.broadcast(v))
+        .select(
+            "doc_id",
+            F.round(
+                F.log(
+                    (F.col("cab") + F.lit(BIGRAM_K))
+                    / (F.col("ca") + F.lit(BIGRAM_K) * F.col("vv"))
+                ),
+                9,
+            )
+            .cast("decimal(20,9)")
+            .alias("l"),
+        )
+    )
+    agg = lp.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_bigrams"),
+        F.sum("l").alias("__s"),
+    )
+    return docs.select("doc_id").join(agg, "doc_id", "left").select(
+        "doc_id",
+        F.coalesce("n_bigrams", F.lit(0).cast("long")).alias("n_bigrams"),
+        F.coalesce(
+            F.round(F.col("__s").cast("double") / F.col("n_bigrams"), 6),
+            F.lit(0.0),
+        ).alias("avg_logprob"),
+    )
+
+
 STRATA_SAMPLE_N = 20
 
 

@@ -140,15 +140,23 @@ def regional_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     c = read_parquet_table(spark, sf_dir, "customer")
     n = read_parquet_table(spark, sf_dir, "nation")
     r = read_parquet_table(spark, sf_dir, "region")
+    # Pre-aggregate lineitem to one row per order before the snowflake:
+    # every group key lives on the customer side, so the fact table can
+    # collapse ~6:1 ahead of the joins (revenue partials + lineitem
+    # counts re-aggregate exactly).
+    per_order = l.groupBy("l_orderkey").agg(
+        F.sum(_revenue(l)).alias("__odec"),
+        F.count(F.lit(1)).alias("__nli"),
+    )
     return (
-        l.join(o, l.l_orderkey == o.o_orderkey)
+        per_order.join(o, per_order.l_orderkey == o.o_orderkey)
         .join(c, o.o_custkey == c.c_custkey)
         .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
         .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
         .groupBy(F.col("r_name").alias("region"), F.col("n_name").alias("nation"))
         .agg(
-            F.sum(_revenue(l)).cast("double").alias("revenue"),
-            F.count(F.lit(1)).alias("n_lineitems"),
+            F.sum("__odec").cast("double").alias("revenue"),
+            F.sum("__nli").alias("n_lineitems"),
         )
     )
 

@@ -247,6 +247,7 @@ SANCTIONED_NESTED_LOOP = {
     "bm25_search_documents": "1-row (N, avgdl) corpus-stats broadcast",
     "gdpr_delete_documents": "1-row surviving-count broadcast onto the tombstone audit",
     "unigram_logprob_documents": "1-row token-total broadcast",
+    "bigram_logprob_documents": "1-row vocab-size broadcast",
     "q22_rich_customers_without_orders": "1-row global-average broadcast",
     "user_recency_weighted_activity": "1-row max-timestamp broadcast",
     "q15_top_supplier": "1-row max-revenue broadcast",
