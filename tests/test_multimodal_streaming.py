@@ -288,6 +288,75 @@ def test_streaming_hourly_rollup_matches_batch(spark, sf_dir, tmp_path):
     assert got and got > 0
 
 
+def test_streaming_watermark_drops_too_late_keeps_within(spark, tmp_path):
+    """The watermark CONTRACT, asserted both ways: an event arriving in
+    a later micro-batch for a window already finalized by the watermark
+    is DROPPED (bounded state means late data beyond the bound cannot
+    re-open an emitted window); an out-of-order event still inside the
+    watermark is KEPT and counted. Without the drop assertion a
+    watermark regression (e.g. losing the withWatermark call) would
+    still pass every 'matches batch' test — batch counts everything."""
+    import glob as _glob
+    import os as _os
+    from datetime import datetime
+
+    from spotify_tracks_etl_portfolio_spark.streaming.pipeline import (
+        streaming_hourly_rollup,
+    )
+
+    def ev(hhmm, eid):
+        h, m = int(hhmm[:2]), int(hhmm[3:])
+        return (datetime(2025, 1, 1, h, m), "click", float(eid), eid)
+
+    schema = "ts timestamp, event_type string, value double, event_id long"
+    # Watermarks take effect one batch late (computed from batch N's
+    # data, applied in batch N+1), and a window is emitted at the END
+    # of the first batch whose effective watermark passes its end — so
+    # the too-late event must arrive one batch AFTER that emission:
+    # b1: 10:10/10:40 + 12:30 → watermark 11:30 effective in b2
+    # b2: 11:50 (late-but-OPEN window, kept) + 14:00; window 10-11
+    #     (end 11:00 < 11:30) EMITS with n=2 at end of b2;
+    #     watermark 13:00 effective in b3
+    # b3: 10:30 → beyond the watermark, its window already emitted →
+    #     DROPPED (must not re-open 10-11 as a second output row)
+    b1 = [ev("10:10", 1), ev("10:40", 2), ev("12:30", 3)]
+    b2 = [ev("11:50", 5), ev("14:00", 6)]
+    b3 = [ev("10:30", 4)]
+    d = str(tmp_path / "src")
+    for i, rows in enumerate((b1, b2, b3)):
+        spark.createDataFrame(rows, schema).coalesce(1).write.parquet(
+            f"{d}/f{i}"
+        )
+        for p in _glob.glob(f"{d}/f{i}/*.parquet"):
+            _os.utime(p, (1_700_000_000 + 100 * i,) * 2)
+
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(f"{d}/*")
+    )
+    q = (
+        streaming_hourly_rollup(stream, watermark="1 hour")
+        .writeStream.outputMode("append")
+        .format("memory")
+        .queryName("wm_contract")
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    rows = spark.sql("SELECT hour, n FROM wm_contract").collect()
+    got = [(r["hour"], r["n"]) for r in rows]
+    ten = [n for h, n in got if h == "2025-01-01 10:00:00"]
+    assert ten == [2], (
+        f"too-late event must be dropped, window never reopened: {got}"
+    )
+    eleven = [n for h, n in got if h == "2025-01-01 11:00:00"]
+    assert eleven == [1], (
+        f"within-watermark late event must be kept: {got}"
+    )
+
+
 def test_streaming_silver_upsert_idempotent(spark, sf_dir, tmp_path):
     silver = str(tmp_path / "silver")
     events_path = _stage_events_dir(sf_dir, tmp_path)
