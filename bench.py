@@ -53,6 +53,8 @@ HEADLINE = [
     "embedding_diverse_sample",
     "event_value_deciles",
     "semantic_dedup_embeddings",
+    "bigram_logprob_documents",
+    "near_dup_quality_canonicals",
 ]
 
 RUNS_PER_QUERY = 3
