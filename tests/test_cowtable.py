@@ -146,6 +146,22 @@ def test_merge_latest_wins_and_replay_is_idempotent(spark, table):
     assert ct.last_stream_batch_id(table) == 1
 
 
+def test_string_key_falls_back_to_conservative_rewrite(spark, tmp_path):
+    """Keys without footer stats (strings are excluded from the stats
+    harvest) must degrade to correct-but-conservative behavior: every
+    file counts as affected, results stay exact."""
+    root = str(tmp_path / "stbl")
+    df = spark.createDataFrame(
+        [(f"k{i:04d}", i) for i in range(100)], "k string, v long"
+    )
+    ct.create_table(spark, root, df, cluster_by="k", n_files=4)
+    keys = spark.createDataFrame([("k0005",), ("k0042",)], "k string")
+    res = ct.delete_where(spark, root, "k", keys)
+    assert res["files_kept"] == 0  # no stats → nothing provably safe
+    got = {r["k"] for r in ct.read_table(spark, root).collect()}
+    assert len(got) == 98 and "k0005" not in got and "k0042" not in got
+
+
 def test_create_refuses_existing_table(spark, table):
     with pytest.raises(FileExistsError):
         ct.create_table(spark, table, spark.range(1))

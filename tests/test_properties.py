@@ -493,3 +493,47 @@ def test_pii_scrub_matches_python_re(spark, texts):
             assert got[i][f"n_{cat}"] == len(re.findall(pat, cur)), (cat, cur)
             cur = re.sub(pat, token.replace("\\", "\\\\"), cur)
         assert got[i]["text_clean"] == cur, t
+
+
+@st.composite
+def ranking_case(draw):
+    n = draw(st.integers(1, 40))
+    # heavy tie probability: values drawn from a tiny domain
+    vals = draw(
+        st.lists(
+            st.floats(
+                min_value=-3, max_value=3, allow_nan=False, width=16
+            ),
+            min_size=n, max_size=n,
+        )
+    )
+    return [(float(v), i) for i, v in enumerate(vals)]
+
+
+@given(ranking_case(), st.integers(2, 7), st.integers(1, 11))
+@_slow
+def test_exact_ntile_property_matches_sql_ntile(spark, rows, buckets, tiles):
+    """For ANY value distribution (heavy ties included), any bucket
+    count, and any tile count, the bucketed distributed ntile must be
+    bit-identical to the single-partition SQL ntile."""
+    from pyspark.sql import Window
+
+    from spotify_tracks_etl_portfolio_spark.operators.stats import (
+        exact_ntile,
+    )
+
+    df = spark.createDataFrame(rows, "value double, event_id long")
+    got = {
+        r["event_id"]: r["t"]
+        for r in exact_ntile(
+            df, ["value", "event_id"], tiles, "t", buckets=buckets
+        ).collect()
+    }
+    w = Window.orderBy("value", "event_id")
+    want = {
+        r["event_id"]: r["t"]
+        for r in df.select(
+            "event_id", F.ntile(tiles).over(w).alias("t")
+        ).collect()
+    }
+    assert got == want
