@@ -415,6 +415,54 @@ def last_stream_batch_id(root: str) -> int | None:
     return best
 
 
+def compact(
+    spark: SparkSession,
+    root: str,
+    cluster_by: str,
+    n_files: int = 8,
+    small_file_rows: int | None = None,
+) -> dict:
+    """Maintenance rewrite (the OPTIMIZE step): many COW merges leave
+    per-batch small files whose key ranges overlap, which erodes the
+    stats pruning that keeps merges file-granular. Compaction rewrites
+    the CURRENT snapshot re-clustered on ``cluster_by`` (range
+    partitioned + sorted → tight disjoint per-file ranges again) and
+    commits it as a new version — old snapshots still time-travel until
+    vacuumed. With ``small_file_rows`` set, only files smaller than the
+    threshold rewrite (merged together re-clustered) and big files
+    carry over by reference — the incremental bin-packing variant."""
+    v = latest_version(root)
+    m = _read_manifest(root, v)
+    if small_file_rows is None:
+        maybe, keep = list(m["files"]), []
+    else:
+        maybe = [f for f in m["files"] if f["n_rows"] < small_file_rows]
+        keep = [f for f in m["files"] if f["n_rows"] >= small_file_rows]
+    new_files = []
+    if maybe:
+        df = spark.read.parquet(*[f["path"] for f in maybe])
+        df = df.repartitionByRange(
+            n_files, F.col(cluster_by)
+        ).sortWithinPartitions(cluster_by)
+        new_files = _write_data_files(df, root)
+    manifest = {
+        "version": v + 1,
+        "parent": v,
+        "operation": "compact",
+        "schema": m["schema"],
+        "files": keep + new_files,
+    }
+    if m.get("stream_batch_id") is not None:
+        manifest["stream_batch_id"] = m["stream_batch_id"]
+    _commit(root, v + 1, manifest)
+    return {
+        "version": v + 1,
+        "files_rewritten": len(maybe),
+        "files_kept": len(keep),
+        "files_out": len(new_files),
+    }
+
+
 def vacuum(root: str, retain_last: int = 1) -> dict:
     """Garbage-collect the table: drop manifests older than the last
     ``retain_last`` versions and delete every data file no retained

@@ -146,6 +146,31 @@ def test_merge_latest_wins_and_replay_is_idempotent(spark, table):
     assert ct.last_stream_batch_id(table) == 1
 
 
+def test_compact_restores_pruning_after_scattered_merges(spark, table):
+    """Scattered merges leave overlapping small files; compaction must
+    restore tight disjoint ranges so later deletes prune again — and
+    old snapshots still time-travel until vacuumed."""
+    for batch in range(3):
+        upd = spark.createDataFrame(
+            [(k, -k) for k in range(batch, 1000, 97)], "k long, v long"
+        )
+        ct.merge_into(spark, table, upd, "k")
+    v_before = ct.latest_version(table)
+    pre_df, pre_scanned, pre_total = ct.scan_pruned(spark, table, "k", 10, 20)
+    res = ct.compact(spark, table, "k", n_files=8)
+    assert res["files_out"] == 8
+    _, post_scanned, post_total = ct.scan_pruned(spark, table, "k", 10, 20)
+    assert post_total == 8 and post_scanned < post_total
+    assert post_scanned / post_total <= pre_scanned / pre_total
+    # content identical across the rewrite, old snapshot intact
+    a = sorted(map(tuple, ct.read_table(spark, table).collect()))
+    b = sorted(map(tuple, ct.read_table(spark, table, v_before).collect()))
+    assert a == b
+    # incremental variant: nothing small enough → metadata-only commit
+    res2 = ct.compact(spark, table, "k", small_file_rows=2)
+    assert res2["files_rewritten"] == 0 and res2["files_kept"] == 8
+
+
 def test_string_key_falls_back_to_conservative_rewrite(spark, tmp_path):
     """Keys without footer stats (strings are excluded from the stats
     harvest) must degrade to correct-but-conservative behavior: every
