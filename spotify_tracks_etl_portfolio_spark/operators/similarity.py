@@ -251,6 +251,100 @@ def ivf_topk(
     )
 
 
+def build_ivf_index(
+    df: DataFrame,
+    id_col: str,
+    vec_col: str,
+    index_root: str,
+    k: int = 8,
+    iters: int = 3,
+) -> None:
+    """Persist an IVF index as an on-disk artifact: the k centroids plus
+    the corpus PARTITIONED BY CELL — the build-once/query-many serving
+    pattern (training the quantizer per query, as the self-contained
+    ``ivf_topk`` query does, is the demo shape; at 100 TB the index is
+    a nightly batch artifact and queries just read it).
+
+    Partitioning by cell is the scale point: a query probing nprobe of
+    k cells reads nprobe directories and nothing else — file-level
+    partition pruning, not just row skipping."""
+    cents = kmeans_centroids(df, id_col, vec_col, k=k, iters=iters)
+    cents.write.parquet(f"{index_root}/centroids")
+    cent_rows = [
+        (int(r["cell"]), [float(x) for x in r[vec_col]])
+        for r in cents.collect()
+    ]
+    assign1 = probe_cells_udf(cent_rows, nprobe=1)
+    assigned = df.select(
+        F.col(id_col),
+        F.col(vec_col),
+        F.element_at(assign1(F.col(vec_col)), 1).alias("cell"),
+    )
+    assigned.write.partitionBy("cell").parquet(f"{index_root}/assignments")
+
+
+def ivf_query_index(
+    spark,
+    index_root: str,
+    queries: DataFrame,
+    id_col: str,
+    vec_col: str,
+    k: int,
+    nprobe: int = 2,
+) -> DataFrame:
+    """Query a persisted IVF index: probe each query's top-``nprobe``
+    cells against the stored centroids, then scan ONLY those cells'
+    partitions of the assignments artifact (static partition pruning —
+    the probed-cell set is bounded by |queries| × nprobe, tiny by the
+    definition of a query set, so collecting it is driver metadata, not
+    data). Scoring and ranking are identical to ``ivf_topk`` — same
+    6-dp rounding, same tie order — so a prebuilt index returns
+    bit-identical results to the self-contained query."""
+    cents = spark.read.parquet(f"{index_root}/centroids")
+    cent_rows = [
+        (int(r["cell"]), [float(x) for x in r[vec_col]])
+        for r in cents.collect()
+    ]
+    probe_n = probe_cells_udf(cent_rows, nprobe=nprobe)
+    qcells = queries.select(
+        F.col(id_col).alias("query_id"),
+        F.col(vec_col).alias("__qv"),
+        vec_norm_safe(vec_col).alias("__qn"),
+        F.explode(probe_n(F.col(vec_col))).alias("cell"),
+    )
+    probed = sorted(
+        {r["cell"] for r in qcells.select("cell").distinct().collect()}
+    )
+    corpus = (
+        spark.read.parquet(f"{index_root}/assignments")
+        # literal IN on the partition column → PartitionFilters prune
+        # the scan to the probed cell directories (plan-gated)
+        .filter(F.col("cell").isin(*[int(c) for c in probed]))
+    )
+    scored = (
+        corpus.withColumn("__vn", vec_norm_safe(vec_col))
+        .join(qcells, "cell")
+        .filter(F.col(id_col) != F.col("query_id"))
+        .withColumn(
+            "cosine",
+            F.round(
+                vec_dot(vec_col, "__qv") / (F.col("__vn") * F.col("__qn")), 6
+            ),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc(id_col))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(
+            "query_id",
+            F.col(id_col).alias("neighbor_id"),
+            "cosine",
+            F.col("rank").cast("long"),
+        )
+    )
+
+
 # --------------------------------------------------------------------------
 # Random-hyperplane LSH (frozen deterministic planes — the DuckDB oracle in
 # plans/extensions.py regenerates the SAME coefficients from these numbers).

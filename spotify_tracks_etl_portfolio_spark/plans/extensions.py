@@ -470,6 +470,33 @@ FROM (
 
 
 @register(
+    "embedding_ivf_index_topk",
+    oracle=_ivf_topk_oracle(
+        k_cells=8, iters=3, nprobe=2, topk=TOPK_K, n_queries=TOPK_N_QUERIES
+    ),
+    description="Persisted-IVF serving path: the index (k-means "
+    "centroids + corpus PARTITIONED BY CELL) is built once as an "
+    "on-disk artifact, then queried — probe the stored centroids, scan "
+    "ONLY the probed cells' partitions (static partition pruning on "
+    "the cell directory; the probed set is bounded by |queries|×nprobe "
+    "driver metadata), score exactly. Bit-identical to the "
+    "self-contained embedding_ivf_topk — same oracle — proving the "
+    "build-once/query-many artifact changes the COST, not the answer. "
+    "At 100 TB this is the ANN serving pattern: nightly index build, "
+    "per-query IO proportional to nprobe/k of the corpus.",
+    tags=("extension", "similarity", "approx"),
+)
+def embedding_ivf_index_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = read_parquet_table(spark, sf_dir, "embeddings")
+    root = os.path.join(_session_scratch(spark, "ivf_index"), "idx")
+    _sim.build_ivf_index(emb, "vec_id", "embedding", root, k=8, iters=3)
+    queries = emb.filter(F.col("vec_id") < TOPK_N_QUERIES)
+    return _sim.ivf_query_index(
+        spark, root, queries, "vec_id", "embedding", TOPK_K, nprobe=2
+    )
+
+
+@register(
     "embedding_cosine_topk",
     oracle=f"""
 WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings),

@@ -15,9 +15,12 @@ import pytest
 from spotify_tracks_etl_portfolio_spark.plans import all_queries
 
 
-def plan_of(spark, name: str, sf_dir: str) -> str:
-    df = all_queries()[name].fn(spark, sf_dir)
+def plan_of_df(df) -> str:
     return df._jdf.queryExecution().executedPlan().toString()
+
+
+def plan_of(spark, name: str, sf_dir: str) -> str:
+    return plan_of_df(all_queries()[name].fn(spark, sf_dir))
 
 
 def test_q6_pushes_every_predicate_to_scan(spark, sf_dir):
@@ -324,6 +327,54 @@ def test_no_registered_query_single_partitions_raw_input(spark, sf_dir):
     assert not offenders, (
         f"single-partition exchange over raw (unaggregated) input: {offenders}"
     )
+
+
+def test_ivf_index_scan_prunes_to_probed_cell_partitions(
+    spark, sf_dir, tmp_path
+):
+    """The persisted-IVF query must read ONLY the probed cells'
+    directories of the cell-partitioned index. A single query vector
+    probes nprobe=2 of the 8 cells, so the files the scan actually
+    touches (input_file_name) must come from at most 2 cell partitions
+    — file-level partition pruning, not row skipping. (The registered
+    embedding_ivf_index_topk uses 10 queries whose probes cover all
+    cells at this SF — correct, but pruning only shows with a narrow
+    query set.)"""
+    from pyspark.sql import functions as F
+
+    from spotify_tracks_etl_portfolio_spark.operators import similarity as sim
+    from spotify_tracks_etl_portfolio_spark.sources.readers import (
+        read_parquet_table,
+    )
+
+    emb = read_parquet_table(spark, sf_dir, "embeddings")
+    root = str(tmp_path / "idx")
+    sim.build_ivf_index(emb, "vec_id", "embedding", root, k=8, iters=3)
+    one_query = emb.filter(F.col("vec_id") == 0)
+    df = sim.ivf_query_index(
+        spark, root, one_query, "vec_id", "embedding", 5, nprobe=2
+    )
+    plan = plan_of_df(df)
+    import re
+
+    m = re.search(r"PartitionFilters: \[cell#\d+ IN \(([\d,]+)\)", plan)
+    assert m, "index scan lost its partition filter:\n" + plan[:1500]
+    probed = m.group(1).split(",")
+    assert 0 < len(probed) <= 2, probed
+    # and the result matches the self-contained path for that query
+    cents = spark.read.parquet(f"{root}/centroids").withColumnRenamed(
+        "cell", "vec_id"
+    )
+    want = sorted(
+        map(
+            tuple,
+            sim.ivf_topk(
+                emb, one_query, cents, "vec_id", "embedding", 5, nprobe=2
+            ).collect(),
+        )
+    )
+    got = sorted(map(tuple, df.collect()))
+    assert got == want
 
 
 def test_bucketed_join_has_no_shuffle(spark, sf_dir):
