@@ -2181,6 +2181,134 @@ def pack_training_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "prepare_training_corpus",
+    oracle=f"""
+WITH dedup AS (
+  SELECT min(doc_id) AS doc_id, text FROM documents GROUP BY text
+),
+toks2 AS (
+  SELECT doc_id, '' AS lang,
+         CASE WHEN trim(text) = '' THEN CAST([] AS VARCHAR[])
+              ELSE string_split_regex(trim(text), '\\s+') END AS w
+  FROM dedup
+),
+{_LANG_CTES},
+{_quality_ctes('dedup')},
+curated AS (
+  SELECT b.doc_id, {_LANG_CASE} AS lang, h.n_tokens
+  FROM best b JOIN h ON b.doc_id = h.doc_id
+  WHERE ({_LANG_CASE}) <> 'und'
+    AND {_QUALITY_EXPR} >= {CURATE_MIN_QUALITY}
+    AND h.n_tokens BETWEEN 5 AND 5000
+),
+{_SHINGLE_CTES},
+pbench AS (SELECT DISTINCT h FROM shh WHERE doc_id % 10 = 0),
+contaminated AS (
+  SELECT DISTINCT s.doc_id FROM shh s JOIN pbench b ON s.h = b.h
+  WHERE s.doc_id % 10 <> 0
+),
+clean AS (
+  SELECT c.doc_id, c.lang, c.n_tokens, {_FP_SQL} AS hsh
+  FROM curated c JOIN dedup d2 ON c.doc_id = d2.doc_id
+  WHERE c.doc_id % 10 <> 0
+    AND c.doc_id NOT IN (SELECT doc_id FROM contaminated)
+),
+pbase AS (
+  SELECT lang,
+         COALESCE(SUM(lt2) OVER (ORDER BY lang
+           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS base
+  FROM (SELECT lang, SUM(n_tokens) AS lt2 FROM clean GROUP BY lang)
+),
+pc AS (
+  SELECT c.doc_id, c.lang, c.n_tokens,
+         b.base + COALESCE(SUM(c.n_tokens) OVER (
+           PARTITION BY c.lang ORDER BY c.hsh, c.doc_id
+           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cum_before
+  FROM clean c JOIN pbase b USING (lang)
+)
+SELECT doc_id, lang, n_tokens,
+       CAST(cum_before // {PACK_CONTEXT_LEN} AS BIGINT) AS seq_id,
+       CAST(cum_before % {PACK_CONTEXT_LEN} AS BIGINT) AS seq_offset
+FROM pc
+""",
+    description="FLAGSHIP end-to-end training-corpus preparation in ONE "
+    "registered call — the complete Spark-first prep chain a user of "
+    "this engine runs before tokenizing: exact dedup (keep lowest id) "
+    "→ language-ID (drop 'und') → quality gate (≥ 0.5) → token bounds "
+    "→ benchmark decontamination (drop training docs sharing any word "
+    "n-gram with the held-out set AND the benchmark docs themselves) → "
+    "GPT-style deterministic sequence packing of the survivors "
+    f"(lang/content-hash/id order, cut every {PACK_CONTEXT_LEN} "
+    "tokens). Every stage reuses the individually-gated operator, and "
+    "the COMPOSITION is hash-checked end-to-end. Scale: dedup shuffle "
+    "+ shingle equi-joins + per-lang prefix-sum windows over a "
+    "broadcast per-lang base — no stage sees unpartitioned raw data",
+    tags=("extension", "pipeline", "dedup", "curation"),
+)
+def prepare_training_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    docs = read_parquet_table(spark, sf_dir, "documents")
+    deduped = docs.groupBy("text").agg(F.min("doc_id").alias("doc_id"))
+    nt = token_count("text").cast("long")
+    curated = (
+        deduped.select(
+            "doc_id",
+            "text",
+            _tx.lang_id("text").alias("lang"),
+            nt.alias("n_tokens"),
+            _tx.quality_score("text").alias("q"),
+        )
+        .filter(
+            (F.col("lang") != "und")
+            & (F.col("q") >= CURATE_MIN_QUALITY)
+            & F.col("n_tokens").between(5, 5000)
+        )
+    )
+    sh = _dd.exploded_shingle_hashes(docs, "doc_id", "text")
+    bench = sh.filter(F.col("doc_id") % 10 == 0).select("h").distinct()
+    contaminated = (
+        sh.filter(F.col("doc_id") % 10 != 0)
+        .join(F.broadcast(bench), "h")
+        .select("doc_id")
+        .distinct()
+    )
+    clean = (
+        curated.filter(F.col("doc_id") % 10 != 0)
+        .join(contaminated, "doc_id", "left_anti")
+        .select("doc_id", "lang", "n_tokens", "text")
+    )
+    lang_tot = clean.groupBy("lang").agg(F.sum("n_tokens").alias("__lt"))
+    wb = Window.orderBy("lang").rowsBetween(Window.unboundedPreceding, -1)
+    base = lang_tot.select(
+        "lang",
+        F.coalesce(F.sum("__lt").over(wb), F.lit(0).cast("long")).alias(
+            "__base"
+        ),
+    )
+    w = (
+        Window.partitionBy("lang")
+        .orderBy(rolling_hash("text").asc(), F.col("doc_id").asc())
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    cum_before = F.col("__base") + F.coalesce(
+        F.sum("n_tokens").over(w), F.lit(0).cast("long")
+    )
+    return (
+        clean.join(F.broadcast(base), "lang")
+        .select(
+            "doc_id",
+            "lang",
+            "n_tokens",
+            F.floor(cum_before / PACK_CONTEXT_LEN).cast("long").alias(
+                "seq_id"
+            ),
+            (cum_before % PACK_CONTEXT_LEN).cast("long").alias("seq_offset"),
+        )
+    )
+
+
+@register(
     "embedding_dimension_stats",
     oracle="""
 WITH ed AS (
