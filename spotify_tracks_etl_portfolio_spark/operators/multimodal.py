@@ -467,6 +467,52 @@ def resize_images(
     )
 
 
+#: Bins in the row-profile perceptual fingerprint (bits in the hash).
+FP_BINS = 16
+
+
+def image_fingerprints(
+    df: DataFrame, id_col: str, media_col: str = "media", bins: int = FP_BINS
+) -> DataFrame:
+    """CONTAINER-INVARIANT perceptual image fingerprint — the image-dedup
+    primitive: decode (any built-in format), reduce to the gray pixel
+    stream, fold the rows into ``bins`` horizontal bands, and set bit b
+    when band b's mean luminance >= the image's overall mean. The same
+    picture fingerprints identically whether it arrived as PNG, BMP, or
+    PPM (replicated RGB channels collapse back to the gray values), so
+    re-encoded duplicates collide — exact-dedup machinery (hash groupBy)
+    then works on images. aHash-style robustness, fixed 16-bit output
+    for any image height; bit comparisons are exact-integer-sum /
+    count divisions, bit-reproducible on any engine."""
+    import numpy as np
+
+    def fp(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for _id, blob in zip(pdf[id_col], pdf[media_col]):
+                img = decode_image(bytes(blob))
+                s = np.frombuffer(img["samples"], dtype=np.uint8)[
+                    :: img["channels"]
+                ].astype(np.int64)
+                w, h = img["width"], img["height"]
+                overall = s.sum() / s.size
+                band = (np.arange(s.size) // w) * bins // h
+                sums = np.bincount(band, weights=s, minlength=bins)
+                counts = np.bincount(band, minlength=bins)
+                bits = 0
+                for b in range(bins):
+                    if counts[b] > 0 and (sums[b] / counts[b]) >= overall:
+                        bits |= 1 << b
+                rows.append((int(_id), int(h), int(bits)))
+            yield pd.DataFrame(
+                rows, columns=["id", "height", "fingerprint"]
+            )
+
+    return df.select(id_col, media_col).mapInPandas(
+        fp, "id long, height int, fingerprint long"
+    )
+
+
 def resize_stub(
     df: DataFrame,
     id_col: str,

@@ -777,6 +777,64 @@ def multimodal_decode_features(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "multimodal_image_fingerprints",
+    oracle=f"""
+WITH fpd AS (
+  SELECT doc_id, {_utf8_bytes_sql('text')} AS bs,
+         octet_length(encode(text)) AS n
+  FROM documents
+),
+fpg AS (
+  SELECT doc_id, bs, n,
+         GREATEST(1, CAST(ceil(n / {_MM_WIDTH}.0) AS BIGINT)) AS h
+  FROM fpd
+),
+fpx AS (
+  SELECT doc_id, h, i,
+         CASE WHEN i < n THEN bs[CAST(i + 1 AS INT)] ELSE 0 END AS v,
+         ((i // {_MM_WIDTH}) * {_mm.FP_BINS}) // h AS band
+  FROM fpg, unnest(range(0, h * {_MM_WIDTH})) t(i)
+),
+fpo AS (
+  SELECT doc_id, CAST(sum(v) AS DOUBLE) / (max(h) * {_MM_WIDTH}) AS overall
+  FROM fpx GROUP BY doc_id
+),
+fpb AS (
+  SELECT doc_id, band, CAST(sum(v) AS DOUBLE) / count(*) AS m
+  FROM fpx GROUP BY doc_id, band
+),
+fpf AS (
+  SELECT b.doc_id,
+         CAST(sum(CASE WHEN b.m >= o.overall
+                       THEN 1 << CAST(b.band AS INT) ELSE 0 END) AS BIGINT)
+           AS fingerprint
+  FROM fpb b JOIN fpo o USING (doc_id) GROUP BY b.doc_id
+)
+SELECT g.doc_id AS id, CAST(g.h AS INT) AS height, f.fingerprint
+FROM fpg g JOIN fpf f ON g.doc_id = f.doc_id
+""",
+    description="Container-invariant perceptual image fingerprint over "
+    "the REAL decode path — the image-dedup primitive: mixed PNG/BMP/"
+    "PPM media decode on executors, the gray pixel stream folds into "
+    f"{_mm.FP_BINS} horizontal bands, bit b set when band b's mean "
+    "luminance >= the image mean (aHash-style row profile). The SAME "
+    "picture fingerprints identically across container formats "
+    "(replicated RGB collapses to gray), so re-encoded duplicates "
+    "collide and exact-dedup hash-groupBy machinery extends to images. "
+    "Hash-checked against an arithmetic oracle over the identical "
+    "padded byte geometry; integer-exact sums make the bit decisions "
+    "engine-independent",
+    tags=("extension", "multimodal", "dedup"),
+)
+def multimodal_image_fingerprints(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    docs = read_parquet_table(spark, sf_dir, "documents")
+    media = _mm.attach_encoded_media(docs, "doc_id", "text", width=_MM_WIDTH)
+    return _mm.image_fingerprints(media, "doc_id")
+
+
+@register(
     "gdpr_delete_documents",
     oracle="""
 SELECT doc_id, 'documents' AS table_name,

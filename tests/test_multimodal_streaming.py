@@ -193,6 +193,31 @@ def test_bmp_top_down_and_ppm_comments():
     assert (img["width"], img["height"]) == (3, 1)
 
 
+def test_image_fingerprint_is_container_invariant(spark):
+    """The SAME picture must fingerprint identically whether it arrives
+    as PNG, BMP, or PPM — that is what lets hash-groupBy dedup catch
+    re-encoded duplicate images."""
+    texts = ["hello world " * 40, "abc", "zz" * 300]
+    rows = []
+    for i, t in enumerate(texts):
+        data = t.encode("utf-8")
+        rows += [
+            (i * 10 + 0, bytes(mm.encode_png_gray(data, 16))),
+            (i * 10 + 1, bytes(mm.encode_bmp_gray(data, 16))),
+            (i * 10 + 2, bytes(mm.encode_ppm_gray(data, 16))),
+        ]
+    df = spark.createDataFrame(rows, "doc_id long, media binary")
+    got = {
+        r["id"]: r["fingerprint"]
+        for r in mm.image_fingerprints(df, "doc_id").collect()
+    }
+    for i in range(len(texts)):
+        fps = {got[i * 10 + j] for j in range(3)}
+        assert len(fps) == 1, f"text {i}: formats disagree: {fps}"
+    # distinct pictures should (here) get distinct fingerprints
+    assert len({got[i * 10] for i in range(len(texts))}) == len(texts)
+
+
 def test_truncated_ppm_and_y4m_raise_not_silently_misdecode():
     """A short payload must raise, never emit statistics computed over
     fewer bytes than the header promises (round-3 advice)."""
