@@ -902,6 +902,56 @@ def multimodal_audio_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _mm.decode_audio_features(media, "doc_id")
 
 
+@register(
+    "multimodal_audio_fingerprints",
+    oracle=f"""
+WITH afd AS (
+  SELECT doc_id, {_utf8_bytes_sql('text')} AS bs,
+         octet_length(encode(text)) AS n
+  FROM documents
+),
+afx AS (
+  SELECT doc_id, n, i, bs[CAST(i + 1 AS INT)] AS v,
+         (i * {_mm.FP_BINS}) // n AS band
+  FROM afd, unnest(range(0, n)) t(i)
+  WHERE n > 0
+),
+afo AS (
+  SELECT doc_id, CAST(sum(v) AS DOUBLE) / max(n) AS overall
+  FROM afx GROUP BY doc_id
+),
+afb AS (
+  SELECT doc_id, band, CAST(sum(v) AS DOUBLE) / count(*) AS m
+  FROM afx GROUP BY doc_id, band
+),
+aff AS (
+  SELECT b.doc_id,
+         CAST(sum(CASE WHEN b.m >= o.overall
+                       THEN 1 << CAST(b.band AS INT) ELSE 0 END) AS BIGINT)
+           AS fingerprint
+  FROM afb b JOIN afo o USING (doc_id) GROUP BY b.doc_id
+)
+SELECT d.doc_id AS id, CAST(d.n AS BIGINT) AS n_samples,
+       COALESCE(f.fingerprint, 0) AS fingerprint
+FROM afd d LEFT JOIN aff f USING (doc_id)
+""",
+    description="Time-band energy fingerprint over the REAL WAV decode "
+    "path — the audio-dedup twin of the image fingerprint: the 8-bit "
+    f"PCM sample stream folds into {_mm.FP_BINS} consecutive time "
+    "bands, bit b set when band b's mean amplitude >= the clip mean. "
+    "Fixed 16-bit output for any clip length; hash-checked against the "
+    "arithmetic oracle over the same byte stream; empty clips "
+    "fingerprint 0 through the left join",
+    tags=("extension", "multimodal", "dedup"),
+)
+def multimodal_audio_fingerprints(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    docs = read_parquet_table(spark, sf_dir, "documents")
+    media = _mm.attach_encoded_audio(docs, "doc_id", "text", _WAV_RATE)
+    return _mm.audio_fingerprints(media, "doc_id")
+
+
 _Y4M_W, _Y4M_H, _Y4M_STRIDE = 8, 8, 2
 
 
