@@ -513,6 +513,47 @@ def image_fingerprints(
     )
 
 
+def video_fingerprints(
+    df: DataFrame, id_col: str, media_col: str = "media"
+) -> DataFrame:
+    """Per-FRAME luma-bit fingerprint over the REAL y4m decode — the
+    video-dedup member of the fingerprint family: one bit per frame,
+    set when the frame's mean luma >= the whole stream's mean (temporal
+    brightness profile). Streams longer than 62 frames fold frame f
+    onto bit f % 62, keeping the output a single BIGINT for any
+    duration. Re-muxed/re-transferred copies of the same frames
+    collide; integer-exact sums keep the bits engine-independent."""
+    import numpy as np
+
+    def fp(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for _id, blob in zip(pdf[id_col], pdf[media_col]):
+                v = decode_y4m(bytes(blob))
+                frames = v["frames"]
+                sums = [
+                    int(np.frombuffer(f, dtype=np.uint8).sum())
+                    for f in frames
+                ]
+                fsz = v["width"] * v["height"]
+                total = sum(sums)
+                n = len(frames) * fsz
+                bits = 0
+                if n:
+                    overall = total / n
+                    for i, s in enumerate(sums):
+                        if s / fsz >= overall:
+                            bits |= 1 << (i % 62)
+                rows.append((int(_id), len(frames), int(bits)))
+            yield pd.DataFrame(
+                rows, columns=["id", "n_frames", "fingerprint"]
+            )
+
+    return df.select(id_col, media_col).mapInPandas(
+        fp, "id long, n_frames int, fingerprint long"
+    )
+
+
 def audio_fingerprints(
     df: DataFrame, id_col: str, media_col: str = "media", bins: int = FP_BINS
 ) -> DataFrame:

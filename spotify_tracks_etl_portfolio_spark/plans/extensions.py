@@ -956,6 +956,60 @@ _Y4M_W, _Y4M_H, _Y4M_STRIDE = 8, 8, 2
 
 
 @register(
+    "multimodal_video_fingerprints",
+    oracle=f"""
+WITH vfd AS (
+  SELECT doc_id, {_utf8_bytes_sql('text')} AS bs,
+         octet_length(encode(text)) AS n
+  FROM documents
+),
+vfg AS (
+  SELECT doc_id, bs, n,
+         GREATEST(1, CAST(ceil(n / {_Y4M_W * _Y4M_H}.0) AS BIGINT)) AS nf
+  FROM vfd
+),
+vff AS (
+  SELECT doc_id, nf, k,
+         COALESCE(list_sum(list_slice(bs,
+           CAST(k * {_Y4M_W * _Y4M_H} + 1 AS BIGINT),
+           CAST((k + 1) * {_Y4M_W * _Y4M_H} AS BIGINT))), 0) AS fs
+  FROM vfg, unnest(range(0, nf)) t(k)
+),
+vfo AS (
+  SELECT doc_id,
+         CAST(sum(fs) AS DOUBLE) / (max(nf) * {_Y4M_W * _Y4M_H}) AS overall
+  FROM vff GROUP BY doc_id
+),
+vfp AS (
+  SELECT f.doc_id,
+         bit_or(CASE WHEN CAST(f.fs AS DOUBLE) / {_Y4M_W * _Y4M_H}
+                          >= o.overall
+                     THEN CAST(1 AS BIGINT) << CAST(f.k % 62 AS INT)
+                     ELSE CAST(0 AS BIGINT) END) AS fingerprint
+  FROM vff f JOIN vfo o USING (doc_id) GROUP BY f.doc_id
+)
+SELECT g.doc_id AS id, CAST(g.nf AS INT) AS n_frames,
+       p.fingerprint
+FROM vfg g JOIN vfp p USING (doc_id)
+""",
+    description="Per-frame luma-bit fingerprint over the REAL y4m "
+    "decode — the video-dedup member of the fingerprint family: one "
+    "bit per frame, set when the frame's mean luma >= the stream mean "
+    "(temporal brightness profile; frame f folds onto bit f % 62 so "
+    "any duration stays one BIGINT). Re-muxed copies of the same "
+    "frames collide; hash-checked against the arithmetic oracle over "
+    "the identical padded frame geometry",
+    tags=("extension", "multimodal", "dedup"),
+)
+def multimodal_video_fingerprints(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    docs = read_parquet_table(spark, sf_dir, "documents")
+    media = _mm.attach_encoded_video(docs, "doc_id", "text", _Y4M_W, _Y4M_H)
+    return _mm.video_fingerprints(media, "doc_id")
+
+
+@register(
     "multimodal_video_frame_sample",
     oracle=f"""
 WITH d AS (
