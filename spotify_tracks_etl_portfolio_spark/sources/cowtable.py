@@ -415,6 +415,46 @@ def last_stream_batch_id(root: str) -> int | None:
     return best
 
 
+def snapshot_diff(
+    spark: SparkSession,
+    root: str,
+    key_col: str,
+    v_old: int,
+    v_new: int | None = None,
+) -> DataFrame:
+    """Audit diff between two snapshots of the same table: per key,
+    'added' | 'removed' | 'changed' (any non-key column differs) —
+    unchanged keys are omitted. This is what time travel is FOR in a
+    governed pipeline: prove to a review exactly what a day's
+    merges/deletes did, straight from the manifests. One full outer
+    join on the key; both sides are plain snapshot reads, so the diff
+    inherits every pruning the scans have."""
+    old = read_table(spark, root, v_old)
+    new = read_table(spark, root, v_new)
+    val_cols = [c for c in old.columns if c != key_col]
+    o = old.select(
+        F.col(key_col),
+        F.struct(*[F.col(c) for c in val_cols]).alias("__o"),
+    )
+    n = new.select(
+        F.col(key_col),
+        F.struct(*[F.col(c) for c in val_cols]).alias("__n"),
+    )
+    joined = o.join(n, key_col, "full_outer")
+    status = (
+        F.when(F.col("__o").isNull(), F.lit("added"))
+        .when(F.col("__n").isNull(), F.lit("removed"))
+        # eqNullSafe: a NULL inside one side's struct must read as a
+        # CHANGE, not collapse the comparison to NULL→unchanged
+        .when(~F.col("__o").eqNullSafe(F.col("__n")), F.lit("changed"))
+    )
+    return (
+        joined.withColumn("status", status)
+        .filter(F.col("status").isNotNull())
+        .select(key_col, "status")
+    )
+
+
 def compact(
     spark: SparkSession,
     root: str,

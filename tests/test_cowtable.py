@@ -146,6 +146,25 @@ def test_merge_latest_wins_and_replay_is_idempotent(spark, table):
     assert ct.last_stream_batch_id(table) == 1
 
 
+def test_snapshot_diff_reports_adds_removes_changes(spark, table):
+    ct.delete_where(
+        spark, table, "k",
+        spark.createDataFrame([(3,), (4,)], "k long"),
+    )
+    ct.merge_into(
+        spark, table,
+        spark.createDataFrame([(5, -5), (2000, -1)], "k long, v long"),
+        "k",
+    )
+    diff = {
+        r["k"]: r["status"]
+        for r in ct.snapshot_diff(spark, table, "k", 0).collect()
+    }
+    assert diff == {
+        3: "removed", 4: "removed", 5: "changed", 2000: "added",
+    }
+
+
 def test_compact_restores_pruning_after_scattered_merges(spark, table):
     """Scattered merges leave overlapping small files; compaction must
     restore tight disjoint ranges so later deletes prune again — and
