@@ -3180,6 +3180,53 @@ def cowtable_merge_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _ct.read_table(spark, root).select("doc_id", "n_chars")
 
 
+@register(
+    "cowtable_snapshot_diff",
+    oracle="""
+SELECT doc_id, 'removed' AS status FROM documents
+WHERE doc_id % 97 = 0 AND doc_id % 50 <> 0
+UNION ALL
+SELECT doc_id, 'changed' FROM documents
+WHERE doc_id % 50 = 0 AND n_chars <> 0
+UNION ALL
+SELECT CAST(doc_id + 1000000 AS BIGINT), 'added' FROM documents
+WHERE doc_id % 50 = 0
+""",
+    description="Snapshot AUDIT over the COW table lifecycle: after the "
+    "same delete+merge flow as cowtable_merge_roundtrip, diff version 0 "
+    "against the latest — per key 'added'/'removed'/'changed' (deleted "
+    "%97 keys read removed; %50 upserts read changed; brand-new keys "
+    "read added; a deleted-then-reinserted key reads changed, which is "
+    "the net truth). One full-outer join of two time-travel reads — "
+    "the evidence a governance review wants, derived from manifests, "
+    "not logs",
+    tags=("extension", "sources", "acid", "governance"),
+)
+def cowtable_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from spotify_tracks_etl_portfolio_spark.sources import cowtable as _ct
+
+    docs = read_parquet_table(spark, sf_dir, "documents").select(
+        "doc_id", F.col("n_chars").cast("long").alias("n_chars")
+    )
+    root = os.path.join(
+        _session_scratch(spark, "cow_diff"), uuid.uuid4().hex
+    )
+    _ct.create_table(spark, root, docs, cluster_by="doc_id", n_files=8)
+    _ct.delete_where(
+        spark, root, "doc_id",
+        docs.filter(F.col("doc_id") % 97 == 0).select("doc_id"),
+    )
+    upserts = docs.filter(F.col("doc_id") % 50 == 0).select(
+        "doc_id", (-F.col("n_chars")).alias("n_chars")
+    )
+    inserts = docs.filter(F.col("doc_id") % 50 == 0).select(
+        (F.col("doc_id") + 1000000).alias("doc_id"),
+        F.lit(-1).cast("long").alias("n_chars"),
+    )
+    _ct.merge_into(spark, root, upserts.unionByName(inserts), "doc_id")
+    return _ct.snapshot_diff(spark, root, "doc_id", 0)
+
+
 def _random_projection_oracle() -> str:
     s = _sim
     projs = ",\n       ".join(
