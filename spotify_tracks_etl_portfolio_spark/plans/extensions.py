@@ -835,6 +835,66 @@ def multimodal_image_fingerprints(
 
 
 @register(
+    "multimodal_image_dedup_groups",
+    oracle=f"""
+WITH fpd AS (
+  SELECT doc_id, {_utf8_bytes_sql('text')} AS bs,
+         octet_length(encode(text)) AS n
+  FROM documents
+),
+fpg AS (
+  SELECT doc_id, bs, n,
+         GREATEST(1, CAST(ceil(n / {_MM_WIDTH}.0) AS BIGINT)) AS h
+  FROM fpd
+),
+fpx AS (
+  SELECT doc_id, h, i,
+         CASE WHEN i < n THEN bs[CAST(i + 1 AS INT)] ELSE 0 END AS v,
+         ((i // {_MM_WIDTH}) * {_mm.FP_BINS}) // h AS band
+  FROM fpg, unnest(range(0, h * {_MM_WIDTH})) t(i)
+),
+fpo AS (
+  SELECT doc_id, CAST(sum(v) AS DOUBLE) / (max(h) * {_MM_WIDTH}) AS overall
+  FROM fpx GROUP BY doc_id
+),
+fpb AS (
+  SELECT doc_id, band, CAST(sum(v) AS DOUBLE) / count(*) AS m
+  FROM fpx GROUP BY doc_id, band
+),
+fpf AS (
+  SELECT b.doc_id,
+         CAST(sum(CASE WHEN b.m >= o.overall
+                       THEN 1 << CAST(b.band AS INT) ELSE 0 END) AS BIGINT)
+           AS fingerprint
+  FROM fpb b JOIN fpo o USING (doc_id) GROUP BY b.doc_id
+)
+SELECT fingerprint,
+       min(doc_id) AS canonical_id,
+       CAST(count(*) AS BIGINT) AS n_members
+FROM fpf GROUP BY fingerprint
+""",
+    description="Image DEDUP GROUPS over the perceptual fingerprints — "
+    "the payoff query of the multimodal fingerprint family: decode the "
+    "mixed-container media, fingerprint, hash-groupBy the fingerprint; "
+    "each group keeps its lowest-id canonical with the member count "
+    "(re-encoded and visually-identical images collapse together, the "
+    "exact-dedup shape applied to pictures). One decode pass + one "
+    "shuffle on a 16-bit key at any corpus size",
+    tags=("extension", "multimodal", "dedup"),
+)
+def multimodal_image_dedup_groups(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    docs = read_parquet_table(spark, sf_dir, "documents")
+    media = _mm.attach_encoded_media(docs, "doc_id", "text", width=_MM_WIDTH)
+    fps = _mm.image_fingerprints(media, "doc_id")
+    return fps.groupBy("fingerprint").agg(
+        F.min("id").alias("canonical_id"),
+        F.count(F.lit(1)).alias("n_members"),
+    )
+
+
+@register(
     "gdpr_delete_documents",
     oracle="""
 SELECT doc_id, 'documents' AS table_name,
