@@ -55,6 +55,9 @@ HEADLINE = [
     "semantic_dedup_embeddings",
     "bigram_logprob_documents",
     "near_dup_quality_canonicals",
+    # round-4 continuation: iterative graph + curation monitors
+    "trade_graph_pagerank",
+    "hashed_token_vectors",
 ]
 
 RUNS_PER_QUERY = 3

@@ -3336,3 +3336,283 @@ FROM dots GROUP BY vec_id
 def embedding_random_projection(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = read_parquet_table(spark, sf_dir, "embeddings")
     return _sim.random_projection(emb, "vec_id", "embedding")
+
+
+# ===========================================================================
+# Iterative graph analytics, corpus drift monitoring, feature hashing,
+# weighted sampling (round-4 continuation wave).
+# ===========================================================================
+
+from spotify_tracks_etl_portfolio_spark.operators import graph as _gr  # noqa: E402
+
+#: Per-token polynomial rolling hash (DuckDB side) — shared expression.
+_TOKEN_HASH = (
+    "list_reduce(list_prepend(CAST(0 AS BIGINT), "
+    "list_transform(string_split({t}, ''), c -> CAST(ascii(c) AS BIGINT))), "
+    "(a, b) -> (a * 31 + b) % 1000000007)"
+)
+
+
+def _pagerank_oracle(iters: int = _gr.PAGERANK_ITERS) -> str:
+    """Unrolled PageRank power iteration as a DuckDB CTE chain —
+    replays operators/graph.py:pagerank step-for-step: every scalar op
+    is a single IEEE double operation and every sum is a DECIMAL-exact
+    fold of 12-dp-rounded contributions, so the trajectory is
+    bit-identical."""
+    dp = _gr.CONTRIB_DP
+    ctes = [
+        """tr AS (
+  SELECT DISTINCT o_custkey * 2 AS cnode, l_suppkey * 2 + 1 AS snode
+  FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+),
+e AS (
+  SELECT cnode AS src, snode AS dst FROM tr
+  UNION ALL
+  SELECT snode AS src, cnode AS dst FROM tr
+),
+deg AS (SELECT src AS node, count(*) AS deg FROM e GROUP BY src),
+nn AS (SELECT CAST(count(*) AS DOUBLE) AS n FROM deg),
+r0 AS (SELECT node, CAST(1 AS DOUBLE) / (SELECT n FROM nn) AS rank FROM deg)"""
+    ]
+    for i in range(1, iters + 1):
+        ctes.append(
+            f"""c{i} AS (
+  SELECT e.dst AS node,
+         CAST(round(r.rank / d.deg, {dp}) AS DECIMAL(28,{dp})) AS c
+  FROM e JOIN r{i - 1} r ON e.src = r.node JOIN deg d ON e.src = d.node
+),
+s{i} AS (SELECT node, sum(c) AS s FROM c{i} GROUP BY node),
+r{i} AS (
+  SELECT d.node,
+         round((CAST(1 AS DOUBLE) - CAST(0.85 AS DOUBLE)) / (SELECT n FROM nn)
+               + CAST(0.85 AS DOUBLE)
+               * coalesce(CAST(s.s AS DOUBLE), CAST(0 AS DOUBLE)), {dp}) AS rank
+  FROM deg d LEFT JOIN s{i} s ON d.node = s.node
+)"""
+        )
+    return (
+        "WITH "
+        + ",\n".join(ctes)
+        + f"""
+SELECT CASE WHEN node % 2 = 0 THEN 'customer' ELSE 'supplier' END AS entity_type,
+       CAST(node // 2 AS BIGINT) AS entity_key,
+       rank AS pagerank
+FROM r{iters}"""
+    )
+
+
+@register(
+    "trade_graph_pagerank",
+    oracle=_pagerank_oracle(),
+    description="PageRank over the undirected customer–supplier trade "
+    "graph (distinct orders⋈lineitem pairs, both edge directions), 3 "
+    "unrolled power iterations. Determinism: each rank update is one "
+    "IEEE division + multiply + add over a DECIMAL-exact sum of "
+    "12-dp-rounded per-edge contributions, so the oracle's unrolled "
+    "CTE chain matches bit-for-bit. Scale: one equi-join + one hash "
+    "agg per iteration, rank state never leaves the cluster",
+    tags=("extension", "graph"),
+)
+def trade_graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = read_parquet_table(spark, sf_dir, "orders")
+    lineitem = read_parquet_table(spark, sf_dir, "lineitem")
+    edges = _gr.trade_graph_edges(orders, lineitem)
+    ranks = _gr.pagerank(edges)
+    return ranks.select(
+        F.when(F.col("node") % 2 == 0, F.lit("customer"))
+        .otherwise(F.lit("supplier"))
+        .alias("entity_type"),
+        F.expr("node div 2").cast("long").alias("entity_key"),
+        F.col("rank").alias("pagerank"),
+    )
+
+
+@register(
+    "corpus_drift_psi",
+    oracle="""
+WITH b AS (
+  SELECT least(n_chars // 100, 9) AS bin, doc_id % 2 = 0 AS is_old
+  FROM documents
+),
+a AS (
+  SELECT bin,
+         CAST(sum(CASE WHEN is_old THEN 1 ELSE 0 END) AS BIGINT) AS n_old,
+         CAST(sum(CASE WHEN is_old THEN 0 ELSE 1 END) AS BIGINT) AS n_new
+  FROM b GROUP BY bin
+),
+t AS (
+  SELECT CAST(sum(n_old) AS DOUBLE) AS t_old,
+         CAST(sum(n_new) AS DOUBLE) AS t_new
+  FROM a
+),
+q AS (
+  SELECT bin, n_old, n_new,
+         (n_old + 1) / (t_old + CAST(10 AS DOUBLE)) AS po,
+         (n_new + 1) / (t_new + CAST(10 AS DOUBLE)) AS pn
+  FROM a, t
+),
+z AS (
+  SELECT bin, n_old, n_new, po, pn,
+         round((pn - po) * ln(pn / po), 9) AS psi_term
+  FROM q
+)
+SELECT bin, n_old, n_new,
+       round(po, 6) AS p_old,
+       round(pn, 6) AS p_new,
+       psi_term,
+       round(CAST(sum(CAST(psi_term AS DECIMAL(20,9))) OVER () AS DOUBLE), 6)
+         AS total_psi
+FROM z
+""",
+    description="Corpus drift detection between two snapshot halves "
+    "(doc_id parity stands in for crawl generations): population "
+    "stability index over fixed 100-char length bins with +1 Laplace "
+    "smoothing. Per-bin PSI terms are 9-dp-rounded IEEE scalars; the "
+    "whole-table total window runs over the ~10-row AGGREGATED bin "
+    "table (sanctioned single-partition input). The drift gate a "
+    "training pipeline runs before accepting a new crawl",
+    tags=("extension", "curation"),
+)
+def corpus_drift_psi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    docs = read_parquet_table(spark, sf_dir, "documents")
+    b = docs.select(
+        F.least(F.expr("n_chars div 100"), F.lit(9)).cast("long").alias("bin"),
+        (F.col("doc_id") % 2 == 0).alias("is_old"),
+    )
+    a = b.groupBy("bin").agg(
+        F.sum(F.when(F.col("is_old"), 1).otherwise(0)).cast("long").alias("n_old"),
+        F.sum(F.when(F.col("is_old"), 0).otherwise(1)).cast("long").alias("n_new"),
+    )
+    t = a.agg(
+        F.sum("n_old").cast("double").alias("t_old"),
+        F.sum("n_new").cast("double").alias("t_new"),
+    )
+    po = (F.col("n_old") + 1) / (F.col("t_old") + F.lit(10.0))
+    pn = (F.col("n_new") + 1) / (F.col("t_new") + F.lit(10.0))
+    z = a.crossJoin(F.broadcast(t)).select(
+        "bin",
+        "n_old",
+        "n_new",
+        po.alias("po"),
+        pn.alias("pn"),
+        F.round((pn - po) * F.log(pn / po), 9).alias("psi_term"),
+    )
+    return z.select(
+        "bin",
+        "n_old",
+        "n_new",
+        F.round(F.col("po"), 6).alias("p_old"),
+        F.round(F.col("pn"), 6).alias("p_new"),
+        "psi_term",
+        F.round(
+            F.sum(F.col("psi_term").cast("decimal(20,9)"))
+            .over(Window.partitionBy())
+            .cast("double"),
+            6,
+        ).alias("total_psi"),
+    )
+
+
+def _hashed_vector_oracle(dims: int = 16) -> str:
+    th = _TOKEN_HASH.format(t="t")
+    cols = ",\n         ".join(
+        f"CAST(sum(CASE WHEN dim = {j} THEN 1 ELSE 0 END) AS BIGINT) AS d{j}"
+        for j in range(dims)
+    )
+    outs = ",\n       ".join(
+        f"coalesce(v.d{j}, CAST(0 AS BIGINT)) AS d{j}" for j in range(dims)
+    )
+    return f"""
+WITH tk AS (
+  SELECT doc_id, unnest(string_split_regex(trim(text), '\\s+')) AS t
+  FROM documents WHERE trim(text) <> ''
+),
+dh AS (
+  SELECT doc_id, {th} % {dims} AS dim
+  FROM tk
+),
+v AS (
+  SELECT doc_id,
+         {cols}
+  FROM dh GROUP BY doc_id
+)
+SELECT d.doc_id,
+       {outs}
+FROM documents d LEFT JOIN v ON d.doc_id = v.doc_id
+"""
+
+
+@register(
+    "hashed_token_vectors",
+    oracle=_hashed_vector_oracle(),
+    description="Feature-hashing text vectorizer (hashing trick): each "
+    "whitespace token lands in one of 16 dimensions via the polynomial "
+    "rolling hash mod 16; per-document counts accumulate INSIDE the "
+    "row via aggregate/transform higher-order functions — integer-"
+    "exact, ZERO shuffles (pure codegen projection), the text→vector "
+    "bridge between the token operators and the embedding family",
+    tags=("extension", "text", "similarity"),
+)
+def hashed_token_vectors(spark: SparkSession, sf_dir: str) -> DataFrame:
+    dims = 16
+    docs = read_parquet_table(spark, sf_dir, "documents")
+    toks = _tx.tokens("text")
+    dim_of = F.transform(toks, lambda t: rolling_hash(t) % dims)
+    vec = F.aggregate(
+        dim_of,
+        F.array_repeat(F.lit(0).cast("long"), dims),
+        lambda acc, d: F.transform(
+            acc, lambda v, i: v + F.when(d == i, 1).otherwise(0)
+        ),
+    )
+    return docs.select(
+        "doc_id",
+        *[vec.getItem(j).alias(f"d{j}") for j in range(dims)],
+    )
+
+
+@register(
+    "weighted_sample_documents",
+    oracle=f"""
+WITH fp AS (
+  SELECT doc_id, n_chars,
+         {_TOKEN_HASH.format(t="text")} AS f
+  FROM documents
+),
+k AS (
+  SELECT doc_id, CAST(n_chars AS BIGINT) AS weight,
+         round(ln((((f * 31 + doc_id) % 1000000007) + 1)
+                  / CAST(1000000008 AS DOUBLE)) / n_chars, 12) AS sample_key
+  FROM fp
+)
+SELECT doc_id, weight, sample_key
+FROM k
+ORDER BY sample_key DESC, doc_id
+LIMIT 50
+""",
+    description="Deterministic weighted sampling without replacement "
+    "(Efraimidis–Spirakis A-ES): key = ln(u)/w with u a hash-derived "
+    "uniform (document fingerprint ⊕ doc_id — no RNG, reruns bit-"
+    "identical) and w = n_chars; top-50 keys win. ln is 12-dp-rounded "
+    "for cross-engine parity; the top-k is TakeOrderedAndProject (per-"
+    "partition heaps, no global sort) so the sample draw is one scan "
+    "at any scale",
+    tags=("extension", "curation"),
+)
+def weighted_sample_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = read_parquet_table(spark, sf_dir, "documents")
+    u = (
+        (rolling_hash("text") * 31 + F.col("doc_id")) % F.lit(1000000007) + 1
+    ) / F.lit(1000000008.0)
+    key = F.round(F.log(u) / F.col("n_chars"), 12)
+    return (
+        docs.select(
+            "doc_id",
+            F.col("n_chars").cast("long").alias("weight"),
+            key.alias("sample_key"),
+        )
+        .orderBy(F.col("sample_key").desc(), "doc_id")
+        .limit(50)
+    )

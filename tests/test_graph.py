@@ -1,0 +1,157 @@
+"""Unit tests for operators/graph.py (PageRank) and the round-4
+continuation queries: corpus drift PSI, feature-hashing vectors,
+deterministic weighted sampling. Value-level parity vs DuckDB is the
+oracle gate; here we pin algebraic invariants and determinism."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from spotify_tracks_etl_portfolio_spark.operators import graph as gr
+from spotify_tracks_etl_portfolio_spark.plans import all_queries
+
+SPECS = all_queries()
+
+
+def _path_graph(spark):
+    # Undirected path a(0)-b(1)-c(2): both directions of each edge.
+    pairs = [(0, 1), (1, 2)]
+    rows = [(a, b) for a, b in pairs] + [(b, a) for a, b in pairs]
+    return spark.createDataFrame(rows, "src long, dst long")
+
+
+def test_pagerank_mass_conserved_and_symmetric(spark):
+    ranks = {
+        r["node"]: r["rank"] for r in gr.pagerank(_path_graph(spark)).collect()
+    }
+    assert set(ranks) == {0, 1, 2}
+    # Stochastic: total mass stays 1 (up to the 12-dp contribution rounding).
+    assert abs(sum(ranks.values()) - 1.0) < 1e-9
+    # Path ends are automorphic — identical ranks, bit-for-bit.
+    assert ranks[0] == ranks[2]
+    # The center has twice the degree and strictly more rank.
+    assert ranks[1] > ranks[0]
+
+
+def test_pagerank_uniform_on_regular_graph(spark):
+    # 4-cycle: every node degree 2 → PageRank must stay exactly uniform.
+    pairs = [(0, 1), (1, 2), (2, 3), (3, 0)]
+    rows = [(a, b) for a, b in pairs] + [(b, a) for a, b in pairs]
+    edges = spark.createDataFrame(rows, "src long, dst long")
+    ranks = [r["rank"] for r in gr.pagerank(edges).collect()]
+    assert len(set(ranks)) == 1
+    assert abs(ranks[0] - 0.25) < 1e-9
+
+
+def test_trade_graph_edges_bidirectional_disjoint(spark, sf_dir):
+    from spotify_tracks_etl_portfolio_spark.sources.readers import (
+        read_parquet_table,
+    )
+
+    orders = read_parquet_table(spark, sf_dir, "orders")
+    lineitem = read_parquet_table(spark, sf_dir, "lineitem")
+    e = gr.trade_graph_edges(orders, lineitem)
+    fwd = e.filter(F.col("src") % 2 == 0)
+    rev = e.filter(F.col("src") % 2 == 1)
+    assert fwd.count() == rev.count()
+    # Node id parity encodes the side: customer→supplier edges only.
+    assert fwd.filter(F.col("dst") % 2 == 0).count() == 0
+    assert rev.filter(F.col("dst") % 2 == 1).count() == 0
+
+
+def test_psi_zero_on_identical_snapshots(spark, tmp_path):
+    """Paired doc_ids (2i even=old, 2i+1 odd=new) with identical length
+    distributions must yield exactly zero drift in every bin."""
+    import pandas as pd
+
+    rows = []
+    for i in range(60):
+        n = 48 + (i % 5) * 100
+        rows.append((2 * i, "x" * n, "en", "web", n))
+        rows.append((2 * i + 1, "y" * n, "en", "web", n))
+    pdf = pd.DataFrame(
+        rows, columns=["doc_id", "text", "lang", "source", "n_chars"]
+    )
+    d = tmp_path / "sfpsi"
+    d.mkdir()
+    pdf.to_parquet(d / "documents.parquet")
+    out = SPECS["corpus_drift_psi"].fn(spark, str(d)).collect()
+    assert out
+    for r in out:
+        assert r["n_old"] == r["n_new"]
+        assert r["psi_term"] == 0.0
+        assert r["total_psi"] == 0.0
+
+
+def test_hashed_vectors_row_sum_is_token_count(spark, sf_dir):
+    df = SPECS["hashed_token_vectors"].fn(spark, sf_dir)
+    dims = [c for c in df.columns if c != "doc_id" and c.startswith("d")]
+    assert len(dims) == 16
+    from spotify_tracks_etl_portfolio_spark.functions import token_count
+    from spotify_tracks_etl_portfolio_spark.sources.readers import (
+        read_parquet_table,
+    )
+
+    docs = read_parquet_table(spark, sf_dir, "documents").select(
+        "doc_id", token_count("text").alias("nt")
+    )
+    joined = df.withColumn(
+        "rowsum", sum(F.col(c) for c in dims)
+    ).join(docs, "doc_id")
+    assert joined.filter(F.col("rowsum") != F.col("nt")).count() == 0
+
+
+def test_hashed_vector_dim_matches_python_hash(spark, sf_dir):
+    """One concrete token's dimension must equal the Python replication
+    of the polynomial rolling hash mod 16."""
+    row = (
+        spark.createDataFrame([(0, "hello world")], "doc_id long, text string")
+        .select(
+            F.transform(
+                F.split(F.trim("text"), r"\s+"),
+                lambda t: __import__(
+                    "spotify_tracks_etl_portfolio_spark.functions",
+                    fromlist=["rolling_hash"],
+                ).rolling_hash(t)
+                % 16,
+            ).alias("dims")
+        )
+        .first()
+    )
+
+    def py_dim(tok: str) -> int:
+        h = 0
+        for ch in tok:
+            h = (h * 31 + ord(ch)) % 1000000007
+        return h % 16
+
+    assert row["dims"] == [py_dim("hello"), py_dim("world")]
+
+
+def test_weighted_sample_deterministic_topk(spark, sf_dir):
+    a = SPECS["weighted_sample_documents"].fn(spark, sf_dir).collect()
+    b = SPECS["weighted_sample_documents"].fn(spark, sf_dir).collect()
+    assert a == b
+    assert len(a) == 50
+    keys = [r["sample_key"] for r in a]
+    assert keys == sorted(keys, reverse=True)
+    # A-ES keys are ln(u)/w with u∈(0,1): strictly negative.
+    assert all(k < 0 for k in keys)
+
+
+def test_weighted_sample_prefers_heavy_docs(spark, sf_dir):
+    """Sampled docs must skew heavier than the corpus average — the
+    point of weighting by n_chars."""
+    from spotify_tracks_etl_portfolio_spark.sources.readers import (
+        read_parquet_table,
+    )
+
+    sample = SPECS["weighted_sample_documents"].fn(spark, sf_dir)
+    avg_s = sample.agg(F.avg("weight")).first()[0]
+    avg_all = (
+        read_parquet_table(spark, sf_dir, "documents")
+        .agg(F.avg("n_chars"))
+        .first()[0]
+    )
+    assert avg_s > avg_all

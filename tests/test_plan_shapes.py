@@ -254,6 +254,8 @@ SANCTIONED_NESTED_LOOP = {
     "q22_rich_customers_without_orders": "1-row global-average broadcast",
     "user_recency_weighted_activity": "1-row max-timestamp broadcast",
     "q15_top_supplier": "1-row max-revenue broadcast",
+    "trade_graph_pagerank": "1-row node-count broadcast onto the rank vector",
+    "corpus_drift_psi": "1-row snapshot-totals broadcast onto the ~10-row bin table",
 }
 
 
