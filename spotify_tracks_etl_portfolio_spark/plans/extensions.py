@@ -3724,3 +3724,187 @@ FROM (
 def embedding_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = read_parquet_table(spark, sf_dir, "embeddings")
     return _sim.pq_topk(emb, "vec_id", "embedding")
+
+
+# ===========================================================================
+# Count-min sketch heavy hitters + batch sessionization
+# ===========================================================================
+
+#: Frozen CMS geometry/hash constants (shared with the oracle).
+CMS_W = 64
+CMS_ROWS = ((31, 7), (131, 17), (1031, 29))
+CMS_P = 1_000_000_007
+
+
+def _cms_oracle() -> str:
+    th = _TOKEN_HASH.format(t="t")
+    hash_exprs = [
+        f"(({a} * h + {b}) % {CMS_P}) % {CMS_W}" for a, b in CMS_ROWS
+    ]
+    cell_rows = "\n  UNION ALL\n  ".join(
+        f"SELECT {r} AS r, {hash_exprs[r]} AS bucket, 1 AS one FROM th"
+        for r in range(len(CMS_ROWS))
+    )
+    est_joins = "\n  ".join(
+        f"JOIN cells c{r} ON c{r}.r = {r} AND c{r}.bucket = {hash_exprs[r].replace('h', 'tp.h')}"
+        for r in range(len(CMS_ROWS))
+    )
+    least_args = ", ".join(f"c{r}.cnt" for r in range(len(CMS_ROWS)))
+    return f"""
+WITH tk AS MATERIALIZED (
+  SELECT unnest(string_split_regex(trim(text), '\\s+')) AS t
+  FROM documents WHERE trim(text) <> ''
+),
+th AS MATERIALIZED (SELECT t, {th} AS h FROM tk),
+cells AS MATERIALIZED (
+  SELECT r, bucket, CAST(count(*) AS BIGINT) AS cnt FROM (
+  {cell_rows}
+  ) GROUP BY r, bucket
+),
+tf AS MATERIALIZED (
+  SELECT t AS token, any_value(h) AS h, CAST(count(*) AS BIGINT) AS true_count
+  FROM th GROUP BY t
+),
+top AS (
+  SELECT token, h, true_count FROM tf
+  ORDER BY true_count DESC, token LIMIT 20
+)
+SELECT tp.token, tp.true_count,
+       least({least_args}) AS cms_estimate,
+       least({least_args}) - tp.true_count AS overestimate
+FROM top tp
+  {est_joins}
+"""
+
+
+@register(
+    "cms_heavy_hitters_tokens",
+    oracle=_cms_oracle(),
+    description="Count-min sketch heavy-hitter audit over the document "
+    "token stream: 3×64 counter matrix from frozen pairwise hashes of "
+    "the token rolling hash — the sketch state is 192 mergeable cells "
+    "regardless of vocabulary size (map-side combinable, the bounded-"
+    "state frequency primitive at 100 TB). The top-20 true tokens join "
+    "their CMS estimates; overestimate = estimate - truth is the "
+    "audited collision error (provably ≥ 0). Deterministic end-to-end "
+    "— no RNG, integer-exact",
+    tags=("extension", "text", "sketch"),
+)
+def cms_heavy_hitters_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = read_parquet_table(spark, sf_dir, "documents")
+    toks = docs.select(F.explode(_tx.tokens("text")).alias("t"))
+    th = toks.select("t", rolling_hash("t").alias("h"))
+
+    def bucket(r: int):
+        a, b = CMS_ROWS[r]
+        return ((F.lit(a) * F.col("h") + F.lit(b)) % CMS_P) % CMS_W
+
+    cells = (
+        th.select(
+            F.explode(
+                F.array(
+                    *[
+                        F.struct(
+                            F.lit(r).alias("r"), bucket(r).alias("bucket")
+                        )
+                        for r in range(len(CMS_ROWS))
+                    ]
+                )
+            ).alias("rb")
+        )
+        .select("rb.r", "rb.bucket")
+        .groupBy("r", "bucket")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    tf = th.groupBy("t").agg(
+        F.first("h").alias("h"), F.count(F.lit(1)).alias("true_count")
+    )
+    top = (
+        tf.orderBy(F.desc("true_count"), F.asc("t"))
+        .limit(20)
+        .select(F.col("t").alias("token"), "h", "true_count")
+    )
+    est = top
+    for r in range(len(CMS_ROWS)):
+        a, b = CMS_ROWS[r]
+        cr = cells.filter(F.col("r") == r).select(
+            F.col("bucket").alias(f"__b{r}"), F.col("cnt").alias(f"__c{r}")
+        )
+        est = est.withColumn(
+            f"__b{r}", ((F.lit(a) * F.col("h") + F.lit(b)) % CMS_P) % CMS_W
+        ).join(F.broadcast(cr), f"__b{r}")
+    cms = F.least(*[F.col(f"__c{r}") for r in range(len(CMS_ROWS))])
+    return est.select(
+        "token",
+        "true_count",
+        cms.alias("cms_estimate"),
+        (cms - F.col("true_count")).alias("overestimate"),
+    )
+
+
+@register(
+    "sessionize_events_batch",
+    oracle=f"""
+WITH se AS (
+  SELECT user_id, event_id, value, epoch_us(ts) AS us FROM events
+),
+sg AS (
+  SELECT *, CASE WHEN lag(us) OVER sw IS NULL
+                   OR us - lag(us) OVER sw > {30 * 60 * 1_000_000}
+            THEN 1 ELSE 0 END AS brk
+  FROM se WINDOW sw AS (PARTITION BY user_id ORDER BY us, event_id)
+),
+ss AS (
+  SELECT *, SUM(brk) OVER (PARTITION BY user_id ORDER BY us, event_id
+                           ROWS UNBOUNDED PRECEDING) AS sid
+  FROM sg
+)
+SELECT user_id, CAST(sid AS BIGINT) AS session_idx,
+       min(us) AS session_start_us,
+       max(us) AS session_end_us,
+       CAST(count(*) AS BIGINT) AS n_events,
+       CAST(sum(CAST(value AS DECIMAL(24,8))) AS DOUBLE) AS sum_value
+FROM ss GROUP BY user_id, sid
+""",
+    description="Batch sessionization (30-min gap): lag-break + "
+    "cumulative session id + per-session aggregate, ALL in one shuffle "
+    "on user_id (both windows and the final group share the "
+    "partitioning, so the exchange is reused). The batch twin of the "
+    "stateful streaming sessionizer — includes each user's trailing "
+    "session, which the stream correctly holds open. DECIMAL-exact "
+    "value sums (order-insensitive)",
+    tags=("extension", "analytics"),
+)
+def sessionize_events_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    ev = read_parquet_table(spark, sf_dir, "events").select(
+        "user_id",
+        "event_id",
+        "value",
+        F.unix_micros(F.col("ts").cast("timestamp")).alias("us"),
+    )
+    sw = Window.partitionBy("user_id").orderBy("us", "event_id")
+    brk = F.when(
+        F.lag("us").over(sw).isNull()
+        | ((F.col("us") - F.lag("us").over(sw)) > 30 * 60 * 1_000_000),
+        1,
+    ).otherwise(0)
+    ss = ev.withColumn("brk", brk).withColumn(
+        "sid", F.sum("brk").over(sw.rowsBetween(Window.unboundedPreceding, 0))
+    )
+    return ss.groupBy("user_id", "sid").agg(
+        F.min("us").alias("session_start_us"),
+        F.max("us").alias("session_end_us"),
+        F.count(F.lit(1)).alias("n_events"),
+        F.sum(F.col("value").cast("decimal(24,8)"))
+        .cast("double")
+        .alias("sum_value"),
+    ).select(
+        "user_id",
+        F.col("sid").cast("long").alias("session_idx"),
+        "session_start_us",
+        "session_end_us",
+        "n_events",
+        "sum_value",
+    )

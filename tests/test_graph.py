@@ -155,3 +155,79 @@ def test_weighted_sample_prefers_heavy_docs(spark, sf_dir):
         .first()[0]
     )
     assert avg_s > avg_all
+
+
+def test_cms_estimate_dominates_truth_for_every_token(spark, sf_dir):
+    """CMS never underestimates: check ALL vocabulary tokens, not just
+    the reported top-20 (collisions only ever add)."""
+    from spotify_tracks_etl_portfolio_spark.functions import rolling_hash
+    from spotify_tracks_etl_portfolio_spark.operators.text import tokens
+    from spotify_tracks_etl_portfolio_spark.plans.extensions import (
+        CMS_P,
+        CMS_ROWS,
+        CMS_W,
+    )
+    from spotify_tracks_etl_portfolio_spark.sources.readers import (
+        read_parquet_table,
+    )
+
+    docs = read_parquet_table(spark, sf_dir, "documents")
+    th = docs.select(F.explode(tokens("text")).alias("t")).select(
+        "t", rolling_hash("t").alias("h")
+    )
+    tf = th.groupBy("t").agg(
+        F.first("h").alias("h"), F.count(F.lit(1)).alias("true_count")
+    )
+    cells = {}
+    for r, (a, b) in enumerate(CMS_ROWS):
+        bucket = ((F.lit(a) * F.col("h") + F.lit(b)) % CMS_P) % CMS_W
+        for row in th.select(bucket.alias("b")).groupBy("b").count().collect():
+            cells[(r, row["b"])] = row["count"]
+    bad = 0
+    for row in tf.collect():
+        est = min(
+            cells[(r, ((a * row["h"] + b) % CMS_P) % CMS_W)]
+            for r, (a, b) in enumerate(CMS_ROWS)
+        )
+        if est < row["true_count"]:
+            bad += 1
+    assert bad == 0
+
+
+def test_batch_sessions_respect_gap_invariants(spark, sf_dir):
+    """Consecutive sessions of one user are separated by > the 30-min
+    gap, and session_idx increases with time."""
+    from pyspark.sql import Window
+
+    df = SPECS["sessionize_events_batch"].fn(spark, sf_dir)
+    w = Window.partitionBy("user_id").orderBy("session_idx")
+    checked = df.withColumn("prev_end", F.lag("session_end_us").over(w))
+    viol = checked.filter(
+        F.col("prev_end").isNotNull()
+        & (F.col("session_start_us") - F.col("prev_end") <= 30 * 60 * 1_000_000)
+    )
+    assert viol.count() == 0
+    assert df.filter(F.col("session_end_us") < F.col("session_start_us")).count() == 0
+    assert df.filter(F.col("n_events") < 1).count() == 0
+
+
+def test_batch_sessionize_agrees_with_streaming_closed_sessions(spark, sf_dir):
+    """The batch sessionizer must reproduce the streaming stateful
+    operator's CLOSED sessions exactly (the stream additionally holds
+    each user's trailing session open, which the batch twin reports)."""
+    batch = SPECS["sessionize_events_batch"].fn(spark, sf_dir)
+    w_last = F.max("session_idx").over(
+        __import__("pyspark.sql.window", fromlist=["Window"]).Window.partitionBy(
+            "user_id"
+        )
+    )
+    closed = (
+        batch.withColumn("__last", w_last)
+        .filter(F.col("session_idx") < F.col("__last"))
+        .select("user_id", "session_start_us", "session_end_us", "n_events")
+    )
+    streamed = SPECS["streaming_sessionize_sync"].fn(spark, sf_dir).select(
+        "user_id", "session_start_us", "session_end_us", "n_events"
+    )
+    assert closed.exceptAll(streamed).count() == 0
+    assert streamed.exceptAll(closed).count() == 0
