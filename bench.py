@@ -58,6 +58,7 @@ HEADLINE = [
     # round-4 continuation: iterative graph + curation monitors
     "trade_graph_pagerank",
     "hashed_token_vectors",
+    "sessionize_events_batch",
 ]
 
 RUNS_PER_QUERY = 3

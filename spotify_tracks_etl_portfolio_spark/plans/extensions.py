@@ -3908,3 +3908,120 @@ def sessionize_events_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_events",
         "sum_value",
     )
+
+
+@register(
+    "fuzzy_part_name_links",
+    oracle="""
+WITH names AS (
+  SELECT p_name,
+         string_split(p_name, ' ')[-1] AS noun,
+         CAST(min(p_partkey) AS BIGINT) AS canon_id,
+         CAST(count(*) AS BIGINT) AS n_parts
+  FROM part GROUP BY p_name
+)
+SELECT a.p_name AS name_a, b.p_name AS name_b,
+       CAST(levenshtein(a.p_name, b.p_name) AS BIGINT) AS edit_dist,
+       a.canon_id AS canon_a, b.canon_id AS canon_b,
+       a.n_parts AS n_parts_a, b.n_parts AS n_parts_b
+FROM names a JOIN names b
+  ON a.noun = b.noun AND a.p_name < b.p_name
+WHERE levenshtein(a.p_name, b.p_name) <= 2
+""",
+    description="Record linkage (entity resolution) over part names: "
+    "exact names collapse first (dedup groupBy — the linkage runs on "
+    "DISTINCT entities, vocabulary-scaled, not row-scaled), then a "
+    "BLOCKED fuzzy self-join — equi-join on the name's head noun, "
+    "Levenshtein ≤ 2 within the block only — never an all-pairs "
+    "distance matrix. The blocked-equi-join + verify shape is the same "
+    "100 TB contract as the MinHash band join",
+    tags=("extension", "dedup"),
+)
+def fuzzy_part_name_links(spark: SparkSession, sf_dir: str) -> DataFrame:
+    part = read_parquet_table(spark, sf_dir, "part")
+    names = part.groupBy("p_name").agg(
+        F.min("p_partkey").cast("long").alias("canon_id"),
+        F.count(F.lit(1)).cast("long").alias("n_parts"),
+    ).withColumn("noun", F.element_at(F.split("p_name", " "), -1))
+    a = names.select(
+        F.col("p_name").alias("name_a"),
+        F.col("noun").alias("__noun"),
+        F.col("canon_id").alias("canon_a"),
+        F.col("n_parts").alias("n_parts_a"),
+    )
+    b = names.select(
+        F.col("p_name").alias("name_b"),
+        F.col("noun").alias("__noun"),
+        F.col("canon_id").alias("canon_b"),
+        F.col("n_parts").alias("n_parts_b"),
+    )
+    return (
+        a.join(b, "__noun")
+        .filter(F.col("name_a") < F.col("name_b"))
+        .withColumn(
+            "edit_dist",
+            F.levenshtein("name_a", "name_b").cast("long"),
+        )
+        .filter(F.col("edit_dist") <= 2)
+        .select(
+            "name_a",
+            "name_b",
+            "edit_dist",
+            "canon_a",
+            "canon_b",
+            "n_parts_a",
+            "n_parts_b",
+        )
+    )
+
+
+@register(
+    "bloom_semi_join_urgent_revenue",
+    oracle="""
+SELECT l_returnflag,
+       CAST(sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(24,8)))
+            AS DOUBLE) AS revenue,
+       CAST(count(*) AS BIGINT) AS n_items
+FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+WHERE o_orderpriority = '1-URGENT'
+GROUP BY l_returnflag
+""",
+    description="Bloom-filter semi-join reduction (explicit operator "
+    "form of Spark's runtime-bloom AQE): a 2^18-bit Bloom of the "
+    "selective build side (urgent orders) compiles to a ≤4096-row "
+    "(word, mask) broadcast table; the lineitem probe drops non-"
+    "matching rows BEFORE its shuffle via three broadcast bit lookups. "
+    "Transparent by construction — no false negatives, the real join "
+    "removes false positives — so the oracle is the plain join; the "
+    "filter changes shuffle volume, never results",
+    tags=("extension", "join"),
+)
+def bloom_semi_join_urgent_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from spotify_tracks_etl_portfolio_spark.operators.joins import (
+        bloom_build,
+        bloom_probe,
+    )
+
+    orders = read_parquet_table(spark, sf_dir, "orders")
+    lineitem = read_parquet_table(spark, sf_dir, "lineitem")
+    urgent = orders.filter(F.col("o_orderpriority") == "1-URGENT").select(
+        "o_orderkey"
+    )
+    bloom = bloom_build(urgent, "o_orderkey")
+    survivors = bloom_probe(lineitem, "l_orderkey", bloom)
+    return (
+        survivors.join(
+            urgent, F.col("l_orderkey") == F.col("o_orderkey")
+        )
+        .groupBy("l_returnflag")
+        .agg(
+            F.sum(
+                (F.col("l_extendedprice") * (1 - F.col("l_discount"))).cast(
+                    "decimal(24,8)"
+                )
+            )
+            .cast("double")
+            .alias("revenue"),
+            F.count(F.lit(1)).alias("n_items"),
+        )
+    )

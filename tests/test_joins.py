@@ -177,3 +177,46 @@ def test_salted_join_matches_plain_join(spark):
         for r in salted_join(left, right, "k", "rk", "rid", buckets=4).collect()
     }
     assert salted == plain and len(plain) == 100
+
+
+def test_bloom_probe_no_false_negatives_and_filters(spark, sf_dir):
+    """Every true match survives the Bloom probe (transparency), the
+    probe drops a meaningful share of non-matching rows, and the build
+    compiles to at most BLOOM_WORDS broadcastable rows."""
+    from pyspark.sql import functions as F
+
+    from spotify_tracks_etl_portfolio_spark.operators.joins import (
+        BLOOM_WORDS,
+        bloom_build,
+        bloom_probe,
+    )
+    from spotify_tracks_etl_portfolio_spark.sources.readers import (
+        read_parquet_table,
+    )
+
+    orders = read_parquet_table(spark, sf_dir, "orders")
+    lineitem = read_parquet_table(spark, sf_dir, "lineitem")
+    urgent = orders.filter(F.col("o_orderpriority") == "1-URGENT").select(
+        "o_orderkey"
+    )
+    bloom = bloom_build(urgent, "o_orderkey")
+    assert bloom.count() <= BLOOM_WORDS
+    survivors = bloom_probe(lineitem, "l_orderkey", bloom)
+    true_matches = lineitem.join(
+        urgent, F.col("l_orderkey") == F.col("o_orderkey"), "left_semi"
+    )
+    n_total, n_surv, n_true = (
+        lineitem.count(),
+        survivors.count(),
+        true_matches.count(),
+    )
+    assert n_true <= n_surv <= n_total
+    # transparency: no true match is dropped
+    assert true_matches.join(
+        survivors.select("l_orderkey", "l_linenumber"),
+        ["l_orderkey", "l_linenumber"],
+        "left_anti",
+    ).count() == 0
+    # selectivity: the filter actually removes most non-matching rows
+    # (~20% of orders are urgent; fpp at this sizing is near zero)
+    assert n_surv < 0.5 * n_total
