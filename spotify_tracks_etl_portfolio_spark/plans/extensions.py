@@ -4025,3 +4025,72 @@ def bloom_semi_join_urgent_revenue(spark: SparkSession, sf_dir: str) -> DataFram
             F.count(F.lit(1)).alias("n_items"),
         )
     )
+
+
+@register(
+    "streaming_cms_sync",
+    oracle=f"""
+WITH pos AS (
+  SELECT t.r, ((user_id * t.a + t.b) % {CMS_P}) % {CMS_W} AS bucket
+  FROM events, (VALUES {", ".join(f"({r}, {a}, {b})" for r, (a, b) in enumerate(CMS_ROWS))}) t(r, a, b)
+)
+SELECT CAST(r AS BIGINT) AS r, CAST(bucket AS BIGINT) AS bucket,
+       CAST(count(*) AS BIGINT) AS cnt
+FROM pos GROUP BY r, bucket
+""",
+    description="Mergeable sketch over a REAL stream (7th streaming "
+    "gate): a count-min sketch of user-id frequencies maintained "
+    "across multiple micro-batches — each epoch writes its bounded "
+    "partial cell table exactly-once (per-epoch partition overwrite "
+    "under foreachBatch's at-least-once replay), the final sketch is "
+    "the cell-wise sum of the partials. Hash-checked against the "
+    "batch sketch over the full event log: counter addition is "
+    "associative+commutative, so ANY micro-batch split yields the "
+    "identical sketch — the mergeability contract, proven end-to-end",
+    tags=("streaming", "sketch"),
+)
+def streaming_cms_sync(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import shutil
+    import tempfile
+
+    from spotify_tracks_etl_portfolio_spark.streaming import read_events_stream
+    from spotify_tracks_etl_portfolio_spark.streaming.pipeline import (
+        streaming_cms_cells,
+    )
+
+    d = tempfile.mkdtemp(prefix="cms_sync_")
+    out = f"{d}/cells"
+    try:
+        in_dir = f"{d}/in"
+        ev = read_parquet_table(spark, sf_dir, "events")
+        # Two appends → two part files → two REAL micro-batches under
+        # maxFilesPerTrigger=1 (the merge has actual partials to merge).
+        ev.filter(F.col("event_id") % 2 == 0).coalesce(1).write.mode(
+            "append"
+        ).parquet(in_dir)
+        ev.filter(F.col("event_id") % 2 == 1).coalesce(1).write.mode(
+            "append"
+        ).parquet(in_dir)
+        stream = read_events_stream(spark, in_dir)
+        q = (
+            streaming_cms_cells(
+                stream, out, f"{d}/ckpt", rows=CMS_ROWS, width=CMS_W, mod=CMS_P
+            )
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+        merged = (
+            spark.read.parquet(out)
+            .groupBy("r", "bucket")
+            .agg(F.sum("cnt").cast("long").alias("cnt"))
+            .select(
+                F.col("r").cast("long").alias("r"),
+                F.col("bucket").cast("long").alias("bucket"),
+                "cnt",
+            )
+        )
+        rows = merged.collect()
+    finally:
+        shutil.rmtree(d, ignore_errors=True)
+    return spark.createDataFrame(rows, "r long, bucket long, cnt long")

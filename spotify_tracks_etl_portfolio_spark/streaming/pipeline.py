@@ -299,3 +299,54 @@ def streaming_near_dedup_new_docs(
     return new_stream.writeStream.foreachBatch(process).option(
         "checkpointLocation", checkpoint
     )
+
+
+def streaming_cms_cells(
+    stream: DataFrame,
+    out_path: str,
+    checkpoint: str,
+    key_col: str = "user_id",
+    rows: tuple[tuple[int, int], ...] = ((31, 7), (131, 17), (1031, 29)),
+    width: int = 64,
+    mod: int = 1_000_000_007,
+):
+    """Count-min sketch maintained over a stream: each micro-batch
+    reduces to its own PARTIAL (r, bucket, cnt) cell table — bounded
+    state (rows × width cells) regardless of stream length or key
+    cardinality — and the final sketch is the cell-wise SUM of the
+    partials, bit-identical to the batch sketch over the full input
+    because counter addition is associative and commutative (the
+    mergeability that makes sketches the right streaming/distributed
+    frequency primitive).
+
+    Sink semantics: foreachBatch is at-least-once; per-epoch partition
+    overwrite (``epoch_id=<n>``) makes the partials effectively
+    exactly-once under replay — same contract as the near-dedup sink.
+    Returns the DataStreamWriter (caller sets the trigger)."""
+
+    def process(batch: DataFrame, epoch_id: int) -> None:
+        pos = F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(r).alias("r"),
+                        (((F.col(key_col) * a + b) % mod) % width).alias(
+                            "bucket"
+                        ),
+                    )
+                    for r, (a, b) in enumerate(rows)
+                ]
+            )
+        ).alias("rb")
+        (
+            batch.select(pos)
+            .select("rb.r", "rb.bucket")
+            .groupBy("r", "bucket")
+            .agg(F.count(F.lit(1)).alias("cnt"))
+            .write.mode("overwrite")
+            .parquet(f"{out_path}/epoch_id={int(epoch_id)}")
+        )
+
+    return stream.writeStream.foreachBatch(process).option(
+        "checkpointLocation", checkpoint
+    )

@@ -231,3 +231,69 @@ def test_batch_sessionize_agrees_with_streaming_closed_sessions(spark, sf_dir):
     )
     assert closed.exceptAll(streamed).count() == 0
     assert streamed.exceptAll(closed).count() == 0
+
+
+def test_streaming_cms_merges_partials_across_real_microbatches(
+    spark, sf_dir, tmp_path
+):
+    """The CMS stream must produce MULTIPLE per-epoch partials (real
+    micro-batches, not one big batch) whose cell-wise sum equals the
+    batch sketch; a replayed epoch write stays idempotent."""
+    from spotify_tracks_etl_portfolio_spark.plans.extensions import (
+        CMS_P,
+        CMS_ROWS,
+        CMS_W,
+    )
+    from spotify_tracks_etl_portfolio_spark.sources.readers import (
+        read_parquet_table,
+    )
+    from spotify_tracks_etl_portfolio_spark.streaming import read_events_stream
+    from spotify_tracks_etl_portfolio_spark.streaming.pipeline import (
+        streaming_cms_cells,
+    )
+
+    d = str(tmp_path)
+    ev = read_parquet_table(spark, sf_dir, "events")
+    ev.filter(F.col("event_id") % 2 == 0).coalesce(1).write.mode(
+        "append"
+    ).parquet(f"{d}/in")
+    ev.filter(F.col("event_id") % 2 == 1).coalesce(1).write.mode(
+        "append"
+    ).parquet(f"{d}/in")
+    stream = read_events_stream(spark, f"{d}/in")
+    q = (
+        streaming_cms_cells(
+            stream, f"{d}/cells", f"{d}/ckpt", rows=CMS_ROWS, width=CMS_W, mod=CMS_P
+        )
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    partials = spark.read.parquet(f"{d}/cells")
+    n_epochs = partials.select("epoch_id").distinct().count()
+    assert n_epochs >= 2
+    merged = partials.groupBy("r", "bucket").agg(
+        F.sum("cnt").cast("long").alias("cnt")
+    )
+    # batch sketch over the same events
+    pos = F.explode(
+        F.array(
+            *[
+                F.struct(
+                    F.lit(r).alias("r"),
+                    (((F.col("user_id") * a + b) % CMS_P) % CMS_W).alias(
+                        "bucket"
+                    ),
+                )
+                for r, (a, b) in enumerate(CMS_ROWS)
+            ]
+        )
+    ).alias("rb")
+    batch_cells = (
+        ev.select(pos)
+        .select("rb.r", "rb.bucket")
+        .groupBy("r", "bucket")
+        .agg(F.count(F.lit(1)).cast("long").alias("cnt"))
+    )
+    assert merged.exceptAll(batch_cells).count() == 0
+    assert batch_cells.exceptAll(merged).count() == 0
