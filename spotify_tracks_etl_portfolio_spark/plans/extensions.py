@@ -4094,3 +4094,85 @@ def streaming_cms_sync(spark: SparkSession, sf_dir: str) -> DataFrame:
     finally:
         shutil.rmtree(d, ignore_errors=True)
     return spark.createDataFrame(rows, "r long, bucket long, cnt long")
+
+
+@register(
+    "cow_incremental_rollup",
+    oracle="""
+WITH final AS (
+  SELECT doc_id, lang,
+         CASE WHEN doc_id % 50 = 0 THEN -n_chars ELSE n_chars END AS n_chars
+  FROM documents
+  WHERE NOT (doc_id % 97 = 0 AND doc_id % 50 <> 0)
+  UNION ALL
+  SELECT doc_id + 1000000, lang, -1 FROM documents WHERE doc_id % 50 = 0
+)
+SELECT lang, CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(sum(n_chars) AS BIGINT) AS sum_chars
+FROM final GROUP BY lang
+""",
+    description="Incremental view maintenance over the COW table: a "
+    "per-lang rollup materialized at v0 is advanced to the latest "
+    "snapshot by scanning ONLY the data files the two manifests do not "
+    "share (copy-on-write rewrites whole files, so the file-list "
+    "symmetric difference IS the complete change set; rewritten-but-"
+    "unchanged rows appear in both scans and cancel in the merge). "
+    "R1 = R0 ⊎ agg(added) ⊖ agg(removed) — one group-merge whose cost "
+    "scales with the DELTA, not the table; hash-checked equal to the "
+    "full recompute of the final state",
+    tags=("extension", "sources", "acid"),
+)
+def cow_incremental_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from spotify_tracks_etl_portfolio_spark.sources import cowtable as _ct
+
+    docs = read_parquet_table(spark, sf_dir, "documents").select(
+        "doc_id", "lang", F.col("n_chars").cast("long").alias("n_chars")
+    )
+    root = os.path.join(_session_scratch(spark, "cow_ivm"), uuid.uuid4().hex)
+    _ct.create_table(spark, root, docs, cluster_by="doc_id", n_files=8)
+    # The "existing" materialized rollup over v0.
+    r0 = (
+        _ct.read_table(spark, root, 0)
+        .groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_chars").alias("sum_chars"),
+        )
+        .localCheckpoint(eager=True)
+    )
+    # Same delta flow as cowtable_snapshot_diff: delete %97, negate %50
+    # via upsert, insert brand-new +1000000 keys.
+    _ct.delete_where(
+        spark,
+        root,
+        "doc_id",
+        docs.filter(F.col("doc_id") % 97 == 0).select("doc_id"),
+    )
+    upserts = docs.filter(F.col("doc_id") % 50 == 0).select(
+        "doc_id", "lang", (-F.col("n_chars")).alias("n_chars")
+    )
+    inserts = docs.filter(F.col("doc_id") % 50 == 0).select(
+        (F.col("doc_id") + 1000000).alias("doc_id"),
+        "lang",
+        F.lit(-1).cast("long").alias("n_chars"),
+    )
+    _ct.merge_into(spark, root, upserts.unionByName(inserts), "doc_id")
+    added, removed = _ct.changed_file_scans(spark, root, 0)
+    delta = added.select(
+        "lang", F.lit(1).alias("__d"), F.col("n_chars").alias("__c")
+    ).unionByName(
+        removed.select(
+            "lang", F.lit(-1).alias("__d"), (-F.col("n_chars")).alias("__c")
+        )
+    )
+    merged = r0.select(
+        "lang", F.col("n_docs").alias("__d"), F.col("sum_chars").alias("__c")
+    ).unionByName(delta)
+    return (
+        merged.groupBy("lang")
+        .agg(
+            F.sum("__d").cast("long").alias("n_docs"),
+            F.sum("__c").cast("long").alias("sum_chars"),
+        )
+        .filter(F.col("n_docs") > 0)
+    )

@@ -571,3 +571,31 @@ def scan_pruned(
         (F.col(key_col) >= F.lit(lo)) & (F.col(key_col) <= F.lit(hi))
     )
     return df, len(maybe), total
+
+
+def changed_file_scans(
+    spark: SparkSession, root: str, v_from: int, v_to: int | None = None
+) -> tuple[DataFrame, DataFrame]:
+    """File-granular change set between two snapshots: ``(added_rows,
+    removed_rows)`` DataFrames scanning ONLY the data files that the
+    two manifests do not share. Copy-on-write rewrites whole files, so
+    the symmetric difference of the file lists IS the complete change
+    set — untouched files (the overwhelming majority under pruned
+    DELETE/MERGE) are never opened. This is the input to incremental
+    view maintenance: cost scales with the delta, not the table."""
+    m0 = _read_manifest(root, v_from)
+    m1 = _read_manifest(root, latest_version(root) if v_to is None else v_to)
+    f0 = {f["path"] for f in m0["files"]}
+    f1 = {f["path"] for f in m1["files"]}
+    schema = m1["schema"]
+
+    def scan(paths: list[str]) -> DataFrame:
+        if not paths:
+            from pyspark.sql.types import StructType
+
+            return spark.createDataFrame(
+                [], StructType.fromJson(json.loads(schema))
+            )
+        return spark.read.parquet(*sorted(paths))
+
+    return scan(list(f1 - f0)), scan(list(f0 - f1))

@@ -209,3 +209,40 @@ def test_string_key_falls_back_to_conservative_rewrite(spark, tmp_path):
 def test_create_refuses_existing_table(spark, table):
     with pytest.raises(FileExistsError):
         ct.create_table(spark, table, spark.range(1))
+
+
+def test_changed_file_scans_are_delta_sized_and_complete(spark, table):
+    """The file-diff change set (a) reads FEWER files than the table
+    holds when the delete is pruned, and (b) replays to exactly the
+    full-recompute state when folded into a v0 rollup."""
+    v0_files = {f["path"] for f in ct._read_manifest(table, 0)["files"]}
+    # Pruned delete: a narrow key range touches few files.
+    keys = spark.range(0, 20).select(F.col("id").alias("k"))
+    ct.delete_where(spark, table, "k", keys)
+    added, removed = ct.changed_file_scans(spark, table, 0)
+    m1_files = {f["path"] for f in ct._read_manifest(table, 1)["files"]}
+    n_added_files = len(m1_files - v0_files)
+    n_removed_files = len(v0_files - m1_files)
+    assert n_removed_files < len(v0_files)  # most files untouched
+    assert n_added_files <= n_removed_files  # rewrite, not expansion
+    # Incremental fold == full recompute.
+    r0 = ct.read_table(spark, table, 0).agg(
+        F.count(F.lit(1)).alias("n"), F.sum("v").alias("s")
+    )
+    inc = (
+        r0.select("n", "s")
+        .unionByName(
+            added.agg(F.count(F.lit(1)).alias("n"), F.sum("v").alias("s"))
+        )
+        .unionByName(
+            removed.agg(
+                (-F.count(F.lit(1))).alias("n"), (-F.sum("v")).alias("s")
+            )
+        )
+        .agg(F.sum("n").alias("n"), F.sum("s").alias("s"))
+        .first()
+    )
+    full = ct.read_table(spark, table).agg(
+        F.count(F.lit(1)).alias("n"), F.sum("v").alias("s")
+    ).first()
+    assert (inc["n"], inc["s"]) == (full["n"], full["s"])
