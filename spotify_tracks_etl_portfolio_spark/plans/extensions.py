@@ -4176,3 +4176,87 @@ def cow_incremental_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .filter(F.col("n_docs") > 0)
     )
+
+
+#: Fixed time origin for regression features (2024-01-01 UTC, µs) —
+#: a LITERAL, not a data-derived min, so x needs no first pass.
+_TREND_ORIGIN_US = 1_704_067_200_000_000
+
+
+@register(
+    "event_value_trend_by_type",
+    oracle=f"""
+WITH f AS (
+  SELECT event_type,
+         round((epoch_us(ts) - {_TREND_ORIGIN_US}) / 3600000000.0, 6) AS x,
+         value AS y
+  FROM events WHERE value IS NOT NULL
+),
+s AS (
+  SELECT event_type,
+         CAST(count(*) AS BIGINT) AS n,
+         CAST(sum(CAST(round(x, 6) AS DECIMAL(24,6))) AS DOUBLE) AS sx,
+         CAST(sum(CAST(round(y, 6) AS DECIMAL(24,6))) AS DOUBLE) AS sy,
+         CAST(sum(CAST(round(x * x, 6) AS DECIMAL(24,6))) AS DOUBLE) AS sxx,
+         CAST(sum(CAST(round(x * y, 6) AS DECIMAL(24,6))) AS DOUBLE) AS sxy,
+         CAST(sum(CAST(round(y * y, 6) AS DECIMAL(24,6))) AS DOUBLE) AS syy
+  FROM f GROUP BY event_type
+)
+SELECT event_type, n,
+       round((n * sxy - sx * sy) / (n * sxx - sx * sx), 6) AS slope,
+       round((sy - ((n * sxy - sx * sy) / (n * sxx - sx * sx)) * sx) / n, 6)
+         AS intercept,
+       CASE WHEN (n * sxx - sx * sx) * (n * syy - sy * sy) <= 0 THEN NULL
+            ELSE round((n * sxy - sx * sy) * (n * sxy - sx * sy)
+                       / ((n * sxx - sx * sx) * (n * syy - sy * sy)), 6)
+       END AS r2
+FROM s
+""",
+    description="Per-group OLS trend (closed-form simple linear "
+    "regression of event value on time): one hash aggregation collects "
+    "the five sufficient statistics as DECIMAL-exact sums of 6-dp-"
+    "rounded IEEE products (order-insensitive under any partitioning), "
+    "slope/intercept/r² are a handful of scalar IEEE ops on the "
+    "aggregates — distributed ML-style analytics with zero extra "
+    "passes and no solver",
+    tags=("extension", "analytics"),
+)
+def event_value_trend_by_type(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = read_parquet_table(spark, sf_dir, "events").filter(
+        F.col("value").isNotNull()
+    )
+    x = F.round(
+        (F.unix_micros(F.col("ts").cast("timestamp")) - _TREND_ORIGIN_US)
+        / F.lit(3.6e9),
+        6,
+    )
+    y = F.col("value")
+
+    def dsum(expr):
+        return F.sum(F.round(expr, 6).cast("decimal(24,6)")).cast("double")
+
+    s = ev.select("event_type", x.alias("x"), y.alias("y")).groupBy(
+        "event_type"
+    ).agg(
+        F.count(F.lit(1)).alias("n"),
+        dsum(F.col("x")).alias("sx"),
+        dsum(F.col("y")).alias("sy"),
+        dsum(F.col("x") * F.col("x")).alias("sxx"),
+        dsum(F.col("x") * F.col("y")).alias("sxy"),
+        dsum(F.col("y") * F.col("y")).alias("syy"),
+    )
+    n, sx, sy = F.col("n"), F.col("sx"), F.col("sy")
+    sxx, sxy, syy = F.col("sxx"), F.col("sxy"), F.col("syy")
+    slope = (n * sxy - sx * sy) / (n * sxx - sx * sx)
+    denom = (n * sxx - sx * sx) * (n * syy - sy * sy)
+    return s.select(
+        "event_type",
+        "n",
+        F.round(slope, 6).alias("slope"),
+        F.round((sy - slope * sx) / n, 6).alias("intercept"),
+        F.when(denom <= 0, F.lit(None).cast("double"))
+        .otherwise(
+            F.round((n * sxy - sx * sy) * (n * sxy - sx * sy) / denom, 6)
+        )
+        .alias("r2"),
+    )

@@ -297,3 +297,36 @@ def test_streaming_cms_merges_partials_across_real_microbatches(
     )
     assert merged.exceptAll(batch_cells).count() == 0
     assert batch_cells.exceptAll(merged).count() == 0
+
+
+def test_ols_recovers_perfect_line(spark, tmp_path):
+    """On synthetic y = 3x + 7 data the closed-form OLS must recover
+    slope 3, intercept 7, r² = 1 (to the 6-dp output rounding)."""
+    import pandas as pd
+
+    from spotify_tracks_etl_portfolio_spark.plans.extensions import (
+        _TREND_ORIGIN_US,
+    )
+
+    n = 200
+    us = [_TREND_ORIGIN_US + i * 3_600_000_000 for i in range(n)]
+    x_hours = [i * 1.0 for i in range(n)]
+    pdf = pd.DataFrame(
+        {
+            "event_id": range(n),
+            "ts": pd.to_datetime(us, unit="us"),
+            "user_id": [1] * n,
+            "event_type": ["lin"] * n,
+            "value": [3.0 * x + 7.0 for x in x_hours],
+            "props": ["{}"] * n,
+        }
+    )
+    pdf["ts"] = pdf["ts"].astype("datetime64[us]")
+    d = tmp_path / "sfols"
+    d.mkdir()
+    pdf.to_parquet(d / "events.parquet")
+    (row,) = SPECS["event_value_trend_by_type"].fn(spark, str(d)).collect()
+    assert row["n"] == n
+    assert abs(row["slope"] - 3.0) < 1e-5
+    assert abs(row["intercept"] - 7.0) < 1e-4
+    assert abs(row["r2"] - 1.0) < 1e-6
