@@ -4260,3 +4260,125 @@ def event_value_trend_by_type(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .alias("r2"),
     )
+
+
+@register(
+    "daily_volume_anomalies",
+    oracle="""
+WITH d AS (
+  SELECT strftime(date_trunc('day', ts), '%Y-%m-%d') AS day,
+         CAST(dayofweek(date_trunc('day', ts)) AS BIGINT) AS dow,
+         CAST(count(*) AS BIGINT) AS n
+  FROM events GROUP BY 1, 2
+),
+s AS (
+  SELECT dow,
+         CAST(count(*) AS BIGINT) AS n_days,
+         CAST(sum(n) AS BIGINT) AS sn,
+         CAST(sum(n * n) AS BIGINT) AS snn
+  FROM d GROUP BY dow
+),
+z AS (
+  SELECT d.day, d.dow, d.n,
+         sn / CAST(n_days AS DOUBLE) AS mu,
+         sqrt(greatest(
+           snn / CAST(n_days AS DOUBLE)
+             - (sn / CAST(n_days AS DOUBLE)) * (sn / CAST(n_days AS DOUBLE)),
+           1e-12)) AS sigma
+  FROM d JOIN s USING (dow)
+)
+SELECT day, dow, n,
+       round(mu, 6) AS dow_mean,
+       round((n - mu) / sigma, 6) AS z_score,
+       abs((n - mu) / sigma) > 2.0 AS is_anomaly
+FROM z
+""",
+    description="Seasonal volume anomaly detection: daily event counts "
+    "z-scored against their DAY-OF-WEEK mean/std (weekday seasonality "
+    "removed, the monitor a pipeline runs on ingest volume). Integer-"
+    "exact sufficient statistics (counts and squared counts are "
+    "BIGINTs), then a handful of scalar IEEE ops — deterministic; the "
+    "day table is aggregated (365 rows/year) so every downstream step "
+    "is driver-trivial at any event scale",
+    tags=("extension", "analytics", "dq"),
+)
+def daily_volume_anomalies(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = read_parquet_table(spark, sf_dir, "events").select(
+        F.date_trunc("day", F.col("ts").cast("timestamp")).alias("d")
+    )
+    d = ev.groupBy("d").agg(F.count(F.lit(1)).alias("n")).select(
+        F.date_format("d", "yyyy-MM-dd").alias("day"),
+        # DuckDB dayofweek: Sunday=0; Spark dayofweek: Sunday=1
+        (F.dayofweek("d") - 1).cast("long").alias("dow"),
+        F.col("n"),
+    )
+    s = d.groupBy("dow").agg(
+        F.count(F.lit(1)).alias("n_days"),
+        F.sum("n").alias("sn"),
+        F.sum(F.col("n") * F.col("n")).alias("snn"),
+    )
+    mu = F.col("sn") / F.col("n_days").cast("double")
+    sigma = F.sqrt(
+        F.greatest(
+            F.col("snn") / F.col("n_days").cast("double") - mu * mu,
+            F.lit(1e-12),
+        )
+    )
+    z = (F.col("n") - mu) / sigma
+    return (
+        d.join(s, "dow")
+        .select(
+            "day",
+            "dow",
+            "n",
+            F.round(mu, 6).alias("dow_mean"),
+            F.round(z, 6).alias("z_score"),
+            (F.abs(z) > 2.0).alias("is_anomaly"),
+        )
+    )
+
+
+@register(
+    "source_lang_entropy",
+    oracle="""
+WITH c AS (
+  SELECT source, lang, CAST(count(*) AS BIGINT) AS n
+  FROM documents GROUP BY source, lang
+),
+t AS (SELECT source, CAST(sum(n) AS BIGINT) AS tot FROM c GROUP BY source),
+e AS (
+  SELECT c.source, c.lang, c.n, t.tot,
+         CAST(round(-(c.n / CAST(t.tot AS DOUBLE))
+                    * ln(c.n / CAST(t.tot AS DOUBLE)), 9)
+              AS DECIMAL(20,9)) AS term
+  FROM c JOIN t USING (source)
+)
+SELECT source,
+       CAST(max(tot) AS BIGINT) AS n_docs,
+       CAST(count(*) AS BIGINT) AS n_langs,
+       round(CAST(sum(term) AS DOUBLE), 6) AS lang_entropy
+FROM e GROUP BY source
+""",
+    description="Per-source language diversity (Shannon entropy of the "
+    "lang distribution): the mixing-health signal a corpus curator "
+    "tracks per provider. Each -p·ln(p) term is a 9-dp-rounded IEEE "
+    "scalar summed as DECIMAL (order-insensitive); two hash "
+    "aggregations over (source, lang) — group cardinality scales with "
+    "the label vocabulary, not the corpus",
+    tags=("extension", "curation", "dq"),
+)
+def source_lang_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = read_parquet_table(spark, sf_dir, "documents")
+    c = docs.groupBy("source", "lang").agg(F.count(F.lit(1)).alias("n"))
+    t = c.groupBy("source").agg(F.sum("n").alias("tot"))
+    p = F.col("n") / F.col("tot").cast("double")
+    e = c.join(t, "source").select(
+        "source",
+        "tot",
+        F.round(-p * F.log(p), 9).cast("decimal(20,9)").alias("term"),
+    )
+    return e.groupBy("source").agg(
+        F.max("tot").cast("long").alias("n_docs"),
+        F.count(F.lit(1)).alias("n_langs"),
+        F.round(F.sum("term").cast("double"), 6).alias("lang_entropy"),
+    )

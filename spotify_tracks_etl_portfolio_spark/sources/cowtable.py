@@ -172,11 +172,43 @@ def create_table(
     return 0
 
 
+def _conform(df: DataFrame, schema_json: str) -> DataFrame:
+    """Project ``df`` onto a manifest schema: missing columns (files
+    written before an ADD COLUMNS evolution) surface as typed NULLs,
+    column order follows the schema. This is what makes old data files
+    readable forever without rewriting them."""
+    from pyspark.sql.types import StructType
+
+    target = StructType.fromJson(json.loads(schema_json))
+    cols = []
+    for f in target.fields:
+        if f.name in df.columns:
+            cols.append(F.col(f.name).cast(f.dataType).alias(f.name))
+        else:
+            cols.append(F.lit(None).cast(f.dataType).alias(f.name))
+    return df.select(*cols)
+
+
+def _scan_files(
+    spark: SparkSession, paths: list[str], schema_json: str
+) -> DataFrame:
+    """Read a file subset under the manifest schema (mergeSchema +
+    conform) — mandatory wherever pre- and post-evolution files can
+    mix, or a rewrite would silently drop an evolved column."""
+    return _conform(
+        spark.read.option("mergeSchema", "true").parquet(*sorted(paths)),
+        schema_json,
+    )
+
+
 def read_table(
     spark: SparkSession, root: str, version: int | None = None
 ) -> DataFrame:
     """Snapshot read: the file list of ONE manifest — concurrent
-    commits never change what this scan sees (snapshot isolation)."""
+    commits never change what this scan sees (snapshot isolation).
+    The scan conforms to THAT version's schema (time travel to a
+    pre-evolution snapshot shows the old shape; post-evolution reads
+    fill pre-evolution files' missing columns with typed NULLs)."""
     v = latest_version(root) if version is None else version
     m = _read_manifest(root, v)
     paths = [f["path"] for f in m["files"]]
@@ -186,7 +218,40 @@ def read_table(
         return spark.createDataFrame([], StructType.fromJson(
             json.loads(m["schema"])
         ))
-    return spark.read.parquet(*paths)
+    return _conform(
+        spark.read.option("mergeSchema", "true").parquet(*paths), m["schema"]
+    )
+
+
+def add_columns(root: str, cols: dict[str, str]) -> int:
+    """Schema evolution, metadata-only: commit a new snapshot whose
+    schema appends the given nullable columns — ZERO data files move
+    (the Delta/Iceberg ADD COLUMNS contract). Existing files stay
+    valid; reads fill the new columns with NULLs until writes populate
+    them. Duplicate names are rejected."""
+    from pyspark.sql.types import StructType, _parse_datatype_string
+
+    v = latest_version(root)
+    if v < 0:
+        raise FileNotFoundError(f"no table at {root}")
+    m = _read_manifest(root, v)
+    schema = StructType.fromJson(json.loads(m["schema"]))
+    existing = {f.name for f in schema.fields}
+    for name, dtype in cols.items():
+        if name in existing:
+            raise ValueError(f"column already exists: {name}")
+        schema = schema.add(name, _parse_datatype_string(dtype), True)
+    manifest = {
+        "version": v + 1,
+        "parent": v,
+        "operation": "add_columns",
+        "schema": schema.json(),
+        "files": m["files"],
+    }
+    if m.get("stream_batch_id") is not None:
+        manifest["stream_batch_id"] = m["stream_batch_id"]
+    _commit(root, v + 1, manifest)
+    return v + 1
 
 
 def history(root: str) -> list[dict]:
@@ -278,7 +343,7 @@ def delete_where(
     maybe, keep = _affected_files(spark, m, key_col, keys)
     new_files = []
     if maybe:
-        affected = spark.read.parquet(*[f["path"] for f in maybe])
+        affected = _scan_files(spark, [f["path"] for f in maybe], m["schema"])
         survivors = affected.join(
             keys.select(key_col).distinct(), key_col, "left_anti"
         )
@@ -317,7 +382,7 @@ def merge_into(
     maybe, keep = _affected_files(spark, m, key_col, updates)
     new_files = []
     if maybe:
-        affected = spark.read.parquet(*[f["path"] for f in maybe])
+        affected = _scan_files(spark, [f["path"] for f in maybe], m["schema"])
         survivors = affected.join(
             updates.select(key_col).distinct(), key_col, "left_anti"
         )
@@ -369,7 +434,7 @@ def merge_latest(
     maybe, keep = _affected_files(spark, m, key_col, updates)
     combined = updates
     if maybe:
-        affected = spark.read.parquet(*[f["path"] for f in maybe])
+        affected = _scan_files(spark, [f["path"] for f in maybe], m["schema"])
         combined = affected.unionByName(updates)
     w_struct = F.struct(*[F.col(c) for c in order_cols])
     latest = (
@@ -480,7 +545,7 @@ def compact(
         keep = [f for f in m["files"] if f["n_rows"] >= small_file_rows]
     new_files = []
     if maybe:
-        df = spark.read.parquet(*[f["path"] for f in maybe])
+        df = _scan_files(spark, [f["path"] for f in maybe], m["schema"])
         df = df.repartitionByRange(
             n_files, F.col(cluster_by)
         ).sortWithinPartitions(cluster_by)
@@ -567,7 +632,7 @@ def scan_pruned(
             [], StructType.fromJson(json.loads(m["schema"]))
         )
         return empty, 0, total
-    df = spark.read.parquet(*[f["path"] for f in maybe]).filter(
+    df = _scan_files(spark, [f["path"] for f in maybe], m["schema"]).filter(
         (F.col(key_col) >= F.lit(lo)) & (F.col(key_col) <= F.lit(hi))
     )
     return df, len(maybe), total
@@ -596,6 +661,6 @@ def changed_file_scans(
             return spark.createDataFrame(
                 [], StructType.fromJson(json.loads(schema))
             )
-        return spark.read.parquet(*sorted(paths))
+        return _scan_files(spark, paths, schema)
 
     return scan(list(f1 - f0)), scan(list(f0 - f1))

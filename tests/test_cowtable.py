@@ -246,3 +246,48 @@ def test_changed_file_scans_are_delta_sized_and_complete(spark, table):
         F.count(F.lit(1)).alias("n"), F.sum("v").alias("s")
     ).first()
     assert (inc["n"], inc["s"]) == (full["n"], full["s"])
+
+
+def test_add_columns_is_metadata_only_with_typed_null_fill(spark, table):
+    """ADD COLUMNS commits a new snapshot without moving a single data
+    file; old files read back with typed NULLs; time travel to the
+    pre-evolution version shows the old shape."""
+    files_before = {f["path"] for f in ct._read_manifest(table, 0)["files"]}
+    v = ct.add_columns(table, {"score": "double"})
+    assert v == 1
+    assert {f["path"] for f in ct._read_manifest(table, 1)["files"]} == files_before
+    evolved = ct.read_table(spark, table)
+    assert evolved.schema["score"].dataType.simpleString() == "double"
+    assert evolved.filter(F.col("score").isNotNull()).count() == 0
+    assert "score" not in ct.read_table(spark, table, 0).columns
+    with pytest.raises(ValueError):
+        ct.add_columns(table, {"k": "long"})
+
+
+def test_merge_after_evolution_mixes_schemas_without_data_loss(spark, table):
+    """A merge writing the evolved column must not lose it when old and
+    new files mix — survivor rewrites conform to the manifest schema,
+    and pruned scans see the evolved shape too."""
+    ct.add_columns(table, {"score": "double"})
+    updates = spark.range(10, 30).select(
+        F.col("id").alias("k"),
+        (F.col("id") * 100).alias("v"),
+        (F.col("id") * 0.5).alias("score"),
+    )
+    ct.merge_into(spark, table, updates, "k")
+    got = ct.read_table(spark, table)
+    assert got.count() == 1000
+    scored = got.filter(F.col("score").isNotNull())
+    assert scored.count() == 20
+    assert {r["k"] for r in scored.collect()} == set(range(10, 30))
+    # old rows keep their values and carry a NULL score
+    r5 = got.filter("k = 5").first()
+    assert r5["v"] == 10 and r5["score"] is None
+    # pruned range scan across old+new files conforms to the schema
+    df, scanned, total = ct.scan_pruned(spark, table, "k", 0, 40)
+    assert "score" in df.columns
+    assert scanned < total or total == 1
+    # compaction rewrites mixed files without dropping the column
+    ct.compact(spark, table, cluster_by="k", n_files=2)
+    after = ct.read_table(spark, table)
+    assert after.filter(F.col("score").isNotNull()).count() == 20
