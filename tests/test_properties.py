@@ -537,3 +537,65 @@ def test_exact_ntile_property_matches_sql_ntile(spark, rows, buckets, tiles):
         ).collect()
     }
     assert got == want
+
+
+@st.composite
+def bloom_case(draw):
+    build = draw(
+        st.lists(st.integers(0, 10_000_000), min_size=1, max_size=60, unique=True)
+    )
+    probe = draw(
+        st.lists(st.integers(0, 10_000_000), min_size=1, max_size=80, unique=True)
+    )
+    return build, probe
+
+
+@given(bloom_case())
+@_slow
+def test_bloom_never_false_negative(spark, case):
+    """Property: every probe key that IS in the build set survives
+    bloom_probe, for arbitrary key sets (the transparency that lets
+    the real join correct false positives but never recover a lost
+    row)."""
+    from spotify_tracks_etl_portfolio_spark.operators.joins import (
+        bloom_build,
+        bloom_probe,
+    )
+
+    build, probe = case
+    bdf = spark.createDataFrame([(k,) for k in build], "k long")
+    pdf = spark.createDataFrame([(k,) for k in probe], "k long")
+    bloom = bloom_build(bdf, "k")
+    kept = {r["k"] for r in bloom_probe(pdf, "k", bloom).collect()}
+    assert set(build) & set(probe) <= kept
+
+
+@st.composite
+def psi_case(draw):
+    lens = st.integers(48, 553)
+    old = draw(st.lists(lens, min_size=2, max_size=40))
+    new = draw(st.lists(lens, min_size=2, max_size=40))
+    return old, new
+
+
+@given(psi_case())
+@_slow
+def test_psi_total_is_nonnegative(spark, tmp_path_factory, case):
+    """Property: PSI is a sum of (p−q)·ln(p/q) terms — both factors
+    share a sign, so every term and the total are ≥ 0 for ANY pair of
+    snapshot distributions."""
+    from spotify_tracks_etl_portfolio_spark.plans import all_queries
+
+    old, new = case
+    rows = [(2 * i, "x", "en", "web", n) for i, n in enumerate(old)]
+    rows += [(2 * i + 1, "y", "en", "web", n) for i, n in enumerate(new)]
+    pdf = pd.DataFrame(
+        rows, columns=["doc_id", "text", "lang", "source", "n_chars"]
+    )
+    d = tmp_path_factory.mktemp("psi")
+    pdf.to_parquet(d / "documents.parquet")
+    out = all_queries()["corpus_drift_psi"].fn(spark, str(d)).collect()
+    assert out
+    for r in out:
+        assert r["psi_term"] >= 0.0
+        assert r["total_psi"] >= 0.0
