@@ -539,3 +539,43 @@ def test_pack_sequences_partitions_by_lang_not_global(spark, sf_dir):
 
     singles = len(re.findall(r"Exchange SinglePartition", plan))
     assert singles <= 1, plan[:3000]
+
+
+def test_sessionize_batch_single_shuffle(spark, sf_dir):
+    """Both gap-detection windows and the session aggregation share the
+    user_id partitioning: exactly ONE exchange in the whole plan."""
+    import re
+
+    plan = plan_of(spark, "sessionize_events_batch", sf_dir)
+    assert len(re.findall(r"Exchange \w+partitioning", plan)) == 1
+    assert "SinglePartition" not in plan
+
+
+def test_hashed_vectors_zero_shuffle_projection(spark, sf_dir):
+    """Feature hashing accumulates counts inside the row (HOFs): the
+    plan is a pure scan+projection — no exchange of any kind."""
+    plan = plan_of(spark, "hashed_token_vectors", sf_dir)
+    assert "Exchange" not in plan
+
+
+def test_ols_trend_single_aggregation_pass(spark, sf_dir):
+    """All five sufficient statistics ride ONE hash aggregation (one
+    shuffle on the group key); no second pass over events."""
+    import re
+
+    plan = plan_of(spark, "event_value_trend_by_type", sf_dir)
+    assert len(re.findall(r"Exchange hashpartitioning", plan)) == 1
+    assert plan.count("FileScan parquet") == 1
+
+
+def test_bloom_probe_filters_before_shuffle(spark, sf_dir):
+    """The Bloom membership filter must sit BELOW the probe side's
+    exchange: lineitem rows die before they are shuffled to the join.
+    (The bloom lookups themselves are broadcast joins — no exchange of
+    the probe side above the scan until the final aggregation.)"""
+    plan = plan_of(spark, "bloom_semi_join_urgent_revenue", sf_dir)
+    # the bit-test filter appears in the plan...
+    assert "& 1) = 1" in plan.replace("\n", " ")
+    # ...and the probe side reaches the real join via broadcast hash
+    # joins only (bloom words + build side), never a probe-side sort.
+    assert "SortMergeJoin" not in plan
