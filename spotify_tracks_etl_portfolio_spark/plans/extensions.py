@@ -3571,9 +3571,14 @@ def hashed_token_vectors(spark: SparkSession, sf_dir: str) -> DataFrame:
             acc, lambda v, i: v + F.when(d == i, 1).otherwise(0)
         ),
     )
-    return docs.select(
+    # Two-step select on purpose: projecting vec.getItem(j) directly
+    # would inline the whole tokenize+hash+fold expression into EVERY
+    # output column (16× the work — measured 4× wall even at sf0.001);
+    # materializing the vector in its own projection keeps it computed
+    # once (CollapseProject declines to duplicate non-cheap exprs).
+    return docs.select("doc_id", vec.alias("__v")).select(
         "doc_id",
-        *[vec.getItem(j).alias(f"d{j}") for j in range(dims)],
+        *[F.col("__v").getItem(j).alias(f"d{j}") for j in range(dims)],
     )
 
 

@@ -579,3 +579,10 @@ def test_bloom_probe_filters_before_shuffle(spark, sf_dir):
     # ...and the probe side reaches the real join via broadcast hash
     # joins only (bloom words + build side), never a probe-side sort.
     assert "SortMergeJoin" not in plan
+
+
+def test_hashed_vectors_hof_computed_once(spark, sf_dir):
+    """The tokenize+hash+fold expression must appear ONCE in the plan —
+    per-column inlining would redo the whole fold 16× per row."""
+    plan = plan_of(spark, "hashed_token_vectors", sf_dir)
+    assert plan.count("aggregate(transform") == 1
