@@ -334,3 +334,74 @@ def bpe_segment_words(
     for _, a, b, _ in merges:
         syms = apply_merge(syms, a, b)
     return words.select("__word", F.size(syms).cast("long").alias("n_subwords"))
+
+
+def add_lang_id(
+    df: DataFrame, col: str = "text", out: str = "predicted_lang"
+) -> DataFrame:
+    """DataFrame-level language ID: identical semantics to
+    ``lang_id(col)``, but tokens and the five marker scores materialize
+    in their own projections, so the text is split ONCE per row instead
+    of once per score reference. The Column form inlines the split ~55×
+    (lambda-bearing HOFs are excluded from Spark's common-subexpression
+    elimination; CollapseProject keeps these barriers because the
+    intermediate expressions are non-cheap) — measured 2× wall at
+    sf0.1, and the gap grows with text size.
+
+    Caveat: a FILTER on the output column still gets pushed below the
+    projections by PushDownPredicates, which re-inlines the expression
+    into the filter condition — the materialization win applies to the
+    projection/aggregation path, not to predicates (those evaluate the
+    expression once per row inside the pushed filter regardless)."""
+
+    def marker_filter(markers: tuple[str, ...]):
+        return lambda t: t.isin(*markers)
+
+    d = df.withColumn("__li_toks", tokens(col))
+    for lang, markers in LANG_MARKERS.items():
+        d = d.withColumn(
+            f"__li_{lang}",
+            F.size(F.filter(F.col("__li_toks"), marker_filter(markers))),
+        )
+    best = F.greatest(*[F.col(f"__li_{lang}") for lang in LANG_MARKERS])
+    expr: Column = F.lit("und")
+    for lang in reversed(list(LANG_MARKERS)):
+        expr = F.when(
+            (F.col(f"__li_{lang}") == best) & (best > 0), F.lit(lang)
+        ).otherwise(expr)
+    return d.withColumn(out, expr).drop(
+        "__li_toks", *[f"__li_{lang}" for lang in LANG_MARKERS]
+    )
+
+
+def add_quality(
+    df: DataFrame, col: str = "text", out: str = "quality_score"
+) -> DataFrame:
+    """DataFrame-level quality score: identical formula to
+    ``quality_score(col)``, with the token array and the four signals
+    materialized once (same duplication rationale as ``add_lang_id``)."""
+    c = F.col(col)
+    d = df.withColumn("__q_toks", tokens(col))
+    d = d.withColumn("__q_ntok", F.size(F.col("__q_toks")))
+    d = d.withColumn(
+        "__q_nstop",
+        F.size(F.filter(F.col("__q_toks"), lambda t: t.isin(*QUALITY_STOPWORDS))),
+    )
+    safe_tok = F.greatest(F.col("__q_ntok"), F.lit(1))
+    safe_chars = F.greatest(F.length(c), F.lit(1))
+    stopword_ratio = F.round(F.col("__q_nstop").cast("double") / safe_tok, 6)
+    punct_ratio = F.round(
+        F.regexp_count(c, F.lit(r"[.,!?;:]")).cast("double") / safe_chars, 6
+    )
+    digit_ratio = F.round(
+        F.regexp_count(c, F.lit(r"[0-9]")).cast("double") / safe_chars, 6
+    )
+    length_ok = (F.col("__q_ntok") >= 5) & (F.col("__q_ntok") <= 5000)
+    score = F.round(
+        F.when(length_ok, F.lit(1.0)).otherwise(F.lit(0.3)) * 0.5
+        + F.least(stopword_ratio * 4.0, F.lit(1.0)) * 0.3
+        + (F.lit(1.0) - F.least((punct_ratio + digit_ratio) * 2.0, F.lit(1.0)))
+        * 0.2,
+        6,
+    )
+    return d.withColumn(out, score).drop("__q_toks", "__q_ntok", "__q_nstop")

@@ -612,10 +612,10 @@ SELECT doc_id, lang AS labeled_lang, {_LANG_CASE} AS predicted_lang FROM best
 )
 def lang_id_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = read_parquet_table(spark, sf_dir, "documents")
-    return docs.select(
+    return _tx.add_lang_id(docs, "text", "predicted_lang").select(
         "doc_id",
         F.col("lang").alias("labeled_lang"),
-        _tx.lang_id("text").alias("predicted_lang"),
+        "predicted_lang",
     )
 
 
@@ -1209,12 +1209,15 @@ def curate_training_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = read_parquet_table(spark, sf_dir, "documents")
     deduped = docs.groupBy("text").agg(F.min("doc_id").alias("doc_id"))
     toks = token_count("text").cast("long")
+    enriched = _tx.add_quality(
+        _tx.add_lang_id(deduped, "text", "lang"), "text", "quality_score"
+    )
     return (
-        deduped.select(
+        enriched.select(
             "doc_id",
-            _tx.lang_id("text").alias("lang"),
+            "lang",
             toks.alias("n_tokens"),
-            _tx.quality_score("text").alias("quality_score"),
+            "quality_score",
         )
         .filter(
             (F.col("lang") != "und")
@@ -1349,8 +1352,8 @@ def near_dup_quality_canonicals(spark: SparkSession, sf_dir: str) -> DataFrame:
         docs, "doc_id", "text", JACCARD_THRESHOLD
     )
     comp = _dd.connected_components(pairs, "id_a", "id_b")
-    scored = docs.select(
-        "doc_id", _tx.quality_score("text").alias("quality_score")
+    scored = _tx.add_quality(docs, "text", "quality_score").select(
+        "doc_id", "quality_score"
     )
     clustered = (
         scored.join(comp, scored.doc_id == comp.node, "left")
@@ -2478,12 +2481,13 @@ def prepare_training_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
     deduped = docs.groupBy("text").agg(F.min("doc_id").alias("doc_id"))
     nt = token_count("text").cast("long")
     curated = (
-        deduped.select(
+        _tx.add_quality(_tx.add_lang_id(deduped, "text", "lang"), "text", "q")
+        .select(
             "doc_id",
             "text",
-            _tx.lang_id("text").alias("lang"),
+            "lang",
             nt.alias("n_tokens"),
-            _tx.quality_score("text").alias("q"),
+            "q",
         )
         .filter(
             (F.col("lang") != "und")
@@ -2602,8 +2606,10 @@ FROM dupes
     tags=("extension", "text", "curation", "card"),
 )
 def source_quality_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = read_parquet_table(spark, sf_dir, "documents")
-    q = _tx.quality_score("text")
+    docs = _tx.add_quality(
+        read_parquet_table(spark, sf_dir, "documents"), "text", "__q"
+    )
+    q = F.col("__q")
     agg = docs.groupBy("source").agg(
         F.count(F.lit(1)).alias("n_docs"),
         F.countDistinct("text").alias("n_unique_texts"),
@@ -2741,11 +2747,12 @@ def near_dup_keep_best_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     pairs = _dd.minhash_near_dup_pairs(docs, "doc_id", "text", JACCARD_THRESHOLD)
     comp = _dd.connected_components(pairs, "id_a", "id_b")
     labeled = (
-        docs.join(comp, docs.doc_id == comp.node, "left")
+        _tx.add_quality(docs, "text", "q")
+        .join(comp, F.col("doc_id") == comp.node, "left")
         .select(
             "doc_id",
             F.coalesce("comp", "doc_id").alias("cluster_id"),
-            _tx.quality_score("text").alias("q"),
+            "q",
         )
     )
     w = Window.partitionBy("cluster_id").orderBy(F.desc("q"), F.asc("doc_id"))
