@@ -607,14 +607,16 @@ BM25_B = 0.75
 BM25_TERMS = ("spark", "join", "window")
 
 
-def _bm25_oracle() -> str:
+def _bm25_ctes() -> str:
+    """The BM25 scoring pipeline as a reusable CTE block ending in
+    ``bm25_scores(doc_id, bm25)`` — shared by the standalone query and
+    the hybrid RRF fusion."""
     terms = ", ".join(f"'{t}'" for t in BM25_TERMS)
     per_term = " + ".join(
         f"COALESCE(max(CASE WHEN token = '{t}' THEN ts END), 0.0)"
         for t in BM25_TERMS
     )
-    return f"""
-WITH toks AS (
+    return f"""toks AS (
   SELECT doc_id, unnest(string_split_regex(trim(text), '\\s+')) AS token
   FROM documents WHERE trim(text) <> ''
 ),
@@ -635,9 +637,17 @@ ts AS (
            / (tf.tf + {BM25_K1} * (1.0 - {BM25_B} + {BM25_B} * dl.dl / s.avgdl))
            AS ts
   FROM tf JOIN dfreq d USING (token) JOIN dl USING (doc_id) CROSS JOIN stats s
-)
-SELECT doc_id, round({per_term}, 6) AS bm25
-FROM ts GROUP BY doc_id
+),
+bm25_scores AS (
+  SELECT doc_id, round({per_term}, 6) AS bm25
+  FROM ts GROUP BY doc_id
+)"""
+
+
+def _bm25_oracle() -> str:
+    return f"""
+WITH {_bm25_ctes()}
+SELECT doc_id, bm25 FROM bm25_scores
 ORDER BY bm25 DESC, doc_id LIMIT 20
 """
 

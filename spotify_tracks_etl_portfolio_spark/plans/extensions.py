@@ -4394,3 +4394,134 @@ def source_lang_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n_langs"),
         F.round(F.sum("term").cast("double"), 6).alias("lang_entropy"),
     )
+
+
+#: Reciprocal-rank-fusion constant (the standard k=60 from the RRF
+#: paper) and list depths for the hybrid retrieval query.
+RRF_K = 60
+RRF_DEPTH = 20
+RRF_TOPK = 10
+RRF_QUERY_VEC = 0
+
+
+def _hybrid_rrf_oracle() -> str:
+    from spotify_tracks_etl_portfolio_spark.plans.analytics import _bm25_ctes
+
+    return f"""
+WITH {_bm25_ctes()},
+brr AS (
+  SELECT doc_id,
+         row_number() OVER (ORDER BY bm25 DESC, doc_id) AS bm25_rank
+  FROM bm25_scores
+  QUALIFY bm25_rank <= {RRF_DEPTH}
+),
+v AS (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings),
+qv AS (SELECT e FROM v WHERE vec_id = {RRF_QUERY_VEC}),
+cr AS (
+  SELECT v.vec_id AS doc_id, {_sql_cos('v.e', 'q.e')} AS cosine
+  FROM v, qv q WHERE v.vec_id <> {RRF_QUERY_VEC}
+),
+crr AS (
+  SELECT doc_id,
+         row_number() OVER (ORDER BY cosine DESC, doc_id) AS cos_rank
+  FROM cr
+  QUALIFY cos_rank <= {RRF_DEPTH}
+),
+fused AS (
+  SELECT COALESCE(b.doc_id, c.doc_id) AS doc_id,
+         CAST(b.bm25_rank AS BIGINT) AS bm25_rank,
+         CAST(c.cos_rank AS BIGINT) AS cos_rank,
+         round(COALESCE(1.0 / ({RRF_K} + b.bm25_rank), CAST(0 AS DOUBLE))
+               + COALESCE(1.0 / ({RRF_K} + c.cos_rank), CAST(0 AS DOUBLE)), 9)
+           AS rrf_score
+  FROM brr b FULL OUTER JOIN crr c USING (doc_id)
+)
+SELECT doc_id, bm25_rank, cos_rank, rrf_score,
+       CAST(fused_rank AS BIGINT) AS fused_rank
+FROM (
+  SELECT *, row_number() OVER (ORDER BY rrf_score DESC, doc_id) AS fused_rank
+  FROM fused
+) WHERE fused_rank <= {RRF_TOPK}
+"""
+
+
+@register(
+    "hybrid_rrf_search",
+    oracle=_hybrid_rrf_oracle(),
+    description="Hybrid retrieval with reciprocal-rank fusion (the "
+    "modern RAG serving shape): the BM25 lexical top-20 and the "
+    "cosine vector top-20 (query-by-example on one embedding) fuse by "
+    "RRF score = Σ 1/(60+rank); documents found by only one modality "
+    "contribute one term. Both rank lists are TakeOrdered-style "
+    "bounded sets, the fusion is a full outer join of two ≤20-row "
+    "tables — list depth bounds every post-retrieval stage at any "
+    "corpus size. IEEE-deterministic (ranks are integers; two "
+    "divisions + one add per row, rounded)",
+    tags=("extension", "search", "similarity"),
+)
+def hybrid_rrf_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    from spotify_tracks_etl_portfolio_spark.functions import (
+        vec_dot,
+        vec_norm_safe,
+    )
+    from spotify_tracks_etl_portfolio_spark.plans.analytics import (
+        bm25_search_documents,
+    )
+
+    bm25 = bm25_search_documents(spark, sf_dir)
+    brr = bm25.select(
+        "doc_id",
+        F.row_number()
+        .over(Window.orderBy(F.desc("bm25"), F.asc("doc_id")))
+        .cast("long")
+        .alias("bm25_rank"),
+    ).filter(F.col("bm25_rank") <= RRF_DEPTH)
+
+    emb = read_parquet_table(spark, sf_dir, "embeddings")
+    q = emb.filter(F.col("vec_id") == RRF_QUERY_VEC).select(
+        F.col("embedding").alias("__qv"),
+        vec_norm_safe("embedding").alias("__qn"),
+    )
+    cr = (
+        emb.filter(F.col("vec_id") != RRF_QUERY_VEC)
+        .crossJoin(F.broadcast(q))
+        .select(
+            F.col("vec_id").alias("doc_id"),
+            F.round(
+                vec_dot("embedding", "__qv")
+                / (vec_norm_safe("embedding") * F.col("__qn")),
+                6,
+            ).alias("cosine"),
+        )
+    )
+    # TakeOrderedAndProject bounds the corpus-scaled side to DEPTH rows
+    # BEFORE the rank window — the global row_number then runs over 20
+    # rows, never the corpus (the single-partition gate's contract).
+    c20 = cr.orderBy(F.desc("cosine"), F.asc("doc_id")).limit(RRF_DEPTH)
+    crr = c20.select(
+        "doc_id",
+        F.row_number()
+        .over(Window.orderBy(F.desc("cosine"), F.asc("doc_id")))
+        .cast("long")
+        .alias("cos_rank"),
+    )
+
+    score = F.round(
+        F.coalesce(1.0 / (F.lit(RRF_K) + F.col("bm25_rank")), F.lit(0.0))
+        + F.coalesce(1.0 / (F.lit(RRF_K) + F.col("cos_rank")), F.lit(0.0)),
+        9,
+    )
+    fused = brr.join(crr, "doc_id", "full_outer").select(
+        "doc_id", "bm25_rank", "cos_rank", score.alias("rrf_score")
+    )
+    return (
+        fused.withColumn(
+            "fused_rank",
+            F.row_number()
+            .over(Window.orderBy(F.desc("rrf_score"), F.asc("doc_id")))
+            .cast("long"),
+        )
+        .filter(F.col("fused_rank") <= RRF_TOPK)
+    )
