@@ -291,3 +291,19 @@ def test_merge_after_evolution_mixes_schemas_without_data_loss(spark, table):
     ct.compact(spark, table, cluster_by="k", n_files=2)
     after = ct.read_table(spark, table)
     assert after.filter(F.col("score").isNotNull()).count() == 20
+
+
+def test_add_columns_commit_race_conflicts_cleanly(spark, table):
+    """Two concurrent schema evolutions race for the same version: the
+    loser gets CommitConflictError and the table keeps exactly one of
+    the columns — never a corrupted manifest."""
+    v_before = ct.latest_version(table)
+    ct.add_columns(table, {"a1": "double"})
+    # simulate the losing writer: it read v_before, then tries to
+    # commit v_before+1 which the first writer already took
+    m = ct._read_manifest(table, v_before)
+    with pytest.raises(ct.CommitConflictError):
+        ct._commit(table, v_before + 1, dict(m, version=v_before + 1))
+    cols = ct.read_table(spark, table).columns
+    assert "a1" in cols
+    assert ct.latest_version(table) == v_before + 1

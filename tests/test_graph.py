@@ -330,3 +330,79 @@ def test_ols_recovers_perfect_line(spark, tmp_path):
     assert abs(row["slope"] - 3.0) < 1e-5
     assert abs(row["intercept"] - 7.0) < 1e-4
     assert abs(row["r2"] - 1.0) < 1e-6
+
+
+def test_streaming_cms_resumes_from_checkpoint(spark, sf_dir, tmp_path):
+    """Restarting the CMS stream with its checkpoint must process ONLY
+    files that arrived after the first drain, and the merged sketch
+    over all epochs must still equal the batch sketch over all files —
+    mergeability survives restart."""
+    from spotify_tracks_etl_portfolio_spark.plans.extensions import (
+        CMS_P,
+        CMS_ROWS,
+        CMS_W,
+    )
+    from spotify_tracks_etl_portfolio_spark.sources.readers import (
+        read_parquet_table,
+    )
+    from spotify_tracks_etl_portfolio_spark.streaming import read_events_stream
+    from spotify_tracks_etl_portfolio_spark.streaming.pipeline import (
+        streaming_cms_cells,
+    )
+
+    d = str(tmp_path)
+    ev = read_parquet_table(spark, sf_dir, "events")
+
+    def drain():
+        q = (
+            streaming_cms_cells(
+                read_events_stream(spark, f"{d}/in"),
+                f"{d}/cells",
+                f"{d}/ckpt",
+                rows=CMS_ROWS,
+                width=CMS_W,
+                mod=CMS_P,
+            )
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+
+    ev.filter(F.col("event_id") % 2 == 0).coalesce(1).write.mode(
+        "append"
+    ).parquet(f"{d}/in")
+    drain()
+    n_epochs_first = (
+        spark.read.parquet(f"{d}/cells").select("epoch_id").distinct().count()
+    )
+    # second wave of files, then RESTART from the same checkpoint
+    ev.filter(F.col("event_id") % 2 == 1).coalesce(1).write.mode(
+        "append"
+    ).parquet(f"{d}/in")
+    drain()
+    partials = spark.read.parquet(f"{d}/cells")
+    assert partials.select("epoch_id").distinct().count() > n_epochs_first
+    merged = partials.groupBy("r", "bucket").agg(
+        F.sum("cnt").cast("long").alias("cnt")
+    )
+    pos = F.explode(
+        F.array(
+            *[
+                F.struct(
+                    F.lit(r).alias("r"),
+                    (((F.col("user_id") * a + b) % CMS_P) % CMS_W).alias(
+                        "bucket"
+                    ),
+                )
+                for r, (a, b) in enumerate(CMS_ROWS)
+            ]
+        )
+    ).alias("rb")
+    batch_cells = (
+        ev.select(pos)
+        .select("rb.r", "rb.bucket")
+        .groupBy("r", "bucket")
+        .agg(F.count(F.lit(1)).cast("long").alias("cnt"))
+    )
+    assert merged.exceptAll(batch_cells).count() == 0
+    assert batch_cells.exceptAll(merged).count() == 0
