@@ -146,17 +146,19 @@ def all_queries() -> dict[str, QuerySpec]:
     the full registry, ordered for the driver's 50-slot recording
     window. Priority (most-urgent first):
 
-    0. never recorded — must get a first row;
-    1. last record FAILED — the fix needs a green row;
-    2. last record was rows-only (``no_oracle``) but the query NOW has
-       an oracle — the upgrade needs a hash row;
+    0. last record FAILED — the fix needs a green row before anything
+       else (a known-bad row outranks a missing row);
+    1. last record was rows-only (``no_oracle``) but the query NOW has
+       an oracle — the upgrade needs a hash row (a verdict item when
+       it happens);
+    2. never recorded — must get a first row;
     3. implementation changed this round (``_FORCE_RERECORD``) — the
        old green row certifies dead code;
     4. everything else, STALEST recorded round first — so previously
        recorded queries keep cycling back through the window and a
        late regression can't hide forever (round-3 advice).
 
-    With no artifacts on disk (fresh checkout) every query is group 0
+    With no artifacts on disk (fresh checkout) every query is group 2
     and the order is the deterministic priority list + registration
     order — no environment dependence beyond the artifacts themselves.
     """
@@ -175,12 +177,12 @@ def all_queries() -> dict[str, QuerySpec]:
         idx, name = item
         rec = recorded.get(name)
         if rec is None:
-            return (0, prio.get(name, len(prio)), 0, idx)
+            return (2, prio.get(name, len(prio)), 0, idx)
         rnd, status = rec
         if status == "fail":
-            return (1, 0, rnd, idx)
+            return (0, 0, rnd, idx)
         if status == "no_oracle" and QUERIES[name].oracle is not None:
-            return (2, 0, rnd, idx)
+            return (1, 0, rnd, idx)
         if name in force:
             return (3, force[name], 0, idx)
         return (4, 0, rnd, idx)
