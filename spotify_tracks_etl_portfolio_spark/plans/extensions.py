@@ -4525,3 +4525,86 @@ def hybrid_rrf_search(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .filter(F.col("fused_rank") <= RRF_TOPK)
     )
+
+
+@register(
+    "benford_totalprice_audit",
+    oracle="""
+WITH c AS (
+  SELECT CAST(round(o_totalprice * 100) AS BIGINT) AS cents
+  FROM orders WHERE o_totalprice > 0
+),
+d AS (
+  SELECT CAST(substr(CAST(cents AS VARCHAR), 1, 1) AS BIGINT) AS digit
+  FROM c
+),
+a AS (
+  SELECT digit, CAST(count(*) AS BIGINT) AS n FROM d GROUP BY digit
+),
+t AS (SELECT CAST(sum(n) AS DOUBLE) AS tot FROM a),
+z AS (
+  SELECT digit, n,
+         round(n / tot, 6) AS observed_share,
+         round(ln(1.0 + 1.0 / digit) / ln(CAST(10 AS DOUBLE)), 9)
+           AS expected_share,
+         round((n - tot * (ln(1.0 + 1.0 / digit) / ln(CAST(10 AS DOUBLE))))
+               * (n - tot * (ln(1.0 + 1.0 / digit) / ln(CAST(10 AS DOUBLE))))
+               / (tot * (ln(1.0 + 1.0 / digit) / ln(CAST(10 AS DOUBLE)))), 6)
+           AS chi2_term
+  FROM a, t
+)
+SELECT digit, n, observed_share, expected_share, chi2_term,
+       round(CAST(sum(CAST(chi2_term AS DECIMAL(24,6))) OVER () AS DOUBLE), 6)
+         AS chi2_total
+FROM z
+""",
+    description="Benford's-law audit of order totals (the fraud/"
+    "synthetic-data smell test): first significant digit extracted "
+    "INTEGER-exactly (cents → string → leading digit, identical "
+    "formatting on both engines — no log10-of-double knife edges), "
+    "per-digit χ² terms against log10(1+1/d), total χ² windowed over "
+    "the 9-row aggregated digit table. One scan, one hash agg",
+    tags=("extension", "dq"),
+)
+def benford_totalprice_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    orders = read_parquet_table(spark, sf_dir, "orders")
+    cents = (
+        orders.filter(F.col("o_totalprice") > 0)
+        .select(F.round(F.col("o_totalprice") * 100).cast("long").alias("c"))
+    )
+    a = (
+        cents.select(
+            F.substring(F.col("c").cast("string"), 1, 1)
+            .cast("long")
+            .alias("digit")
+        )
+        .groupBy("digit")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    t = a.agg(F.sum("n").cast("double").alias("tot"))
+    exp_share = F.round(
+        F.log(1.0 + 1.0 / F.col("digit")) / F.log(F.lit(10.0)), 9
+    )
+    exp_n = F.col("tot") * (
+        F.log(1.0 + 1.0 / F.col("digit")) / F.log(F.lit(10.0))
+    )
+    z = a.crossJoin(F.broadcast(t)).select(
+        "digit",
+        "n",
+        F.round(F.col("n") / F.col("tot"), 6).alias("observed_share"),
+        exp_share.alias("expected_share"),
+        F.round((F.col("n") - exp_n) * (F.col("n") - exp_n) / exp_n, 6).alias(
+            "chi2_term"
+        ),
+    )
+    return z.select(
+        "*",
+        F.round(
+            F.sum(F.col("chi2_term").cast("decimal(24,6)"))
+            .over(Window.partitionBy())
+            .cast("double"),
+            6,
+        ).alias("chi2_total"),
+    )

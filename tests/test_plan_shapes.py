@@ -257,6 +257,7 @@ SANCTIONED_NESTED_LOOP = {
     "trade_graph_pagerank": "1-row node-count broadcast onto the rank vector",
     "embedding_pq_topk": "query set (10 rows) × codebook (16 rows) LUT build broadcast",
     "hybrid_rrf_search": "1-row query-vector broadcast onto the corpus scan",
+    "benford_totalprice_audit": "1-row grand-total broadcast onto the 9-row digit table",
     "corpus_drift_psi": "1-row snapshot-totals broadcast onto the ~10-row bin table",
 }
 
