@@ -4608,3 +4608,64 @@ def benford_totalprice_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
             6,
         ).alias("chi2_total"),
     )
+
+
+@register(
+    "sessionize_native_session_window",
+    oracle=f"""
+WITH se AS (
+  SELECT user_id, event_id, value, epoch_us(ts) AS us FROM events
+),
+sg AS (
+  SELECT *, CASE WHEN lag(us) OVER sw IS NULL
+                   OR us - lag(us) OVER sw >= {30 * 60 * 1_000_000}
+            THEN 1 ELSE 0 END AS brk
+  FROM se WINDOW sw AS (PARTITION BY user_id ORDER BY us, event_id)
+),
+ss AS (
+  SELECT *, SUM(brk) OVER (PARTITION BY user_id ORDER BY us, event_id
+                           ROWS UNBOUNDED PRECEDING) AS sid
+  FROM sg
+)
+SELECT user_id,
+       min(us) AS session_start_us,
+       max(us) + {30 * 60 * 1_000_000} AS session_end_us,
+       CAST(count(*) AS BIGINT) AS n_events,
+       CAST(sum(CAST(value AS DECIMAL(24,8))) AS DOUBLE) AS sum_value
+FROM ss GROUP BY user_id, sid
+""",
+    description="Gap sessions via Spark's NATIVE session_window "
+    "aggregation (the built-in the manual lag-break twin re-derives): "
+    "one hash aggregation with session merge in the state machinery, "
+    "no window functions at all. Native semantics differ from the "
+    "manual twin on two points the oracle mirrors exactly: a gap of "
+    "EXACTLY 30min starts a new session (>= vs >), and session_end = "
+    "last event + gap (the watermark-eviction bound), not last event",
+    tags=("extension", "analytics"),
+)
+def sessionize_native_session_window(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    ev = read_parquet_table(spark, sf_dir, "events").select(
+        "user_id", F.col("ts").cast("timestamp").alias("ts"), "value"
+    )
+    return (
+        ev.groupBy(F.session_window("ts", "30 minutes"), "user_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(F.col("value").cast("decimal(24,8)"))
+            .cast("double")
+            .alias("sum_value"),
+        )
+        .select(
+            "user_id",
+            F.unix_micros(F.col("session_window.start")).alias(
+                "session_start_us"
+            ),
+            F.unix_micros(F.col("session_window.end")).alias(
+                "session_end_us"
+            ),
+            "n_events",
+            "sum_value",
+        )
+    )
