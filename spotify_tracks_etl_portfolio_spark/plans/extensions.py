@@ -4669,3 +4669,191 @@ def sessionize_native_session_window(
             "sum_value",
         )
     )
+
+
+@register(
+    "event_type_markov_transitions",
+    oracle="""
+WITH s AS (
+  SELECT user_id, event_type, epoch_us(ts) AS us, event_id FROM events
+),
+p AS (
+  SELECT event_type AS cur,
+         lead(event_type) OVER (PARTITION BY user_id
+                                ORDER BY us, event_id) AS nxt
+  FROM s
+),
+c AS (
+  SELECT cur, nxt, CAST(count(*) AS BIGINT) AS n
+  FROM p WHERE nxt IS NOT NULL GROUP BY cur, nxt
+),
+t AS (SELECT cur, CAST(sum(n) AS BIGINT) AS tot FROM c GROUP BY cur)
+SELECT c.cur, c.nxt, c.n,
+       round(c.n / CAST(t.tot AS DOUBLE), 6) AS p_transition
+FROM c JOIN t USING (cur)
+""",
+    description="User-journey Markov chain: per-user consecutive event "
+    "pairs (ONE shuffle on user_id for the lead window) reduce to the "
+    "event-type transition matrix with row-normalized probabilities — "
+    "the product-analytics operator behind flow/sankey views. States "
+    "scale with the type vocabulary, not the event count",
+    tags=("extension", "analytics"),
+)
+def event_type_markov_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    ev = read_parquet_table(spark, sf_dir, "events").select(
+        "user_id",
+        "event_type",
+        F.unix_micros(F.col("ts").cast("timestamp")).alias("us"),
+        "event_id",
+    )
+    w = Window.partitionBy("user_id").orderBy("us", "event_id")
+    pairs = ev.select(
+        F.col("event_type").alias("cur"),
+        F.lead("event_type").over(w).alias("nxt"),
+    ).filter(F.col("nxt").isNotNull())
+    c = pairs.groupBy("cur", "nxt").agg(F.count(F.lit(1)).alias("n"))
+    t = c.groupBy("cur").agg(F.sum("n").alias("tot"))
+    return c.join(t, "cur").select(
+        "cur",
+        "nxt",
+        "n",
+        F.round(F.col("n") / F.col("tot").cast("double"), 6).alias(
+            "p_transition"
+        ),
+    )
+
+
+@register(
+    "token_pmi_collocations",
+    oracle="""
+WITH toks AS (
+  SELECT doc_id, string_split_regex(trim(text), '\\s+') AS w
+  FROM documents WHERE trim(text) <> ''
+),
+bg AS (
+  SELECT w[i] AS t1, w[i + 1] AS t2
+  FROM toks, unnest(range(1, len(w))) AS r(i)
+),
+bc AS (
+  SELECT t1, t2, CAST(count(*) AS BIGINT) AS n_pair
+  FROM bg GROUP BY t1, t2
+),
+uc AS (
+  SELECT t, CAST(count(*) AS BIGINT) AS n_tok FROM (
+    SELECT unnest(w) AS t FROM toks
+  ) GROUP BY t
+),
+tot AS (
+  SELECT CAST(sum(n_pair) AS DOUBLE) AS n_bi,
+         (SELECT CAST(sum(n_tok) AS DOUBLE) FROM uc) AS n_uni
+  FROM bc
+)
+SELECT t1, t2, n_pair,
+       round(ln((n_pair / n_bi)
+                / ((u1.n_tok / n_uni) * (u2.n_tok / n_uni))), 6) AS pmi
+FROM bc JOIN uc u1 ON bc.t1 = u1.t JOIN uc u2 ON bc.t2 = u2.t, tot
+WHERE n_pair >= 5
+ORDER BY pmi DESC, t1, t2 LIMIT 25
+""",
+    description="Collocation mining by pointwise mutual information: "
+    "adjacent-token pair counts vs unigram marginals, PMI = "
+    "ln(p(ab)/(p(a)p(b))), support floor 5, top-25. The phrase-"
+    "detection step of tokenizer/corpus preparation. Bigrams explode "
+    "from the token array (zero extra scans), both count tables are "
+    "vocabulary-scaled, the final top-k is TakeOrderedAndProject",
+    tags=("extension", "text"),
+)
+def token_pmi_collocations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = read_parquet_table(spark, sf_dir, "documents")
+    toks = docs.filter(F.trim("text") != "").select(
+        F.split(F.trim("text"), r"\s+").alias("w")
+    )
+    bg = toks.select(
+        F.explode(
+            F.zip_with(
+                F.slice(F.col("w"), 1, F.greatest(F.size("w") - 1, F.lit(0))),
+                F.slice(F.col("w"), 2, F.greatest(F.size("w") - 1, F.lit(0))),
+                lambda a, b: F.struct(a.alias("t1"), b.alias("t2")),
+            )
+        ).alias("p")
+    ).select("p.t1", "p.t2")
+    bc = bg.groupBy("t1", "t2").agg(F.count(F.lit(1)).alias("n_pair"))
+    uc = toks.select(F.explode("w").alias("t")).groupBy("t").agg(
+        F.count(F.lit(1)).alias("n_tok")
+    )
+    tot = bc.agg(F.sum("n_pair").cast("double").alias("n_bi")).crossJoin(
+        F.broadcast(uc.agg(F.sum("n_tok").cast("double").alias("n_uni")))
+    )
+    u1 = uc.select(F.col("t").alias("t1"), F.col("n_tok").alias("__u1"))
+    u2 = uc.select(F.col("t").alias("t2"), F.col("n_tok").alias("__u2"))
+    pmi = F.round(
+        F.log(
+            (F.col("n_pair") / F.col("n_bi"))
+            / (
+                (F.col("__u1") / F.col("n_uni"))
+                * (F.col("__u2") / F.col("n_uni"))
+            )
+        ),
+        6,
+    )
+    return (
+        bc.filter(F.col("n_pair") >= 5)
+        .join(u1, "t1")
+        .join(u2, "t2")
+        .crossJoin(F.broadcast(tot))
+        .select("t1", "t2", "n_pair", pmi.alias("pmi"))
+        .orderBy(F.desc("pmi"), "t1", "t2")
+        .limit(25)
+    )
+
+
+@register(
+    "trade_graph_degree_distribution",
+    oracle="""
+WITH tr AS (
+  SELECT DISTINCT o_custkey * 2 AS cnode, l_suppkey * 2 + 1 AS snode
+  FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+),
+e AS (
+  SELECT cnode AS src FROM tr UNION ALL SELECT snode FROM tr
+),
+deg AS (SELECT src, CAST(count(*) AS BIGINT) AS degree FROM e GROUP BY src)
+SELECT CASE WHEN src % 2 = 0 THEN 'customer' ELSE 'supplier' END
+         AS entity_type,
+       degree,
+       CAST(count(*) AS BIGINT) AS n_nodes
+FROM deg GROUP BY 1, 2
+""",
+    description="Degree distribution of the customer–supplier trade "
+    "graph per node type — the structural audit run before any "
+    "iterative graph algorithm (skew in this table predicts hub "
+    "hotspots in the PageRank shuffle). Two hash aggregations, "
+    "integer-exact",
+    tags=("extension", "graph"),
+)
+def trade_graph_degree_distribution(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    from spotify_tracks_etl_portfolio_spark.operators.graph import (
+        trade_graph_edges,
+    )
+
+    orders = read_parquet_table(spark, sf_dir, "orders")
+    lineitem = read_parquet_table(spark, sf_dir, "lineitem")
+    deg = (
+        trade_graph_edges(orders, lineitem)
+        .groupBy("src")
+        .agg(F.count(F.lit(1)).alias("degree"))
+    )
+    return (
+        deg.select(
+            F.when(F.col("src") % 2 == 0, F.lit("customer"))
+            .otherwise(F.lit("supplier"))
+            .alias("entity_type"),
+            "degree",
+        )
+        .groupBy("entity_type", "degree")
+        .agg(F.count(F.lit(1)).alias("n_nodes"))
+    )

@@ -258,6 +258,7 @@ SANCTIONED_NESTED_LOOP = {
     "embedding_pq_topk": "query set (10 rows) × codebook (16 rows) LUT build broadcast",
     "hybrid_rrf_search": "1-row query-vector broadcast onto the corpus scan",
     "benford_totalprice_audit": "1-row grand-total broadcast onto the 9-row digit table",
+    "token_pmi_collocations": "1-row corpus-totals broadcast onto the vocabulary-scaled pair table",
     "corpus_drift_psi": "1-row snapshot-totals broadcast onto the ~10-row bin table",
 }
 
