@@ -4857,3 +4857,61 @@ def trade_graph_degree_distribution(
         .groupBy("entity_type", "degree")
         .agg(F.count(F.lit(1)).alias("n_nodes"))
     )
+
+
+#: Fixed search pattern for the trigram-accelerated LIKE query.
+TRGM_PATTERN = "window stream"
+
+
+def _trgm_list(s: str) -> list[str]:
+    return sorted({s[i : i + 3] for i in range(len(s) - 2)})
+
+
+@register(
+    "trigram_like_search",
+    oracle=f"""
+SELECT doc_id, n_chars
+FROM documents
+WHERE text LIKE '%{TRGM_PATTERN}%'
+""",
+    description="Substring search through a TRANSPARENT trigram index "
+    "(the pg_trgm pattern): documents explode to distinct character "
+    "trigrams, candidates are the docs containing ALL of the "
+    "pattern's trigrams (one semi-aggregation against a broadcast "
+    "literal set — no scan-time LIKE over the corpus), and the final "
+    "LIKE verifies candidates only. Index recall is total (a true "
+    "match contains every pattern trigram), so the oracle is the "
+    "plain LIKE scan; the index changes the work, never the answer",
+    tags=("extension", "text", "search"),
+)
+def trigram_like_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = read_parquet_table(spark, sf_dir, "documents")
+    pattern_trgms = _trgm_list(TRGM_PATTERN)
+    n_trgms = len(pattern_trgms)
+    # build: doc → distinct trigrams (the index); probe: keep docs
+    # holding every pattern trigram
+    trgms = docs.select(
+        "doc_id",
+        F.explode(
+            F.array_distinct(
+                F.transform(
+                    F.sequence(
+                        F.lit(1), F.greatest(F.length("text") - 2, F.lit(0))
+                    ),
+                    lambda i: F.col("text").substr(i, F.lit(3)),
+                )
+            )
+        ).alias("tg"),
+    )
+    cands = (
+        trgms.filter(F.col("tg").isin(pattern_trgms))
+        .groupBy("doc_id")
+        .agg(F.countDistinct("tg").alias("__hits"))
+        .filter(F.col("__hits") == n_trgms)
+        .select("doc_id")
+    )
+    return (
+        docs.join(cands, "doc_id", "left_semi")
+        .filter(F.col("text").contains(TRGM_PATTERN))
+        .select("doc_id", "n_chars")
+    )
