@@ -107,6 +107,12 @@ _FORCE_RERECORD = (
     "event_value_deciles",  # r04: single-partition ntile → bucketed exact rank
     "top10_customers_by_revenue",  # r04: customer broadcast hint removed
     "regional_revenue",  # r04: customer broadcast hint removed
+    # r04 continuation: lang/quality signals materialized via
+    # add_lang_id/add_quality (bit-identical by construction, but the
+    # old green rows certify the pre-materialization plan)
+    "lang_id_documents",
+    "curate_training_documents",
+    "source_quality_summary",
 )
 
 
