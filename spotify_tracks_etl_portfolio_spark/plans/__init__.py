@@ -97,6 +97,27 @@ _PRIORITY_UNRECORDED = (
     "multimodal_video_frame_sample",
     "daily_activity_reconciliation",
     "gdpr_delete_documents",
+    # the r03-verdict list of 18 never-recorded queries — their first
+    # rows are an explicit verdict item, so they outrank any query
+    # registered after the verdict
+    "asof_click_purchase",
+    "orders_within_30d_pairs",
+    "order_priority_cube",
+    "lineitem_quantity_percentiles",
+    "top3_customers_per_nation",
+    "cumulative_daily_revenue",
+    "small_quantity_parts_revenue",
+    "customer_order_count_distribution",
+    "significant_parts_by_revenue",
+    "daily_revenue_gapfill",
+    "customer_scd2_segment_update",
+    "top10_customers_by_revenue_salted",
+    "referential_integrity_checks",
+    "click_since_purchase_latency",
+    "nation_revenue_ranks",
+    "cheapest_part_per_size",
+    "lineitem_column_stats",
+    "lineitem_grouping_sets",
 )
 
 
