@@ -405,3 +405,103 @@ def add_quality(
         6,
     )
     return d.withColumn(out, score).drop("__q_toks", "__q_ntok", "__q_nstop")
+
+
+#: Inverted-index layout: postings are partitioned by a hash bucket of
+#: the token so a query's term set prunes to its buckets (the same
+#: partition-pruned-serving idea as the persisted IVF index; raw
+#: partitionBy(token) would explode directories at vocabulary scale).
+TEXT_INDEX_BUCKETS = 16
+
+
+def token_bucket(col: Column | str, n: int = TEXT_INDEX_BUCKETS) -> Column:
+    """Deterministic token → partition bucket (rolling hash mod n —
+    reproducible in plain Python for the query-side bucket list)."""
+    from spotify_tracks_etl_portfolio_spark.functions import rolling_hash
+
+    return rolling_hash(col) % n
+
+
+def py_token_bucket(tok: str, n: int = TEXT_INDEX_BUCKETS) -> int:
+    h = 0
+    for ch in tok:
+        h = (h * 31 + ord(ch)) % 1_000_000_007
+    return h % n
+
+
+def build_text_index(docs: DataFrame, id_col: str, text_col: str, root: str) -> None:
+    """Persist an inverted text index: term postings ``(token, doc_id,
+    tf)`` partitioned by token bucket, per-document lengths, and the
+    1-row corpus stats — everything BM25 serving needs, so queries
+    never re-tokenize the corpus. Build is two hash aggregations over
+    one tokenization pass."""
+    toks = docs.select(
+        F.col(id_col).alias("doc_id"), F.explode(tokens(text_col)).alias("token")
+    )
+    postings = (
+        toks.groupBy("token", "doc_id")
+        .agg(F.count(F.lit(1)).cast("double").alias("tf"))
+        .withColumn("bucket", token_bucket("token"))
+    )
+    postings.write.mode("error").partitionBy("bucket").parquet(
+        f"{root}/postings"
+    )
+    dl = toks.groupBy("doc_id").agg(F.count(F.lit(1)).cast("double").alias("dl"))
+    dl.write.mode("error").parquet(f"{root}/doc_lengths")
+    dl.agg(
+        F.count(F.lit(1)).cast("double").alias("n"),
+        F.avg("dl").alias("avgdl"),
+    ).write.mode("error").parquet(f"{root}/stats")
+
+
+def bm25_query_index(
+    spark, root: str, terms: tuple[str, ...], k1: float, b: float, topk: int
+) -> DataFrame:
+    """Serve a BM25 query from the persisted index: the postings scan
+    prunes to the query terms' buckets (PartitionFilters) plus a pushed
+    token filter — per query the engine reads |terms| posting lists and
+    the doc-length table, never the corpus text. Scoring is identical
+    to the self-contained operator (fixed-order per-term addition)."""
+    buckets = sorted({py_token_bucket(t) for t in terms})
+    postings = (
+        spark.read.parquet(f"{root}/postings")
+        .filter(F.col("bucket").isin(buckets))
+        .filter(F.col("token").isin(*terms))
+    )
+    dl = spark.read.parquet(f"{root}/doc_lengths")
+    stats = spark.read.parquet(f"{root}/stats")
+    dfreq = postings.groupBy("token").agg(
+        F.countDistinct("doc_id").cast("double").alias("df")
+    )
+    idf = F.log((F.col("n") - F.col("df") + 0.5) / (F.col("df") + 0.5) + 1.0)
+    ts = (
+        postings.join(F.broadcast(dfreq), "token")
+        .join(dl, "doc_id")
+        .crossJoin(F.broadcast(stats))
+        .select(
+            "doc_id",
+            "token",
+            (
+                idf
+                * F.col("tf")
+                * (k1 + 1.0)
+                / (
+                    F.col("tf")
+                    + k1 * (1.0 - b + b * F.col("dl") / F.col("avgdl"))
+                )
+            ).alias("ts"),
+        )
+    )
+    per_term = [
+        F.coalesce(F.max(F.when(F.col("token") == t, F.col("ts"))), F.lit(0.0))
+        for t in terms
+    ]
+    score = per_term[0]
+    for p in per_term[1:]:
+        score = score + p
+    return (
+        ts.groupBy("doc_id")
+        .agg(F.round(score, 6).alias("bm25"))
+        .orderBy(F.desc("bm25"), F.asc("doc_id"))
+        .limit(topk)
+    )

@@ -4915,3 +4915,42 @@ def trigram_like_search(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("text").contains(TRGM_PATTERN))
         .select("doc_id", "n_chars")
     )
+
+
+@register(
+    "bm25_index_search",
+    oracle=None,  # set just below to the SAME oracle as the live query
+    description="BM25 served from a PERSISTED inverted index (the "
+    "search twin of the persisted IVF index): term postings partitioned "
+    "by token bucket + doc lengths + 1-row corpus stats are on-disk "
+    "artifacts; a query scans ONLY its terms' posting buckets "
+    "(PartitionFilters + pushed token filter, plan-gated) — the corpus "
+    "text is never re-tokenized at query time. Same oracle as "
+    "bm25_search_documents: the index changes the cost, not the answer",
+    tags=("extension", "text", "search"),
+)
+def bm25_index_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from spotify_tracks_etl_portfolio_spark.operators.text import (
+        bm25_query_index,
+        build_text_index,
+    )
+    from spotify_tracks_etl_portfolio_spark.plans.analytics import (
+        BM25_B,
+        BM25_K1,
+        BM25_TERMS,
+    )
+
+    root = os.path.join(
+        _session_scratch(spark, "text_index"), "idx"
+    )
+    if not os.path.isdir(os.path.join(root, "stats")):
+        docs = read_parquet_table(spark, sf_dir, "documents")
+        build_text_index(docs, "doc_id", "text", root)
+    return bm25_query_index(spark, root, BM25_TERMS, BM25_K1, BM25_B, 20)
+
+
+# same answer ⇒ same oracle (import here to avoid a module-level cycle)
+from spotify_tracks_etl_portfolio_spark.plans import QUERIES as _Q  # noqa: E402
+from spotify_tracks_etl_portfolio_spark.plans.analytics import _bm25_oracle  # noqa: E402
+
+_Q["bm25_index_search"].oracle = _bm25_oracle()

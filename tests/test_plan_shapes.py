@@ -589,3 +589,19 @@ def test_hashed_vectors_hof_computed_once(spark, sf_dir):
     per-column inlining would redo the whole fold 16× per row."""
     plan = plan_of(spark, "hashed_token_vectors", sf_dir)
     assert plan.count("aggregate(transform") == 1
+
+
+def test_bm25_index_scan_prunes_buckets_and_pushes_token_filter(spark, sf_dir):
+    """Serving BM25 from the persisted index must scan only the query
+    terms' posting buckets (PartitionFilters on the bucket column) with
+    the token predicate pushed to the parquet reader — never the whole
+    postings table, never the corpus text."""
+    plan = plan_of(spark, "bm25_index_search", sf_dir)
+    assert "PartitionFilters: [" in plan
+    pf = plan.split("PartitionFilters: [", 1)[1].split("]", 1)[0]
+    assert "bucket" in pf
+    assert "PushedFilters: [" in plan
+    pushed = plan.split("PushedFilters: [", 1)[1].split("]", 1)[0]
+    assert "token" in pushed
+    # the documents table itself is never scanned at query time
+    assert "documents.parquet" not in plan
