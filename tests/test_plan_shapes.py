@@ -248,6 +248,7 @@ SANCTIONED_NESTED_LOOP = {
     "significant_parts_by_revenue": "1-row global-total broadcast",
     "tfidf_top_terms": "1-row corpus-count broadcast",
     "bm25_search_documents": "1-row (N, avgdl) corpus-stats broadcast",
+    "bm25_index_search": "the same 1-row (N, avgdl) corpus-stats broadcast, read from the index",
     "gdpr_delete_documents": "1-row surviving-count broadcast onto the tombstone audit",
     "unigram_logprob_documents": "1-row token-total broadcast",
     "bigram_logprob_documents": "1-row vocab-size broadcast",
