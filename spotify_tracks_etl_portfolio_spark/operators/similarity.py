@@ -623,8 +623,8 @@ def semantic_dedup(
 # ---------------------------------------------------------------------------
 
 #: Frozen PQ geometry so the oracle can replay it: 64-dim vectors split
-#: into PQ_M contiguous 16-dim subspaces, each quantized against its own
-#: PQ_K-centroid codebook learned by the deterministic k-means.
+#: into PQ_M contiguous PQ_SUB_DIM-dim subspaces (8×8), each quantized
+#: against its own PQ_K-centroid codebook from the deterministic k-means.
 PQ_M = 8
 PQ_SUB_DIM = 8
 PQ_K = 16

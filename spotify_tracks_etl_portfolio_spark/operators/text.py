@@ -505,3 +505,56 @@ def bm25_query_index(
         .orderBy(F.desc("bm25"), F.asc("doc_id"))
         .limit(topk)
     )
+
+
+def char_trigrams(col: Column | str) -> Column:
+    """Distinct character 3-grams of a string (the pg_trgm unit): all
+    length-3 substrings, deduplicated. Used at INDEX BUILD time only —
+    serving probes the persisted postings and never re-runs this."""
+    c = F.col(col) if isinstance(col, str) else col
+    return F.array_distinct(
+        F.transform(
+            F.sequence(F.lit(1), F.greatest(F.length(c) - 2, F.lit(0))),
+            lambda i: c.substr(i, F.lit(3)),
+        )
+    )
+
+
+def build_trigram_index(
+    docs: DataFrame, id_col: str, text_col: str, root: str
+) -> None:
+    """Persist the pg_trgm-style substring index: distinct ``(trigram,
+    doc_id)`` postings partitioned by trigram hash bucket (same bucket
+    scheme as the BM25 index, so a pattern's trigram set prunes the
+    scan to its buckets). One tokenization pass at build time; queries
+    never re-derive trigrams from the corpus."""
+    postings = docs.select(
+        F.col(id_col).alias("doc_id"),
+        F.explode(char_trigrams(text_col)).alias("tg"),
+    ).withColumn("bucket", token_bucket("tg"))
+    postings.write.mode("error").partitionBy("bucket").parquet(
+        f"{root}/postings"
+    )
+
+
+def trigram_index_candidates(spark, root: str, pattern: str) -> DataFrame:
+    """Candidate doc_ids for ``LIKE '%pattern%'`` from the persisted
+    trigram index: prune the postings scan to the pattern trigrams'
+    buckets (PartitionFilters) with the trigram predicate pushed to
+    parquet, then keep docs holding EVERY pattern trigram. Recall is
+    total (a true match contains every pattern trigram), so the caller
+    only needs a candidates-only LIKE verify — the index changes the
+    work, never the answer."""
+    pattern_trgms = sorted({pattern[i : i + 3] for i in range(len(pattern) - 2)})
+    buckets = sorted({py_token_bucket(t) for t in pattern_trgms})
+    postings = (
+        spark.read.parquet(f"{root}/postings")
+        .filter(F.col("bucket").isin(buckets))
+        .filter(F.col("tg").isin(pattern_trgms))
+    )
+    return (
+        postings.groupBy("doc_id")
+        .agg(F.countDistinct("tg").alias("__hits"))
+        .filter(F.col("__hits") == len(pattern_trgms))
+        .select("doc_id")
+    )

@@ -38,6 +38,46 @@ def _session_scratch(spark: SparkSession, name: str) -> str:
     return path
 
 
+def _artifact_root(spark: SparkSession, name: str, key: str) -> str:
+    """DETERMINISTIC per-(session, artifact, key) path — unlike
+    ``_session_scratch`` there is no per-call uuid, so build-once/
+    query-many reuse actually fires: the same session asking for the
+    same artifact over the same input gets the same directory. ``key``
+    must pin everything the artifact derives from (for the persisted
+    indexes: the resolved sf_dir — driver testdata is immutable per
+    scale factor, and the applicationId prefix fences off any cross-
+    session staleness). The dir itself is NOT created here: callers
+    build into a temp sibling and atomically ``os.rename`` onto this
+    path, so a half-built artifact is never observable at the root."""
+    import hashlib
+
+    digest = hashlib.sha1(key.encode("utf-8")).hexdigest()[:12]
+    base = os.path.join(
+        tempfile.gettempdir(),
+        "spark_graft_scratch",
+        spark.sparkContext.applicationId,
+    )
+    os.makedirs(base, exist_ok=True)
+    return os.path.join(base, f"{name}_{digest}")
+
+
+def _build_artifact_once(root: str, marker: str, build) -> None:
+    """Run ``build(tmp_path)`` then atomically publish ``tmp_path`` at
+    ``root`` — unless ``root/marker`` already exists (reuse). A lost
+    rename race (concurrent builder won) discards our copy; the winner's
+    artifact is equivalent by construction (deterministic build)."""
+    import shutil
+
+    if os.path.isdir(os.path.join(root, marker)):
+        return
+    tmp = f"{root}.build_{uuid.uuid4().hex[:8]}"
+    build(tmp)
+    try:
+        os.rename(tmp, root)
+    except OSError:
+        shutil.rmtree(tmp, ignore_errors=True)
+
+
 @register(
     "dedup_exact_documents",
     oracle="""
@@ -492,8 +532,14 @@ FROM (
 )
 def embedding_ivf_index_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = read_parquet_table(spark, sf_dir, "embeddings")
-    root = os.path.join(_session_scratch(spark, "ivf_index"), "idx")
-    _sim.build_ivf_index(emb, "vec_id", "embedding", root, k=8, iters=3)
+    root = _artifact_root(spark, "ivf_index", os.path.realpath(sf_dir))
+    _build_artifact_once(
+        root,
+        "centroids",
+        lambda tmp: _sim.build_ivf_index(
+            emb, "vec_id", "embedding", tmp, k=8, iters=3
+        ),
+    )
     queries = emb.filter(F.col("vec_id") < TOPK_N_QUERIES)
     return _sim.ivf_query_index(
         spark, root, queries, "vec_id", "embedding", TOPK_K, nprobe=2
@@ -3750,15 +3796,18 @@ CMS_P = 1_000_000_007
 
 def _cms_oracle() -> str:
     th = _TOKEN_HASH.format(t="t")
-    hash_exprs = [
-        f"(({a} * h + {b}) % {CMS_P}) % {CMS_W}" for a, b in CMS_ROWS
+    # explicit {h} placeholder (same pattern as _TOKEN_HASH's {t}) so the
+    # probe-side rewrite is a format() with a qualified column, never
+    # string surgery on the rendered expression
+    hash_tmpls = [
+        f"(({a} * {{h}} + {b}) % {CMS_P}) % {CMS_W}" for a, b in CMS_ROWS
     ]
     cell_rows = "\n  UNION ALL\n  ".join(
-        f"SELECT {r} AS r, {hash_exprs[r]} AS bucket, 1 AS one FROM th"
+        f"SELECT {r} AS r, {hash_tmpls[r].format(h='h')} AS bucket, 1 AS one FROM th"
         for r in range(len(CMS_ROWS))
     )
     est_joins = "\n  ".join(
-        f"JOIN cells c{r} ON c{r}.r = {r} AND c{r}.bucket = {hash_exprs[r].replace('h', 'tp.h')}"
+        f"JOIN cells c{r} ON c{r}.r = {r} AND c{r}.bucket = {hash_tmpls[r].format(h='tp.h')}"
         for r in range(len(CMS_ROWS))
     )
     least_args = ", ".join(f"c{r}.cnt" for r in range(len(CMS_ROWS)))
@@ -4863,10 +4912,6 @@ def trade_graph_degree_distribution(
 TRGM_PATTERN = "window stream"
 
 
-def _trgm_list(s: str) -> list[str]:
-    return sorted({s[i : i + 3] for i in range(len(s) - 2)})
-
-
 @register(
     "trigram_like_search",
     oracle=f"""
@@ -4874,42 +4919,33 @@ SELECT doc_id, n_chars
 FROM documents
 WHERE text LIKE '%{TRGM_PATTERN}%'
 """,
-    description="Substring search through a TRANSPARENT trigram index "
-    "(the pg_trgm pattern): documents explode to distinct character "
-    "trigrams, candidates are the docs containing ALL of the "
-    "pattern's trigrams (one semi-aggregation against a broadcast "
-    "literal set — no scan-time LIKE over the corpus), and the final "
-    "LIKE verifies candidates only. Index recall is total (a true "
-    "match contains every pattern trigram), so the oracle is the "
-    "plain LIKE scan; the index changes the work, never the answer",
+    description="Substring search served from a PERSISTED trigram index "
+    "(the pg_trgm pattern, now a real on-disk artifact like the BM25 "
+    "and IVF indexes): distinct (trigram, doc_id) postings partitioned "
+    "by trigram hash bucket are built ONCE; a query prunes the "
+    "postings scan to the pattern trigrams' buckets (PartitionFilters "
+    "+ pushed trigram filter, plan-gated — the corpus is never "
+    "re-tokenized at query time), keeps docs holding ALL pattern "
+    "trigrams, and the final LIKE verifies candidates only (the heap "
+    "recheck). Index recall is total (a true match contains every "
+    "pattern trigram), so the oracle is the plain LIKE scan; the "
+    "index changes the work, never the answer",
     tags=("extension", "text", "search"),
 )
 def trigram_like_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from spotify_tracks_etl_portfolio_spark.operators.text import (
+        build_trigram_index,
+        trigram_index_candidates,
+    )
+
     docs = read_parquet_table(spark, sf_dir, "documents")
-    pattern_trgms = _trgm_list(TRGM_PATTERN)
-    n_trgms = len(pattern_trgms)
-    # build: doc → distinct trigrams (the index); probe: keep docs
-    # holding every pattern trigram
-    trgms = docs.select(
-        "doc_id",
-        F.explode(
-            F.array_distinct(
-                F.transform(
-                    F.sequence(
-                        F.lit(1), F.greatest(F.length("text") - 2, F.lit(0))
-                    ),
-                    lambda i: F.col("text").substr(i, F.lit(3)),
-                )
-            )
-        ).alias("tg"),
+    root = _artifact_root(spark, "trgm_index", os.path.realpath(sf_dir))
+    _build_artifact_once(
+        root,
+        "postings",
+        lambda tmp: build_trigram_index(docs, "doc_id", "text", tmp),
     )
-    cands = (
-        trgms.filter(F.col("tg").isin(pattern_trgms))
-        .groupBy("doc_id")
-        .agg(F.countDistinct("tg").alias("__hits"))
-        .filter(F.col("__hits") == n_trgms)
-        .select("doc_id")
-    )
+    cands = trigram_index_candidates(spark, root, TRGM_PATTERN)
     return (
         docs.join(cands, "doc_id", "left_semi")
         .filter(F.col("text").contains(TRGM_PATTERN))
@@ -4940,12 +4976,17 @@ def bm25_index_search(spark: SparkSession, sf_dir: str) -> DataFrame:
         BM25_TERMS,
     )
 
-    root = os.path.join(
-        _session_scratch(spark, "text_index"), "idx"
+    root = _artifact_root(spark, "text_index", os.path.realpath(sf_dir))
+    _build_artifact_once(
+        root,
+        "stats",
+        lambda tmp: build_text_index(
+            read_parquet_table(spark, sf_dir, "documents"),
+            "doc_id",
+            "text",
+            tmp,
+        ),
     )
-    if not os.path.isdir(os.path.join(root, "stats")):
-        docs = read_parquet_table(spark, sf_dir, "documents")
-        build_text_index(docs, "doc_id", "text", root)
     return bm25_query_index(spark, root, BM25_TERMS, BM25_K1, BM25_B, 20)
 
 

@@ -503,3 +503,27 @@ def test_bpe_segment_words_matches_reference_application(spark):
     }
     want = {w: len(ref_apply(w)) for w in set(corpus.split())}
     assert got == want
+
+
+def test_add_lang_id_add_quality_match_column_forms(spark, sf_dir):
+    """The materialized DataFrame forms (add_lang_id / add_quality —
+    tokens split once per row) must be BIT-IDENTICAL to the inline
+    Column forms (lang_id / quality_score) on the real corpus: the
+    r04 refactor swapped three recorded queries onto the add_* path
+    claiming equivalence-by-construction; this pins it with evidence
+    (round-4 advice)."""
+    docs_df = spark.read.parquet(f"{sf_dir}/documents.parquet").select(
+        "doc_id", "text"
+    )
+    col_form = docs_df.select(
+        "doc_id",
+        tx.lang_id("text").alias("predicted_lang"),
+        tx.quality_score("text").alias("quality_score"),
+    )
+    df_form = tx.add_quality(tx.add_lang_id(docs_df)).select(
+        "doc_id", "predicted_lang", "quality_score"
+    )
+    # exact equality both directions (quality_score is rounded to 6dp
+    # inside both forms, so == is the right comparison, not approx)
+    assert col_form.exceptAll(df_form).count() == 0
+    assert df_form.exceptAll(col_form).count() == 0

@@ -606,3 +606,28 @@ def test_bm25_index_scan_prunes_buckets_and_pushes_token_filter(spark, sf_dir):
     assert "token" in pushed
     # the documents table itself is never scanned at query time
     assert "documents.parquet" not in plan
+
+
+def test_trigram_index_prunes_buckets_no_query_time_tokenization(
+    spark, sf_dir
+):
+    """Serving the substring search from the persisted trigram index
+    must (a) prune the postings scan to the pattern trigrams' buckets
+    with the trigram predicate pushed to parquet, (b) never re-derive
+    trigrams from the corpus at query time (no explode/substr over
+    documents — that work happened once at index build), and (c) touch
+    the documents table exactly once, for the candidates-only LIKE
+    verify."""
+    plan = plan_of(spark, "trigram_like_search", sf_dir)
+    # (a) some scan's PartitionFilters prune on the bucket column
+    pfs = [seg.split("]", 1)[0] for seg in plan.split("PartitionFilters: [")[1:]]
+    assert any("bucket" in pf for pf in pfs)
+    assert "In(tg," in plan  # trigram set pushed to the postings reader
+    # (b) no query-time trigram generation anywhere in the plan
+    assert "Generate" not in plan
+    assert "substr" not in plan
+    assert "sequence(" not in plan
+    # (c) documents scanned once — the LIKE verify — with the contains
+    # predicate pushed
+    assert plan.count("documents.parquet") == 1
+    assert "StringContains(text" in plan
