@@ -117,16 +117,21 @@ def token_count(col: Column | str) -> Column:
     )
 
 
-def rolling_hash(col: Column | str) -> Column:
+def rolling_hash(
+    col: Column | str, mult: int = 31, mod: int = FINGERPRINT_MOD
+) -> Column:
     """Polynomial rolling hash of the characters (document fingerprint):
-    ``h = (h*31 + ascii(ch)) mod 1e9+7`` — expressible identically in
-    DuckDB via ``list_reduce`` for oracle parity."""
+    ``h = (h*mult + ascii(ch)) mod `` — expressible identically in
+    DuckDB via ``list_reduce`` for oracle parity. The defaults (31,
+    1e9+7) are the FROZEN oracle-shared constants; alternate (mult,
+    mod) pairs give independent ~30-bit hash streams (used to widen
+    SimHash fingerprints past 30 bits)."""
     c = F.col(col) if isinstance(col, str) else col
     chars = F.split(c, "")
     return F.aggregate(
         chars,
         F.lit(0).cast("long"),
-        lambda acc, ch: (acc * F.lit(31) + F.ascii(ch)) % F.lit(FINGERPRINT_MOD),
+        lambda acc, ch: (acc * F.lit(mult) + F.ascii(ch)) % F.lit(mod),
     )
 
 

@@ -49,6 +49,11 @@ MINHASH_COEFFS: tuple[tuple[int, int], ...] = (
 )
 MINHASH_P = 2_147_483_647  # 2^31 − 1 (Mersenne prime)
 SIMHASH_BITS = 30  # token hashes are < 2^30 (mod 1e9+7)
+#: Second independent hash stream (mult 37, mod another <2^30 prime)
+#: supplies fingerprint bits 30..58 when a caller widens past 30 bits;
+#: 59 is the packing limit that keeps the fingerprint a positive long.
+SIMHASH_MOD2 = 998_244_353
+SIMHASH_MAX_BITS = 59
 #: Shingle hash = polynomial combine of the k TOKEN hashes:
 #: h = fold(th_i → (acc * SHINGLE_B + th_i) mod FINGERPRINT_MOD).
 #: Hashing each token's characters ONCE per doc and combining per
@@ -130,8 +135,12 @@ def shingle_hash_arrays(
 
     Note: excludes ``InferFiltersFromGenerate`` for the WHOLE session
     (see ``_tune_generate``)."""
+    # explicit lambda: passing rolling_hash bare would make Spark infer
+    # the HOF arity from its Python signature (3 params incl. the
+    # (mult, mod) knobs) and reject the 1-arg transform
     th = _tune_generate(df).select(
-        id_col, F.transform(tokens(text_col), rolling_hash).alias("__th")
+        id_col,
+        F.transform(tokens(text_col), lambda t: rolling_hash(t)).alias("__th"),
     )
 
     def window_hash(i: Column) -> Column:
@@ -335,26 +344,50 @@ def minhash_near_dup_pairs(
     )
 
 
-def simhash(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+def simhash(
+    df: DataFrame, id_col: str, text_col: str, bits: int = SIMHASH_BITS
+) -> DataFrame:
     """SimHash per doc: per-token polynomial hash → per-bit ±1 votes →
     sign bit-vector packed into a long. Token multiplicity counts
     (standard SimHash weighting by term frequency). Excludes
     ``InferFiltersFromGenerate`` for the whole session (see
-    ``_tune_generate``)."""
+    ``_tune_generate``).
+
+    ``bits`` is the SCALE knob (default = the frozen 30-bit oracle
+    geometry): pigeonhole blocking buckets candidates on
+    bits/(k+1)-bit chunks, so the bucket space is 2^(bits/(k+1)) —
+    256 buckets per chunk at 30 bits, which saturates around 10⁵ docs
+    (measured at the 10× stress scale: candidate pairs grew 100× for
+    10× docs, BENCH_NOTES round 5). Widening to 59 bits (a second
+    independent rolling-hash stream supplies bits 30+) takes the chunk
+    space to ~2¹⁵ and restores near-linear candidate growth. Note the
+    semantics move with the width, as in standard SimHash practice:
+    Hamming ≤ k over more bits is a sharper near-dup criterion."""
+    if not 1 <= bits <= SIMHASH_MAX_BITS:
+        raise ValueError(f"bits must be in [1, {SIMHASH_MAX_BITS}]")
     tok = _tune_generate(df).select(
         id_col, F.explode(tokens(text_col)).alias("__t")
-    ).select(id_col, rolling_hash(F.col("__t")).alias("h"))
+    ).select(
+        id_col,
+        rolling_hash(F.col("__t")).alias("h"),
+        *(
+            [rolling_hash(F.col("__t"), 37, SIMHASH_MOD2).alias("h2")]
+            if bits > SIMHASH_BITS
+            else []
+        ),
+    )
+
+    def bit_at(j: int) -> Column:
+        src, off = ("h", j) if j < SIMHASH_BITS else ("h2", j - SIMHASH_BITS)
+        return F.shiftright(F.col(src), off).bitwiseAND(F.lit(1))
+
     votes = [
-        F.sum(
-            F.when(F.shiftright(F.col("h"), j).bitwiseAND(F.lit(1)) == 1, 1).otherwise(
-                -1
-            )
-        ).alias(f"v_{j}")
-        for j in range(SIMHASH_BITS)
+        F.sum(F.when(bit_at(j) == 1, 1).otherwise(-1)).alias(f"v_{j}")
+        for j in range(bits)
     ]
     voted = tok.groupBy(id_col).agg(*votes)
     sim = None
-    for j in range(SIMHASH_BITS):
+    for j in range(bits):
         bit = F.when(F.col(f"v_{j}") > 0, F.lit(1 << j)).otherwise(F.lit(0))
         sim = bit if sim is None else sim + bit
     return voted.select(id_col, sim.cast("long").alias("simhash"))
@@ -377,7 +410,11 @@ def simhash_chunk_bounds(
 
 
 def simhash_near_dup_pairs(
-    df: DataFrame, id_col: str, text_col: str, max_hamming: int
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    max_hamming: int,
+    bits: int = SIMHASH_BITS,
 ) -> DataFrame:
     """Near-dup pairs by SimHash Hamming distance ≤ k via pigeonhole
     chunk blocking — the 100 TB path, NOT an all-pairs filter.
@@ -390,14 +427,20 @@ def simhash_near_dup_pairs(
     ``bit_count(xor) ≤ k``. Result set is identical to the brute-force
     filter (``simhash_all_pairs``, kept as the test-only cross-check),
     with recall 1.0 because the pigeonhole guarantee is exact, but the
-    join never touches the |docs|² pair space."""
-    bounds = simhash_chunk_bounds(max_hamming)
+    join never touches the |docs|² pair space.
+
+    Candidate volume scales with bucket occupancy, 2^(bits/(k+1))
+    buckets per chunk — at the default 30-bit geometry that saturates
+    around 10⁵ docs, so at scale pass a wider ``bits`` (see
+    ``simhash``; the pigeonhole recall-1.0 guarantee holds at any
+    width)."""
+    bounds = simhash_chunk_bounds(max_hamming, bits)
 
     def chunk_val(col: Column, j: int) -> Column:
         start, ln = bounds[j]
         return F.shiftright(col, start).bitwiseAND(F.lit((1 << ln) - 1))
 
-    s = simhash(df, id_col, text_col)
+    s = simhash(df, id_col, text_col, bits)
     chunks = F.array(
         *[
             F.struct(
@@ -440,12 +483,16 @@ def simhash_near_dup_pairs(
 
 
 def simhash_all_pairs(
-    df: DataFrame, id_col: str, text_col: str, max_hamming: int
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    max_hamming: int,
+    bits: int = SIMHASH_BITS,
 ) -> DataFrame:
     """Brute-force all-pairs Hamming filter — TEST-ONLY oracle baseline
     for ``simhash_near_dup_pairs`` (quadratic; never register as a
     query)."""
-    s = simhash(df, id_col, text_col)
+    s = simhash(df, id_col, text_col, bits)
     a = s.select(F.col(id_col).alias("id_a"), F.col("simhash").alias("sh_a"))
     b = s.select(F.col(id_col).alias("id_b"), F.col("simhash").alias("sh_b"))
     return (

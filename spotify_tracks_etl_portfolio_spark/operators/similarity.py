@@ -426,40 +426,59 @@ def random_projection(
 
 
 def hyperplane_sketch(
-    df: DataFrame, id_col: str, vec_col: str, dim: int = HP_DIM
+    df: DataFrame,
+    id_col: str,
+    vec_col: str,
+    dim: int = HP_DIM,
+    bands: int = HP_BANDS,
+    rows: int = HP_ROWS,
 ) -> DataFrame:
     """Per-vector sign-bit sketch: bit_j = (v · plane_j ≥ 0), packed into
-    HP_BANDS band signatures of HP_ROWS bits each → (id, band_0..).
+    ``bands`` band signatures of ``rows`` bits each → (id, band_0..).
 
-    Shape: posexplode the quantized vector and compute all HP_PLANES dot
-    products as ONE hash aggregation (sum of q·w per plane, weights read
-    from literal arrays by position). The whole thing runs inside
-    whole-stage codegen; the higher-order-function formulation
-    (aggregate(zip_with(...)) per plane) is interpreted per element and
-    measured ~10× slower. Costs one narrow shuffle of (id, dots) — the
-    partial aggregation collapses each vector's 64 rows map-side."""
-    dots = plane_dots(df, id_col, vec_col, HP_PLANES, "__dot_")
+    Shape: posexplode the quantized vector and compute all bands·rows
+    dot products as ONE hash aggregation (sum of q·w per plane, weights
+    from the closed formula — defined for any plane index). The whole
+    thing runs inside whole-stage codegen; the higher-order-function
+    formulation (aggregate(zip_with(...)) per plane) is interpreted per
+    element and measured ~10× slower. Costs one narrow shuffle of
+    (id, dots) — the partial aggregation collapses each vector's rows
+    map-side.
+
+    ``rows`` is the SCALE knob: each band's bucket space is 2^rows —
+    the frozen default (8-bit signatures) saturates around 10⁵ vectors
+    (measured at the 10× stress scale, BENCH_NOTES round 5); rows=16
+    takes buckets to 2¹⁶ at the cost of per-band recall for weaker
+    pairs (exact twins always collide on every band)."""
+    dots = plane_dots(df, id_col, vec_col, bands * rows, "__dot_")
 
     def band_sig(bi: int) -> Column:
         sig = F.lit(0)
-        for r in range(HP_ROWS):
-            dot = F.col(f"__dot_{bi * HP_ROWS + r}")
+        for r in range(rows):
+            dot = F.col(f"__dot_{bi * rows + r}")
             sig = sig + F.when(dot >= 0, F.lit(1 << r)).otherwise(F.lit(0))
         return sig.alias(f"band_{bi}")
 
-    return dots.select(F.col(id_col), *[band_sig(bi) for bi in range(HP_BANDS)])
+    return dots.select(F.col(id_col), *[band_sig(bi) for bi in range(bands)])
 
 
 def hyperplane_lsh_near_dup_pairs(
-    df: DataFrame, id_col: str, vec_col: str, threshold: float
+    df: DataFrame,
+    id_col: str,
+    vec_col: str,
+    threshold: float,
+    n_bands: int = HP_BANDS,
+    rows: int = HP_ROWS,
 ) -> DataFrame:
     """ANN near-dup pairs: vectors agreeing on ANY band of hyperplane
     sign bits become candidates (narrow (band, sig) equi-join — the same
     banding machinery as MinHash LSH); candidates are then verified with
     the EXACT cosine, so precision is 1.0 and only recall is
     approximate. At 100 TB the band join touches collision buckets only
-    — never the |v|² pair space."""
-    sk = hyperplane_sketch(df, id_col, vec_col)
+    — never the |v|² pair space — PROVIDED the band bucket space
+    2^rows outnumbers the corpus: widen ``rows`` as the corpus grows
+    (see ``hyperplane_sketch``)."""
+    sk = hyperplane_sketch(df, id_col, vec_col, bands=n_bands, rows=rows)
     bands = sk.select(
         id_col,
         F.explode(
@@ -468,7 +487,7 @@ def hyperplane_lsh_near_dup_pairs(
                     F.struct(
                         F.lit(bi).alias("band"), F.col(f"band_{bi}").alias("sig")
                     )
-                    for bi in range(HP_BANDS)
+                    for bi in range(n_bands)
                 ]
             )
         ).alias("bs"),

@@ -171,6 +171,31 @@ def test_simhash_blocked_equals_all_pairs(spark, sf_dir):
     assert blocked == brute
 
 
+def test_simhash_wide_fingerprint_blocked_equals_all_pairs(spark, sf_dir):
+    """The pigeonhole recall-1.0 guarantee must hold at ANY fingerprint
+    width — the 59-bit widening is the scale knob for chunk-bucket
+    saturation (round-5 stress finding: 30-bit chunk space saturates
+    around 10⁵ docs, candidates grew 100× for 10× docs). Also pins
+    that wider fingerprints are strictly MORE discriminating: Hamming
+    ≤ k over more bits can only shrink the pair set on this corpus."""
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    blocked = {
+        (r["id_a"], r["id_b"]): r["hamming"]
+        for r in dd.simhash_near_dup_pairs(
+            docs, "doc_id", "text", 3, bits=59
+        ).collect()
+    }
+    brute = {
+        (r["id_a"], r["id_b"]): r["hamming"]
+        for r in dd.simhash_all_pairs(
+            docs, "doc_id", "text", 3, bits=59
+        ).collect()
+    }
+    assert blocked == brute
+    narrow = dd.simhash_near_dup_pairs(docs, "doc_id", "text", 3).count()
+    assert len(blocked) < narrow
+
+
 def test_jaccard_max_shingle_df_drops_boilerplate_pairs(spark):
     """The fanout guard removes shingles shared by > cap docs: 10 docs
     related ONLY through a boilerplate header stop pairing once the

@@ -156,6 +156,32 @@ def test_hyperplane_lsh_vs_brute_force(spark, sf_dir):
     assert len(lsh) / len(brute) >= 0.1
 
 
+def test_hyperplane_lsh_wide_bands_keep_twin_recall_and_precision(
+    spark, sf_dir
+):
+    """rows=16 is the band-width scale knob (round-5 stress finding:
+    8-bit signatures saturate around 10⁵ vectors). Widening must keep
+    (a) recall 1.0 for exact twins — identical vectors collide on every
+    band at any width — and (b) precision 1.0 — the exact-cosine verify
+    is width-independent."""
+    from pyspark.sql import functions as F
+
+    emb = read_parquet_table(spark, sf_dir, "embeddings")
+    twins = emb.filter(F.col("vec_id") < 5).withColumn(
+        "vec_id", F.col("vec_id") + 1_000_000
+    )
+    both = emb.unionByName(twins)
+    pairs = {
+        (r["id_a"], r["id_b"]): r["cosine"]
+        for r in sim.hyperplane_lsh_near_dup_pairs(
+            both, "vec_id", "embedding", 0.999, rows=16
+        ).collect()
+    }
+    for i in range(5):
+        assert (i, i + 1_000_000) in pairs
+    assert all(c >= 0.999 for c in pairs.values())
+
+
 def test_zero_vector_gets_defined_cosine_not_nan(spark):
     """ADVICE fix: an all-zero embedding must produce cosine 0 (clamped
     denominator) and a defined probe assignment, not NaN."""

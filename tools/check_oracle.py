@@ -84,6 +84,10 @@ def main() -> int:
     )
     ap.add_argument("--first", type=int, default=0,
                     help="only the first N registry entries (0 = all)")
+    ap.add_argument("--json", default=None, metavar="PATH",
+                    help="also write per-query results as JSON (the "
+                    "committed SWEEP_r{N}.json full-registry artifact — "
+                    "replica evidence, NOT the driver's hard signal)")
     ap.add_argument("names", nargs="*")
     args = ap.parse_args()
 
@@ -115,6 +119,7 @@ def main() -> int:
             )
 
     failures = []
+    report: dict[str, dict] = {}
     for name in names:
         spec = specs[name]
         t0 = time.time()
@@ -125,10 +130,16 @@ def main() -> int:
         except Exception as e:
             print(f"FAIL {name}: spark error: {e}")
             failures.append(name)
+            report[name] = {"status": "fail", "err": f"spark: {e}"}
             continue
         if spec.oracle is None:
             print(f"pass {name}: rows-only ({len(s_rows)} rows) "
                   f"[{time.time()-t0:.1f}s]")
+            report[name] = {
+                "status": "rows_only",
+                "rows": len(s_rows),
+                "sec": round(time.time() - t0, 1),
+            }
             continue
         try:
             # Fetch through Arrow, like the driver: DuckDB HUGEINT /
@@ -144,6 +155,7 @@ def main() -> int:
         except Exception as e:
             print(f"FAIL {name}: oracle error: {e}")
             failures.append(name)
+            report[name] = {"status": "fail", "err": f"oracle: {e}"}
             continue
 
         ok = True
@@ -167,8 +179,29 @@ def main() -> int:
             print(f"PASS {name} ({len(s_rows)} rows) [{time.time()-t0:.1f}s]")
         else:
             failures.append(name)
+        report[name] = {
+            "status": "pass" if ok else "fail",
+            "rows": len(s_rows),
+            "sec": round(time.time() - t0, 1),
+        }
 
     print(f"\n{len(names)-len(failures)}/{len(names)} passed")
+    if args.json:
+        import json
+
+        with open(args.json, "w") as fh:
+            json.dump(
+                {
+                    "sf": args.sf,
+                    "session": "plain" if args.plain else "configured",
+                    "n_pass": len(names) - len(failures),
+                    "n_total": len(names),
+                    "queries": report,
+                },
+                fh,
+                indent=1,
+            )
+        print(f"wrote {args.json}")
     return 1 if failures else 0
 
 

@@ -1,0 +1,110 @@
+"""Cross-scale stress sweep (round-4 verdict item 3): run the headline
+set at sf0.1 AND the 10x key-offset sf1 replica (tools/make_stress_sf.py)
+in ONE session, record wall times, the sf1/sf0.1 ratio, and any join-
+strategy / AQE plan-shape changes between the scales.
+
+The 100x-scale claims rest on plan gates; this gives one order of
+magnitude of empirical confirmation. A healthy ratio for scan-bound
+queries on local[32] is <= ~10 (linear in input); materially above that
+flags a superlinear term worth reading the plan for. Numbers land in
+.stress/stress_sweep.json and are summarized in BENCH_NOTES.md.
+
+Usage: python tools/stress_sweep.py [--base /root/testdata/sf0.1]
+       [--stress <repo>/.stress/sf1] [--runs 2] [--only name[,name...]]
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+PLAN_MARKERS = (
+    "BroadcastHashJoin",
+    "SortMergeJoin",
+    "ShuffledHashJoin",
+    "BroadcastNestedLoopJoin",
+    "AQEShuffleRead",
+    "skewed=true",
+)
+
+
+def plan_profile(df) -> dict[str, int]:
+    s = df._jdf.queryExecution().executedPlan().toString()
+    return {m: s.count(m) for m in PLAN_MARKERS if s.count(m)}
+
+
+def main() -> None:
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--base", default="/root/testdata/sf0.1")
+    ap.add_argument("--stress", default=os.path.join(repo, ".stress", "sf1"))
+    ap.add_argument("--runs", type=int, default=2)
+    ap.add_argument("--only", default=None)
+    ap.add_argument(
+        "--out", default=os.path.join(repo, ".stress", "stress_sweep.json")
+    )
+    args = ap.parse_args()
+
+    from bench import HEADLINE
+
+    from spotify_tracks_etl_portfolio_spark.plans import all_queries
+    from spotify_tracks_etl_portfolio_spark.session import get_spark
+
+    names = list(HEADLINE) + ["cowtable_merge_roundtrip"]
+    if args.only:
+        names = args.only.split(",")
+
+    spark = get_spark("stress")
+    specs = all_queries()
+    specs["row_count_lineitem"].fn(spark, args.base).collect()  # warm-up
+
+    results: dict[str, dict] = {}
+    for name in names:
+        spec = specs.get(name)
+        if spec is None:
+            continue
+        row: dict = {}
+        for label, sf_dir in (("base", args.base), ("stress", args.stress)):
+            spark._jvm.System.gc()
+            samples = []
+            df = None
+            for _ in range(args.runs):
+                t0 = time.time()
+                df = spec.fn(spark, sf_dir)
+                df.write.format("noop").mode("overwrite").save()
+                samples.append(round(time.time() - t0, 3))
+            row[label] = {
+                "best": min(samples),
+                "samples": samples,
+                "plan": plan_profile(df),
+            }
+        row["ratio"] = round(
+            row["stress"]["best"] / max(row["base"]["best"], 1e-9), 2
+        )
+        row["plan_changed"] = row["base"]["plan"] != row["stress"]["plan"]
+        results[name] = row
+        flag = " PLAN-CHANGED" if row["plan_changed"] else ""
+        print(
+            f"{name}: base {row['base']['best']}s stress "
+            f"{row['stress']['best']}s ratio {row['ratio']}x{flag}",
+            flush=True,
+        )
+
+    os.makedirs(os.path.dirname(args.out), exist_ok=True)
+    with open(args.out, "w") as fh:
+        json.dump(results, fh, indent=1)
+    total_b = sum(r["base"]["best"] for r in results.values())
+    total_s = sum(r["stress"]["best"] for r in results.values())
+    print(
+        f"TOTAL base {total_b:.1f}s stress {total_s:.1f}s "
+        f"ratio {total_s / max(total_b, 1e-9):.2f}x -> {args.out}"
+    )
+
+
+if __name__ == "__main__":
+    main()
