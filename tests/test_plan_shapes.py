@@ -631,3 +631,32 @@ def test_trigram_index_prunes_buckets_no_query_time_tokenization(
     # predicate pushed
     assert plan.count("documents.parquet") == 1
     assert "StringContains(text" in plan
+
+
+def test_persisted_index_artifacts_reused_across_calls(spark, sf_dir):
+    """Round-5 advice fix: the BM25/trigram/IVF index roots are keyed
+    deterministically by (session, sf_dir), so a SECOND invocation in
+    the same session must serve from the existing artifact — same
+    directory, no rebuild (marker mtime unchanged) — and return the
+    identical result."""
+    import os as _os
+
+    from spotify_tracks_etl_portfolio_spark.plans.extensions import (
+        _artifact_root,
+    )
+
+    cases = [
+        ("bm25_index_search", "text_index", "stats"),
+        ("trigram_like_search", "trgm_index", "postings"),
+        ("embedding_ivf_index_topk", "ivf_index", "centroids"),
+    ]
+    qs = all_queries()
+    for qname, artifact, marker in cases:
+        first = qs[qname].fn(spark, sf_dir).collect()
+        root = _artifact_root(spark, artifact, _os.path.realpath(sf_dir))
+        mpath = _os.path.join(root, marker)
+        assert _os.path.isdir(mpath), f"{qname}: artifact not published"
+        mtime = _os.path.getmtime(mpath)
+        again = qs[qname].fn(spark, sf_dir).collect()
+        assert _os.path.getmtime(mpath) == mtime, f"{qname}: index rebuilt"
+        assert sorted(map(tuple, again)) == sorted(map(tuple, first))
