@@ -72,6 +72,32 @@ def _multiset(rows):
     )
 
 
+def _only_ulp_floats(ra, rb) -> bool:
+    """True when two normalized rows differ ONLY in float cells that are
+    within 2 ulp of each other — the decimal→double conversion-artifact
+    signature (the engines' exact DECIMAL values agree; one engine
+    double-rounds the conversion). Classifier only: the row still FAILS;
+    this just labels the failure so it isn't chased as nondeterminism."""
+    if len(ra) != len(rb):
+        return False
+    saw_float_diff = False
+    for a, b in zip(ra, rb):
+        if a == b:
+            continue
+        if not (
+            isinstance(a, tuple) and isinstance(b, tuple)
+            and a[0] == "f" and b[0] == "f"
+        ):
+            return False
+        fa, fb = float(a[1]), float(b[1])
+        if fa != fa or fb != fb:  # NaN never counts as a ulp pair
+            return False
+        if abs(fa - fb) > 2 * math.ulp(max(abs(fa), abs(fb))):
+            return False
+        saw_float_diff = True
+    return saw_float_diff
+
+
 def main() -> int:
     ap = argparse.ArgumentParser()
     ap.add_argument("--sf", default="/root/testdata/sf0.01")
@@ -173,8 +199,18 @@ def main() -> int:
             if sm != om:
                 ok = False
                 diffs = [(a, b) for a, b in zip(sm, om) if a != b]
+                ulp_note = (
+                    " [every diff is a <=2-ulp float pair: decimal->double "
+                    "CONVERSION artifact (DuckDB double-rounds int128-scaled "
+                    "decimals; Spark/BigDecimal round correctly) — the "
+                    "engines' exact DECIMAL sums agree, see BENCH_NOTES r5. "
+                    "Bites only when |sum| pushes the double ulp above the "
+                    "decimal scale — not seen at the sf0.01 driver gate]"
+                    if diffs and all(_only_ulp_floats(a, b) for a, b in diffs)
+                    else ""
+                )
                 print(f"FAIL {name}: value mismatch ({len(diffs)} differing rows); "
-                      f"first: spark={diffs[0][0]} oracle={diffs[0][1]}")
+                      f"first: spark={diffs[0][0]} oracle={diffs[0][1]}{ulp_note}")
         if ok:
             print(f"PASS {name} ({len(s_rows)} rows) [{time.time()-t0:.1f}s]")
         else:
