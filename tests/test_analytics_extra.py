@@ -114,3 +114,37 @@ def test_event_value_deciles_equals_ntile_crosscheck(spark, sf_dir):
         for r in event_value_deciles_ntile_crosscheck(spark, sf_dir).collect()
     )
     assert a == b
+
+
+def test_build_artifact_once_single_publish_under_race(tmp_path):
+    """N threads race a cold artifact build: exactly one copy is
+    published at the root, losers' temp builds are swept, and a later
+    call reuses without rebuilding (the r05 deterministic-artifact-root
+    contract behind the BM25/trigram/IVF persisted indexes)."""
+    import os
+    import threading
+    from concurrent.futures import ThreadPoolExecutor
+
+    from spotify_tracks_etl_portfolio_spark.plans.extensions import (
+        _build_artifact_once,
+    )
+
+    root = str(tmp_path / "idx")
+    barrier = threading.Barrier(4)
+    builds = []
+
+    def build(tmp: str) -> None:
+        barrier.wait()  # all four build concurrently before any rename
+        os.makedirs(os.path.join(tmp, "marker"))
+        builds.append(tmp)
+
+    with ThreadPoolExecutor(max_workers=4) as ex:
+        list(ex.map(lambda _: _build_artifact_once(root, "marker", build), range(4)))
+
+    assert len(builds) == 4  # every racer built (no marker existed yet)
+    assert os.path.isdir(os.path.join(root, "marker"))
+    # losers swept: nothing but the published root remains
+    assert sorted(os.listdir(tmp_path)) == ["idx"]
+    # reuse: a fifth call must not build again
+    _build_artifact_once(root, "marker", build)
+    assert len(builds) == 4
