@@ -512,12 +512,18 @@ def char_trigrams(col: Column | str) -> Column:
     length-3 substrings, deduplicated. Used at INDEX BUILD time only —
     serving probes the persisted postings and never re-runs this."""
     c = F.col(col) if isinstance(col, str) else col
-    return F.array_distinct(
-        F.transform(
-            F.sequence(F.lit(1), F.greatest(F.length(c) - 2, F.lit(0))),
-            lambda i: c.substr(i, F.lit(3)),
-        )
-    )
+    # strings shorter than 3 chars have NO trigrams: without the guard,
+    # sequence(1, len-2 ≤ 0) counts DOWN ([1, 0], Spark semantics) and
+    # the whole short string would be emitted as a bogus 'trigram'
+    return F.when(
+        F.length(c) >= 3,
+        F.array_distinct(
+            F.transform(
+                F.sequence(F.lit(1), F.length(c) - 2),
+                lambda i: c.substr(i, F.lit(3)),
+            )
+        ),
+    ).otherwise(F.array().cast("array<string>"))
 
 
 def build_trigram_index(
@@ -544,7 +550,17 @@ def trigram_index_candidates(spark, root: str, pattern: str) -> DataFrame:
     parquet, then keep docs holding EVERY pattern trigram. Recall is
     total (a true match contains every pattern trigram), so the caller
     only needs a candidates-only LIKE verify — the index changes the
-    work, never the answer."""
+    work, never the answer.
+
+    Patterns shorter than 3 chars have no trigrams, so the index cannot
+    narrow them — silently returning zero candidates would turn the
+    caller's LIKE into a wrong empty answer. Raise instead; such a
+    pattern needs a full scan, not this index."""
+    if len(pattern) < 3:
+        raise ValueError(
+            "trigram index needs a pattern of >= 3 chars "
+            f"(got {pattern!r}); use a full-scan LIKE for shorter patterns"
+        )
     pattern_trgms = sorted({pattern[i : i + 3] for i in range(len(pattern) - 2)})
     buckets = sorted({py_token_bucket(t) for t in pattern_trgms})
     postings = (

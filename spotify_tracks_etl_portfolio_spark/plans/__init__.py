@@ -125,15 +125,19 @@ _PRIORITY_UNRECORDED = (
 #: green row no longer certifies the current code, so they jump the
 #: staleness queue (right behind failures/upgrades) to get re-recorded.
 _FORCE_RERECORD = (
-    "event_value_deciles",  # r04: single-partition ntile → bucketed exact rank
-    "top10_customers_by_revenue",  # r04: customer broadcast hint removed
-    "regional_revenue",  # r04: customer broadcast hint removed
-    # r04 continuation: lang/quality signals materialized via
-    # add_lang_id/add_quality (bit-identical by construction, but the
-    # old green rows certify the pre-materialization plan)
-    "lang_id_documents",
-    "curate_training_documents",
-    "source_quality_summary",
+    # r05 widened the SimHash fingerprint path (`bits` knob, 2686e05) and
+    # the hyperplane LSH sketch (`rows` knob) — the r02 green rows certify
+    # the pre-knob code; defaults are answer-identical (pinned by
+    # test_simhash_wide_fingerprint_blocked_equals_all_pairs and
+    # test_hyperplane_lsh_wide_bands_keep_twin_recall_and_precision) but
+    # the rows must re-certify the current implementation.
+    "simhash_near_dups",
+    "simhash_documents",
+    "embedding_lsh_near_dups",
+    # r05 changed the IVF artifact-reuse path (deterministic artifact
+    # roots, 848714d) after the r04 recording.
+    "embedding_ivf_topk",
+    "embedding_ivf_index_topk",
 )
 
 

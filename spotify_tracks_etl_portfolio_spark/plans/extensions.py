@@ -65,17 +65,30 @@ def _build_artifact_once(root: str, marker: str, build) -> None:
     """Run ``build(tmp_path)`` then atomically publish ``tmp_path`` at
     ``root`` — unless ``root/marker`` already exists (reuse). A lost
     rename race (concurrent builder won) discards our copy; the winner's
-    artifact is equivalent by construction (deterministic build)."""
+    artifact is equivalent by construction (deterministic build). Any
+    OTHER rename failure (EXDEV, permissions) re-raises instead of
+    silently swallowing the artifact, and a failed ``build`` never
+    leaks its tmp tree."""
     import shutil
 
     if os.path.isdir(os.path.join(root, marker)):
         return
     tmp = f"{root}.build_{uuid.uuid4().hex[:8]}"
-    build(tmp)
+    try:
+        build(tmp)
+    except BaseException:
+        shutil.rmtree(tmp, ignore_errors=True)
+        raise
     try:
         os.rename(tmp, root)
     except OSError:
         shutil.rmtree(tmp, ignore_errors=True)
+        # a lost race is the only benign cause: the winner's equivalent
+        # artifact must now be present — otherwise this was a genuine
+        # failure (cross-device rename, permissions) and hiding it would
+        # surface later as an unreadable index
+        if not os.path.isdir(os.path.join(root, marker)):
+            raise
 
 
 @register(

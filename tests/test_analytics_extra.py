@@ -148,3 +148,68 @@ def test_build_artifact_once_single_publish_under_race(tmp_path):
     # reuse: a fifth call must not build again
     _build_artifact_once(root, "marker", build)
     assert len(builds) == 4
+
+
+def test_build_artifact_once_reraises_genuine_rename_failure(
+    tmp_path, monkeypatch
+):
+    """r05 advice fix: a rename failure with NO winner present (EXDEV,
+    permissions) must re-raise — swallowing it published nothing and
+    surfaced later as an unreadable index — and the tmp build must be
+    swept either way."""
+    import os
+
+    import pytest
+
+    from spotify_tracks_etl_portfolio_spark.plans.extensions import (
+        _build_artifact_once,
+    )
+
+    root = str(tmp_path / "idx")
+
+    def build(tmp: str) -> None:
+        os.makedirs(os.path.join(tmp, "marker"))
+
+    real_rename = os.rename
+
+    def failing_rename(src, dst):
+        raise OSError("cross-device link")
+
+    monkeypatch.setattr(os, "rename", failing_rename)
+    with pytest.raises(OSError, match="cross-device"):
+        _build_artifact_once(root, "marker", build)
+    monkeypatch.setattr(os, "rename", real_rename)
+    # nothing published, no tmp leaked
+    assert list(tmp_path.iterdir()) == []
+
+    # but a lost RACE (winner's artifact present at rename time) stays
+    # silent: simulate by publishing the winner inside the failing rename
+    def racing_rename(src, dst):
+        os.makedirs(os.path.join(root, "marker"))
+        raise OSError("file exists")
+
+    monkeypatch.setattr(os, "rename", racing_rename)
+    _build_artifact_once(root, "marker", build)  # must NOT raise
+    assert os.path.isdir(os.path.join(root, "marker"))
+
+
+def test_build_artifact_once_sweeps_tmp_on_build_failure(tmp_path):
+    """A failing build must propagate AND leave no half-built tmp tree
+    behind (r05 advice fix)."""
+    import os
+
+    import pytest
+
+    from spotify_tracks_etl_portfolio_spark.plans.extensions import (
+        _build_artifact_once,
+    )
+
+    root = str(tmp_path / "idx")
+
+    def build(tmp: str) -> None:
+        os.makedirs(os.path.join(tmp, "partial"))
+        raise RuntimeError("build exploded")
+
+    with pytest.raises(RuntimeError, match="build exploded"):
+        _build_artifact_once(root, "marker", build)
+    assert list(tmp_path.iterdir()) == []

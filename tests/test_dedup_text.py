@@ -552,3 +552,46 @@ def test_add_lang_id_add_quality_match_column_forms(spark, sf_dir):
     # inside both forms, so == is the right comparison, not approx)
     assert col_form.exceptAll(df_form).count() == 0
     assert df_form.exceptAll(col_form).count() == 0
+
+
+def test_char_trigrams_short_strings_yield_empty(spark):
+    """r05 advice fix: strings under 3 chars have NO trigrams — without
+    the length guard, Spark's descending sequence(1, 0) emitted the
+    whole short string as a bogus 'trigram' that polluted the persisted
+    postings."""
+    from spotify_tracks_etl_portfolio_spark.operators.text import char_trigrams
+
+    df = spark.createDataFrame(
+        [("",), ("a",), ("ab",), ("abc",), ("abcd",), ("aaaa",)], ["s"]
+    )
+    got = {
+        r["s"]: sorted(r["tg"])
+        for r in df.select("s", char_trigrams("s").alias("tg")).collect()
+    }
+    assert got[""] == []
+    assert got["a"] == []
+    assert got["ab"] == []
+    assert got["abc"] == ["abc"]
+    assert got["abcd"] == ["abc", "bcd"]
+    assert got["aaaa"] == ["aaa"]  # deduped
+
+
+def test_trigram_index_rejects_short_pattern(spark, tmp_path):
+    """r05 advice fix: a pattern under 3 chars has no trigrams to probe;
+    silently returning zero candidates would turn the caller's LIKE into
+    a wrong empty answer, so the helper must refuse."""
+    import pytest
+
+    from spotify_tracks_etl_portfolio_spark.operators.text import (
+        build_trigram_index,
+        trigram_index_candidates,
+    )
+
+    docs = spark.createDataFrame([(1, "abcdef")], ["doc_id", "text"])
+    root = str(tmp_path / "trgm")
+    build_trigram_index(docs, "doc_id", "text", root)
+    with pytest.raises(ValueError, match="full-scan"):
+        trigram_index_candidates(spark, root, "ab")
+    # 3-char boundary still serves
+    got = trigram_index_candidates(spark, root, "cde").collect()
+    assert [r["doc_id"] for r in got] == [1]

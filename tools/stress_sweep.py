@@ -9,6 +9,13 @@ queries on local[32] is <= ~10 (linear in input); materially above that
 flags a superlinear term worth reading the plan for. Numbers land in
 .stress/stress_sweep.json and are summarized in BENCH_NOTES.md.
 
+Timing note (round 6): execution switched from a noop-format write to
+``qe.toRdd().count()`` so the profiled plan is the SAME finalized AQE
+QueryExecution that was timed — absolute times are therefore not
+directly comparable to STRESS_r05 (both mechanisms materialize every
+row; the row-conversion overhead differs slightly), but base/stress
+RATIOS are.
+
 Usage: python tools/stress_sweep.py [--base /root/testdata/sf0.1]
        [--stress <repo>/.stress/sf1] [--runs 2] [--only name[,name...]]
 """
@@ -33,8 +40,25 @@ PLAN_MARKERS = (
 )
 
 
-def plan_profile(df) -> dict[str, int]:
-    s = df._jdf.queryExecution().executedPlan().toString()
+def execute_df(df):
+    """Materialize the FULL plan through the DataFrame's OWN
+    QueryExecution and return that QE. The previous noop-write approach
+    executed a different QueryExecution, so under AQE the profiled df
+    plan was never the finalized adaptive plan (AQEShuffleRead /
+    skewed=true markers and runtime join-strategy swaps could be
+    missed). ``qe.toRdd().count()`` runs every stage of this QE's
+    AdaptiveSparkPlanExec, so ``qe.executedPlan()`` afterwards IS the
+    final plan (asserted via isFinalPlan); nothing ships to the driver
+    beyond per-partition counts."""
+    qe = df._jdf.queryExecution()
+    qe.toRdd().count()
+    return qe
+
+
+def plan_profile(qe) -> dict[str, int]:
+    s = qe.executedPlan().toString()
+    if "AdaptiveSparkPlan" in s and "isFinalPlan=true" not in s:
+        raise AssertionError("profiled plan is not the finalized AQE plan")
     return {m: s.count(m) for m in PLAN_MARKERS if s.count(m)}
 
 
@@ -60,6 +84,9 @@ def main() -> None:
         names = args.only.split(",")
 
     spark = get_spark("stress")
+    # marker counting reads plan strings — don't let toString truncate
+    # wide nodes out of the profile
+    spark.conf.set("spark.sql.debug.maxToStringFields", "2000")
     specs = all_queries()
     specs["row_count_lineitem"].fn(spark, args.base).collect()  # warm-up
 
@@ -72,16 +99,15 @@ def main() -> None:
         for label, sf_dir in (("base", args.base), ("stress", args.stress)):
             spark._jvm.System.gc()
             samples = []
-            df = None
+            qe = None
             for _ in range(args.runs):
                 t0 = time.time()
-                df = spec.fn(spark, sf_dir)
-                df.write.format("noop").mode("overwrite").save()
+                qe = execute_df(spec.fn(spark, sf_dir))
                 samples.append(round(time.time() - t0, 3))
             row[label] = {
                 "best": min(samples),
                 "samples": samples,
-                "plan": plan_profile(df),
+                "plan": plan_profile(qe),
             }
         row["ratio"] = round(
             row["stress"]["best"] / max(row["base"]["best"], 1e-9), 2
