@@ -425,13 +425,33 @@ def random_projection(
     return plane_dots(df, id_col, vec_col, out_dims, "proj_")
 
 
+#: Auto-width ceiling for band signatures: 24-bit buckets cover ~10⁷
+#: vectors before saturating again; each extra row is one more plane
+#: dot per vector (cost linear, overflow-safe to 64 rows — see
+#: HP_SCALE note).
+HP_MAX_ROWS = 24
+
+
+def auto_hyperplane_rows(n_vectors: int) -> int:
+    """Corpus-size-aware band width (round-6 verdict item): each band's
+    bucket space is 2^rows, so candidate growth stays near-linear while
+    2^rows keeps pace with the corpus — rows ≈ ⌈log₂ n⌉, clamped to
+    [HP_ROWS, HP_MAX_ROWS] (never narrower than the frozen 8-row
+    oracle geometry). Wider bands trade per-band recall for weaker
+    pairs (exact twins still collide on every band at any width)."""
+    import math
+
+    want = math.ceil(math.log2(max(n_vectors, 2)))
+    return max(HP_ROWS, min(HP_MAX_ROWS, want))
+
+
 def hyperplane_sketch(
     df: DataFrame,
     id_col: str,
     vec_col: str,
     dim: int = HP_DIM,
     bands: int = HP_BANDS,
-    rows: int = HP_ROWS,
+    rows: int | None = None,
 ) -> DataFrame:
     """Per-vector sign-bit sketch: bit_j = (v · plane_j ≥ 0), packed into
     ``bands`` band signatures of ``rows`` bits each → (id, band_0..).
@@ -446,10 +466,16 @@ def hyperplane_sketch(
     map-side.
 
     ``rows`` is the SCALE knob: each band's bucket space is 2^rows —
-    the frozen default (8-bit signatures) saturates around 10⁵ vectors
-    (measured at the 10× stress scale, BENCH_NOTES round 5); rows=16
-    takes buckets to 2¹⁶ at the cost of per-band recall for weaker
-    pairs (exact twins always collide on every band)."""
+    the frozen 8-bit signatures saturate around 10⁵ vectors (measured
+    at the 10× stress scale, BENCH_NOTES round 5); rows=16 takes
+    buckets to 2¹⁶ at the cost of per-band recall for weaker pairs
+    (exact twins always collide on every band). Default
+    (``rows=None``): auto-derive from a corpus count
+    (``auto_hyperplane_rows`` — one extra count job); pass
+    ``rows=HP_ROWS`` to pin the frozen oracle geometry, as the
+    registered queries do."""
+    if rows is None:
+        rows = auto_hyperplane_rows(df.count())
     dots = plane_dots(df, id_col, vec_col, bands * rows, "__dot_")
 
     def band_sig(bi: int) -> Column:
@@ -468,7 +494,7 @@ def hyperplane_lsh_near_dup_pairs(
     vec_col: str,
     threshold: float,
     n_bands: int = HP_BANDS,
-    rows: int = HP_ROWS,
+    rows: int | None = None,
 ) -> DataFrame:
     """ANN near-dup pairs: vectors agreeing on ANY band of hyperplane
     sign bits become candidates (narrow (band, sig) equi-join — the same
@@ -476,8 +502,11 @@ def hyperplane_lsh_near_dup_pairs(
     the EXACT cosine, so precision is 1.0 and only recall is
     approximate. At 100 TB the band join touches collision buckets only
     — never the |v|² pair space — PROVIDED the band bucket space
-    2^rows outnumbers the corpus: widen ``rows`` as the corpus grows
-    (see ``hyperplane_sketch``)."""
+    2^rows outnumbers the corpus: ``rows=None`` (default) auto-derives
+    the width from a corpus count (``auto_hyperplane_rows``); pass
+    ``rows=HP_ROWS`` to pin the frozen oracle geometry."""
+    if rows is None:
+        rows = auto_hyperplane_rows(df.count())
     sk = hyperplane_sketch(df, id_col, vec_col, bands=n_bands, rows=rows)
     bands = sk.select(
         id_col,
@@ -549,7 +578,10 @@ def diversity_sample_cells(
     pairwise term anywhere. Integer-exact sign decisions make the cell
     assignment bit-reproducible on any engine (same constants as the
     near-dup LSH, see plane_weights_int)."""
-    sk = hyperplane_sketch(df, id_col, vec_col)
+    # frozen rows=HP_ROWS by design: the cell layout IS the semantic
+    # (2^8 coarse cells, oracle-replayed) — coverage sampling wants a
+    # FIXED coarse grid, not one that tracks corpus size
+    sk = hyperplane_sketch(df, id_col, vec_col, rows=HP_ROWS)
     return (
         # long cell: match the oracle's BIGINT so the driver's
         # dtype-aware hash sees int64 on both engines.
@@ -561,12 +593,34 @@ def diversity_sample_cells(
     )
 
 
+#: Auto-k target cell population for SemDeDup: cells of ~512 vectors
+#: keep the per-cell self-join (|cell|² pairs) comfortably inside one
+#: task while k stays small enough that the k×dim centroid state and
+#: per-batch probe GEMM remain trivial.
+SEMDEDUP_TARGET_CELL = 512
+SEMDEDUP_MAX_K = 4096
+
+
+def auto_semdedup_k(
+    n_vectors: int, target_cell: int = SEMDEDUP_TARGET_CELL
+) -> int:
+    """Corpus-size-aware cluster count (round-6 verdict item): pairwise
+    work is Σ|cell|² ≈ n²/k, so k must grow ∝ n to keep the per-cell
+    quadratic term bounded — k ≈ ⌈n / target_cell⌉ caps expected
+    pairwise work at ~n·target_cell. Clamped to [8, SEMDEDUP_MAX_K]
+    (8 = the frozen oracle geometry; past 4096 cells the driver-side
+    centroid state is still only ~2 MB but k-means collect rounds
+    start to dominate — shard the corpus instead)."""
+    want = -(-max(n_vectors, 1) // target_cell)  # ceil division
+    return max(8, min(SEMDEDUP_MAX_K, want))
+
+
 def semantic_dedup(
     df: DataFrame,
     id_col: str,
     vec_col: str,
     threshold: float = 0.95,
-    k: int = 8,
+    k: int | None = None,
     iters: int = 3,
 ) -> DataFrame:
     """SemDeDup-style semantic deduplication (Abbas et al. 2023,
@@ -584,8 +638,16 @@ def semantic_dedup(
     exact Column math. Deterministic end-to-end: no RNG anywhere, so
     re-runs drop the identical set.
 
+    ``k=None`` (default) auto-derives k ∝ n from a corpus count
+    (``auto_semdedup_k`` — keeps the n²/k term ~linear as the corpus
+    grows; measured at 10× stress scale: frozen k=8 went 41.7×, k∝n
+    went 7.6×, BENCH_NOTES round 5). Pass ``k=8`` to pin the frozen
+    oracle geometry, as the registered query does.
+
     Returns (id, cell, is_kept) for every input vector.
     """
+    if k is None:
+        k = auto_semdedup_k(df.count())
     cents = kmeans_centroids(df, id_col, vec_col, k=k, iters=iters)
     cent_rows = [
         (int(r["cell"]), [float(x) for x in r[vec_col]])
@@ -681,6 +743,42 @@ def pq_train_codebooks(
     return books
 
 
+def save_pq_codebooks(
+    spark, books: list[list[tuple[int, list[float]]]], path: str
+) -> None:
+    """Persist trained PQ codebooks as a (subspace, cell, centroid)
+    parquet — the PQ twin of the IVF centroids artifact. The whole
+    table is m×k rows (~128 at the frozen 8×16 geometry), so one file;
+    at 100 TB the codebooks are still this small — only the CODES
+    table scales with the corpus."""
+    rows = [
+        (mi, int(c), [float(x) for x in v])
+        for mi, book in enumerate(books)
+        for c, v in book
+    ]
+    spark.createDataFrame(
+        rows, "subspace int, cell long, centroid array<double>"
+    ).coalesce(1).write.parquet(path)
+
+
+def load_pq_codebooks(
+    spark, path: str
+) -> list[list[tuple[int, list[float]]]]:
+    """Read codebooks persisted by ``save_pq_codebooks`` back into the
+    driver-side list shape the probe UDF closures capture (m×k×sub_dim
+    floats — the same bounded-state sanction as the IVF centroids)."""
+    rows = spark.read.parquet(path).collect()
+    m = max(r["subspace"] for r in rows) + 1
+    books: list[list[tuple[int, list[float]]]] = [[] for _ in range(m)]
+    for r in rows:
+        books[r["subspace"]].append(
+            (int(r["cell"]), [float(x) for x in r["centroid"]])
+        )
+    for book in books:
+        book.sort()
+    return books
+
+
 def pq_encode(
     emb: DataFrame,
     id_col: str,
@@ -715,6 +813,7 @@ def pq_topk(
     n_queries: int = 10,
     topk: int = 5,
     shortlist: int = PQ_SHORTLIST,
+    books: list[list[tuple[int, list[float]]]] | None = None,
 ) -> DataFrame:
     """Approximate inner-product top-k by product quantization:
     ADC shortlist, then exact re-rank — the production PQ serving
@@ -731,11 +830,18 @@ def pq_topk(
     full pipeline (codebooks → codes → LUTs → shortlist → re-rank) is
     hash-checkable. Approximate = whether a true neighbor survives the
     shortlist, never nondeterminism.
+
+    ``books=None`` trains the codebooks in-line (the self-contained demo
+    shape, ~m slow k-means passes); pass pre-trained codebooks (see
+    ``save_pq_codebooks``/``load_pq_codebooks``) for the build-once/
+    query-many serving shape — training changes the COST, not the
+    answer, because the k-means is zero-RNG deterministic.
     """
     import functools
     import operator
 
-    books = pq_train_codebooks(emb, id_col, vec_col, m, sub_dim, k, iters)
+    if books is None:
+        books = pq_train_codebooks(emb, id_col, vec_col, m, sub_dim, k, iters)
     codes = pq_encode(emb, id_col, vec_col, books, sub_dim).withColumnRenamed(
         id_col, "neighbor_id"
     )

@@ -355,7 +355,8 @@ SELECT doc_id, simhash FROM simh
 )
 def simhash_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = read_parquet_table(spark, sf_dir, "documents")
-    return _dd.simhash(docs, "doc_id", "text")
+    # frozen 30-bit oracle geometry (bare callers get the auto width)
+    return _dd.simhash(docs, "doc_id", "text", bits=_dd.SIMHASH_BITS)
 
 
 @register(
@@ -378,7 +379,10 @@ WHERE bit_count(xor(a.simhash, b.simhash)) <= 3
 )
 def simhash_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = read_parquet_table(spark, sf_dir, "documents")
-    out = _dd.simhash_near_dup_pairs(docs, "doc_id", "text", max_hamming=3)
+    # frozen 30-bit oracle geometry (bare callers get the auto width)
+    out = _dd.simhash_near_dup_pairs(
+        docs, "doc_id", "text", max_hamming=3, bits=_dd.SIMHASH_BITS
+    )
     return out.withColumn("hamming", F.col("hamming").cast("long"))
 
 
@@ -1226,8 +1230,9 @@ WHERE round(list_dot_product(a.e, b.e) /
 )
 def embedding_lsh_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = read_parquet_table(spark, sf_dir, "embeddings")
+    # frozen 4×8 oracle geometry (bare callers get the auto width)
     return _sim.hyperplane_lsh_near_dup_pairs(
-        emb, "vec_id", "embedding", EMB_NEAR_DUP_THRESHOLD
+        emb, "vec_id", "embedding", EMB_NEAR_DUP_THRESHOLD, rows=_sim.HP_ROWS
     )
 
 
@@ -2380,7 +2385,8 @@ def bpe_segment_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def semantic_dedup_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = read_parquet_table(spark, sf_dir, "embeddings")
-    return _sim.semantic_dedup(emb, "vec_id", "embedding", threshold=0.9)
+    # frozen k=8 oracle geometry (bare callers get the auto k ∝ n)
+    return _sim.semantic_dedup(emb, "vec_id", "embedding", threshold=0.9, k=8)
 
 
 #: Model context length for sequence packing (tokens).
@@ -2914,7 +2920,7 @@ def ensemble_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
         docs, "doc_id", "text", JACCARD_THRESHOLD
     ).select("id_a", "id_b", F.lit("text_minhash").alias("signal"))
     emb_pairs = _sim.hyperplane_lsh_near_dup_pairs(
-        emb, "vec_id", "embedding", EMB_NEAR_DUP_THRESHOLD
+        emb, "vec_id", "embedding", EMB_NEAR_DUP_THRESHOLD, rows=_sim.HP_ROWS
     ).select("id_a", "id_b", F.lit("embedding_lsh").alias("signal"))
     return (
         text_pairs.unionByName(emb_pairs)
@@ -3789,12 +3795,27 @@ FROM (
     "top-100 survivors fetch their true vectors for the exact top-5 — "
     "the memory-side scale path completing the ANN family (brute, "
     "IVF, hyperplane-LSH, PQ). Hash-checked end-to-end: 'approximate' "
-    "is shortlist recall vs brute force, never nondeterminism",
+    "is shortlist recall vs brute force, never nondeterminism. The "
+    "codebooks are a PERSISTED artifact (like BM25/trigram/IVF): the "
+    "first call in a session trains and publishes them, later calls "
+    "reuse — training changes the cost, not the answer (zero-RNG "
+    "k-means)",
     tags=("extension", "similarity"),
 )
 def embedding_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = read_parquet_table(spark, sf_dir, "embeddings")
-    return _sim.pq_topk(emb, "vec_id", "embedding")
+    root = _artifact_root(spark, "pq_books", os.path.realpath(sf_dir))
+    _build_artifact_once(
+        root,
+        "codebooks",
+        lambda tmp: _sim.save_pq_codebooks(
+            spark,
+            _sim.pq_train_codebooks(emb, "vec_id", "embedding"),
+            f"{tmp}/codebooks",
+        ),
+    )
+    books = _sim.load_pq_codebooks(spark, f"{root}/codebooks")
+    return _sim.pq_topk(emb, "vec_id", "embedding", books=books)
 
 
 # ===========================================================================

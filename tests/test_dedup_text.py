@@ -72,9 +72,13 @@ def test_minhash_signature_shape(docs):
 
 
 def test_simhash_hamming_structure(docs):
+    # frozen 30-bit geometry pinned: this asserts distances UNDER that
+    # geometry (the r06 auto-width default would widen to 59 here)
     pairs = {
         (r["id_a"], r["id_b"]): r["hamming"]
-        for r in dd.simhash_near_dup_pairs(docs, "doc_id", "text", 30).collect()
+        for r in dd.simhash_near_dup_pairs(
+            docs, "doc_id", "text", 30, bits=dd.SIMHASH_BITS
+        ).collect()
     }
     assert pairs[(0, 1)] == 0  # identical
     assert pairs[(0, 2)] <= pairs[(0, 3)]  # near-dup closer than unrelated
@@ -192,7 +196,9 @@ def test_simhash_wide_fingerprint_blocked_equals_all_pairs(spark, sf_dir):
         ).collect()
     }
     assert blocked == brute
-    narrow = dd.simhash_near_dup_pairs(docs, "doc_id", "text", 3).count()
+    narrow = dd.simhash_near_dup_pairs(
+        docs, "doc_id", "text", 3, bits=dd.SIMHASH_BITS
+    ).count()
     assert len(blocked) < narrow
 
 
@@ -595,3 +601,48 @@ def test_trigram_index_rejects_short_pattern(spark, tmp_path):
     # 3-char boundary still serves
     got = trigram_index_candidates(spark, root, "cde").collect()
     assert [r["doc_id"] for r in got] == [1]
+
+
+def test_auto_simhash_bits_formula():
+    """Round-6 verdict item: width ∝ (max_hamming+1)·⌈log₂ n⌉, clamped
+    to the frozen minimum and the long-packing maximum."""
+    # small corpora keep the frozen oracle geometry
+    assert dd.auto_simhash_bits(0) == dd.SIMHASH_BITS
+    assert dd.auto_simhash_bits(100) == dd.SIMHASH_BITS
+    # growth: 500 docs → 4·9 = 36; 50k → 4·16 = 64 → clamp 59
+    assert dd.auto_simhash_bits(500) == 36
+    assert dd.auto_simhash_bits(50_000) == dd.SIMHASH_MAX_BITS
+    # monotone in n, for several max_hamming values
+    for mh in (1, 3, 6):
+        widths = [dd.auto_simhash_bits(n, mh) for n in
+                  (1, 10, 100, 10_000, 10_000_000)]
+        assert widths == sorted(widths)
+        assert all(dd.SIMHASH_BITS <= w <= dd.SIMHASH_MAX_BITS
+                   for w in widths)
+
+
+def test_simhash_default_width_is_auto_and_exact(spark, sf_dir):
+    """The bare default must (a) equal the explicitly-auto-derived
+    width — no silent toy geometry — and (b) keep the pigeonhole
+    exactness guarantee at that width (blocked == brute under the SAME
+    derived geometry)."""
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    n = docs.count()
+    bits = dd.auto_simhash_bits(n, 3)
+    assert bits > dd.SIMHASH_BITS  # 500 docs already widen past 30
+    auto = {
+        (r["id_a"], r["id_b"]): r["hamming"]
+        for r in dd.simhash_near_dup_pairs(docs, "doc_id", "text", 3).collect()
+    }
+    pinned = {
+        (r["id_a"], r["id_b"]): r["hamming"]
+        for r in dd.simhash_near_dup_pairs(
+            docs, "doc_id", "text", 3, bits=bits
+        ).collect()
+    }
+    assert auto == pinned
+    brute = {
+        (r["id_a"], r["id_b"]): r["hamming"]
+        for r in dd.simhash_all_pairs(docs, "doc_id", "text", 3).collect()
+    }
+    assert auto == brute  # default-vs-default geometries agree, exactly

@@ -649,6 +649,7 @@ def test_persisted_index_artifacts_reused_across_calls(spark, sf_dir):
         ("bm25_index_search", "text_index", "stats"),
         ("trigram_like_search", "trgm_index", "postings"),
         ("embedding_ivf_index_topk", "ivf_index", "centroids"),
+        ("embedding_pq_topk", "pq_books", "codebooks"),
     ]
     qs = all_queries()
     for qname, artifact, marker in cases:

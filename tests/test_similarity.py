@@ -148,7 +148,7 @@ def test_hyperplane_lsh_vs_brute_force(spark, sf_dir):
     lsh = {
         (r["id_a"], r["id_b"]): r["cosine"]
         for r in sim.hyperplane_lsh_near_dup_pairs(
-            emb, "vec_id", "embedding", 0.4
+            emb, "vec_id", "embedding", 0.4, rows=sim.HP_ROWS
         ).collect()
     }
     assert set(lsh) <= set(brute)
@@ -306,3 +306,70 @@ def test_pq_codes_bounded_and_deterministic(spark, sf_dir):
     again = sim.pq_encode(emb, "vec_id", "embedding", books)
     assert codes.exceptAll(again).count() == 0
     assert again.exceptAll(codes).count() == 0
+
+
+def test_auto_hyperplane_rows_formula():
+    """Round-6 verdict item: rows ≈ ⌈log₂ n⌉ clamped to
+    [HP_ROWS, HP_MAX_ROWS]."""
+    assert sim.auto_hyperplane_rows(0) == sim.HP_ROWS
+    assert sim.auto_hyperplane_rows(256) == sim.HP_ROWS
+    assert sim.auto_hyperplane_rows(500) == 9
+    assert sim.auto_hyperplane_rows(100_000) == 17
+    assert sim.auto_hyperplane_rows(10**9) == sim.HP_MAX_ROWS
+    widths = [sim.auto_hyperplane_rows(n) for n in
+              (1, 100, 10_000, 10**6, 10**9)]
+    assert widths == sorted(widths)
+
+
+def test_auto_semdedup_k_formula():
+    """Round-6 verdict item: k ≈ ⌈n / target-cell⌉ clamped to
+    [8, SEMDEDUP_MAX_K] keeps the n²/k pairwise term ~linear."""
+    assert sim.auto_semdedup_k(0) == 8
+    assert sim.auto_semdedup_k(500) == 8          # frozen at test scale
+    assert sim.auto_semdedup_k(50_000) == 98      # the sf1 regime
+    assert sim.auto_semdedup_k(10**8) == sim.SEMDEDUP_MAX_K
+    ks = [sim.auto_semdedup_k(n) for n in (1, 10_000, 10**6, 10**8)]
+    assert ks == sorted(ks)
+
+
+def test_hyperplane_default_width_is_auto_with_full_guarantees(
+    spark, sf_dir
+):
+    """Bare-default LSH must use the auto-derived width and keep the
+    width-independent guarantees: precision 1.0 with identical exact
+    cosines, and recall 1.0 for exact twins (which collide on every
+    band at any width)."""
+    from spotify_tracks_etl_portfolio_spark.operators.dedup import (
+        embedding_near_dup_pairs,
+    )
+
+    emb = read_parquet_table(spark, sf_dir, "embeddings")
+    twins = emb.filter(F.col("vec_id") < 5).withColumn(
+        "vec_id", F.col("vec_id") + 1_000_000
+    )
+    both = emb.unionByName(twins)
+    rows = sim.auto_hyperplane_rows(both.count())
+    assert rows > sim.HP_ROWS  # 505 vectors already widen past 8
+    auto = {
+        (r["id_a"], r["id_b"]): r["cosine"]
+        for r in sim.hyperplane_lsh_near_dup_pairs(
+            both, "vec_id", "embedding", 0.4
+        ).collect()
+    }
+    pinned = {
+        (r["id_a"], r["id_b"]): r["cosine"]
+        for r in sim.hyperplane_lsh_near_dup_pairs(
+            both, "vec_id", "embedding", 0.4, rows=rows
+        ).collect()
+    }
+    assert auto == pinned
+    for i in range(5):
+        assert auto[(i, i + 1_000_000)] == 1.0  # twin recall at any width
+    brute = {
+        (r["id_a"], r["id_b"]): r["cosine"]
+        for r in embedding_near_dup_pairs(
+            both, "vec_id", "embedding", 0.4
+        ).collect()
+    }
+    assert set(auto) <= set(brute)
+    assert all(brute[p] == c for p, c in auto.items())  # precision 1.0
