@@ -193,7 +193,33 @@ def jaccard_pairs(
 ) -> DataFrame:
     """All-pairs n-gram Jaccard similarity ≥ threshold via shingle-hash
     self-join. ``max_shingle_df`` drops shingles appearing in more than
-    that many docs (the quadratic-fanout guard for scale)."""
+    that many docs (the quadratic-fanout guard for scale).
+
+    Memory posture (round-6 verdict item 4 — a default-1g bare session
+    must complete at sf1, where the candidate stream is ~50M rows):
+
+    - every join side scales with the corpus, so the joins carry
+      explicit ``merge`` hints: a bare session's STATIC size estimates
+      (parquet stats × selectivity guesses, blind to the ~100× explode
+      fanout) otherwise broadcast corpus-scaled sides, whose
+      unspillable hash relations OOM small heaps. Sort-merge streams
+      one ≤max_shingle_df key group at a time and spills.
+    - per-doc set sizes are attached to the shingle rows BEFORE the
+      self-join, so the (id_a, id_b) aggregation carries them along
+      (min over a constant-per-pair column) and the quadratic candidate
+      stream is shuffled exactly ONCE — the former join-sizes-after-agg
+      tail re-shuffled and re-sorted it twice more.
+    - the self-join input is repartitioned with an EXPLICIT partition
+      count (the session's spark.sql.shuffle.partitions), which AQE
+      must honor (REPARTITION_BY_NUM is never coalesced). Left to
+      itself, AQE coalesces the narrow pre-join exchanges to its 64MB
+      advisory size and then the join's ~40× output expansion plus the
+      per-pair partial-agg hash state concentrates in a handful of fat
+      tasks — measured OOM of a 1g/8-core session at sf1; at 200
+      partitions the same work completes in the same session."""
+    n_parts = int(
+        df.sparkSession.conf.get("spark.sql.shuffle.partitions", "200")
+    )
     # repartition(id) puts ONE narrow exchange after the expensive text
     # hashing; ReuseExchange then shares the computed arrays across every
     # branch below (self-join sides + sizes) instead of re-hashing 3×.
@@ -206,26 +232,27 @@ def jaccard_pairs(
             .filter(F.col("df") <= max_shingle_df)
             .select("h")
         )
-        sh = sh.join(rare, "h", "left_semi")
+        sh = sh.join(rare.hint("merge"), "h", "left_semi")
         # sizes must reflect the capped shingle set
         sizes = sh.groupBy(id_col).agg(F.count(F.lit(1)).alias("n_sh"))
     else:
         # shuffle-free: |set| straight off the per-doc array
         sizes = base.select(id_col, F.size("__hashes").alias("n_sh"))
 
-    a = sh.select(F.col(id_col).alias("id_a"), "h")
-    b = sh.select(F.col(id_col).alias("id_b"), "h")
-    shared = (
+    # (id, h, n_sh): small join keyed on the doc id, then ONE pinned
+    # exchange on h that both self-join sides reuse
+    szd = sh.join(sizes.hint("merge"), id_col).repartition(n_parts, F.col("h"))
+    a = szd.select(F.col(id_col).alias("id_a"), "h", F.col("n_sh").alias("na"))
+    b = szd.select(F.col(id_col).alias("id_b"), "h", F.col("n_sh").alias("nb"))
+    return (
         a.join(b, "h")
         .filter(F.col("id_a") < F.col("id_b"))
         .groupBy("id_a", "id_b")
-        .agg(F.count(F.lit(1)).alias("shared"))
-    )
-    sa = sizes.select(F.col(id_col).alias("id_a"), F.col("n_sh").alias("na"))
-    sb = sizes.select(F.col(id_col).alias("id_b"), F.col("n_sh").alias("nb"))
-    return (
-        shared.join(sa, "id_a")
-        .join(sb, "id_b")
+        .agg(
+            F.count(F.lit(1)).alias("shared"),
+            F.min("na").alias("na"),  # constant per id_a — min = the value
+            F.min("nb").alias("nb"),
+        )
         .withColumn(
             "jaccard",
             F.round(
