@@ -25,9 +25,15 @@ not by copying them, but by implementing their shared design point:
 - **Time travel**: any retained version reads back as a plain
   DataFrame (``read_table(..., version=N)``).
 
-Scale posture: manifests are O(#files) driver-side metadata (the same
-trade Delta makes before checkpointing); data movement is entirely
-distributed Spark jobs over the pruned file subset.
+Scale posture: commit metadata is O(delta) — ordinary commits record
+only (files_added, files_removed) against their parent, and every
+``_CHECKPOINT_EVERY``-th version embeds the full file list (the
+Delta-checkpoint / Iceberg-manifest-list shape), so a snapshot always
+resolves in a bounded number of small JSON reads, never O(versions)
+and never an O(#files) write per commit. Data movement is entirely
+distributed Spark jobs over the pruned file subset. ``vacuum`` rewrites
+the oldest retained manifest self-contained before dropping its
+ancestors, so retention never strands a delta chain.
 
 Storage scoping: manifest IO uses local-filesystem primitives
 (``os.open(O_EXCL)``, ``os.listdir``, pyarrow footer reads) because
@@ -107,6 +113,58 @@ def _write_data_files(df: DataFrame, root: str) -> list[dict]:
 def _read_manifest(root: str, version: int) -> dict:
     with open(_manifest_path(root, version)) as fh:
         return json.load(fh)
+
+
+#: Every Nth version embeds the FULL file list (a checkpoint); the
+#: versions between carry only (files_added, files_removed) deltas.
+#: Commit metadata is then O(delta) instead of O(#files) — at 100 TB
+#: (~10⁶ files) a full-list manifest per commit is itself a scale
+#: bottleneck (the reason Delta checkpoints its log and Iceberg splits
+#: manifests) — while any snapshot resolves in ≤ _CHECKPOINT_EVERY
+#: small JSON reads, never O(versions).
+_CHECKPOINT_EVERY = 10
+
+
+def _resolve_files(root: str, version: int) -> list[dict]:
+    """Full file-stats list of a snapshot: walk parents back to the
+    nearest full-list manifest (checkpoint or create — bounded by the
+    checkpoint cadence), then replay the deltas oldest-first."""
+    chain = []
+    m = _read_manifest(root, version)
+    while "files" not in m:
+        chain.append(m)
+        m = _read_manifest(root, m["parent"])
+    files = list(m["files"])
+    for delta in reversed(chain):
+        removed = set(delta["files_removed"])
+        files = [f for f in files if f["path"] not in removed]
+        files = files + delta["files_added"]
+    return files
+
+
+def _load_snapshot(root: str, version: int) -> dict:
+    """Manifest dict with ``files`` guaranteed RESOLVED — the one entry
+    point readers/writers use, so they never see the delta encoding."""
+    m = _read_manifest(root, version)
+    if "files" not in m:
+        m = dict(m)
+        m["files"] = _resolve_files(root, version)
+    return m
+
+
+def _files_payload(
+    version: int, parent_files: list[dict], files: list[dict]
+) -> dict:
+    """Checkpoint versions embed the full list; others the delta vs the
+    parent (removed paths + added stat entries)."""
+    if version % _CHECKPOINT_EVERY == 0:
+        return {"files": files}
+    new_paths = {f["path"] for f in files}
+    old_paths = {f["path"] for f in parent_files}
+    return {
+        "files_added": [f for f in files if f["path"] not in old_paths],
+        "files_removed": sorted(old_paths - new_paths),
+    }
 
 
 def latest_version(root: str) -> int:
@@ -210,7 +268,7 @@ def read_table(
     pre-evolution snapshot shows the old shape; post-evolution reads
     fill pre-evolution files' missing columns with typed NULLs)."""
     v = latest_version(root) if version is None else version
-    m = _read_manifest(root, v)
+    m = _load_snapshot(root, v)
     paths = [f["path"] for f in m["files"]]
     if not paths:
         from pyspark.sql.types import StructType
@@ -234,7 +292,7 @@ def add_columns(root: str, cols: dict[str, str]) -> int:
     v = latest_version(root)
     if v < 0:
         raise FileNotFoundError(f"no table at {root}")
-    m = _read_manifest(root, v)
+    m = _load_snapshot(root, v)
     schema = StructType.fromJson(json.loads(m["schema"]))
     existing = {f.name for f in schema.fields}
     for name, dtype in cols.items():
@@ -246,7 +304,7 @@ def add_columns(root: str, cols: dict[str, str]) -> int:
         "parent": v,
         "operation": "add_columns",
         "schema": schema.json(),
-        "files": m["files"],
+        **_files_payload(v + 1, m["files"], m["files"]),
     }
     if m.get("stream_batch_id") is not None:
         manifest["stream_batch_id"] = m["stream_batch_id"]
@@ -255,10 +313,20 @@ def add_columns(root: str, cols: dict[str, str]) -> int:
 
 
 def history(root: str) -> list[dict]:
-    """Commit log: (version, operation, file/row counts) per snapshot."""
+    """Commit log: (version, operation, file/row counts) per snapshot.
+    Walks the chain ONCE, applying each delta incrementally — O(V)
+    total manifest reads, not O(V · checkpoint distance)."""
     out = []
+    files: list[dict] = []
     for v in range(latest_version(root) + 1):
-        m = _read_manifest(root, v)
+        raw = _read_manifest(root, v)
+        if "files" in raw:
+            files = list(raw["files"])
+        else:
+            removed = set(raw["files_removed"])
+            files = [f for f in files if f["path"] not in removed]
+            files = files + raw["files_added"]
+        m = {**raw, "files": files}
         out.append(
             {
                 "version": v,
@@ -339,7 +407,7 @@ def delete_where(
     Returns {'version', 'files_rewritten', 'files_kept'}.
     """
     v = latest_version(root)
-    m = _read_manifest(root, v)
+    m = _load_snapshot(root, v)
     maybe, keep = _affected_files(spark, m, key_col, keys)
     new_files = []
     if maybe:
@@ -353,7 +421,7 @@ def delete_where(
         "parent": v,
         "operation": "delete",
         "schema": m["schema"],
-        "files": keep + new_files,
+        **_files_payload(v + 1, m["files"], keep + new_files),
     }
     if m.get("stream_batch_id") is not None:  # keep the replay watermark
         manifest["stream_batch_id"] = m["stream_batch_id"]
@@ -378,7 +446,7 @@ def merge_into(
     never rewrite anything.
     """
     v = latest_version(root)
-    m = _read_manifest(root, v)
+    m = _load_snapshot(root, v)
     maybe, keep = _affected_files(spark, m, key_col, updates)
     new_files = []
     if maybe:
@@ -393,7 +461,7 @@ def merge_into(
         "parent": v,
         "operation": "merge",
         "schema": m["schema"],
-        "files": keep + new_files,
+        **_files_payload(v + 1, m["files"], keep + new_files),
     }
     if m.get("stream_batch_id") is not None:  # keep the replay watermark
         manifest["stream_batch_id"] = m["stream_batch_id"]
@@ -426,7 +494,7 @@ def merge_latest(
     state under foreachBatch's at-least-once replay contract.
     """
     v = latest_version(root)
-    m = _read_manifest(root, v)
+    m = _load_snapshot(root, v)
     if stream_batch_id is not None:
         last = last_stream_batch_id(root)
         if last is not None and stream_batch_id <= last:
@@ -452,7 +520,7 @@ def merge_latest(
         "parent": v,
         "operation": "merge_latest",
         "schema": m["schema"],
-        "files": keep + new_files,
+        **_files_payload(v + 1, m["files"], keep + new_files),
     }
     sbid = stream_batch_id
     if sbid is None:
@@ -537,7 +605,7 @@ def compact(
     threshold rewrite (merged together re-clustered) and big files
     carry over by reference — the incremental bin-packing variant."""
     v = latest_version(root)
-    m = _read_manifest(root, v)
+    m = _load_snapshot(root, v)
     if small_file_rows is None:
         maybe, keep = list(m["files"]), []
     else:
@@ -555,7 +623,7 @@ def compact(
         "parent": v,
         "operation": "compact",
         "schema": m["schema"],
-        "files": keep + new_files,
+        **_files_payload(v + 1, m["files"], keep + new_files),
     }
     if m.get("stream_batch_id") is not None:
         manifest["stream_batch_id"] = m["stream_batch_id"]
@@ -585,9 +653,25 @@ def vacuum(root: str, retain_last: int = 1) -> dict:
     if latest < 0:
         return {"manifests_dropped": 0, "files_deleted": 0}
     horizon = max(0, latest - retain_last + 1)
+    # The oldest retained version may be a DELTA manifest whose
+    # checkpoint ancestor is about to be dropped — rewrite it
+    # self-contained (full file list) first, so every retained version
+    # keeps resolving after its ancestors are gone. Rewrite-then-drop
+    # ordering makes a crash between the two steps harmless (a
+    # checkpointed manifest plus still-present ancestors is valid).
+    if horizon > 0:
+        hm = _read_manifest(root, horizon)
+        if "files" not in hm:
+            hm["files"] = _resolve_files(root, horizon)
+            hm.pop("files_added", None)
+            hm.pop("files_removed", None)
+            tmp = _manifest_path(root, horizon) + ".ckpt"
+            with open(tmp, "w") as fh:
+                json.dump(hm, fh, indent=1, default=str)
+            os.replace(tmp, _manifest_path(root, horizon))
     referenced: set[str] = set()
     for v in range(horizon, latest + 1):
-        referenced |= {f["path"] for f in _read_manifest(root, v)["files"]}
+        referenced |= {f["path"] for f in _load_snapshot(root, v)["files"]}
 
     files_deleted = 0
     data_root = os.path.join(root, _DATA_DIR)
@@ -622,7 +706,7 @@ def scan_pruned(
     filter applied on top (Spark then prunes row groups within them).
     Returns (df, files_scanned, files_total) so callers/tests can
     assert the skip rate."""
-    m = _read_manifest(root, latest_version(root))
+    m = _load_snapshot(root, latest_version(root))
     maybe, _ = _split_files(m, key_col, lo, hi)
     total = len(m["files"])
     if not maybe:
@@ -648,8 +732,8 @@ def changed_file_scans(
     set — untouched files (the overwhelming majority under pruned
     DELETE/MERGE) are never opened. This is the input to incremental
     view maintenance: cost scales with the delta, not the table."""
-    m0 = _read_manifest(root, v_from)
-    m1 = _read_manifest(root, latest_version(root) if v_to is None else v_to)
+    m0 = _load_snapshot(root, v_from)
+    m1 = _load_snapshot(root, latest_version(root) if v_to is None else v_to)
     f0 = {f["path"] for f in m0["files"]}
     f1 = {f["path"] for f in m1["files"]}
     schema = m1["schema"]

@@ -33,13 +33,13 @@ def test_create_read_roundtrip_and_history(spark, table):
 
 
 def test_delete_rewrites_only_overlapping_files(spark, table):
-    m0 = ct._read_manifest(table, 0)
+    m0 = ct._load_snapshot(table, 0)
     # keys 100-119 live in one clustered file's range
     keys = spark.range(100, 120).select(F.col("id").alias("k"))
     res = ct.delete_where(spark, table, "k", keys)
     assert res["files_kept"] > 0, "stats pruning never skipped a file"
     assert res["files_rewritten"] + res["files_kept"] == 8
-    m1 = ct._read_manifest(table, 1)
+    m1 = ct._load_snapshot(table, 1)
     kept_paths = {f["path"] for f in m0["files"]} & {
         f["path"] for f in m1["files"]
     }
@@ -215,12 +215,12 @@ def test_changed_file_scans_are_delta_sized_and_complete(spark, table):
     """The file-diff change set (a) reads FEWER files than the table
     holds when the delete is pruned, and (b) replays to exactly the
     full-recompute state when folded into a v0 rollup."""
-    v0_files = {f["path"] for f in ct._read_manifest(table, 0)["files"]}
+    v0_files = {f["path"] for f in ct._load_snapshot(table, 0)["files"]}
     # Pruned delete: a narrow key range touches few files.
     keys = spark.range(0, 20).select(F.col("id").alias("k"))
     ct.delete_where(spark, table, "k", keys)
     added, removed = ct.changed_file_scans(spark, table, 0)
-    m1_files = {f["path"] for f in ct._read_manifest(table, 1)["files"]}
+    m1_files = {f["path"] for f in ct._load_snapshot(table, 1)["files"]}
     n_added_files = len(m1_files - v0_files)
     n_removed_files = len(v0_files - m1_files)
     assert n_removed_files < len(v0_files)  # most files untouched
@@ -252,10 +252,10 @@ def test_add_columns_is_metadata_only_with_typed_null_fill(spark, table):
     """ADD COLUMNS commits a new snapshot without moving a single data
     file; old files read back with typed NULLs; time travel to the
     pre-evolution version shows the old shape."""
-    files_before = {f["path"] for f in ct._read_manifest(table, 0)["files"]}
+    files_before = {f["path"] for f in ct._load_snapshot(table, 0)["files"]}
     v = ct.add_columns(table, {"score": "double"})
     assert v == 1
-    assert {f["path"] for f in ct._read_manifest(table, 1)["files"]} == files_before
+    assert {f["path"] for f in ct._load_snapshot(table, 1)["files"]} == files_before
     evolved = ct.read_table(spark, table)
     assert evolved.schema["score"].dataType.simpleString() == "double"
     assert evolved.filter(F.col("score").isNotNull()).count() == 0
@@ -395,3 +395,92 @@ def test_n_racing_writers_exactly_one_winner_per_version_and_clean_vacuum(
             if name.endswith(".parquet")
         }
     assert on_disk == referenced
+
+
+def test_delta_manifest_chain_reads_identically_and_vacuums_safely(
+    spark, tmp_path
+):
+    """Round-6 checkpointed-log property: commits between checkpoints
+    record only (files_added, files_removed) deltas, yet every version
+    must read back EXACTLY as committed (verified against a Python-side
+    snapshot of each version's expected state), checkpoints must land
+    on the cadence with full file lists, and vacuum across a checkpoint
+    boundary must rewrite the horizon manifest self-contained, keep
+    every retained version byte-identical, and never touch a referenced
+    data file."""
+    import json
+
+    root = str(tmp_path / "chain")
+    df = spark.range(0, 200).select(
+        F.col("id").alias("k"), (F.col("id") * 2).alias("v")
+    )
+    ct.create_table(spark, root, df, cluster_by="k", n_files=2)
+
+    expected = {0: {(k, 2 * k) for k in range(200)}}
+    state = dict(expected[0])
+    state = {k: 2 * k for k in range(200)}
+
+    n_commits = 2 * ct._CHECKPOINT_EVERY + 3  # crosses two checkpoints
+    for i in range(1, n_commits + 1):
+        if i % 3 == 0:
+            keys = [((i * 7) % 200,), ((i * 11) % 200,)]
+            ct.delete_where(
+                spark, root, "k", spark.createDataFrame(keys, "k long")
+            )
+            for (k,) in keys:
+                state.pop(k, None)
+        else:
+            ups = [((i * 13) % 250, -i), ((i * 17) % 250, -i)]
+            ct.merge_into(
+                spark, root, spark.createDataFrame(ups, "k long, v long"), "k"
+            )
+            for k, v in ups:
+                state[k] = v
+        expected[i] = set(state.items())
+
+    # manifest forms follow the cadence
+    for v in range(n_commits + 1):
+        raw = ct._read_manifest(root, v)
+        if v % ct._CHECKPOINT_EVERY == 0:
+            assert "files" in raw, f"v{v} should be a checkpoint"
+        else:
+            assert "files" not in raw, f"v{v} should be a delta"
+            assert "files_added" in raw and "files_removed" in raw
+
+    # every version time-travels to exactly its committed state
+    for v, want in expected.items():
+        got = {(r["k"], r["v"]) for r in ct.read_table(spark, root, v).collect()}
+        assert got == want, f"version {v} mismatch"
+
+    # changed_file_scans across a checkpoint boundary is consistent:
+    # (v0 rows - removed + added) == latest rows, as multisets
+    added, removed = ct.changed_file_scans(spark, root, 0)
+    base = [(r["k"], r["v"]) for r in ct.read_table(spark, root, 0).collect()]
+    add = [(r["k"], r["v"]) for r in added.collect()]
+    rem = [(r["k"], r["v"]) for r in removed.collect()]
+    latest = [(r["k"], r["v"]) for r in ct.read_table(spark, root).collect()]
+    recon = sorted(base) + sorted(add)
+    for row in rem:
+        recon.remove(row)
+    assert sorted(recon) == sorted(latest)
+
+    # vacuum with the horizon on a DELTA version: its manifest must be
+    # rewritten self-contained, ancestors dropped, retained versions
+    # identical, referenced files untouched
+    retain = 5
+    horizon = n_commits - retain + 1
+    assert horizon % ct._CHECKPOINT_EVERY != 0  # really a delta version
+    pre = {
+        v: expected[v] for v in range(horizon, n_commits + 1)
+    }
+    res = ct.vacuum(root, retain_last=retain)
+    assert res["manifests_dropped"] == horizon
+    raw = ct._read_manifest(root, horizon)
+    assert "files" in raw and "files_added" not in raw
+    for v, want in pre.items():
+        got = {(r["k"], r["v"]) for r in ct.read_table(spark, root, v).collect()}
+        assert got == want, f"retained version {v} corrupted by vacuum"
+        for f in ct._load_snapshot(root, v)["files"]:
+            assert os.path.exists(f["path"])
+    with pytest.raises(FileNotFoundError):
+        ct.read_table(spark, root, version=horizon - 1)
