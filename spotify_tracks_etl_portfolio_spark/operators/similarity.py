@@ -103,6 +103,18 @@ def ivf_assign(
     )
 
 
+#: Centroid count past which the Arrow probe switches from the flat
+#: n×k GEMM to the two-level coarse-quantizer scan. 64 keeps every
+#: registered query (k ≤ 16) and every frozen-geometry test on the
+#: bit-exact flat path; above it the flat scan's n·k cost is what made
+#: auto-k SemDeDup quadratic (k ∝ n ⇒ n²/512 GEMM, BENCH_NOTES r6).
+FLAT_PROBE_MAX_K = 64
+#: Coarse cells probed per vector in the two-level path. 2 is the
+#: standard IVF guard against nearest-fine-centroid-in-neighboring-
+#: coarse-cell misses; exact duplicates always agree regardless.
+COARSE_NPROBE = 2
+
+
 def probe_cells_udf(cent_rows: list[tuple[int, list[float]]], nprobe: int):
     """Arrow-batched cell-probe: cosine of each vector against the (tiny,
     closure-captured) centroid matrix as ONE numpy matmul per batch,
@@ -111,7 +123,18 @@ def probe_cells_udf(cent_rows: list[tuple[int, list[float]]], nprobe: int):
     element-by-element (~20× slower measured). Ties resolve to the
     smallest cell (stable argsort over ascending cells), matching the
     exact path's (desc sim, asc cell) ordering; similarities are rounded
-    to 6 dp before ranking, also matching."""
+    to 6 dp before ranking, also matching.
+
+    Past ``FLAT_PROBE_MAX_K`` centroids the probe is two-level (a
+    deterministic coarse quantizer over the centroids themselves, then
+    a scan of only the best ``COARSE_NPROBE`` coarse cells' members):
+    per-vector cost drops from k to ~2·√k dot products, which is what
+    keeps k ∝ n SemDeDup assignment near-linear instead of n²/512.
+    The two-level result is approximate in WHICH cell a borderline
+    vector lands (identical vectors still always land identically —
+    the assignment stays a pure deterministic function of the vector),
+    exact in everything downstream: zero RNG, so re-runs reproduce the
+    identical output."""
     import numpy as np
     import pandas as pd
     from pyspark.sql.functions import pandas_udf
@@ -123,17 +146,68 @@ def probe_cells_udf(cent_rows: list[tuple[int, list[float]]], nprobe: int):
     # defined (smallest-cell) assignment instead of NaN everywhere
     mn = m / np.maximum(np.linalg.norm(m, axis=1, keepdims=True), 1e-12)
 
-    # no type hints: module-level `from __future__ import annotations`
-    # stringifies them and pyspark can't resolve function-local `pd`
+    if len(cents) <= FLAT_PROBE_MAX_K:
+        # no type hints: module-level `from __future__ import annotations`
+        # stringifies them and pyspark can't resolve function-local `pd`
+        @pandas_udf("array<long>")
+        def probe(vs):
+            x = np.stack(vs.to_numpy()).astype(np.float64)
+            xn = x / np.maximum(
+                np.linalg.norm(x, axis=1, keepdims=True), 1e-12
+            )
+            sims = np.round(xn @ mn.T, 6)
+            order = np.argsort(-sims, axis=1, kind="stable")[:, :nprobe]
+            return pd.Series(list(cells[order]))
+
+        return probe
+
+    # ---- two-level path: deterministic coarse k-means OVER the fine
+    # centroids (driver-side numpy; first-√k init, 3 Lloyd rounds,
+    # cosine assignment with smallest-index ties, empty cells keep
+    # their previous coarse centroid) ----
+    n_coarse = int(np.ceil(np.sqrt(len(cents))))
+    coarse = mn[:n_coarse].copy()
+    for _ in range(3):
+        cn = coarse / np.maximum(
+            np.linalg.norm(coarse, axis=1, keepdims=True), 1e-12
+        )
+        sims = np.round(mn @ cn.T, 6)
+        # np.argmax returns the FIRST maximal index — smallest-index ties
+        assign = np.argmax(sims, axis=1)
+        for ci in range(n_coarse):
+            members = mn[assign == ci]
+            if len(members):
+                coarse[ci] = members.mean(axis=0)
+    cn = coarse / np.maximum(
+        np.linalg.norm(coarse, axis=1, keepdims=True), 1e-12
+    )
+    sims = np.round(mn @ cn.T, 6)
+    assign = np.argmax(sims, axis=1)
+    member_idx = [np.where(assign == ci)[0] for ci in range(n_coarse)]
+
     @pandas_udf("array<long>")
-    def probe(vs):
+    def probe2(vs):
         x = np.stack(vs.to_numpy()).astype(np.float64)
         xn = x / np.maximum(np.linalg.norm(x, axis=1, keepdims=True), 1e-12)
-        sims = np.round(xn @ mn.T, 6)
-        order = np.argsort(-sims, axis=1, kind="stable")[:, :nprobe]
-        return pd.Series(list(cells[order]))
+        csims = np.round(xn @ cn.T, 6)
+        corder = np.argsort(-csims, axis=1, kind="stable")[:, :COARSE_NPROBE]
+        out = np.empty((len(xn), nprobe), dtype=np.int64)
+        # group rows by their probed coarse-cell tuple: one small GEMM
+        # per group against just those cells' fine members
+        keys = [tuple(row) for row in corder]
+        groups: dict[tuple, list[int]] = {}
+        for i, key in enumerate(keys):
+            groups.setdefault(key, []).append(i)
+        for key, rows in groups.items():
+            cand = np.unique(np.concatenate([member_idx[ci] for ci in key]))
+            if len(cand) < nprobe:  # degenerate coarse cells: full scan
+                cand = np.arange(len(cells))
+            fsims = np.round(xn[rows] @ mn[cand].T, 6)
+            order = np.argsort(-fsims, axis=1, kind="stable")[:, :nprobe]
+            out[rows] = cells[cand[order]]
+        return pd.Series(list(out))
 
-    return probe
+    return probe2
 
 
 def kmeans_centroids(

@@ -373,3 +373,78 @@ def test_hyperplane_default_width_is_auto_with_full_guarantees(
     }
     assert set(auto) <= set(brute)
     assert all(brute[p] == c for p, c in auto.items())  # precision 1.0
+
+
+def test_two_level_probe_agreement_determinism_twins(spark, sf_dir, monkeypatch):
+    """Past FLAT_PROBE_MAX_K centroids the Arrow probe goes two-level
+    (coarse quantizer over the centroids, ~2·√k dots per vector — what
+    keeps k ∝ n SemDeDup assignment near-linear). Guarantees: (a) high
+    agreement with the flat exact scan (0.926 measured at k=80 on the
+    random synthetic embeddings — PQ/IVF's worst case; floor 0.85),
+    (b) bit-deterministic across calls, (c) identical vectors always
+    land in identical cells."""
+    emb = read_parquet_table(spark, sf_dir, "embeddings")
+    cents = sim.kmeans_centroids(emb, "vec_id", "embedding", k=80, iters=2)
+    rows = [
+        (int(r["cell"]), [float(x) for x in r["embedding"]])
+        for r in cents.collect()
+    ]
+    assert len(rows) > sim.FLAT_PROBE_MAX_K
+
+    def assign(probe):
+        return {
+            r["vec_id"]: r["c"][0]
+            for r in emb.select(
+                "vec_id", probe(F.col("embedding")).alias("c")
+            ).collect()
+        }
+
+    monkeypatch.setattr(sim, "FLAT_PROBE_MAX_K", 10**9)
+    exact = assign(sim.probe_cells_udf(rows, 1))
+    monkeypatch.undo()
+    two_level = assign(sim.probe_cells_udf(rows, 1))
+    agreement = sum(1 for k in exact if exact[k] == two_level[k]) / len(exact)
+    assert agreement >= 0.85, agreement
+    assert assign(sim.probe_cells_udf(rows, 1)) == two_level  # deterministic
+    # exact twins land identically (assignment is a pure function)
+    twins = emb.filter(F.col("vec_id") < 5).withColumn(
+        "vec_id", F.col("vec_id") + 1_000_000
+    )
+    both = {
+        r["vec_id"]: r["c"][0]
+        for r in emb.unionByName(twins)
+        .select("vec_id", sim.probe_cells_udf(rows, 1)(F.col("embedding")).alias("c"))
+        .collect()
+    }
+    for i in range(5):
+        assert both[i] == both[i + 1_000_000]
+
+
+def test_semantic_dedup_large_k_sound_and_deterministic(spark, sf_dir):
+    """Auto-scale regime (k > FLAT_PROBE_MAX_K → two-level assignment):
+    SemDeDup must stay deterministic across re-runs and SOUND — every
+    dropped vector has a lower-id global brute-force near-dup (cluster
+    scoping can only lose recall, never drop a non-duplicate),
+    regardless of which cell the approximate assignment picked."""
+    from spotify_tracks_etl_portfolio_spark.operators.dedup import (
+        embedding_near_dup_pairs,
+    )
+
+    emb = read_parquet_table(spark, sf_dir, "embeddings")
+    out = {
+        r["vec_id"]: (r["cell"], r["is_kept"])
+        for r in sim.semantic_dedup(
+            emb, "vec_id", "embedding", threshold=0.9, k=80, iters=2
+        ).collect()
+    }
+    rerun = {
+        r["vec_id"]: (r["cell"], r["is_kept"])
+        for r in sim.semantic_dedup(
+            emb, "vec_id", "embedding", threshold=0.9, k=80, iters=2
+        ).collect()
+    }
+    assert rerun == out
+    dropped = {k for k, (_, kept) in out.items() if not kept}
+    brute = embedding_near_dup_pairs(emb, "vec_id", "embedding", 0.9)
+    has_lower = {r["id_b"] for r in brute.collect()}
+    assert dropped <= has_lower, dropped - has_lower
