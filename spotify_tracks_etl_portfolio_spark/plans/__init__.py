@@ -138,6 +138,34 @@ _FORCE_RERECORD = (
     # roots, 848714d) after the r04 recording.
     "embedding_ivf_topk",
     "embedding_ivf_index_topk",
+    # --- r06 code changes whose last driver rows predate them. The
+    # r02/r03-row queries on the same changed paths (document_fingerprints,
+    # ngram_jaccard_pairs, minhash_lsh_near_dups, near_dup_doc_clusters,
+    # near_dup_keep_best_quality, ensemble_near_dups,
+    # near_dedup_new_vs_corpus) already cycle into the window as stalest
+    # and need no forcing. ---
+    # d33dc6c rebuilt the PQ path around persisted codebooks; the r04 row
+    # certifies the retrain-per-call code.
+    "embedding_pq_topk",
+    # e6d885e rewrote COW manifests (delta commits + checkpoints); every
+    # cowtable read now walks the new chain format.
+    "cowtable_merge_roundtrip",
+    "cowtable_snapshot_diff",
+    "cow_incremental_rollup",
+    "streaming_cow_upsert_sync",
+    # d33dc6c/255114a touched semantic_dedup (auto-k default, two-level
+    # probe) — the registered query's frozen k=8 flat path is
+    # answer-identical, but the row must certify the current function.
+    "semantic_dedup_embeddings",
+    # ff18dc9 guarded char_trigrams against short strings (changes the
+    # persisted index contents) and trigram_index_candidates.
+    "trigram_like_search",
+    # ff18dc9 hardened _build_artifact_once (publish/error handling) —
+    # the success path is unchanged but the index build routes through it.
+    "bm25_index_search",
+    # d33dc6c pinned diversity_sample_cells to the frozen rows=HP_ROWS
+    # grid when hyperplane_sketch's default became corpus-derived.
+    "embedding_diverse_sample",
 )
 
 
