@@ -448,3 +448,24 @@ def test_semantic_dedup_large_k_sound_and_deterministic(spark, sf_dir):
     brute = embedding_near_dup_pairs(emb, "vec_id", "embedding", 0.9)
     has_lower = {r["id_b"] for r in brute.collect()}
     assert dropped <= has_lower, dropped - has_lower
+
+
+def test_kmeans_update_probes_before_the_explode(spark, sf_dir):
+    """Plan gate for the k-means update step: the Arrow probe must be
+    evaluated on the pre-explode rows (ArrowEvalPython BELOW the
+    Generate). With both in one select, ExtractPythonUDFs planted the
+    eval ABOVE the posexplode and the probe re-ran dim× per vector —
+    a 27× slowdown on the update step measured at 60k×64, k=118."""
+    emb = read_parquet_table(spark, sf_dir, "embeddings")
+    rows = [(i, [float(j == i) for j in range(64)]) for i in range(4)]
+    probe = sim.probe_cells_udf(rows, nprobe=1)
+    plan = (
+        sim._exploded_assignment(emb, probe, "embedding")
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "ArrowEvalPython" in plan and "Generate" in plan
+    # executed plans print top-down: the Generate consuming the probe's
+    # output must sit above (before) the ArrowEvalPython that feeds it
+    assert plan.index("Generate") < plan.index("ArrowEvalPython"), plan
