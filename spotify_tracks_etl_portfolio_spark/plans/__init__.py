@@ -166,6 +166,16 @@ _FORCE_RERECORD = (
     # d33dc6c pinned diversity_sample_cells to the frozen rows=HP_ROWS
     # grid when hyperplane_sketch's default became corpus-derived.
     "embedding_diverse_sample",
+    # late r06: every streaming sync gate now runs on a stream_session
+    # clone that pins the state-store partition count for its fresh
+    # checkpoint (identical rows; 200-partition bare-session state was
+    # pure overhead — 27.8s → 3.2s on the join gate).
+    "streaming_scd2_sync",
+    "streaming_near_dedup_sync",
+    "streaming_cms_sync",
+    "streaming_hourly_rollup_sync",
+    "streaming_sessionize_sync",
+    "streaming_stream_stream_join_sync",
 )
 
 

@@ -2045,6 +2045,16 @@ FROM flags WHERE u2
     tags=("streaming", "extension", "scd", "warehouse"),
 )
 def streaming_scd2_sync(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Pin the state-store partition count for the fresh checkpoint
+    # (stream_session docstring: inheriting an untuned session's 200
+    # default freezes 200 state files per operator into the
+    # checkpoint; measured 27.8s vs 3.2s on the join gate).
+    from spotify_tracks_etl_portfolio_spark.streaming.pipeline import (
+        stream_session,
+    )
+
+    spark = stream_session(spark)
+
     import glob as _glob
 
     from spotify_tracks_etl_portfolio_spark.operators.scd import scd2_apply
@@ -2137,6 +2147,16 @@ FROM latest WHERE rn = 1
     tags=("extension", "streaming", "acid"),
 )
 def streaming_cow_upsert_sync(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Pin the state-store partition count for the fresh checkpoint
+    # (stream_session docstring: inheriting an untuned session's 200
+    # default freezes 200 state files per operator into the
+    # checkpoint; measured 27.8s vs 3.2s on the join gate).
+    from spotify_tracks_etl_portfolio_spark.streaming.pipeline import (
+        stream_session,
+    )
+
+    spark = stream_session(spark)
+
     from spotify_tracks_etl_portfolio_spark.sources import cowtable as _ct
 
     events = read_parquet_table(spark, sf_dir, "events").select(
@@ -3126,6 +3146,16 @@ def chunk_documents_sliding(spark: SparkSession, sf_dir: str) -> DataFrame:
     tags=("streaming", "extension", "dedup"),
 )
 def streaming_near_dedup_sync(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Pin the state-store partition count for the fresh checkpoint
+    # (stream_session docstring: inheriting an untuned session's 200
+    # default freezes 200 state files per operator into the
+    # checkpoint; measured 27.8s vs 3.2s on the join gate).
+    from spotify_tracks_etl_portfolio_spark.streaming.pipeline import (
+        stream_session,
+    )
+
+    spark = stream_session(spark)
+
     from spotify_tracks_etl_portfolio_spark.streaming.pipeline import (
         read_documents_stream,
         streaming_near_dedup_new_docs,
@@ -4145,6 +4175,16 @@ FROM pos GROUP BY r, bucket
     tags=("streaming", "sketch"),
 )
 def streaming_cms_sync(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Pin the state-store partition count for the fresh checkpoint
+    # (stream_session docstring: inheriting an untuned session's 200
+    # default freezes 200 state files per operator into the
+    # checkpoint; measured 27.8s vs 3.2s on the join gate).
+    from spotify_tracks_etl_portfolio_spark.streaming.pipeline import (
+        stream_session,
+    )
+
+    spark = stream_session(spark)
+
     import shutil
     import tempfile
 

@@ -218,6 +218,16 @@ GROUP BY 1, 2
     tags=("streaming", "analytics"),
 )
 def streaming_hourly_rollup_sync(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Pin the state-store partition count for the fresh checkpoint
+    # (stream_session docstring: inheriting an untuned session's 200
+    # default freezes 200 state files per operator into the
+    # checkpoint; measured 27.8s vs 3.2s on the join gate).
+    from spotify_tracks_etl_portfolio_spark.streaming.pipeline import (
+        stream_session,
+    )
+
+    spark = stream_session(spark)
+
     import shutil
     import tempfile
     import uuid
@@ -299,6 +309,16 @@ FROM sagg a JOIN slast l
     tags=("streaming", "stateful"),
 )
 def streaming_sessionize_sync(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Pin the state-store partition count for the fresh checkpoint
+    # (stream_session docstring: inheriting an untuned session's 200
+    # default freezes 200 state files per operator into the
+    # checkpoint; measured 27.8s vs 3.2s on the join gate).
+    from spotify_tracks_etl_portfolio_spark.streaming.pipeline import (
+        stream_session,
+    )
+
+    spark = stream_session(spark)
+
     import os
     import shutil
     import tempfile
@@ -367,6 +387,16 @@ WHERE c.event_type = 'click' AND p.event_type = 'purchase'
 def streaming_stream_stream_join_sync(
     spark: SparkSession, sf_dir: str
 ) -> DataFrame:
+    # Pin the state-store partition count for the fresh checkpoint
+    # (stream_session docstring: inheriting an untuned session's 200
+    # default freezes 200 state files per operator into the
+    # checkpoint; measured 27.8s vs 3.2s on the join gate).
+    from spotify_tracks_etl_portfolio_spark.streaming.pipeline import (
+        stream_session,
+    )
+
+    spark = stream_session(spark)
+
     import os
     import shutil
     import tempfile

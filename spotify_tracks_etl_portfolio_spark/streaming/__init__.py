@@ -1,6 +1,7 @@
 from spotify_tracks_etl_portfolio_spark.streaming.pipeline import (
     read_events_stream,
     run_stream_to_completion,
+    stream_session,
     streaming_click_purchase_join,
     streaming_dedup_events,
     streaming_enrich_events,
@@ -12,6 +13,7 @@ from spotify_tracks_etl_portfolio_spark.streaming.pipeline import (
 __all__ = [
     "read_events_stream",
     "run_stream_to_completion",
+    "stream_session",
     "streaming_click_purchase_join",
     "streaming_dedup_events",
     "streaming_enrich_events",
