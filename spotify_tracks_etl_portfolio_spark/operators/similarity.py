@@ -707,6 +707,7 @@ def semantic_dedup(
     threshold: float = 0.95,
     k: int | None = None,
     iters: int = 3,
+    centroids: DataFrame | None = None,
 ) -> DataFrame:
     """SemDeDup-style semantic deduplication (Abbas et al. 2023,
     arXiv:2303.09540): cluster the embedding space with deterministic
@@ -729,11 +730,21 @@ def semantic_dedup(
     went 7.6×, BENCH_NOTES round 5). Pass ``k=8`` to pin the frozen
     oracle geometry, as the registered query does.
 
+    ``centroids`` (a ``(cell, <vec_col>)`` DataFrame, the
+    ``kmeans_centroids`` output shape) skips training entirely — the
+    build-once/query-many model-artifact pattern shared with the IVF
+    index and PQ codebooks: training is zero-RNG so a persisted model
+    changes the cost, never the answer. ``k``/``iters`` are ignored
+    when centroids are supplied.
+
     Returns (id, cell, is_kept) for every input vector.
     """
-    if k is None:
-        k = auto_semdedup_k(df.count())
-    cents = kmeans_centroids(df, id_col, vec_col, k=k, iters=iters)
+    if centroids is not None:
+        cents = centroids
+    else:
+        if k is None:
+            k = auto_semdedup_k(df.count())
+        cents = kmeans_centroids(df, id_col, vec_col, k=k, iters=iters)
     cent_rows = [
         (int(r["cell"]), [float(x) for x in r[vec_col]])
         for r in cents.collect()

@@ -646,15 +646,20 @@ def test_persisted_index_artifacts_reused_across_calls(spark, sf_dir):
     )
 
     cases = [
-        ("bm25_index_search", "text_index", "stats"),
-        ("trigram_like_search", "trgm_index", "postings"),
-        ("embedding_ivf_index_topk", "ivf_index", "centroids"),
-        ("embedding_pq_topk", "pq_books", "codebooks"),
+        ("bm25_index_search", "text_index", "stats", ""),
+        ("trigram_like_search", "trgm_index", "postings", ""),
+        ("embedding_ivf_index_topk", "ivf_index", "centroids", ""),
+        ("embedding_pq_topk", "pq_books", "codebooks", ""),
+        # k-means model artifact: key pins the frozen geometry too
+        ("semantic_dedup_embeddings", "semdedup_cents", "centroids",
+         "|k=8|iters=3"),
     ]
     qs = all_queries()
-    for qname, artifact, marker in cases:
+    for qname, artifact, marker, keysuffix in cases:
         first = qs[qname].fn(spark, sf_dir).collect()
-        root = _artifact_root(spark, artifact, _os.path.realpath(sf_dir))
+        root = _artifact_root(
+            spark, artifact, _os.path.realpath(sf_dir) + keysuffix
+        )
         mpath = _os.path.join(root, marker)
         assert _os.path.isdir(mpath), f"{qname}: artifact not published"
         mtime = _os.path.getmtime(mpath)
