@@ -229,6 +229,34 @@ def test_semantic_dedup_drops_planted_duplicates(spark):
     assert rerun == out
 
 
+def test_semantic_dedup_pretrained_centroids_equal_self_trained(
+    spark, sf_dir
+):
+    """The persisted-model path (round-6 artifact): passing the
+    kmeans_centroids output via ``centroids=`` must return exactly the
+    self-trained result — training is zero-RNG, so a published model
+    changes cost, never the answer."""
+    emb = read_parquet_table(spark, sf_dir, "embeddings")
+    self_trained = sorted(
+        map(
+            tuple,
+            sim.semantic_dedup(
+                emb, "vec_id", "embedding", threshold=0.9, k=8, iters=3
+            ).collect(),
+        )
+    )
+    cents = sim.kmeans_centroids(emb, "vec_id", "embedding", k=8, iters=3)
+    pretrained = sorted(
+        map(
+            tuple,
+            sim.semantic_dedup(
+                emb, "vec_id", "embedding", threshold=0.9, centroids=cents
+            ).collect(),
+        )
+    )
+    assert pretrained == self_trained
+
+
 def test_semantic_dedup_soundness_on_testdata(spark, sf_dir):
     """Soundness: every vector semantic_dedup drops must ALSO be a
     brute-force global near-dup of some lower-id vector (cluster scoping
