@@ -409,8 +409,13 @@ def simhash(
     Hamming ≤ k over more bits is a sharper near-dup criterion.
 
     Default (``bits=None``): auto-derive the width from a corpus count
-    (``auto_simhash_bits`` — one extra count job over the input).
-    Callers needing the frozen 30-bit oracle geometry pass
+    (``auto_simhash_bits`` — one extra count job over the input) at its
+    default blocking geometry (max_hamming=3). Fingerprints are only
+    comparable at EQUAL widths (standard SimHash practice), so when
+    combining bare ``simhash`` output with ``simhash_near_dup_pairs``
+    at another ``max_hamming`` — whose auto width differs — pass the
+    same explicit ``bits`` (or ``auto_simhash_bits(n, max_hamming)``)
+    to both. Callers needing the frozen 30-bit oracle geometry pass
     ``bits=SIMHASH_BITS`` explicitly, as the registered queries do."""
     if bits is None:
         bits = auto_simhash_bits(df.count())

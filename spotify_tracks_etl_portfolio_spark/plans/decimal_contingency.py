@@ -212,12 +212,14 @@ def apply() -> None:
     (see the module docstring for when and how). Idempotent."""
     from spotify_tracks_etl_portfolio_spark.plans import QUERIES
 
+    suffix = (
+        " [decimal-output contingency applied: big sums stay "
+        "DECIMAL(24,8) end-to-end — no decimal->double conversion "
+        "for the oracle channel to double-round]"
+    )
     for name, (fn, oracle) in DECIMAL_VARIANTS.items():
         spec = QUERIES[name]
         spec.fn = fn
         spec.oracle = oracle
-        spec.description += (
-            " [decimal-output contingency applied: big sums stay "
-            "DECIMAL(24,8) end-to-end — no decimal->double conversion "
-            "for the oracle channel to double-round]"
-        )
+        if not spec.description.endswith(suffix):  # keep apply idempotent
+            spec.description += suffix

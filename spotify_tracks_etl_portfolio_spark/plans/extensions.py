@@ -18,6 +18,9 @@ from pyspark.sql import functions as F
 from spotify_tracks_etl_portfolio_spark.functions import rolling_hash, token_count
 from spotify_tracks_etl_portfolio_spark.plans import register
 from spotify_tracks_etl_portfolio_spark.sources.readers import read_parquet_table
+from spotify_tracks_etl_portfolio_spark.streaming.pipeline import (
+    pinned_stream_session,
+)
 
 
 def _session_scratch(spark: SparkSession, name: str) -> str:
@@ -2044,16 +2047,8 @@ FROM flags WHERE u2
     "guarantee it",
     tags=("streaming", "extension", "scd", "warehouse"),
 )
+@pinned_stream_session
 def streaming_scd2_sync(spark: SparkSession, sf_dir: str) -> DataFrame:
-    # Pin the state-store partition count for the fresh checkpoint
-    # (stream_session docstring: inheriting an untuned session's 200
-    # default freezes 200 state files per operator into the
-    # checkpoint; measured 27.8s vs 3.2s on the join gate).
-    from spotify_tracks_etl_portfolio_spark.streaming.pipeline import (
-        stream_session,
-    )
-
-    spark = stream_session(spark)
 
     import glob as _glob
 
@@ -2146,16 +2141,8 @@ FROM latest WHERE rn = 1
     "arg-max-per-user SQL over the full event log.",
     tags=("extension", "streaming", "acid"),
 )
+@pinned_stream_session
 def streaming_cow_upsert_sync(spark: SparkSession, sf_dir: str) -> DataFrame:
-    # Pin the state-store partition count for the fresh checkpoint
-    # (stream_session docstring: inheriting an untuned session's 200
-    # default freezes 200 state files per operator into the
-    # checkpoint; measured 27.8s vs 3.2s on the join gate).
-    from spotify_tracks_etl_portfolio_spark.streaming.pipeline import (
-        stream_session,
-    )
-
-    spark = stream_session(spark)
 
     from spotify_tracks_etl_portfolio_spark.sources import cowtable as _ct
 
@@ -3166,16 +3153,8 @@ def chunk_documents_sliding(spark: SparkSession, sf_dir: str) -> DataFrame:
     "other), and the gate proves it",
     tags=("streaming", "extension", "dedup"),
 )
+@pinned_stream_session
 def streaming_near_dedup_sync(spark: SparkSession, sf_dir: str) -> DataFrame:
-    # Pin the state-store partition count for the fresh checkpoint
-    # (stream_session docstring: inheriting an untuned session's 200
-    # default freezes 200 state files per operator into the
-    # checkpoint; measured 27.8s vs 3.2s on the join gate).
-    from spotify_tracks_etl_portfolio_spark.streaming.pipeline import (
-        stream_session,
-    )
-
-    spark = stream_session(spark)
 
     from spotify_tracks_etl_portfolio_spark.streaming.pipeline import (
         read_documents_stream,
@@ -3855,7 +3834,14 @@ FROM (
 )
 def embedding_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = read_parquet_table(spark, sf_dir, "embeddings")
-    root = _artifact_root(spark, "pq_books", os.path.realpath(sf_dir))
+    # key pins the PQ geometry alongside the data (the codebooks derive
+    # from both), matching the semdedup_cents key convention
+    root = _artifact_root(
+        spark,
+        "pq_books",
+        f"{os.path.realpath(sf_dir)}|m={_sim.PQ_M}|sub={_sim.PQ_SUB_DIM}"
+        f"|k={_sim.PQ_K}|iters={_sim.PQ_ITERS}",
+    )
     _build_artifact_once(
         root,
         "codebooks",
@@ -4195,16 +4181,8 @@ FROM pos GROUP BY r, bucket
     "identical sketch — the mergeability contract, proven end-to-end",
     tags=("streaming", "sketch"),
 )
+@pinned_stream_session
 def streaming_cms_sync(spark: SparkSession, sf_dir: str) -> DataFrame:
-    # Pin the state-store partition count for the fresh checkpoint
-    # (stream_session docstring: inheriting an untuned session's 200
-    # default freezes 200 state files per operator into the
-    # checkpoint; measured 27.8s vs 3.2s on the join gate).
-    from spotify_tracks_etl_portfolio_spark.streaming.pipeline import (
-        stream_session,
-    )
-
-    spark = stream_session(spark)
 
     import shutil
     import tempfile

@@ -22,6 +22,9 @@ from spotify_tracks_etl_portfolio_spark.operators.stats import (
 )
 from spotify_tracks_etl_portfolio_spark.plans import register
 from spotify_tracks_etl_portfolio_spark.sources.readers import read_parquet_table
+from spotify_tracks_etl_portfolio_spark.streaming.pipeline import (
+    pinned_stream_session,
+)
 
 VALUE_CLAMP = (0.0, 450.0)
 
@@ -217,16 +220,8 @@ GROUP BY 1, 2
     "is a liveness policy, not a correctness difference)",
     tags=("streaming", "analytics"),
 )
+@pinned_stream_session
 def streaming_hourly_rollup_sync(spark: SparkSession, sf_dir: str) -> DataFrame:
-    # Pin the state-store partition count for the fresh checkpoint
-    # (stream_session docstring: inheriting an untuned session's 200
-    # default freezes 200 state files per operator into the
-    # checkpoint; measured 27.8s vs 3.2s on the join gate).
-    from spotify_tracks_etl_portfolio_spark.streaming.pipeline import (
-        stream_session,
-    )
-
-    spark = stream_session(spark)
 
     import shutil
     import tempfile
@@ -308,16 +303,8 @@ FROM sagg a JOIN slast l
     "running sum vs DuckDB ordered list_reduce",
     tags=("streaming", "stateful"),
 )
+@pinned_stream_session
 def streaming_sessionize_sync(spark: SparkSession, sf_dir: str) -> DataFrame:
-    # Pin the state-store partition count for the fresh checkpoint
-    # (stream_session docstring: inheriting an untuned session's 200
-    # default freezes 200 state files per operator into the
-    # checkpoint; measured 27.8s vs 3.2s on the join gate).
-    from spotify_tracks_etl_portfolio_spark.streaming.pipeline import (
-        stream_session,
-    )
-
-    spark = stream_session(spark)
 
     import os
     import shutil
@@ -384,18 +371,10 @@ WHERE c.event_type = 'click' AND p.event_type = 'purchase'
     "state at 100 TB instead of buffering both streams forever",
     tags=("streaming", "join"),
 )
+@pinned_stream_session
 def streaming_stream_stream_join_sync(
     spark: SparkSession, sf_dir: str
 ) -> DataFrame:
-    # Pin the state-store partition count for the fresh checkpoint
-    # (stream_session docstring: inheriting an untuned session's 200
-    # default freezes 200 state files per operator into the
-    # checkpoint; measured 27.8s vs 3.2s on the join gate).
-    from spotify_tracks_etl_portfolio_spark.streaming.pipeline import (
-        stream_session,
-    )
-
-    spark = stream_session(spark)
 
     import os
     import shutil

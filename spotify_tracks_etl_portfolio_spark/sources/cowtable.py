@@ -169,6 +169,18 @@ def _files_payload(
 
 def latest_version(root: str) -> int:
     """Highest committed version, or -1 for a non-existent table."""
+    return _version_bound(root, max)
+
+
+def oldest_version(root: str) -> int:
+    """Oldest version whose manifest still exists (-1 for a
+    non-existent table) — after a ``vacuum`` this is the retention
+    horizon, guaranteed self-contained by the rewrite-then-drop
+    ordering, so chain walks must start here, never at 0."""
+    return _version_bound(root, min)
+
+
+def _version_bound(root: str, pick) -> int:
     mdir = os.path.join(root, _MANIFEST_DIR)
     if not os.path.isdir(mdir):
         return -1
@@ -177,7 +189,7 @@ def latest_version(root: str) -> int:
         for f in os.listdir(mdir)
         if f.startswith("v") and f.endswith(".json")
     ]
-    return max(versions, default=-1)
+    return pick(versions, default=-1)
 
 
 def _commit(root: str, version: int, manifest: dict) -> None:
@@ -313,26 +325,38 @@ def add_columns(root: str, cols: dict[str, str]) -> int:
 
 
 def history(root: str) -> list[dict]:
-    """Commit log: (version, operation, file/row counts) per snapshot.
-    Walks the chain ONCE, applying each delta incrementally — O(V)
-    total manifest reads, not O(V · checkpoint distance)."""
+    """Commit log: (version, operation, file/row counts) per RETAINED
+    snapshot. Walks the chain ONCE, applying each delta incrementally —
+    O(V) total manifest reads, not O(V · checkpoint distance).
+
+    Starts at ``oldest_version`` (vacuum drops older manifests, and its
+    rewrite-then-drop ordering guarantees the oldest survivor is
+    self-contained), so a vacuumed table lists its retained versions
+    instead of crashing on the dropped ones. A leading delta manifest
+    whose ancestors are gone — possible only in the crash window of an
+    interrupted vacuum, before a re-run finishes the drop — is skipped
+    as semantically vacuumed, never misreported."""
     out = []
-    files: list[dict] = []
-    for v in range(latest_version(root) + 1):
+    files: list[dict] | None = None
+    first = oldest_version(root)
+    if first < 0:
+        return out
+    for v in range(first, latest_version(root) + 1):
         raw = _read_manifest(root, v)
         if "files" in raw:
             files = list(raw["files"])
-        else:
+        elif files is not None:
             removed = set(raw["files_removed"])
             files = [f for f in files if f["path"] not in removed]
             files = files + raw["files_added"]
-        m = {**raw, "files": files}
+        else:  # unresolvable leading delta (interrupted-vacuum window)
+            continue
         out.append(
             {
                 "version": v,
-                "operation": m["operation"],
-                "n_files": len(m["files"]),
-                "n_rows": sum(f["n_rows"] for f in m["files"]),
+                "operation": raw["operation"],
+                "n_files": len(files),
+                "n_rows": sum(f["n_rows"] for f in files),
             }
         )
     return out
@@ -537,11 +561,21 @@ def merge_latest(
 
 
 def last_stream_batch_id(root: str) -> int | None:
-    """Highest ``stream_batch_id`` recorded in any manifest (None if no
-    streaming commit has happened) — the sink's replay watermark."""
+    """Highest ``stream_batch_id`` recorded in any RETAINED manifest
+    (None if no streaming commit has happened) — the sink's replay
+    watermark. Commits carry the watermark forward (every child
+    manifest copies its parent's id), so on a table with any streaming
+    history this stops at ``latest``; the backward walk exists for
+    batch-only tables, and it must stop at ``oldest_version`` (vacuum
+    drops older manifests) — every micro-batch calls this through
+    ``merge_latest``, so a vacuumed batch-only table receiving its
+    first streaming commit must get None, not a FileNotFoundError."""
     best = None
-    for v in range(latest_version(root), -1, -1):
-        b = _read_manifest(root, v).get("stream_batch_id")
+    for v in range(latest_version(root), oldest_version(root) - 1, -1):
+        try:
+            b = _read_manifest(root, v).get("stream_batch_id")
+        except FileNotFoundError:  # concurrent vacuum dropped it
+            break
         if b is not None:
             best = b if best is None else max(best, b)
             break  # manifests are ordered; the newest recorded id wins

@@ -162,6 +162,23 @@ def stream_session(spark, partitions: int | None = None):
     return s
 
 
+def pinned_stream_session(fn):
+    """Decorator for ``(spark, sf_dir, ...)`` query callables that start
+    a stateful stream on a FRESH checkpoint: swaps the incoming session
+    for a ``stream_session`` clone, so a gate can never silently freeze
+    an untuned session's 200-partition default into its state stores
+    (rationale and measurements: ``stream_session`` docstring). One
+    decorator instead of a copy-pasted preamble per gate — a new gate
+    that forgets the pin shows up in review as a missing decorator."""
+    import functools
+
+    @functools.wraps(fn)
+    def wrapped(spark, *args, **kwargs):
+        return fn(stream_session(spark), *args, **kwargs)
+
+    return wrapped
+
+
 def streaming_dedup_events(
     events: DataFrame, watermark: str = "2 hours"
 ) -> DataFrame:

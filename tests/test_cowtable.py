@@ -146,6 +146,53 @@ def test_merge_latest_wins_and_replay_is_idempotent(spark, table):
     assert ct.last_stream_batch_id(table) == 1
 
 
+def test_history_and_stream_watermark_survive_vacuum(spark, table):
+    """Round-6 fix: the chain walkers must start at the vacuum horizon,
+    never v0 — ``history()`` on a vacuumed table lists exactly the
+    retained versions (including a rewritten delta-horizon manifest),
+    and ``last_stream_batch_id()`` keeps serving the streaming sink
+    instead of crashing on a dropped manifest."""
+    for i in range(11):  # v1..v11, crossing the v10 checkpoint boundary
+        ct.delete_where(
+            spark, table, "k", spark.createDataFrame([(i,)], "k long")
+        )
+    upd = spark.createDataFrame([(5000, 1)], "k long, v long")
+    ct.merge_latest(spark, table, upd, "k", ["v"], stream_batch_id=7)  # v12
+    # horizon 11 is a DELTA manifest → exercises the vacuum rewrite
+    ct.vacuum(table, retain_last=2)
+    hist = ct.history(table)
+    assert [h["version"] for h in hist] == [11, 12]
+    assert hist[-1]["n_rows"] == ct.read_table(spark, table).count()
+    assert ct.last_stream_batch_id(table) == 7
+    # commits carry the watermark forward, so it survives vacuuming the
+    # manifest that first recorded it, and the sink keeps committing
+    ct.delete_where(
+        spark, table, "k", spark.createDataFrame([(20,)], "k long")
+    )  # v13
+    ct.vacuum(table, retain_last=1)
+    assert ct.last_stream_batch_id(table) == 7
+    nxt = spark.createDataFrame([(5001, 2)], "k long, v long")
+    r = ct.merge_latest(spark, table, nxt, "k", ["v"], stream_batch_id=8)
+    assert not r.get("skipped_replay")
+    assert ct.last_stream_batch_id(table) == 8
+
+
+def test_first_stream_batch_on_vacuumed_batch_only_table(spark, table):
+    """The backward watermark walk on a BATCH-ONLY table (no manifest
+    carries an id) must stop at the vacuum horizon and return None —
+    the old v0-bound walk raised FileNotFoundError, wedging the first
+    streaming commit into a vacuumed batch table."""
+    ct.delete_where(
+        spark, table, "k", spark.createDataFrame([(1,)], "k long")
+    )
+    ct.vacuum(table, retain_last=1)  # drops v0: walk can't reach it
+    assert ct.last_stream_batch_id(table) is None
+    upd = spark.createDataFrame([(6000, 1)], "k long, v long")
+    r = ct.merge_latest(spark, table, upd, "k", ["v"], stream_batch_id=0)
+    assert not r.get("skipped_replay")
+    assert ct.last_stream_batch_id(table) == 0
+
+
 def test_snapshot_diff_reports_adds_removes_changes(spark, table):
     ct.delete_where(
         spark, table, "k",
