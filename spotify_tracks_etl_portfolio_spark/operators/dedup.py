@@ -92,22 +92,6 @@ def _tune_generate(df: DataFrame) -> DataFrame:
     return df
 
 
-def shingle_array(col: Column | str, k: int = SHINGLE_K) -> Column:
-    """Distinct k-word shingles as strings; docs with < k tokens get a
-    single shingle of the whole text (so they still participate)."""
-    toks = tokens(col)
-    n = F.size(toks)
-    joined = F.transform(
-        F.sequence(F.lit(0), n - k),
-        lambda i: F.concat_ws(
-            " ", *[F.element_at(toks, (i + j + 1).cast("int")) for j in range(k)]
-        ),
-    )
-    return F.when(n >= k, F.array_distinct(joined)).otherwise(
-        F.array(F.concat_ws(" ", toks))
-    )
-
-
 def _fold_token_hashes(th: Column) -> Column:
     """Combine a whole token-hash array into one shingle hash (the < k
     tokens fallback; consistent with the windowed form since the fold

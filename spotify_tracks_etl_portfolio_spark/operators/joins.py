@@ -23,6 +23,20 @@ from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 
+def _orderable_type(dt) -> bool:
+    """True when Spark can sort the type: maps are unorderable; arrays
+    and structs inherit from their element/field types."""
+    from pyspark.sql.types import ArrayType, MapType, StructType
+
+    if isinstance(dt, MapType):
+        return False
+    if isinstance(dt, ArrayType):
+        return _orderable_type(dt.elementType)
+    if isinstance(dt, StructType):
+        return all(_orderable_type(f.dataType) for f in dt.fields)
+    return True
+
+
 def asof_join(
     left: DataFrame,
     right: DataFrame,
@@ -67,9 +81,25 @@ def asof_join(
         .withColumn("__side", F.lit(1))
     )
     u = l.unionByName(r, allowMissingColumns=True)
+    # The payload's place in the sort is ONLY the equal-timestamp
+    # tie-break; a right table carrying an unorderable column (map)
+    # would fail the whole window sort, so tie-break on the orderable
+    # subset of right columns instead (identity: the full payload when
+    # every column is orderable — the common case keeps its exact sort).
+    # A right table with NO orderable column degrades to arbitrary-but-
+    # single-valued ties (last() still picks exactly one right row).
+    orderable = [
+        c for c in right.columns if _orderable_type(right.schema[c].dataType)
+    ]
+    if len(orderable) == len(right.columns):
+        tie = F.col("__payload")
+    elif orderable:
+        tie = F.struct(*[F.col("__payload").getField(c) for c in orderable])
+    else:
+        tie = F.lit(0)
     w = (
         Window.partitionBy(*by)
-        .orderBy(F.col("__ts").asc(), F.col("__side").asc(), F.col("__payload").asc())
+        .orderBy(F.col("__ts").asc(), F.col("__side").asc(), tie.asc())
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
     matched = u.withColumn("__m", F.last("__payload", ignorenulls=True).over(w)).filter(
@@ -145,7 +175,21 @@ def salted_join(
     multiplies by ``buckets`` — use AQE's skew-join split for moderate
     skew and salting when a single key exceeds one executor's memory
     (the 100 TB hot-partition case: a null-ish default key, a celebrity
-    user, a boilerplate document hash)."""
+    user, a boilerplate document hash).
+
+    ``how`` is restricted to the LEFT-side-preserving joins: salting
+    replicates the right side, so right/full outer joins would emit one
+    phantom unmatched row per non-matching replica — buckets-1 extras
+    per matched key — breaking the row-identity contract. For a skewed
+    right-preserving join, swap the sides and call with the mirrored
+    ``how``."""
+    allowed = {"inner", "left", "leftouter", "left_outer",
+               "leftsemi", "left_semi", "leftanti", "left_anti"}
+    if how.lower() not in allowed:
+        raise ValueError(
+            f"salted_join: how={how!r} would emit phantom rows for "
+            f"replicated right-side non-matches; use one of {sorted(allowed)}"
+        )
     sl = left.withColumn(
         "__salt_l", F.pmod(F.xxhash64(salt_from), F.lit(buckets))
     )
@@ -178,8 +222,15 @@ BLOOM_P = 1_000_000_007
 
 
 def _bloom_positions(key: Column) -> list[Column]:
+    """Bit positions for a key of ANY type: the key goes through
+    xxhash64 first (arithmetic on the raw column crashed ANSI casts on
+    string keys — or worse, silently NULLed every position with ANSI
+    off, a 100% false-negative filter). ``pmod`` keeps positions
+    non-negative on the signed hash, and reducing by BLOOM_P before the
+    multiply bounds the product under 2^41 — no ANSI overflow."""
+    h = F.pmod(F.xxhash64(key), F.lit(BLOOM_P))
     return [
-        ((key * F.lit(a) + F.lit(b)) % BLOOM_P) % BLOOM_BITS
+        F.pmod(h * F.lit(a) + F.lit(b), F.lit(BLOOM_P)) % BLOOM_BITS
         for a, b in BLOOM_HASHES
     ]
 

@@ -364,7 +364,7 @@ def attach_encoded_media(
             ids = pdf[id_col].astype("int64")
             yield pd.DataFrame(
                 {
-                    "doc_id" if id_col == "doc_id" else id_col: ids,
+                    id_col: ids,
                     "media": [
                         encoders[int(i) % 3](t.encode("utf-8"), width)
                         for i, t in zip(ids, pdf[text_col])

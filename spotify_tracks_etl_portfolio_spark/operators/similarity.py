@@ -24,9 +24,7 @@ from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 from spotify_tracks_etl_portfolio_spark.functions import (
-    cosine_similarity,
     vec_dot,
-    vec_norm,
     vec_norm_safe,
 )
 
@@ -880,12 +878,17 @@ def pq_encode(
     id_col: str,
     vec_col: str,
     books: list[list[tuple[int, list[float]]]],
-    sub_dim: int = PQ_SUB_DIM,
+    sub_dim: int | None = None,
 ) -> DataFrame:
     """Corpus → PQ codes: per subspace, the Arrow-batched nearest-
     centroid probe (one numpy GEMM per batch). Output is one BIGINT
     code per subspace — the 100 TB win: ~64 floats compress to m
-    bytes-scale codes, and serving scans codes, never vectors."""
+    bytes-scale codes, and serving scans codes, never vectors.
+    ``sub_dim`` defaults to the width the books were trained at (their
+    centroid length) — passing a mismatched override would slice the
+    wrong vector segments."""
+    if sub_dim is None:
+        sub_dim = len(books[0][0][1])
     out = emb.select(F.col(id_col), F.col(vec_col))
     for mi, book in enumerate(books):
         probe = probe_cells_udf(book, nprobe=1)
@@ -938,6 +941,14 @@ def pq_topk(
 
     if books is None:
         books = pq_train_codebooks(emb, id_col, vec_col, m, sub_dim, k, iters)
+    else:
+        # Pre-trained codebooks CARRY their geometry — derive (m,
+        # sub_dim) from them instead of trusting the parameters, so
+        # books trained at a non-default shape can never silently sum
+        # too few subspaces (wrong shortlist) or reference missing LUT
+        # columns (AnalysisException).
+        m = len(books)
+        sub_dim = len(books[0][0][1])
     codes = pq_encode(emb, id_col, vec_col, books, sub_dim).withColumnRenamed(
         id_col, "neighbor_id"
     )

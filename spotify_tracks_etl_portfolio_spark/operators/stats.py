@@ -177,6 +177,12 @@ def _bucketed_global_ranks(
     bucket = F.lit(0)
     for b in bounds:
         bucket = bucket + (F.col(bcol) > F.lit(b)).cast("int")
+    # NULL leading keys: (NULL > bound) is NULL, so without a guard the
+    # bucket itself is NULL (None key crashed the offset sort below).
+    # Spark's ASC default is NULLS FIRST, so NULLs get the bucket that
+    # sorts before every boundary bucket — keeping the global rank
+    # identical to the single-window row_number.
+    bucket = F.when(F.col(bcol).isNull(), F.lit(-1)).otherwise(bucket)
     bucketed = df.withColumn("__bkt", bucket)
 
     counts = {

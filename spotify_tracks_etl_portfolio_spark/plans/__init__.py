@@ -176,6 +176,21 @@ _FORCE_RERECORD = (
     "streaming_hourly_rollup_sync",
     "streaming_sessionize_sync",
     "streaming_stream_stream_join_sync",
+    # late r06 review fixes (all answer-preserving; replica-green):
+    # _bucketed_global_ranks grew the NULL-bucket guard,
+    "event_value_deciles",
+    # _bloom_positions now hash the key (same final rows — the exact
+    # join strips false positives either way),
+    "bloom_semi_join_urgent_revenue",
+    # asof_join's tie-break became the orderable-subset expression,
+    "asof_click_purchase",
+    "click_since_purchase_latency",
+    # salted_join grew the how-guard on these queries' import path,
+    "top10_customers_by_revenue_salted",
+    # attach_encoded_media dropped a no-op ternary on the id column.
+    "multimodal_decode_features",
+    "multimodal_image_fingerprints",
+    "multimodal_image_dedup_groups",
 )
 
 

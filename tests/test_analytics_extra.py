@@ -78,6 +78,31 @@ def test_global_row_number_heavy_ties_still_exact(spark):
     assert got == want
 
 
+def test_global_row_number_null_leading_keys_match_window(spark):
+    """Round-6 review fix: NULL leading keys used to produce a NULL
+    bucket (None crashed the offset sort); they now land in the bucket
+    that sorts first, matching the window's ASC NULLS FIRST order
+    exactly."""
+    rows = [(None, i) for i in range(10)] + [
+        (float(i), 100 + i) for i in range(90)
+    ]
+    df = spark.createDataFrame(rows, "value double, event_id long")
+    got = {
+        r["event_id"]: r["rn"]
+        for r in global_row_number(
+            df, ["value", "event_id"], "rn", buckets=8
+        ).collect()
+    }
+    w = Window.orderBy("value", "event_id")
+    want = {
+        r["event_id"]: r["rn"]
+        for r in df.select(
+            "event_id", F.row_number().over(w).cast("long").alias("rn")
+        ).collect()
+    }
+    assert got == want
+
+
 def test_exact_ntile_matches_sql_ntile(spark, sf_dir):
     ev = read_parquet_table(spark, sf_dir, "events").select(
         "value", "event_id"

@@ -220,3 +220,97 @@ def test_bloom_probe_no_false_negatives_and_filters(spark, sf_dir):
     # selectivity: the filter actually removes most non-matching rows
     # (~20% of orders are urgent; fpp at this sizing is near zero)
     assert n_surv < 0.5 * n_total
+
+
+def test_salted_join_rejects_right_preserving_hows(spark):
+    """Round-6 review fix: salting replicates the right side, so
+    right/full outer joins would emit phantom unmatched rows per
+    replica — the operator must refuse them instead of silently
+    breaking its row-identity contract."""
+    import pytest
+
+    from spotify_tracks_etl_portfolio_spark.operators.joins import salted_join
+
+    left = spark.createDataFrame([(1, 10)], "k long, rid long")
+    right = spark.createDataFrame([(1, "a"), (2, "b")], "rk long, name string")
+    for how in ("right", "full", "full_outer", "right_outer"):
+        with pytest.raises(ValueError, match="phantom"):
+            salted_join(left, right, "k", "rk", "rid", buckets=4, how=how)
+    # the left-preserving hows keep working
+    got = salted_join(left, right, "k", "rk", "rid", buckets=4, how="left")
+    assert got.count() == 1
+
+
+def test_bloom_handles_string_keys_transparently(spark):
+    """Round-6 review fix: bit positions now come from xxhash64(key),
+    so non-numeric keys work (raw-column arithmetic crashed ANSI casts
+    — or silently dropped EVERY probe row with ANSI off)."""
+    from spotify_tracks_etl_portfolio_spark.operators.joins import (
+        bloom_build,
+        bloom_probe,
+    )
+
+    build = spark.createDataFrame(
+        [(f"key_{i}",) for i in range(50)], "k string"
+    )
+    probe = spark.createDataFrame(
+        [(f"key_{i}",) for i in range(40, 400)], "k string"
+    )
+    bloom = bloom_build(build, "k")
+    survivors = {r["k"] for r in bloom_probe(probe, "k", bloom).collect()}
+    # transparency: every true match survives
+    assert {f"key_{i}" for i in range(40, 50)} <= survivors
+    # selectivity: the filter actually drops most non-members
+    assert len(survivors) < 360
+
+
+def test_asof_join_right_table_with_map_column(spark):
+    """Round-6 review fix: the equal-ts tie-break sorts the ORDERABLE
+    subset of right columns, so a map-bearing right table as-of joins
+    instead of failing the window sort."""
+    left = spark.createDataFrame(
+        [(1, _ts("2024-01-01T10:00:00"))], "uid long, ts timestamp"
+    )
+    right = spark.createDataFrame(
+        [
+            (1, _ts("2024-01-01T09:00:00"), {"a": 1}),
+            (1, _ts("2024-01-01T09:30:00"), {"b": 2}),
+        ],
+        "uid long, rts timestamp, attrs map<string,int>",
+    )
+    got = asof_join(left, right, ["uid"], "ts", "rts").collect()
+    assert len(got) == 1
+    assert got[0]["right_rts"] == _ts("2024-01-01T09:30:00")
+    assert dict(got[0]["right_attrs"]) == {"b": 2}
+
+
+def test_pq_topk_derives_geometry_from_pretrained_books(spark, sf_dir):
+    """Round-6 review fix: pq_topk with pre-trained codebooks derives
+    (m, sub_dim) from the books themselves — a non-default-geometry
+    model can never silently sum too few subspaces."""
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet").limit(200)
+    books16 = sim.pq_train_codebooks(
+        emb, "vec_id", "embedding", m=16, sub_dim=4, k=8, iters=1
+    )
+    assert len(books16) == 16 and len(books16[0][0][1]) == 4
+    # defaults say m=8/sub_dim=8; the books must win — the pretrained
+    # call must equal the self-trained call at the books' geometry
+    # (training is zero-RNG, so the codebooks are identical)
+    pre = sorted(
+        map(
+            tuple,
+            sim.pq_topk(
+                emb, "vec_id", "embedding", books=books16, topk=3
+            ).collect(),
+        )
+    )
+    selftrained = sorted(
+        map(
+            tuple,
+            sim.pq_topk(
+                emb, "vec_id", "embedding",
+                m=16, sub_dim=4, k=8, iters=1, topk=3,
+            ).collect(),
+        )
+    )
+    assert pre == selftrained and pre
