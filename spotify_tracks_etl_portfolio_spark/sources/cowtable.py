@@ -320,6 +320,8 @@ def add_columns(root: str, cols: dict[str, str]) -> int:
     }
     if m.get("stream_batch_id") is not None:
         manifest["stream_batch_id"] = m["stream_batch_id"]
+        if m.get("stream_app_id") is not None:
+            manifest["stream_app_id"] = m["stream_app_id"]
     _commit(root, v + 1, manifest)
     return v + 1
 
@@ -449,6 +451,8 @@ def delete_where(
     }
     if m.get("stream_batch_id") is not None:  # keep the replay watermark
         manifest["stream_batch_id"] = m["stream_batch_id"]
+        if m.get("stream_app_id") is not None:
+            manifest["stream_app_id"] = m["stream_app_id"]
     _commit(root, v + 1, manifest)
     return {
         "version": v + 1,
@@ -468,7 +472,33 @@ def merge_into(
     away, update rows appended); untouched files carry over by
     reference. The update set also lands in fresh files, so inserts
     never rewrite anything.
+
+    Duplicate keys WITHIN one update batch reduce to a single row
+    first (greatest orderable-row struct wins — deterministic under
+    retry), else each duplicate would land in the new files and
+    permanently break the key-uniqueness invariant the upsert exists
+    to maintain. NULL-keyed update rows pass through verbatim (they
+    never match, mirroring the anti-join's never-equal semantics).
     """
+    from spotify_tracks_etl_portfolio_spark.operators.joins import (
+        _orderable_type,
+    )
+
+    keyed = updates.filter(F.col(key_col).isNotNull())
+    order_cols = [
+        c for c in updates.columns if _orderable_type(updates.schema[c].dataType)
+    ] or [key_col]
+    deduped = (
+        keyed.groupBy(key_col)
+        .agg(
+            F.max_by(
+                F.struct(*[F.col(c) for c in updates.columns]),
+                F.struct(*[F.col(c) for c in order_cols]),
+            ).alias("__row")
+        )
+        .select("__row.*")
+    )
+    updates = deduped.unionByName(updates.filter(F.col(key_col).isNull()))
     v = latest_version(root)
     m = _load_snapshot(root, v)
     maybe, keep = _affected_files(spark, m, key_col, updates)
@@ -489,6 +519,8 @@ def merge_into(
     }
     if m.get("stream_batch_id") is not None:  # keep the replay watermark
         manifest["stream_batch_id"] = m["stream_batch_id"]
+        if m.get("stream_app_id") is not None:
+            manifest["stream_app_id"] = m["stream_app_id"]
     _commit(root, v + 1, manifest)
     return {
         "version": v + 1,
@@ -504,24 +536,36 @@ def merge_latest(
     key_col: str,
     order_cols: list[str],
     stream_batch_id: int | None = None,
+    stream_app_id: str | None = None,
 ) -> dict:
     """Conditional LATEST-WINS upsert: for each key keep the row with
     the greatest ``order_cols`` tuple among the existing row and the
     updates — the CDC/stream-compaction merge (plain ``merge_into`` is
     the unconditional special case). Out-of-order delivery is safe: an
     update older than the stored row loses the argmax and changes
-    nothing.
+    nothing. NULL-keyed rows are never matched or reduced — they carry
+    through rewrites verbatim, the same never-equal semantics the
+    anti-join paths (``delete_where``/``merge_into``) give them.
 
     ``stream_batch_id`` makes commits IDEMPOTENT for streaming sinks:
     the id is recorded in the manifest, and a batch with id <= the last
     recorded one is skipped without a commit — exactly-once table
     state under foreachBatch's at-least-once replay contract.
-    """
+    ``stream_app_id`` SCOPES that guard (Delta's txnAppId pattern): a
+    stream restarted on a FRESH checkpoint restarts its epochs at 0, so
+    an unscoped guard would silently skip every batch up to the old
+    watermark. Pass a stable id per logical stream (the checkpoint
+    path is a good one) and change it whenever the checkpoint is reset;
+    ids that differ from the recorded one never skip."""
     v = latest_version(root)
     m = _load_snapshot(root, v)
     if stream_batch_id is not None:
-        last = last_stream_batch_id(root)
-        if last is not None and stream_batch_id <= last:
+        rec = _last_stream_batch(root)
+        if (
+            rec is not None
+            and rec[1] == stream_app_id
+            and stream_batch_id <= rec[0]
+        ):
             return {"version": v, "skipped_replay": True}
     maybe, keep = _affected_files(spark, m, key_col, updates)
     combined = updates
@@ -529,8 +573,9 @@ def merge_latest(
         affected = _scan_files(spark, [f["path"] for f in maybe], m["schema"])
         combined = affected.unionByName(updates)
     w_struct = F.struct(*[F.col(c) for c in order_cols])
+    keyed = combined.filter(F.col(key_col).isNotNull())
     latest = (
-        combined.groupBy(key_col)
+        keyed.groupBy(key_col)
         .agg(
             F.max_by(
                 F.struct(*[F.col(c) for c in combined.columns]), w_struct
@@ -538,6 +583,11 @@ def merge_latest(
         )
         .select("__row.*")
     )
+    # NULL-keyed rows from rewritten files (or the update batch) would
+    # otherwise collapse into ONE row — groupBy puts every NULL in a
+    # single group — silently losing data the anti-join paths keep.
+    nulls = combined.filter(F.col(key_col).isNull())
+    latest = latest.unionByName(nulls)
     new_files = _write_data_files(latest, root)
     manifest = {
         "version": v + 1,
@@ -546,11 +596,14 @@ def merge_latest(
         "schema": m["schema"],
         **_files_payload(v + 1, m["files"], keep + new_files),
     }
-    sbid = stream_batch_id
+    sbid, app = stream_batch_id, stream_app_id
     if sbid is None:
         sbid = m.get("stream_batch_id")  # carry the watermark forward
+        app = m.get("stream_app_id")
     if sbid is not None:
         manifest["stream_batch_id"] = sbid
+        if app is not None:
+            manifest["stream_app_id"] = app
     _commit(root, v + 1, manifest)
     return {
         "version": v + 1,
@@ -570,16 +623,23 @@ def last_stream_batch_id(root: str) -> int | None:
     drops older manifests) — every micro-batch calls this through
     ``merge_latest``, so a vacuumed batch-only table receiving its
     first streaming commit must get None, not a FileNotFoundError."""
-    best = None
+    rec = _last_stream_batch(root)
+    return None if rec is None else rec[0]
+
+
+def _last_stream_batch(root: str) -> tuple[int, str | None] | None:
+    """Newest recorded (stream_batch_id, stream_app_id) pair, or None —
+    the app id scopes the replay guard (see ``merge_latest``)."""
     for v in range(latest_version(root), oldest_version(root) - 1, -1):
         try:
-            b = _read_manifest(root, v).get("stream_batch_id")
+            m = _read_manifest(root, v)
         except FileNotFoundError:  # concurrent vacuum dropped it
             break
+        b = m.get("stream_batch_id")
         if b is not None:
-            best = b if best is None else max(best, b)
-            break  # manifests are ordered; the newest recorded id wins
-    return best
+            # manifests are ordered; the newest recorded id wins
+            return b, m.get("stream_app_id")
+    return None
 
 
 def snapshot_diff(
@@ -598,15 +658,32 @@ def snapshot_diff(
     inherits every pruning the scans have."""
     old = read_table(spark, root, v_old)
     new = read_table(spark, root, v_new)
-    val_cols = [c for c in old.columns if c != key_col]
-    o = old.select(
-        F.col(key_col),
-        F.struct(*[F.col(c) for c in val_cols]).alias("__o"),
-    )
-    n = new.select(
-        F.col(key_col),
-        F.struct(*[F.col(c) for c in val_cols]).alias("__n"),
-    )
+    # Compare the UNION of both snapshots' columns (schema evolution may
+    # have added columns between them): a side missing a column carries
+    # NULL for it, so a merge that only touched an evolved column still
+    # reads as 'changed' instead of silently comparing equal on the old
+    # column set.
+    val_cols = [c for c in new.columns if c != key_col] + [
+        c for c in old.columns if c != key_col and c not in new.columns
+    ]
+    types = {
+        c: (new if c in new.columns else old).schema[c].dataType
+        for c in val_cols
+    }
+
+    def side(df: DataFrame, alias: str) -> DataFrame:
+        fields = [
+            (
+                F.col(c)
+                if c in df.columns
+                else F.lit(None).cast(types[c])
+            ).alias(c)
+            for c in val_cols
+        ]
+        return df.select(F.col(key_col), F.struct(*fields).alias(alias))
+
+    o = side(old, "__o")
+    n = side(new, "__n")
     joined = o.join(n, key_col, "full_outer")
     status = (
         F.when(F.col("__o").isNull(), F.lit("added"))
@@ -661,6 +738,8 @@ def compact(
     }
     if m.get("stream_batch_id") is not None:
         manifest["stream_batch_id"] = m["stream_batch_id"]
+        if m.get("stream_app_id") is not None:
+            manifest["stream_app_id"] = m["stream_app_id"]
     _commit(root, v + 1, manifest)
     return {
         "version": v + 1,
@@ -670,7 +749,9 @@ def compact(
     }
 
 
-def vacuum(root: str, retain_last: int = 1) -> dict:
+def vacuum(
+    root: str, retain_last: int = 1, min_age_seconds: float = 600.0
+) -> dict:
     """Garbage-collect the table: drop manifests older than the last
     ``retain_last`` versions and delete every data file no retained
     manifest references (including files orphaned by failed commits).
@@ -680,7 +761,15 @@ def vacuum(root: str, retain_last: int = 1) -> dict:
     committed; time travel beyond the horizon raises a clean
     FileNotFoundError instead of returning partial data. Driver-side
     metadata work is O(#files); deletion itself is embarrassingly
-    parallel on a real store."""
+    parallel on a real store.
+
+    ``min_age_seconds`` is the in-flight-writer guard (Delta's
+    retention-window idea): a concurrent writer that has written its
+    data files but not yet committed its manifest is invisible to the
+    reference walk, so an age-0 vacuum would delete files a commit is
+    about to reference. Unreferenced files younger than the window are
+    left for the next vacuum; pass 0 only when no writer can be active
+    (tests, single-writer maintenance windows)."""
     if retain_last < 1:
         raise ValueError("retain_last must be >= 1")
     latest = latest_version(root)
@@ -703,10 +792,24 @@ def vacuum(root: str, retain_last: int = 1) -> dict:
             with open(tmp, "w") as fh:
                 json.dump(hm, fh, indent=1, default=str)
             os.replace(tmp, _manifest_path(root, horizon))
+    # Referenced set via ONE forward walk applying deltas incrementally
+    # (the history() pattern): O(retained) manifest reads instead of
+    # re-resolving every retained version's chain back to a checkpoint.
     referenced: set[str] = set()
+    files: list[dict] = []
     for v in range(horizon, latest + 1):
-        referenced |= {f["path"] for f in _load_snapshot(root, v)["files"]}
+        raw = _read_manifest(root, v)
+        if "files" in raw:
+            files = list(raw["files"])
+        else:
+            removed = set(raw["files_removed"])
+            files = [f for f in files if f["path"] not in removed]
+            files = files + raw["files_added"]
+        referenced |= {f["path"] for f in files}
 
+    import time as _time
+
+    now = _time.time()
     files_deleted = 0
     data_root = os.path.join(root, _DATA_DIR)
     for prefix in sorted(os.listdir(data_root)) if os.path.isdir(data_root) else []:
@@ -714,9 +817,20 @@ def vacuum(root: str, retain_last: int = 1) -> dict:
         for name in sorted(os.listdir(d)):
             p = os.path.join(d, name)
             if name.endswith(".parquet") and p not in referenced:
+                try:
+                    age = now - os.path.getmtime(p)
+                except FileNotFoundError:  # concurrent vacuum
+                    continue
+                if age < min_age_seconds:
+                    continue  # possibly an in-flight writer's file
                 os.remove(p)
                 files_deleted += 1
-        if not any(f.endswith(".parquet") for f in os.listdir(d)):
+        # only sweep an empty prefix dir once it is older than the
+        # guard window — a writer mid-write holds _temporary content
+        # here before any .parquet lands
+        if not any(f.endswith(".parquet") for f in os.listdir(d)) and (
+            now - os.path.getmtime(d) >= min_age_seconds
+        ):
             import shutil
 
             shutil.rmtree(d)

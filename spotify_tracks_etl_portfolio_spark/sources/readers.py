@@ -41,6 +41,16 @@ def read_csv(
     count and route, the scale-grade version of the reference's pandas
     validation pass (reference: dags/de_spotify_to_bronze.py:139-150).
     """
+    if capture_corrupt and schema is None:
+        # Spark only materializes the corrupt-record column when it is
+        # part of a USER-SUPPLIED schema; with inference the flag would
+        # silently do nothing (malformed rows NULL-fill and flow on) —
+        # the exact silent loss the flag exists to prevent.
+        raise ValueError(
+            "capture_corrupt=True requires an explicit schema: Spark "
+            "drops the _corrupt_record column under schema inference "
+            "(infer once on a sample, then pass the schema)"
+        )
     reader = spark.read.option("header", "true")
     if schema is not None:
         if capture_corrupt:

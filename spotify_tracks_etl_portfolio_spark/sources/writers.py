@@ -105,10 +105,21 @@ def compact_table(
     (never in-place — reading and overwriting the same parquet path in
     one job corrupts it). Returns the row count written.
     """
+    def order(df):
+        if sort_within_partitions:
+            return df.sortWithinPartitions(*sort_within_partitions)
+        return df
+
+    return _compaction_rewrite(spark, src_path, dst_path, target_files, order)
+
+
+def _compaction_rewrite(spark, src_path, dst_path, target_files, order) -> int:
+    """Shared rewrite kernel for ``compact_table``/``optimize_table``:
+    read → shuffle-free coalesce → caller's in-partition ordering →
+    overwrite ``dst_path``; returns rows written. One implementation so
+    the two maintenance entry points can't drift."""
     df = spark.read.parquet(src_path)
-    out = df.coalesce(target_files)
-    if sort_within_partitions:
-        out = out.sortWithinPartitions(*sort_within_partitions)
+    out = order(df.coalesce(target_files))
     out.write.mode("overwrite").parquet(dst_path)
     return spark.read.parquet(dst_path).count()
 
@@ -130,17 +141,17 @@ def optimize_table(
     """
     from spotify_tracks_etl_portfolio_spark.functions import morton_code
 
-    df = spark.read.parquet(src_path)
-    out = df.coalesce(target_files)
-    if zorder_by is not None:
-        a, b = zorder_by
-        out = (
-            out.withColumn("__z", morton_code(a, b))
-            .sortWithinPartitions("__z")
-            .drop("__z")
-        )
-    out.write.mode("overwrite").parquet(dst_path)
-    return spark.read.parquet(dst_path).count()
+    def order(df):
+        if zorder_by is not None:
+            a, b = zorder_by
+            return (
+                df.withColumn("__z", morton_code(a, b))
+                .sortWithinPartitions("__z")
+                .drop("__z")
+            )
+        return df
+
+    return _compaction_rewrite(spark, src_path, dst_path, target_files, order)
 
 
 def refresh_rollup_partition(

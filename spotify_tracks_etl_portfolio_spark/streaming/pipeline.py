@@ -116,11 +116,19 @@ def streaming_silver_events(
             .filter(F.col("__rn") == 1)
             .drop("__rn")
         )
-        try:
+        # Probe for silver EXPLICITLY: the old blanket `except: pass`
+        # treated ANY read failure (corrupt file from a crashed append,
+        # FS hiccup, permissions) as "first batch" and silently skipped
+        # the anti-join — appending duplicates forever. Now only a
+        # genuinely absent path skips the dedup; real read errors
+        # propagate and fail the micro-batch (foreachBatch retries it).
+        jvm_path = spark._jvm.org.apache.hadoop.fs.Path(silver_path)
+        fs = jvm_path.getFileSystem(
+            spark._jsc.hadoopConfiguration()
+        )
+        if fs.exists(jvm_path):
             existing = spark.read.parquet(silver_path).select("event_id")
             cleaned = cleaned.join(existing, "event_id", "left_anti")
-        except Exception:
-            pass  # first batch: no silver yet
         cleaned.write.mode("append").parquet(silver_path)
 
     return (

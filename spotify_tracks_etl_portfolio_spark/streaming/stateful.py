@@ -65,23 +65,43 @@ def _sessionize_fn(gap_us: int):
         rows["__us"] = rows["ts"].astype("int64") // 1000
         rows = rows.sort_values(["__us", "event_id"])
 
-        if state.exists:
-            start_us, end_us, n, total = state.get
-        else:
-            start_us = end_us = None
-            n, total = 0, 0.0
-
-        closed: list[tuple[int, int, int, float]] = []
+        # Fold the (sorted) batch into session runs, then interval-merge
+        # the carried open session in by START order. The old fold
+        # appended batch events onto the state tail unconditionally
+        # (end_us = us), so a late cross-batch event moved the open
+        # session's end BACKWARDS — emitting sessions with end < start
+        # and splitting sessions that later events had already extended.
+        # Interval merging handles cross-batch disorder exactly as long
+        # as it is bounded by ``gap`` (the standard contract — pair with
+        # an upstream watermark for harder lateness bounds): runs more
+        # than ``gap`` before the open session close as their own
+        # sessions, runs within it merge with min/max bounds.
+        runs: list[tuple[int, int, int, float]] = []
         for us, value in zip(rows["__us"], rows["value"]):
-            if start_us is None:
-                start_us, end_us, n, total = us, us, 1, float(value)
-            elif us - end_us <= gap_us:
-                end_us, n, total = us, n + 1, total + float(value)
+            if runs and us - runs[-1][1] <= gap_us:
+                s, e, n, total = runs[-1]
+                runs[-1] = (s, max(e, us), n + 1, total + float(value))
             else:
-                closed.append((start_us, end_us, n, total))
-                start_us, end_us, n, total = us, us, 1, float(value)
+                runs.append((us, us, 1, float(value)))
+        if state.exists:
+            runs.append(tuple(state.get))
+            runs.sort(key=lambda r: (r[0], r[1]))
 
-        state.update((start_us, end_us, n, total))
+        merged: list[tuple[int, int, int, float]] = []
+        for r in runs:
+            if merged and r[0] - merged[-1][1] <= gap_us:
+                s, e, n, total = merged[-1]
+                merged[-1] = (
+                    min(s, r[0]),
+                    max(e, r[1]),
+                    n + r[2],
+                    total + r[3],
+                )
+            else:
+                merged.append(r)
+        closed = merged[:-1]
+
+        state.update(merged[-1])
         if closed:
             yield pd.DataFrame(
                 {

@@ -103,7 +103,7 @@ def test_vacuum_drops_only_unreferenced_files(spark, table):
     keys = spark.range(100, 120).select(F.col("id").alias("k"))
     ct.delete_where(spark, table, "k", keys)
     assert ct.read_table(spark, table, version=0).count() == 1000
-    res = ct.vacuum(table, retain_last=1)
+    res = ct.vacuum(table, retain_last=1, min_age_seconds=0)
     assert res["manifests_dropped"] == 1
     assert res["files_deleted"] > 0
     # the retained snapshot reads exactly as committed
@@ -118,7 +118,7 @@ def test_vacuum_sweeps_files_from_failed_commits(spark, table, tmp_path):
     orphan_df = spark.range(5).select(F.col("id").alias("k"), F.col("id").alias("v"))
     ct._write_data_files(orphan_df, table)
     before = ct.read_table(spark, table).count()
-    res = ct.vacuum(table, retain_last=1)
+    res = ct.vacuum(table, retain_last=1, min_age_seconds=0)
     assert res["files_deleted"] > 0  # the orphans
     assert ct.read_table(spark, table).count() == before
 
@@ -159,7 +159,7 @@ def test_history_and_stream_watermark_survive_vacuum(spark, table):
     upd = spark.createDataFrame([(5000, 1)], "k long, v long")
     ct.merge_latest(spark, table, upd, "k", ["v"], stream_batch_id=7)  # v12
     # horizon 11 is a DELTA manifest → exercises the vacuum rewrite
-    ct.vacuum(table, retain_last=2)
+    ct.vacuum(table, retain_last=2, min_age_seconds=0)
     hist = ct.history(table)
     assert [h["version"] for h in hist] == [11, 12]
     assert hist[-1]["n_rows"] == ct.read_table(spark, table).count()
@@ -169,7 +169,7 @@ def test_history_and_stream_watermark_survive_vacuum(spark, table):
     ct.delete_where(
         spark, table, "k", spark.createDataFrame([(20,)], "k long")
     )  # v13
-    ct.vacuum(table, retain_last=1)
+    ct.vacuum(table, retain_last=1, min_age_seconds=0)
     assert ct.last_stream_batch_id(table) == 7
     nxt = spark.createDataFrame([(5001, 2)], "k long, v long")
     r = ct.merge_latest(spark, table, nxt, "k", ["v"], stream_batch_id=8)
@@ -185,7 +185,7 @@ def test_first_stream_batch_on_vacuumed_batch_only_table(spark, table):
     ct.delete_where(
         spark, table, "k", spark.createDataFrame([(1,)], "k long")
     )
-    ct.vacuum(table, retain_last=1)  # drops v0: walk can't reach it
+    ct.vacuum(table, retain_last=1, min_age_seconds=0)  # drops v0: walk can't reach it
     assert ct.last_stream_batch_id(table) is None
     upd = spark.createDataFrame([(6000, 1)], "k long, v long")
     r = ct.merge_latest(spark, table, upd, "k", ["v"], stream_batch_id=0)
@@ -418,7 +418,7 @@ def test_n_racing_writers_exactly_one_winner_per_version_and_clean_vacuum(
     assert got == want
 
     before = {tuple(sorted(r)) for r in final.collect()}
-    res = ct.vacuum(table, retain_last=1)
+    res = ct.vacuum(table, retain_last=1, min_age_seconds=0)
     assert res["manifests_dropped"] == n_writers  # v0..v(n-1) swept
 
     # nothing a retained manifest references was touched...
@@ -520,7 +520,7 @@ def test_delta_manifest_chain_reads_identically_and_vacuums_safely(
     pre = {
         v: expected[v] for v in range(horizon, n_commits + 1)
     }
-    res = ct.vacuum(root, retain_last=retain)
+    res = ct.vacuum(root, retain_last=retain, min_age_seconds=0)
     assert res["manifests_dropped"] == horizon
     raw = ct._read_manifest(root, horizon)
     assert "files" in raw and "files_added" not in raw
@@ -531,3 +531,92 @@ def test_delta_manifest_chain_reads_identically_and_vacuums_safely(
             assert os.path.exists(f["path"])
     with pytest.raises(FileNotFoundError):
         ct.read_table(spark, root, version=horizon - 1)
+
+
+def test_merge_latest_preserves_null_keyed_rows(spark, tmp_path):
+    """Round-6 review fix: NULL-keyed rows in a rewritten file used to
+    collapse to ONE row (groupBy puts every NULL in a single group);
+    they now pass through rewrites verbatim, matching the anti-join
+    paths' never-equal NULL semantics."""
+    root = str(tmp_path / "nulltbl")
+    df = spark.createDataFrame(
+        [(1, 10), (2, 20), (None, 77), (None, 88), (None, 99)],
+        "k long, v long",
+    )
+    ct.create_table(spark, root, df, n_files=1)
+    upd = spark.createDataFrame([(2, 21)], "k long, v long")
+    ct.merge_latest(spark, root, upd, "k", ["v"])
+    rows = sorted(
+        [(r["k"], r["v"]) for r in ct.read_table(spark, root).collect()],
+        key=lambda t: (t[0] is None, t[0] or 0, t[1]),
+    )
+    assert rows == [(1, 10), (2, 21), (None, 77), (None, 88), (None, 99)]
+
+
+def test_merge_latest_replay_guard_scoped_by_app_id(spark, table):
+    """Round-6 review fix (Delta txnAppId pattern): a stream restarted
+    on a FRESH checkpoint restarts epochs at 0 — with an app id the
+    guard no longer silently skips every batch up to the old
+    watermark."""
+    upd = spark.createDataFrame([(5, 100)], "k long, v long")
+    r1 = ct.merge_latest(
+        spark, table, upd, "k", ["v"],
+        stream_batch_id=41, stream_app_id="ckpt-A",
+    )
+    assert not r1["skipped_replay"]
+    # same app, replayed epoch: skipped
+    r2 = ct.merge_latest(
+        spark, table, upd, "k", ["v"],
+        stream_batch_id=41, stream_app_id="ckpt-A",
+    )
+    assert r2["skipped_replay"]
+    # NEW checkpoint (epochs restart at 0) must COMMIT, not skip
+    upd2 = spark.createDataFrame([(5, 200)], "k long, v long")
+    r3 = ct.merge_latest(
+        spark, table, upd2, "k", ["v"],
+        stream_batch_id=0, stream_app_id="ckpt-B",
+    )
+    assert not r3["skipped_replay"]
+    assert {r["v"] for r in ct.read_table(spark, table).filter("k = 5").collect()} == {200}
+
+
+def test_vacuum_grace_period_protects_inflight_writer_files(spark, table):
+    """Round-6 review fix: an uncommitted writer's freshly-written data
+    files are invisible to the reference walk; the min_age_seconds
+    window must leave them for the next vacuum instead of corrupting
+    the commit that lands moments later."""
+    inflight = spark.range(3).select(F.col("id").alias("k"), F.col("id").alias("v"))
+    new_files = ct._write_data_files(inflight, table)  # written, NOT committed
+    res = ct.vacuum(table, retain_last=1, min_age_seconds=3600)
+    assert res["files_deleted"] == 0
+    for f in new_files:
+        assert os.path.exists(f["path"]), "in-flight file was vacuumed"
+    # age-0 still sweeps them (the tests/maintenance-window mode)
+    res0 = ct.vacuum(table, retain_last=1, min_age_seconds=0)
+    assert res0["files_deleted"] == len(new_files)
+
+
+def test_snapshot_diff_sees_changes_in_evolved_columns(spark, table):
+    """Round-6 review fix: the diff compares the UNION of both
+    snapshots' columns, so a merge that only touches a schema-evolved
+    column still reports 'changed'."""
+    v0 = ct.latest_version(table)
+    ct.add_columns(table, {"w": "double"})
+    upd = spark.createDataFrame([(5, 10, 1.5)], "k long, v long, w double")
+    ct.merge_latest(spark, table, upd, "k", ["v", "w"])
+    diff = {r["k"]: r["status"] for r in ct.snapshot_diff(spark, table, "k", v0).collect()}
+    assert diff.get(5) == "changed"
+    assert len(diff) == 1  # v untouched for every other key
+
+
+def test_merge_into_duplicate_update_keys_reduce_to_one(spark, table):
+    """Round-6 review fix: duplicate keys within one update batch
+    reduce deterministically (greatest row struct wins) instead of
+    each landing in the table and breaking key uniqueness."""
+    upd = spark.createDataFrame(
+        [(7, 1), (7, 9), (7, 4)], "k long, v long"
+    )
+    ct.merge_into(spark, table, upd, "k")
+    rows = ct.read_table(spark, table).filter("k = 7").collect()
+    assert len(rows) == 1
+    assert rows[0]["v"] == 9

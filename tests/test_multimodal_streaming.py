@@ -6,6 +6,8 @@ from __future__ import annotations
 import glob
 import shutil
 
+import pandas as pd
+
 import pytest
 from pyspark.sql import functions as F
 
@@ -838,3 +840,70 @@ def test_stream_session_pins_state_partitions_without_touching_caller(spark):
     assert spark.conf.get("spark.sql.shuffle.partitions") == before
     # same context: DataFrames built on the clone stay usable anywhere
     assert s.range(3).count() == 3
+
+
+def test_sessionize_fold_handles_cross_batch_late_events():
+    """Round-6 review fix: the state fold interval-merges the carried
+    open session instead of appending events onto its tail, so a late
+    cross-batch event can no longer move the session end BACKWARDS
+    (emitting end < start and splitting sessions later events had
+    already extended)."""
+    from spotify_tracks_etl_portfolio_spark.streaming.stateful import (
+        _sessionize_fn,
+    )
+
+    class _FakeState:
+        def __init__(self):
+            self._v = None
+
+        @property
+        def exists(self):
+            return self._v is not None
+
+        @property
+        def get(self):
+            return self._v
+
+        def update(self, v):
+            self._v = tuple(v)
+
+    m = 60 * 1_000_000
+    t0 = 1_700_000_000_000_000
+    fn = _sessionize_fn(30 * m)
+    state = _FakeState()
+
+    def batch(rows):
+        pdf = pd.DataFrame(
+            {
+                "event_id": [r[0] for r in rows],
+                "ts": pd.to_datetime([(t0 + r[1]) * 1000 for r in rows]),
+                "user_id": [1] * len(rows),
+                "value": [float(r[2]) for r in rows],
+            }
+        )
+        return list(fn((1,), [pdf], state))
+
+    # batch 1: open session [t0, t0+5m]
+    assert batch([(1, 0, 1.0), (2, 5 * m, 2.0)]) == []
+    assert state.get[:2] == (t0, t0 + 5 * m)
+    # batch 2 arrives LATE: an event at t0+2m (inside the open session)
+    # must merge without moving the end backwards
+    assert batch([(3, 2 * m, 4.0)]) == []
+    assert state.get == (t0, t0 + 5 * m, 3, 7.0)
+    # batch 3: event past the gap closes the 3-event session with the
+    # CORRECT bounds (the old fold would have closed [t0, t0+2m] and
+    # wrongly split at the 33m mark)
+    out = batch([(4, 40 * m, 1.0)])
+    assert len(out) == 1
+    closed = out[0].iloc[0]
+    assert closed["session_start"].value // 1000 == t0
+    assert closed["session_end"].value // 1000 == t0 + 5 * m
+    assert closed["n_events"] == 3 and closed["sum_value"] == 7.0
+    # a run entirely more than gap BEFORE the open session closes as its
+    # own past session instead of corrupting the open one
+    out2 = batch([(5, -100 * m, 9.0)])
+    assert len(out2) == 1
+    past = out2[0].iloc[0]
+    assert past["session_start"].value // 1000 == t0 - 100 * m
+    assert past["n_events"] == 1 and past["sum_value"] == 9.0
+    assert state.get == (t0 + 40 * m, t0 + 40 * m, 1, 1.0)

@@ -405,3 +405,18 @@ def test_jsonl_roundtrip_shards_and_compression(spark, tmp_path):
     got = {r["doc_id"]: (r["text"], r["lang"]) for r in back.collect()}
     want = {r["doc_id"]: (r["text"], r["lang"]) for r in df.collect()}
     assert got == want  # escaping round-trips exactly
+
+
+def test_read_csv_capture_corrupt_requires_schema(spark, tmp_path):
+    """Round-6 review fix: Spark only materializes _corrupt_record when
+    it is part of a user-supplied schema — under inference the flag
+    silently did nothing (malformed rows NULL-fill and flow on), so the
+    combination now raises instead."""
+    import pytest
+
+    from spotify_tracks_etl_portfolio_spark.sources.readers import read_csv
+
+    p = tmp_path / "x.csv"
+    p.write_text("a,b\n1,2\n")
+    with pytest.raises(ValueError, match="explicit schema"):
+        read_csv(spark, str(p), infer=True, capture_corrupt=True)
