@@ -27,12 +27,12 @@ from pyspark.sql import DataFrame, SparkSession
 _ROOT = os.path.dirname(os.path.abspath(__file__))
 if _ROOT not in sys.path:
     sys.path.insert(0, _ROOT)
-if _ROOT not in os.environ.get("PYTHONPATH", "").split(os.pathsep):
-    os.environ["PYTHONPATH"] = (
-        _ROOT + os.pathsep + os.environ["PYTHONPATH"]
-        if os.environ.get("PYTHONPATH")
-        else _ROOT
-    )
+
+from spotify_tracks_etl_portfolio_spark.session import (  # noqa: E402
+    export_repo_pythonpath,
+)
+
+export_repo_pythonpath(_ROOT)
 
 
 def entry(spark: SparkSession) -> DataFrame:

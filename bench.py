@@ -72,7 +72,13 @@ def _median(xs: list[float]) -> float:
 
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
-    sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
+    # Parse the scale factor BEFORE running anything: a dir that doesn't
+    # end in sf<number> must not crash the final print after minutes of
+    # benchmarking (the JSON contract needs a numeric sf; 0.0 = unknown).
+    import re
+
+    m = re.search(r"sf([0-9]*\.?[0-9]+)/?$", sf_dir)
+    sf = float(m.group(1)) if m else 0.0
     spark = get_spark("bench")
     specs = all_queries()
 
@@ -105,7 +111,7 @@ def main() -> None:
                 "value": round(sum(timings.values()), 3),
                 "unit": "sec",
                 "queries": timings,
-                "sf": float(sf),
+                "sf": sf,
             }
         )
     )

@@ -191,6 +191,9 @@ _FORCE_RERECORD = (
     "multimodal_decode_features",
     "multimodal_image_fingerprints",
     "multimodal_image_dedup_groups",
+    # oracle text changed: NOT IN → NOT EXISTS (left_anti NULL-probe
+    # semantics), and the deciles oracle pins NULLS FIRST.
+    "q16_supplier_part_variety",
 )
 
 

@@ -408,7 +408,10 @@ def weekly_moving_avg_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
 WITH t AS (
   SELECT value,
-         ntile(10) OVER (ORDER BY value, event_id) AS decile
+         -- NULLS FIRST pins DuckDB (default_null_order = nulls_last)
+         -- to Spark's ASC NULLS FIRST window order, so the contract
+         -- holds even if value ever carries NULLs
+         ntile(10) OVER (ORDER BY value NULLS FIRST, event_id) AS decile
   FROM events
 )
 SELECT CAST(decile AS INT) AS decile,

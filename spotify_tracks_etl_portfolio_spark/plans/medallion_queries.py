@@ -222,39 +222,14 @@ GROUP BY 1, 2
 )
 @pinned_stream_session
 def streaming_hourly_rollup_sync(spark: SparkSession, sf_dir: str) -> DataFrame:
-
-    import shutil
-    import tempfile
-    import uuid
-
     from spotify_tracks_etl_portfolio_spark.streaming import (
-        read_events_stream,
+        drain_events_stream_to_table,
         streaming_hourly_rollup,
     )
 
-    tag = uuid.uuid4().hex[:8]
-    d = tempfile.mkdtemp(prefix="stream_sync_")
-    try:
-        in_dir = f"{d}/in"
-        import os
-
-        os.makedirs(in_dir)
-        shutil.copy(f"{sf_dir}/events.parquet", f"{in_dir}/part-0.parquet")
-        stream = read_events_stream(spark, in_dir)
-        agg = streaming_hourly_rollup(stream)
-        name = f"hourly_sync_{tag}"
-        q = (
-            agg.writeStream.outputMode("complete")
-            .format("memory")
-            .queryName(name)
-            .option("checkpointLocation", f"{d}/ckpt")
-            .trigger(availableNow=True)
-            .start()
-        )
-        q.awaitTermination()
-    finally:
-        shutil.rmtree(d, ignore_errors=True)
-    return spark.table(name)
+    return drain_events_stream_to_table(
+        spark, sf_dir, streaming_hourly_rollup, "complete", "hourly"
+    )
 
 
 SESSION_GAP_US = 30 * 60 * 1_000_000
@@ -305,38 +280,21 @@ FROM sagg a JOIN slast l
 )
 @pinned_stream_session
 def streaming_sessionize_sync(spark: SparkSession, sf_dir: str) -> DataFrame:
-
-    import os
-    import shutil
-    import tempfile
-    import uuid
-
-    from spotify_tracks_etl_portfolio_spark.streaming import read_events_stream
+    from spotify_tracks_etl_portfolio_spark.streaming import (
+        drain_events_stream_to_table,
+    )
     from spotify_tracks_etl_portfolio_spark.streaming.stateful import (
         streaming_sessionize,
     )
 
-    tag = uuid.uuid4().hex[:8]
-    d = tempfile.mkdtemp(prefix="sessionize_sync_")
-    try:
-        in_dir = f"{d}/in"
-        os.makedirs(in_dir)
-        shutil.copy(f"{sf_dir}/events.parquet", f"{in_dir}/part-0.parquet")
-        stream = read_events_stream(spark, in_dir)
-        sessions = streaming_sessionize(stream, gap_minutes=30)
-        name = f"sessions_sync_{tag}"
-        q = (
-            sessions.writeStream.outputMode("append")
-            .format("memory")
-            .queryName(name)
-            .option("checkpointLocation", f"{d}/ckpt")
-            .trigger(availableNow=True)
-            .start()
-        )
-        q.awaitTermination()
-    finally:
-        shutil.rmtree(d, ignore_errors=True)
-    return spark.table(name).select(
+    drained = drain_events_stream_to_table(
+        spark,
+        sf_dir,
+        lambda stream: streaming_sessionize(stream, gap_minutes=30),
+        "append",
+        "sessions",
+    )
+    return drained.select(
         "user_id",
         F.unix_micros("session_start").alias("session_start_us"),
         F.unix_micros("session_end").alias("session_end_us"),
@@ -375,38 +333,19 @@ WHERE c.event_type = 'click' AND p.event_type = 'purchase'
 def streaming_stream_stream_join_sync(
     spark: SparkSession, sf_dir: str
 ) -> DataFrame:
-
-    import os
-    import shutil
-    import tempfile
-    import uuid
-
     from spotify_tracks_etl_portfolio_spark.streaming import (
-        read_events_stream,
+        drain_events_stream_to_table,
         streaming_click_purchase_join,
     )
 
-    tag = uuid.uuid4().hex[:8]
-    d = tempfile.mkdtemp(prefix="ssjoin_sync_")
-    try:
-        in_dir = f"{d}/in"
-        os.makedirs(in_dir)
-        shutil.copy(f"{sf_dir}/events.parquet", f"{in_dir}/part-0.parquet")
-        stream = read_events_stream(spark, in_dir)
-        joined = streaming_click_purchase_join(stream, horizon_minutes=60)
-        name = f"ssjoin_sync_{tag}"
-        q = (
-            joined.writeStream.outputMode("append")
-            .format("memory")
-            .queryName(name)
-            .option("checkpointLocation", f"{d}/ckpt")
-            .trigger(availableNow=True)
-            .start()
-        )
-        q.awaitTermination()
-    finally:
-        shutil.rmtree(d, ignore_errors=True)
-    return spark.table(name).select(
+    drained = drain_events_stream_to_table(
+        spark,
+        sf_dir,
+        lambda stream: streaming_click_purchase_join(stream, horizon_minutes=60),
+        "append",
+        "ssjoin",
+    )
+    return drained.select(
         "click_id",
         "user_id",
         F.unix_micros("click_ts").alias("click_ts_us"),

@@ -982,9 +982,11 @@ def click_since_purchase_latency(spark: SparkSession, sf_dir: str) -> DataFrame:
     purchases = ev.filter(F.col("event_type") == "purchase").select(
         "event_id", "user_id", "ts"
     )
+    # how='inner' (the default) already drops unmatched clicks — no
+    # NULL p_ts can reach this point
     joined = asof_join(
         clicks, purchases, ["user_id"], "ts", "ts", right_prefix="p_"
-    ).filter(F.col("p_ts").isNotNull())
+    )
     lat_s = (F.unix_micros("ts") - F.unix_micros("p_ts")) / F.lit(1e6)
     matched = joined.select(lat_s.alias("lat_s"))
     return matched.agg(
@@ -1858,7 +1860,13 @@ JOIN part p ON p.p_partkey = ps.l_partkey
 WHERE p.p_brand <> 'Brand#13'
   AND p.p_type <> 'PROMO'
   AND p.p_size IN (1, 4, 9, 14, 19, 24, 29, 34, 39, 44, 49)
-  AND ps.l_suppkey NOT IN (SELECT s_suppkey FROM supplier WHERE s_acctbal < 0)
+  -- NOT EXISTS, not NOT IN: the Spark side is a left_anti join, whose
+  -- NULL-probe semantics (keep a NULL l_suppkey row) match NOT EXISTS
+  -- exactly; NOT IN would instead drop NULL probes whenever the build
+  -- side is non-empty — a latent divergence if the bridge ever carried
+  -- NULL suppkeys
+  AND NOT EXISTS (SELECT 1 FROM supplier s
+                  WHERE s.s_suppkey = ps.l_suppkey AND s.s_acctbal < 0)
 GROUP BY p.p_brand, p.p_type, p.p_size
 ORDER BY supplier_cnt DESC, p.p_brand, p.p_type, p.p_size
 """,
@@ -1866,9 +1874,10 @@ ORDER BY supplier_cnt DESC, p.p_brand, p.p_type, p.p_size
     "lineitem (partkey, suppkey) bridge stands in for partsupp, and "
     "'suppliers with complaints' becomes s_acctbal < 0): distinct "
     "bridge agg rides the same partkey shuffle as the count-distinct; "
-    "the NOT IN exclusion is a broadcast left-anti join (null-safe "
-    "because s_suppkey is a key, never NULL); brand/type/size "
-    "predicates push into the broadcast part build side",
+    "the exclusion is a broadcast left-anti join, mirrored as NOT "
+    "EXISTS in the oracle (same NULL-probe semantics, unlike NOT IN); "
+    "brand/type/size predicates push into the broadcast part build "
+    "side",
     tags=("relational", "tpch", "join"),
 )
 def q16_supplier_part_variety(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -18,6 +18,27 @@ from pyspark.sql import SparkSession
 # Number of cores the driver harness gives us (local mode).
 DEFAULT_CPUS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
 
+#: The directory containing the engine package — what Python workers
+#: must see on PYTHONPATH to resolve pandas-UDF closures.
+REPO_ROOT = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+
+def export_repo_pythonpath(repo_root: str = REPO_ROOT) -> None:
+    """Export ``repo_root`` on PYTHONPATH for Python WORKERS (the
+    multimodal/ANN pandas-UDF seams): workers resolve closure
+    references by module name on their own interpreter, which sees
+    PYTHONPATH only — a driver-side ``sys.path`` entry never reaches
+    them. Idempotent; must run before the first session/worker spawns.
+    The single implementation for every entry point (session factory,
+    ``__spark_entry__``, ``tools/check_oracle.py``) so the bootstraps
+    can't drift."""
+    if repo_root not in os.environ.get("PYTHONPATH", "").split(os.pathsep):
+        os.environ["PYTHONPATH"] = (
+            repo_root + os.pathsep + os.environ["PYTHONPATH"]
+            if os.environ.get("PYTHONPATH")
+            else repo_root
+        )
+
 
 def get_spark(
     app_name: str = "spotify_tracks_etl_portfolio_spark",
@@ -37,17 +58,7 @@ def get_spark(
     - Arrow on: vectorized pandas interchange for the few Pandas-UDF
       operators (similarity/multimodal paths).
     """
-    # Python WORKERS resolve pandas-UDF closure references by module
-    # name through PYTHONPATH only — export the repo root so the
-    # multimodal/ANN seams import regardless of the launch cwd (a
-    # driver-side sys.path entry never reaches workers).
-    repo_root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
-    if repo_root not in os.environ.get("PYTHONPATH", "").split(os.pathsep):
-        os.environ["PYTHONPATH"] = (
-            repo_root + os.pathsep + os.environ["PYTHONPATH"]
-            if os.environ.get("PYTHONPATH")
-            else repo_root
-        )
+    export_repo_pythonpath()
 
     cpus = DEFAULT_CPUS
     builder = (

@@ -1,4 +1,6 @@
 from spotify_tracks_etl_portfolio_spark.streaming.pipeline import (
+    drain_events_stream_to_table,
+    pinned_stream_session,
     read_events_stream,
     run_stream_to_completion,
     stream_session,
@@ -11,6 +13,8 @@ from spotify_tracks_etl_portfolio_spark.streaming.pipeline import (
 )
 
 __all__ = [
+    "drain_events_stream_to_table",
+    "pinned_stream_session",
     "read_events_stream",
     "run_stream_to_completion",
     "stream_session",

@@ -144,6 +144,47 @@ def run_stream_to_completion(query) -> None:
     q.awaitTermination()
 
 
+def drain_events_stream_to_table(
+    spark,
+    sf_dir: str,
+    build,
+    output_mode: str,
+    name_prefix: str,
+) -> "DataFrame":
+    """Shared scaffolding for the events-sourced streaming sync gates:
+    stage ``events.parquet`` as a one-file stream source in a temp dir,
+    run ``build(stream)``'s transform to completion (availableNow) into
+    a uniquely named memory sink with its own fresh checkpoint, sweep
+    the temp dir, and return the drained sink table. One implementation
+    so the gates' drain/cleanup protocol can't drift (the same reason
+    ``pinned_stream_session`` exists)."""
+    import os
+    import shutil
+    import tempfile
+    import uuid
+
+    tag = uuid.uuid4().hex[:8]
+    d = tempfile.mkdtemp(prefix=f"{name_prefix}_sync_")
+    try:
+        in_dir = f"{d}/in"
+        os.makedirs(in_dir)
+        shutil.copy(f"{sf_dir}/events.parquet", f"{in_dir}/part-0.parquet")
+        out = build(read_events_stream(spark, in_dir))
+        name = f"{name_prefix}_sync_{tag}"
+        q = (
+            out.writeStream.outputMode(output_mode)
+            .format("memory")
+            .queryName(name)
+            .option("checkpointLocation", f"{d}/ckpt")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+    finally:
+        shutil.rmtree(d, ignore_errors=True)
+    return spark.table(name)
+
+
 def stream_session(spark, partitions: int | None = None):
     """Session clone with an EXPLICIT state-partition count, for
     stateful streams that create a FRESH checkpoint.

@@ -20,11 +20,11 @@ _REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 sys.path.insert(0, _REPO)
 # Python workers need the repo on PYTHONPATH (sys.path doesn't reach
 # them) — matters when running this tool from any cwd outside the repo.
-os.environ["PYTHONPATH"] = (
-    _REPO + os.pathsep + os.environ["PYTHONPATH"]
-    if os.environ.get("PYTHONPATH")
-    else _REPO
+from spotify_tracks_etl_portfolio_spark.session import (  # noqa: E402
+    export_repo_pythonpath,
 )
+
+export_repo_pythonpath(_REPO)
 
 import duckdb
 
