@@ -811,6 +811,62 @@ PQ_ITERS = 2
 PQ_SHORTLIST = 100
 
 
+def _grouped_probe_udf(books: list[list[tuple[int, list[float]]]]):
+    """Arrow-batched nearest-cell probe for ALL subspaces at once: rows
+    carry (subspace, subvector) and each subspace's batch slice runs one
+    numpy GEMM against ITS codebook — the per-subspace math (6-dp
+    rounding, smallest-cell stable ties, clamped norms) is identical to
+    ``probe_cells_udf``'s flat path, just grouped so the whole joint
+    assignment is ONE Python evaluation instead of m."""
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql.functions import pandas_udf
+
+    cells, mats = [], []
+    for book in books:
+        cents = sorted(book)
+        cells.append(np.array([c for c, _ in cents], dtype=np.int64))
+        mat = np.array([v for _, v in cents], dtype=np.float64)
+        mats.append(
+            mat / np.maximum(np.linalg.norm(mat, axis=1, keepdims=True), 1e-12)
+        )
+
+    @pandas_udf("long")
+    def probe(ms, vs):
+        x = np.stack(vs.to_numpy()).astype(np.float64)
+        xn = x / np.maximum(np.linalg.norm(x, axis=1, keepdims=True), 1e-12)
+        marr = ms.to_numpy()
+        out = np.empty(len(xn), dtype=np.int64)
+        for mi in np.unique(marr):
+            rows = np.where(marr == mi)[0]
+            sims = np.round(xn[rows] @ mats[mi].T, 6)
+            best = np.argsort(-sims, axis=1, kind="stable")[:, 0]
+            out[rows] = cells[mi][best]
+        return pd.Series(out)
+
+    return probe
+
+
+def _pq_long_form(
+    emb: DataFrame, id_col: str, vec_col: str, m: int, sub_dim: int
+) -> DataFrame:
+    """(id, subspace, subvector) long form: one row per (vector,
+    subspace), built with a single inline-array explode so the corpus
+    is scanned once per consumer pass instead of once per subspace."""
+    parts = F.array(
+        *[
+            F.struct(
+                F.lit(mi).alias("__m"),
+                F.slice(vec_col, mi * sub_dim + 1, sub_dim).alias("__sv"),
+            )
+            for mi in range(m)
+        ]
+    )
+    return emb.select(F.col(id_col).alias("__id"), F.explode(parts).alias("__p")).select(
+        "__id", F.col("__p.__m").alias("__m"), F.col("__p.__sv").alias("__sv")
+    )
+
+
 def pq_train_codebooks(
     emb: DataFrame,
     id_col: str,
@@ -821,19 +877,61 @@ def pq_train_codebooks(
     iters: int = PQ_ITERS,
 ) -> list[list[tuple[int, list[float]]]]:
     """One deterministic k-means per subspace (zero-RNG: smallest-id
-    seeds, 6-dp-rounded assignment, per-dimension mean update). Driver
-    holds only the m×k×sub_dim codebook floats — the same bounded-state
+    seeds, 6-dp-rounded cosine assignment with smallest-cell ties,
+    per-dimension mean update, empty cells keep their previous
+    centroid) — trained JOINTLY: the m independent per-subspace chains
+    run over one (id, subspace, subvector) long-form table, so each
+    Lloyd round is ONE corpus pass + ONE grouped aggregation for all m
+    codebooks instead of m separate k-means (m×iters corpus scans and
+    ~3m driver round-trips before; at 100 TB the training passes drop
+    from m×iters to iters). Per-subspace math is unchanged —
+    ``test_pq_joint_training_equals_per_subspace_kmeans`` pins
+    equality against the reference ``kmeans_centroids``-per-subspace
+    chain, and the DuckDB oracle replays that same chain. Driver holds
+    only the m×k×sub_dim codebook floats — the same bounded-state
     sanction as the IVF centroids."""
-    books: list[list[tuple[int, list[float]]]] = []
-    for mi in range(m):
-        sub = emb.select(
-            F.col(id_col),
-            F.slice(vec_col, mi * sub_dim + 1, sub_dim).alias("__sv"),
+    # seeds: the k smallest-id vectors, sliced per subspace — identical
+    # to each per-subspace chain's orderBy(id).limit(k) seed set
+    seed_rows = (
+        emb.select(id_col, vec_col).orderBy(F.asc(id_col)).limit(k).collect()
+    )
+    books: list[list[tuple[int, list[float]]]] = [
+        [
+            (i, [float(x) for x in r[vec_col]][mi * sub_dim : (mi + 1) * sub_dim])
+            for i, r in enumerate(seed_rows)
+        ]
+        for mi in range(m)
+    ]
+    long = _pq_long_form(emb, id_col, vec_col, m, sub_dim)
+    for _ in range(iters):
+        probe = _grouped_probe_udf(books)
+        # probe in its own projection BEFORE the posexplode (the
+        # ExtractPythonUDFs dim×-re-evaluation trap, BENCH_NOTES r6)
+        assigned = long.select(
+            probe("__m", "__sv").alias("__cell"), "__m", "__sv"
         )
-        cb = kmeans_centroids(sub, id_col, "__sv", k=k, iters=iters)
-        books.append(
-            [(r["cell"], [float(x) for x in r["__sv"]]) for r in cb.collect()]
+        means = (
+            assigned.select(
+                "__m", "__cell", F.posexplode("__sv").alias("__d", "__x")
+            )
+            .groupBy("__m", "__cell", "__d")
+            .agg(F.avg("__x").alias("__mean"))
+            .groupBy("__m", "__cell")
+            .agg(
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("__d", "__mean"))),
+                    lambda s: s.getField("__mean"),
+                ).alias("__newv")
+            )
         )
+        new: dict[tuple[int, int], list[float]] = {
+            (r["__m"], r["__cell"]): [float(x) for x in r["__newv"]]
+            for r in means.collect()
+        }
+        books = [
+            [(c, new.get((mi, c), v)) for c, v in book]
+            for mi, book in enumerate(books)
+        ]
     return books
 
 
@@ -889,16 +987,49 @@ def pq_encode(
     wrong vector segments."""
     if sub_dim is None:
         sub_dim = len(books[0][0][1])
-    out = emb.select(F.col(id_col), F.col(vec_col))
-    for mi, book in enumerate(books):
-        probe = probe_cells_udf(book, nprobe=1)
-        out = out.withColumn(
-            f"code_{mi}",
-            F.element_at(
-                probe(F.slice(vec_col, mi * sub_dim + 1, sub_dim)), 1
-            ),
+
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql.functions import pandas_udf
+
+    m = len(books)
+    cellss, mats = [], []
+    for book in books:
+        cents = sorted(book)
+        cellss.append(np.array([c for c, _ in cents], dtype=np.int64))
+        mat = np.array([v for _, v in cents], dtype=np.float64)
+        mats.append(
+            mat / np.maximum(np.linalg.norm(mat, axis=1, keepdims=True), 1e-12)
         )
-    return out.drop(vec_col)
+
+    # one Arrow evaluation emitting ALL m codes per vector (the old
+    # per-subspace probe chain was m separate UDF columns); per-subspace
+    # math — slice, clamped-norm cosine, 6-dp round, smallest-cell
+    # stable ties — is identical to probe_cells_udf's flat path
+    @pandas_udf("array<long>")
+    def codes(vs):
+        x = np.stack(vs.to_numpy()).astype(np.float64)
+        out = np.empty((len(x), m), dtype=np.int64)
+        for mi in range(m):
+            sub = x[:, mi * sub_dim : (mi + 1) * sub_dim]
+            sn = sub / np.maximum(
+                np.linalg.norm(sub, axis=1, keepdims=True), 1e-12
+            )
+            sims = np.round(sn @ mats[mi].T, 6)
+            best = np.argsort(-sims, axis=1, kind="stable")[:, 0]
+            out[:, mi] = cellss[mi][best]
+        return pd.Series(list(out))
+
+    out = emb.select(
+        F.col(id_col), codes(F.col(vec_col)).alias("__codes")
+    )
+    return out.select(
+        id_col,
+        *[
+            F.element_at("__codes", mi + 1).alias(f"code_{mi}")
+            for mi in range(m)
+        ],
+    )
 
 
 def pq_topk(
@@ -918,26 +1049,38 @@ def pq_topk(
     ADC shortlist, then exact re-rank — the production PQ serving
     shape. Queries stay exact; corpus vectors are represented by their
     per-subspace codes; each (query, code) partial similarity comes
-    from a tiny broadcast lookup table, so the shortlist scan touches
-    CODES only (the memory-side win: m small codes per vector instead
-    of the full float payload). Only the per-query ``shortlist``
-    survivors are re-scored against their true vectors.
+    from a tiny LOOKUP TABLE folded into the projection as literal
+    arrays (m × n_queries × k micro-int entries, ~10 KB at the frozen
+    geometry — computed driver-side, zero LUT-build jobs, zero joins on
+    the shortlist path), so the shortlist scan touches CODES only (the
+    memory-side win: m small codes per vector instead of the full float
+    payload) in ONE whole-stage-codegen pass. Only the per-query
+    ``shortlist`` survivors are re-scored against their true vectors.
 
-    Determinism: every LUT entry is round(dot, 6) cast DECIMAL(18,6);
-    the ADC score is the DECIMAL-exact sum of the m entries cast back
-    to double, and the exact re-rank rounds the true dot to 6 dp — the
-    full pipeline (codebooks → codes → LUTs → shortlist → re-rank) is
-    hash-checkable. Approximate = whether a true neighbor survives the
-    shortlist, never nondeterminism.
+    Determinism: every LUT entry replicates Spark's
+    ``round(vec_dot(...), 6) :: DECIMAL(18,6)`` bit-for-bit driver-side
+    — the dot is the same sequential left fold over per-element double
+    products, the rounding is HALF_UP over the shortest decimal repr
+    (``Decimal(repr(x))`` ≡ ``BigDecimal.valueOf(double)``), stored as
+    an exact ×10⁶ integer; the ADC score is the exact integer sum cast
+    to double via one correctly-rounded division, which equals the
+    DECIMAL-sum path's ``BigDecimal.doubleValue`` (both correctly round
+    the same rational). The exact re-rank rounds the true dot to 6 dp —
+    the full pipeline (codebooks → codes → LUTs → shortlist → re-rank)
+    is hash-checkable, and ``test_pq_literal_lut_matches_join_lut``
+    pins equality against the broadcast-LUT-join formulation.
+    Approximate = whether a true neighbor survives the shortlist, never
+    nondeterminism.
 
     ``books=None`` trains the codebooks in-line (the self-contained demo
-    shape, ~m slow k-means passes); pass pre-trained codebooks (see
-    ``save_pq_codebooks``/``load_pq_codebooks``) for the build-once/
-    query-many serving shape — training changes the COST, not the
-    answer, because the k-means is zero-RNG deterministic.
+    shape); pass pre-trained codebooks (see ``save_pq_codebooks``/
+    ``load_pq_codebooks``) for the build-once/query-many serving shape —
+    training changes the COST, not the answer, because the k-means is
+    zero-RNG deterministic.
     """
     import functools
     import operator
+    from decimal import ROUND_HALF_UP, Decimal
 
     if books is None:
         books = pq_train_codebooks(emb, id_col, vec_col, m, sub_dim, k, iters)
@@ -949,39 +1092,84 @@ def pq_topk(
         # columns (AnalysisException).
         m = len(books)
         sub_dim = len(books[0][0][1])
+    for book in books:
+        if sorted(c for c, _ in book) != list(range(len(book))):
+            raise ValueError(
+                "pq_topk literal-LUT serving requires contiguous 0..k-1 "
+                "cell ids (every codebook this module trains has them); "
+                f"got {sorted(c for c, _ in book)}"
+            )
     codes = pq_encode(emb, id_col, vec_col, books, sub_dim).withColumnRenamed(
         id_col, "neighbor_id"
     )
     qs = emb.filter(F.col(id_col) < n_queries).select(
         F.col(id_col).alias("query_id"), F.col(vec_col).alias("__qv")
     )
-    spark = emb.sparkSession
-    scored = codes
-    for mi, book in enumerate(books):
-        cb = spark.createDataFrame(
-            [(c, v) for c, v in book], "cell long, __cv array<double>"
-        )
-        lut = qs.crossJoin(F.broadcast(cb)).select(
-            "query_id",
-            F.col("cell").alias(f"code_{mi}"),
-            F.round(
-                vec_dot(F.slice("__qv", mi * sub_dim + 1, sub_dim), "__cv"), 6
-            )
-            .cast("decimal(18,6)")
-            .alias(f"__lv{mi}"),
-        )
-        on = [f"code_{mi}"] if mi == 0 else ["query_id", f"code_{mi}"]
-        scored = scored.join(F.broadcast(lut), on)
-    lv_sum = functools.reduce(
-        operator.add, [F.col(f"__lv{mi}") for mi in range(m)]
+    q_rows = sorted(
+        (r["query_id"], [float(x) for x in r["__qv"]]) for r in qs.collect()
     )
-    adc = F.round(lv_sum, 6).cast("double")
+
+    def _dot(a: list[float], b: list[float]) -> float:
+        # vec_dot's exact IEEE sequence: left fold of per-index double
+        # products starting at 0.0
+        acc = 0.0
+        for x, y in zip(a, b):
+            acc += x * y
+        return acc
+
+    def _micro(x: float) -> int:
+        # Spark round(double, 6): HALF_UP over BigDecimal.valueOf —
+        # the shortest-repr decimal, which is exactly Decimal(repr(x))
+        return int(
+            Decimal(repr(x))
+            .quantize(Decimal("0.000001"), rounding=ROUND_HALF_UP)
+            .scaleb(6)
+        )
+
+    # lut[mi][qi][cell] — micro-int partial similarities
+    lut_lits = []
+    for mi, book in enumerate(books):
+        cents = sorted(book)
+        per_q = []
+        for _, qv in q_rows:
+            sub = qv[mi * sub_dim : (mi + 1) * sub_dim]
+            per_q.append(
+                F.array(
+                    *[F.lit(_micro(_dot(sub, cv))) for _, cv in cents]
+                )
+            )
+        lut_lits.append(F.array(*per_q))
+    qid_lit = F.array(*[F.lit(int(qid)) for qid, _ in q_rows])
+
+    fanout = codes.select(
+        "neighbor_id",
+        *[f"code_{mi}" for mi in range(m)],
+        F.explode(
+            F.array(*[F.lit(i) for i in range(len(q_rows))])
+        ).alias("__qi"),
+    )
+    adc_micro = functools.reduce(
+        operator.add,
+        [
+            F.element_at(
+                F.element_at(lut_lits[mi], F.col("__qi") + 1),
+                F.col(f"code_{mi}").cast("int") + 1,
+            )
+            for mi in range(m)
+        ],
+    )
+    scored = fanout.select(
+        "neighbor_id",
+        F.element_at(qid_lit, F.col("__qi") + 1).alias("query_id"),
+        # exact integer sum → one correctly-rounded division: equals
+        # the DECIMAL(18,6)-sum path's BigDecimal.doubleValue
+        (adc_micro.cast("double") / F.lit(1000000.0)).alias("__adc"),
+    )
     w_adc = Window.partitionBy("query_id").orderBy(
         F.desc("__adc"), F.asc("neighbor_id")
     )
     cand = (
         scored.filter(F.col("neighbor_id") != F.col("query_id"))
-        .withColumn("__adc", adc)
         .withColumn("__crn", F.row_number().over(w_adc))
         .filter(F.col("__crn") <= shortlist)
         .select("query_id", "neighbor_id")

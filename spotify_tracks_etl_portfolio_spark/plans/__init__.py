@@ -144,8 +144,11 @@ _FORCE_RERECORD = (
     # near_dup_keep_best_quality, ensemble_near_dups,
     # near_dedup_new_vs_corpus) already cycle into the window as stalest
     # and need no forcing. ---
-    # d33dc6c rebuilt the PQ path around persisted codebooks; the r04 row
-    # certifies the retrain-per-call code.
+    # d33dc6c rebuilt the PQ path around persisted codebooks; later in
+    # r06 the trainer went joint one-pass and the ADC LUT became literal
+    # arrays (equality-pinned by test_pq_joint_training_equals_per_
+    # subspace_kmeans / test_pq_literal_lut_matches_join_lut). The r04
+    # row certifies the retrain-per-call, LUT-join code.
     "embedding_pq_topk",
     # e6d885e rewrote COW manifests (delta commits + checkpoints); every
     # cowtable read now walks the new chain format.

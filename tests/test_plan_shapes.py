@@ -256,7 +256,6 @@ SANCTIONED_NESTED_LOOP = {
     "user_recency_weighted_activity": "1-row max-timestamp broadcast",
     "q15_top_supplier": "1-row max-revenue broadcast",
     "trade_graph_pagerank": "1-row node-count broadcast onto the rank vector",
-    "embedding_pq_topk": "query set (10 rows) × codebook (16 rows) LUT build broadcast",
     "hybrid_rrf_search": "1-row query-vector broadcast onto the corpus scan",
     "benford_totalprice_audit": "1-row grand-total broadcast onto the 9-row digit table",
     "token_pmi_collocations": "1-row corpus-totals broadcast onto the vocabulary-scaled pair table",

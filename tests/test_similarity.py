@@ -497,3 +497,129 @@ def test_kmeans_update_probes_before_the_explode(spark, sf_dir):
     # executed plans print top-down: the Generate consuming the probe's
     # output must sit above (before) the ArrowEvalPython that feeds it
     assert plan.index("Generate") < plan.index("ArrowEvalPython"), plan
+
+
+def test_pq_joint_training_equals_per_subspace_kmeans(spark, sf_dir):
+    """The joint one-pass trainer must reproduce the m independent
+    per-subspace ``kmeans_centroids`` chains EXACTLY (the DuckDB oracle
+    replays that chain, so any drift — seeds, tie order, mean
+    summation — is a correctness break, not just a perf diff)."""
+    emb = read_parquet_table(spark, sf_dir, "embeddings")
+    joint = sim.pq_train_codebooks(emb, "vec_id", "embedding")
+    for mi in range(sim.PQ_M):
+        sub = emb.select(
+            F.col("vec_id"),
+            F.slice(
+                "embedding", mi * sim.PQ_SUB_DIM + 1, sim.PQ_SUB_DIM
+            ).alias("__sv"),
+        )
+        ref = sim.kmeans_centroids(
+            sub, "vec_id", "__sv", k=sim.PQ_K, iters=sim.PQ_ITERS
+        ).collect()
+        want = sorted(
+            (r["cell"], [float(x) for x in r["__sv"]]) for r in ref
+        )
+        assert sorted(joint[mi]) == want, f"subspace {mi} diverged"
+
+
+def test_pq_encode_single_udf_matches_per_subspace_probe(spark, sf_dir):
+    """The one-evaluation code UDF must emit the identical code table
+    the old per-subspace ``probe_cells_udf`` chain produced."""
+    emb = read_parquet_table(spark, sf_dir, "embeddings")
+    books = sim.pq_train_codebooks(emb, "vec_id", "embedding")
+    got = sim.pq_encode(emb, "vec_id", "embedding", books)
+    ref = emb.select("vec_id", "embedding")
+    for mi, book in enumerate(books):
+        probe = sim.probe_cells_udf(book, nprobe=1)
+        ref = ref.withColumn(
+            f"code_{mi}",
+            F.element_at(
+                probe(
+                    F.slice(
+                        "embedding",
+                        mi * sim.PQ_SUB_DIM + 1,
+                        sim.PQ_SUB_DIM,
+                    )
+                ),
+                1,
+            ),
+        )
+    ref = ref.drop("embedding")
+    assert got.columns == ref.columns
+    assert got.exceptAll(ref).count() == 0
+    assert ref.exceptAll(got).count() == 0
+
+
+def test_pq_literal_lut_matches_join_lut(spark, sf_dir):
+    """The literal-array ADC projection must reproduce the broadcast-
+    LUT-join formulation EXACTLY — same shortlist, same final rows.
+    The join path here is the reference semantics the DuckDB oracle
+    replays (round(dot,6)::DECIMAL(18,6) entries, DECIMAL-exact sum
+    cast double)."""
+    import functools
+    import operator
+
+    from pyspark.sql import Window
+    from spotify_tracks_etl_portfolio_spark.functions import vec_dot
+
+    emb = read_parquet_table(spark, sf_dir, "embeddings")
+    books = sim.pq_train_codebooks(emb, "vec_id", "embedding")
+    got = sim.pq_topk(emb, "vec_id", "embedding", books=books).collect()
+
+    m, sub_dim = len(books), len(books[0][0][1])
+    codes = sim.pq_encode(emb, "vec_id", "embedding", books).withColumnRenamed(
+        "vec_id", "neighbor_id"
+    )
+    qs = emb.filter(F.col("vec_id") < 10).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("__qv")
+    )
+    scored = codes
+    for mi, book in enumerate(books):
+        cb = spark.createDataFrame(
+            [(c, v) for c, v in book], "cell long, __cv array<double>"
+        )
+        lut = qs.crossJoin(F.broadcast(cb)).select(
+            "query_id",
+            F.col("cell").alias(f"code_{mi}"),
+            F.round(
+                vec_dot(F.slice("__qv", mi * sub_dim + 1, sub_dim), "__cv"), 6
+            )
+            .cast("decimal(18,6)")
+            .alias(f"__lv{mi}"),
+        )
+        on = [f"code_{mi}"] if mi == 0 else ["query_id", f"code_{mi}"]
+        scored = scored.join(F.broadcast(lut), on)
+    lv_sum = functools.reduce(
+        operator.add, [F.col(f"__lv{mi}") for mi in range(m)]
+    )
+    w_adc = Window.partitionBy("query_id").orderBy(
+        F.desc("__adc"), F.asc("neighbor_id")
+    )
+    cand = (
+        scored.filter(F.col("neighbor_id") != F.col("query_id"))
+        .withColumn("__adc", F.round(lv_sum, 6).cast("double"))
+        .withColumn("__crn", F.row_number().over(w_adc))
+        .filter(F.col("__crn") <= sim.PQ_SHORTLIST)
+        .select("query_id", "neighbor_id")
+    )
+    nv = emb.select(
+        F.col("vec_id").alias("neighbor_id"), F.col("embedding").alias("__nv")
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.desc("score"), F.asc("neighbor_id")
+    )
+    want = (
+        cand.join(nv, "neighbor_id")
+        .join(F.broadcast(qs), "query_id")
+        .withColumn("score", F.round(vec_dot("__nv", "__qv"), 6))
+        .withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= 5)
+        .select(
+            "query_id",
+            "neighbor_id",
+            "score",
+            F.col("rank").cast("long").alias("rank"),
+        )
+        .collect()
+    )
+    assert sorted(map(tuple, got)) == sorted(map(tuple, want))
