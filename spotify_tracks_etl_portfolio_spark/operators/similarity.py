@@ -809,6 +809,15 @@ PQ_ITERS = 2
 #: recall at 0.94 on the driver testdata (random synthetic embeddings
 #: — PQ's worst case; clustered real embeddings only do better).
 PQ_SHORTLIST = 100
+#: Literal-LUT serving embeds n_queries × m × k micro-int literals in
+#: the projection and collects the query VECTORS driver-side; past this
+#: entry count pq_topk switches to the broadcast-join LUT formulation,
+#: which stays fully distributed (query vectors never leave the
+#: cluster) at the cost of m broadcast joins on the shortlist path.
+#: Both paths are answer-identical
+#: (test_pq_literal_lut_matches_join_lut /
+#: test_pq_topk_join_lut_fallback_matches_literal).
+PQ_LITERAL_LUT_MAX = 65536
 
 
 def _grouped_probe_udf(books: list[list[tuple[int, list[float]]]]):
@@ -1032,79 +1041,30 @@ def pq_encode(
     )
 
 
-def pq_topk(
-    emb: DataFrame,
-    id_col: str,
-    vec_col: str,
-    m: int = PQ_M,
-    sub_dim: int = PQ_SUB_DIM,
-    k: int = PQ_K,
-    iters: int = PQ_ITERS,
-    n_queries: int = 10,
-    topk: int = 5,
-    shortlist: int = PQ_SHORTLIST,
-    books: list[list[tuple[int, list[float]]]] | None = None,
+def _pq_adc_literal(
+    codes: DataFrame,
+    qs: DataFrame,
+    books: list[list[tuple[int, list[float]]]],
+    m: int,
+    sub_dim: int,
 ) -> DataFrame:
-    """Approximate inner-product top-k by product quantization:
-    ADC shortlist, then exact re-rank — the production PQ serving
-    shape. Queries stay exact; corpus vectors are represented by their
-    per-subspace codes; each (query, code) partial similarity comes
-    from a tiny LOOKUP TABLE folded into the projection as literal
-    arrays (m × n_queries × k micro-int entries, ~10 KB at the frozen
-    geometry — computed driver-side, zero LUT-build jobs, zero joins on
-    the shortlist path), so the shortlist scan touches CODES only (the
-    memory-side win: m small codes per vector instead of the full float
-    payload) in ONE whole-stage-codegen pass. Only the per-query
-    ``shortlist`` survivors are re-scored against their true vectors.
-
-    Determinism: every LUT entry replicates Spark's
-    ``round(vec_dot(...), 6) :: DECIMAL(18,6)`` bit-for-bit driver-side
-    — the dot is the same sequential left fold over per-element double
-    products, the rounding is HALF_UP over the shortest decimal repr
-    (``Decimal(repr(x))`` ≡ ``BigDecimal.valueOf(double)``), stored as
-    an exact ×10⁶ integer; the ADC score is the exact integer sum cast
-    to double via one correctly-rounded division, which equals the
-    DECIMAL-sum path's ``BigDecimal.doubleValue`` (both correctly round
-    the same rational). The exact re-rank rounds the true dot to 6 dp —
-    the full pipeline (codebooks → codes → LUTs → shortlist → re-rank)
-    is hash-checkable, and ``test_pq_literal_lut_matches_join_lut``
-    pins equality against the broadcast-LUT-join formulation.
-    Approximate = whether a true neighbor survives the shortlist, never
-    nondeterminism.
-
-    ``books=None`` trains the codebooks in-line (the self-contained demo
-    shape); pass pre-trained codebooks (see ``save_pq_codebooks``/
-    ``load_pq_codebooks``) for the build-once/query-many serving shape —
-    training changes the COST, not the answer, because the k-means is
-    zero-RNG deterministic.
-    """
+    """(neighbor_id, query_id, __adc) via the literal-array LUT: the
+    per-(query, subspace, cell) partial similarities are computed
+    driver-side as exact ×10⁶ micro-ints and folded into the projection
+    — zero LUT-build jobs, zero joins, one whole-stage-codegen pass over
+    the codes. Collects the query VECTORS driver-side, so it is gated
+    behind ``PQ_LITERAL_LUT_MAX`` by the caller."""
     import functools
     import operator
     from decimal import ROUND_HALF_UP, Decimal
 
-    if books is None:
-        books = pq_train_codebooks(emb, id_col, vec_col, m, sub_dim, k, iters)
-    else:
-        # Pre-trained codebooks CARRY their geometry — derive (m,
-        # sub_dim) from them instead of trusting the parameters, so
-        # books trained at a non-default shape can never silently sum
-        # too few subspaces (wrong shortlist) or reference missing LUT
-        # columns (AnalysisException).
-        m = len(books)
-        sub_dim = len(books[0][0][1])
     for book in books:
         if sorted(c for c, _ in book) != list(range(len(book))):
             raise ValueError(
-                "pq_topk literal-LUT serving requires contiguous 0..k-1 "
+                "pq literal-LUT serving requires contiguous 0..k-1 "
                 "cell ids (every codebook this module trains has them); "
                 f"got {sorted(c for c, _ in book)}"
             )
-    codes = pq_encode(emb, id_col, vec_col, books, sub_dim).withColumnRenamed(
-        id_col, "neighbor_id"
-    )
-    qs = emb.filter(F.col(id_col) < n_queries).select(
-        F.col(id_col).alias("query_id"), F.col(vec_col).alias("__qv")
-    )
     q_rows = sorted(
         (r["query_id"], [float(x) for x in r["__qv"]]) for r in qs.collect()
     )
@@ -1158,13 +1118,131 @@ def pq_topk(
             for mi in range(m)
         ],
     )
-    scored = fanout.select(
+    return fanout.select(
         "neighbor_id",
         F.element_at(qid_lit, F.col("__qi") + 1).alias("query_id"),
         # exact integer sum → one correctly-rounded division: equals
         # the DECIMAL(18,6)-sum path's BigDecimal.doubleValue
         (adc_micro.cast("double") / F.lit(1000000.0)).alias("__adc"),
     )
+
+
+def _pq_adc_join(
+    codes: DataFrame,
+    qs: DataFrame,
+    books: list[list[tuple[int, list[float]]]],
+    m: int,
+    sub_dim: int,
+) -> DataFrame:
+    """(neighbor_id, query_id, __adc) via broadcast LUT joins: each
+    subspace's (query, cell) partial-similarity table is built ON the
+    cluster (query vectors never reach the driver) and broadcast-joined
+    onto the codes. This is the scale path past ``PQ_LITERAL_LUT_MAX``
+    — the LUT is still tiny (n_queries × k rows per subspace) but too
+    wide to fold into the plan as literals. DECIMAL(18,6)-exact entries
+    and sum keep it hash-identical to the literal path
+    (``test_pq_topk_join_lut_fallback_matches_literal``)."""
+    import functools
+    import operator
+
+    spark = codes.sparkSession
+    scored = codes
+    for mi, book in enumerate(books):
+        cb = spark.createDataFrame(
+            [(c, v) for c, v in book], "cell long, __cv array<double>"
+        )
+        lut = qs.crossJoin(F.broadcast(cb)).select(
+            "query_id",
+            F.col("cell").alias(f"code_{mi}"),
+            F.round(
+                vec_dot(F.slice("__qv", mi * sub_dim + 1, sub_dim), "__cv"), 6
+            )
+            .cast("decimal(18,6)")
+            .alias(f"__lv{mi}"),
+        )
+        on = [f"code_{mi}"] if mi == 0 else ["query_id", f"code_{mi}"]
+        scored = scored.join(F.broadcast(lut), on)
+    lv_sum = functools.reduce(
+        operator.add, [F.col(f"__lv{mi}") for mi in range(m)]
+    )
+    return scored.select(
+        "neighbor_id",
+        "query_id",
+        F.round(lv_sum, 6).cast("double").alias("__adc"),
+    )
+
+
+def pq_topk(
+    emb: DataFrame,
+    id_col: str,
+    vec_col: str,
+    m: int = PQ_M,
+    sub_dim: int = PQ_SUB_DIM,
+    k: int = PQ_K,
+    iters: int = PQ_ITERS,
+    n_queries: int = 10,
+    topk: int = 5,
+    shortlist: int = PQ_SHORTLIST,
+    books: list[list[tuple[int, list[float]]]] | None = None,
+) -> DataFrame:
+    """Approximate inner-product top-k by product quantization:
+    ADC shortlist, then exact re-rank — the production PQ serving
+    shape. Queries stay exact; corpus vectors are represented by their
+    per-subspace codes; each (query, code) partial similarity comes
+    from a tiny LOOKUP TABLE folded into the projection as literal
+    arrays (m × n_queries × k micro-int entries, ~10 KB at the frozen
+    geometry — computed driver-side, zero LUT-build jobs, zero joins on
+    the shortlist path), so the shortlist scan touches CODES only (the
+    memory-side win: m small codes per vector instead of the full float
+    payload) in ONE whole-stage-codegen pass. Only the per-query
+    ``shortlist`` survivors are re-scored against their true vectors.
+    Past ``PQ_LITERAL_LUT_MAX`` entries (large query batches) the ADC
+    scoring falls back to broadcast LUT joins built on the cluster —
+    query vectors never reach the driver, answers identical
+    (``test_pq_topk_join_lut_fallback_matches_literal``).
+
+    Determinism: every LUT entry replicates Spark's
+    ``round(vec_dot(...), 6) :: DECIMAL(18,6)`` bit-for-bit driver-side
+    — the dot is the same sequential left fold over per-element double
+    products, the rounding is HALF_UP over the shortest decimal repr
+    (``Decimal(repr(x))`` ≡ ``BigDecimal.valueOf(double)``), stored as
+    an exact ×10⁶ integer; the ADC score is the exact integer sum cast
+    to double via one correctly-rounded division, which equals the
+    DECIMAL-sum path's ``BigDecimal.doubleValue`` (both correctly round
+    the same rational). The exact re-rank rounds the true dot to 6 dp —
+    the full pipeline (codebooks → codes → LUTs → shortlist → re-rank)
+    is hash-checkable, and ``test_pq_literal_lut_matches_join_lut``
+    pins equality against the broadcast-LUT-join formulation.
+    Approximate = whether a true neighbor survives the shortlist, never
+    nondeterminism.
+
+    ``books=None`` trains the codebooks in-line (the self-contained demo
+    shape); pass pre-trained codebooks (see ``save_pq_codebooks``/
+    ``load_pq_codebooks``) for the build-once/query-many serving shape —
+    training changes the COST, not the answer, because the k-means is
+    zero-RNG deterministic.
+    """
+    if books is None:
+        books = pq_train_codebooks(emb, id_col, vec_col, m, sub_dim, k, iters)
+    else:
+        # Pre-trained codebooks CARRY their geometry — derive (m,
+        # sub_dim) from them instead of trusting the parameters, so
+        # books trained at a non-default shape can never silently sum
+        # too few subspaces (wrong shortlist) or reference missing LUT
+        # columns (AnalysisException).
+        m = len(books)
+        sub_dim = len(books[0][0][1])
+    codes = pq_encode(emb, id_col, vec_col, books, sub_dim).withColumnRenamed(
+        id_col, "neighbor_id"
+    )
+    qs = emb.filter(F.col(id_col) < n_queries).select(
+        F.col(id_col).alias("query_id"), F.col(vec_col).alias("__qv")
+    )
+    lut_entries = n_queries * sum(len(book) for book in books)
+    if lut_entries <= PQ_LITERAL_LUT_MAX:
+        scored = _pq_adc_literal(codes, qs, books, m, sub_dim)
+    else:
+        scored = _pq_adc_join(codes, qs, books, m, sub_dim)
     w_adc = Window.partitionBy("query_id").orderBy(
         F.desc("__adc"), F.asc("neighbor_id")
     )

@@ -623,3 +623,23 @@ def test_pq_literal_lut_matches_join_lut(spark, sf_dir):
         .collect()
     )
     assert sorted(map(tuple, got)) == sorted(map(tuple, want))
+
+
+def test_pq_topk_join_lut_fallback_matches_literal(spark, sf_dir, monkeypatch):
+    """Past PQ_LITERAL_LUT_MAX entries pq_topk must switch to the
+    broadcast-join LUT (query vectors never collected to the driver)
+    and produce the IDENTICAL result — same shortlist survivors, same
+    final rows."""
+    emb = read_parquet_table(spark, sf_dir, "embeddings")
+    books = sim.pq_train_codebooks(emb, "vec_id", "embedding")
+    literal = sim.pq_topk(emb, "vec_id", "embedding", books=books)
+    monkeypatch.setattr(sim, "PQ_LITERAL_LUT_MAX", 0)
+    fallback = sim.pq_topk(emb, "vec_id", "embedding", books=books)
+    # the branch actually switched: the join formulation carries the
+    # m per-subspace LUT joins the literal projection doesn't have
+    lit_plan = literal._jdf.queryExecution().optimizedPlan().toString()
+    fb_plan = fallback._jdf.queryExecution().optimizedPlan().toString()
+    assert fb_plan.count("Join") > lit_plan.count("Join")
+    assert sorted(map(tuple, literal.collect())) == sorted(
+        map(tuple, fallback.collect())
+    )
