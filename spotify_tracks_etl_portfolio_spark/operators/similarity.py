@@ -1184,6 +1184,7 @@ def pq_topk(
     topk: int = 5,
     shortlist: int = PQ_SHORTLIST,
     books: list[list[tuple[int, list[float]]]] | None = None,
+    codes: DataFrame | None = None,
 ) -> DataFrame:
     """Approximate inner-product top-k by product quantization:
     ADC shortlist, then exact re-rank — the production PQ serving
@@ -1220,9 +1221,20 @@ def pq_topk(
     shape); pass pre-trained codebooks (see ``save_pq_codebooks``/
     ``load_pq_codebooks``) for the build-once/query-many serving shape —
     training changes the COST, not the answer, because the k-means is
-    zero-RNG deterministic.
+    zero-RNG deterministic. ``codes`` (requires ``books``) additionally
+    skips the per-call corpus encode: pass the persisted
+    ``pq_encode(...)`` output — (id_col, code_0..code_{m-1}), encoded
+    with THESE books — and the shortlist scan starts straight from the
+    index, the full build-once/serve-many shape (encode is
+    deterministic, so the artifact changes cost, never the answer:
+    ``test_pq_topk_pre_encoded_codes_match_inline``).
     """
     if books is None:
+        if codes is not None:
+            raise ValueError(
+                "pq_topk(codes=...) requires the books the codes were "
+                "encoded with — pass both or neither"
+            )
         books = pq_train_codebooks(emb, id_col, vec_col, m, sub_dim, k, iters)
     else:
         # Pre-trained codebooks CARRY their geometry — derive (m,
@@ -1232,9 +1244,9 @@ def pq_topk(
         # columns (AnalysisException).
         m = len(books)
         sub_dim = len(books[0][0][1])
-    codes = pq_encode(emb, id_col, vec_col, books, sub_dim).withColumnRenamed(
-        id_col, "neighbor_id"
-    )
+    if codes is None:
+        codes = pq_encode(emb, id_col, vec_col, books, sub_dim)
+    codes = codes.withColumnRenamed(id_col, "neighbor_id")
     qs = emb.filter(F.col(id_col) < n_queries).select(
         F.col(id_col).alias("query_id"), F.col(vec_col).alias("__qv")
     )

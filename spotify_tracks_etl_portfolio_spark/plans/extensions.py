@@ -3826,33 +3826,38 @@ FROM (
     "the memory-side scale path completing the ANN family (brute, "
     "IVF, hyperplane-LSH, PQ). Hash-checked end-to-end: 'approximate' "
     "is shortlist recall vs brute force, never nondeterminism. The "
-    "codebooks are a PERSISTED artifact (like BM25/trigram/IVF): the "
-    "first call in a session trains and publishes them, later calls "
-    "reuse — training changes the cost, not the answer (zero-RNG "
-    "k-means)",
+    "codebooks AND the encoded corpus codes are one PERSISTED index "
+    "artifact (like BM25/trigram/IVF): the first call in a session "
+    "trains, encodes, and publishes; later calls serve straight from "
+    "the code table — build changes the cost, not the answer (zero-RNG "
+    "k-means, deterministic encode)",
     tags=("extension", "similarity"),
 )
 def embedding_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = read_parquet_table(spark, sf_dir, "embeddings")
-    # key pins the PQ geometry alongside the data (the codebooks derive
-    # from both), matching the semdedup_cents key convention
+
+    # key pins the PQ geometry alongside the data (codebooks and codes
+    # derive from both), matching the semdedup_cents key convention
     root = _artifact_root(
         spark,
-        "pq_books",
+        "pq_index",
         f"{os.path.realpath(sf_dir)}|m={_sim.PQ_M}|sub={_sim.PQ_SUB_DIM}"
         f"|k={_sim.PQ_K}|iters={_sim.PQ_ITERS}",
     )
-    _build_artifact_once(
-        root,
-        "codebooks",
-        lambda tmp: _sim.save_pq_codebooks(
-            spark,
-            _sim.pq_train_codebooks(emb, "vec_id", "embedding"),
-            f"{tmp}/codebooks",
-        ),
-    )
+
+    def _build(tmp: str) -> None:
+        books = _sim.pq_train_codebooks(emb, "vec_id", "embedding")
+        _sim.save_pq_codebooks(spark, books, f"{tmp}/codebooks")
+        # the encoded corpus IS the PQ index — persist it so serving
+        # never re-runs the encode UDF over the full corpus
+        _sim.pq_encode(emb, "vec_id", "embedding", books).write.parquet(
+            f"{tmp}/codes"
+        )
+
+    _build_artifact_once(root, "codes", _build)
     books = _sim.load_pq_codebooks(spark, f"{root}/codebooks")
-    return _sim.pq_topk(emb, "vec_id", "embedding", books=books)
+    codes = spark.read.parquet(f"{root}/codes")
+    return _sim.pq_topk(emb, "vec_id", "embedding", books=books, codes=codes)
 
 
 # ===========================================================================

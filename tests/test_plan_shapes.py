@@ -648,7 +648,7 @@ def test_persisted_index_artifacts_reused_across_calls(spark, sf_dir):
         ("bm25_index_search", "text_index", "stats", ""),
         ("trigram_like_search", "trgm_index", "postings", ""),
         ("embedding_ivf_index_topk", "ivf_index", "centroids", ""),
-        ("embedding_pq_topk", "pq_books", "codebooks",
+        ("embedding_pq_topk", "pq_index", "codes",
          "|m=8|sub=8|k=16|iters=2"),
         # k-means model artifact: key pins the frozen geometry too
         ("semantic_dedup_embeddings", "semdedup_cents", "centroids",

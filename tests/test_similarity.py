@@ -643,3 +643,26 @@ def test_pq_topk_join_lut_fallback_matches_literal(spark, sf_dir, monkeypatch):
     assert sorted(map(tuple, literal.collect())) == sorted(
         map(tuple, fallback.collect())
     )
+
+
+def test_pq_topk_pre_encoded_codes_match_inline(spark, sf_dir, tmp_path):
+    """pq_topk(codes=...) — the persisted-index serving shape — must
+    reproduce the inline-encode result exactly, including through a
+    parquet round-trip of the code table; and codes without their books
+    is a contract error."""
+    import pytest
+
+    emb = read_parquet_table(spark, sf_dir, "embeddings")
+    books = sim.pq_train_codebooks(emb, "vec_id", "embedding")
+    inline = sim.pq_topk(emb, "vec_id", "embedding", books=books)
+    path = str(tmp_path / "codes")
+    sim.pq_encode(emb, "vec_id", "embedding", books).write.parquet(path)
+    codes = spark.read.parquet(path)
+    served = sim.pq_topk(
+        emb, "vec_id", "embedding", books=books, codes=codes
+    )
+    assert sorted(map(tuple, inline.collect())) == sorted(
+        map(tuple, served.collect())
+    )
+    with pytest.raises(ValueError, match="books"):
+        sim.pq_topk(emb, "vec_id", "embedding", codes=codes)
