@@ -113,6 +113,22 @@ FLAT_PROBE_MAX_K = 64
 COARSE_NPROBE = 2
 
 
+def _book_matrix(cent_rows: list[tuple[int, list[float]]]):
+    """(cells, unit_matrix) prep shared by every flat probe
+    (``probe_cells_udf``, ``_grouped_probe_udf``, ``pq_encode``):
+    centroids sorted by cell id so stable argsort resolves ties to the
+    smallest cell, norms clamped so an all-zero vector/centroid gets
+    similarity 0 and a defined assignment instead of NaN everywhere.
+    One implementation keeps the three probes provably in sync."""
+    import numpy as np
+
+    cents = sorted(cent_rows)
+    cells = np.array([c for c, _ in cents], dtype=np.int64)
+    m = np.array([v for _, v in cents], dtype=np.float64)
+    mn = m / np.maximum(np.linalg.norm(m, axis=1, keepdims=True), 1e-12)
+    return cells, mn
+
+
 def probe_cells_udf(cent_rows: list[tuple[int, list[float]]], nprobe: int):
     """Arrow-batched cell-probe: cosine of each vector against the (tiny,
     closure-captured) centroid matrix as ONE numpy matmul per batch,
@@ -137,14 +153,9 @@ def probe_cells_udf(cent_rows: list[tuple[int, list[float]]], nprobe: int):
     import pandas as pd
     from pyspark.sql.functions import pandas_udf
 
-    cents = sorted(cent_rows)
-    cells = np.array([c for c, _ in cents], dtype=np.int64)
-    m = np.array([v for _, v in cents], dtype=np.float64)
-    # clamp norms so an all-zero vector/centroid gets similarity 0 and a
-    # defined (smallest-cell) assignment instead of NaN everywhere
-    mn = m / np.maximum(np.linalg.norm(m, axis=1, keepdims=True), 1e-12)
+    cells, mn = _book_matrix(cent_rows)
 
-    if len(cents) <= FLAT_PROBE_MAX_K:
+    if len(cells) <= FLAT_PROBE_MAX_K:
         # no type hints: module-level `from __future__ import annotations`
         # stringifies them and pyspark can't resolve function-local `pd`
         @pandas_udf("array<long>")
@@ -163,7 +174,7 @@ def probe_cells_udf(cent_rows: list[tuple[int, list[float]]], nprobe: int):
     # centroids (driver-side numpy; first-√k init, 3 Lloyd rounds,
     # cosine assignment with smallest-index ties, empty cells keep
     # their previous coarse centroid) ----
-    n_coarse = int(np.ceil(np.sqrt(len(cents))))
+    n_coarse = int(np.ceil(np.sqrt(len(cells))))
     coarse = mn[:n_coarse].copy()
     for _ in range(3):
         cn = coarse / np.maximum(
@@ -826,19 +837,18 @@ def _grouped_probe_udf(books: list[list[tuple[int, list[float]]]]):
     numpy GEMM against ITS codebook — the per-subspace math (6-dp
     rounding, smallest-cell stable ties, clamped norms) is identical to
     ``probe_cells_udf``'s flat path, just grouped so the whole joint
-    assignment is ONE Python evaluation instead of m."""
+    assignment is ONE Python evaluation instead of m. Flat ONLY —
+    callers route books wider than ``FLAT_PROBE_MAX_K`` through
+    ``probe_cells_udf`` (two-level) instead."""
     import numpy as np
     import pandas as pd
     from pyspark.sql.functions import pandas_udf
 
     cells, mats = [], []
     for book in books:
-        cents = sorted(book)
-        cells.append(np.array([c for c, _ in cents], dtype=np.int64))
-        mat = np.array([v for _, v in cents], dtype=np.float64)
-        mats.append(
-            mat / np.maximum(np.linalg.norm(mat, axis=1, keepdims=True), 1e-12)
-        )
+        bc, bm = _book_matrix(book)
+        cells.append(bc)
+        mats.append(bm)
 
     @pandas_udf("long")
     def probe(ms, vs):
@@ -898,7 +908,24 @@ def pq_train_codebooks(
     equality against the reference ``kmeans_centroids``-per-subspace
     chain, and the DuckDB oracle replays that same chain. Driver holds
     only the m×k×sub_dim codebook floats — the same bounded-state
-    sanction as the IVF centroids."""
+    sanction as the IVF centroids.
+
+    Past ``FLAT_PROBE_MAX_K`` centroids the per-subspace chains route
+    through ``kmeans_centroids`` unchanged, so the assignment keeps the
+    two-level probe semantics the rest of the module uses at wide k —
+    the joint one-pass path is flat-probe only."""
+    if k > FLAT_PROBE_MAX_K:
+        books_wide: list[list[tuple[int, list[float]]]] = []
+        for mi in range(m):
+            sub = emb.select(
+                F.col(id_col),
+                F.slice(vec_col, mi * sub_dim + 1, sub_dim).alias("__sv"),
+            )
+            cb = kmeans_centroids(sub, id_col, "__sv", k=k, iters=iters)
+            books_wide.append(
+                [(r["cell"], [float(x) for x in r["__sv"]]) for r in cb.collect()]
+            )
+        return books_wide
     # seeds: the k smallest-id vectors, sliced per subspace — identical
     # to each per-subspace chain's orderBy(id).limit(k) seed set
     seed_rows = (
@@ -913,35 +940,42 @@ def pq_train_codebooks(
     ]
     long = _pq_long_form(emb, id_col, vec_col, m, sub_dim)
     for _ in range(iters):
-        probe = _grouped_probe_udf(books)
-        # probe in its own projection BEFORE the posexplode (the
-        # ExtractPythonUDFs dim×-re-evaluation trap, BENCH_NOTES r6)
-        assigned = long.select(
-            probe("__m", "__sv").alias("__cell"), "__m", "__sv"
-        )
-        means = (
-            assigned.select(
-                "__m", "__cell", F.posexplode("__sv").alias("__d", "__x")
-            )
-            .groupBy("__m", "__cell", "__d")
-            .agg(F.avg("__x").alias("__mean"))
-            .groupBy("__m", "__cell")
-            .agg(
-                F.transform(
-                    F.array_sort(F.collect_list(F.struct("__d", "__mean"))),
-                    lambda s: s.getField("__mean"),
-                ).alias("__newv")
-            )
-        )
         new: dict[tuple[int, int], list[float]] = {
             (r["__m"], r["__cell"]): [float(x) for x in r["__newv"]]
-            for r in means.collect()
+            for r in _joint_lloyd_means(long, books).collect()
         }
         books = [
             [(c, new.get((mi, c), v)) for c, v in book]
             for mi, book in enumerate(books)
         ]
     return books
+
+
+def _joint_lloyd_means(long: DataFrame, books) -> DataFrame:
+    """One Lloyd update for ALL m codebooks: (subspace, cell, new
+    centroid vector) from a single grouped aggregation over the
+    long-form corpus. The probe sits in its own projection BEFORE the
+    posexplode (the ExtractPythonUDFs dim×-re-evaluation trap,
+    BENCH_NOTES r6) — plan-gated by
+    ``test_joint_pq_update_probes_before_the_explode``."""
+    probe = _grouped_probe_udf(books)
+    assigned = long.select(
+        probe("__m", "__sv").alias("__cell"), "__m", "__sv"
+    )
+    return (
+        assigned.select(
+            "__m", "__cell", F.posexplode("__sv").alias("__d", "__x")
+        )
+        .groupBy("__m", "__cell", "__d")
+        .agg(F.avg("__x").alias("__mean"))
+        .groupBy("__m", "__cell")
+        .agg(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("__d", "__mean"))),
+                lambda s: s.getField("__mean"),
+            ).alias("__newv")
+        )
+    )
 
 
 def save_pq_codebooks(
@@ -993,23 +1027,34 @@ def pq_encode(
     bytes-scale codes, and serving scans codes, never vectors.
     ``sub_dim`` defaults to the width the books were trained at (their
     centroid length) — passing a mismatched override would slice the
-    wrong vector segments."""
+    wrong vector segments. Books wider than ``FLAT_PROBE_MAX_K`` route
+    per subspace through ``probe_cells_udf``'s two-level path, matching
+    the assignment semantics the books were trained with."""
     if sub_dim is None:
         sub_dim = len(books[0][0][1])
+    m = len(books)
+
+    if max(len(book) for book in books) > FLAT_PROBE_MAX_K:
+        out = emb.select(F.col(id_col), F.col(vec_col))
+        for mi, book in enumerate(books):
+            probe = probe_cells_udf(book, nprobe=1)
+            out = out.withColumn(
+                f"code_{mi}",
+                F.element_at(
+                    probe(F.slice(vec_col, mi * sub_dim + 1, sub_dim)), 1
+                ),
+            )
+        return out.drop(vec_col)
 
     import numpy as np
     import pandas as pd
     from pyspark.sql.functions import pandas_udf
 
-    m = len(books)
     cellss, mats = [], []
     for book in books:
-        cents = sorted(book)
-        cellss.append(np.array([c for c, _ in cents], dtype=np.int64))
-        mat = np.array([v for _, v in cents], dtype=np.float64)
-        mats.append(
-            mat / np.maximum(np.linalg.norm(mat, axis=1, keepdims=True), 1e-12)
-        )
+        bc, bm = _book_matrix(book)
+        cellss.append(bc)
+        mats.append(bm)
 
     # one Arrow evaluation emitting ALL m codes per vector (the old
     # per-subspace probe chain was m separate UDF columns); per-subspace
@@ -1049,14 +1094,17 @@ def _pq_adc_literal(
     sub_dim: int,
 ) -> DataFrame:
     """(neighbor_id, query_id, __adc) via the literal-array LUT: the
-    per-(query, subspace, cell) partial similarities are computed
-    driver-side as exact ×10⁶ micro-ints and folded into the projection
-    — zero LUT-build jobs, zero joins, one whole-stage-codegen pass over
-    the codes. Collects the query VECTORS driver-side, so it is gated
-    behind ``PQ_LITERAL_LUT_MAX`` by the caller."""
+    per-(query, subspace, cell) partial similarities are folded into
+    the projection as exact ×10⁶ micro-int literals — zero joins, one
+    whole-stage-codegen pass over the codes. The entries come from ONE
+    tiny Spark job over the (query, subspace, cell) cross product
+    (n_queries × m × k rows, driver-built), so each is Spark's own
+    ``round(vec_dot(...), 6) :: DECIMAL(18,6)`` bit-for-bit on any JVM
+    — no driver-side float-formatting replication to drift. Collects
+    the query VECTORS driver-side, so it is gated behind
+    ``PQ_LITERAL_LUT_MAX`` by the caller."""
     import functools
     import operator
-    from decimal import ROUND_HALF_UP, Decimal
 
     for book in books:
         if sorted(c for c, _ in book) != list(range(len(book))):
@@ -1069,37 +1117,51 @@ def _pq_adc_literal(
         (r["query_id"], [float(x) for x in r["__qv"]]) for r in qs.collect()
     )
 
-    def _dot(a: list[float], b: list[float]) -> float:
-        # vec_dot's exact IEEE sequence: left fold of per-index double
-        # products starting at 0.0
-        acc = 0.0
-        for x, y in zip(a, b):
-            acc += x * y
-        return acc
-
-    def _micro(x: float) -> int:
-        # Spark round(double, 6): HALF_UP over BigDecimal.valueOf —
-        # the shortest-repr decimal, which is exactly Decimal(repr(x))
-        return int(
-            Decimal(repr(x))
-            .quantize(Decimal("0.000001"), rounding=ROUND_HALF_UP)
-            .scaleb(6)
-        )
-
-    # lut[mi][qi][cell] — micro-int partial similarities
-    lut_lits = []
-    for mi, book in enumerate(books):
-        cents = sorted(book)
-        per_q = []
-        for _, qv in q_rows:
-            sub = qv[mi * sub_dim : (mi + 1) * sub_dim]
-            per_q.append(
-                F.array(
-                    *[F.lit(_micro(_dot(sub, cv))) for _, cv in cents]
-                )
+    spark = codes.sparkSession
+    lut_src = spark.createDataFrame(
+        [
+            (mi, qi, cell, qv[mi * sub_dim : (mi + 1) * sub_dim], cv)
+            for mi, book in enumerate(books)
+            for qi, (_, qv) in enumerate(q_rows)
+            for cell, cv in sorted(book)
+        ],
+        "mi int, qi int, cell int, qv array<double>, cv array<double>",
+    )
+    micro = {
+        (r["mi"], r["qi"], r["cell"]): r["micro"]
+        for r in lut_src.select(
+            "mi",
+            "qi",
+            "cell",
+            (
+                F.round(vec_dot("qv", "cv"), 6).cast("decimal(18,6)")
+                * F.lit(1000000)
             )
-        lut_lits.append(F.array(*per_q))
-    qid_lit = F.array(*[F.lit(int(qid)) for qid, _ in q_rows])
+            .cast("long")
+            .alias("micro"),
+        ).collect()
+    }
+
+    # lut[mi][qi][cell] — micro-int partial similarities; arrays cast
+    # to long so the ADC sum can never wrap int32, and element_at
+    # returns BIGINT down the whole chain
+    lut_lits = [
+        F.array(
+            *[
+                F.array(
+                    *[
+                        F.lit(int(micro[(mi, qi, cell)]))
+                        for cell, _ in sorted(book)
+                    ]
+                ).cast("array<long>")
+                for qi in range(len(q_rows))
+            ]
+        )
+        for mi, book in enumerate(books)
+    ]
+    qid_lit = F.array(*[F.lit(int(qid)) for qid, _ in q_rows]).cast(
+        "array<long>"
+    )
 
     fanout = codes.select(
         "neighbor_id",
@@ -1202,19 +1264,17 @@ def pq_topk(
     query vectors never reach the driver, answers identical
     (``test_pq_topk_join_lut_fallback_matches_literal``).
 
-    Determinism: every LUT entry replicates Spark's
-    ``round(vec_dot(...), 6) :: DECIMAL(18,6)`` bit-for-bit driver-side
-    — the dot is the same sequential left fold over per-element double
-    products, the rounding is HALF_UP over the shortest decimal repr
-    (``Decimal(repr(x))`` ≡ ``BigDecimal.valueOf(double)``), stored as
-    an exact ×10⁶ integer; the ADC score is the exact integer sum cast
-    to double via one correctly-rounded division, which equals the
-    DECIMAL-sum path's ``BigDecimal.doubleValue`` (both correctly round
-    the same rational). The exact re-rank rounds the true dot to 6 dp —
-    the full pipeline (codebooks → codes → LUTs → shortlist → re-rank)
-    is hash-checkable, and ``test_pq_literal_lut_matches_join_lut``
-    pins equality against the broadcast-LUT-join formulation.
-    Approximate = whether a true neighbor survives the shortlist, never
+    Determinism: every LUT entry IS Spark's
+    ``round(vec_dot(...), 6) :: DECIMAL(18,6)`` — computed by one tiny
+    Spark job over the (query, subspace, cell) cross product and folded
+    back as an exact ×10⁶ BIGINT literal; the ADC score is the exact
+    integer sum cast to double via one correctly-rounded division,
+    which equals the DECIMAL-sum path's value (both correctly round the
+    same rational). The exact re-rank rounds the true dot to 6 dp — the
+    full pipeline (codebooks → codes → LUTs → shortlist → re-rank) is
+    hash-checkable, and ``test_pq_literal_lut_matches_join_lut`` pins
+    equality against the broadcast-LUT-join formulation. Approximate =
+    whether a true neighbor survives the shortlist, never
     nondeterminism.
 
     ``books=None`` trains the codebooks in-line (the self-contained demo
@@ -1250,7 +1310,13 @@ def pq_topk(
     qs = emb.filter(F.col(id_col) < n_queries).select(
         F.col(id_col).alias("query_id"), F.col(vec_col).alias("__qv")
     )
-    lut_entries = n_queries * sum(len(book) for book in books)
+    total_k = sum(len(book) for book in books)
+    lut_entries = n_queries * total_k
+    if lut_entries > PQ_LITERAL_LUT_MAX:
+        # the parameter bounds the id range, not the match count — ids
+        # can be sparse, so one cheap count of the ACTUAL query set
+        # decides before giving up the literal path
+        lut_entries = qs.count() * total_k
     if lut_entries <= PQ_LITERAL_LUT_MAX:
         scored = _pq_adc_literal(codes, qs, books, m, sub_dim)
     else:

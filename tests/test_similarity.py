@@ -640,6 +640,9 @@ def test_pq_topk_join_lut_fallback_matches_literal(spark, sf_dir, monkeypatch):
     lit_plan = literal._jdf.queryExecution().optimizedPlan().toString()
     fb_plan = fallback._jdf.queryExecution().optimizedPlan().toString()
     assert fb_plan.count("Join") > lit_plan.count("Join")
+    # identical SCHEMA too — the literal path's folded constants must
+    # not leak narrower types (query_id int vs bigint) into the result
+    assert literal.schema == fallback.schema
     assert sorted(map(tuple, literal.collect())) == sorted(
         map(tuple, fallback.collect())
     )
@@ -666,3 +669,56 @@ def test_pq_topk_pre_encoded_codes_match_inline(spark, sf_dir, tmp_path):
     )
     with pytest.raises(ValueError, match="books"):
         sim.pq_topk(emb, "vec_id", "embedding", codes=codes)
+
+
+def test_joint_pq_update_probes_before_the_explode(spark, sf_dir):
+    """Plan gate for the joint PQ Lloyd update (the trainer twin of
+    test_kmeans_update_probes_before_the_explode): the grouped probe
+    must evaluate on the pre-explode long-form rows — ArrowEvalPython
+    BELOW the Generate — or the probe re-runs sub_dim× per row."""
+    emb = read_parquet_table(spark, sf_dir, "embeddings")
+    books = [
+        [(c, [float(j == c) for j in range(sim.PQ_SUB_DIM)]) for c in range(4)]
+        for _ in range(sim.PQ_M)
+    ]
+    long = sim._pq_long_form(
+        emb, "vec_id", "embedding", sim.PQ_M, sim.PQ_SUB_DIM
+    )
+    plan = (
+        sim._joint_lloyd_means(long, books)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "ArrowEvalPython" in plan and "Generate" in plan
+    # the long-form build itself contains an explode; the Generate that
+    # matters is the posexplode CONSUMING the probe output — it must
+    # print above (before) the ArrowEvalPython feeding it
+    assert plan.index("Generate") < plan.index("ArrowEvalPython"), plan
+
+
+def test_pq_wide_k_training_routes_through_kmeans_chain(
+    spark, sf_dir, monkeypatch
+):
+    """Past FLAT_PROBE_MAX_K the joint flat-GEMM trainer must step
+    aside: training routes through the per-subspace kmeans_centroids
+    chain so wide-k assignment keeps the module's two-level probe
+    semantics. Pinned by shrinking the threshold and checking the
+    result equals the reference chain under the same threshold."""
+    emb = read_parquet_table(spark, sf_dir, "embeddings")
+    monkeypatch.setattr(sim, "FLAT_PROBE_MAX_K", 4)
+    got = sim.pq_train_codebooks(emb, "vec_id", "embedding", k=8)
+    for mi in range(sim.PQ_M):
+        sub = emb.select(
+            F.col("vec_id"),
+            F.slice(
+                "embedding", mi * sim.PQ_SUB_DIM + 1, sim.PQ_SUB_DIM
+            ).alias("__sv"),
+        )
+        ref = sim.kmeans_centroids(
+            sub, "vec_id", "__sv", k=8, iters=sim.PQ_ITERS
+        ).collect()
+        want = sorted(
+            (r["cell"], [float(x) for x in r["__sv"]]) for r in ref
+        )
+        assert sorted(got[mi]) == want, f"subspace {mi} diverged"
