@@ -145,10 +145,13 @@ _FORCE_RERECORD = (
     # near_dedup_new_vs_corpus) already cycle into the window as stalest
     # and need no forcing. ---
     # d33dc6c rebuilt the PQ path around persisted codebooks; later in
-    # r06 the trainer went joint one-pass and the ADC LUT became literal
-    # arrays (equality-pinned by test_pq_joint_training_equals_per_
-    # subspace_kmeans / test_pq_literal_lut_matches_join_lut). The r04
-    # row certifies the retrain-per-call, LUT-join code.
+    # r06 the trainer went joint one-pass, the ADC LUT became literal
+    # arrays (with a join fallback past PQ_LITERAL_LUT_MAX), and the
+    # encoded code table joined the persisted artifact (equality-pinned
+    # by test_pq_joint_training_equals_per_subspace_kmeans /
+    # test_pq_literal_lut_matches_join_lut /
+    # test_pq_topk_pre_encoded_codes_match_inline). The r04 row
+    # certifies the retrain-per-call, LUT-join code.
     "embedding_pq_topk",
     # e6d885e rewrote COW manifests (delta commits + checkpoints); every
     # cowtable read now walks the new chain format.
