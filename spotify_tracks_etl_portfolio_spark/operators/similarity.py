@@ -1317,7 +1317,8 @@ def pq_topk(
         # can be sparse, so one cheap count of the ACTUAL query set
         # decides before giving up the literal path
         lut_entries = qs.count() * total_k
-    if lut_entries <= PQ_LITERAL_LUT_MAX:
+    use_literal = lut_entries <= PQ_LITERAL_LUT_MAX
+    if use_literal:
         scored = _pq_adc_literal(codes, qs, books, m, sub_dim)
     else:
         scored = _pq_adc_join(codes, qs, books, m, sub_dim)
@@ -1338,9 +1339,13 @@ def pq_topk(
     w = Window.partitionBy("query_id").orderBy(
         F.desc("score"), F.asc("neighbor_id")
     )
+    # broadcast the query vectors only in the literal regime, where the
+    # set is provably tiny; on the fallback path qs is by definition
+    # large — let the planner pick the join strategy
+    qv_side = F.broadcast(qs) if use_literal else qs
     return (
         cand.join(nv, "neighbor_id")
-        .join(F.broadcast(qs), "query_id")
+        .join(qv_side, "query_id")
         .withColumn("score", F.round(vec_dot("__nv", "__qv"), 6))
         .withColumn("rank", F.row_number().over(w))
         .filter(F.col("rank") <= topk)
