@@ -28,6 +28,54 @@ from spotify_tracks_etl_portfolio_spark.functions import (
     vec_norm_safe,
 )
 
+#: Pre-top-k fanout buckets for the two-stage per-query rank: the
+#: candidate stream first keeps a per-(query, bucket) top-k — group
+#: cardinality query_count × this, so the heavy sort parallelizes —
+#: then the tiny survivor set (≤ queries × buckets × k rows) takes the
+#: exact global rank. 32 matches the test session's core count; at
+#: cluster scale raise it toward executor-cores × executors / queries.
+TOPK_FANOUT_BUCKETS = 32
+
+
+def _per_group_topk(
+    scored: DataFrame,
+    group_col: str,
+    order_col: str,
+    tie_col: str,
+    k: int,
+    rank_col: str,
+    buckets: int = TOPK_FANOUT_BUCKETS,
+) -> DataFrame:
+    """Exact top-k rows per group, ranked by (``order_col`` DESC,
+    ``tie_col`` ASC), WITHOUT the one-task-per-group window funnel: a
+    single ``Window.partitionBy(group)`` over a corpus-sized candidate
+    stream sorts everything in |groups| tasks (10 queries ⇒ 10 tasks,
+    and AQE cannot split skewed window partitions). Stage 1 buckets the
+    candidates by a hash of the tie column and keeps each
+    (group, bucket) top-k — any global top-k row has at most k−1 rows
+    above it globally, hence at most k−1 in its own bucket, so it
+    always survives; stage 2 ranks the ≤ groups × buckets × k
+    survivors exactly. Same rows, same ranks as the single window
+    (the (DESC order, ASC tie) comparator is total when ``tie_col`` is
+    unique per group), one extra — tiny — shuffle."""
+    w1 = Window.partitionBy(group_col, "__tb").orderBy(
+        F.desc(order_col), F.asc(tie_col)
+    )
+    pre = (
+        scored.withColumn(
+            "__tb", F.pmod(F.xxhash64(F.col(tie_col)), F.lit(buckets))
+        )
+        .withColumn("__pr", F.row_number().over(w1))
+        .filter(F.col("__pr") <= k)
+        .drop("__tb", "__pr")
+    )
+    w2 = Window.partitionBy(group_col).orderBy(
+        F.desc(order_col), F.asc(tie_col)
+    )
+    return pre.withColumn(rank_col, F.row_number().over(w2)).filter(
+        F.col(rank_col) <= k
+    )
+
 
 def cosine_topk(
     corpus: DataFrame,
@@ -43,7 +91,9 @@ def cosine_topk(
     deterministic across engines; ties then break to the smaller
     neighbor id. Queries are broadcast (they're the small side by
     construction); the corpus scan stays partition-parallel with no
-    shuffle until the per-query top-k window. Norms are computed ONCE
+    shuffle until the two-stage per-query top-k rank
+    (``_per_group_topk`` — the heavy sort parallelizes over
+    query × bucket, not one task per query). Norms are computed ONCE
     per vector before the pair join — per pair only the dot product
     remains (3× less higher-order-function work than norm-per-pair).
     """
@@ -66,14 +116,9 @@ def cosine_topk(
             F.round(vec_dot("__cv", "__qv") / (F.col("__cn") * F.col("__qn")), 6),
         )
     )
-    w = Window.partitionBy("query_id").orderBy(
-        F.desc("cosine"), F.asc("neighbor_id")
-    )
-    return (
-        scored.withColumn("rank", F.row_number().over(w))
-        .filter(F.col("rank") <= k)
-        .select("query_id", "neighbor_id", "cosine", F.col("rank").cast("long"))
-    )
+    return _per_group_topk(
+        scored, "query_id", "cosine", "neighbor_id", k, "rank"
+    ).select("query_id", "neighbor_id", "cosine", F.col("rank").cast("long"))
 
 
 def ivf_assign(
@@ -332,16 +377,13 @@ def ivf_topk(
             F.round(vec_dot(vec_col, "__qv") / (F.col("__vn") * F.col("__qn")), 6),
         )
     )
-    w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc(id_col))
-    return (
-        scored.withColumn("rank", F.row_number().over(w))
-        .filter(F.col("rank") <= k)
-        .select(
-            "query_id",
-            F.col(id_col).alias("neighbor_id"),
-            "cosine",
-            F.col("rank").cast("long"),
-        )
+    return _per_group_topk(
+        scored, "query_id", "cosine", id_col, k, "rank"
+    ).select(
+        "query_id",
+        F.col(id_col).alias("neighbor_id"),
+        "cosine",
+        F.col("rank").cast("long"),
     )
 
 
@@ -426,16 +468,13 @@ def ivf_query_index(
             ),
         )
     )
-    w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc(id_col))
-    return (
-        scored.withColumn("rank", F.row_number().over(w))
-        .filter(F.col("rank") <= k)
-        .select(
-            "query_id",
-            F.col(id_col).alias("neighbor_id"),
-            "cosine",
-            F.col("rank").cast("long"),
-        )
+    return _per_group_topk(
+        scored, "query_id", "cosine", id_col, k, "rank"
+    ).select(
+        "query_id",
+        F.col(id_col).alias("neighbor_id"),
+        "cosine",
+        F.col("rank").cast("long"),
     )
 
 
@@ -1322,15 +1361,14 @@ def pq_topk(
         scored = _pq_adc_literal(codes, qs, books, m, sub_dim)
     else:
         scored = _pq_adc_join(codes, qs, books, m, sub_dim)
-    w_adc = Window.partitionBy("query_id").orderBy(
-        F.desc("__adc"), F.asc("neighbor_id")
-    )
-    cand = (
-        scored.filter(F.col("neighbor_id") != F.col("query_id"))
-        .withColumn("__crn", F.row_number().over(w_adc))
-        .filter(F.col("__crn") <= shortlist)
-        .select("query_id", "neighbor_id")
-    )
+    cand = _per_group_topk(
+        scored.filter(F.col("neighbor_id") != F.col("query_id")),
+        "query_id",
+        "__adc",
+        "neighbor_id",
+        shortlist,
+        "__crn",
+    ).select("query_id", "neighbor_id")
     # Exact re-rank of the shortlist: candidates are bounded per query,
     # so the vector fetch is an equi-join touching only survivors.
     nv = emb.select(

@@ -200,6 +200,12 @@ _FORCE_RERECORD = (
     # oracle text changed: NOT IN → NOT EXISTS (left_anti NULL-probe
     # semantics), and the deciles oracle pins NULLS FIRST.
     "q16_supplier_part_variety",
+    # late r06: the ANN per-query top-k became the two-stage bucketed
+    # rank (_per_group_topk — identical rows/ranks, pinned by
+    # test_per_group_topk_equals_single_stage_window; the heavy sort no
+    # longer funnels into one task per query). ivf/ivf_index/pq are
+    # already queued above for earlier changes on the same paths.
+    "embedding_cosine_topk",
 )
 
 
