@@ -47,17 +47,22 @@ def _per_group_topk(
     buckets: int = TOPK_FANOUT_BUCKETS,
 ) -> DataFrame:
     """Exact top-k rows per group, ranked by (``order_col`` DESC,
-    ``tie_col`` ASC), WITHOUT the one-task-per-group window funnel: a
-    single ``Window.partitionBy(group)`` over a corpus-sized candidate
-    stream sorts everything in |groups| tasks (10 queries ⇒ 10 tasks,
-    and AQE cannot split skewed window partitions). Stage 1 buckets the
-    candidates by a hash of the tie column and keeps each
-    (group, bucket) top-k — any global top-k row has at most k−1 rows
-    above it globally, hence at most k−1 in its own bucket, so it
-    always survives; stage 2 ranks the ≤ groups × buckets × k
-    survivors exactly. Same rows, same ranks as the single window
-    (the (DESC order, ASC tie) comparator is total when ``tie_col`` is
-    unique per group), one extra — tiny — shuffle."""
+    ``tie_col`` ASC), WITHOUT the one-task-per-group reduction tail: a
+    single ``Window.partitionBy(group)`` rank-filter does get Spark's
+    map-side WindowGroupLimit prune (each input task forwards only its
+    own top-k per group), but everything that survives —
+    input_partitions × k rows per group — still merges in ONE task per
+    group, and AQE cannot split skewed window partitions; with 10
+    queries over a 10⁵-partition corpus scan that serial tail IS the
+    query. Stage 1 buckets candidates by a hash of the tie column and
+    keeps each (group, bucket) top-k — any global top-k row has at most
+    k−1 rows above it globally, hence at most k−1 in its own bucket, so
+    it always survives — parallelizing the reduction ``buckets``-wide
+    (WindowGroupLimit applies per (group, bucket) too); stage 2 ranks
+    the ≤ groups × buckets × k survivors exactly. Same rows, same ranks
+    as the single window (the (DESC order, ASC tie) comparator is total
+    when ``tie_col`` is unique per group); measured ~1% overhead at
+    sf0.1."""
     w1 = Window.partitionBy(group_col, "__tb").orderBy(
         F.desc(order_col), F.asc(tie_col)
     )

@@ -213,6 +213,149 @@ def _bucketed_global_ranks(
     return ranked, offset
 
 
+def grouped_prefix_sum(
+    df: DataFrame,
+    group_cols: list[str],
+    lead_order,
+    tie_cols: list[str],
+    val,
+    out_col: str,
+    buckets: int = 64,
+    val_out: str | None = None,
+    lead_range: tuple[int, int] | None = None,
+    global_base: bool = False,
+) -> DataFrame:
+    """EXCLUSIVE running sum of ``val`` per group, ordered by
+    (``lead_order`` ASC, ``tie_cols`` ASC), without the
+    one-task-per-group window: ``sum() OVER (PARTITION BY group ORDER
+    BY …)`` is a full sequential pass of each group's rows through a
+    single task — no WindowGroupLimit applies (there is no rank
+    filter), so a 10-language corpus runs its entire token stream
+    through 10 tasks. Same cure as :func:`global_row_number`: range-
+    bucket on the leading order expression (global percentile
+    boundaries — monotone bucketing keeps ties together, so
+    concatenating buckets in order reproduces the exact per-group
+    order), one small aggregation collects the per-(group, bucket)
+    sums, the driver prefix-sums them into offsets (|groups|×|buckets|
+    scalars — this helper is for LOW-CARDINALITY strata: languages,
+    sources, shards), and each (group, bucket) window adds its offset.
+
+    Returns a SLIM frame — (*group_cols, *tie_cols[, val_out],
+    out_col) — materialized ONCE via localCheckpoint before the
+    kernel's two passes: ``lead_order``/``val`` are typically
+    expensive text expressions (content hash, token count), and
+    leaving them as lineage would both re-scan the corpus per pass and
+    let CollapseProject inline the hash into every downstream
+    reference (measured 66 plan copies with percentile-boundary
+    bucketing, a ~10× slowdown). The checkpoint holds only the few
+    slim columns, never the text payload.
+
+    Bucketing is EQUAL-WIDTH over the lead's value range — passed
+    statically via ``lead_range`` when the caller knows it (a content
+    hash's [0, mod) — zero extra jobs), else one cheap min/max pass
+    over the checkpointed slim. Monotone by construction: ties share a
+    bucket and concatenating buckets in order reproduces the exact
+    per-group order, so exactness never depends on balance. The
+    intended leads are content hashes — uniform over their range — so
+    equal widths also give ~equal bucket sizes; a skewed non-hash lead
+    would imbalance SIZES only. ``lead_order`` must be integral
+    (hash-like) and ``val`` integral (the running total is BIGINT,
+    exact) — the result is bit-identical to the single window
+    (``test_grouped_prefix_sum_equals_single_window``).
+
+    ``global_base=True`` adds each group's cross-group base (the total
+    of every group sorting before it, groups ascending NULLS FIRST —
+    Spark's ``Window.orderBy(group)`` order) to ``out_col``, turning it
+    into the group-major GLOBAL exclusive prefix sum — the sequence-
+    packing shape — computed from the same driver-side offset pass,
+    zero extra jobs."""
+    slim = df.select(
+        *group_cols,
+        *tie_cols,
+        lead_order.cast("long").alias("__gps_o"),
+        val.cast("long").alias("__gps_v"),
+    ).localCheckpoint(eager=False)
+
+    if lead_range is not None:
+        lo, hi = lead_range
+    else:
+        mm = slim.agg(
+            F.min("__gps_o").alias("lo"), F.max("__gps_o").alias("hi")
+        ).first()
+        lo = mm["lo"] if mm["lo"] is not None else 0
+        hi = mm["hi"] if mm["hi"] is not None else 0
+    width = max(1, (hi - lo) // buckets + 1)
+    # NULL lead values sort first under ASC — give them a bucket below
+    # every real bucket (the _bucketed_global_ranks guard); DIV keeps
+    # the arithmetic integral (no double rounding on wide longs)
+    bucket = F.when(F.col("__gps_o").isNull(), F.lit(-1)).otherwise(
+        F.expr(f"CAST((__gps_o - {lo}) DIV {width} AS INT)")
+    )
+    d = slim.withColumn("__gps_b", bucket)
+
+    # Per-(group, bucket) offsets stay IN the DAG (no driver collect):
+    # the per-bucket sums are |groups|×|buckets| rows, so the offset
+    # windows below are single-stage over a broadcast-sized frame, and
+    # the whole kernel is one action on top of the checkpointed slim.
+    per_bucket = d.groupBy(*group_cols, "__gps_b").agg(
+        F.sum("__gps_v").alias("__s")
+    )
+    if global_base:
+        # global exclusive prefix over (group ASC NULLS FIRST, bucket
+        # ASC): for a (group, bucket) row this is every earlier group's
+        # total PLUS the same group's earlier buckets — the cross-group
+        # base and the within-group offset in one tiny window
+        w_off = Window.orderBy(
+            *[F.asc(c) for c in group_cols], F.asc("__gps_b")
+        ).rowsBetween(Window.unboundedPreceding, -1)
+    else:
+        w_off = (
+            Window.partitionBy(*group_cols)
+            .orderBy(F.asc("__gps_b"))
+            .rowsBetween(Window.unboundedPreceding, -1)
+        )
+    offs = per_bucket.select(
+        *group_cols,
+        "__gps_b",
+        F.coalesce(F.sum("__s").over(w_off), F.lit(0).cast("long")).alias(
+            "__gps_off"
+        ),
+    )
+
+    # NULL-safe equi-join (a NULL group key must keep its rows — the
+    # single window it replaces treats NULL as an ordinary partition),
+    # aliased because offs derives from d (self-join lineage)
+    dl = d.alias("__gps_l")
+    offs = offs.alias("__gps_r")
+    cond = [
+        F.col(f"__gps_l.{c}").eqNullSafe(F.col(f"__gps_r.{c}"))
+        for c in group_cols
+    ] + [F.col("__gps_l.__gps_b") == F.col("__gps_r.__gps_b")]
+    joined = dl.join(F.broadcast(offs), cond).select(
+        "__gps_l.*", F.col("__gps_r.__gps_off").alias("__gps_off")
+    )
+    w = (
+        Window.partitionBy(*group_cols, "__gps_b")
+        .orderBy(
+            F.asc("__gps_o"), *[F.asc(c) for c in tie_cols]
+        )
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    out = (
+        joined.withColumn(
+            out_col,
+            (
+                F.col("__gps_off")
+                + F.coalesce(F.sum("__gps_v").over(w), F.lit(0).cast("long"))
+            ).cast("long"),
+        )
+        .drop("__gps_o", "__gps_b", "__gps_off")
+    )
+    if val_out is None:
+        return out.drop("__gps_v")
+    return out.withColumnRenamed("__gps_v", val_out)
+
+
 def exact_ntile(
     df: DataFrame,
     order_cols: list[str],

@@ -206,6 +206,13 @@ _FORCE_RERECORD = (
     # longer funnels into one task per query). ivf/ivf_index/pq are
     # already queued above for earlier changes on the same paths.
     "embedding_cosine_topk",
+    # late r06: the per-lang running sums route through the bucketed
+    # grouped_prefix_sum kernel (bit-identical, pinned by
+    # test_grouped_prefix_sum_equals_single_window; a language's token
+    # stream no longer funnels through one task).
+    "token_budget_shards",
+    "pack_training_sequences",
+    "prepare_training_corpus",
 )
 
 

@@ -1988,28 +1988,37 @@ FROM csum
     f"every {SHARD_TOKEN_BUDGET} tokens — deterministic at any "
     "parallelism (content-hash order, integer cumulative sums, no RNG), "
     "so every re-run of the pipeline produces identical shard "
-    "membership. One window per language partition; at 100 TB the "
-    "per-stratum windows parallelize across languages/sources and the "
-    "cumulative sums stay integer-exact",
+    "membership. The running sums go through the bucketed prefix-sum "
+    "kernel (grouped_prefix_sum — range-bucketed on the content hash "
+    "with per-(lang, bucket) offsets), so at 100 TB the cumulative "
+    "pass parallelizes WITHIN each language too, not just across the "
+    "handful of strata; integer-exact either way",
     tags=("extension", "curation"),
 )
 def token_budget_shards(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from pyspark.sql import Window
+    from spotify_tracks_etl_portfolio_spark.operators.stats import (
+        grouped_prefix_sum,
+    )
 
     docs = read_parquet_table(spark, sf_dir, "documents")
     nt = token_count("text").cast("long")
-    w = (
-        Window.partitionBy("lang")
-        .orderBy(rolling_hash("text").asc(), F.col("doc_id").asc())
-        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    pre = grouped_prefix_sum(
+        docs,
+        ["lang"],
+        rolling_hash("text"),
+        ["doc_id"],
+        nt,
+        "__cum_before",
+        val_out="n_tokens",
+        lead_range=(0, _M - 1),
     )
-    return docs.select(
+    return pre.select(
         "doc_id",
         "lang",
-        nt.alias("n_tokens"),
-        F.floor(
-            (F.sum(nt).over(w) - nt) / SHARD_TOKEN_BUDGET
-        ).cast("long").alias("shard"),
+        "n_tokens",
+        F.floor(F.col("__cum_before") / SHARD_TOKEN_BUDGET)
+        .cast("long")
+        .alias("shard"),
     )
 
 
@@ -2456,44 +2465,48 @@ FROM c
     f"hash, then id — no RNG, so re-runs pack identically) and cut every "
     f"{PACK_CONTEXT_LEN} tokens; each doc gets its (seq_id, seq_offset) "
     f"plus how many context boundaries it spans. Scale shape: the global "
-    f"prefix sum is two-level — per-lang running-sum windows that "
-    f"parallelize across strata, offset by a broadcast per-lang base "
-    f"(the standard distributed scan), never a single-partition global "
-    f"window. The shared polynomial content hash orders both engines "
-    f"identically, same as token_budget_shards",
+    f"prefix sum is bucketed per-(lang, hash-range) running sums "
+    f"(grouped_prefix_sum, so the scan parallelizes WITHIN a stratum "
+    f"too), with the cross-lang bases folded into the kernel's "
+    f"driver-side offset pass — never a single-partition global window "
+    f"and never one task per language. The shared polynomial content "
+    f"hash orders both engines identically, same as token_budget_shards",
     tags=("extension", "curation"),
 )
 def pack_training_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from pyspark.sql import Window
+    from spotify_tracks_etl_portfolio_spark.operators.stats import (
+        grouped_prefix_sum,
+    )
 
     docs = read_parquet_table(spark, sf_dir, "documents")
     nt = token_count("text").cast("long")
-    # tiny per-stratum totals → running base offsets (rows = #langs, so
-    # the unpartitioned window is over a handful of rows, not the data)
-    lang_tot = docs.groupBy("lang").agg(F.sum(nt).alias("__lt"))
-    wb = Window.orderBy("lang").rowsBetween(Window.unboundedPreceding, -1)
-    base = lang_tot.select(
-        "lang",
-        F.coalesce(F.sum("__lt").over(wb), F.lit(0).cast("long")).alias("__base"),
+    # global_base folds the per-lang base offsets into the kernel's
+    # driver-side offset pass (rows = #langs × #buckets scalars), so
+    # the corpus text is scanned exactly once per call and the
+    # group-major global prefix comes out directly
+    pre = grouped_prefix_sum(
+        docs,
+        ["lang"],
+        rolling_hash("text"),
+        ["doc_id"],
+        nt,
+        "__cum_before",
+        val_out="n_tokens",
+        lead_range=(0, _M - 1),
+        global_base=True,
     )
-    w = (
-        Window.partitionBy("lang")
-        .orderBy(rolling_hash("text").asc(), F.col("doc_id").asc())
-        .rowsBetween(Window.unboundedPreceding, -1)
-    )
-    cum_before = F.col("__base") + F.coalesce(
-        F.sum(nt).over(w), F.lit(0).cast("long")
-    )
+    cum_before = F.col("__cum_before")
+    ntc = F.col("n_tokens")
     return (
-        docs.join(F.broadcast(base), "lang")
+        pre
         .select(
             "doc_id",
-            nt.alias("n_tokens"),
+            "n_tokens",
             F.floor(cum_before / PACK_CONTEXT_LEN).cast("long").alias("seq_id"),
             (cum_before % PACK_CONTEXT_LEN).cast("long").alias("seq_offset"),
             (
                 F.floor(
-                    (cum_before + F.greatest(nt, F.lit(1)) - 1)
+                    (cum_before + F.greatest(ntc, F.lit(1)) - 1)
                     / PACK_CONTEXT_LEN
                 )
                 - F.floor(cum_before / PACK_CONTEXT_LEN)
@@ -2601,24 +2614,27 @@ def prepare_training_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(contaminated, "doc_id", "left_anti")
         .select("doc_id", "lang", "n_tokens", "text")
     )
-    lang_tot = clean.groupBy("lang").agg(F.sum("n_tokens").alias("__lt"))
-    wb = Window.orderBy("lang").rowsBetween(Window.unboundedPreceding, -1)
-    base = lang_tot.select(
-        "lang",
-        F.coalesce(F.sum("__lt").over(wb), F.lit(0).cast("long")).alias(
-            "__base"
-        ),
+    from spotify_tracks_etl_portfolio_spark.operators.stats import (
+        grouped_prefix_sum,
     )
-    w = (
-        Window.partitionBy("lang")
-        .orderBy(rolling_hash("text").asc(), F.col("doc_id").asc())
-        .rowsBetween(Window.unboundedPreceding, -1)
+
+    # global_base folds the per-lang base offsets into the kernel's
+    # driver-side offset pass; the curation pipeline is evaluated
+    # exactly once (the kernel's slim checkpoint)
+    pre = grouped_prefix_sum(
+        clean,
+        ["lang"],
+        rolling_hash("text"),
+        ["doc_id"],
+        F.col("n_tokens"),
+        "__cum_before",
+        val_out="n_tokens",
+        lead_range=(0, _M - 1),
+        global_base=True,
     )
-    cum_before = F.col("__base") + F.coalesce(
-        F.sum("n_tokens").over(w), F.lit(0).cast("long")
-    )
+    cum_before = F.col("__cum_before")
     return (
-        clean.join(F.broadcast(base), "lang")
+        pre
         .select(
             "doc_id",
             "lang",

@@ -238,3 +238,137 @@ def test_build_artifact_once_sweeps_tmp_on_build_failure(tmp_path):
     with pytest.raises(RuntimeError, match="build exploded"):
         _build_artifact_once(root, "marker", build)
     assert list(tmp_path.iterdir()) == []
+
+
+def test_grouped_prefix_sum_equals_single_window(spark, sf_dir):
+    """The bucketed per-group prefix sum must be BIT-IDENTICAL to the
+    single-window ``sum() OVER (PARTITION BY group ORDER BY ...)``
+    exclusive form, including NULL-valued summands and few buckets."""
+    from spotify_tracks_etl_portfolio_spark.functions import (
+        rolling_hash,
+        token_count,
+    )
+    from spotify_tracks_etl_portfolio_spark.operators.stats import (
+        grouped_prefix_sum,
+    )
+
+    docs = read_parquet_table(spark, sf_dir, "documents")
+    nt = token_count("text").cast("long")
+    for buckets in (64, 3):
+        got = {
+            r["doc_id"]: r["pre"]
+            for r in grouped_prefix_sum(
+                docs,
+                ["lang"],
+                rolling_hash("text"),
+                ["doc_id"],
+                nt,
+                "pre",
+                buckets=buckets,
+            ).collect()
+        }
+        w = (
+            Window.partitionBy("lang")
+            .orderBy(rolling_hash("text").asc(), F.col("doc_id").asc())
+            .rowsBetween(Window.unboundedPreceding, -1)
+        )
+        want = {
+            r["doc_id"]: r["pre"]
+            for r in docs.select(
+                "doc_id",
+                F.coalesce(F.sum(nt).over(w), F.lit(0).cast("long")).alias(
+                    "pre"
+                ),
+            ).collect()
+        }
+        assert got == want, f"buckets={buckets}"
+
+
+def test_prefix_sum_queries_never_single_task_per_stratum(spark, sf_dir):
+    """Scale gate for the three packing/sharding queries: their heavy
+    running-sum window must partition by (lang, range-bucket), never by
+    lang alone — a bare PARTITION BY lang runs each language's whole
+    token stream through one task (no WindowGroupLimit applies to a
+    running sum), ~10 tasks at any cluster size."""
+    from spotify_tracks_etl_portfolio_spark.plans import all_queries
+
+    qs = all_queries()
+    for name in (
+        "token_budget_shards",
+        "pack_training_sequences",
+        "prepare_training_corpus",
+    ):
+        import re
+
+        df = qs[name].fn(spark, sf_dir)
+        plan = df._jdf.queryExecution().executedPlan().toString()
+        assert "__gps_b" in plan, f"{name}: no bucketed running-sum window"
+        # windowspecdefinition prints partition columns first (bare
+        # `lang#N,`), then ordering (`... ASC NULLS FIRST`): a spec
+        # partitioned by lang whose next partition column is NOT the
+        # range bucket is the funnel this gate exists to ban. (The
+        # per-lang base-offset window orders globally BY lang — no
+        # partition — so it never matches.)
+        bad = re.findall(r"windowspecdefinition\(lang#\d+L?, (?!__gps_b#)\S+", plan)
+        assert not bad, f"{name}: lang-partitioned window without bucket: {bad}"
+
+
+def test_grouped_prefix_sum_null_group_and_global_base(spark):
+    """Synthetic coverage the testdata can't give: a NULL group key
+    (the NULL-safe join must keep its rows, matching the single
+    window's NULL partition) and global_base=True (group-major global
+    prefix: every earlier group's total + same-group earlier rows,
+    groups ascending NULLS FIRST)."""
+    from spotify_tracks_etl_portfolio_spark.operators.stats import (
+        grouped_prefix_sum,
+    )
+
+    rows = [
+        (None, 1, 100, 7),
+        (None, 2, 5, 3),
+        ("a", 3, 50, 10),
+        ("a", 4, None, 2),  # NULL lead sorts first within its group
+        ("b", 5, 60, 1),
+    ]
+    df = spark.createDataFrame(
+        rows, "g string, id long, h long, v long"
+    )
+    for gb in (False, True):
+        got = {
+            r["id"]: r["pre"]
+            for r in grouped_prefix_sum(
+                df,
+                ["g"],
+                F.col("h"),
+                ["id"],
+                F.col("v"),
+                "pre",
+                buckets=4,
+                global_base=gb,
+            ).collect()
+        }
+        # reference computed by hand: per group, order (h NULLS FIRST,
+        # id), exclusive running sum; global_base prepends the totals
+        # of groups sorting earlier (None first)
+        groups: dict = {}
+        for g, i, h, v in rows:
+            groups.setdefault(g, []).append((h is not None, h, i, v))
+        want = {}
+        gtotals = {
+            g: sum(v for *_, v in lst) for g, lst in groups.items()
+        }
+        for g, lst in groups.items():
+            base = (
+                sum(
+                    t
+                    for g2, t in gtotals.items()
+                    if (g2 is not None, g2) < (g is not None, g)
+                )
+                if gb
+                else 0
+            )
+            running = base
+            for *_, i, v in sorted(lst):
+                want[i] = running
+                running += v
+        assert got == want, f"global_base={gb}: {got} != {want}"
