@@ -1073,7 +1073,10 @@ def pq_encode(
     centroid length) — passing a mismatched override would slice the
     wrong vector segments. Books wider than ``FLAT_PROBE_MAX_K`` route
     per subspace through ``probe_cells_udf``'s two-level path, matching
-    the assignment semantics the books were trained with."""
+    the assignment semantics the books were trained with — at the cost
+    of m Arrow evaluations per batch (vs the flat path's one joint
+    evaluation); no registered query uses wide PQ books, so the joint
+    two-level probe is deliberately unbuilt until a consumer exists."""
     if sub_dim is None:
         sub_dim = len(books[0][0][1])
     m = len(books)
@@ -1358,9 +1361,12 @@ def pq_topk(
     lut_entries = n_queries * total_k
     if lut_entries > PQ_LITERAL_LUT_MAX:
         # the parameter bounds the id range, not the match count — ids
-        # can be sparse, so one cheap count of the ACTUAL query set
-        # decides before giving up the literal path
-        lut_entries = qs.count() * total_k
+        # can be sparse, so probe the ACTUAL query set before giving up
+        # the literal path. limit() caps the probe at one-past-the-
+        # threshold so the check never scans a genuinely large query
+        # set end-to-end just to confirm the fallback.
+        cap = PQ_LITERAL_LUT_MAX // total_k + 1
+        lut_entries = qs.limit(cap).count() * total_k
     use_literal = lut_entries <= PQ_LITERAL_LUT_MAX
     if use_literal:
         scored = _pq_adc_literal(codes, qs, books, m, sub_dim)

@@ -2581,8 +2581,6 @@ FROM pc
     tags=("extension", "pipeline", "dedup", "curation"),
 )
 def prepare_training_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from pyspark.sql import Window
-
     docs = read_parquet_table(spark, sf_dir, "documents")
     deduped = docs.groupBy("text").agg(F.min("doc_id").alias("doc_id"))
     nt = token_count("text").cast("long")
