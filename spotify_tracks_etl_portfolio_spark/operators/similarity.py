@@ -37,7 +37,7 @@ from spotify_tracks_etl_portfolio_spark.functions import (
 TOPK_FANOUT_BUCKETS = 32
 
 
-def _per_group_topk(
+def per_group_topk(
     scored: DataFrame,
     group_col: str,
     order_col: str,
@@ -45,6 +45,7 @@ def _per_group_topk(
     k: int,
     rank_col: str,
     buckets: int = TOPK_FANOUT_BUCKETS,
+    descending: bool = True,
 ) -> DataFrame:
     """Exact top-k rows per group, ranked by (``order_col`` DESC,
     ``tie_col`` ASC), WITHOUT the one-task-per-group reduction tail: a
@@ -62,9 +63,11 @@ def _per_group_topk(
     the ≤ groups × buckets × k survivors exactly. Same rows, same ranks
     as the single window (the (DESC order, ASC tie) comparator is total
     when ``tie_col`` is unique per group); measured ~1% overhead at
-    sf0.1."""
+    sf0.1. ``descending=False`` ranks by (order ASC, tie ASC) — the
+    bottom-k — with the identical survival argument."""
+    lead = F.desc(order_col) if descending else F.asc(order_col)
     w1 = Window.partitionBy(group_col, "__tb").orderBy(
-        F.desc(order_col), F.asc(tie_col)
+        lead, F.asc(tie_col)
     )
     pre = (
         scored.withColumn(
@@ -74,9 +77,7 @@ def _per_group_topk(
         .filter(F.col("__pr") <= k)
         .drop("__tb", "__pr")
     )
-    w2 = Window.partitionBy(group_col).orderBy(
-        F.desc(order_col), F.asc(tie_col)
-    )
+    w2 = Window.partitionBy(group_col).orderBy(lead, F.asc(tie_col))
     return pre.withColumn(rank_col, F.row_number().over(w2)).filter(
         F.col(rank_col) <= k
     )
@@ -97,7 +98,7 @@ def cosine_topk(
     neighbor id. Queries are broadcast (they're the small side by
     construction); the corpus scan stays partition-parallel with no
     shuffle until the two-stage per-query top-k rank
-    (``_per_group_topk`` — the heavy sort parallelizes over
+    (``per_group_topk`` — the heavy sort parallelizes over
     query × bucket, not one task per query). Norms are computed ONCE
     per vector before the pair join — per pair only the dot product
     remains (3× less higher-order-function work than norm-per-pair).
@@ -121,7 +122,7 @@ def cosine_topk(
             F.round(vec_dot("__cv", "__qv") / (F.col("__cn") * F.col("__qn")), 6),
         )
     )
-    return _per_group_topk(
+    return per_group_topk(
         scored, "query_id", "cosine", "neighbor_id", k, "rank"
     ).select("query_id", "neighbor_id", "cosine", F.col("rank").cast("long"))
 
@@ -382,7 +383,7 @@ def ivf_topk(
             F.round(vec_dot(vec_col, "__qv") / (F.col("__vn") * F.col("__qn")), 6),
         )
     )
-    return _per_group_topk(
+    return per_group_topk(
         scored, "query_id", "cosine", id_col, k, "rank"
     ).select(
         "query_id",
@@ -473,7 +474,7 @@ def ivf_query_index(
             ),
         )
     )
-    return _per_group_topk(
+    return per_group_topk(
         scored, "query_id", "cosine", id_col, k, "rank"
     ).select(
         "query_id",
@@ -1372,7 +1373,7 @@ def pq_topk(
         scored = _pq_adc_literal(codes, qs, books, m, sub_dim)
     else:
         scored = _pq_adc_join(codes, qs, books, m, sub_dim)
-    cand = _per_group_topk(
+    cand = per_group_topk(
         scored.filter(F.col("neighbor_id") != F.col("query_id")),
         "query_id",
         "__adc",

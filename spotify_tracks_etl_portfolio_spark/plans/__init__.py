@@ -201,8 +201,8 @@ _FORCE_RERECORD = (
     # semantics), and the deciles oracle pins NULLS FIRST.
     "q16_supplier_part_variety",
     # late r06: the ANN per-query top-k became the two-stage bucketed
-    # rank (_per_group_topk — identical rows/ranks, pinned by
-    # test_per_group_topk_equals_single_stage_window; the heavy sort no
+    # rank (per_group_topk — identical rows/ranks, pinned by
+    # testper_group_topk_equals_single_stage_window; the heavy sort no
     # longer funnels into one task per query). ivf/ivf_index/pq are
     # already queued above for earlier changes on the same paths.
     "embedding_cosine_topk",
@@ -213,6 +213,10 @@ _FORCE_RERECORD = (
     "token_budget_shards",
     "pack_training_sequences",
     "prepare_training_corpus",
+    # late r06: the remaining small-group rank windows adopt the same
+    # two-stage bucketed rank (per_group_topk; identical rows/ranks).
+    "top3_customers_per_nation",
+    "stratified_sample_by_lang",
 )
 
 

@@ -1853,16 +1853,24 @@ FROM sr WHERE rn <= {STRATA_SAMPLE_N}
     tags=("extension", "curation"),
 )
 def stratified_sample_by_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from pyspark.sql import Window
+    from spotify_tracks_etl_portfolio_spark.operators.similarity import (
+        per_group_topk,
+    )
 
     docs = read_parquet_table(spark, sf_dir, "documents")
-    w = Window.partitionBy("lang").orderBy(
-        rolling_hash("text").asc(), F.col("doc_id").asc()
+    # two-stage bucketed bottom-k: ~10 langs over the corpus would
+    # otherwise merge each stratum's survivors in one task
+    ranked = per_group_topk(
+        docs.withColumn("__h", rolling_hash("text")),
+        "lang",
+        "__h",
+        "doc_id",
+        STRATA_SAMPLE_N,
+        "sample_rank",
+        descending=False,
     )
-    return (
-        docs.withColumn("sample_rank", F.row_number().over(w).cast("long"))
-        .filter(F.col("sample_rank") <= STRATA_SAMPLE_N)
-        .select("doc_id", "lang", "sample_rank")
+    return ranked.select(
+        "doc_id", "lang", F.col("sample_rank").cast("long").alias("sample_rank")
     )
 
 

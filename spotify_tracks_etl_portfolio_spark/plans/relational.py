@@ -570,13 +570,18 @@ def top3_customers_per_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("c_nationkey", "c_custkey", "c_name")
         .agg(F.sum(F.col("o_totalprice").cast(_DEC)).cast("double").alias("revenue"))
     )
-    w = Window.partitionBy("c_nationkey").orderBy(
-        F.desc("revenue"), F.asc("c_custkey")
+    from spotify_tracks_etl_portfolio_spark.operators.similarity import (
+        per_group_topk,
     )
+
+    # two-stage bucketed rank: 25 nations over a customer-scaled
+    # aggregate would otherwise merge each nation's survivors in one
+    # task (per_group_topk docstring)
+    ranked = per_group_topk(
+        rev, "c_nationkey", "revenue", "c_custkey", 3, "rnk"
+    ).withColumn("rnk", F.col("rnk").cast("long"))
     return (
-        rev.withColumn("rnk", F.row_number().over(w).cast("long"))
-        .filter(F.col("rnk") <= 3)
-        .join(F.broadcast(n), rev.c_nationkey == n.n_nationkey)
+        ranked.join(F.broadcast(n), ranked.c_nationkey == n.n_nationkey)
         .select(
             F.col("n_name").alias("nation"), "c_custkey", "c_name", "revenue", "rnk"
         )
