@@ -41,7 +41,7 @@ def per_group_topk(
     scored: DataFrame,
     group_col: str,
     order_col: str,
-    tie_col: str,
+    tie_col: str | tuple[str, ...] | list[str],
     k: int,
     rank_col: str,
     buckets: int = TOPK_FANOUT_BUCKETS,
@@ -61,23 +61,34 @@ def per_group_topk(
     it always survives — parallelizing the reduction ``buckets``-wide
     (WindowGroupLimit applies per (group, bucket) too); stage 2 ranks
     the ≤ groups × buckets × k survivors exactly. Same rows, same ranks
-    as the single window (the (DESC order, ASC tie) comparator is total
-    when ``tie_col`` is unique per group); measured ~1% overhead at
-    sf0.1. ``descending=False`` ranks by (order ASC, tie ASC) — the
-    bottom-k — with the identical survival argument."""
+    as the single window; measured ~1% overhead at sf0.1.
+    ``descending=False`` ranks by (order ASC, tie ASC) — the bottom-k —
+    with the identical survival argument.
+
+    EXACTNESS REQUIREMENT (round-7 advice item): the comparator
+    (order, *ties) must be TOTAL within each group — the combined
+    ``tie_col`` column(s) must be unique per group. With duplicate
+    (order, ties) rows, equal rows hash into ONE bucket and stage 1
+    keeps an arbitrary k of them, which can differ nondeterministically
+    from the single window's arbitrary pick. ``tie_col`` accepts a
+    tuple/list of columns to build a provably total tie-break (e.g.
+    ``("category", "row_id")`` when one column alone is not unique);
+    every call site in this package passes a per-group primary key
+    (neighbor/customer/doc id)."""
+    ties = [tie_col] if isinstance(tie_col, str) else list(tie_col)
     lead = F.desc(order_col) if descending else F.asc(order_col)
-    w1 = Window.partitionBy(group_col, "__tb").orderBy(
-        lead, F.asc(tie_col)
-    )
+    tie_order = [F.asc(c) for c in ties]
+    w1 = Window.partitionBy(group_col, "__tb").orderBy(lead, *tie_order)
     pre = (
         scored.withColumn(
-            "__tb", F.pmod(F.xxhash64(F.col(tie_col)), F.lit(buckets))
+            "__tb",
+            F.pmod(F.xxhash64(*[F.col(c) for c in ties]), F.lit(buckets)),
         )
         .withColumn("__pr", F.row_number().over(w1))
         .filter(F.col("__pr") <= k)
         .drop("__tb", "__pr")
     )
-    w2 = Window.partitionBy(group_col).orderBy(lead, F.asc(tie_col))
+    w2 = Window.partitionBy(group_col).orderBy(lead, *tie_order)
     return pre.withColumn(rank_col, F.row_number().over(w2)).filter(
         F.col(rank_col) <= k
     )
@@ -321,10 +332,23 @@ def kmeans_centroids(
         probe = probe_cells_udf(cent_rows, nprobe=1)
         assigned = _exploded_assignment(df, probe, vec_col)
         # per-cell per-dimension mean: one hash aggregation over
-        # (cell, dim) — the shuffle carries partial sums, never vectors
+        # (cell, dim) — the shuffle carries partial sums, never vectors.
+        # The mean sums 9-dp-rounded DECIMALs (the embedding_dimension_
+        # stats pattern) so the update is partition-order-INDEPENDENT:
+        # a float F.avg depends on partial-sum order, and centroids
+        # must be bit-stable across partitionings for the oracle
+        # replay / joint-trainer equality to hold at any cluster size
+        # (round-7 advice item).
         means = (
             assigned.groupBy("__cell", "__d")
-            .agg(F.avg("__x").alias("__m"))
+            .agg(
+                (
+                    F.sum(
+                        F.round(F.col("__x"), 9).cast("decimal(28,9)")
+                    ).cast("double")
+                    / F.count(F.lit(1))
+                ).alias("__m")
+            )
             .groupBy("__cell")
             .agg(
                 F.transform(
@@ -1012,7 +1036,18 @@ def _joint_lloyd_means(long: DataFrame, books) -> DataFrame:
             "__m", "__cell", F.posexplode("__sv").alias("__d", "__x")
         )
         .groupBy("__m", "__cell", "__d")
-        .agg(F.avg("__x").alias("__mean"))
+        # same order-independent DECIMAL-sum mean as kmeans_centroids —
+        # the joint long-form plan partitions differently than the
+        # per-subspace frames, so bit-equality between the two chains
+        # must not ride on float partial-sum order (round-7 advice)
+        .agg(
+            (
+                F.sum(F.round(F.col("__x"), 9).cast("decimal(28,9)")).cast(
+                    "double"
+                )
+                / F.count(F.lit(1))
+            ).alias("__mean")
+        )
         .groupBy("__m", "__cell")
         .agg(
             F.transform(
@@ -1134,6 +1169,14 @@ def pq_encode(
     )
 
 
+class _AdcLutOverflow(Exception):
+    """Literal-LUT micro-int sum could wrap BIGINT — caller must use
+    the DECIMAL-sum join path (round-7 advice item: m entries of up to
+    ~1e18 magnitude each can exceed 2^63 for large-magnitude
+    unnormalized dot products; unreachable for bounded embeddings, but
+    unguarded wrap would be silent wrong answers)."""
+
+
 def _pq_adc_literal(
     codes: DataFrame,
     qs: DataFrame,
@@ -1189,6 +1232,16 @@ def _pq_adc_literal(
             .alias("micro"),
         ).collect()
     }
+
+    # the ADC score sums m micro-int entries: validate the worst-case
+    # |sum| fits BIGINT (exactness guarantee of the integer-sum path);
+    # out-of-range magnitudes bounce to the DECIMAL-sum join path
+    worst = max((abs(v) for v in micro.values()), default=0) * m
+    if worst >= 2**63:
+        raise _AdcLutOverflow(
+            f"max |LUT entry| × m = {worst} ≥ 2^63 — literal ADC sum "
+            "could wrap; serving falls back to the DECIMAL-sum join LUT"
+        )
 
     # lut[mi][qi][cell] — micro-int partial similarities; arrays cast
     # to long so the ADC sum can never wrap int32, and element_at
@@ -1295,6 +1348,7 @@ def pq_topk(
     shortlist: int = PQ_SHORTLIST,
     books: list[list[tuple[int, list[float]]]] | None = None,
     codes: DataFrame | None = None,
+    adc: str = "auto",
 ) -> DataFrame:
     """Approximate inner-product top-k by product quantization:
     ADC shortlist, then exact re-rank — the production PQ serving
@@ -1336,7 +1390,20 @@ def pq_topk(
     index, the full build-once/serve-many shape (encode is
     deterministic, so the artifact changes cost, never the answer:
     ``test_pq_topk_pre_encoded_codes_match_inline``).
+
+    ``adc`` picks the ADC scoring path: ``"auto"`` (default) gates on
+    the LUT entry count — when the declared ``n_queries`` id range
+    exceeds ``PQ_LITERAL_LUT_MAX`` entries it probes the ACTUAL query
+    count once (ids can be sparse) before giving up the literal path;
+    serve-many callers that already know their regime pass
+    ``"literal"`` or ``"join"`` to skip that probe job entirely
+    (round-7 advice item). The hints are answer-identical (the two
+    formulations are equality-pinned), and every literal attempt —
+    hinted or auto — still bounces to the join path when the LUT
+    magnitudes could wrap the BIGINT ADC sum (``_AdcLutOverflow``).
     """
+    if adc not in ("auto", "literal", "join"):
+        raise ValueError(f"adc must be auto|literal|join, got {adc!r}")
     if books is None:
         if codes is not None:
             raise ValueError(
@@ -1358,19 +1425,30 @@ def pq_topk(
     qs = emb.filter(F.col(id_col) < n_queries).select(
         F.col(id_col).alias("query_id"), F.col(vec_col).alias("__qv")
     )
-    total_k = sum(len(book) for book in books)
-    lut_entries = n_queries * total_k
-    if lut_entries > PQ_LITERAL_LUT_MAX:
-        # the parameter bounds the id range, not the match count — ids
-        # can be sparse, so probe the ACTUAL query set before giving up
-        # the literal path. limit() caps the probe at one-past-the-
-        # threshold so the check never scans a genuinely large query
-        # set end-to-end just to confirm the fallback.
-        cap = PQ_LITERAL_LUT_MAX // total_k + 1
-        lut_entries = qs.limit(cap).count() * total_k
-    use_literal = lut_entries <= PQ_LITERAL_LUT_MAX
+    if adc == "auto":
+        total_k = sum(len(book) for book in books)
+        lut_entries = n_queries * total_k
+        if lut_entries > PQ_LITERAL_LUT_MAX:
+            # the parameter bounds the id range, not the match count —
+            # ids can be sparse, so probe the ACTUAL query set before
+            # giving up the literal path. limit() caps the probe at
+            # one-past-the-threshold so the check never scans a
+            # genuinely large query set end-to-end just to confirm the
+            # fallback. Serve-many loops that know their regime skip
+            # this job with an explicit adc hint.
+            cap = PQ_LITERAL_LUT_MAX // total_k + 1
+            lut_entries = qs.limit(cap).count() * total_k
+        use_literal = lut_entries <= PQ_LITERAL_LUT_MAX
+    else:
+        use_literal = adc == "literal"
     if use_literal:
-        scored = _pq_adc_literal(codes, qs, books, m, sub_dim)
+        try:
+            scored = _pq_adc_literal(codes, qs, books, m, sub_dim)
+        except _AdcLutOverflow:
+            # entries too large for the exact integer sum — the
+            # DECIMAL-sum join formulation is exact at any magnitude
+            use_literal = False
+            scored = _pq_adc_join(codes, qs, books, m, sub_dim)
     else:
         scored = _pq_adc_join(codes, qs, books, m, sub_dim)
     cand = per_group_topk(

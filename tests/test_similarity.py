@@ -794,3 +794,141 @@ def test_topk_heavy_sort_is_bucketed_not_one_task_per_query(spark, sf_dir):
     # over the survivor set WITHOUT the bucket; the bucketed heavy sort
     # sits below it
     assert "__tb" not in specs[0], specs[0]
+
+
+def test_per_group_topk_composite_tie_columns_total_comparator(spark):
+    """Round-7 advice item: per_group_topk's exactness proof needs the
+    (order, ties) comparator total per group. A synthetic frame with
+    deliberately DUPLICATE (order, tie1) pairs plus a uniquifying
+    second tie column must reproduce the single-window rank exactly —
+    the tuple form of ``tie_col`` makes the comparator provably total."""
+    from pyspark.sql import Window
+
+    rows = [
+        # (group, score, tie1, row_id) — tie1 repeats within a group at
+        # equal scores, so (score, tie1) alone is NOT total
+        ("g1", 9.0, 1, 100),
+        ("g1", 9.0, 1, 101),
+        ("g1", 9.0, 1, 102),
+        ("g1", 5.0, 2, 103),
+        ("g2", 7.0, 1, 200),
+        ("g2", 7.0, 1, 201),
+        ("g2", 3.0, 3, 202),
+    ]
+    df = spark.createDataFrame(
+        rows, "g string, score double, tie1 int, row_id long"
+    ).repartition(8)
+    got = sim.per_group_topk(
+        df, "g", "score", ("tie1", "row_id"), 2, "rnk"
+    ).select("g", "score", "tie1", "row_id", "rnk")
+    w = Window.partitionBy("g").orderBy(
+        F.desc("score"), F.asc("tie1"), F.asc("row_id")
+    )
+    want = (
+        df.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= 2)
+        .select("g", "score", "tie1", "row_id", "rnk")
+    )
+    assert sorted(map(tuple, got.collect())) == sorted(
+        map(tuple, want.collect())
+    )
+
+
+def test_pq_adc_hint_skips_gate_and_matches_auto(spark, sf_dir, monkeypatch):
+    """Round-7 advice item: an explicit adc path hint must (a) validate,
+    (b) skip the capped query-count probe job the auto gate pays when
+    the declared id range exceeds PQ_LITERAL_LUT_MAX, and (c) return
+    the identical rows either way."""
+    import pytest
+
+    emb = read_parquet_table(spark, sf_dir, "embeddings")
+    books = sim.pq_train_codebooks(emb, "vec_id", "embedding")
+    with pytest.raises(ValueError, match="auto|literal|join"):
+        sim.pq_topk(emb, "vec_id", "embedding", books=books, adc="bogus")
+    auto = sim.pq_topk(emb, "vec_id", "embedding", books=books)
+    lit = sim.pq_topk(emb, "vec_id", "embedding", books=books, adc="literal")
+    jn = sim.pq_topk(emb, "vec_id", "embedding", books=books, adc="join")
+    want = sorted(map(tuple, auto.collect()))
+    assert sorted(map(tuple, lit.collect())) == want
+    assert sorted(map(tuple, jn.collect())) == want
+    # hinted literal under a zeroed threshold must NOT run the probe
+    # count: with the gate skipped the plan equals the unhinted literal
+    monkeypatch.setattr(sim, "PQ_LITERAL_LUT_MAX", 0)
+    hinted = sim.pq_topk(emb, "vec_id", "embedding", books=books, adc="literal")
+    assert sorted(map(tuple, hinted.collect())) == want
+    assert (
+        hinted._jdf.queryExecution().optimizedPlan().toString().count("Join")
+        == lit._jdf.queryExecution().optimizedPlan().toString().count("Join")
+    )
+
+
+def test_pq_adc_literal_overflow_falls_back_to_join_lut(spark):
+    """Round-7 advice item: LUT magnitudes whose m-entry sum could wrap
+    BIGINT must bounce the literal path to the DECIMAL-sum join LUT
+    (exact at any magnitude) instead of silently wrapping. The window
+    is real but narrow: each micro-int entry is DECIMAL(18,6)×1e6 (so
+    |entry| ≤ ~1e18, magnitudes past that fail the decimal cast loudly
+    in BOTH formulations), and m=16 entries of ~7.7e17 sum past
+    2^63 ≈ 9.22e18. Elements of ~4.4e5 give per-subspace |dot| ≈
+    4·(4.4e5)² ≈ 7.7e11 — inside DECIMAL(18,6), past 2^63/(1e6·m)."""
+    import pytest
+
+    m_sub, sub_dim = 16, 4
+    n, dim = 40, m_sub * sub_dim
+    rows = [
+        (
+            i,
+            [
+                4.4e5 * (1.0 if (i + d) % 2 else -1.0)
+                + float((i * 7 + d * 3) % 13 - 6)
+                for d in range(dim)
+            ],
+        )
+        for i in range(n)
+    ]
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    books = sim.pq_train_codebooks(
+        emb, "vec_id", "embedding", m=m_sub, sub_dim=sub_dim, k=8, iters=1
+    )
+    qs = emb.filter(F.col("vec_id") < 3).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("__qv")
+    )
+    codes = sim.pq_encode(emb, "vec_id", "embedding", books, sub_dim)
+    with pytest.raises(sim._AdcLutOverflow):
+        sim._pq_adc_literal(
+            codes.withColumnRenamed("vec_id", "neighbor_id"),
+            qs,
+            books,
+            m_sub,
+            sub_dim,
+        )
+    # end-to-end: pq_topk silently serves through the join path, and
+    # the result matches the join formulation exactly
+    got = sim.pq_topk(
+        emb, "vec_id", "embedding", books=books, n_queries=3, topk=3
+    )
+    want = sim.pq_topk(
+        emb, "vec_id", "embedding", books=books, n_queries=3, topk=3,
+        adc="join",
+    )
+    assert sorted(map(tuple, got.collect())) == sorted(
+        map(tuple, want.collect())
+    )
+
+
+def test_kmeans_centroids_partitioning_invariant(spark, sf_dir):
+    """Round-7 advice item: the Lloyd mean update sums 9-dp-rounded
+    DECIMALs, so the trained centroids are BIT-IDENTICAL regardless of
+    how the corpus is partitioned — a float avg() depends on
+    partial-sum order, and every equality pin (joint-vs-per-subspace,
+    oracle replay) would silently ride on the test partitioning."""
+    emb = read_parquet_table(spark, sf_dir, "embeddings")
+    outs = []
+    for parts in (1, 7, 32):
+        cents = sim.kmeans_centroids(
+            emb.repartition(parts), "vec_id", "embedding", k=8, iters=3
+        ).collect()
+        outs.append(
+            sorted((r["cell"], tuple(r["embedding"])) for r in cents)
+        )
+    assert outs[0] == outs[1] == outs[2]
