@@ -125,98 +125,33 @@ _PRIORITY_UNRECORDED = (
 #: green row no longer certifies the current code, so they jump the
 #: staleness queue (right behind failures/upgrades) to get re-recorded.
 _FORCE_RERECORD = (
-    # r05 widened the SimHash fingerprint path (`bits` knob, 2686e05) and
-    # the hyperplane LSH sketch (`rows` knob) — the r02 green rows certify
-    # the pre-knob code; defaults are answer-identical (pinned by
-    # test_simhash_wide_fingerprint_blocked_equals_all_pairs and
-    # test_hyperplane_lsh_wide_bands_keep_twin_recall_and_precision) but
-    # the rows must re-certify the current implementation.
-    "simhash_near_dups",
-    "simhash_documents",
-    "embedding_lsh_near_dups",
-    # r05 changed the IVF artifact-reuse path (deterministic artifact
-    # roots, 848714d) after the r04 recording.
+    # --- round 7. The r06 queue (35 names) all landed green in
+    # CORRECTNESS_r06 + the SWEEP_r06 166/166 replica, so it is cleared
+    # (verdict item 2) and the stalest r03-era rows cycle back through
+    # the 50-slot window. The entries below are the queries whose
+    # IMPLEMENTATION or ORACLE changed this round. ---
+    # The k-means Lloyd mean update now sums 9-dp-rounded DECIMALs
+    # (partition-order-independent, the embedding_dimension_stats
+    # pattern — round-7 advice item) in both the engine
+    # (kmeans_centroids, _joint_lloyd_means) and the oracle replay
+    # (_kmeans_cent_ctes); centroid floats can differ from the float
+    # F.avg at the last ulp, so every kmeans-derived row must
+    # re-certify. semantic_dedup_embeddings ADDITIONALLY re-registered
+    # under the auto-k geometry (k = auto_semdedup_k(n), oracle
+    # replays the closed form as a scalar CTE — verdict item 1: the
+    # recorded plan is now the scale plan).
+    "semantic_dedup_embeddings",
     "embedding_ivf_topk",
     "embedding_ivf_index_topk",
-    # --- r06 code changes whose last driver rows predate them. The
-    # r02/r03-row queries on the same changed paths (document_fingerprints,
-    # ngram_jaccard_pairs, minhash_lsh_near_dups, near_dup_doc_clusters,
-    # near_dup_keep_best_quality, ensemble_near_dups,
-    # near_dedup_new_vs_corpus) already cycle into the window as stalest
-    # and need no forcing. ---
-    # d33dc6c rebuilt the PQ path around persisted codebooks; later in
-    # r06 the trainer went joint one-pass, the ADC LUT became literal
-    # arrays (with a join fallback past PQ_LITERAL_LUT_MAX), and the
-    # encoded code table joined the persisted artifact (equality-pinned
-    # by test_pq_joint_training_equals_per_subspace_kmeans /
-    # test_pq_literal_lut_matches_join_lut /
-    # test_pq_topk_pre_encoded_codes_match_inline). The r04 row
-    # certifies the retrain-per-call, LUT-join code.
     "embedding_pq_topk",
-    # e6d885e rewrote COW manifests (delta commits + checkpoints); every
-    # cowtable read now walks the new chain format.
-    "cowtable_merge_roundtrip",
-    "cowtable_snapshot_diff",
-    "cow_incremental_rollup",
-    "streaming_cow_upsert_sync",
-    # d33dc6c/255114a touched semantic_dedup (auto-k default, two-level
-    # probe) — the registered query's frozen k=8 flat path is
-    # answer-identical, but the row must certify the current function.
-    "semantic_dedup_embeddings",
-    # ff18dc9 guarded char_trigrams against short strings (changes the
-    # persisted index contents) and trigram_index_candidates.
-    "trigram_like_search",
-    # ff18dc9 hardened _build_artifact_once (publish/error handling) —
-    # the success path is unchanged but the index build routes through it.
-    "bm25_index_search",
-    # d33dc6c pinned diversity_sample_cells to the frozen rows=HP_ROWS
-    # grid when hyperplane_sketch's default became corpus-derived.
-    "embedding_diverse_sample",
-    # late r06: every streaming sync gate now runs on a stream_session
-    # clone that pins the state-store partition count for its fresh
-    # checkpoint (identical rows; 200-partition bare-session state was
-    # pure overhead — 27.8s → 3.2s on the join gate).
-    "streaming_scd2_sync",
-    "streaming_near_dedup_sync",
-    "streaming_cms_sync",
-    "streaming_hourly_rollup_sync",
-    "streaming_sessionize_sync",
-    "streaming_stream_stream_join_sync",
-    # late r06 review fixes (all answer-preserving; replica-green):
-    # _bucketed_global_ranks grew the NULL-bucket guard,
-    "event_value_deciles",
-    # _bloom_positions now hash the key (same final rows — the exact
-    # join strips false positives either way),
-    "bloom_semi_join_urgent_revenue",
-    # asof_join's tie-break became the orderable-subset expression,
-    "asof_click_purchase",
-    "click_since_purchase_latency",
-    # salted_join grew the how-guard on these queries' import path,
-    "top10_customers_by_revenue_salted",
-    # attach_encoded_media dropped a no-op ternary on the id column.
-    "multimodal_decode_features",
-    "multimodal_image_fingerprints",
-    "multimodal_image_dedup_groups",
-    # oracle text changed: NOT IN → NOT EXISTS (left_anti NULL-probe
-    # semantics), and the deciles oracle pins NULLS FIRST.
-    "q16_supplier_part_variety",
-    # late r06: the ANN per-query top-k became the two-stage bucketed
-    # rank (per_group_topk — identical rows/ranks, pinned by
-    # testper_group_topk_equals_single_stage_window; the heavy sort no
-    # longer funnels into one task per query). ivf/ivf_index/pq are
-    # already queued above for earlier changes on the same paths.
-    "embedding_cosine_topk",
-    # late r06: the per-lang running sums route through the bucketed
-    # grouped_prefix_sum kernel (bit-identical, pinned by
-    # test_grouped_prefix_sum_equals_single_window; a language's token
-    # stream no longer funnels through one task).
+    # grouped_prefix_sum grew the out-of-range-lead clamp and the
+    # offset-cardinality guard (verdict item 7): answers identical
+    # (pinned by test_grouped_prefix_sum_out_of_range_lead_range_still_
+    # exact), but the kernel's plan changed (eager per-bucket
+    # checkpoint), so its three consumers re-certify.
     "token_budget_shards",
     "pack_training_sequences",
     "prepare_training_corpus",
-    # late r06: the remaining small-group rank windows adopt the same
-    # two-stage bucketed rank (per_group_topk; identical rows/ranks).
-    "top3_customers_per_nation",
-    "stratified_sample_by_lang",
 )
 
 

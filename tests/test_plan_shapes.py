@@ -650,7 +650,8 @@ def test_persisted_index_artifacts_reused_across_calls(spark, sf_dir):
         ("embedding_ivf_index_topk", "ivf_index", "centroids", ""),
         ("embedding_pq_topk", "pq_index", "codes",
          "|m=8|sub=8|k=16|iters=2"),
-        # k-means model artifact: key pins the frozen geometry too
+        # k-means model artifact: key pins the AUTO-derived geometry
+        # (auto_semdedup_k(n) = 8 at test scale — the r07 recorded plan)
         ("semantic_dedup_embeddings", "semdedup_cents", "centroids",
          "|k=8|iters=3"),
     ]
