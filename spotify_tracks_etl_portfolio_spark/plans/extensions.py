@@ -457,13 +457,16 @@ def _kmeans_cent_ctes(
     prev = f"{prefix}cent0"
     for t in range(1, iters + 1):
         ctes.append(argmax_cell(prev, f"{prefix}asg{t}"))
-        # mean update sums 9-dp-rounded DECIMALs — mirrors the engine's
-        # partition-order-independent kmeans mean (the embedding_
-        # dimension_stats pattern; round-7 advice item)
+        # mean update sums 9-dp FIXED-POINT BIGINTs — mirrors the
+        # engine's partition-order-independent Lloyd mean
+        # (operators/similarity.py::_fixed_point_mean; round-7 advice
+        # item). Op order matches the engine verbatim:
+        # sum(long) → double, / scale, / count — all IEEE-exact
+        # replayable steps.
         ctes.append(f"""{prefix}means{t} AS MATERIALIZED (
   SELECT cell, d,
-         CAST(SUM(CAST(round(e[d], 9) AS DECIMAL(28,9))) AS DOUBLE)
-           / count(*) AS m
+         CAST(SUM(CAST(round(e[d] * 1000000000) AS BIGINT)) AS DOUBLE)
+           / 1000000000.0 / count(*) AS m
   FROM {prefix}asg{t}, unnest(range(1, len(e) + 1)) AS t(d)
   GROUP BY cell, d
 )""")

@@ -87,12 +87,17 @@ def main() -> None:
     )
     args = ap.parse_args()
 
+    os.environ.setdefault("SPARK_GRAFT_DRIVER_MEM", "24g")
+
     from spotify_tracks_etl_portfolio_spark.operators import similarity as sim
     from spotify_tracks_etl_portfolio_spark.session import get_spark
 
-    spark = get_spark("kmeans-assignment-probe")
     results = []
     for n in [int(x) for x in args.ns.split(",")]:
+        # fresh context per scale point: the per-n localCheckpoint
+        # blocks otherwise accumulate in the block manager across the
+        # sweep and GC churn poisons the larger points' timings
+        spark = get_spark("kmeans-assignment-probe")
         k = sim.auto_semdedup_k(n)
         df = synth(spark, n)
         # seed centroids exactly as kmeans_centroids does (smallest ids)
@@ -103,17 +108,19 @@ def main() -> None:
             (i, [float(x) for x in r["embedding"]])
             for i, r in enumerate(seed)
         ]
-        # warm the Python workers once so the first measurement isn't
-        # worker-spawn cost
-        time_assignment(df.limit(1024), cent_rows)
+        # warm with one full untimed pass: Python worker spawn, Arrow
+        # serializer init, and whole-stage-codegen compilation all land
+        # here instead of in the first sample (fresh context per n)
+        time_assignment(df, cent_rows)
 
         two_level = min(
-            time_assignment(df, cent_rows) for _ in range(2)
+            time_assignment(df, cent_rows) for _ in range(3)
         )
         orig = sim.FLAT_PROBE_MAX_K
         sim.FLAT_PROBE_MAX_K = 1 << 30
         try:
-            flat = min(time_assignment(df, cent_rows) for _ in range(2))
+            time_assignment(df, cent_rows)  # rebuilt probe → new warm
+            flat = min(time_assignment(df, cent_rows) for _ in range(3))
         finally:
             sim.FLAT_PROBE_MAX_K = orig
         row = {
@@ -125,7 +132,7 @@ def main() -> None:
         }
         print(row, flush=True)
         results.append(row)
-        df.unpersist()
+        spark.stop()
 
     for prev, cur in zip(results, results[1:]):
         cur["two_level_growth_vs_prev"] = round(
