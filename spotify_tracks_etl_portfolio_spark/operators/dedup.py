@@ -28,7 +28,11 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
-from spotify_tracks_etl_portfolio_spark.functions import FINGERPRINT_MOD, rolling_hash
+from spotify_tracks_etl_portfolio_spark.functions import (
+    FINGERPRINT_MOD,
+    rolling_hash,
+    scan_parallelism,
+)
 from spotify_tracks_etl_portfolio_spark.operators.text import tokens
 
 # --------------------------------------------------------------------------
@@ -122,7 +126,11 @@ def shingle_hash_arrays(
     # explicit lambda: passing rolling_hash bare would make Spark infer
     # the HOF arity from its Python signature (3 params incl. the
     # (mult, mod) knobs) and reject the 1-arg transform
-    th = _tune_generate(df).select(
+    # scan_parallelism: tokenizing + hashing + the k-wide window fold
+    # below all run map-side on df's partitioning — rescue the
+    # unsplittable-small-file layout (no-op at real scale; per-row
+    # deterministic work)
+    th = _tune_generate(scan_parallelism(df)).select(
         id_col,
         F.transform(tokens(text_col), lambda t: rolling_hash(t)).alias("__th"),
     )
@@ -405,7 +413,10 @@ def simhash(
         bits = auto_simhash_bits(df.count())
     if not 1 <= bits <= SIMHASH_MAX_BITS:
         raise ValueError(f"bits must be in [1, {SIMHASH_MAX_BITS}]")
-    tok = _tune_generate(df).select(
+    # scan_parallelism: the tokenize+hash explode and the per-bit vote
+    # partial aggregation run map-side on df's partitioning (no-op at
+    # real scale; votes are order-independent integer sums)
+    tok = _tune_generate(scan_parallelism(df)).select(
         id_col, F.explode(tokens(text_col)).alias("__t")
     ).select(
         id_col,

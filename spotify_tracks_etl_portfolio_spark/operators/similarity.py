@@ -24,7 +24,9 @@ from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 from spotify_tracks_etl_portfolio_spark.functions import (
+    scan_parallelism,
     vec_dot,
+    vec_dot_fixed,
     vec_norm_safe,
 )
 
@@ -115,12 +117,20 @@ def cosine_topk(
     remains (3× less higher-order-function work than norm-per-pair).
     """
     qid = query_id_col or id_col
+    # dim probe: one first() over the (small) query set unlocks the
+    # codegen'd unrolled dot for the corpus-sized pair scoring —
+    # bit-identical to the HOF fold (vec_dot_fixed docstring)
+    __qrow = queries.select(vec_col).first()
+    __dim = len(__qrow[0]) if __qrow and __qrow[0] is not None else None
     q = queries.select(
         F.col(qid).alias("query_id"),
         F.col(vec_col).alias("__qv"),
         vec_norm_safe(vec_col).alias("__qn"),
     )
-    c = corpus.select(
+    # scan_parallelism: the pair-scoring HOFs below run on the corpus
+    # scan's partitioning (broadcast join inserts no shuffle) — rescue
+    # the unsplittable-small-file layout (no-op at real scale)
+    c = scan_parallelism(corpus).select(
         F.col(id_col).alias("neighbor_id"),
         F.col(vec_col).alias("__cv"),
         vec_norm_safe(vec_col).alias("__cn"),
@@ -130,7 +140,15 @@ def cosine_topk(
         .filter(F.col("neighbor_id") != F.col("query_id"))
         .withColumn(
             "cosine",
-            F.round(vec_dot("__cv", "__qv") / (F.col("__cn") * F.col("__qn")), 6),
+            F.round(
+                (
+                    vec_dot_fixed("__cv", "__qv", __dim)
+                    if __dim
+                    else vec_dot("__cv", "__qv")
+                )
+                / (F.col("__cn") * F.col("__qn")),
+                6,
+            ),
         )
     )
     return per_group_topk(
@@ -343,6 +361,11 @@ def kmeans_centroids(
 
     Output: (cell, <vec_col>) — feed straight into ``ivf_topk``.
     """
+    # scan_parallelism: every Lloyd round's assignment probe + update
+    # aggregation map-side run on df's partitioning — rescue the
+    # unsplittable-small-file layout (no-op at real scale; seed order
+    # and the fixed-point means are partitioning-independent)
+    df = scan_parallelism(df)
     seed = df.select(id_col, vec_col).orderBy(F.asc(id_col)).limit(k)
     # Centroids are driver state (k×dim doubles — MLlib holds them the
     # same way): each iteration collects the k new means, so plans stay
@@ -401,7 +424,9 @@ def ivf_topk(
         for r in centroids.select(id_col, vec_col).collect()
     ]
     assign1 = probe_cells_udf(cent_rows, nprobe=1)
-    assigned = corpus.select(
+    # scan_parallelism: the Arrow probe + exact scoring inherit the
+    # scan's partitioning (qcells broadcasts) — no-op at real scale
+    assigned = scan_parallelism(corpus).select(
         id_col,
         F.col(vec_col),
         F.element_at(assign1(F.col(vec_col)), 1).alias("cell"),
@@ -413,13 +438,22 @@ def ivf_topk(
         vec_norm_safe(vec_col).alias("__qn"),
         F.explode(probe_n(F.col(vec_col))).alias("cell"),
     )
+    __dim = len(cent_rows[0][1]) if cent_rows else None
     scored = (
         assigned.withColumn("__vn", vec_norm_safe(vec_col))
         .join(qcells, "cell")
         .filter(F.col(id_col) != F.col("query_id"))
         .withColumn(
             "cosine",
-            F.round(vec_dot(vec_col, "__qv") / (F.col("__vn") * F.col("__qn")), 6),
+            F.round(
+                (
+                    vec_dot_fixed(vec_col, "__qv", __dim)
+                    if __dim
+                    else vec_dot(vec_col, "__qv")
+                )
+                / (F.col("__vn") * F.col("__qn")),
+                6,
+            ),
         )
     )
     return per_group_topk(
@@ -503,13 +537,24 @@ def ivf_query_index(
         .filter(F.col("cell").isin(*[int(c) for c in probed]))
     )
     scored = (
-        corpus.withColumn("__vn", vec_norm_safe(vec_col))
+        # scan_parallelism sits ABOVE the partition-filtered scan, so
+        # the pruning keeps its PartitionFilters (plan-gated) while the
+        # exact scoring parallelizes past the probed directories' file
+        # count (no-op at real scale)
+        scan_parallelism(corpus)
+        .withColumn("__vn", vec_norm_safe(vec_col))
         .join(qcells, "cell")
         .filter(F.col(id_col) != F.col("query_id"))
         .withColumn(
             "cosine",
             F.round(
-                vec_dot(vec_col, "__qv") / (F.col("__vn") * F.col("__qn")), 6
+                (
+                    vec_dot_fixed(vec_col, "__qv", len(cent_rows[0][1]))
+                    if cent_rows
+                    else vec_dot(vec_col, "__qv")
+                )
+                / (F.col("__vn") * F.col("__qn")),
+                6,
             ),
         )
     )
@@ -567,7 +612,12 @@ def plane_dots(
         F.col(vec_col),
         lambda x: F.round(x.cast("double") * F.lit(float(HP_SCALE))).cast("long"),
     )
-    exploded = df.select(F.col(id_col), F.posexplode(quantized).alias("__d", "__q"))
+    # scan_parallelism: the quantize+explode+partial-agg map side runs
+    # on df's partitioning — rescue the unsplittable-small-file layout
+    # (no-op at real scale; the plane sums are order-independent longs)
+    exploded = scan_parallelism(df).select(
+        F.col(id_col), F.posexplode(quantized).alias("__d", "__q")
+    )
 
     def weight(j: int) -> Column:
         raw = (
@@ -717,12 +767,24 @@ def hyperplane_lsh_near_dup_pairs(
         F.col(vec_col).alias("__vb"),
         vec_norm_safe(vec_col).alias("__nb"),
     )
+    # dim probe (one tiny first()) → codegen'd unrolled dot for the
+    # candidate verify; bit-identical to the HOF fold
+    __row = df.select(vec_col).first()
+    __dim = len(__row[0]) if __row and __row[0] is not None else None
     return (
         cands.join(va, "id_a")
         .join(vb, "id_b")
         .withColumn(
             "cosine",
-            F.round(vec_dot("__va", "__vb") / (F.col("__na") * F.col("__nb")), 6),
+            F.round(
+                (
+                    vec_dot_fixed("__va", "__vb", __dim)
+                    if __dim
+                    else vec_dot("__va", "__vb")
+                )
+                / (F.col("__na") * F.col("__nb")),
+                6,
+            ),
         )
         .filter(F.col("cosine") >= threshold)
         .select("id_a", "id_b", "cosine")
@@ -847,7 +909,12 @@ def semantic_dedup(
     # re-ran the Arrow probe and the norm fold over the whole corpus;
     # materializing the assignment once removes 2/3 of that work
     # (values unchanged — measured 5.1s → 3.4s at sf0.1).
-    assigned = df.select(
+    # scan_parallelism: the probe AND the within-cell pair HOFs below
+    # all run on this frame's partitioning (the cell self-join
+    # broadcasts one side, inserting no shuffle) — a single-row-group
+    # input file would serialize the whole n²/k verify into one task
+    # (measured 40 s vs ~2 s at the 10x stress replica, identical rows)
+    assigned = scan_parallelism(df).select(
         F.col(id_col),
         F.col(vec_col),
         F.element_at(assign1(F.col(vec_col)), 1).alias("cell"),
@@ -866,13 +933,23 @@ def semantic_dedup(
         F.col("__n").alias("__nb"),
     )
     # every vector with a LOWER-id near-duplicate in its cell is dropped
+    # codegen'd unrolled dot for the n·target_cell pair verify — the
+    # dominant cost of the operator; dim comes from the centroids the
+    # driver already holds (bit-identical to the HOF fold)
+    __dim = len(cent_rows[0][1]) if cent_rows else None
     dropped = (
         a.join(b, "cell")
         .filter(F.col("__idb") < F.col("__ida"))
         .withColumn(
             "__cos",
             F.round(
-                vec_dot("__va", "__vb") / (F.col("__na") * F.col("__nb")), 6
+                (
+                    vec_dot_fixed("__va", "__vb", __dim)
+                    if __dim
+                    else vec_dot("__va", "__vb")
+                )
+                / (F.col("__na") * F.col("__nb")),
+                6,
             ),
         )
         .filter(F.col("__cos") >= threshold)
@@ -1022,7 +1099,9 @@ def pq_train_codebooks(
         ]
         for mi in range(m)
     ]
-    long = _pq_long_form(emb, id_col, vec_col, m, sub_dim)
+    # scan_parallelism: each joint Lloyd round's probe + update run on
+    # this frame's partitioning (no-op at real scale)
+    long = _pq_long_form(scan_parallelism(emb), id_col, vec_col, m, sub_dim)
     for _ in range(iters):
         new: dict[tuple[int, int], list[float]] = {
             (r["__m"], r["__cell"]): [float(x) for x in r["__newv"]]
@@ -1126,7 +1205,7 @@ def pq_encode(
     m = len(books)
 
     if max(len(book) for book in books) > FLAT_PROBE_MAX_K:
-        out = emb.select(F.col(id_col), F.col(vec_col))
+        out = scan_parallelism(emb).select(F.col(id_col), F.col(vec_col))
         for mi, book in enumerate(books):
             probe = probe_cells_udf(book, nprobe=1)
             out = out.withColumn(
@@ -1165,7 +1244,8 @@ def pq_encode(
             out[:, mi] = cellss[mi][best]
         return pd.Series(list(out))
 
-    out = emb.select(
+    # scan_parallelism: the code UDF runs on emb's partitioning
+    out = scan_parallelism(emb).select(
         F.col(id_col), codes(F.col(vec_col)).alias("__codes")
     )
     return out.select(

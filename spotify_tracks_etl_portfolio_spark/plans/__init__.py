@@ -152,6 +152,30 @@ _FORCE_RERECORD = (
     "token_budget_shards",
     "pack_training_sequences",
     "prepare_training_corpus",
+    # late r07 scale fixes, both answer-preserving by construction:
+    # (a) scan_parallelism — heavy pre-shuffle map phases (shingle
+    # hashing, simhash votes, plane dots, k-means probes, pair-verify
+    # joins) repartition to cluster parallelism when the input scan is
+    # an unsplittable small file (no-op at real scale; per-row
+    # deterministic work over order-independent aggregations);
+    # (b) vec_dot_fixed — pair-scoring cosines unroll to codegen'd
+    # multiply-adds with the IDENTICAL left-to-right IEEE fold
+    # (test_vec_dot_fixed_bit_equals_hof pins bit-equality). Every
+    # query whose chain crosses either changed path re-certifies.
+    "ngram_jaccard_pairs",
+    "minhash_lsh_near_dups",
+    "simhash_documents",
+    "simhash_near_dups",
+    "embedding_cosine_topk",
+    "embedding_lsh_near_dups",
+    "embedding_random_projection",
+    "embedding_diverse_sample",
+    "near_dup_doc_clusters",
+    "near_dup_quality_canonicals",
+    "near_dup_keep_best_quality",
+    "ensemble_near_dups",
+    "near_dedup_new_vs_corpus",
+    "benchmark_decontamination",
 )
 
 

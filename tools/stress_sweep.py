@@ -97,6 +97,15 @@ def main() -> None:
             continue
         row: dict = {}
         for label, sf_dir in (("base", args.base), ("stress", args.stress)):
+            # drop the PY-side refs to earlier queries' DataFrames so
+            # their localCheckpoint blocks actually become collectable
+            # before the JVM gc — without this, ~30 queries of
+            # checkpointed blocks pile up in the block manager and the
+            # LATE queries' timings degrade (r07: semantic_dedup served
+            # in 1.5 s in a fresh session vs 43 s late in the sweep)
+            import gc as _gc
+
+            _gc.collect()
             spark._jvm.System.gc()
             samples = []
             qe = None
