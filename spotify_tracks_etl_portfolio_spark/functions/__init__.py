@@ -67,40 +67,16 @@ def bin_floor(col: Column | str, width: float, lo: float = 0.0) -> Column:
 
 def vec_dot(a: Column | str, b: Column | str) -> Column:
     """Dot product via ``zip_with`` + ``aggregate`` — JVM-side, no UDF.
-    Works at any (runtime-unknown) dimensionality; the lambda fold is
-    INTERPRETED per element, so in pair-scoring hot paths where the
-    dimension is known driver-side prefer :func:`vec_dot_fixed`
-    (bit-identical, whole-stage-codegen)."""
+
+    Measured note (round 7): an unrolled fixed-dim form (64 explicit
+    ``element_at`` multiply-adds) was prototyped and REVERTED — in the
+    pair-verify join plans it ran on the interpreted expression path
+    and lost 3-11× to this fold (BENCH_NOTES round 7); the specialized
+    HOF fold is the fast exact formulation here."""
     ca = F.col(a) if isinstance(a, str) else a
     cb = F.col(b) if isinstance(b, str) else b
     prods = F.zip_with(ca, cb, lambda x, y: x.cast("double") * y.cast("double"))
     return F.aggregate(prods, F.lit(0.0), lambda acc, x: acc + x)
-
-
-def vec_dot_fixed(a: Column | str, b: Column | str, dim: int) -> Column:
-    """Dot product UNROLLED for a driver-known dimensionality: dim
-    multiply-adds as plain codegen'd arithmetic instead of the
-    interpreted higher-order-function fold — measured ~10× cheaper per
-    pair at dim=64, which dominates every pair-verify operator
-    (SemDeDup cells, LSH candidate verify, brute-force/IVF/PQ scoring).
-
-    BIT-IDENTICAL to :func:`vec_dot` by construction: the accumulation
-    is the same left-to-right IEEE fold starting from 0.0
-    (``((0.0 + a₁b₁) + a₂b₂) + …``), so swapping the two can never move
-    a 6-dp rounding boundary — pinned by
-    ``test_vec_dot_fixed_bit_equals_hof``. Callers obtain ``dim`` from
-    driver state they already hold (collected centroids/queries/
-    codebooks) or one cheap ``first()`` probe; inputs shorter than
-    ``dim`` raise (element_at out of range) rather than mis-score."""
-    ca = F.col(a) if isinstance(a, str) else a
-    cb = F.col(b) if isinstance(b, str) else b
-    acc: Column = F.lit(0.0)
-    for i in range(1, dim + 1):
-        acc = acc + (
-            F.element_at(ca, i).cast("double")
-            * F.element_at(cb, i).cast("double")
-        )
-    return acc
 
 
 def vec_norm(a: Column | str) -> Column:

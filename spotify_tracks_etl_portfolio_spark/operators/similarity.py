@@ -26,7 +26,6 @@ from pyspark.sql import functions as F
 from spotify_tracks_etl_portfolio_spark.functions import (
     scan_parallelism,
     vec_dot,
-    vec_dot_fixed,
     vec_norm_safe,
 )
 
@@ -117,11 +116,6 @@ def cosine_topk(
     remains (3× less higher-order-function work than norm-per-pair).
     """
     qid = query_id_col or id_col
-    # dim probe: one first() over the (small) query set unlocks the
-    # codegen'd unrolled dot for the corpus-sized pair scoring —
-    # bit-identical to the HOF fold (vec_dot_fixed docstring)
-    __qrow = queries.select(vec_col).first()
-    __dim = len(__qrow[0]) if __qrow and __qrow[0] is not None else None
     q = queries.select(
         F.col(qid).alias("query_id"),
         F.col(vec_col).alias("__qv"),
@@ -140,15 +134,7 @@ def cosine_topk(
         .filter(F.col("neighbor_id") != F.col("query_id"))
         .withColumn(
             "cosine",
-            F.round(
-                (
-                    vec_dot_fixed("__cv", "__qv", __dim)
-                    if __dim
-                    else vec_dot("__cv", "__qv")
-                )
-                / (F.col("__cn") * F.col("__qn")),
-                6,
-            ),
+            F.round(vec_dot("__cv", "__qv") / (F.col("__cn") * F.col("__qn")), 6),
         )
     )
     return per_group_topk(
@@ -438,22 +424,13 @@ def ivf_topk(
         vec_norm_safe(vec_col).alias("__qn"),
         F.explode(probe_n(F.col(vec_col))).alias("cell"),
     )
-    __dim = len(cent_rows[0][1]) if cent_rows else None
     scored = (
         assigned.withColumn("__vn", vec_norm_safe(vec_col))
         .join(qcells, "cell")
         .filter(F.col(id_col) != F.col("query_id"))
         .withColumn(
             "cosine",
-            F.round(
-                (
-                    vec_dot_fixed(vec_col, "__qv", __dim)
-                    if __dim
-                    else vec_dot(vec_col, "__qv")
-                )
-                / (F.col("__vn") * F.col("__qn")),
-                6,
-            ),
+            F.round(vec_dot(vec_col, "__qv") / (F.col("__vn") * F.col("__qn")), 6),
         )
     )
     return per_group_topk(
@@ -548,13 +525,7 @@ def ivf_query_index(
         .withColumn(
             "cosine",
             F.round(
-                (
-                    vec_dot_fixed(vec_col, "__qv", len(cent_rows[0][1]))
-                    if cent_rows
-                    else vec_dot(vec_col, "__qv")
-                )
-                / (F.col("__vn") * F.col("__qn")),
-                6,
+                vec_dot(vec_col, "__qv") / (F.col("__vn") * F.col("__qn")), 6
             ),
         )
     )
@@ -767,24 +738,12 @@ def hyperplane_lsh_near_dup_pairs(
         F.col(vec_col).alias("__vb"),
         vec_norm_safe(vec_col).alias("__nb"),
     )
-    # dim probe (one tiny first()) → codegen'd unrolled dot for the
-    # candidate verify; bit-identical to the HOF fold
-    __row = df.select(vec_col).first()
-    __dim = len(__row[0]) if __row and __row[0] is not None else None
     return (
         cands.join(va, "id_a")
         .join(vb, "id_b")
         .withColumn(
             "cosine",
-            F.round(
-                (
-                    vec_dot_fixed("__va", "__vb", __dim)
-                    if __dim
-                    else vec_dot("__va", "__vb")
-                )
-                / (F.col("__na") * F.col("__nb")),
-                6,
-            ),
+            F.round(vec_dot("__va", "__vb") / (F.col("__na") * F.col("__nb")), 6),
         )
         .filter(F.col("cosine") >= threshold)
         .select("id_a", "id_b", "cosine")
@@ -933,23 +892,13 @@ def semantic_dedup(
         F.col("__n").alias("__nb"),
     )
     # every vector with a LOWER-id near-duplicate in its cell is dropped
-    # codegen'd unrolled dot for the n·target_cell pair verify — the
-    # dominant cost of the operator; dim comes from the centroids the
-    # driver already holds (bit-identical to the HOF fold)
-    __dim = len(cent_rows[0][1]) if cent_rows else None
     dropped = (
         a.join(b, "cell")
         .filter(F.col("__idb") < F.col("__ida"))
         .withColumn(
             "__cos",
             F.round(
-                (
-                    vec_dot_fixed("__va", "__vb", __dim)
-                    if __dim
-                    else vec_dot("__va", "__vb")
-                )
-                / (F.col("__na") * F.col("__nb")),
-                6,
+                vec_dot("__va", "__vb") / (F.col("__na") * F.col("__nb")), 6
             ),
         )
         .filter(F.col("__cos") >= threshold)

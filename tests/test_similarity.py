@@ -932,37 +932,3 @@ def test_kmeans_centroids_partitioning_invariant(spark, sf_dir):
             sorted((r["cell"], tuple(r["embedding"])) for r in cents)
         )
     assert outs[0] == outs[1] == outs[2]
-
-
-def test_vec_dot_fixed_bit_equals_hof(spark, sf_dir):
-    """vec_dot_fixed (codegen'd unrolled multiply-adds) must be
-    BIT-identical to the interpreted HOF vec_dot — same left-to-right
-    IEEE fold from 0.0 — on real embeddings AND on adversarial values
-    (negative zeros, denormals, mixed magnitudes). Exact ==, not
-    approx: the 6-dp rounding boundaries must provably never move."""
-    from spotify_tracks_etl_portfolio_spark.functions import (
-        vec_dot,
-        vec_dot_fixed,
-    )
-
-    emb = read_parquet_table(spark, sf_dir, "embeddings")
-    dim = len(emb.select("embedding").first()[0])
-    pairs = emb.select(F.col("embedding").alias("a")).crossJoin(
-        emb.select(F.col("embedding").alias("b")).limit(3)
-    )
-    diff = pairs.select(
-        (vec_dot("a", "b") != vec_dot_fixed("a", "b", dim)).alias("d")
-    ).filter("d").count()
-    assert diff == 0
-
-    rows = [
-        ([0.0, -0.0, 1e-300, -1e300], [-0.0, 0.0, 1e300, 1e-300]),
-        ([1e16, 1.0, -1e16, 1.0], [1.0, 1.0, 1.0, 1.0]),
-    ]
-    df = spark.createDataFrame(rows, "a array<double>, b array<double>")
-    got = df.select(
-        vec_dot("a", "b").alias("h"), vec_dot_fixed("a", "b", 4).alias("f")
-    ).collect()
-    import struct
-    for r in got:
-        assert struct.pack("d", r["h"]) == struct.pack("d", r["f"])
