@@ -932,3 +932,24 @@ def test_kmeans_centroids_partitioning_invariant(spark, sf_dir):
             sorted((r["cell"], tuple(r["embedding"])) for r in cents)
         )
     assert outs[0] == outs[1] == outs[2]
+
+
+def test_scan_parallelism_semantics(spark, sf_dir):
+    """scan_parallelism must repartition ONLY frames below the default
+    parallelism (the unsplittable-small-file rescue) and pass wider
+    frames through UNTOUCHED — the no-op contract that makes it safe to
+    leave in production plans. And the semantic-dedup checkpoint it
+    feeds must actually carry cluster-wide partitions at toy scale, so
+    the pair verify can never serialize into the file count again."""
+    from spotify_tracks_etl_portfolio_spark.functions import scan_parallelism
+
+    want = spark.sparkContext.defaultParallelism
+    emb = read_parquet_table(spark, sf_dir, "embeddings")
+    assert emb.rdd.getNumPartitions() < want  # single-row-group testdata
+    up = scan_parallelism(emb)
+    assert up.rdd.getNumPartitions() == want
+    assert sorted(r["vec_id"] for r in up.collect()) == sorted(
+        r["vec_id"] for r in emb.collect()
+    )
+    wide = emb.repartition(want + 8)
+    assert scan_parallelism(wide) is wide  # pass-through, no new plan
