@@ -59,6 +59,12 @@ def plan_profile(qe) -> dict[str, int]:
     s = qe.executedPlan().toString()
     if "AdaptiveSparkPlan" in s and "isFinalPlan=true" not in s:
         raise AssertionError("profiled plan is not the finalized AQE plan")
+    # count markers in the FINAL plan only — the AQE toString appends
+    # an "== Initial Plan ==" section whose stats-estimated strategies
+    # differ between scales even when the executed plan is identical,
+    # which made the r07 plan_changed flags ambiguous (final+initial
+    # were counted together through r07's first artifact)
+    s = s.split("== Initial Plan ==")[0]
     return {m: s.count(m) for m in PLAN_MARKERS if s.count(m)}
 
 
