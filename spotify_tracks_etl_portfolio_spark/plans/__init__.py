@@ -152,16 +152,16 @@ _FORCE_RERECORD = (
     "token_budget_shards",
     "pack_training_sequences",
     "prepare_training_corpus",
-    # late r07 scale fixes, both answer-preserving by construction:
-    # (a) scan_parallelism — heavy pre-shuffle map phases (shingle
+    # late r07 scale fix, answer-preserving by construction:
+    # scan_parallelism — heavy pre-shuffle map phases (shingle
     # hashing, simhash votes, plane dots, k-means probes, pair-verify
     # joins) repartition to cluster parallelism when the input scan is
     # an unsplittable small file (no-op at real scale; per-row
-    # deterministic work over order-independent aggregations);
-    # (b) vec_dot_fixed — pair-scoring cosines unroll to codegen'd
-    # multiply-adds with the IDENTICAL left-to-right IEEE fold
-    # (test_vec_dot_fixed_bit_equals_hof pins bit-equality). Every
-    # query whose chain crosses either changed path re-certifies.
+    # deterministic work over order-independent aggregations). An
+    # unrolled pair-dot rode along briefly and was REVERTED same-round
+    # (bit-identical but slower on the interpreted path — BENCH_NOTES
+    # r7); every query whose chain crosses the changed scan paths
+    # re-certifies.
     "ngram_jaccard_pairs",
     "minhash_lsh_near_dups",
     "simhash_documents",
