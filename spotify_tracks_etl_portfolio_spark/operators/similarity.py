@@ -939,6 +939,14 @@ PQ_SHORTLIST = 100
 #: (test_pq_literal_lut_matches_join_lut /
 #: test_pq_topk_join_lut_fallback_matches_literal).
 PQ_LITERAL_LUT_MAX = 65536
+#: Hard ceiling for the HINTED literal path (a generous 8× the auto
+#: gate): adc="literal" skips the auto gate's sparse-id probe job, but
+#: a declared id range past this many LUT entries still bounces to the
+#: join path (the hint must never turn into an unbounded driver-side
+#: collect of query vectors). An absolute entry count, not a live
+#: multiple of PQ_LITERAL_LUT_MAX, so tuning the auto gate down (tests
+#: zero it to force the probe regime) cannot silently re-gate hints.
+PQ_LITERAL_HINT_MAX_ENTRIES = 8 * PQ_LITERAL_LUT_MAX
 
 
 def _grouped_probe_udf(books: list[list[tuple[int, list[float]]]]):
@@ -1478,6 +1486,20 @@ def pq_topk(
         use_literal = lut_entries <= PQ_LITERAL_LUT_MAX
     else:
         use_literal = adc == "literal"
+        if use_literal:
+            # The hint skips the sparse-id PROBE job, not the size
+            # contract (round-8 advice item): an unbounded hinted
+            # literal path would collect every query vector
+            # driver-side and fold an n_queries×m×k literal array
+            # into the plan. Gate on the DECLARED id range (zero
+            # extra jobs, same as the hint's promise) with a generous
+            # multiple of the auto gate — sparse-id callers inside
+            # the ceiling keep their skip; a declared range this far
+            # past the gate is the join regime regardless of
+            # sparsity, and the two paths are answer-identical.
+            total_k = sum(len(book) for book in books)
+            if n_queries * total_k > PQ_LITERAL_HINT_MAX_ENTRIES:
+                use_literal = False
     if use_literal:
         try:
             scored = _pq_adc_literal(codes, qs, books, m, sub_dim)

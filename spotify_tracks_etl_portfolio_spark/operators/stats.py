@@ -302,10 +302,23 @@ def grouped_prefix_sum(
     # GREATEST clamp keeps below-lo leads monotone in bucket 0 (DIV
     # truncates toward zero, so (lo-width, lo) would otherwise share
     # bucket 0 non-monotonically and (lo-2·width, lo-width] would
-    # collide with the NULL sentinel)
+    # collide with the NULL sentinel). The high side clamps
+    # SYMMETRICALLY (round-8 advice item): a lead far above a
+    # mis-declared ``hi`` would make (__gps_o - lo) DIV width exceed
+    # int32, raising under ANSI or wrapping to a negative bucket that
+    # breaks monotone order / collides with the NULL sentinel —
+    # collapsing every above-hi lead into one overflow bucket stays
+    # EXACT because the final window orders by __gps_o within each
+    # bucket. The comparison happens BEFORE any SQL-side subtraction so
+    # neither (__gps_o - lo) nor the DIV can overflow: __gps_o below
+    # the cap bounds the difference by width·buckets.
+    hi_cap = min(lo + width * buckets, 2**63 - 1)
     bucket = F.when(F.col("__gps_o").isNull(), F.lit(-1)).otherwise(
-        F.greatest(
-            F.expr(f"CAST((__gps_o - {lo}) DIV {width} AS INT)"), F.lit(0)
+        F.when(F.col("__gps_o") >= F.lit(hi_cap), F.lit(buckets)).otherwise(
+            F.greatest(
+                F.expr(f"CAST((__gps_o - {lo}) DIV {width} AS INT)"),
+                F.lit(0),
+            )
         )
     )
     d = slim.withColumn("__gps_b", bucket)

@@ -130,7 +130,7 @@ _FORCE_RERECORD = (
     # (verdict item 2) and the stalest r03-era rows cycle back through
     # the 50-slot window. The entries below are the queries whose
     # IMPLEMENTATION or ORACLE changed this round. ---
-    # The k-means Lloyd mean update now sums 9-dp-rounded DECIMALs
+    # The k-means Lloyd mean update now sums 9-dp fixed-point BIGINTs
     # (partition-order-independent, the embedding_dimension_stats
     # pattern — round-7 advice item) in both the engine
     # (kmeans_centroids, _joint_lloyd_means) and the oracle replay

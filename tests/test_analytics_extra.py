@@ -379,8 +379,10 @@ def test_grouped_prefix_sum_out_of_range_lead_range_still_exact(spark):
     (round-7 advice item): leads BELOW lo clamp monotonically into
     bucket 0 (unclamped, integer DIV's truncation toward zero folds
     (lo-width, lo) into bucket 0 out of order and (lo-2w, lo-w] onto
-    the NULL sentinel -1), leads ABOVE hi spill past bucket
-    ``buckets-1`` — both merely imbalance sizes."""
+    the NULL sentinel -1), leads ABOVE hi collapse into one overflow
+    bucket (round-8 advice item: unclamped, (lead-lo) DIV width past
+    int32 raises under ANSI or wraps to a negative bucket colliding
+    with the sentinel) — both merely imbalance sizes."""
     from spotify_tracks_etl_portfolio_spark.operators.stats import (
         grouped_prefix_sum,
     )
@@ -391,7 +393,10 @@ def test_grouped_prefix_sum_out_of_range_lead_range_still_exact(spark):
         ("a", 3, None, 2),  # NULL lead keeps the sentinel to itself
         ("a", 4, 10, 1),
         ("a", 5, 99, 3),
-        ("a", 6, 5000, 9),  # far above hi
+        ("a", 6, 5000, 9),  # above hi: spills past bucket buckets-1
+        ("a", 9, 6 * 10**10, 8),  # (lead-lo) DIV width > int32: would
+        #                           raise (ANSI) / wrap negative
+        ("a", 10, 2**63 - 1, 2),  # long max: ultimate high-side lead
         ("b", 7, -1, 5),
         ("b", 8, 120, 6),
     ]

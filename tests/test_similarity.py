@@ -853,6 +853,8 @@ def test_pq_adc_hint_skips_gate_and_matches_auto(spark, sf_dir, monkeypatch):
     assert sorted(map(tuple, jn.collect())) == want
     # hinted literal under a zeroed threshold must NOT run the probe
     # count: with the gate skipped the plan equals the unhinted literal
+    # (the hint's hard ceiling is a deliberately independent absolute
+    # constant, so zeroing the auto gate cannot re-gate the hint)
     monkeypatch.setattr(sim, "PQ_LITERAL_LUT_MAX", 0)
     hinted = sim.pq_topk(emb, "vec_id", "embedding", books=books, adc="literal")
     assert sorted(map(tuple, hinted.collect())) == want
@@ -860,6 +862,34 @@ def test_pq_adc_hint_skips_gate_and_matches_auto(spark, sf_dir, monkeypatch):
         hinted._jdf.queryExecution().optimizedPlan().toString().count("Join")
         == lit._jdf.queryExecution().optimizedPlan().toString().count("Join")
     )
+
+
+def test_pq_adc_literal_hint_has_hard_size_ceiling(spark, sf_dir):
+    """Round-8 advice item: adc="literal" skips the auto gate's probe
+    job but must NOT bypass the size contract — a declared id range
+    past PQ_LITERAL_HINT_MAX_ENTRIES LUT entries bounces to the join
+    path instead of collecting an unbounded query set driver-side into
+    a literal array. Plan-gated: the bounced plan has the join
+    formulation's shape, not the literal LUT's."""
+    emb = read_parquet_table(spark, sf_dir, "embeddings")
+    books = sim.pq_train_codebooks(emb, "vec_id", "embedding")
+    total_k = sum(len(book) for book in books)
+    over = sim.PQ_LITERAL_HINT_MAX_ENTRIES // total_k + 1
+    bounced = sim.pq_topk(
+        emb, "vec_id", "embedding", books=books, n_queries=over,
+        adc="literal",
+    )
+    joined = sim.pq_topk(
+        emb, "vec_id", "embedding", books=books, n_queries=over, adc="join"
+    )
+    literal_shape = sim.pq_topk(
+        emb, "vec_id", "embedding", books=books, adc="literal"
+    )
+    n_joins = lambda df: (  # noqa: E731
+        df._jdf.queryExecution().optimizedPlan().toString().count("Join")
+    )
+    assert n_joins(bounced) == n_joins(joined)
+    assert n_joins(bounced) != n_joins(literal_shape)
 
 
 def test_pq_adc_literal_overflow_falls_back_to_join_lut(spark):
@@ -917,8 +947,10 @@ def test_pq_adc_literal_overflow_falls_back_to_join_lut(spark):
 
 
 def test_kmeans_centroids_partitioning_invariant(spark, sf_dir):
-    """Round-7 advice item: the Lloyd mean update sums 9-dp-rounded
-    DECIMALs, so the trained centroids are BIT-IDENTICAL regardless of
+    """Round-7 advice item: the Lloyd mean update sums 9-dp fixed-point
+    BIGINTs (``_fixed_point_mean``; the DECIMAL(28,9) sum was the
+    rejected slower variant), so the trained centroids are
+    BIT-IDENTICAL regardless of
     how the corpus is partitioned — a float avg() depends on
     partial-sum order, and every equality pin (joint-vs-per-subspace,
     oracle replay) would silently ride on the test partitioning."""
