@@ -320,14 +320,40 @@ def minhash_lsh_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _dd.minhash_near_dup_pairs(docs, "doc_id", "text", JACCARD_THRESHOLD)
 
 
-def _simhash_sql() -> str:
+def _simhash_sql(bits: int = _dd.SIMHASH_BITS) -> str:
+    """Width-parametric SimHash replay. Bits 0..29 read the frozen
+    (31, 1e9+7) rolling-hash stream; a width past 30 adds the second
+    independent (37, 998244353) stream exactly as the engine does
+    (``operators/dedup.py::simhash``, bits ≥ SIMHASH_BITS read ``h2``
+    at offset j−30). ``bits`` is a static registration-time constant,
+    so the per-bit expressions unroll into plain SQL the driver can
+    replay — this is what makes the WIDE twin oracle-recordable while
+    the n-dependent auto width is not."""
+
+    def src(j: int) -> tuple[str, int]:
+        if j < _dd.SIMHASH_BITS:
+            return "h", j
+        return "h2", j - _dd.SIMHASH_BITS
+
     votes = ", ".join(
-        f"sum(CASE WHEN (h >> {j}) & 1 = 1 THEN 1 ELSE -1 END) AS v_{j}"
-        for j in range(_dd.SIMHASH_BITS)
+        "sum(CASE WHEN ({0} >> {1}) & 1 = 1 THEN 1 ELSE -1 END) AS v_{2}".format(
+            *src(j), j
+        )
+        for j in range(bits)
     )
     packed = " + ".join(
         f"(CASE WHEN v_{j} > 0 THEN CAST({1 << j} AS BIGINT) ELSE CAST(0 AS BIGINT) END)"
-        for j in range(_dd.SIMHASH_BITS)
+        for j in range(bits)
+    )
+    h2 = (
+        f""",
+         list_reduce(
+           list_prepend(CAST(0 AS BIGINT),
+                        list_transform(string_split(t, ''),
+                                       c -> CAST(ascii(c) AS BIGINT))),
+           (a, b) -> (a * 37 + b) % {_dd.SIMHASH_MOD2}) AS h2"""
+        if bits > _dd.SIMHASH_BITS
+        else ""
     )
     return f"""
 tokh AS (
@@ -336,7 +362,7 @@ tokh AS (
            list_prepend(CAST(0 AS BIGINT),
                         list_transform(string_split(t, ''),
                                        c -> CAST(ascii(c) AS BIGINT))),
-           (a, b) -> (a * 31 + b) % 1000000007) AS h
+           (a, b) -> (a * 31 + b) % 1000000007) AS h{h2}
   FROM (SELECT doc_id, unnest(w) AS t FROM toks)
 ),
 votes AS (SELECT doc_id, {votes} FROM tokh GROUP BY doc_id),
@@ -385,6 +411,37 @@ def simhash_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
     # frozen 30-bit oracle geometry (bare callers get the auto width)
     out = _dd.simhash_near_dup_pairs(
         docs, "doc_id", "text", max_hamming=3, bits=_dd.SIMHASH_BITS
+    )
+    return out.withColumn("hamming", F.col("hamming").cast("long"))
+
+
+@register(
+    "simhash_near_dups_wide",
+    oracle=f"""
+WITH {_SHINGLE_CTES},
+{_simhash_sql(bits=_dd.SIMHASH_MAX_BITS)}
+SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+       CAST(bit_count(xor(a.simhash, b.simhash)) AS BIGINT) AS hamming
+FROM simh a JOIN simh b ON a.doc_id < b.doc_id
+WHERE bit_count(xor(a.simhash, b.simhash)) <= 3
+""",
+    description=f"SimHash near-dup pairs at the SCALE geometry: "
+    f"{_dd.SIMHASH_MAX_BITS}-bit fingerprints (two independent rolling-"
+    "hash streams) pigeonhole-blocked into 4 ~15-bit chunks — per-chunk "
+    "bucket space ~2^15 vs the toy twin's 2^8, which is what keeps "
+    "candidate growth near-linear past 10^5 docs (the toy geometry "
+    "measured 18.4x wall / ~100x candidates at 10x data, BENCH_NOTES "
+    "r5/r7). Same recall-1.0 pigeonhole guarantee; bits=59 is a static "
+    "constant so the oracle unrolls and replays exactly",
+    tags=("extension", "dedup", "lsh", "scale-twin"),
+)
+def simhash_near_dups_wide(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = read_parquet_table(spark, sf_dir, "documents")
+    # frozen WIDE geometry: the registered scale plan (bare callers
+    # get the n-derived auto width, which lands on these 59 bits from
+    # ~10^5 docs up)
+    out = _dd.simhash_near_dup_pairs(
+        docs, "doc_id", "text", max_hamming=3, bits=_dd.SIMHASH_MAX_BITS
     )
     return out.withColumn("hamming", F.col("hamming").cast("long"))
 
@@ -1219,12 +1276,16 @@ def multimodal_video_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame
     return _mm.sample_video_frames(media, "doc_id", stride=_Y4M_STRIDE)
 
 
-def _hyperplane_lsh_oracle() -> str:
+def _hyperplane_lsh_oracle(rows: int = _sim.HP_ROWS) -> str:
     """DuckDB replica of operators/similarity.py hyperplane LSH — planes
     regenerated from the SAME frozen constants; sign decisions via the
     same all-integer quantized dot product (exact on both engines
-    regardless of reduction order)."""
+    regardless of reduction order). ``rows`` is the band width (the
+    scale knob): plane count = HP_BANDS·rows, band = j // rows, bit
+    position = j % rows — a static registration-time constant, so wide
+    geometries replay exactly like the frozen 8-row one."""
     s = _sim
+    n_planes = s.HP_BANDS * rows
     return f"""
 WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings),
 qv AS (
@@ -1235,16 +1296,16 @@ qv AS (
 planes AS (
   SELECT j, d,
          2 * ((j * {s.HP_A} + d * {s.HP_B} + {s.HP_C}) % {s.HP_M}) - {s.HP_M} AS w
-  FROM range({s.HP_PLANES}) pj(j), range({s.HP_DIM}) pd(d)
+  FROM range({n_planes}) pj(j), range({s.HP_DIM}) pd(d)
 ),
 bits AS (
   SELECT vec_id, j, sum(q[d + 1] * w) >= 0 AS bit
   FROM qv, planes GROUP BY vec_id, j
 ),
 bands AS (
-  SELECT vec_id, j // {s.HP_ROWS} AS band,
-         sum(CASE WHEN bit THEN 1 << (j % {s.HP_ROWS}) ELSE 0 END) AS sig
-  FROM bits GROUP BY vec_id, j // {s.HP_ROWS}
+  SELECT vec_id, j // {rows} AS band,
+         sum(CASE WHEN bit THEN 1 << (j % {rows}) ELSE 0 END) AS sig
+  FROM bits GROUP BY vec_id, j // {rows}
 ),
 cands AS (
   SELECT DISTINCT a.vec_id AS id_a, b.vec_id AS id_b
@@ -1277,6 +1338,37 @@ def embedding_lsh_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
     # frozen 4×8 oracle geometry (bare callers get the auto width)
     return _sim.hyperplane_lsh_near_dup_pairs(
         emb, "vec_id", "embedding", EMB_NEAR_DUP_THRESHOLD, rows=_sim.HP_ROWS
+    )
+
+
+#: Band width of the registered WIDE hyperplane-LSH twin. 16 bits per
+#: band → 2^16 buckets per band vs the frozen twin's 2^8: the toy
+#: geometry's candidate set measured ~104× growth for 10× vectors
+#: (saturated buckets, BENCH_NOTES r5) while rows=16 measured sublinear
+#: (2.8× at sf1). Inside auto_hyperplane_rows' [8, 24] clamp and a
+#: static constant, so the oracle replays it exactly.
+HP_ROWS_WIDE = 16
+
+
+@register(
+    "embedding_lsh_near_dups_wide",
+    oracle=_hyperplane_lsh_oracle(rows=HP_ROWS_WIDE),
+    description=f"Random-hyperplane LSH near-dup pairs at the SCALE "
+    f"geometry: {_sim.HP_BANDS}×{HP_ROWS_WIDE} sign-bit bands (2^16 "
+    "buckets per band vs the toy twin's 2^8 — the width that keeps the "
+    "band equi-join's candidate volume near-linear past 10^5 vectors; "
+    "the toy width measured ~104x candidate growth at 10x data), exact "
+    "cosine verify of candidates only. Precision 1.0; per-band recall "
+    "for weaker pairs trades against bucket sparsity exactly as in "
+    "standard LSH practice — exact twins still collide on every band",
+    tags=("extension", "dedup", "similarity", "lsh", "scale-twin"),
+)
+def embedding_lsh_near_dups_wide(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = read_parquet_table(spark, sf_dir, "embeddings")
+    # frozen WIDE geometry: the registered scale plan (bare callers get
+    # the n-derived auto width, which reaches 16 rows at ~10^5 vectors)
+    return _sim.hyperplane_lsh_near_dup_pairs(
+        emb, "vec_id", "embedding", EMB_NEAR_DUP_THRESHOLD, rows=HP_ROWS_WIDE
     )
 
 

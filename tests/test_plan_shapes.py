@@ -219,6 +219,63 @@ def test_simhash_near_dups_is_blocked_not_all_pairs(spark, sf_dir):
     assert "BroadcastNestedLoopJoin" not in plan
 
 
+def test_simhash_wide_twin_same_plan_shape_more_buckets(spark, sf_dir):
+    """The registered scale twin (bits=59) must keep the toy twin's
+    blocked plan shape — only equi-joins, no pair-space scan — while
+    widening the per-chunk bucket space from 2^8 to ~2^15 (the knob
+    that keeps candidates near-linear at 10x data, BENCH_NOTES r5/r7).
+    Results agree with the toy twin's guarantee: pairs == all-pairs
+    brute force at the same width (pigeonhole recall 1.0)."""
+    from spotify_tracks_etl_portfolio_spark.operators import dedup as dd
+    from spotify_tracks_etl_portfolio_spark.sources.readers import (
+        read_parquet_table,
+    )
+
+    df = all_queries()["simhash_near_dups_wide"].fn(spark, sf_dir)
+    got = {(r.id_a, r.id_b, r.hamming) for r in df.collect()}
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    docs = read_parquet_table(spark, sf_dir, "documents")
+    brute = {
+        (r.id_a, r.id_b, r.hamming)
+        for r in dd.simhash_all_pairs(
+            docs, "doc_id", "text", 3, bits=dd.SIMHASH_MAX_BITS
+        ).collect()
+    }
+    assert got == brute
+
+
+def test_hyperplane_wide_twin_blocked_and_exact_verified(spark, sf_dir):
+    """The registered scale twin (rows=16) keeps the LSH shape (band
+    equi-join, no pair-space scan) and precision 1.0: every returned
+    pair is in the exact brute-force cosine filter's result set with
+    the identical cosine. (Exact-twin recall at rows=16 is pinned by
+    test_hyperplane_lsh_wide_bands_keep_twin_recall_and_precision.)"""
+    from spotify_tracks_etl_portfolio_spark.operators.dedup import (
+        embedding_near_dup_pairs,
+    )
+    from spotify_tracks_etl_portfolio_spark.plans import extensions as ext
+    from spotify_tracks_etl_portfolio_spark.sources.readers import (
+        read_parquet_table,
+    )
+
+    df = all_queries()["embedding_lsh_near_dups_wide"].fn(spark, sf_dir)
+    got = {(r.id_a, r.id_b): r.cosine for r in df.collect()}
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    emb = read_parquet_table(spark, sf_dir, "embeddings")
+    exact = {
+        (r.id_a, r.id_b): r.cosine
+        for r in embedding_near_dup_pairs(
+            emb, "vec_id", "embedding", ext.EMB_NEAR_DUP_THRESHOLD
+        ).collect()
+    }
+    assert set(got) <= set(exact)  # precision 1.0
+    assert all(exact[p] == c for p, c in got.items())
+
+
 def test_jaccard_fanout_guard_is_engaged(spark, sf_dir):
     """ngram_jaccard_pairs must run with the document-frequency cap: the
     hot-shingle drop shows up as a left-semi join against the rare-
