@@ -59,6 +59,10 @@ HEADLINE = [
     "trade_graph_pagerank",
     "hashed_token_vectors",
     "sessionize_events_batch",
+    # round-8: the registered SCALE geometries of the two formerly
+    # frozen-toy near-dup plans (timing history starts this round)
+    "simhash_near_dups_wide",
+    "embedding_lsh_near_dups_wide",
 ]
 
 RUNS_PER_QUERY = 3

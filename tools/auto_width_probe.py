@@ -6,6 +6,14 @@ frozen toy geometry. Sublinear growth under defaults is the acceptance
 criterion; the r05 evidence needed hand-passed knobs (bits=59, rows=16,
 k=80) to get there.
 
+EXECUTOR (round-8 verdict item 3): ``qe.toRdd().count()`` — the same
+honest materializer as tools/stress_sweep.py. The original
+``df.count()`` executor let Catalyst prune entire subtrees under the
+count aggregate (a count over the left-join-unique dedup shapes never
+runs the pair-verify join), which silently reduced the r06 semantic
+rows to assignment-only timings — retracted in BENCH_NOTES r7. toRdd
+materializes EVERY operator of the frame's own finalized AQE plan.
+
 Usage: python tools/auto_width_probe.py [--dirs sf0.1,sf1,sf3]
        (names resolve under /root/testdata or <repo>/.stress)
 
@@ -48,8 +56,15 @@ def main() -> None:
     spark = get_spark("auto_width_probe")
 
     def timed(fn):
+        # toRdd().count() materializes the FULL finalized plan (no
+        # count-aggregate subtree pruning — round-8 verdict item 3);
+        # row count comes from the same RDD pass, zero extra jobs
+        import gc as _gc
+
+        _gc.collect()
+        spark._jvm.System.gc()
         t0 = time.time()
-        n = fn().count()
+        n = fn()._jdf.queryExecution().toRdd().count()
         return round(time.time() - t0, 1), n
 
     results: dict[str, dict] = {}
