@@ -697,16 +697,28 @@ def test_persisted_index_artifacts_reused_across_calls(spark, sf_dir):
     identical result."""
     import os as _os
 
+    from spotify_tracks_etl_portfolio_spark.operators import (
+        similarity as sim,
+    )
     from spotify_tracks_etl_portfolio_spark.plans.extensions import (
         _artifact_root,
     )
+    from spotify_tracks_etl_portfolio_spark.sources.readers import (
+        read_parquet_table,
+    )
 
+    n = read_parquet_table(spark, sf_dir, "embeddings").count()
+    ivf_k = sim.auto_ivf_cells(n)
+    pq_k = sim.auto_pq_k(n)
     cases = [
         ("bm25_index_search", "text_index", "stats", ""),
         ("trigram_like_search", "trgm_index", "postings", ""),
-        ("embedding_ivf_index_topk", "ivf_index", "centroids", ""),
+        # IVF/PQ artifact keys pin the round-8 DERIVED geometry
+        # (auto_ivf_cells(n) / auto_pq_k(n) — the recorded plans)
+        ("embedding_ivf_index_topk", "ivf_index", "centroids",
+         f"|k={ivf_k}|iters=3"),
         ("embedding_pq_topk", "pq_index", "codes",
-         "|m=8|sub=8|k=16|iters=2"),
+         f"|m=8|sub=8|k={pq_k}|iters=2"),
         # k-means model artifact: key pins the AUTO-derived geometry
         # (auto_semdedup_k(n) = 8 at test scale — the r07 recorded plan)
         ("semantic_dedup_embeddings", "semdedup_cents", "centroids",
