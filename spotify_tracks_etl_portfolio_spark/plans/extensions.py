@@ -403,7 +403,11 @@ WHERE bit_count(xor(a.simhash, b.simhash)) <= 3
     "pair within Hamming ≤ 3 matches at least one chunk exactly, so "
     "candidates come from narrow (chunk, value) equi-joins — identical "
     "result set to the all-pairs filter (recall 1.0 by pigeonhole), "
-    "never touching the |docs|² pair space",
+    "never touching the |docs|² pair space. This is the FROZEN TOY "
+    "geometry (kept for recording continuity; its 2^8 chunk buckets "
+    "saturate past ~10^5 docs) — the registered SCALE plan is the "
+    "simhash_near_dups_wide twin, and bare operator callers get the "
+    "n-derived auto width",
     tags=("extension", "dedup", "lsh"),
 )
 def simhash_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1380,7 +1384,11 @@ WHERE round(list_dot_product(a.e, b.e) /
     f"{_sim.HP_PLANES} frozen sign-bit planes banded "
     f"{_sim.HP_BANDS}×{_sim.HP_ROWS}, band-collision candidates, exact "
     "cosine verify of candidates only — precision 1.0, recall "
-    "probabilistic; the band equi-join never touches the |v|² pair space",
+    "probabilistic; the band equi-join never touches the |v|² pair "
+    "space. This is the FROZEN TOY geometry (kept for recording "
+    "continuity; its 2^8-bucket bands saturate past ~10^5 vectors) — "
+    "the registered SCALE plan is the embedding_lsh_near_dups_wide "
+    "twin, and bare operator callers get the n-derived auto width",
     tags=("extension", "dedup", "similarity", "lsh"),
 )
 def embedding_lsh_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -202,3 +202,57 @@ def test_decimal_contingency_fixes_sf1_ulp_mismatch(spark):
     fn, oracle = DECIMAL_VARIANTS["regional_revenue"]
     sm, om = _driver_style_multisets(spark, fn, oracle, sf1, chk)
     assert sm == om
+
+
+def test_width_parametric_oracles_generalize_beyond_registered_widths(
+    spark, sf_dir
+):
+    """Round-8 twins made the simhash/hyperplane oracles width-
+    parametric. The claim 'any STATIC width replays exactly' must not
+    silently hold only at the two registered widths (30/59, 8/16):
+    pick third widths never used by any registered query and pin
+    engine == DuckDB replay for both operator families."""
+    import duckdb
+
+    from spotify_tracks_etl_portfolio_spark.operators import dedup as dd
+    from spotify_tracks_etl_portfolio_spark.operators import (
+        similarity as sim,
+    )
+    from spotify_tracks_etl_portfolio_spark.plans import extensions as ext
+    from spotify_tracks_etl_portfolio_spark.sources.readers import (
+        read_parquet_table,
+    )
+
+    con = duckdb.connect()
+    for t in ("documents", "embeddings"):
+        con.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM "
+            f"read_parquet('{sf_dir}/{t}.parquet')"
+        )
+    # SimHash at bits=45 (spans both hash streams, unregistered width)
+    docs = read_parquet_table(spark, sf_dir, "documents")
+    got = {
+        (r.doc_id, r.simhash)
+        for r in dd.simhash(docs, "doc_id", "text", bits=45).collect()
+    }
+    want = {
+        tuple(r)
+        for r in con.execute(
+            f"WITH {ext._SHINGLE_CTES},\n{ext._simhash_sql(bits=45)}\n"
+            "SELECT doc_id, simhash FROM simh"
+        ).fetchall()
+    }
+    assert got == want
+    # Hyperplane LSH at rows=12 (unregistered band width)
+    emb = read_parquet_table(spark, sf_dir, "embeddings")
+    got_pairs = {
+        (r.id_a, r.id_b, r.cosine)
+        for r in sim.hyperplane_lsh_near_dup_pairs(
+            emb, "vec_id", "embedding", ext.EMB_NEAR_DUP_THRESHOLD, rows=12
+        ).collect()
+    }
+    want_pairs = {
+        tuple(r)
+        for r in con.execute(ext._hyperplane_lsh_oracle(rows=12)).fetchall()
+    }
+    assert got_pairs == want_pairs
