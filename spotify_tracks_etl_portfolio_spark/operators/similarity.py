@@ -847,9 +847,82 @@ def auto_semdedup_k(
     pairwise work at ~n·target_cell. Clamped to [8, SEMDEDUP_MAX_K]
     (8 = the frozen oracle geometry; past 4096 cells the driver-side
     centroid state is still only ~2 MB but k-means collect rounds
-    start to dominate — shard the corpus instead)."""
+    start to dominate). Past the clamp (n ≳ 2M) cells grow beyond
+    target_cell; ``semantic_dedup``'s ``max_cell`` guard then refines
+    oversized cells with a second per-cell clustering level
+    (``SEMDEDUP_SPLIT_CELL``), so the verify stays ~n·target_cell to
+    ~10⁷-vector cells; shard the corpus beyond that."""
     want = -(-max(n_vectors, 1) // target_cell)  # ceil division
     return max(8, min(SEMDEDUP_MAX_K, want))
+
+
+#: Cell population past which ``semantic_dedup`` refines the cell with
+#: a second, per-cell clustering level (8× the target population:
+#: auto-k keeps cells ≈ SEMDEDUP_TARGET_CELL until the SEMDEDUP_MAX_K
+#: clamp engages at n ≈ 2M vectors, so the split path is INACTIVE at
+#: every recorded/stress scale and self-activates around n ≈ 16.8M —
+#: the point where the clamp would otherwise let the per-cell n²/k
+#: verify go quadratic again).
+SEMDEDUP_SPLIT_CELL = 8 * SEMDEDUP_TARGET_CELL
+
+
+def _np_round_half_away(x, dp: int):
+    """numpy HALF_UP (round half away from zero) at ``dp`` decimals —
+    matching Spark's F.round / DuckDB's round (np.round is banker's
+    rounding, which would diverge on exact .5 boundaries)."""
+    import numpy as np
+
+    s = 10.0**dp
+    return np.sign(x) * np.floor(np.abs(x) * s + 0.5) / s
+
+
+def _subcluster_fn(id_col: str, target_cell: int, iters: int):
+    """Per-cell deterministic sub-clustering for ``applyInPandas`` —
+    a LOCAL replay of the engine's zero-RNG Lloyd semantics inside one
+    oversized cell: seeds = the sub_k smallest-id members, assignment
+    by 6-dp-rounded cosine (ties → smallest subcell; norms clamped at
+    1e-12), mean update sums 9-dp fixed-point integers (HALF_UP, the
+    _fixed_point_mean contract), empty subcells keep their centroid.
+    Input order cannot matter: the group sorts by id first, so the
+    result is partition- and shuffle-order-independent. This is the
+    sanctioned pandas seam (a dense GEMM per group that Column HOFs
+    evaluate element-by-element)."""
+    import math
+
+    def fn(pdf):
+        import numpy as np
+        import pandas as pd
+
+        pdf = pdf.sort_values(id_col, kind="mergesort").reset_index(drop=True)
+        X = np.asarray([np.asarray(v, dtype=np.float64) for v in pdf["__v"]])
+        n = len(pdf)
+        sub_k = math.ceil(n / target_cell)
+        if sub_k <= 1:
+            return pd.DataFrame(
+                {id_col: pdf[id_col], "subcell": np.zeros(n, dtype=np.int32)}
+            )
+        xn = np.maximum(np.sqrt((X * X).sum(axis=1)), 1e-12)
+
+        def assign(C):
+            cn = np.maximum(np.sqrt((C * C).sum(axis=1)), 1e-12)
+            sims = _np_round_half_away((X @ C.T) / np.outer(xn, cn), 6)
+            # argmax returns the FIRST maximum → smallest subcell tie
+            return sims.argmax(axis=1)
+
+        C = X[:sub_k].copy()
+        for _ in range(iters):
+            asg = assign(C)
+            for c in range(sub_k):
+                m = asg == c
+                if m.any():
+                    fixed = (
+                        np.sign(X[m]) * np.floor(np.abs(X[m]) * 1e9 + 0.5)
+                    ).sum(axis=0)
+                    C[c] = fixed / 1e9 / m.sum()
+        final = assign(C).astype(np.int32)
+        return pd.DataFrame({id_col: pdf[id_col], "subcell": final})
+
+    return fn
 
 
 def semantic_dedup(
@@ -860,6 +933,8 @@ def semantic_dedup(
     k: int | None = None,
     iters: int = 3,
     centroids: DataFrame | None = None,
+    max_cell: int | None = SEMDEDUP_SPLIT_CELL,
+    target_cell: int = SEMDEDUP_TARGET_CELL,
 ) -> DataFrame:
     """SemDeDup-style semantic deduplication (Abbas et al. 2023,
     arXiv:2303.09540): cluster the embedding space with deterministic
@@ -889,6 +964,24 @@ def semantic_dedup(
     changes the cost, never the answer. ``k``/``iters`` are ignored
     when centroids are supplied.
 
+    ``max_cell`` (round 8): cells larger than this are REFINED with a
+    second, per-cell clustering level before the verify join — the
+    scale guard for corpora past the SEMDEDUP_MAX_K clamp (n ≳ 2M),
+    where auto-k can no longer hold cells near ``target_cell`` and the
+    per-cell self-join would go quadratic again (Σ|cell|² ≈ n²/4096 at
+    n = 10⁹). Oversized cells sub-cluster into ⌈|cell|/target_cell⌉
+    subcells via a deterministic per-cell Lloyd (``applyInPandas``,
+    one task per oversized cell — handles cells to ~10⁷ vectors; the
+    split is one level, so shard the corpus beyond that), and the
+    near-dup scope becomes (cell, subcell). Standard SemDeDup
+    semantics: refining the partition is exactly what growing k does —
+    duplicates collapse within finer clusters; exact twins always
+    share a subcell because the assignment is deterministic in the
+    vector value. INACTIVE (bit-identical plan and result) whenever no
+    cell exceeds ``max_cell`` — i.e. at every recorded gate/stress
+    scale, where only a tiny cell-size aggregation is added.
+    ``max_cell=None`` disables the guard.
+
     Returns (id, cell, is_kept) for every input vector.
     """
     if centroids is not None:
@@ -917,21 +1010,48 @@ def semantic_dedup(
         F.element_at(assign1(F.col(vec_col)), 1).alias("cell"),
         vec_norm_safe(vec_col).alias("__n"),
     ).localCheckpoint(eager=True)
+    key = ["cell"]
+    if max_cell is not None:
+        oversized = [
+            r["cell"]
+            for r in assigned.groupBy("cell")
+            .count()
+            .filter(F.col("count") > max_cell)
+            .collect()  # bounded by k rows — the sanctioned k-scaled collect
+        ]
+        if oversized:
+            sub = (
+                assigned.filter(F.col("cell").isin(oversized))
+                .select(id_col, "cell", F.col(vec_col).alias("__v"))
+                .groupBy("cell")
+                .applyInPandas(
+                    _subcluster_fn(id_col, target_cell, iters),
+                    f"{id_col} long, subcell int",
+                )
+            )
+            assigned = (
+                assigned.join(sub, id_col, "left")
+                .withColumn(
+                    "subcell", F.coalesce(F.col("subcell"), F.lit(0))
+                )
+                .localCheckpoint(eager=True)
+            )
+            key = ["cell", "subcell"]
     a = assigned.select(
-        "cell",
+        *key,
         F.col(id_col).alias("__ida"),
         F.col(vec_col).alias("__va"),
         F.col("__n").alias("__na"),
     )
     b = assigned.select(
-        "cell",
+        *key,
         F.col(id_col).alias("__idb"),
         F.col(vec_col).alias("__vb"),
         F.col("__n").alias("__nb"),
     )
     # every vector with a LOWER-id near-duplicate in its cell is dropped
     dropped = (
-        a.join(b, "cell")
+        a.join(b, key)
         .filter(F.col("__idb") < F.col("__ida"))
         .withColumn(
             "__cos",

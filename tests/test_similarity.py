@@ -1098,3 +1098,93 @@ def test_scan_parallelism_row_group_refinement(spark, tmp_path):
             spark.conf.unset("spark.sql.files.openCostInBytes")
         else:
             spark.conf.set("spark.sql.files.openCostInBytes", old)
+
+
+def test_semantic_dedup_oversized_cell_split(spark, sf_dir):
+    """Round-8 scale guard: cells past ``max_cell`` refine with a
+    second, per-cell deterministic clustering level and the near-dup
+    scope becomes (cell, subcell). Contracts: (a) with no oversized
+    cell, results are IDENTICAL to the unguarded run (the guard is a
+    no-op at every recorded scale); (b) under forced splitting, every
+    input id survives with a verdict, kept sets only GROW (finer scope
+    ⇒ fewer pairs ⇒ dropped_split ⊆ dropped_unsplit), soundness holds
+    (every dropped id has a lower-id ≥threshold neighbor in its CELL),
+    exact twins are still dropped (identical vectors share a subcell
+    deterministically), and the result is partition-invariant."""
+    import numpy as np
+
+    emb = read_parquet_table(spark, sf_dir, "embeddings")
+    n = emb.count()
+    # plant exact twins of the first five vectors at higher ids
+    twins = emb.filter(F.col("vec_id") < 5).withColumn(
+        "vec_id", F.col("vec_id") + 10_000_000
+    )
+    both = emb.unionByName(twins)
+
+    base = sorted(
+        map(
+            tuple,
+            sim.semantic_dedup(
+                both, "vec_id", "embedding", threshold=0.9, k=4, iters=2,
+                max_cell=None,
+            ).collect(),
+        )
+    )
+    # (a) guard engaged but nothing oversized → bit-identical result
+    huge = sorted(
+        map(
+            tuple,
+            sim.semantic_dedup(
+                both, "vec_id", "embedding", threshold=0.9, k=4, iters=2,
+                max_cell=10 * n,
+            ).collect(),
+        )
+    )
+    assert huge == base
+    # (b) force splits: k=4 over ~n vectors with max_cell=32
+    split = sim.semantic_dedup(
+        both, "vec_id", "embedding", threshold=0.9, k=4, iters=2,
+        max_cell=32, target_cell=16,
+    ).collect()
+    assert len(split) == len(base)
+    dropped_split = {r["vec_id"] for r in split if not r["is_kept"]}
+    dropped_base = {t[0] for t in base if not t[2]}
+    assert dropped_split <= dropped_base
+    for i in range(5):  # exact twins always collapse
+        assert i + 10_000_000 in dropped_split
+    # soundness against a local exact check WITHIN each cell
+    vecs = {r["vec_id"]: np.array(r["embedding"]) for r in both.collect()}
+    cell_of = {r["vec_id"]: r["cell"] for r in split}
+    for d in dropped_split:
+        vd = vecs[d]
+        nd = max(np.sqrt(vd @ vd), 1e-12)
+        found = False
+        for j, vj in vecs.items():
+            if j >= d or cell_of[j] != cell_of[d]:
+                continue
+            nj = max(np.sqrt(vj @ vj), 1e-12)
+            if round(float(vd @ vj) / (nd * nj), 6) >= 0.9:
+                found = True
+                break
+        assert found, f"{d} dropped without an in-cell lower-id near-dup"
+    # partition invariance of the split path
+    again = sim.semantic_dedup(
+        both.repartition(7), "vec_id", "embedding", threshold=0.9, k=4,
+        iters=2, max_cell=32, target_cell=16,
+    ).collect()
+    assert sorted(map(tuple, again)) == sorted(
+        (r["vec_id"], r["cell"], r["is_kept"]) for r in split
+    )
+
+
+def test_np_round_half_away_matches_spark_round():
+    """The per-cell sub-clustering rounds with HALF_UP (away from
+    zero), matching F.round / DuckDB round — np.round's banker's
+    rounding would diverge on exact .5 boundaries."""
+    import numpy as np
+
+    x = np.array([0.0000005, 0.0000015, -0.0000005, -0.0000015, 1.25e-6])
+    got = sim._np_round_half_away(x, 6)
+    assert got.tolist() == [1e-6, 2e-6, -1e-6, -2e-6, 1e-6]
+    # banker's rounding would give [0.0, 2e-6, 0.0, -2e-6, ...]
+    assert np.round(x, 6).tolist() != got.tolist()
