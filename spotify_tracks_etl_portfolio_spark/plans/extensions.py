@@ -2633,6 +2633,130 @@ def semantic_dedup_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+#: Frozen geometry of the SPLIT-PATH semantic-dedup query: k=4 level-1
+#: cells over the gate corpus leave every cell far past max_cell=32,
+#: so the per-cell refinement level (the round-8 scale guard for
+#: corpora beyond the SEMDEDUP_MAX_K clamp) is ACTIVE at sf0.01 and
+#: therefore hash-gated, not just pytest-gated.
+SPLIT_K1, SPLIT_ITERS, SPLIT_MAX_CELL, SPLIT_TARGET = 4, 2, 32, 16
+
+
+def _semantic_split_oracle(threshold: float = 0.9) -> str:
+    """Replay of ``semantic_dedup``'s oversized-cell refinement: the
+    level-1 unrolled k-means (``_kmeans_cent_ctes``), then — for cells
+    past SPLIT_MAX_CELL — a PER-CELL second Lloyd level whose CTEs are
+    cell-parallel (seeds = the ⌈n_cell/target⌉ smallest-id members via
+    a per-cell row_number; assignment/means partition by cell), then
+    the lower-id near-dup drop scoped to (cell, subcell). Replayable
+    because the per-cell sub-clustering is the SAME zero-RNG contract
+    as the global one: 6-dp HALF_UP cosine assignment with
+    smallest-subcell ties (numpy argmax picks the first max; SQL
+    row_number orders sub ASC), 9-dp fixed-point integer mean sums
+    (order-independent, exact below 2^53), empty subcells keep their
+    centroid. The engine side computes this in ``applyInPandas``
+    (``_subcluster_fn``) — cross-engine equality verified at
+    sf0.001/0.01/0.1 before registration."""
+    ctes = ["v AS (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings)"]
+    l1, _ = _kmeans_cent_ctes(SPLIT_K1, SPLIT_ITERS)
+    ctes.extend(l1)
+    ctes.append("""cs AS MATERIALIZED (
+  SELECT cell, count(*) AS n FROM final_asg GROUP BY cell
+)""")
+    ctes.append(f"""mem AS MATERIALIZED (
+  SELECT f.vec_id, f.e, f.cell, cs.n
+  FROM final_asg f JOIN cs USING (cell) WHERE cs.n > {SPLIT_MAX_CELL}
+)""")
+    ctes.append(f"""sub0 AS MATERIALIZED (
+  SELECT cell, rn - 1 AS sub, e AS c FROM (
+    SELECT cell, e, n,
+           row_number() OVER (PARTITION BY cell ORDER BY vec_id) AS rn
+    FROM mem)
+  WHERE rn <= CAST(ceil(n / {SPLIT_TARGET}.0) AS BIGINT)
+)""")
+
+    def sassign(cent: str, out: str) -> str:
+        return f"""{out} AS MATERIALIZED (
+  SELECT vec_id, cell, e, sub FROM (
+    SELECT m.vec_id, m.cell, m.e, s.sub,
+           row_number() OVER (PARTITION BY m.vec_id
+                              ORDER BY {_sql_cos('m.e', 's.c')} DESC,
+                                       s.sub ASC) AS rn
+    FROM mem m JOIN {cent} s USING (cell)) WHERE rn = 1
+)"""
+
+    prev = "sub0"
+    for t in range(1, SPLIT_ITERS + 1):
+        ctes.append(sassign(prev, f"sasg{t}"))
+        ctes.append(f"""smeans{t} AS MATERIALIZED (
+  SELECT cell, sub, d,
+         CAST(SUM(CAST(round(e[d] * 1000000000) AS BIGINT)) AS DOUBLE)
+           / 1000000000.0 / count(*) AS m
+  FROM sasg{t}, unnest(range(1, len(e) + 1)) AS t(d)
+  GROUP BY cell, sub, d
+)""")
+        ctes.append(f"""scent{t} AS MATERIALIZED (
+  SELECT p.cell, p.sub, coalesce(mm.c, p.c) AS c
+  FROM {prev} p LEFT JOIN (
+    SELECT cell, sub, list(m ORDER BY d) AS c FROM smeans{t}
+    GROUP BY cell, sub
+  ) mm USING (cell, sub)
+)""")
+        prev = f"scent{t}"
+    ctes.append(sassign(prev, "sfinal"))
+    ctes.append("""keyed AS MATERIALIZED (
+  SELECT f.vec_id, f.e, f.cell, COALESCE(sf.sub, 0) AS subcell
+  FROM final_asg f LEFT JOIN sfinal sf USING (vec_id)
+)""")
+    ctes.append(f"""dropped AS (
+  SELECT DISTINCT a.vec_id
+  FROM keyed a JOIN keyed b
+    ON a.cell = b.cell AND a.subcell = b.subcell AND b.vec_id < a.vec_id
+  WHERE {_sql_cos('a.e', 'b.e')} >= {threshold}
+)""")
+    return (
+        "WITH "
+        + ",\n".join(ctes)
+        + """
+SELECT f.vec_id, CAST(f.cell AS BIGINT) AS cell,
+       (d.vec_id IS NULL) AS is_kept
+FROM keyed f LEFT JOIN dropped d USING (vec_id)
+"""
+    )
+
+
+@register(
+    "semantic_dedup_split_cells",
+    oracle=_semantic_split_oracle(threshold=0.9),
+    description="SemDeDup with the oversized-cell refinement ACTIVE "
+    f"(round-8 scale guard): k={SPLIT_K1} level-1 cells leave every "
+    f"cell past max_cell={SPLIT_MAX_CELL}, so each cell sub-clusters "
+    f"into ⌈|cell|/{SPLIT_TARGET}⌉ subcells via the per-cell "
+    "deterministic Lloyd (applyInPandas, one task per oversized cell) "
+    "and the near-dup drop scopes to (cell, subcell). This is the "
+    "guard that keeps the verify ~n·target_cell past the "
+    "SEMDEDUP_MAX_K clamp (n ≳ 2M, where cells would otherwise grow "
+    "unboundedly and the per-cell self-join would go quadratic: "
+    "measured 4.0× at sf3 with forced engagement, BENCH_NOTES r8). "
+    "Registered with deliberately small thresholds so the split path "
+    "is exercised and HASH-CHECKED at the sf0.01 gate — the oracle "
+    "replays the per-cell second Lloyd level as cell-parallel SQL "
+    "(zero-RNG, HALF_UP rounding parity pinned by pytest).",
+    tags=("extension", "similarity", "dedup", "scale-twin"),
+)
+def semantic_dedup_split_cells(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = read_parquet_table(spark, sf_dir, "embeddings")
+    return _sim.semantic_dedup(
+        emb,
+        "vec_id",
+        "embedding",
+        threshold=0.9,
+        k=SPLIT_K1,
+        iters=SPLIT_ITERS,
+        max_cell=SPLIT_MAX_CELL,
+        target_cell=SPLIT_TARGET,
+    )
+
+
 #: Model context length for sequence packing (tokens).
 PACK_CONTEXT_LEN = 512
 
