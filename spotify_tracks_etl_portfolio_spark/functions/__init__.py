@@ -178,8 +178,17 @@ def morton_code(a: Column | str, b: Column | str, bits: int = 16) -> Column:
 #: materializes upstream query stages — real jobs — so the rescue must
 #: never probe them.)
 _OWNS_PARTITIONING = re.compile(
+    # \w* suffixes (NOT \b): the logical node names come in families —
+    # RepartitionByExpression, DeduplicateWithinWatermark,
+    # FlatMapGroupsInPandas, FlatMapCoGroupsInPandas, MapGroups… — and
+    # a trailing \b would match only the bare base name (round-8
+    # review finding: RepartitionByExpression and the pandas group
+    # nodes slipped through, so an explicitly hash-partitioned frame
+    # could be re-repartitioned and an applyInPandas-bearing in-memory
+    # frame could reach the .rdd probe).
     r"^[\s:+\-]*(?:Repartition|Join|Aggregate|Window|Sort|Deduplicate|"
-    r"Intersect|Except|GlobalLimit|CoGroup|MapGroups|FlatMapGroups)\b",
+    r"Intersect|Except|GlobalLimit|CoGroup|MapGroups|FlatMapGroups|"
+    r"FlatMapCoGroups)\w*",
     re.MULTILINE,
 )
 
@@ -189,6 +198,7 @@ _DEFAULT_MAX_PARTITION_BYTES = 128 * 1024 * 1024
 _DEFAULT_OPEN_COST_BYTES = 4 * 1024 * 1024
 
 _BYTE_SUFFIX = {
+    "": 1,
     "b": 1,
     "k": 1024,
     "kb": 1024,
@@ -198,15 +208,22 @@ _BYTE_SUFFIX = {
     "gb": 1024**3,
     "t": 1024**4,
     "tb": 1024**4,
+    "p": 1024**5,
+    "pb": 1024**5,
 }
 
 
 def _parse_bytes(value: str, default: int) -> int:
     """Parse a Spark byte-size conf value ('134217728', '134217728b',
-    '128MB', …)."""
+    '128MB', …). An UNRECOGNIZED suffix returns ``default`` — treating
+    it as bytes (round-8 review finding) would silently collapse the
+    split estimate and skip rescues."""
     try:
         m = re.fullmatch(r"\s*(\d+)\s*([a-zA-Z]*)\s*", str(value))
-        return int(m.group(1)) * _BYTE_SUFFIX.get(m.group(2).lower(), 1)
+        mult = _BYTE_SUFFIX.get(m.group(2).lower())
+        if mult is None:
+            return default
+        return int(m.group(1)) * mult
     except (AttributeError, ValueError):
         return default
 

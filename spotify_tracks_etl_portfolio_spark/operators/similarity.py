@@ -801,6 +801,16 @@ IVF_MAX_CELLS = 4096
 IVF_MAX_NPROBE = 64
 
 
+def _sqrt_clamped(n: int, lo: int, hi: int) -> int:
+    """clamp(⌈√n⌉, lo, hi) — the shared closed form behind the derived
+    IVF/PQ geometries (one definition engine-side; each recorded
+    oracle replays it as ``GREATEST(lo, LEAST(hi, CAST(ceil(sqrt(n))
+    AS BIGINT)))``, and ceil(sqrt()) is IEEE-exact on both engines)."""
+    import math
+
+    return max(lo, min(hi, math.ceil(math.sqrt(max(n, 1)))))
+
+
 def auto_ivf_cells(n_vectors: int) -> int:
     """Corpus-size-aware IVF cell count (round-8 verdict item: the
     recorded k_cells=8 is a toy — probing nprobe=2 of 8 cells scans
@@ -811,10 +821,7 @@ def auto_ivf_cells(n_vectors: int) -> int:
     oracle geometry floor; a deterministic closed form, so the
     recorded auto-geometry query replays it as a scalar SQL CTE
     (ceil(sqrt(n)) is IEEE-exact on both engines)."""
-    import math
-
-    want = math.ceil(math.sqrt(max(n_vectors, 1)))
-    return max(8, min(IVF_MAX_CELLS, want))
+    return _sqrt_clamped(n_vectors, 8, IVF_MAX_CELLS)
 
 
 def auto_ivf_nprobe(k_cells: int) -> int:
@@ -824,10 +831,7 @@ def auto_ivf_nprobe(k_cells: int) -> int:
     (measured recall@5 0.94 at sf0.01 under the derived k=23/nprobe=5
     vs 0.86 for the frozen toy 8/2). Clamped to [2, IVF_MAX_NPROBE];
     same replayable-closed-form contract as ``auto_ivf_cells``."""
-    import math
-
-    want = math.ceil(math.sqrt(max(k_cells, 1)))
-    return max(2, min(IVF_MAX_NPROBE, want))
+    return _sqrt_clamped(k_cells, 2, IVF_MAX_NPROBE)
 
 
 #: Auto-k target cell population for SemDeDup: cells of ~512 vectors
@@ -915,10 +919,20 @@ def _subcluster_fn(id_col: str, target_cell: int, iters: int):
             for c in range(sub_k):
                 m = asg == c
                 if m.any():
+                    # sum the 1e9-scaled fixed-point values as int64 —
+                    # exact for any realistic cell (float64 summation
+                    # would start rounding past 2^53 accumulated
+                    # magnitude, ~10^7 unit-scale members, breaking
+                    # parity with the oracle's exact BIGINT SUM —
+                    # round-8 review finding); the final int64→double
+                    # conversion rounds identically on both engines
+                    # because both convert the same exact integer.
                     fixed = (
-                        np.sign(X[m]) * np.floor(np.abs(X[m]) * 1e9 + 0.5)
-                    ).sum(axis=0)
-                    C[c] = fixed / 1e9 / m.sum()
+                        (np.sign(X[m]) * np.floor(np.abs(X[m]) * 1e9 + 0.5))
+                        .astype(np.int64)
+                        .sum(axis=0, dtype=np.int64)
+                    )
+                    C[c] = fixed.astype(np.float64) / 1e9 / m.sum()
         final = assign(C).astype(np.int32)
         return pd.DataFrame({id_col: pdf[id_col], "subcell": final})
 
@@ -1020,13 +1034,18 @@ def semantic_dedup(
             .collect()  # bounded by k rows — the sanctioned k-scaled collect
         ]
         if oversized:
+            # output schema carries the id column's ACTUAL type — the
+            # operator is generic over orderable ids (string doc ids
+            # included), so a hardcoded long would break/corrupt
+            # non-long callers (round-8 review finding)
+            id_type = dict(assigned.dtypes)[id_col]
             sub = (
                 assigned.filter(F.col("cell").isin(oversized))
                 .select(id_col, "cell", F.col(vec_col).alias("__v"))
                 .groupBy("cell")
                 .applyInPandas(
                     _subcluster_fn(id_col, target_cell, iters),
-                    f"{id_col} long, subcell int",
+                    f"{id_col} {id_type}, subcell int",
                 )
             )
             assigned = (
@@ -1098,10 +1117,7 @@ def auto_pq_k(n_vectors: int) -> int:
     Clamped to [PQ_K, PQ_MAX_K] (PQ_K=16 = the frozen oracle geometry
     floor); deterministic closed form, replayable as a scalar SQL
     CTE."""
-    import math
-
-    want = math.ceil(math.sqrt(max(n_vectors, 1)))
-    return max(PQ_K, min(PQ_MAX_K, want))
+    return _sqrt_clamped(n_vectors, PQ_K, PQ_MAX_K)
 #: ADC scores shortlist this many candidates per query; the exact
 #: re-rank then keeps topk. 100 holds measured top5-in-shortlist
 #: recall at 0.94 on the driver testdata (random synthetic embeddings

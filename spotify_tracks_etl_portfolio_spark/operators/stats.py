@@ -295,7 +295,10 @@ def grouped_prefix_sum(
         ).first()
         lo = mm["lo"] if mm["lo"] is not None else 0
         hi = mm["hi"] if mm["hi"] is not None else 0
-    width = max(1, (hi - lo) // buckets + 1)
+    # width is Python-unbounded arithmetic; cap it at BIGINT max so the
+    # SQL literal below is always valid (a full-int64 declared range
+    # with buckets=1 would otherwise produce width = 2**64-1)
+    width = min(max(1, (hi - lo) // buckets + 1), 2**63 - 1)
     # NULL lead values sort first under ASC — give them a bucket below
     # every real bucket (the _bucketed_global_ranks guard); DIV keeps
     # the arithmetic integral (no double rounding on wide longs); the
@@ -309,15 +312,31 @@ def grouped_prefix_sum(
     # breaks monotone order / collides with the NULL sentinel —
     # collapsing every above-hi lead into one overflow bucket stays
     # EXACT because the final window orders by __gps_o within each
-    # bucket. The comparison happens BEFORE any SQL-side subtraction so
-    # neither (__gps_o - lo) nor the DIV can overflow: __gps_o below
-    # the cap bounds the difference by width·buckets.
-    hi_cap = min(lo + width * buckets, 2**63 - 1)
+    # bucket. Both comparisons happen BEFORE any SQL-side subtraction,
+    # and the caps ALSO bound the subtraction itself: a declared range
+    # spanning more than the int64 range (lead_range=(-2**63, 2**63-1)
+    # is the natural declaration for a full-range signed hash lead)
+    # makes hi_cap clamp to lo + (2**63-1), so (__gps_o - lo) stays
+    # inside BIGINT for every row that reaches it; symmetrically,
+    # leads at or below lo - (2**63-1) pre-route to bucket 0 (they are
+    # below-lo leads, which clamp to bucket 0 anyway) so the negative
+    # side can't underflow either. All cap arithmetic is Python
+    # (unbounded) and every literal that reaches SQL fits BIGINT.
+    hi_cap = min(lo + width * buckets, lo + (2**63 - 1), 2**63 - 1)
+    lo_floor = max(lo - (2**63 - 1), -(2**63))
     bucket = F.when(F.col("__gps_o").isNull(), F.lit(-1)).otherwise(
         F.when(F.col("__gps_o") >= F.lit(hi_cap), F.lit(buckets)).otherwise(
-            F.greatest(
-                F.expr(f"CAST((__gps_o - {lo}) DIV {width} AS INT)"),
-                F.lit(0),
+            F.when(F.col("__gps_o") <= F.lit(lo_floor), F.lit(0)).otherwise(
+                F.greatest(
+                    # lo as a string-cast literal: a bare
+                    # -9223372036854775808 parses as unary-minus on an
+                    # out-of-range decimal in Spark SQL
+                    F.expr(
+                        f"CAST((__gps_o - CAST('{lo}' AS BIGINT))"
+                        f" DIV {width} AS INT)"
+                    ),
+                    F.lit(0),
+                )
             )
         )
     )

@@ -542,19 +542,41 @@ def _kmeans_cent_ctes(
     return ctes, prev
 
 
-def _semantic_dedup_oracle(
-    k: int | str = 8, iters: int = 3, threshold: float = 0.9
-) -> str:
-    """SemDeDup replay: unrolled k-means (``_kmeans_cent_ctes``) → final
-    assignment → within-cell lower-id near-dup drop. 6-dp rounding
-    before every ranking absorbs engine float-summation-order
-    differences.
+#: Frozen geometry of the SPLIT-PATH semantic-dedup query: k=4 level-1
+#: cells over the gate corpus leave every cell far past max_cell=32,
+#: so the per-cell refinement level (the round-8 scale guard for
+#: corpora beyond the SEMDEDUP_MAX_K clamp) is ACTIVE at sf0.01 and
+#: therefore hash-gated, not just pytest-gated.
+SPLIT_K1, SPLIT_ITERS, SPLIT_MAX_CELL, SPLIT_TARGET = 4, 2, 32, 16
 
-    ``k="auto"`` replays the engine's ``auto_semdedup_k(COUNT(*))``
-    closed form (⌈n/target_cell⌉ clamped to [8, max_k]) as a scalar
-    CTE — the round-7 verdict item: the RECORDED query exercises the
-    scale-safe k ∝ n geometry, and because the formula is
-    deterministic the zero-RNG replay technique applies verbatim."""
+
+def _semantic_split_oracle(
+    k: int | str = SPLIT_K1,
+    iters: int = SPLIT_ITERS,
+    threshold: float = 0.9,
+    max_cell: int = SPLIT_MAX_CELL,
+    target: int = SPLIT_TARGET,
+) -> str:
+    """Replay of ``semantic_dedup`` INCLUDING its oversized-cell
+    refinement: the level-1 unrolled k-means (``_kmeans_cent_ctes``,
+    ``k="auto"`` replays ``auto_semdedup_k(n)`` as a scalar CTE), then
+    — for cells past ``max_cell`` — a PER-CELL second Lloyd level
+    whose CTEs are cell-parallel (seeds = the ⌈n_cell/target⌉
+    smallest-id members via a per-cell row_number; assignment/means
+    partition by cell), then the lower-id near-dup drop scoped to
+    (cell, subcell). With NO oversized cell the split CTEs are empty
+    and this reduces exactly to the unsplit semantics — which is why
+    the MAIN recorded query also uses this oracle (round-8 review
+    finding: the engine's default guard is armed, so an oracle without
+    the split replay would diverge the moment a skewed cell crossed
+    max_cell). Replayable because the per-cell sub-clustering is the
+    SAME zero-RNG contract as the global one: 6-dp HALF_UP cosine
+    assignment with smallest-subcell ties (numpy argmax picks the
+    first max; SQL row_number orders sub ASC), 9-dp fixed-point
+    integer mean sums (exact int64 on both engines), empty subcells
+    keep their centroid. The engine side computes this in
+    ``applyInPandas`` (``_subcluster_fn``) — cross-engine equality
+    verified at sf0.001/0.01/0.1 before registration."""
     ctes = ["v AS (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings)"]
     if k == "auto":
         from spotify_tracks_etl_portfolio_spark.operators.similarity import (
@@ -570,12 +592,60 @@ def _semantic_dedup_oracle(
 )"""
         )
         k = "SELECT k FROM kk"
-    cent_ctes, _ = _kmeans_cent_ctes(k, iters)
-    ctes.extend(cent_ctes)
+    l1, _ = _kmeans_cent_ctes(k, iters)
+    ctes.extend(l1)
+    ctes.append("""cs AS MATERIALIZED (
+  SELECT cell, count(*) AS n FROM final_asg GROUP BY cell
+)""")
+    ctes.append(f"""mem AS MATERIALIZED (
+  SELECT f.vec_id, f.e, f.cell, cs.n
+  FROM final_asg f JOIN cs USING (cell) WHERE cs.n > {max_cell}
+)""")
+    ctes.append(f"""sub0 AS MATERIALIZED (
+  SELECT cell, rn - 1 AS sub, e AS c FROM (
+    SELECT cell, e, n,
+           row_number() OVER (PARTITION BY cell ORDER BY vec_id) AS rn
+    FROM mem)
+  WHERE rn <= CAST(ceil(n / {target}.0) AS BIGINT)
+)""")
+
+    def sassign(cent: str, out: str) -> str:
+        return f"""{out} AS MATERIALIZED (
+  SELECT vec_id, cell, e, sub FROM (
+    SELECT m.vec_id, m.cell, m.e, s.sub,
+           row_number() OVER (PARTITION BY m.vec_id
+                              ORDER BY {_sql_cos('m.e', 's.c')} DESC,
+                                       s.sub ASC) AS rn
+    FROM mem m JOIN {cent} s USING (cell)) WHERE rn = 1
+)"""
+
+    prev = "sub0"
+    for t in range(1, iters + 1):
+        ctes.append(sassign(prev, f"sasg{t}"))
+        ctes.append(f"""smeans{t} AS MATERIALIZED (
+  SELECT cell, sub, d,
+         CAST(SUM(CAST(round(e[d] * 1000000000) AS BIGINT)) AS DOUBLE)
+           / 1000000000.0 / count(*) AS m
+  FROM sasg{t}, unnest(range(1, len(e) + 1)) AS t(d)
+  GROUP BY cell, sub, d
+)""")
+        ctes.append(f"""scent{t} AS MATERIALIZED (
+  SELECT p.cell, p.sub, coalesce(mm.c, p.c) AS c
+  FROM {prev} p LEFT JOIN (
+    SELECT cell, sub, list(m ORDER BY d) AS c FROM smeans{t}
+    GROUP BY cell, sub
+  ) mm USING (cell, sub)
+)""")
+        prev = f"scent{t}"
+    ctes.append(sassign(prev, "sfinal"))
+    ctes.append("""keyed AS MATERIALIZED (
+  SELECT f.vec_id, f.e, f.cell, COALESCE(sf.sub, 0) AS subcell
+  FROM final_asg f LEFT JOIN sfinal sf USING (vec_id)
+)""")
     ctes.append(f"""dropped AS (
   SELECT DISTINCT a.vec_id
-  FROM final_asg a JOIN final_asg b
-    ON a.cell = b.cell AND b.vec_id < a.vec_id
+  FROM keyed a JOIN keyed b
+    ON a.cell = b.cell AND a.subcell = b.subcell AND b.vec_id < a.vec_id
   WHERE {_sql_cos('a.e', 'b.e')} >= {threshold}
 )""")
     return (
@@ -584,9 +654,10 @@ def _semantic_dedup_oracle(
         + """
 SELECT f.vec_id, CAST(f.cell AS BIGINT) AS cell,
        (d.vec_id IS NULL) AS is_kept
-FROM final_asg f LEFT JOIN dropped d USING (vec_id)
+FROM keyed f LEFT JOIN dropped d USING (vec_id)
 """
     )
+
 
 
 def _ivf_topk_oracle(
@@ -2586,7 +2657,13 @@ def bpe_segment_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "semantic_dedup_embeddings",
-    oracle=_semantic_dedup_oracle(k="auto", iters=3, threshold=0.9),
+    oracle=_semantic_split_oracle(
+        k="auto",
+        iters=3,
+        threshold=0.9,
+        max_cell=_sim.SEMDEDUP_SPLIT_CELL,
+        target=_sim.SEMDEDUP_TARGET_CELL,
+    ),
     description="SemDeDup-style semantic dedup (arXiv:2303.09540): "
     "deterministic k-means clusters the embedding space, then within "
     "each cluster every vector with a lower-id cosine>=0.9 neighbor is "
@@ -2600,7 +2677,11 @@ def bpe_segment_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     "oracle-checked: the auto-k closed form replays as a scalar CTE "
     "and the zero-RNG pipeline (seeded Lloyd's, order-independent "
     "DECIMAL-mean update, 6-dp assignment, within-cell verify) as an "
-    "unrolled DuckDB CTE chain. Extra pytest gates: planted duplicates "
+    "unrolled DuckDB CTE chain — INCLUDING the round-8 oversized-cell "
+    "guard (the oracle replays the per-cell refinement level, which "
+    "reduces to the unsplit semantics whenever no cell exceeds "
+    "SEMDEDUP_SPLIT_CELL, so engine and oracle agree under any skew). "
+    "Extra pytest gates: planted duplicates "
     "drop, soundness vs global brute force. The k-means centroids are "
     "a PERSISTED model artifact (same pattern as the IVF index / PQ "
     "codebooks): the first call in a session trains and publishes "
@@ -2630,97 +2711,6 @@ def semantic_dedup_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
     cents = spark.read.parquet(f"{root}/centroids")
     return _sim.semantic_dedup(
         emb, "vec_id", "embedding", threshold=0.9, centroids=cents
-    )
-
-
-#: Frozen geometry of the SPLIT-PATH semantic-dedup query: k=4 level-1
-#: cells over the gate corpus leave every cell far past max_cell=32,
-#: so the per-cell refinement level (the round-8 scale guard for
-#: corpora beyond the SEMDEDUP_MAX_K clamp) is ACTIVE at sf0.01 and
-#: therefore hash-gated, not just pytest-gated.
-SPLIT_K1, SPLIT_ITERS, SPLIT_MAX_CELL, SPLIT_TARGET = 4, 2, 32, 16
-
-
-def _semantic_split_oracle(threshold: float = 0.9) -> str:
-    """Replay of ``semantic_dedup``'s oversized-cell refinement: the
-    level-1 unrolled k-means (``_kmeans_cent_ctes``), then — for cells
-    past SPLIT_MAX_CELL — a PER-CELL second Lloyd level whose CTEs are
-    cell-parallel (seeds = the ⌈n_cell/target⌉ smallest-id members via
-    a per-cell row_number; assignment/means partition by cell), then
-    the lower-id near-dup drop scoped to (cell, subcell). Replayable
-    because the per-cell sub-clustering is the SAME zero-RNG contract
-    as the global one: 6-dp HALF_UP cosine assignment with
-    smallest-subcell ties (numpy argmax picks the first max; SQL
-    row_number orders sub ASC), 9-dp fixed-point integer mean sums
-    (order-independent, exact below 2^53), empty subcells keep their
-    centroid. The engine side computes this in ``applyInPandas``
-    (``_subcluster_fn``) — cross-engine equality verified at
-    sf0.001/0.01/0.1 before registration."""
-    ctes = ["v AS (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings)"]
-    l1, _ = _kmeans_cent_ctes(SPLIT_K1, SPLIT_ITERS)
-    ctes.extend(l1)
-    ctes.append("""cs AS MATERIALIZED (
-  SELECT cell, count(*) AS n FROM final_asg GROUP BY cell
-)""")
-    ctes.append(f"""mem AS MATERIALIZED (
-  SELECT f.vec_id, f.e, f.cell, cs.n
-  FROM final_asg f JOIN cs USING (cell) WHERE cs.n > {SPLIT_MAX_CELL}
-)""")
-    ctes.append(f"""sub0 AS MATERIALIZED (
-  SELECT cell, rn - 1 AS sub, e AS c FROM (
-    SELECT cell, e, n,
-           row_number() OVER (PARTITION BY cell ORDER BY vec_id) AS rn
-    FROM mem)
-  WHERE rn <= CAST(ceil(n / {SPLIT_TARGET}.0) AS BIGINT)
-)""")
-
-    def sassign(cent: str, out: str) -> str:
-        return f"""{out} AS MATERIALIZED (
-  SELECT vec_id, cell, e, sub FROM (
-    SELECT m.vec_id, m.cell, m.e, s.sub,
-           row_number() OVER (PARTITION BY m.vec_id
-                              ORDER BY {_sql_cos('m.e', 's.c')} DESC,
-                                       s.sub ASC) AS rn
-    FROM mem m JOIN {cent} s USING (cell)) WHERE rn = 1
-)"""
-
-    prev = "sub0"
-    for t in range(1, SPLIT_ITERS + 1):
-        ctes.append(sassign(prev, f"sasg{t}"))
-        ctes.append(f"""smeans{t} AS MATERIALIZED (
-  SELECT cell, sub, d,
-         CAST(SUM(CAST(round(e[d] * 1000000000) AS BIGINT)) AS DOUBLE)
-           / 1000000000.0 / count(*) AS m
-  FROM sasg{t}, unnest(range(1, len(e) + 1)) AS t(d)
-  GROUP BY cell, sub, d
-)""")
-        ctes.append(f"""scent{t} AS MATERIALIZED (
-  SELECT p.cell, p.sub, coalesce(mm.c, p.c) AS c
-  FROM {prev} p LEFT JOIN (
-    SELECT cell, sub, list(m ORDER BY d) AS c FROM smeans{t}
-    GROUP BY cell, sub
-  ) mm USING (cell, sub)
-)""")
-        prev = f"scent{t}"
-    ctes.append(sassign(prev, "sfinal"))
-    ctes.append("""keyed AS MATERIALIZED (
-  SELECT f.vec_id, f.e, f.cell, COALESCE(sf.sub, 0) AS subcell
-  FROM final_asg f LEFT JOIN sfinal sf USING (vec_id)
-)""")
-    ctes.append(f"""dropped AS (
-  SELECT DISTINCT a.vec_id
-  FROM keyed a JOIN keyed b
-    ON a.cell = b.cell AND a.subcell = b.subcell AND b.vec_id < a.vec_id
-  WHERE {_sql_cos('a.e', 'b.e')} >= {threshold}
-)""")
-    return (
-        "WITH "
-        + ",\n".join(ctes)
-        + """
-SELECT f.vec_id, CAST(f.cell AS BIGINT) AS cell,
-       (d.vec_id IS NULL) AS is_kept
-FROM keyed f LEFT JOIN dropped d USING (vec_id)
-"""
     )
 
 

@@ -431,6 +431,60 @@ def test_grouped_prefix_sum_out_of_range_lead_range_still_exact(spark):
     assert got == want
 
 
+def test_grouped_prefix_sum_full_int64_lead_range_still_exact(spark):
+    """Round-8 review finding: lead_range=(-2**63, 2**63-1) — the
+    natural static declaration for a full-range signed hash lead —
+    makes width·buckets exceed int64, so the hi cap must clamp to
+    lo + (2**63-1) BEFORE any SQL subtraction (and min-long leads must
+    pre-route below the lo floor), or (__gps_o - lo) overflows BIGINT:
+    ANSI raise, or a wrapped negative that breaks bucket monotonicity.
+    Also covers the min-long literal parse hazard (bare
+    -9223372036854775808 is unary-minus on an out-of-range decimal)."""
+    from spotify_tracks_etl_portfolio_spark.operators.stats import (
+        grouped_prefix_sum,
+    )
+
+    rows = [
+        ("a", 1, -(2**63), 4),       # min long
+        ("a", 2, -(2**62), 7),
+        ("a", 3, None, 2),
+        ("a", 4, 0, 1),
+        ("a", 5, 2**62, 3),
+        ("a", 6, 2**63 - 1, 9),      # max long
+        ("b", 7, -1, 5),
+        ("b", 8, 2**61, 6),
+    ]
+    df = spark.createDataFrame(rows, "g string, id long, h long, v long")
+    got = {
+        r["id"]: r["pre"]
+        for r in grouped_prefix_sum(
+            df,
+            ["g"],
+            F.col("h"),
+            ["id"],
+            F.col("v"),
+            "pre",
+            buckets=4,
+            lead_range=(-(2**63), 2**63 - 1),
+        ).collect()
+    }
+    w = (
+        Window.partitionBy("g")
+        .orderBy(F.col("h").asc(), F.col("id").asc())
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    want = {
+        r["id"]: r["pre"]
+        for r in df.select(
+            "id",
+            F.coalesce(F.sum("v").over(w), F.lit(0).cast("long")).alias(
+                "pre"
+            ),
+        ).collect()
+    }
+    assert got == want
+
+
 def test_grouped_prefix_sum_offset_cardinality_guard(spark):
     """Round-6 verdict item 7: a high-cardinality group key must raise
     instead of silently broadcasting an unbounded offset table."""

@@ -1086,13 +1086,22 @@ def test_scan_parallelism_row_group_refinement(spark, tmp_path):
         f = _glob.glob(f"{p}/*.parquet")[0]
         meta = pq.ParquetFile(f).metadata
         size = __import__("os").path.getsize(f)
-        if meta.num_row_groups == 1 and size > want * 1024 * 2:
-            out = scan_parallelism(df)
-            assert out is not df, (
-                "single-row-group file must be rescued even when the "
-                f"byte estimate is wide (size={size})"
-            )
-            assert out.rdd.getNumPartitions() == want
+        # the preconditions are part of the test: a silent no-op here
+        # would leave the refinement path uncovered (round-8 review)
+        assert meta.num_row_groups == 1, (
+            f"fixture no longer single-row-group ({meta.num_row_groups}) "
+            "— raise parquet.block.size or the row count"
+        )
+        assert size > want * 1024 * 2, (
+            f"fixture too small ({size}B) for the byte estimate to "
+            "read 'wide' — raise the row count"
+        )
+        out = scan_parallelism(df)
+        assert out is not df, (
+            "single-row-group file must be rescued even when the "
+            f"byte estimate is wide (size={size})"
+        )
+        assert out.rdd.getNumPartitions() == want
     finally:
         if old is None:
             spark.conf.unset("spark.sql.files.openCostInBytes")
@@ -1188,3 +1197,21 @@ def test_np_round_half_away_matches_spark_round():
     assert got.tolist() == [1e-6, 2e-6, -1e-6, -2e-6, 1e-6]
     # banker's rounding would give [0.0, 2e-6, 0.0, -2e-6, ...]
     assert np.round(x, 6).tolist() != got.tolist()
+
+
+def test_semantic_dedup_split_works_with_string_ids(spark):
+    """Round-8 review finding: the split path's applyInPandas schema
+    must carry the id column's ACTUAL type — semantic_dedup is generic
+    over orderable ids, and a hardcoded long would fail (or corrupt)
+    string document ids the moment a cell crossed max_cell."""
+    rows = [(f"doc{i:03d}", [float(i % 7), 1.0, 0.5, 0.25]) for i in range(60)]
+    # plant a twin of the smallest id at a later id
+    rows.append(("doc999", rows[0][1]))
+    df = spark.createDataFrame(rows, "doc_id string, embedding array<double>")
+    out = sim.semantic_dedup(
+        df, "doc_id", "embedding", threshold=0.999, k=2, iters=1,
+        max_cell=8, target_cell=4,
+    ).collect()
+    assert {r["doc_id"] for r in out} == {r[0] for r in rows}
+    verdict = {r["doc_id"]: r["is_kept"] for r in out}
+    assert verdict["doc000"] and not verdict["doc999"]
