@@ -599,3 +599,83 @@ def test_psi_total_is_nonnegative(spark, tmp_path_factory, case):
     for r in out:
         assert r["psi_term"] >= 0.0
         assert r["total_psi"] >= 0.0
+
+
+@st.composite
+def prefix_sum_case(draw):
+    lead = st.one_of(
+        st.integers(-20, 20),
+        st.sampled_from(
+            [-(2**63), -(2**63) + 1, -(2**62), 2**61, 2**62, 2**63 - 1]
+        ),
+        st.none(),
+    )
+    rows = draw(
+        st.lists(
+            st.tuples(st.sampled_from(["a", "b"]), lead, st.integers(-9, 9)),
+            min_size=1,
+            max_size=14,
+        )
+    )
+    buckets = draw(st.integers(1, 6))
+    # declared ranges from honest to wildly wrong, including full int64
+    rng = draw(
+        st.sampled_from(
+            [
+                None,
+                (0, 100),
+                (-5, 5),
+                (-(2**63), 2**63 - 1),
+                (2**62, 2**63 - 1),
+                (-(2**63), -(2**62)),
+            ]
+        )
+    )
+    return rows, buckets, rng
+
+
+@given(prefix_sum_case())
+@_slow
+def test_grouped_prefix_sum_exact_for_any_declared_range(spark, case):
+    """The bucketed prefix-sum kernel must be EXACT for any declared
+    ``lead_range`` — honest, narrow, inverted-coverage, or spanning the
+    full int64 domain — and for leads at both int64 extremes (round-8
+    hardening: the caps must bound the bucket subtraction itself, not
+    just the DIV). Reference: the plain unbucketed window."""
+    from pyspark.sql import Window
+
+    from spotify_tracks_etl_portfolio_spark.operators.stats import (
+        grouped_prefix_sum,
+    )
+
+    rows, buckets, rng = case
+    data = [(g, i, h, v) for i, (g, h, v) in enumerate(rows)]
+    df = spark.createDataFrame(data, "g string, id long, h long, v long")
+    got = {
+        r["id"]: r["pre"]
+        for r in grouped_prefix_sum(
+            df,
+            ["g"],
+            F.col("h"),
+            ["id"],
+            F.col("v"),
+            "pre",
+            buckets=buckets,
+            lead_range=rng,
+        ).collect()
+    }
+    w = (
+        Window.partitionBy("g")
+        .orderBy(F.col("h").asc(), F.col("id").asc())
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    want = {
+        r["id"]: r["pre"]
+        for r in df.select(
+            "id",
+            F.coalesce(F.sum("v").over(w), F.lit(0).cast("long")).alias(
+                "pre"
+            ),
+        ).collect()
+    }
+    assert got == want
