@@ -1091,6 +1091,82 @@ def semantic_dedup(
     )
 
 
+def semantic_dedup_new_vs_corpus(
+    new_df: DataFrame,
+    corpus_df: DataFrame,
+    id_col: str,
+    vec_col: str,
+    threshold: float = 0.95,
+    k: int | None = None,
+    iters: int = 3,
+    centroids: DataFrame | None = None,
+) -> DataFrame:
+    """Cross-corpus SEMANTIC dedup — the SemDeDup twin of the MinHash
+    ``cross_corpus_near_dup_ids``: flag every NEW vector whose cosine
+    against ANY existing-corpus vector in its k-means cell reaches
+    ``threshold`` (the continuous-ingestion serving shape: dedup one
+    day's crawl embeddings against the full training corpus without
+    re-deduping the corpus itself).
+
+    Scale shape at 100 TB: centroids are trained on the CORPUS (or
+    supplied as a persisted model — zero-RNG, so the artifact changes
+    cost, never the answer); both sides assign through the
+    Arrow-batched probe; the verify is a (cell)-scoped new×corpus
+    equi-join touching only same-cell candidates (~|new|·target_cell
+    pairs with auto-k), never |new|×|corpus|. Deterministic
+    end-to-end, so the pipeline replays as SQL for the oracle gate.
+
+    ``k=None`` auto-derives from the CORPUS count (``auto_semdedup_k``
+    — the corpus, not the batch, is what the cells must cover).
+    Returns (id, cell, is_dup) for every NEW vector."""
+    if centroids is not None:
+        cents = centroids
+    else:
+        if k is None:
+            k = auto_semdedup_k(corpus_df.count())
+        cents = kmeans_centroids(corpus_df, id_col, vec_col, k=k, iters=iters)
+    cent_rows = [
+        (int(r["cell"]), [float(x) for x in r[vec_col]])
+        for r in cents.collect()
+    ]
+    assign1 = probe_cells_udf(cent_rows, nprobe=1)
+
+    def assigned(df: DataFrame) -> DataFrame:
+        # scan_parallelism: probe + per-pair verify run on the scan's
+        # partitioning (the cell join broadcasts nothing; no-op at
+        # real scale)
+        return scan_parallelism(df).select(
+            F.col(id_col),
+            F.element_at(assign1(F.col(vec_col)), 1).alias("cell"),
+            F.col(vec_col).alias("__v"),
+            vec_norm_safe(vec_col).alias("__n"),
+        )
+
+    new_a = assigned(new_df)
+    old_a = assigned(corpus_df).select(
+        "cell",
+        F.col("__v").alias("__vo"),
+        F.col("__n").alias("__no"),
+    )
+    dup_ids = (
+        new_a.join(old_a, "cell")
+        .withColumn(
+            "__cos",
+            F.round(vec_dot("__v", "__vo") / (F.col("__n") * F.col("__no")), 6),
+        )
+        .filter(F.col("__cos") >= threshold)
+        .select(id_col)
+        .distinct()
+    )
+    return new_a.join(
+        dup_ids.withColumn("__dup", F.lit(True)), id_col, "left"
+    ).select(
+        id_col,
+        "cell",
+        F.coalesce(F.col("__dup"), F.lit(False)).alias("is_dup"),
+    )
+
+
 # ---------------------------------------------------------------------------
 # Product quantization (PQ) — the memory-side ANN scale path
 # ---------------------------------------------------------------------------

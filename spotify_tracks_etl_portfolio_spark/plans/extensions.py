@@ -2747,6 +2747,89 @@ def semantic_dedup_split_cells(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+#: Cross-corpus semantic-dedup demo split: the first SEMX_NEW_MAX ids
+#: are "today's crawl", the rest are the existing training corpus.
+#: Threshold deliberately at the LSH near-dup level (0.4) so the gate
+#: corpus produces true positives, exercising both flag values.
+SEMX_NEW_MAX = 100
+SEMX_THRESHOLD = 0.4
+
+
+def _semantic_cross_corpus_oracle() -> str:
+    """Replay of ``semantic_dedup_new_vs_corpus``: k-means trained on
+    the CORPUS side only (auto-k from the corpus count as a scalar
+    CTE), both sides assigned by the same 6-dp argmax, then a
+    cell-scoped new×corpus cosine check — deterministic end-to-end,
+    the same zero-RNG replay contract as the in-corpus SemDeDup."""
+    from spotify_tracks_etl_portfolio_spark.operators.similarity import (
+        SEMDEDUP_MAX_K,
+        SEMDEDUP_TARGET_CELL,
+    )
+
+    ctes = [
+        "v AS (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings)",
+        f"corp AS (SELECT vec_id, e FROM v WHERE vec_id >= {SEMX_NEW_MAX})",
+        f"newv AS (SELECT vec_id, e FROM v WHERE vec_id < {SEMX_NEW_MAX})",
+        f"""kk AS MATERIALIZED (
+  SELECT GREATEST(8, LEAST({SEMDEDUP_MAX_K},
+    CAST(ceil(count(*) / {SEMDEDUP_TARGET_CELL}.0) AS BIGINT))) AS k
+  FROM corp
+)""",
+    ]
+    cent_ctes, final_cent = _kmeans_cent_ctes(
+        "SELECT k FROM kk", 3, src="corp"
+    )
+    ctes.extend(cent_ctes)
+    ctes.append(f"""new_asg AS MATERIALIZED (
+  SELECT vec_id, e, cell FROM (
+    SELECT n.vec_id, n.e, ct.cell,
+           row_number() OVER (PARTITION BY n.vec_id
+                              ORDER BY {_sql_cos('n.e', 'ct.c')} DESC,
+                                       ct.cell ASC) AS rn
+    FROM newv n, {final_cent} ct) WHERE rn = 1
+)""")
+    ctes.append(f"""dups AS (
+  SELECT DISTINCT n.vec_id
+  FROM new_asg n JOIN final_asg o ON n.cell = o.cell
+  WHERE {_sql_cos('n.e', 'o.e')} >= {SEMX_THRESHOLD}
+)""")
+    return (
+        "WITH "
+        + ",\n".join(ctes)
+        + """
+SELECT n.vec_id, CAST(n.cell AS BIGINT) AS cell,
+       (d.vec_id IS NOT NULL) AS is_dup
+FROM new_asg n LEFT JOIN dups d USING (vec_id)
+"""
+    )
+
+
+@register(
+    "semantic_dedup_new_vs_corpus",
+    oracle=_semantic_cross_corpus_oracle(),
+    description="Cross-corpus SEMANTIC dedup — the SemDeDup twin of "
+    "the MinHash near_dedup_new_vs_corpus and the "
+    "continuous-ingestion serving shape: flag every new-batch vector "
+    "with a same-cell corpus vector at cosine ≥ "
+    f"{SEMX_THRESHOLD}. Centroids train on the CORPUS only (auto-k "
+    "from the corpus count; at 100 TB they are the persisted nightly "
+    "model and the batch just assigns), both sides assign through the "
+    "Arrow probe, and the verify is a cell-scoped new×corpus "
+    "equi-join (~|new|·target_cell pairs under auto-k) — never "
+    "|new|×|corpus|. Zero-RNG end-to-end, so the whole pipeline "
+    "(corpus-trained Lloyd, dual assignment, cell-scoped verify) "
+    "replays as one DuckDB CTE chain and the query is hash-checked.",
+    tags=("extension", "similarity", "dedup"),
+)
+def semantic_dedup_new_vs_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = read_parquet_table(spark, sf_dir, "embeddings")
+    new = emb.filter(F.col("vec_id") < SEMX_NEW_MAX)
+    corpus = emb.filter(F.col("vec_id") >= SEMX_NEW_MAX)
+    return _sim.semantic_dedup_new_vs_corpus(
+        new, corpus, "vec_id", "embedding", threshold=SEMX_THRESHOLD
+    )
+
+
 #: Model context length for sequence packing (tokens).
 PACK_CONTEXT_LEN = 512
 

@@ -1215,3 +1215,52 @@ def test_semantic_dedup_split_works_with_string_ids(spark):
     assert {r["doc_id"] for r in out} == {r[0] for r in rows}
     verdict = {r["doc_id"]: r["is_kept"] for r in out}
     assert verdict["doc000"] and not verdict["doc999"]
+
+
+def test_semantic_dedup_new_vs_corpus_precision_and_twin_recall(
+    spark, sf_dir
+):
+    """Cross-corpus SemDeDup (round-8 operator): precision 1.0 — every
+    flagged new vector has a TRUE corpus near-dup at the threshold
+    (cell scoping can only lose recall, never flag a non-dup) — and
+    recall 1.0 for exact twins, which share a cell deterministically.
+    Re-runs flag the identical set (zero-RNG)."""
+    import numpy as np
+
+    emb = read_parquet_table(spark, sf_dir, "embeddings")
+    corpus = emb.filter(F.col("vec_id") >= 100)
+    # new batch: first 5 vectors + exact twins of 3 CORPUS vectors
+    twins = corpus.filter(F.col("vec_id") < 103).withColumn(
+        "vec_id", F.col("vec_id") - 100 + 50
+    )  # ids 50,51,52
+    new = emb.filter(F.col("vec_id") < 5).unionByName(twins)
+    out = {
+        r["vec_id"]: r["is_dup"]
+        for r in sim.semantic_dedup_new_vs_corpus(
+            new, corpus, "vec_id", "embedding", threshold=0.4
+        ).collect()
+    }
+    assert set(out) == {0, 1, 2, 3, 4, 50, 51, 52}
+    for t in (50, 51, 52):  # exact twins always flagged
+        assert out[t]
+    # precision: every flagged id has a genuine corpus cosine >= 0.4
+    cvecs = [np.array(r["embedding"]) for r in corpus.collect()]
+    nvecs = {r["vec_id"]: np.array(r["embedding"]) for r in new.collect()}
+    for vid, flagged in out.items():
+        if not flagged:
+            continue
+        v = nvecs[vid]
+        nv = max(np.sqrt(v @ v), 1e-12)
+        best = max(
+            round(float(v @ c) / (nv * max(np.sqrt(c @ c), 1e-12)), 6)
+            for c in cvecs
+        )
+        assert best >= 0.4, (vid, best)
+    # determinism
+    again = {
+        r["vec_id"]: r["is_dup"]
+        for r in sim.semantic_dedup_new_vs_corpus(
+            new, corpus, "vec_id", "embedding", threshold=0.4
+        ).collect()
+    }
+    assert again == out
