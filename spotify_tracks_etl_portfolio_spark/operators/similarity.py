@@ -1142,7 +1142,10 @@ def semantic_dedup_new_vs_corpus(
             vec_norm_safe(vec_col).alias("__n"),
         )
 
-    new_a = assigned(new_df)
+    # the new side feeds BOTH the verify join and the final flag join —
+    # materialize its assignment once (the in-corpus semantic_dedup
+    # pattern; the corpus side is consumed once and stays lazy)
+    new_a = assigned(new_df).localCheckpoint(eager=True)
     old_a = assigned(corpus_df).select(
         "cell",
         F.col("__v").alias("__vo"),
