@@ -301,41 +301,41 @@ def grouped_prefix_sum(
     width = min(max(1, (hi - lo) // buckets + 1), 2**63 - 1)
     # NULL lead values sort first under ASC — give them a bucket below
     # every real bucket (the _bucketed_global_ranks guard); DIV keeps
-    # the arithmetic integral (no double rounding on wide longs); the
-    # GREATEST clamp keeps below-lo leads monotone in bucket 0 (DIV
-    # truncates toward zero, so (lo-width, lo) would otherwise share
-    # bucket 0 non-monotonically and (lo-2·width, lo-width] would
-    # collide with the NULL sentinel). The high side clamps
-    # SYMMETRICALLY (round-8 advice item): a lead far above a
-    # mis-declared ``hi`` would make (__gps_o - lo) DIV width exceed
-    # int32, raising under ANSI or wrapping to a negative bucket that
-    # breaks monotone order / collides with the NULL sentinel —
+    # the arithmetic integral (no double rounding on wide longs). Both
+    # out-of-declared-range sides pre-route BEFORE any SQL-side
+    # subtraction (round-8 advice item, completed round 9): a lead far
+    # above a mis-declared ``hi`` would make (__gps_o - lo) DIV width
+    # exceed int32, raising under ANSI or wrapping to a negative bucket
+    # that breaks monotone order / collides with the NULL sentinel —
     # collapsing every above-hi lead into one overflow bucket stays
     # EXACT because the final window orders by __gps_o within each
-    # bucket. Both comparisons happen BEFORE any SQL-side subtraction,
-    # and the caps ALSO bound the subtraction itself: a declared range
-    # spanning more than the int64 range (lead_range=(-2**63, 2**63-1)
-    # is the natural declaration for a full-range signed hash lead)
-    # makes hi_cap clamp to lo + (2**63-1), so (__gps_o - lo) stays
-    # inside BIGINT for every row that reaches it; symmetrically,
-    # leads at or below lo - (2**63-1) pre-route to bucket 0 (they are
-    # below-lo leads, which clamp to bucket 0 anyway) so the negative
-    # side can't underflow either. All cap arithmetic is Python
-    # (unbounded) and every literal that reaches SQL fits BIGINT.
+    # bucket. Symmetrically, EVERY below-lo lead pre-routes to bucket 0
+    # (round-9 fix: the round-8 sentinel ``lo - (2**63-1)`` only caught
+    # leads at int64 min, so a lead between that floor and lo more than
+    # ~2^31·width below lo still overflowed the INT cast — fail-stop
+    # under ANSI, silently mis-bucketed with ANSI off; property test
+    # ``test_grouped_prefix_sum_exact_for_any_declared_range`` pins the
+    # falsifying example lead=-(2**63)+1, buckets=1, lead_range=(-5,5)).
+    # Collapsing below-lo leads into bucket 0 is exact for the same
+    # ordering reason as the overflow bucket. The hi_cap ALSO bounds
+    # the subtraction itself: a declared range spanning more than the
+    # int64 range (lead_range=(-2**63, 2**63-1) is the natural
+    # declaration for a full-range signed hash lead) makes hi_cap clamp
+    # to lo + (2**63-1), so (__gps_o - lo) stays inside BIGINT for
+    # every row that reaches it (all such rows have __gps_o >= lo). All
+    # cap arithmetic is Python (unbounded) and every literal that
+    # reaches SQL fits BIGINT. The CAST path therefore only ever sees
+    # lo <= __gps_o < hi_cap: quotient in [0, buckets), no clamp needed.
     hi_cap = min(lo + width * buckets, lo + (2**63 - 1), 2**63 - 1)
-    lo_floor = max(lo - (2**63 - 1), -(2**63))
     bucket = F.when(F.col("__gps_o").isNull(), F.lit(-1)).otherwise(
         F.when(F.col("__gps_o") >= F.lit(hi_cap), F.lit(buckets)).otherwise(
-            F.when(F.col("__gps_o") <= F.lit(lo_floor), F.lit(0)).otherwise(
-                F.greatest(
-                    # lo as a string-cast literal: a bare
-                    # -9223372036854775808 parses as unary-minus on an
-                    # out-of-range decimal in Spark SQL
-                    F.expr(
-                        f"CAST((__gps_o - CAST('{lo}' AS BIGINT))"
-                        f" DIV {width} AS INT)"
-                    ),
-                    F.lit(0),
+            F.when(F.col("__gps_o") < F.lit(lo), F.lit(0)).otherwise(
+                # lo as a string-cast literal: a bare
+                # -9223372036854775808 parses as unary-minus on an
+                # out-of-range decimal in Spark SQL
+                F.expr(
+                    f"CAST((__gps_o - CAST('{lo}' AS BIGINT))"
+                    f" DIV {width} AS INT)"
                 )
             )
         )
