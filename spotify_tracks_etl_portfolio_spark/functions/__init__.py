@@ -185,10 +185,21 @@ _OWNS_PARTITIONING = re.compile(
     # review finding: RepartitionByExpression and the pandas group
     # nodes slipped through, so an explicitly hash-partitioned frame
     # could be re-repartitioned and an applyInPandas-bearing in-memory
-    # frame could reach the .rdd probe).
-    r"^[\s:+\-]*(?:Repartition|Join|Aggregate|Window|Sort|Deduplicate|"
-    r"Intersect|Except|GlobalLimit|CoGroup|MapGroups|FlatMapGroups|"
-    r"FlatMapCoGroups)\w*",
+    # frame could reach the .rdd probe). Rebalance (round-9 advice
+    # item): ``df.hint("rebalance")`` plans a RebalancePartitions node —
+    # AQE-managed layout the rescue must neither override (file
+    # lineage) nor probe (no file lineage → .rdd would materialize
+    # stages). Sort deliberately matches BOTH the global Sort (range
+    # partitioning) and sortWithinPartitions (same node name,
+    # global=false): the latter does not establish partitioning, but it
+    # IS the caller's explicit per-partition layout — a round-robin
+    # rescue would silently destroy the local order, so passing it
+    # through untouched is the correct side of the trade (a missed
+    # rescue costs speed at toy scale; a destroyed layout breaks
+    # caller intent at any scale).
+    r"^[\s:+\-]*(?:Repartition|Rebalance|Join|Aggregate|Window|Sort|"
+    r"Deduplicate|Intersect|Except|GlobalLimit|CoGroup|MapGroups|"
+    r"FlatMapGroups|FlatMapCoGroups)\w*",
     re.MULTILINE,
 )
 
@@ -275,10 +286,19 @@ def scan_parallelism(df):
        plan."""
     spark = df.sparkSession
     want = spark.sparkContext.defaultParallelism
+    # Fail CLOSED on plan-check failure (round-9 advice item): if the
+    # analyzed-plan bounce itself throws we cannot prove the lineage is
+    # shuffle-free, and falling through to the .rdd probe on a
+    # shuffle-bearing plan is exactly the AQE stage-materialization
+    # hazard the metadata rework removed — an unrescued small frame
+    # costs toy-scale speed, a probed AQE plan launches real jobs.
     try:
         plan = df._jdf.queryExecution().analyzed().toString()
-        if _OWNS_PARTITIONING.search(plan):
-            return df
+    except Exception:
+        return df
+    if _OWNS_PARTITIONING.search(plan):
+        return df
+    try:
         files = df.inputFiles()
     except Exception:
         files = None
