@@ -2830,6 +2830,66 @@ def semantic_dedup_new_vs_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "semantic_dedup_new_vs_corpus_served",
+    # the persisted model is zero-RNG, so the artifact changes the
+    # COST, never the answer — same oracle as the per-call trainer,
+    # the exact contract embedding_ivf_index_topk pins for the IVF
+    # index (identical-answer proof via shared oracle + hash gate)
+    oracle=_semantic_cross_corpus_oracle(),
+    description="Cross-corpus semantic dedup SERVED from a persisted "
+    "model artifact (round-9 verdict item 3): the corpus-trained "
+    "k-means centroids are built ONCE per (session, sf_dir, geometry) "
+    "and published as an on-disk artifact (the semdedup_cents / "
+    "ivf_index pattern), then the batch query just loads them and "
+    "assigns — the actual continuous-ingestion serving shape "
+    "semantic_dedup_new_vs_corpus's docstring advertises (nightly "
+    "model, per-batch assignment; training is NOT on the batch path). "
+    "Zero-RNG training means the artifact changes the cost, never the "
+    "answer: this query shares the per-call trainer's oracle verbatim "
+    "and must produce the identical hash (artifact-reuse equality also "
+    "pytest-pinned). The artifact key pins the derived auto-k geometry "
+    "next to the data so a different (k, iters) can never serve a "
+    "stale model.",
+    tags=("extension", "similarity", "dedup", "artifact"),
+)
+def semantic_dedup_new_vs_corpus_served(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    emb = read_parquet_table(spark, sf_dir, "embeddings")
+    new = emb.filter(F.col("vec_id") < SEMX_NEW_MAX)
+    corpus = emb.filter(F.col("vec_id") >= SEMX_NEW_MAX).localCheckpoint(
+        eager=False
+    )
+    # auto-k derives from the CORPUS count (the cells must cover the
+    # corpus, not the batch) — computed here so the artifact key pins
+    # the derived geometry, the semdedup_cents convention
+    k = _sim.auto_semdedup_k(corpus.count())
+    root = _artifact_root(
+        spark,
+        "semx_cents",
+        f"{os.path.realpath(sf_dir)}|new<{SEMX_NEW_MAX}|k={k}|iters=3",
+    )
+    _build_artifact_once(
+        root,
+        "centroids",
+        lambda tmp: _sim.kmeans_centroids(
+            corpus, "vec_id", "embedding", k=k, iters=3
+        )
+        .coalesce(1)
+        .write.parquet(f"{tmp}/centroids"),
+    )
+    cents = spark.read.parquet(f"{root}/centroids")
+    return _sim.semantic_dedup_new_vs_corpus(
+        new,
+        corpus,
+        "vec_id",
+        "embedding",
+        threshold=SEMX_THRESHOLD,
+        centroids=cents,
+    )
+
+
 #: Model context length for sequence packing (tokens).
 PACK_CONTEXT_LEN = 512
 

@@ -723,9 +723,25 @@ def test_persisted_index_artifacts_reused_across_calls(spark, sf_dir):
         # (auto_semdedup_k(n) = 8 at test scale — the r07 recorded plan)
         ("semantic_dedup_embeddings", "semdedup_cents", "centroids",
          "|k=8|iters=3"),
+        # round-9 verdict item 3: the persisted-model cross-corpus
+        # semantic dedup (corpus-trained centroids served as an
+        # artifact; corpus = vec_id >= SEMX_NEW_MAX)
+        ("semantic_dedup_new_vs_corpus_served", "semx_cents",
+         "centroids", "|SEMX|"),
     ]
+    from spotify_tracks_etl_portfolio_spark.plans.extensions import (
+        SEMX_NEW_MAX,
+    )
+
+    semx_k = sim.auto_semdedup_k(
+        read_parquet_table(spark, sf_dir, "embeddings")
+        .filter(f"vec_id >= {SEMX_NEW_MAX}")
+        .count()
+    )
     qs = all_queries()
     for qname, artifact, marker, keysuffix in cases:
+        if keysuffix == "|SEMX|":
+            keysuffix = f"|new<{SEMX_NEW_MAX}|k={semx_k}|iters=3"
         first = qs[qname].fn(spark, sf_dir).collect()
         root = _artifact_root(
             spark, artifact, _os.path.realpath(sf_dir) + keysuffix
@@ -736,3 +752,10 @@ def test_persisted_index_artifacts_reused_across_calls(spark, sf_dir):
         again = qs[qname].fn(spark, sf_dir).collect()
         assert _os.path.getmtime(mpath) == mtime, f"{qname}: index rebuilt"
         assert sorted(map(tuple, again)) == sorted(map(tuple, first))
+    # identical-answer contract (the IVF-index pattern, shared oracle):
+    # the served query must equal the per-call trainer bit-for-bit
+    served = qs["semantic_dedup_new_vs_corpus_served"].fn(
+        spark, sf_dir
+    ).collect()
+    trained = qs["semantic_dedup_new_vs_corpus"].fn(spark, sf_dir).collect()
+    assert sorted(map(tuple, served)) == sorted(map(tuple, trained))
