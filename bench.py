@@ -36,12 +36,10 @@ HEADLINE = [
     "minhash_lsh_near_dups",
     "embedding_cosine_topk",
     "asof_click_purchase",
-    "embedding_lsh_near_dups",
     "q6_forecast_revenue",
     "top3_customers_per_nation",
     "curate_training_documents",
     # heaviest round-2 additions, tracked before they regress
-    "simhash_near_dups",
     "passage_dedup_documents",
     "near_dedup_new_vs_corpus",
     "streaming_sessionize_sync",
@@ -64,6 +62,46 @@ HEADLINE = [
     "simhash_near_dups_wide",
     "embedding_lsh_near_dups_wide",
 ]
+# Round-9 verdict item 4: the FROZEN-TOY twins simhash_near_dups and
+# embedding_lsh_near_dups are demoted from this list — both are
+# demonstrated superlinear at 10× by design (STRESS_r08: 19.3×/7.1×;
+# their registered scale geometries are the *_wide twins above), so
+# keeping them in the headline total double-counted two drift-prone
+# superlinear queries in the round-over-round number. They stay
+# registered (CORRECTNESS/SWEEP) and stay in tools/stress_sweep.py as
+# the A/B contrast against their wide twins.
+
+#: Calibration canary (round-9 verdict item 5): a fixed-size, zero-IO,
+#: whole-stage-codegen aggregation over spark.range with PINNED
+#: parallelism — no query plan from the engine under test, so its time
+#: moves only with the HOST (CPU contention, thermal state, JVM).
+#: Cross-session bench absolutes on this host drift 1.2-1.6× on
+#: identical code (BENCH_NOTES rounds 4-8); recording the canary
+#: alongside lets tools/check_bench.py normalize the 2× rule by
+#: host-speed ratio instead of failing on contention.
+#: 4B rows ≈ 0.75s steady-state on a quiet 32-core host: big enough
+#: that scheduling overhead is a rounding error (the 64M-row first cut
+#: swung ±30% lap-to-lap from task dispatch + JIT tiers; 4B lands in a
+#: ±15% band), small enough to stay under a second.
+CANARY_ROWS = 4_000_000_000
+CANARY_SLICES = 32
+CANARY_WARM_LAPS = 2
+CANARY_TIMED_LAPS = 5
+
+
+def run_canary(spark) -> float:
+    samples = []
+    # untimed warm laps first: the canary must measure the HOST, not
+    # the JIT tier of whoever ran before it (measured: a cold first lap
+    # runs 3-6× the steady state and C2 keeps improving through lap 2)
+    for i in range(CANARY_WARM_LAPS + CANARY_TIMED_LAPS):
+        t0 = time.time()
+        spark.range(0, CANARY_ROWS, 1, CANARY_SLICES).selectExpr(
+            "sum(id % 7919) AS s", "count(*) AS c"
+        ).write.format("noop").mode("overwrite").save()
+        if i >= CANARY_WARM_LAPS:
+            samples.append(time.time() - t0)
+    return round(_median(samples), 3)
 
 RUNS_PER_QUERY = 3
 
@@ -88,6 +126,8 @@ def main() -> None:
 
     # warm-up: small query to absorb JVM + codegen startup cost
     specs["row_count_lineitem"].fn(spark, sf_dir).collect()
+
+    calibration = run_canary(spark)
 
     timings: dict[str, float] = {}
     for name in HEADLINE:
@@ -115,6 +155,7 @@ def main() -> None:
                 "value": round(sum(timings.values()), 3),
                 "unit": "sec",
                 "queries": timings,
+                "calibration": calibration,
                 "sf": sf,
             }
         )
