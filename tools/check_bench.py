@@ -41,8 +41,8 @@ REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 
 #: Canary reference for pre-canary baselines: the bench.py calibration
 #: time (sec) measured on a quiet instance of this host (round 9,
-#: recorded in BENCH_NOTES.md with the session's whole-bench context).
-CAL_REF_DEFAULT = None  # filled by --cal-ref or the baseline's canary
+#: band 0.74-0.85 across four idle sessions — BENCH_NOTES.md round 9).
+CAL_REF_DEFAULT = 0.78
 
 
 def load_baseline(path: str) -> dict:
