@@ -85,7 +85,15 @@ def main() -> None:
     from spotify_tracks_etl_portfolio_spark.plans import all_queries
     from spotify_tracks_etl_portfolio_spark.session import get_spark
 
-    names = list(HEADLINE) + ["cowtable_merge_roundtrip"]
+    # the frozen-toy twins left bench.py's HEADLINE (round-9 verdict
+    # item 4: demonstrated-superlinear by design) but STAY in the
+    # stress sweep — they are the A/B contrast against their registered
+    # *_wide scale geometries
+    names = list(HEADLINE) + [
+        "simhash_near_dups",
+        "embedding_lsh_near_dups",
+        "cowtable_merge_roundtrip",
+    ]
     if args.only:
         names = args.only.split(",")
 
