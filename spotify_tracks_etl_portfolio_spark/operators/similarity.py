@@ -507,12 +507,18 @@ def ivf_query_index(
     probed = sorted(
         {r["cell"] for r in qcells.select("cell").distinct().collect()}
     )
-    corpus = (
-        spark.read.parquet(f"{index_root}/assignments")
+    corpus = spark.read.parquet(f"{index_root}/assignments")
+    if len(probed) <= IVF_PRUNE_LITERAL_MAX:
         # literal IN on the partition column → PartitionFilters prune
         # the scan to the probed cell directories (plan-gated)
-        .filter(F.col("cell").isin(*[int(c) for c in probed]))
-    )
+        corpus = corpus.filter(F.col("cell").isin(*[int(c) for c in probed]))
+    # else: a query set wide enough to probe more cells than the literal
+    # cap is touching most of the index anyway — compiling a 10⁴-10⁵
+    # literal IN just bloats the plan (analysis + codegen cost per
+    # literal) for pruning the equi-join below already provides; scan
+    # unfiltered and let the join drop unprobed cells (round-9 guard for
+    # the raised IVF_MAX_CELLS: probed is bounded by min(|q|·nprobe, k)
+    # and k can now be 65536)
     scored = (
         # scan_parallelism sits ABOVE the partition-filtered scan, so
         # the pruning keeps its PartitionFilters (plan-gated) while the
@@ -818,6 +824,15 @@ def diversity_sample_cells(
 #: keeps SHRINKING as n grows even at the caps.
 IVF_MAX_CELLS = 65536
 IVF_MAX_NPROBE = 64
+#: Max distinct probed cells compiled as a literal IN for partition
+#: pruning in ``ivf_query_index``. Below it (every recorded geometry:
+#: gate probes ≤ 23 cells) the literal filter gives static
+#: PartitionFilters, the plan-gated serving win. Above it — possible
+#: only for query sets wide enough to probe thousands of the (now up
+#: to 65536) cells — the IN would bloat analysis/codegen per literal
+#: while pruning almost nothing, so the scan goes unfiltered and the
+#: cell equi-join drops unprobed cells instead.
+IVF_PRUNE_LITERAL_MAX = 4096
 
 
 def _sqrt_clamped(n: int, lo: int, hi: int) -> int:

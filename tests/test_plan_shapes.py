@@ -440,6 +440,45 @@ def test_ivf_index_scan_prunes_to_probed_cell_partitions(
     assert got == want
 
 
+def test_ivf_index_wide_probe_skips_literal_filter(
+    spark, sf_dir, tmp_path, monkeypatch
+):
+    """Round-9 guard for the raised IVF_MAX_CELLS: when the query set
+    probes more distinct cells than IVF_PRUNE_LITERAL_MAX, the serving
+    path must skip the literal IN (whose analysis/codegen cost is per
+    literal and can now reach 65536 entries) and let the cell equi-join
+    drop unprobed cells — with the IDENTICAL result. Forced here by
+    zeroing the cap; the plan must carry no partition filter on cell."""
+    from pyspark.sql import functions as F
+
+    from spotify_tracks_etl_portfolio_spark.operators import similarity as sim
+    from spotify_tracks_etl_portfolio_spark.sources.readers import (
+        read_parquet_table,
+    )
+
+    emb = read_parquet_table(spark, sf_dir, "embeddings")
+    root = str(tmp_path / "idx_wide")
+    sim.build_ivf_index(emb, "vec_id", "embedding", root, k=8, iters=3)
+    queries = emb.filter(F.col("vec_id") < 5)
+    pruned = sorted(
+        map(
+            tuple,
+            sim.ivf_query_index(
+                spark, root, queries, "vec_id", "embedding", 5, nprobe=2
+            ).collect(),
+        )
+    )
+    monkeypatch.setattr(sim, "IVF_PRUNE_LITERAL_MAX", 0)
+    df = sim.ivf_query_index(
+        spark, root, queries, "vec_id", "embedding", 5, nprobe=2
+    )
+    plan = plan_of_df(df)
+    import re
+
+    assert not re.search(r"PartitionFilters: \[cell#\d+ IN", plan)
+    assert sorted(map(tuple, df.collect())) == pruned
+
+
 def test_bucketed_join_has_no_shuffle(spark, sf_dir):
     """Persisted bucketing must eliminate the join-time exchange on
     BOTH fact sides even when neither can broadcast (threshold=-1
