@@ -874,3 +874,165 @@ def passage_dedup(
     return rebuilt.join(totals, id_col).select(
         id_col, "text_clean", "n_passages", "n_kept"
     )
+
+
+#: Window width (tokens) for exact-substring dedup. Any duplicated span
+#: of >= this many tokens is detected EXACTLY (a length-L >= k duplicate
+#: yields identical k-grams at every one of its L-k+1 offsets); shorter
+#: repeats are invisible by design. 8 keeps the synthetic corpus
+#: interesting; real pipelines use ~50 BPE tokens (Lee et al. 2021).
+EXACT_SUBSTR_TOKENS = 8
+
+
+def _stride1_kgrams(df: DataFrame, id_col: str, text_col: str, k: int):
+    """(id, pos, kg): every overlapping k-token window of every doc,
+    1-based start position, window re-joined with single spaces.
+    Narrow (flatMap-shaped) — no shuffle."""
+    trimmed = F.trim(F.col(text_col))
+    toks = F.when(trimmed == "", F.array().cast("array<string>")).otherwise(
+        F.split(trimmed, r"\s+")
+    )
+    n = F.size(toks)
+    grams = F.when(
+        n >= k,
+        F.transform(
+            F.sequence(F.lit(1), n - F.lit(k) + F.lit(1)),
+            lambda i: F.array_join(F.slice(toks, i, k), " "),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    return df.select(F.col(id_col), F.posexplode(grams).alias("pos0", "kg")).select(
+        id_col, (F.col("pos0") + 1).alias("pos"), "kg"
+    )
+
+
+def exact_substring_dup_spans(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    k: int = EXACT_SUBSTR_TOKENS,
+) -> DataFrame:
+    """Exact-substring duplicate spans (the ExactSubstr operator of Lee
+    et al. 2021, "Deduplicating Training Data Makes Language Models
+    Better"), re-expressed for a distributed engine: instead of a
+    single-node suffix array, slide a stride-1 k-token window over every
+    doc, keep the globally FIRST occurrence (lowest ``(id, pos)``) of
+    each distinct window as canonical, flag every later occurrence, and
+    merge flagged starts into maximal duplicated spans per doc.
+
+    Guarantee: every duplicated span of >= k tokens is found exactly
+    (each of its offsets contributes an identical k-gram whose first
+    occurrence is elsewhere/earlier); nothing shorter than k is flagged.
+
+    Returns ``(id, span_start, span_end, span_tokens)``, positions
+    1-based inclusive over the whitespace token sequence.
+
+    Scale shape (100 TB): the exploded relation is ~n_tokens rows — big
+    but linear. Two large shuffles only: (1) an unordered window
+    ``min(struct(id, pos)) over (partition by kg)`` marks non-first
+    occurrences (no global sort, no self-join; a corpus-wide boilerplate
+    k-gram is the skew hazard — at scale pre-count document frequency
+    and route hot k-grams through a groupBy+broadcast side path, the
+    same ``max_shingle_df`` trick as n-gram Jaccard); (2) a per-doc
+    window to merge islands. The final span agg reuses tiny output.
+    At scale the shuffle key would be ``xxhash64(kg)`` (narrow rows,
+    collision-checked); the literal string key here keeps the operator
+    byte-exact against its SQL oracle.
+    """
+    from pyspark.sql import Window
+
+    grams = _stride1_kgrams(df, id_col, text_col, k)
+    w_kg = Window.partitionBy("kg")
+    flagged = (
+        grams.withColumn(
+            "__first", F.min(F.struct(id_col, "pos")).over(w_kg)
+        )
+        .filter(F.struct(id_col, "pos") != F.col("__first"))
+        .select(id_col, "pos")
+    )
+    # Gaps-and-islands: spans all have width k, so starts p1 < p2 merge
+    # (overlap or touch) iff p2 - p1 <= k; a gap > k starts a new island.
+    w_doc = Window.partitionBy(id_col).orderBy("pos")
+    islands = flagged.withColumn(
+        "__brk",
+        F.when(
+            F.col("pos") - F.lag("pos").over(w_doc) <= F.lit(k), F.lit(0)
+        ).otherwise(F.lit(1)),
+    ).withColumn(
+        "__island",
+        F.sum("__brk").over(
+            w_doc.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        ),
+    )
+    return (
+        islands.groupBy(id_col, "__island")
+        .agg(
+            F.min("pos").cast("long").alias("span_start"),
+            (F.max("pos") + F.lit(k) - 1).cast("long").alias("span_end"),
+        )
+        .select(
+            id_col,
+            "span_start",
+            "span_end",
+            (F.col("span_end") - F.col("span_start") + 1).alias("span_tokens"),
+        )
+    )
+
+
+def exact_substring_dedup(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    k: int = EXACT_SUBSTR_TOKENS,
+) -> DataFrame:
+    """Rebuild each doc with its duplicated spans CUT (all but the
+    globally-first occurrence of every >= k-token repeat removed — the
+    destructive half of ExactSubstr). Docs reduced to zero tokens drop,
+    like :func:`passage_dedup` dropping boilerplate-only pages.
+
+    Returns ``(id, text_clean, n_tokens, kept_tokens)``.
+
+    Plan: span detection as :func:`exact_substring_dup_spans`, spans
+    collected per doc (bounded: <= n_tokens/k spans, in practice a
+    handful), hash-joined back to the docs, and the cut is a JVM-side
+    higher-order ``filter`` over token positions — no Python, no second
+    explode of the corpus.
+    """
+    spans = exact_substring_dup_spans(df, id_col, text_col, k)
+    per_doc = spans.groupBy(id_col).agg(
+        F.collect_list(F.struct("span_start", "span_end")).alias("__spans")
+    )
+    trimmed = F.trim(F.col(text_col))
+    toks = F.when(trimmed == "", F.array().cast("array<string>")).otherwise(
+        F.split(trimmed, r"\s+")
+    )
+    joined = df.select(F.col(id_col), toks.alias("__toks")).join(
+        per_doc, id_col, "left"
+    )
+    spans_arr = F.coalesce(
+        F.col("__spans"),
+        F.array().cast("array<struct<span_start:long,span_end:long>>"),
+    )
+    kept = F.filter(
+        F.transform(
+            F.col("__toks"), lambda t, i: F.struct(t.alias("t"), (i + 1).alias("p"))
+        ),
+        lambda s: ~F.exists(
+            spans_arr,
+            lambda sp: (s.p >= sp.span_start) & (s.p <= sp.span_end),
+        ),
+    )
+    return (
+        joined.select(
+            F.col(id_col),
+            F.size("__toks").cast("long").alias("n_tokens"),
+            F.transform(kept, lambda s: s.t).alias("__kept"),
+        )
+        .withColumn("kept_tokens", F.size("__kept").cast("long"))
+        .filter(F.col("kept_tokens") > 0)
+        .select(
+            id_col,
+            F.array_join("__kept", " ").alias("text_clean"),
+            "n_tokens",
+            "kept_tokens",
+        )
+    )

@@ -3538,6 +3538,106 @@ def passage_dedup_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _dd.passage_dedup(docs, "doc_id", "text")
 
 
+_XS = _dd.EXACT_SUBSTR_TOKENS
+
+#: Shared oracle CTE chain for the ExactSubstr family: stride-1 k-token
+#: windows, global first-occurrence via an unordered struct-min window
+#: (DuckDB struct comparison is field-order lexicographic, same as
+#: Spark's), gaps-and-islands merge of flagged starts (equal-width spans
+#: merge iff the start gap <= k).
+_XSUBSTR_CTES = f"""
+tb AS (
+  SELECT doc_id,
+         CASE WHEN trim(text) = '' THEN CAST([] AS VARCHAR[])
+              ELSE string_split_regex(trim(text), '\\s+') END AS w
+  FROM documents
+),
+g AS (
+  SELECT doc_id, i AS pos, array_to_string(w[i:(i+{_XS}-1)], ' ') AS kg
+  FROM tb, unnest(range(1, len(w) - {_XS} + 2)) AS t(i)
+  WHERE len(w) >= {_XS}
+),
+flagged AS (
+  SELECT doc_id, pos FROM (
+    SELECT doc_id, pos,
+           min(struct_pack(d := doc_id, p := pos)) OVER (PARTITION BY kg) AS f
+    FROM g)
+  WHERE struct_pack(d := doc_id, p := pos) <> f
+),
+brk AS (
+  SELECT doc_id, pos,
+         CASE WHEN pos - lag(pos) OVER (PARTITION BY doc_id ORDER BY pos)
+                   <= {_XS} THEN 0 ELSE 1 END AS b
+  FROM flagged
+),
+isl AS (
+  SELECT doc_id, pos,
+         sum(b) OVER (PARTITION BY doc_id ORDER BY pos
+                      ROWS UNBOUNDED PRECEDING) AS island
+  FROM brk
+),
+spans AS (
+  SELECT doc_id, CAST(min(pos) AS BIGINT) AS span_start,
+         CAST(max(pos) + {_XS} - 1 AS BIGINT) AS span_end
+  FROM isl GROUP BY doc_id, island
+)"""
+
+
+@register(
+    "exact_substring_dup_spans",
+    oracle=f"""
+WITH {_XSUBSTR_CTES}
+SELECT doc_id, span_start, span_end,
+       span_end - span_start + 1 AS span_tokens
+FROM spans
+""",
+    description=f"ExactSubstr span detection (Lee et al. 2021) without "
+    f"the suffix array: stride-1 {_XS}-token windows, global "
+    "first-occurrence kept canonical via one unordered struct-min "
+    "window on window content, later occurrences merged per doc into "
+    "maximal duplicated spans (gaps-and-islands). Every >= k-token "
+    "duplicate is found exactly; two big shuffles total, both linear "
+    "in corpus tokens — at 100 TB the shuffle key becomes xxhash64(kg) "
+    "and hot boilerplate k-grams route through a DF-capped side path",
+    tags=("extension", "dedup"),
+)
+def exact_substring_dup_spans_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = read_parquet_table(spark, sf_dir, "documents")
+    return _dd.exact_substring_dup_spans(docs, "doc_id", "text")
+
+
+@register(
+    "exact_substring_dedup_documents",
+    oracle=f"""
+WITH {_XSUBSTR_CTES},
+tok AS (
+  SELECT doc_id, i AS p, w[i] AS t, len(w) AS n
+  FROM tb, unnest(range(1, len(w) + 1)) AS t2(i)
+),
+keep AS (
+  SELECT tok.* FROM tok
+  WHERE NOT EXISTS (
+    SELECT 1 FROM spans sp
+    WHERE sp.doc_id = tok.doc_id AND tok.p BETWEEN sp.span_start AND sp.span_end)
+)
+SELECT doc_id, string_agg(t, ' ' ORDER BY p) AS text_clean,
+       CAST(any_value(n) AS BIGINT) AS n_tokens,
+       CAST(count(*) AS BIGINT) AS kept_tokens
+FROM keep GROUP BY doc_id
+""",
+    description="Destructive half of ExactSubstr: cut every duplicated "
+    ">= k-token span (all but its globally-first occurrence) and "
+    "rebuild the doc from surviving tokens; fully-duplicated docs drop. "
+    "Spans collect per doc (bounded <= n_tokens/k) and the cut is a "
+    "JVM-side higher-order filter over token positions — the corpus is "
+    "never exploded a second time and no Python runs",
+    tags=("extension", "dedup"),
+)
+def exact_substring_dedup_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = read_parquet_table(spark, sf_dir, "documents")
+    return _dd.exact_substring_dedup(docs, "doc_id", "text")
+
+
 _NEAR_DEDUP_NEW_VS_CORPUS_ORACLE = f"""
 WITH {_SHINGLE_CTES},
 sizes AS (SELECT doc_id, count(*) AS n FROM shh GROUP BY doc_id),

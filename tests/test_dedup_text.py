@@ -646,3 +646,75 @@ def test_simhash_default_width_is_auto_and_exact(spark, sf_dir):
         for r in dd.simhash_all_pairs(docs, "doc_id", "text", 3).collect()
     }
     assert auto == brute  # default-vs-default geometries agree, exactly
+
+
+# ---------------------------------------------------------------------------
+# ExactSubstr (Lee et al. 2021) — stride-1 window span detection + cut
+
+_P = " ".join(f"p{i}" for i in range(12))   # 12-token planted phrase
+_Q = " ".join(f"q{i}" for i in range(10))   # 10-token within-doc phrase
+_S7 = " ".join(f"s{i}" for i in range(7))   # 7 tokens: below k=8, invisible
+
+_XDOCS = [
+    (10, f"a1 a2 a3 {_P} a4 a5"),        # first occurrence of P (pos 4..15)
+    (11, f"b1 b2 {_P} b3 b4 b5 b6"),     # P again at pos 3..14
+    (12, f"c1 c2 {_S7} c3"),             # 7-token repeat: below threshold
+    (13, f"d1 {_S7} d2 d3"),
+    (14, f"a1 a2 a3 {_P} a4 a5"),        # exact copy of doc 10: fully cut
+    (15, f"{_Q} e1 {_Q}"),               # within-doc repeat (pos 12..21)
+    (16, ""),                            # empty
+    (17, "tiny"),                        # < k tokens
+]
+
+
+@pytest.fixture(scope="module")
+def xdocs(spark):
+    return spark.createDataFrame(_XDOCS, "doc_id long, text string")
+
+
+def test_exact_substring_spans_planted(xdocs):
+    assert dd.EXACT_SUBSTR_TOKENS == 8
+    spans = {
+        (r["doc_id"], r["span_start"], r["span_end"], r["span_tokens"])
+        for r in dd.exact_substring_dup_spans(xdocs, "doc_id", "text").collect()
+    }
+    # doc 11: exactly the planted 12-token phrase, merged to one span
+    assert (11, 3, 14, 12) in spans
+    # doc 14: whole 17-token doc is a repeat of doc 10
+    assert (14, 1, 17, 17) in spans
+    # doc 15: SECOND occurrence of Q only (first is canonical)
+    assert (15, 12, 21, 10) in spans
+    # canonical copies and sub-k repeats never flag
+    flagged_docs = {d for d, *_ in spans}
+    assert flagged_docs == {11, 14, 15}
+
+
+def test_exact_substring_spans_guarantee_at_exactly_k(spark):
+    """A duplicate of EXACTLY k tokens is still found (boundary of the
+    >= k guarantee) and yields a width-k span."""
+    k = dd.EXACT_SUBSTR_TOKENS
+    phrase = " ".join(f"z{i}" for i in range(k))
+    df = spark.createDataFrame(
+        [(0, f"u1 {phrase} u2"), (1, f"v1 v2 {phrase}")],
+        "doc_id long, text string",
+    )
+    spans = {
+        (r["doc_id"], r["span_start"], r["span_end"])
+        for r in dd.exact_substring_dup_spans(df, "doc_id", "text").collect()
+    }
+    assert spans == {(1, 3, 2 + k)}
+
+
+def test_exact_substring_dedup_cuts_and_drops(xdocs):
+    out = {
+        r["doc_id"]: (r["text_clean"], r["n_tokens"], r["kept_tokens"])
+        for r in dd.exact_substring_dedup(xdocs, "doc_id", "text").collect()
+    }
+    # doc 11 loses exactly the phrase, keeps its unique frame in order
+    assert out[11] == ("b1 b2 b3 b4 b5 b6", 18, 6)
+    # doc 14 (fully duplicated) drops; empty doc 16 drops
+    assert 14 not in out and 16 not in out
+    # canonical docs pass through byte-identical
+    assert out[10] == (f"a1 a2 a3 {_P} a4 a5", 17, 17)
+    assert out[15] == (f"{_Q} e1", 21, 11)
+    assert out[17] == ("tiny", 1, 1)
