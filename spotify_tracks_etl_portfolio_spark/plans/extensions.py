@@ -1749,6 +1749,84 @@ def train_val_test_split(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "leakage_safe_split_documents",
+    oracle=f"""
+WITH RECURSIVE {_JACCARD_CTES},
+{_minhash_sig_sql()},
+{_minhash_bands_sql()},
+cands AS (
+  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+  FROM bands a JOIN bands b
+    ON a.band = b.band AND a.sig = b.sig AND a.doc_id < b.doc_id
+),
+ndpairs AS (
+  SELECT c.id_a, c.id_b
+  FROM cands c JOIN jac j ON c.id_a = j.id_a AND c.id_b = j.id_b
+  WHERE j.jaccard >= {JACCARD_THRESHOLD}
+),
+ccedges AS (
+  SELECT id_a AS a, id_b AS b FROM ndpairs
+  UNION ALL
+  SELECT id_b AS a, id_a AS b FROM ndpairs
+),
+cc_nodes AS (SELECT DISTINCT a AS node FROM ccedges),
+reach AS (
+  SELECT node, node AS label FROM cc_nodes
+  UNION
+  SELECT e.b AS node, r.label FROM reach r JOIN ccedges e ON e.a = r.node
+),
+cccomp AS (SELECT node AS doc_id, min(label) AS cluster_id FROM reach GROUP BY node),
+cl AS (
+  SELECT d.doc_id, CAST(COALESCE(c.cluster_id, d.doc_id) AS BIGINT) AS cluster_id
+  FROM documents d LEFT JOIN cccomp c USING (doc_id)
+),
+fp AS (SELECT doc_id, {_FP_SQL} AS f FROM documents)
+SELECT cl.doc_id, cl.cluster_id,
+       fp.f % 100 AS bucket,
+       CASE WHEN fp.f % 100 < 90 THEN 'train'
+            WHEN fp.f % 100 < 95 THEN 'val'
+            ELSE 'test' END AS split
+FROM cl JOIN fp ON fp.doc_id = cl.cluster_id
+""",
+    description="Cluster-aware train/val/test split — closes the "
+    "near-dup leakage hole the plain content-hash split leaves open: "
+    "MinHash-LSH near-dup clusters (iterative connected components, "
+    "same machinery as near_dup_doc_clusters) are assigned WHOLE to one "
+    "split, keyed by the rolling hash of the cluster CANONICAL's text "
+    "(min-id member), so a near-copy can never sit in train while its "
+    "twin sits in test; singleton docs degrade to exactly the "
+    "train_val_test_split assignment (pinned by test). Cost on top of "
+    "the dedup graph: one doc_id-keyed equi-join to fetch canonical "
+    "text — no new quadratic term at any scale",
+    tags=("extension", "curation", "dedup", "graph"),
+)
+def leakage_safe_split_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = read_parquet_table(spark, sf_dir, "documents")
+    pairs = _dd.minhash_near_dup_pairs(docs, "doc_id", "text", JACCARD_THRESHOLD)
+    comp = _dd.connected_components(pairs, "id_a", "id_b")
+    clustered = (
+        docs.select("doc_id")
+        .join(comp, docs.doc_id == comp.node, "left")
+        .select(
+            "doc_id", F.coalesce("comp", "doc_id").cast("long").alias("cluster_id")
+        )
+    )
+    canon = docs.select(
+        F.col("doc_id").alias("cluster_id"),
+        F.pmod(rolling_hash("text"), F.lit(100)).cast("long").alias("bucket"),
+    )
+    return clustered.join(canon, "cluster_id").select(
+        "doc_id",
+        "cluster_id",
+        "bucket",
+        F.when(F.col("bucket") < 90, "train")
+        .when(F.col("bucket") < 95, "val")
+        .otherwise("test")
+        .alias("split"),
+    )
+
+
+@register(
     "benchmark_decontamination",
     oracle=f"""
 WITH {_SHINGLE_CTES},

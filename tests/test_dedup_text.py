@@ -718,3 +718,40 @@ def test_exact_substring_dedup_cuts_and_drops(xdocs):
     assert out[10] == (f"a1 a2 a3 {_P} a4 a5", 17, 17)
     assert out[15] == (f"{_Q} e1", 21, 11)
     assert out[17] == ("tiny", 1, 1)
+
+
+def test_leakage_safe_split_cluster_atomic_and_singleton_compat(spark, sf_dir):
+    """(1) Every near-dup cluster lands WHOLE in one split (the leakage
+    guarantee); (2) singleton docs get exactly the plain content-hash
+    train_val_test_split assignment (the two splits agree wherever no
+    near-dup graph exists)."""
+    from spotify_tracks_etl_portfolio_spark.plans import all_queries
+
+    qs = all_queries()
+    safe = qs["leakage_safe_split_documents"].fn(spark, sf_dir).collect()
+    plain = {
+        r["doc_id"]: r["split"]
+        for r in qs["train_val_test_split"].fn(spark, sf_dir).collect()
+    }
+    by_cluster: dict[int, set] = {}
+    sizes: dict[int, int] = {}
+    for r in safe:
+        by_cluster.setdefault(r["cluster_id"], set()).add(r["split"])
+        sizes[r["cluster_id"]] = sizes.get(r["cluster_id"], 0) + 1
+    assert all(len(s) == 1 for s in by_cluster.values())
+    assert any(n > 1 for n in sizes.values())  # the corpus HAS clusters
+    for r in safe:
+        if sizes[r["cluster_id"]] == 1:
+            assert r["split"] == plain[r["doc_id"]]
+
+
+def test_leakage_safe_split_planted_near_dups_stay_together(spark):
+    docs = spark.createDataFrame(DOCS, "doc_id long, text string")
+    from spotify_tracks_etl_portfolio_spark.operators.dedup import (
+        connected_components, minhash_near_dup_pairs)
+    # sanity: the planted near-dup trio (0,1,2) really is one component
+    comp = connected_components(
+        minhash_near_dup_pairs(docs, "doc_id", "text", 0.5), "id_a", "id_b"
+    ).collect()
+    assert {r["node"] for r in comp} == {0, 1, 2}
+    assert len({r["comp"] for r in comp}) == 1
