@@ -949,8 +949,17 @@ def exact_substring_dup_spans(
         .filter(F.struct(id_col, "pos") != F.col("__first"))
         .select(id_col, "pos")
     )
-    # Gaps-and-islands: spans all have width k, so starts p1 < p2 merge
-    # (overlap or touch) iff p2 - p1 <= k; a gap > k starts a new island.
+    return _flagged_to_spans(flagged, id_col, k)
+
+
+def _flagged_to_spans(flagged: DataFrame, id_col: str, k: int) -> DataFrame:
+    """Merge flagged window-start positions ``(id, pos)`` into maximal
+    spans per doc. Gaps-and-islands: spans all have width k, so starts
+    p1 < p2 merge (overlap or touch) iff p2 - p1 <= k; a gap > k starts
+    a new island. One per-doc window shuffle; the span agg reuses the
+    doc partitioning (no further exchange)."""
+    from pyspark.sql import Window
+
     w_doc = Window.partitionBy(id_col).orderBy("pos")
     islands = flagged.withColumn(
         "__brk",
@@ -976,6 +985,39 @@ def exact_substring_dup_spans(
             (F.col("span_end") - F.col("span_start") + 1).alias("span_tokens"),
         )
     )
+
+
+def cross_corpus_substring_spans(
+    train: DataFrame,
+    bench: DataFrame,
+    id_col: str,
+    text_col: str,
+    k: int = EXACT_SUBSTR_TOKENS,
+) -> DataFrame:
+    """Span-level benchmark decontamination: every >= k-token substring
+    of a TRAIN doc that appears VERBATIM anywhere in the BENCH corpus,
+    as maximal per-doc spans — the surgical complement to the
+    whole-doc-flagging ``benchmark_decontamination`` (n-gram overlap
+    counts): instead of dropping a contaminated doc, a pipeline can cut
+    exactly the leaked spans and keep the rest.
+
+    Returns ``(id, span_start, span_end, span_tokens)`` over train docs.
+
+    Scale shape: the bench k-gram set is DISTINCT and broadcast (eval
+    benchmarks are small by definition — if one ever isn't, drop the
+    hint and it degrades to a shuffle semi-join); the train side streams
+    through one left-semi join, so the only large shuffle is the per-doc
+    island merge over flagged positions (output-sized, not corpus-sized).
+    """
+    bench_kg = F.broadcast(
+        _stride1_kgrams(bench, id_col, text_col, k).select("kg").distinct()
+    )
+    flagged = (
+        _stride1_kgrams(train, id_col, text_col, k)
+        .join(bench_kg, "kg", "left_semi")
+        .select(id_col, "pos")
+    )
+    return _flagged_to_spans(flagged, id_col, k)
 
 
 def exact_substring_dedup(

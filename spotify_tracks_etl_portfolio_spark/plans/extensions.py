@@ -3623,7 +3623,7 @@ _XS = _dd.EXACT_SUBSTR_TOKENS
 #: (DuckDB struct comparison is field-order lexicographic, same as
 #: Spark's), gaps-and-islands merge of flagged starts (equal-width spans
 #: merge iff the start gap <= k).
-_XSUBSTR_CTES = f"""
+_XGRAM_CTES = f"""
 tb AS (
   SELECT doc_id,
          CASE WHEN trim(text) = '' THEN CAST([] AS VARCHAR[])
@@ -3634,14 +3634,11 @@ g AS (
   SELECT doc_id, i AS pos, array_to_string(w[i:(i+{_XS}-1)], ' ') AS kg
   FROM tb, unnest(range(1, len(w) - {_XS} + 2)) AS t(i)
   WHERE len(w) >= {_XS}
-),
-flagged AS (
-  SELECT doc_id, pos FROM (
-    SELECT doc_id, pos,
-           min(struct_pack(d := doc_id, p := pos)) OVER (PARTITION BY kg) AS f
-    FROM g)
-  WHERE struct_pack(d := doc_id, p := pos) <> f
-),
+)"""
+
+#: Island merge given a ``flagged(doc_id, pos)`` CTE — the SQL twin of
+#: operators/dedup.py::_flagged_to_spans.
+_XSPAN_MERGE_CTES = f"""
 brk AS (
   SELECT doc_id, pos,
          CASE WHEN pos - lag(pos) OVER (PARTITION BY doc_id ORDER BY pos)
@@ -3659,6 +3656,15 @@ spans AS (
          CAST(max(pos) + {_XS} - 1 AS BIGINT) AS span_end
   FROM isl GROUP BY doc_id, island
 )"""
+
+_XSUBSTR_CTES = f"""{_XGRAM_CTES},
+flagged AS (
+  SELECT doc_id, pos FROM (
+    SELECT doc_id, pos,
+           min(struct_pack(d := doc_id, p := pos)) OVER (PARTITION BY kg) AS f
+    FROM g)
+  WHERE struct_pack(d := doc_id, p := pos) <> f
+),{_XSPAN_MERGE_CTES}"""
 
 
 @register(
@@ -3714,6 +3720,40 @@ FROM keep GROUP BY doc_id
 def exact_substring_dedup_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = read_parquet_table(spark, sf_dir, "documents")
     return _dd.exact_substring_dedup(docs, "doc_id", "text")
+
+
+@register(
+    "decontamination_overlap_spans",
+    oracle=f"""
+WITH {_XGRAM_CTES},
+flagged AS (
+  SELECT doc_id, pos FROM g
+  WHERE doc_id % 10 <> 0
+    AND kg IN (SELECT DISTINCT kg FROM g WHERE doc_id % 10 = 0)
+),{_XSPAN_MERGE_CTES}
+SELECT doc_id, span_start, span_end,
+       span_end - span_start + 1 AS span_tokens
+FROM spans
+""",
+    description=f"Span-level benchmark decontamination: every >= "
+    f"{_XS}-token substring of a training doc (doc_id % 10 != 0) that "
+    "appears verbatim anywhere in the benchmark set (doc_id % 10 = 0), "
+    "as maximal per-doc spans — the surgical complement to "
+    "benchmark_decontamination's whole-doc n-gram overlap counts: cut "
+    "exactly the leaked spans, keep the doc. Bench k-gram set is "
+    "distinct + broadcast (benchmarks are small); the train side "
+    "streams through one left-semi join; the only large shuffle is the "
+    "output-sized per-doc island merge",
+    tags=("extension", "curation", "dedup"),
+)
+def decontamination_overlap_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = read_parquet_table(spark, sf_dir, "documents")
+    return _dd.cross_corpus_substring_spans(
+        docs.filter(F.col("doc_id") % 10 != 0),
+        docs.filter(F.col("doc_id") % 10 == 0),
+        "doc_id",
+        "text",
+    )
 
 
 _NEAR_DEDUP_NEW_VS_CORPUS_ORACLE = f"""

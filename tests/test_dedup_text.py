@@ -755,3 +755,31 @@ def test_leakage_safe_split_planted_near_dups_stay_together(spark):
     ).collect()
     assert {r["node"] for r in comp} == {0, 1, 2}
     assert len({r["comp"] for r in comp}) == 1
+
+
+def test_cross_corpus_substring_spans_planted(spark):
+    """A train doc embedding a benchmark phrase gets exactly that span;
+    clean train docs and bench docs never appear; sub-k overlap is
+    invisible."""
+    k = dd.EXACT_SUBSTR_TOKENS
+    leak = " ".join(f"L{i}" for i in range(k + 3))   # k+3 = 11 tokens
+    short = " ".join(f"M{i}" for i in range(k - 1))  # k-1: below threshold
+    bench = spark.createDataFrame(
+        [(100, f"bh1 {leak} bh2"), (101, f"bh3 {short}")],
+        "doc_id long, text string",
+    )
+    train = spark.createDataFrame(
+        [
+            (1, f"t1 t2 {leak} t3"),      # leak at pos 3..13
+            (2, f"t4 {short} t5 t6"),     # only a sub-k overlap: clean
+            (3, "entirely clean text with no benchmark overlap at all ok"),
+        ],
+        "doc_id long, text string",
+    )
+    spans = {
+        (r["doc_id"], r["span_start"], r["span_end"], r["span_tokens"])
+        for r in dd.cross_corpus_substring_spans(
+            train, bench, "doc_id", "text"
+        ).collect()
+    }
+    assert spans == {(1, 3, 13, 11)}
