@@ -61,6 +61,10 @@ HEADLINE = [
     # frozen-toy near-dup plans (timing history starts this round)
     "simhash_near_dups_wide",
     "embedding_lsh_near_dups_wide",
+    # round-9 continuation: ExactSubstr span detection — the heaviest
+    # new dedup plan (stride-1 window explosion + content-keyed window);
+    # timing history starts this round
+    "exact_substring_dup_spans",
 ]
 # Round-9 verdict item 4: the FROZEN-TOY twins simhash_near_dups and
 # embedding_lsh_near_dups are demoted from this list — both are
