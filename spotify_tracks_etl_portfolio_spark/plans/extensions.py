@@ -4089,6 +4089,50 @@ def cowtable_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _ct.snapshot_diff(spark, root, "doc_id", 0)
 
 
+@register(
+    "cowtable_zorder_pruned_scan",
+    oracle="""
+SELECT l_returnflag,
+       CAST(count(*) AS BIGINT) AS n_rows,
+       CAST(sum(l_partkey) AS BIGINT) AS sum_partkey
+FROM lineitem
+WHERE l_partkey BETWEEN 1 AND 200 AND l_suppkey BETWEEN 1 AND 10
+GROUP BY l_returnflag
+""",
+    description="OPTIMIZE ZORDER lifecycle under the correctness gate "
+    "(sources/cowtable.py: optimize_zorder/scan_pruned_multi): create a "
+    "COW table from lineitem linearly clustered on l_orderkey, rewrite "
+    "it Z-ordered on (l_partkey, l_suppkey) — Morton-interleaved bins, "
+    "one range shuffle, old snapshot still time-travels — then answer a "
+    "two-column box predicate through manifest-level multi-column "
+    "footer pruning + residual filter. Layout changes cost, never the "
+    "answer: the oracle is the plain predicate on the source table. "
+    "The pruning-rate and both-dimension guarantees are pytest-pinned "
+    "(tests/test_cowtable.py); linear clustering can prune only its "
+    "one sort key — Z-order is what makes multi-dimension file skipping "
+    "work at 100 TB",
+    tags=("extension", "sources", "acid"),
+)
+def cowtable_zorder_pruned_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from spotify_tracks_etl_portfolio_spark.sources import cowtable as _ct
+
+    li = read_parquet_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_partkey", "l_suppkey", "l_returnflag"
+    )
+    root = os.path.join(
+        _session_scratch(spark, "cow_zorder"), uuid.uuid4().hex
+    )
+    _ct.create_table(spark, root, li, cluster_by="l_orderkey", n_files=8)
+    _ct.optimize_zorder(spark, root, ["l_partkey", "l_suppkey"], n_files=8)
+    pruned, _scanned, _total = _ct.scan_pruned_multi(
+        spark, root, {"l_partkey": (1, 200), "l_suppkey": (1, 10)}
+    )
+    return pruned.groupBy("l_returnflag").agg(
+        F.count(F.lit(1)).cast("long").alias("n_rows"),
+        F.sum("l_partkey").cast("long").alias("sum_partkey"),
+    )
+
+
 def _random_projection_oracle() -> str:
     s = _sim
     projs = ",\n       ".join(

@@ -749,6 +749,163 @@ def compact(
     }
 
 
+#: Bits per dimension for Z-order binning. 8 bits × up to 4 columns
+#: keeps the interleaved value inside an int64 with headroom and gives
+#: 256 bins per dimension — far finer than any realistic file count,
+#: so file boundaries land on Z-curve cell edges, not inside bins.
+ZORDER_BITS = 8
+
+
+def _zorder_expr(cols: list[str], ranges: dict[str, tuple], bits: int):
+    """Z-value (Morton code) column: each column min-max-scales to an
+    integer in [0, 2^bits) and the bit patterns interleave — bit i of
+    column j lands at position i*m + j. Pure JVM-side integer
+    arithmetic (shift/and/sum), whole-stage-codegen friendly; NULLs and
+    degenerate (min==max) columns bin to 0.
+
+    Min-max scaling is deterministic and costs one aggregation; under
+    heavy value skew quantile binning would balance the curve better,
+    but layout never affects answers — only pruning quality — so the
+    deterministic default wins here (same trade Delta's OPTIMIZE
+    ZORDER makes with its range-id pass)."""
+    m = len(cols)
+    terms = []
+    for j, c in enumerate(cols):
+        lo, hi = ranges[c]
+        span = float(hi) - float(lo)
+        if span <= 0:
+            continue  # single-valued column: contributes nothing
+        scaled = F.floor(
+            (F.col(c).cast("double") - F.lit(float(lo)))
+            * F.lit(float(2**bits))
+            / F.lit(span)
+        ).cast("long")
+        b = F.coalesce(
+            F.least(F.lit(2**bits - 1), F.greatest(F.lit(0), scaled)),
+            F.lit(0),
+        )
+        for i in range(bits):
+            terms.append(
+                F.shiftleft(
+                    F.shiftright(b, i).bitwiseAND(F.lit(1)), i * m + j
+                )
+            )
+    if not terms:
+        return F.lit(0).cast("long")
+    z = terms[0]
+    for t in terms[1:]:
+        z = z + t
+    return z
+
+
+def optimize_zorder(
+    spark: SparkSession,
+    root: str,
+    cols: list[str],
+    n_files: int = 8,
+    bits: int = ZORDER_BITS,
+) -> dict:
+    """Multi-dimensional maintenance rewrite (Delta's OPTIMIZE ZORDER
+    BY): rewrite the current snapshot range-partitioned + sorted on the
+    interleaved Z-value of ``cols``, so each file covers a compact
+    hyper-rectangle of the combined key space and footer-stats pruning
+    works for predicates on ANY subset of the clustered columns — the
+    property linear ``compact(cluster_by=...)`` cannot give (clustering
+    on x leaves every file spanning all of y).
+
+    Same commit discipline as ``compact``: new version, old snapshots
+    time-travel until vacuumed, stream watermark carries over. Row
+    content is bit-identical to the pre-optimize snapshot — layout is
+    the only thing that changes (pinned by test and by the registered
+    query's oracle).
+
+    Scale shape: one aggregation for the per-column [min,max], one
+    range-partitioning shuffle on the Z-value (sampled boundaries —
+    Spark's RangePartitioner), one write. No driver-side data, no
+    second pass."""
+    v = latest_version(root)
+    m = _load_snapshot(root, v)
+    new_files: list[dict] = []
+    if m["files"]:
+        df = _scan_files(spark, [f["path"] for f in m["files"]], m["schema"])
+        row = df.agg(
+            *[F.min(c).alias(f"__lo_{c}") for c in cols],
+            *[F.max(c).alias(f"__hi_{c}") for c in cols],
+        ).collect()[0]
+        ranges = {
+            c: (row[f"__lo_{c}"], row[f"__hi_{c}"])
+            for c in cols
+            if row[f"__lo_{c}"] is not None and row[f"__hi_{c}"] is not None
+        }
+        z = _zorder_expr([c for c in cols if c in ranges], ranges, bits)
+        clustered = (
+            df.withColumn("__z", z)
+            .repartitionByRange(n_files, F.col("__z"))
+            .sortWithinPartitions("__z")
+            .drop("__z")
+        )
+        new_files = _write_data_files(clustered, root)
+    manifest = {
+        "version": v + 1,
+        "parent": v,
+        "operation": "optimize_zorder",
+        "zorder_by": list(cols),
+        "schema": m["schema"],
+        **_files_payload(v + 1, m["files"], new_files),
+    }
+    if m.get("stream_batch_id") is not None:
+        manifest["stream_batch_id"] = m["stream_batch_id"]
+        if m.get("stream_app_id") is not None:
+            manifest["stream_app_id"] = m["stream_app_id"]
+    _commit(root, v + 1, manifest)
+    return {
+        "version": v + 1,
+        "files_rewritten": len(m["files"]),
+        "files_out": len(new_files),
+    }
+
+
+def scan_pruned_multi(
+    spark: SparkSession, root: str, predicates: dict[str, tuple]
+) -> tuple[DataFrame, int, int]:
+    """Manifest-level file pruning for a CONJUNCTION of range
+    predicates ``{col: (lo, hi)}``: a file is scanned only when EVERY
+    predicate column's footer [min,max] intersects its range (missing
+    stats are conservatively 'maybe'); the residual filter applies on
+    top. Returns (df, files_scanned, files_total). After
+    ``optimize_zorder`` on the predicate columns this prunes in every
+    queried dimension, not just the linear cluster key."""
+    m = _load_snapshot(root, latest_version(root))
+    total = len(m["files"])
+    maybe = []
+    for f in m["files"]:
+        hit = True
+        for c, (lo, hi) in predicates.items():
+            fmin, fmax = f["min"].get(c), f["max"].get(c)
+            if fmin is None or fmax is None:
+                continue
+            if fmax < lo or fmin > hi:
+                hit = False
+                break
+        if hit:
+            maybe.append(f)
+    cond = None
+    for c, (lo, hi) in predicates.items():
+        term = (F.col(c) >= F.lit(lo)) & (F.col(c) <= F.lit(hi))
+        cond = term if cond is None else (cond & term)
+    if not maybe:
+        from pyspark.sql.types import StructType
+
+        empty = spark.createDataFrame(
+            [], StructType.fromJson(json.loads(m["schema"]))
+        )
+        return empty, 0, total
+    df = _scan_files(spark, [f["path"] for f in maybe], m["schema"])
+    if cond is not None:
+        df = df.filter(cond)
+    return df, len(maybe), total
+
+
 def vacuum(
     root: str, retain_last: int = 1, min_age_seconds: float = 600.0
 ) -> dict:

@@ -620,3 +620,94 @@ def test_merge_into_duplicate_update_keys_reduce_to_one(spark, table):
     rows = ct.read_table(spark, table).filter("k = 7").collect()
     assert len(rows) == 1
     assert rows[0]["v"] == 9
+
+
+# ---------------------------------------------------------------------------
+# OPTIMIZE ZORDER — multi-dimensional clustering + multi-column pruning
+
+
+def test_zorder_expr_interleaves_known_bits(spark):
+    """Morton-code ground truth: for 2 cols already scaled to exactly
+    [0, 2^bits), the interleaved value matches the hand-computed code
+    (bit i of col j at position i*2 + j)."""
+    df = spark.createDataFrame(
+        [(0, 0), (255, 255), (255, 0), (0, 255), (3, 5)], "x long, y long"
+    )
+    z = ct._zorder_expr(["x", "y"], {"x": (0, 255), "y": (0, 255)}, 8)
+    got = {(r["x"], r["y"]): r["z"] for r in df.select("x", "y", z.alias("z")).collect()}
+
+    def morton(x, y):
+        v = 0
+        for i in range(8):
+            v |= ((x >> i) & 1) << (2 * i)
+            v |= ((y >> i) & 1) << (2 * i + 1)
+        return v
+
+    # scaling with lo=0, hi=255 maps v -> floor(v*256/255), clamped 255
+    def scale(v):
+        return min(255, v * 256 // 255)
+
+    for (x, y), zv in got.items():
+        assert zv == morton(scale(x), scale(y))
+
+
+def test_optimize_zorder_preserves_content_and_prunes_both_dims(spark, tmp_path):
+    """After OPTIMIZE ZORDER BY (x, y): (1) row content is identical;
+    (2) a box predicate on BOTH columns scans a small fraction of
+    files; (3) a predicate on y ALONE also prunes — the property linear
+    cluster_by='x' cannot give (pre-optimize, every file spans all of
+    y, so the y-only scan touches everything)."""
+    n = 40_000
+    # independent 200x200 grid: every x value co-occurs with every y
+    df = spark.range(n).select(
+        (F.col("id") % 200).alias("x"),
+        (F.col("id") / 200).cast("long").alias("y"),
+        F.col("id").alias("payload"),
+    )
+    root = str(tmp_path / "zt")
+    ct.create_table(spark, root, df, cluster_by="x", n_files=16)
+
+    before = ct.read_table(spark, root)
+    _, y_scan_before, total_before = ct.scan_pruned_multi(
+        spark, root, {"y": (0, 19)}
+    )
+    assert total_before == 16
+    assert y_scan_before == total_before  # linear-on-x: y never prunes
+
+    res = ct.optimize_zorder(spark, root, ["x", "y"], n_files=16)
+    assert res["files_out"] >= 1
+
+    after = ct.read_table(spark, root)
+    assert sorted(map(tuple, before.collect())) == sorted(
+        map(tuple, after.collect())
+    )
+
+    box, box_scan, total = ct.scan_pruned_multi(
+        spark, root, {"x": (0, 19), "y": (0, 19)}
+    )
+    assert box_scan <= total // 2
+    # the residual filter keeps the answer exact
+    expected = df.filter(
+        (F.col("x") <= 19) & (F.col("y") <= 19)
+    ).count()
+    assert box.count() == expected
+
+    ydf, y_scan, _ = ct.scan_pruned_multi(spark, root, {"y": (0, 19)})
+    assert y_scan < total_before
+    assert ydf.count() == df.filter(F.col("y") <= 19).count()
+
+
+def test_optimize_zorder_time_travel_and_degenerate_column(spark, tmp_path):
+    """The optimize commit is a normal version: the pre-optimize
+    snapshot still time-travels; a single-valued column contributes
+    nothing to the curve but doesn't break the rewrite."""
+    df = spark.range(1000).select(
+        (F.col("id") % 10).alias("x"), F.lit(7).alias("c"), F.col("id").alias("p")
+    )
+    root = str(tmp_path / "zt2")
+    ct.create_table(spark, root, df, cluster_by="x", n_files=4)
+    v0 = ct.latest_version(root)
+    ct.optimize_zorder(spark, root, ["x", "c"], n_files=4)
+    assert ct.read_table(spark, root, version=v0).count() == 1000
+    assert ct.read_table(spark, root).count() == 1000
+    assert ct._read_manifest(root, v0 + 1)["operation"] == "optimize_zorder"
