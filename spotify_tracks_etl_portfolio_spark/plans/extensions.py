@@ -4133,6 +4133,45 @@ def cowtable_zorder_pruned_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "cowtable_bloom_point_lookup",
+    oracle="""
+SELECT event_type, CAST(count(*) AS BIGINT) AS n_events
+FROM events WHERE user_id = 7
+GROUP BY event_type
+""",
+    description="Bloom-index point lookup under the correctness gate "
+    "(sources/cowtable.py: bloom_cols/scan_pruned_eq): create a COW "
+    "table from events clustered on event_id with a per-file Bloom "
+    "filter on the UNCLUSTERED user_id column (8192 bits / 5 hashes, "
+    "~1% fp — a 2 KiB manifest entry per file), then answer an equality "
+    "lookup scanning only bloom-positive files + residual filter. Sort "
+    "order can't prune this shape (every file's user_id [min,max] spans "
+    "the domain); the bloom has no false negatives so the oracle is the "
+    "plain predicate. High-cardinality pruning rate, property "
+    "inheritance through MERGE/COMPACT, and bloom-less fallback are "
+    "pytest-pinned (tests/test_cowtable.py)",
+    tags=("extension", "sources", "acid"),
+)
+def cowtable_bloom_point_lookup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from spotify_tracks_etl_portfolio_spark.sources import cowtable as _ct
+
+    ev = read_parquet_table(spark, sf_dir, "events").select(
+        "event_id", "user_id", "event_type"
+    )
+    root = os.path.join(
+        _session_scratch(spark, "cow_bloom"), uuid.uuid4().hex
+    )
+    _ct.create_table(
+        spark, root, ev, cluster_by="event_id", n_files=8,
+        bloom_cols=["user_id"],
+    )
+    hit, _scanned, _total = _ct.scan_pruned_eq(spark, root, "user_id", 7)
+    return hit.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("long").alias("n_events")
+    )
+
+
 def _random_projection_oracle() -> str:
     s = _sim
     projs = ",\n       ".join(

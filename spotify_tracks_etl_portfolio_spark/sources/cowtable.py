@@ -97,17 +97,75 @@ def _file_stats(path: str) -> dict:
     }
 
 
-def _write_data_files(df: DataFrame, root: str) -> list[dict]:
+#: Per-file Bloom index geometry: 8192 bits / 5 hashes gives a ~1%
+#: false-positive rate up to ~850 distinct values per file and stays a
+#: 2 KiB hex string in the manifest — metadata, not data.
+_BLOOM_BITS = 8192
+_BLOOM_HASHES = 5
+
+
+def _bloom_hashes(value) -> tuple[int, int]:
+    """Double-hashing seed pair for a value — keyed on ``repr`` so the
+    encoding is deterministic across processes (Python's builtin hash
+    is salted per process) and type-faithful (int 42 vs str '42' never
+    collide by construction)."""
+    import hashlib
+
+    d = hashlib.blake2b(repr(value).encode(), digest_size=16).digest()
+    return int.from_bytes(d[:8], "big"), int.from_bytes(d[8:], "big") | 1
+
+
+def _bloom_positions(value, bits: int = _BLOOM_BITS, k: int = _BLOOM_HASHES):
+    h1, h2 = _bloom_hashes(value)
+    return [(h1 + i * h2) % bits for i in range(k)]
+
+
+def _file_bloom(path: str, col: str) -> str:
+    """Bloom filter over the DISTINCT values of ``col`` in one data
+    file, as a hex string for the manifest. Reads that single column of
+    the file just written (file-local, bounded — the same cost class as
+    the footer-stats read); NULLs don't participate (equality never
+    matches NULL anyway)."""
+    import pyarrow.compute as pc
+    import pyarrow.parquet as pq
+
+    arr = bytearray(_BLOOM_BITS // 8)
+    tbl = pq.read_table(path, columns=[col])
+    for v in pc.unique(tbl.column(col)).to_pylist():
+        if v is None:
+            continue
+        for p in _bloom_positions(v):
+            arr[p // 8] |= 1 << (p % 8)
+    return arr.hex()
+
+
+def _bloom_maybe_contains(bloom_hex: str, value) -> bool:
+    arr = bytes.fromhex(bloom_hex)
+    return all(
+        arr[p // 8] & (1 << (p % 8)) for p in _bloom_positions(value)
+    )
+
+
+def _write_data_files(
+    df: DataFrame, root: str, bloom_cols: tuple[str, ...] | list[str] = ()
+) -> list[dict]:
     """Write a DataFrame as new immutable parquet files under data/ and
-    return their stats entries. Files get a fresh UUID prefix so
-    successive writes never collide (immutability invariant)."""
+    return their stats entries (+ per-file Bloom indexes for
+    ``bloom_cols``). Files get a fresh UUID prefix so successive writes
+    never collide (immutability invariant)."""
     out = os.path.join(root, _DATA_DIR, uuid.uuid4().hex)
     df.write.mode("error").parquet(out)
-    return [
-        _file_stats(os.path.join(out, f))
-        for f in sorted(os.listdir(out))
-        if f.endswith(".parquet")
-    ]
+    entries = []
+    cols = [c for c in bloom_cols if c in df.columns]
+    for f in sorted(os.listdir(out)):
+        if not f.endswith(".parquet"):
+            continue
+        path = os.path.join(out, f)
+        e = _file_stats(path)
+        if cols:
+            e["bloom"] = {c: _file_bloom(path, c) for c in cols}
+        entries.append(e)
+    return entries
 
 
 def _read_manifest(root: str, version: int) -> dict:
@@ -215,6 +273,7 @@ def create_table(
     df: DataFrame,
     cluster_by: str | None = None,
     n_files: int = 8,
+    bloom_cols: list[str] | None = None,
 ) -> int:
     """Create a COW table at ``root`` from ``df`` (version 0).
 
@@ -223,14 +282,23 @@ def create_table(
     that is what makes footer-stats file pruning effective (the same
     reason Delta/Iceberg tables get Z-ordered/sorted on their merge
     keys). Without clustering every file spans the whole key range and
-    COW merges degrade to full-table rewrites."""
+    COW merges degrade to full-table rewrites.
+
+    ``bloom_cols``: a TABLE PROPERTY (inherited by every subsequent
+    commit): each data file carries a Bloom filter over these columns'
+    distinct values, so EQUALITY lookups prune files on columns the
+    sort order does nothing for — footer [min,max] on an unclustered
+    high-cardinality column spans everything; the Bloom says 'not in
+    this file' with ~1% false positives (Delta's bloom-filter-index
+    design point). Rewrites refresh blooms automatically because every
+    write path computes them at file-write time."""
     if latest_version(root) >= 0:
         raise FileExistsError(f"table already exists at {root}")
     if cluster_by is not None:
         df = df.repartitionByRange(n_files, F.col(cluster_by)).sortWithinPartitions(
             cluster_by
         )
-    files = _write_data_files(df, root)
+    files = _write_data_files(df, root, bloom_cols or ())
     manifest = {
         "version": 0,
         "parent": None,
@@ -238,6 +306,8 @@ def create_table(
         "schema": df.schema.json(),
         "files": files,
     }
+    if bloom_cols:
+        manifest["bloom_cols"] = list(bloom_cols)
     _commit(root, 0, manifest)
     return 0
 
@@ -322,6 +392,8 @@ def add_columns(root: str, cols: dict[str, str]) -> int:
         manifest["stream_batch_id"] = m["stream_batch_id"]
         if m.get("stream_app_id") is not None:
             manifest["stream_app_id"] = m["stream_app_id"]
+    if m.get("bloom_cols"):  # table property: inherit
+        manifest["bloom_cols"] = m["bloom_cols"]
     _commit(root, v + 1, manifest)
     return v + 1
 
@@ -441,7 +513,9 @@ def delete_where(
         survivors = affected.join(
             keys.select(key_col).distinct(), key_col, "left_anti"
         )
-        new_files = _write_data_files(survivors, root)
+        new_files = _write_data_files(
+            survivors, root, m.get("bloom_cols") or ()
+        )
     manifest = {
         "version": v + 1,
         "parent": v,
@@ -453,6 +527,8 @@ def delete_where(
         manifest["stream_batch_id"] = m["stream_batch_id"]
         if m.get("stream_app_id") is not None:
             manifest["stream_app_id"] = m["stream_app_id"]
+    if m.get("bloom_cols"):  # table property: inherit
+        manifest["bloom_cols"] = m["bloom_cols"]
     _commit(root, v + 1, manifest)
     return {
         "version": v + 1,
@@ -508,8 +584,10 @@ def merge_into(
         survivors = affected.join(
             updates.select(key_col).distinct(), key_col, "left_anti"
         )
-        new_files += _write_data_files(survivors, root)
-    new_files += _write_data_files(updates, root)
+        new_files += _write_data_files(
+            survivors, root, m.get("bloom_cols") or ()
+        )
+    new_files += _write_data_files(updates, root, m.get("bloom_cols") or ())
     manifest = {
         "version": v + 1,
         "parent": v,
@@ -521,6 +599,8 @@ def merge_into(
         manifest["stream_batch_id"] = m["stream_batch_id"]
         if m.get("stream_app_id") is not None:
             manifest["stream_app_id"] = m["stream_app_id"]
+    if m.get("bloom_cols"):  # table property: inherit
+        manifest["bloom_cols"] = m["bloom_cols"]
     _commit(root, v + 1, manifest)
     return {
         "version": v + 1,
@@ -588,7 +668,7 @@ def merge_latest(
     # single group — silently losing data the anti-join paths keep.
     nulls = combined.filter(F.col(key_col).isNull())
     latest = latest.unionByName(nulls)
-    new_files = _write_data_files(latest, root)
+    new_files = _write_data_files(latest, root, m.get("bloom_cols") or ())
     manifest = {
         "version": v + 1,
         "parent": v,
@@ -604,6 +684,8 @@ def merge_latest(
         manifest["stream_batch_id"] = sbid
         if app is not None:
             manifest["stream_app_id"] = app
+    if m.get("bloom_cols"):  # table property: inherit
+        manifest["bloom_cols"] = m["bloom_cols"]
     _commit(root, v + 1, manifest)
     return {
         "version": v + 1,
@@ -728,7 +810,7 @@ def compact(
         df = df.repartitionByRange(
             n_files, F.col(cluster_by)
         ).sortWithinPartitions(cluster_by)
-        new_files = _write_data_files(df, root)
+        new_files = _write_data_files(df, root, m.get("bloom_cols") or ())
     manifest = {
         "version": v + 1,
         "parent": v,
@@ -740,6 +822,8 @@ def compact(
         manifest["stream_batch_id"] = m["stream_batch_id"]
         if m.get("stream_app_id") is not None:
             manifest["stream_app_id"] = m["stream_app_id"]
+    if m.get("bloom_cols"):  # table property: inherit
+        manifest["bloom_cols"] = m["bloom_cols"]
     _commit(root, v + 1, manifest)
     return {
         "version": v + 1,
@@ -844,7 +928,9 @@ def optimize_zorder(
             .sortWithinPartitions("__z")
             .drop("__z")
         )
-        new_files = _write_data_files(clustered, root)
+        new_files = _write_data_files(
+            clustered, root, m.get("bloom_cols") or ()
+        )
     manifest = {
         "version": v + 1,
         "parent": v,
@@ -857,6 +943,8 @@ def optimize_zorder(
         manifest["stream_batch_id"] = m["stream_batch_id"]
         if m.get("stream_app_id") is not None:
             manifest["stream_app_id"] = m["stream_app_id"]
+    if m.get("bloom_cols"):  # table property: inherit
+        manifest["bloom_cols"] = m["bloom_cols"]
     _commit(root, v + 1, manifest)
     return {
         "version": v + 1,
@@ -903,6 +991,47 @@ def scan_pruned_multi(
     df = _scan_files(spark, [f["path"] for f in maybe], m["schema"])
     if cond is not None:
         df = df.filter(cond)
+    return df, len(maybe), total
+
+
+def scan_pruned_eq(
+    spark: SparkSession, root: str, col: str, value
+) -> tuple[DataFrame, int, int]:
+    """Bloom-index point lookup: scan only the files whose Bloom filter
+    for ``col`` says the value MAY be present (no false negatives;
+    ~1% false-positive files scanned in vain), with the exact equality
+    filter residual on top. Files without a bloom for the column —
+    pre-index history, or a column not in ``bloom_cols`` — are
+    conservatively scanned, and footer [min,max] still pre-filters
+    when it can. This is the lookup shape sort order can't serve: on an
+    unclustered high-cardinality column every file's [min,max] spans
+    the whole domain, but the per-file Bloom still rules almost all of
+    them out. Returns (df, files_scanned, files_total)."""
+    m = _load_snapshot(root, latest_version(root))
+    total = len(m["files"])
+    maybe = []
+    for f in m["files"]:
+        fmin, fmax = f["min"].get(col), f["max"].get(col)
+        if fmin is not None and fmax is not None:
+            try:
+                if value < fmin or value > fmax:
+                    continue
+            except TypeError:
+                pass  # incomparable types: fall through to the bloom
+        bloom = (f.get("bloom") or {}).get(col)
+        if bloom is not None and not _bloom_maybe_contains(bloom, value):
+            continue
+        maybe.append(f)
+    if not maybe:
+        from pyspark.sql.types import StructType
+
+        empty = spark.createDataFrame(
+            [], StructType.fromJson(json.loads(m["schema"]))
+        )
+        return empty, 0, total
+    df = _scan_files(spark, [f["path"] for f in maybe], m["schema"]).filter(
+        F.col(col) == F.lit(value)
+    )
     return df, len(maybe), total
 
 

@@ -711,3 +711,76 @@ def test_optimize_zorder_time_travel_and_degenerate_column(spark, tmp_path):
     assert ct.read_table(spark, root, version=v0).count() == 1000
     assert ct.read_table(spark, root).count() == 1000
     assert ct._read_manifest(root, v0 + 1)["operation"] == "optimize_zorder"
+
+
+# ---------------------------------------------------------------------------
+# Bloom-index file skipping — equality pruning on UNCLUSTERED columns
+
+
+def test_bloom_lookup_prunes_unclustered_column(spark, tmp_path):
+    """Table clustered on x; u is a scrambled id so every file's
+    [min,max] on u spans ~the whole domain (range stats useless).
+    Bloom lookup: (1) never a false negative — every probed present
+    value returns its exact rows; (2) scans FAR fewer files than the
+    table holds; (3) an absent value scans ~0 files and returns 0
+    rows."""
+    n = 20_000
+    df = spark.range(n).select(
+        (F.col("id") % 100).alias("x"),
+        ((F.col("id") * 2654435761) % (2**31)).alias("u"),
+        F.col("id").alias("payload"),
+    )
+    root = str(tmp_path / "bt")
+    ct.create_table(
+        spark, root, df, cluster_by="x", n_files=16, bloom_cols=["u"]
+    )
+    total_scanned = 0
+    probes = [(i * 2654435761) % (2**31) for i in (0, 7, 123, 9999, 19999)]
+    for u in probes:
+        hit, scanned, total = ct.scan_pruned_eq(spark, root, "u", u)
+        assert total == 16
+        rows = hit.collect()
+        assert len(rows) == 1 and rows[0]["u"] == u  # no false negative
+        total_scanned += scanned
+    # 5 point lookups over 16 files: sort order gives no pruning on u,
+    # the bloom should rule out nearly everything
+    assert total_scanned <= 10
+    miss, scanned, _ = ct.scan_pruned_eq(spark, root, "u", -12345)
+    assert miss.count() == 0
+    assert scanned <= 1  # at most a false-positive file
+
+
+def test_bloom_property_inherited_through_merge_and_compact(spark, tmp_path):
+    """bloom_cols is a table property: files written by later MERGE and
+    COMPACT commits carry fresh blooms, and lookups stay exact for both
+    updated and untouched keys."""
+    df = spark.range(2_000).select(
+        F.col("id").alias("k"), (F.col("id") * 31 % 997).alias("u")
+    )
+    root = str(tmp_path / "bt2")
+    ct.create_table(spark, root, df, cluster_by="k", n_files=8, bloom_cols=["u"])
+    upd = spark.createDataFrame([(5, 100_000), (6, 100_000)], "k long, u long")
+    ct.merge_into(spark, root, upd, "k")
+    m = ct._load_snapshot(root, ct.latest_version(root))
+    assert m.get("bloom_cols") == ["u"]
+    assert all("bloom" in f and "u" in f["bloom"] for f in m["files"])
+    hit, scanned, total = ct.scan_pruned_eq(spark, root, "u", 100_000)
+    assert {r["k"] for r in hit.collect()} == {5, 6}
+    assert scanned < total
+    ct.compact(spark, root, cluster_by="k", n_files=4)
+    m2 = ct._load_snapshot(root, ct.latest_version(root))
+    assert all("bloom" in f for f in m2["files"])
+    hit2, _, _ = ct.scan_pruned_eq(spark, root, "u", 100_000)
+    assert {r["k"] for r in hit2.collect()} == {5, 6}
+
+
+def test_bloom_absent_table_scans_conservatively(spark, tmp_path):
+    """A table created WITHOUT bloom_cols answers equality lookups
+    correctly by scanning every range-compatible file (no bloom entries
+    to consult)."""
+    df = spark.range(500).select(F.col("id").alias("k"), (F.col("id") % 7).alias("u"))
+    root = str(tmp_path / "bt3")
+    ct.create_table(spark, root, df, cluster_by="k", n_files=4)
+    hit, scanned, total = ct.scan_pruned_eq(spark, root, "u", 3)
+    assert scanned == total == 4
+    assert hit.count() == df.filter(F.col("u") == 3).count()
