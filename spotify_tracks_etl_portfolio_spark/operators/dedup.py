@@ -910,6 +910,7 @@ def exact_substring_dup_spans(
     id_col: str,
     text_col: str,
     k: int = EXACT_SUBSTR_TOKENS,
+    max_kgram_df: int | None = None,
 ) -> DataFrame:
     """Exact-substring duplicate spans (the ExactSubstr operator of Lee
     et al. 2021, "Deduplicating Training Data Makes Language Models
@@ -937,18 +938,47 @@ def exact_substring_dup_spans(
     At scale the shuffle key would be ``xxhash64(kg)`` (narrow rows,
     collision-checked); the literal string key here keeps the operator
     byte-exact against its SQL oracle.
+
+    ``max_kgram_df``: the skew guard (same contract as n-gram
+    Jaccard's ``max_shingle_df``). A corpus-wide boilerplate window —
+    the same k tokens in millions of docs — concentrates its whole
+    occurrence list in one window partition. With the cap set, the
+    operator switches to a groupBy formulation (``min(struct)`` +
+    ``count`` per k-gram — PARTIAL aggregation, so the hot key combines
+    map-side and never materializes one giant partition; the join back
+    is AQE-skew-handled), and k-grams occurring in more than the cap
+    occurrences are EXCLUDED from duplicate detection — boilerplate
+    that common is a filtering concern, not a dedup one (the C4
+    rationale). Semantics therefore change above the cap, which is why
+    it is opt-in and the registered query keeps the exact default.
     """
     from pyspark.sql import Window
 
     grams = _stride1_kgrams(df, id_col, text_col, k)
-    w_kg = Window.partitionBy("kg")
-    flagged = (
-        grams.withColumn(
-            "__first", F.min(F.struct(id_col, "pos")).over(w_kg)
+    if max_kgram_df is None:
+        w_kg = Window.partitionBy("kg")
+        flagged = (
+            grams.withColumn(
+                "__first", F.min(F.struct(id_col, "pos")).over(w_kg)
+            )
+            .filter(F.struct(id_col, "pos") != F.col("__first"))
+            .select(id_col, "pos")
         )
-        .filter(F.struct(id_col, "pos") != F.col("__first"))
-        .select(id_col, "pos")
-    )
+    else:
+        firsts = grams.groupBy("kg").agg(
+            F.min(F.struct(id_col, "pos")).alias("__first"),
+            F.count(F.lit(1)).alias("__df"),
+        )
+        flagged = (
+            grams.join(
+                firsts.filter(
+                    (F.col("__df") > 1) & (F.col("__df") <= max_kgram_df)
+                ),
+                "kg",
+            )
+            .filter(F.struct(id_col, "pos") != F.col("__first"))
+            .select(id_col, "pos")
+        )
     return _flagged_to_spans(flagged, id_col, k)
 
 

@@ -173,6 +173,15 @@ _FORCE_RERECORD = (
     "semantic_dedup_split_cells",
     "semantic_dedup_new_vs_corpus",
     "embedding_pq_topk",
+    # round-9 continuation: the COW write path changed under every
+    # cowtable query (_write_data_files grew the bloom_cols parameter
+    # and every commit site now inherits the table property), so the
+    # four pre-existing consumers re-certify; the zorder/bloom queries
+    # are never-recorded and lead the window automatically.
+    "cowtable_merge_roundtrip",
+    "cowtable_snapshot_diff",
+    "cow_incremental_rollup",
+    "streaming_cow_upsert_sync",
 )
 
 

@@ -783,3 +783,38 @@ def test_cross_corpus_substring_spans_planted(spark):
         ).collect()
     }
     assert spans == {(1, 3, 13, 11)}
+
+
+def test_exact_substring_spans_df_cap_equals_window_path_below_cap(spark):
+    """With the cap above every k-gram's occurrence count, the groupBy
+    formulation is BIT-IDENTICAL to the default window path; above it,
+    the hot boilerplate window stops flagging (the opt-in semantics
+    change, same contract as Jaccard's max_shingle_df)."""
+    k = dd.EXACT_SUBSTR_TOKENS
+    boiler = " ".join(f"B{i}" for i in range(k))  # in EVERY doc
+    rare = " ".join(f"R{i}" for i in range(k))    # in two docs
+    docs = spark.createDataFrame(
+        [(i, f"u{i}a u{i}b {boiler} u{i}c") for i in range(6)]
+        + [(10, f"w1 {rare} w2"), (11, f"w3 w4 {rare}")],
+        "doc_id long, text string",
+    )
+    base = {
+        tuple(r)
+        for r in dd.exact_substring_dup_spans(docs, "doc_id", "text").collect()
+    }
+    capped_high = {
+        tuple(r)
+        for r in dd.exact_substring_dup_spans(
+            docs, "doc_id", "text", max_kgram_df=100
+        ).collect()
+    }
+    assert capped_high == base
+    capped_low = {
+        tuple(r)
+        for r in dd.exact_substring_dup_spans(
+            docs, "doc_id", "text", max_kgram_df=3
+        ).collect()
+    }
+    # boilerplate (df=6 > 3) vanishes; the rare pair (df=2) survives
+    assert capped_low < base
+    assert {r[0] for r in capped_low} == {11}
