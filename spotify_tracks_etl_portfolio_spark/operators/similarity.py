@@ -483,6 +483,7 @@ def ivf_query_index(
     vec_col: str,
     k: int,
     nprobe: int = 2,
+    where: Column | None = None,
 ) -> DataFrame:
     """Query a persisted IVF index: probe each query's top-``nprobe``
     cells against the stored centroids, then scan ONLY those cells'
@@ -491,7 +492,18 @@ def ivf_query_index(
     definition of a query set, so collecting it is driver metadata, not
     data). Scoring and ranking are identical to ``ivf_topk`` — same
     6-dp rounding, same tie order — so a prebuilt index returns
-    bit-identical results to the self-contained query."""
+    bit-identical results to the self-contained query.
+
+    ``where``: optional metadata predicate over the index's corpus
+    columns — FILTERED vector search (the vector-store "search within a
+    category" shape). Applied directly on the pruned assignments scan,
+    so Catalyst pushes it to the parquet reader alongside the partition
+    filters and non-matching vectors die before the norm/score math.
+    PRE-FILTER semantics: the result is the exact top-k among passing
+    vectors WITHIN the probed cells — never fewer than k survivors from
+    post-filtering a fixed candidate list (the recall failure mode of
+    filter-after-search); recall vs a filtered brute force is the same
+    nprobe/k trade as unfiltered IVF."""
     cents = spark.read.parquet(f"{index_root}/centroids")
     cent_rows = [
         (int(r["cell"]), [float(x) for x in r[vec_col]])
@@ -519,6 +531,8 @@ def ivf_query_index(
     # unfiltered and let the join drop unprobed cells (round-9 guard for
     # the raised IVF_MAX_CELLS: probed is bounded by min(|q|·nprobe, k)
     # and k can now be 65536)
+    if where is not None:
+        corpus = corpus.filter(where)
     scored = (
         # scan_parallelism sits ABOVE the partition-filtered scan, so
         # the pruning keeps its PartitionFilters (plan-gated) while the

@@ -666,6 +666,7 @@ def _ivf_topk_oracle(
     nprobe: int | str = 2,
     topk: int = 5,
     n_queries: int = 10,
+    corpus_filter: str | None = None,
 ) -> str:
     """IVF replay: the SAME unrolled k-means, then corpus→cell
     assignment (final_asg), query→top-nprobe cell probing, exact
@@ -711,11 +712,12 @@ def _ivf_topk_oracle(
     FROM v, {final_cent} ct
     WHERE v.vec_id < {n_queries}) WHERE rn <= {nprobe}
 )""")
+    extra = f" AND ({corpus_filter})" if corpus_filter else ""
     ctes.append(f"""ivf_scored AS (
   SELECT q.query_id, a.vec_id AS neighbor_id,
          {_sql_cos('a.e', 'q.qe')} AS cosine
   FROM final_asg a JOIN qcells q USING (cell)
-  WHERE a.vec_id <> q.query_id
+  WHERE a.vec_id <> q.query_id{extra}
 )""")
     return (
         "WITH "
@@ -776,6 +778,56 @@ def embedding_ivf_index_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     queries = emb.filter(F.col("vec_id") < TOPK_N_QUERIES)
     return _sim.ivf_query_index(
         spark, root, queries, "vec_id", "embedding", TOPK_K, nprobe=nprobe
+    )
+
+
+@register(
+    "embedding_ivf_filtered_topk",
+    oracle=_ivf_topk_oracle(
+        k_cells="auto",
+        iters=3,
+        nprobe="auto",
+        topk=TOPK_K,
+        n_queries=TOPK_N_QUERIES,
+        corpus_filter="a.vec_id % 3 = 0",
+    ),
+    description="FILTERED vector search over the SAME persisted IVF "
+    "index as embedding_ivf_index_topk (artifact reused, zero rebuild): "
+    "a metadata predicate (vec_id % 3 = 0 stands in for 'category = X') "
+    "restricts the corpus side with PRE-FILTER semantics — the "
+    "predicate lands directly on the pruned assignments scan, Catalyst "
+    "pushes it to the parquet reader next to the cell PartitionFilters, "
+    "non-matching vectors die before any norm/score math, and the "
+    "result is the exact top-k among passing vectors within the probed "
+    "cells. Never the filter-after-search recall hole (top-k of a "
+    "fixed candidate list post-filtered can starve); same derived "
+    "geometry, same 6-dp determinism contract",
+    tags=("extension", "similarity", "approx"),
+)
+def embedding_ivf_filtered_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = read_parquet_table(spark, sf_dir, "embeddings")
+    k = _sim.auto_ivf_cells(emb.count())
+    nprobe = _sim.auto_ivf_nprobe(k)
+    root = _artifact_root(
+        spark, "ivf_index", f"{os.path.realpath(sf_dir)}|k={k}|iters=3"
+    )
+    _build_artifact_once(
+        root,
+        "centroids",
+        lambda tmp: _sim.build_ivf_index(
+            emb, "vec_id", "embedding", tmp, k=k, iters=3
+        ),
+    )
+    queries = emb.filter(F.col("vec_id") < TOPK_N_QUERIES)
+    return _sim.ivf_query_index(
+        spark,
+        root,
+        queries,
+        "vec_id",
+        "embedding",
+        TOPK_K,
+        nprobe=nprobe,
+        where=F.col("vec_id") % 3 == 0,
     )
 
 

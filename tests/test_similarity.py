@@ -1277,3 +1277,35 @@ def test_semantic_dedup_new_vs_corpus_precision_and_twin_recall(
         ).collect()
     }
     assert again == out
+
+
+def test_ivf_filtered_query_equals_prefiltered_corpus(spark, sf_dir, tmp_path):
+    """PRE-FILTER semantics pin: querying the persisted index with a
+    metadata predicate is BIT-IDENTICAL to running the self-contained
+    ivf_topk over the pre-filtered corpus under the SAME centroids —
+    the filter changes which vectors compete, never the geometry — and
+    every returned neighbor satisfies the predicate."""
+    from spotify_tracks_etl_portfolio_spark.sources.readers import (
+        read_parquet_table,
+    )
+
+    emb = read_parquet_table(spark, sf_dir, "embeddings")
+    k = sim.auto_ivf_cells(emb.count())
+    nprobe = sim.auto_ivf_nprobe(k)
+    root = str(tmp_path / "ivf_idx")
+    sim.build_ivf_index(emb, "vec_id", "embedding", root, k=k, iters=3)
+    queries = emb.filter(F.col("vec_id") < 5)
+    served = sim.ivf_query_index(
+        spark, root, queries, "vec_id", "embedding", 5,
+        nprobe=nprobe, where=F.col("vec_id") % 3 == 0,
+    ).collect()
+    assert served and all(r["neighbor_id"] % 3 == 0 for r in served)
+    centroids = spark.read.parquet(f"{root}/centroids").withColumnRenamed(
+        "cell", "vec_id"
+    )
+    direct = sim.ivf_topk(
+        emb.filter(F.col("vec_id") % 3 == 0), queries, centroids,
+        "vec_id", "embedding", 5, nprobe=nprobe,
+    ).collect()
+    key = lambda r: (r["query_id"], r["rank"])
+    assert sorted(map(tuple, served)) == sorted(map(tuple, direct))
