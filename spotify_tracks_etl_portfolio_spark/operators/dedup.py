@@ -1055,6 +1055,7 @@ def exact_substring_dedup(
     id_col: str,
     text_col: str,
     k: int = EXACT_SUBSTR_TOKENS,
+    max_kgram_df: int | None = None,
 ) -> DataFrame:
     """Rebuild each doc with its duplicated spans CUT (all but the
     globally-first occurrence of every >= k-token repeat removed — the
@@ -1069,7 +1070,7 @@ def exact_substring_dedup(
     higher-order ``filter`` over token positions — no Python, no second
     explode of the corpus.
     """
-    spans = exact_substring_dup_spans(df, id_col, text_col, k)
+    spans = exact_substring_dup_spans(df, id_col, text_col, k, max_kgram_df)
     per_doc = spans.groupBy(id_col).agg(
         F.collect_list(F.struct("span_start", "span_end")).alias("__spans")
     )

@@ -574,3 +574,31 @@ def trigram_index_candidates(spark, root: str, pattern: str) -> DataFrame:
         .filter(F.col("__hits") == len(pattern_trgms))
         .select("doc_id")
     )
+
+
+def ngram_dup_fraction(col: Column | str, n: int) -> Column:
+    """Fraction of a doc's word n-grams that repeat an earlier n-gram
+    of the SAME doc: ``1 - distinct/total`` (0.0 when the doc has no
+    n-grams), rounded 6 dp — the Gopher repetition-rule family
+    (duplicate 2/3/4-gram fraction) used to drop looping/boilerplate
+    text before training. Computed entirely INSIDE the row with
+    higher-order functions (sequence → slice → array_distinct): a pure
+    projection, zero shuffles at any corpus size — the cheapest of all
+    the dedup-family signals because it never compares across rows."""
+    toks = tokens(col)
+    cnt = F.size(toks) - F.lit(n) + F.lit(1)
+    grams = F.when(
+        cnt >= 1,
+        F.transform(
+            F.sequence(F.lit(1), cnt),
+            lambda i: F.array_join(F.slice(toks, i, n), " "),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    return F.when(
+        F.size(grams) > 0,
+        F.round(
+            F.lit(1.0)
+            - F.size(F.array_distinct(grams)) / F.size(grams).cast("double"),
+            6,
+        ),
+    ).otherwise(F.lit(0.0))

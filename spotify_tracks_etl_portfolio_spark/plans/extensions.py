@@ -1969,6 +1969,51 @@ def repetition_stats_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _dup_ngram_sql(n: int) -> str:
+    return f"""CASE WHEN len(w) - {n} + 1 >= 1 THEN
+      round(1.0 - len(list_distinct(list_transform(
+                range(1, len(w) - {n} + 2),
+                i -> array_to_string(w[i:(i+{n}-1)], ' '))))
+            * 1.0 / (len(w) - {n} + 1), 6)
+    ELSE 0.0 END"""
+
+
+@register(
+    "ngram_repetition_documents",
+    oracle=f"""
+WITH tb AS (
+  SELECT doc_id,
+         CASE WHEN trim(text) = '' THEN CAST([] AS VARCHAR[])
+              ELSE string_split_regex(trim(text), '\\s+') END AS w
+  FROM documents
+)
+SELECT doc_id,
+       {_dup_ngram_sql(2)} AS dup_2gram_frac,
+       {_dup_ngram_sql(3)} AS dup_3gram_frac,
+       {_dup_ngram_sql(4)} AS dup_4gram_frac
+FROM tb
+""",
+    description="Within-doc n-gram repetition fractions (the Gopher "
+    "duplicate-2/3/4-gram rules): per doc, the fraction of word "
+    "n-grams repeating an earlier n-gram of the SAME doc — the "
+    "looping/boilerplate filter signal that complements "
+    "repetition_stats' token-level ratios. Computed entirely inside "
+    "the row with higher-order functions (sequence → slice → "
+    "array_distinct): a pure zero-shuffle projection at any corpus "
+    "size, the cheapest dedup-family signal because it never compares "
+    "across rows",
+    tags=("extension", "text", "curation"),
+)
+def ngram_repetition_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = read_parquet_table(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id",
+        _tx.ngram_dup_fraction("text", 2).alias("dup_2gram_frac"),
+        _tx.ngram_dup_fraction("text", 3).alias("dup_3gram_frac"),
+        _tx.ngram_dup_fraction("text", 4).alias("dup_4gram_frac"),
+    )
+
+
 @register(
     "top_bigrams",
     oracle="""

@@ -818,3 +818,30 @@ def test_exact_substring_spans_df_cap_equals_window_path_below_cap(spark):
     # boilerplate (df=6 > 3) vanishes; the rare pair (df=2) survives
     assert capped_low < base
     assert {r[0] for r in capped_low} == {11}
+
+
+def test_ngram_dup_fraction_known_values(spark):
+    """Hand-computable repetition fractions: a doc that is one phrase
+    repeated has high duplicate-2gram fraction; an all-distinct doc has
+    0; short/empty docs are 0 by definition."""
+    df = spark.createDataFrame(
+        [
+            (0, "a b a b a b a b"),   # 2-grams: ab,ba,ab,ba,ab,ba,ab -> 7 total, 2 distinct
+            (1, "w x y z"),           # all distinct
+            (2, ""),                  # empty
+            (3, "solo"),              # shorter than n
+        ],
+        "doc_id long, text string",
+    )
+    out = {
+        r["doc_id"]: (r["f2"], r["f3"])
+        for r in df.select(
+            "doc_id",
+            tx.ngram_dup_fraction("text", 2).alias("f2"),
+            tx.ngram_dup_fraction("text", 3).alias("f3"),
+        ).collect()
+    }
+    assert out[0] == (round(1 - 2 / 7, 6), round(1 - 2 / 6, 6))
+    assert out[1] == (0.0, 0.0)
+    assert out[2] == (0.0, 0.0)
+    assert out[3] == (0.0, 0.0)
