@@ -3853,6 +3853,101 @@ def decontamination_overlap_spans(spark: SparkSession, sf_dir: str) -> DataFrame
     )
 
 
+#: Max duplicate-2gram fraction a doc may keep after the substring cut
+#: (the Gopher dup-fraction gate of the v2 pipeline).
+CURATE_MAX_DUP2 = 0.2
+
+@register(
+    "curate_training_corpus_v2",
+    oracle=f"""
+WITH {_XSUBSTR_CTES},
+tok AS (
+  SELECT doc_id, i AS p, w[i] AS t, len(w) AS n
+  FROM tb, unnest(range(1, len(w) + 1)) AS t2(i)
+),
+keep AS (
+  SELECT tok.* FROM tok
+  WHERE NOT EXISTS (
+    SELECT 1 FROM spans sp
+    WHERE sp.doc_id = tok.doc_id AND tok.p BETWEEN sp.span_start AND sp.span_end)
+),
+cleaned AS (
+  SELECT doc_id, string_agg(t, ' ' ORDER BY p) AS text,
+         CAST(count(*) AS BIGINT) AS kept_tokens
+  FROM keep GROUP BY doc_id
+),
+ctb AS (
+  SELECT doc_id,
+         CASE WHEN trim(text) = '' THEN CAST([] AS VARCHAR[])
+              ELSE string_split_regex(trim(text), '\\s+') END AS w
+  FROM cleaned
+),
+rep AS (SELECT doc_id, {_dup_ngram_sql(2)} AS dup_2gram_frac FROM ctb),
+qg AS (
+  SELECT doc_id, len(w) AS n_tok,
+         len(list_filter(w, t -> t IN ('the', 'a', 'of', 'and', 'to'))) AS n_stop,
+         length(text) AS n_chars,
+         len(regexp_extract_all(text, '[.,!?;:]')) AS n_punct,
+         len(regexp_extract_all(text, '[0-9]')) AS n_digit
+  FROM ctb JOIN cleaned USING (doc_id)
+),
+qh AS (
+  SELECT doc_id,
+         CAST(n_tok AS BIGINT) AS n_tokens,
+         round(n_stop * 1.0 / greatest(n_tok, 1), 6) AS stopword_ratio,
+         round(n_punct * 1.0 / greatest(n_chars, 1), 6) AS punct_ratio,
+         round(n_digit * 1.0 / greatest(n_chars, 1), 6) AS digit_ratio
+  FROM qg
+),
+q AS (SELECT doc_id, {_QUALITY_EXPR} AS quality_score FROM qh),
+fp2 AS (SELECT doc_id, {_FP_SQL} AS fv FROM cleaned)
+SELECT c.doc_id, c.kept_tokens, q.quality_score, r.dup_2gram_frac,
+       CASE WHEN fp2.fv % 100 < 90 THEN 'train'
+            WHEN fp2.fv % 100 < 95 THEN 'val'
+            ELSE 'test' END AS split
+FROM cleaned c
+JOIN q USING (doc_id) JOIN rep r USING (doc_id) JOIN fp2 USING (doc_id)
+WHERE r.dup_2gram_frac <= {CURATE_MAX_DUP2}
+  AND q.quality_score >= {CURATE_MIN_QUALITY}
+""",
+    description="V2 curation pipeline composing this round's operators "
+    "end-to-end as ONE Catalyst plan: ExactSubstr cut (every >= 8-token "
+    "cross-doc repeat removed, fully-duplicated docs drop) → Gopher "
+    "duplicate-2gram gate (<= 0.2 on the CLEANED text) → quality gate "
+    "(>= 0.5, same fixed formula as quality_score_documents, scored on "
+    "the cleaned text) → content-hash 90/5/5 split of the cleaned text. "
+    "Beyond the span detector's two linear shuffles everything is "
+    "zero-shuffle row-local projection; the whole composition is "
+    "hash-checked against a single oracle CTE chain reusing the "
+    "ExactSubstr, repetition, quality, and split blocks",
+    tags=("extension", "dedup", "text", "curation", "pipeline"),
+)
+def curate_training_corpus_v2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = read_parquet_table(spark, sf_dir, "documents")
+    cleaned = _dd.exact_substring_dedup(docs, "doc_id", "text")
+    bucket = F.pmod(rolling_hash("text_clean"), F.lit(100))
+    scored = cleaned.select(
+        "doc_id",
+        "kept_tokens",
+        _tx.quality_score("text_clean").alias("quality_score"),
+        _tx.ngram_dup_fraction("text_clean", 2).alias("dup_2gram_frac"),
+        bucket.alias("__b"),
+    )
+    return scored.filter(
+        (F.col("dup_2gram_frac") <= CURATE_MAX_DUP2)
+        & (F.col("quality_score") >= CURATE_MIN_QUALITY)
+    ).select(
+        "doc_id",
+        "kept_tokens",
+        "quality_score",
+        "dup_2gram_frac",
+        F.when(F.col("__b") < 90, "train")
+        .when(F.col("__b") < 95, "val")
+        .otherwise("test")
+        .alias("split"),
+    )
+
+
 _NEAR_DEDUP_NEW_VS_CORPUS_ORACLE = f"""
 WITH {_SHINGLE_CTES},
 sizes AS (SELECT doc_id, count(*) AS n FROM shh GROUP BY doc_id),

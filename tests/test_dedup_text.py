@@ -845,3 +845,35 @@ def test_ngram_dup_fraction_known_values(spark):
     assert out[1] == (0.0, 0.0)
     assert out[2] == (0.0, 0.0)
     assert out[3] == (0.0, 0.0)
+
+
+def test_curate_v2_gates_and_composition(spark, sf_dir):
+    """The v2 pipeline output satisfies every gate it claims, agrees
+    with its components run separately, and drops the non-canonical
+    copy of every exact duplicate (a full-doc repeat is cut to zero
+    tokens by ExactSubstr)."""
+    from spotify_tracks_etl_portfolio_spark.plans import all_queries
+
+    qs = all_queries()
+    out = qs["curate_training_corpus_v2"].fn(spark, sf_dir).collect()
+    assert out
+    assert all(r["dup_2gram_frac"] <= 0.2 for r in out)
+    assert all(r["quality_score"] >= 0.5 for r in out)
+    assert {r["split"] for r in out} <= {"train", "val", "test"}
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    cleaned = {
+        r["doc_id"]: r["kept_tokens"]
+        for r in dd.exact_substring_dedup(docs, "doc_id", "text").collect()
+    }
+    for r in out:
+        assert cleaned[r["doc_id"]] == r["kept_tokens"]
+    # exact-dup groups: at most one member (the canonical) can survive
+    dup_groups = (
+        docs.groupBy("text").agg(F.collect_list("doc_id").alias("ids"))
+        .filter(F.size("ids") > 1).collect()
+    )
+    surviving = {r["doc_id"] for r in out}
+    for g in dup_groups:  # none at this sf; holds wherever they exist
+        assert len(set(g["ids"]) & surviving) <= 1
+    # docs fully cut by ExactSubstr (whole-doc repeats) never surface
+    assert surviving <= set(cleaned)
