@@ -3853,6 +3853,73 @@ def decontamination_overlap_spans(spark: SparkSession, sf_dir: str) -> DataFrame
     )
 
 
+@register(
+    "decontamination_overlap_spans_served",
+    oracle=f"""
+WITH {_XGRAM_CTES},
+flagged AS (
+  SELECT doc_id, pos FROM g
+  WHERE doc_id % 10 <> 0
+    AND kg IN (SELECT DISTINCT kg FROM g WHERE doc_id % 10 = 0)
+),{_XSPAN_MERGE_CTES}
+SELECT doc_id, span_start, span_end,
+       span_end - span_start + 1 AS span_tokens
+FROM spans
+""",
+    description="SERVED span decontamination: the benchmark's distinct "
+    "k-gram set is built ONCE per (session, sf_dir) as a persisted "
+    "parquet artifact (the nightly shape — benchmark sets change "
+    "rarely, crawls arrive daily) and every subsequent decontamination "
+    "pass left-semi joins against the stored set instead of "
+    "re-tokenizing the benchmark. Deterministic extraction ⇒ the "
+    "artifact changes COST, never the answer — same oracle VERBATIM as "
+    "decontamination_overlap_spans (the identical-answer contract "
+    "embedding_ivf_index_topk pins for the IVF index); artifact reuse "
+    "pytest-pinned",
+    tags=("extension", "curation", "dedup"),
+)
+def decontamination_overlap_spans_served(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    from spotify_tracks_etl_portfolio_spark.operators.dedup import (
+        EXACT_SUBSTR_TOKENS,
+        _flagged_to_spans,
+        _stride1_kgrams,
+    )
+
+    docs = read_parquet_table(spark, sf_dir, "documents")
+    root = _artifact_root(
+        spark,
+        "bench_kgrams",
+        f"{os.path.realpath(sf_dir)}|k={EXACT_SUBSTR_TOKENS}",
+    )
+    _build_artifact_once(
+        root,
+        "kgrams",
+        lambda tmp: _stride1_kgrams(
+            docs.filter(F.col("doc_id") % 10 == 0),
+            "doc_id",
+            "text",
+            EXACT_SUBSTR_TOKENS,
+        )
+        .select("kg")
+        .distinct()
+        .write.parquet(f"{tmp}/kgrams"),
+    )
+    bench_kg = F.broadcast(spark.read.parquet(f"{root}/kgrams"))
+    flagged = (
+        _stride1_kgrams(
+            docs.filter(F.col("doc_id") % 10 != 0),
+            "doc_id",
+            "text",
+            EXACT_SUBSTR_TOKENS,
+        )
+        .join(bench_kg, "kg", "left_semi")
+        .select("doc_id", "pos")
+    )
+    return _flagged_to_spans(flagged, "doc_id", EXACT_SUBSTR_TOKENS)
+
+
 #: Max duplicate-2gram fraction a doc may keep after the substring cut
 #: (the Gopher dup-fraction gate of the v2 pipeline).
 CURATE_MAX_DUP2 = 0.2

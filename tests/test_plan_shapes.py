@@ -767,6 +767,10 @@ def test_persisted_index_artifacts_reused_across_calls(spark, sf_dir):
         # artifact; corpus = vec_id >= SEMX_NEW_MAX)
         ("semantic_dedup_new_vs_corpus_served", "semx_cents",
          "centroids", "|SEMX|"),
+        # round-9 continuation: the benchmark k-gram set of the served
+        # span-decontamination path (key pins the window width)
+        ("decontamination_overlap_spans_served", "bench_kgrams",
+         "kgrams", "|k=8"),
     ]
     from spotify_tracks_etl_portfolio_spark.plans.extensions import (
         SEMX_NEW_MAX,
@@ -798,3 +802,8 @@ def test_persisted_index_artifacts_reused_across_calls(spark, sf_dir):
     ).collect()
     trained = qs["semantic_dedup_new_vs_corpus"].fn(spark, sf_dir).collect()
     assert sorted(map(tuple, served)) == sorted(map(tuple, trained))
+    dserved = qs["decontamination_overlap_spans_served"].fn(
+        spark, sf_dir
+    ).collect()
+    dfresh = qs["decontamination_overlap_spans"].fn(spark, sf_dir).collect()
+    assert sorted(map(tuple, dserved)) == sorted(map(tuple, dfresh))
