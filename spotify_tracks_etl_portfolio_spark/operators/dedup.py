@@ -887,7 +887,11 @@ EXACT_SUBSTR_TOKENS = 8
 def _stride1_kgrams(df: DataFrame, id_col: str, text_col: str, k: int):
     """(id, pos, kg): every overlapping k-token window of every doc,
     1-based start position, window re-joined with single spaces.
-    Narrow (flatMap-shaped) — no shuffle."""
+    Narrow (flatMap-shaped) — no shuffle. Memory note: the window array
+    is materialized per row before posexplode, a transient ~k× copy of
+    the doc's text — row-local and bounded by the longest single doc,
+    never by the corpus (at 100 TB the per-executor cost is
+    max_doc_tokens · k · avg_token_len per concurrently-open row)."""
     trimmed = F.trim(F.col(text_col))
     toks = F.when(trimmed == "", F.array().cast("array<string>")).otherwise(
         F.split(trimmed, r"\s+")

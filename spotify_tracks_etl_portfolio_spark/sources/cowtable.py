@@ -291,7 +291,12 @@ def create_table(
     high-cardinality column spans everything; the Bloom says 'not in
     this file' with ~1% false positives (Delta's bloom-filter-index
     design point). Rewrites refresh blooms automatically because every
-    write path computes them at file-write time."""
+    write path computes them at file-write time. Manifest cost: +2 KiB
+    per (file, bloom column) — delta commits stay O(changed files), but
+    CHECKPOINT manifests embed every file's blooms (~2 GB at 10⁶ files
+    per indexed column), so a bloom-indexed table at that file count
+    wants a longer ``_CHECKPOINT_EVERY`` cadence or Iceberg-style split
+    manifest files; the pruning logic is unchanged either way."""
     if latest_version(root) >= 0:
         raise FileExistsError(f"table already exists at {root}")
     if cluster_by is not None:
@@ -853,6 +858,12 @@ def _zorder_expr(cols: list[str], ranges: dict[str, tuple], bits: int):
     deterministic default wins here (same trade Delta's OPTIMIZE
     ZORDER makes with its range-id pass)."""
     m = len(cols)
+    if m * bits > 62:
+        raise ValueError(
+            f"zorder: {m} columns x {bits} bits = {m * bits} interleaved "
+            "bits overflows the int64 Z-value (max 62); use fewer "
+            "columns or narrower bits"
+        )
     terms = []
     for j, c in enumerate(cols):
         lo, hi = ranges[c]

@@ -784,3 +784,11 @@ def test_bloom_absent_table_scans_conservatively(spark, tmp_path):
     hit, scanned, total = ct.scan_pruned_eq(spark, root, "u", 3)
     assert scanned == total == 4
     assert hit.count() == df.filter(F.col("u") == 3).count()
+
+
+def test_zorder_rejects_bit_overflow(spark, tmp_path):
+    df = spark.range(10).select(*[(F.col("id")).alias(f"c{i}") for i in range(8)])
+    root = str(tmp_path / "zo")
+    ct.create_table(spark, root, df, n_files=2)
+    with pytest.raises(ValueError, match="overflows the int64"):
+        ct.optimize_zorder(spark, root, [f"c{i}" for i in range(8)])
