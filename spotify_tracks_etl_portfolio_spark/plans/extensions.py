@@ -3819,9 +3819,10 @@ def exact_substring_dedup_documents(spark: SparkSession, sf_dir: str) -> DataFra
     return _dd.exact_substring_dedup(docs, "doc_id", "text")
 
 
-@register(
-    "decontamination_overlap_spans",
-    oracle=f"""
+#: Shared by the fresh, served, and streaming decontamination queries —
+#: all three compute the identical answer (static benchmark set; docs
+#: never interact), differing only in artifact reuse / batch boundaries.
+_DECONTAM_SPANS_ORACLE = f"""
 WITH {_XGRAM_CTES},
 flagged AS (
   SELECT doc_id, pos FROM g
@@ -3831,7 +3832,12 @@ flagged AS (
 SELECT doc_id, span_start, span_end,
        span_end - span_start + 1 AS span_tokens
 FROM spans
-""",
+"""
+
+
+@register(
+    "decontamination_overlap_spans",
+    oracle=_DECONTAM_SPANS_ORACLE,
     description=f"Span-level benchmark decontamination: every >= "
     f"{_XS}-token substring of a training doc (doc_id % 10 != 0) that "
     "appears verbatim anywhere in the benchmark set (doc_id % 10 = 0), "
@@ -3853,37 +3859,12 @@ def decontamination_overlap_spans(spark: SparkSession, sf_dir: str) -> DataFrame
     )
 
 
-@register(
-    "decontamination_overlap_spans_served",
-    oracle=f"""
-WITH {_XGRAM_CTES},
-flagged AS (
-  SELECT doc_id, pos FROM g
-  WHERE doc_id % 10 <> 0
-    AND kg IN (SELECT DISTINCT kg FROM g WHERE doc_id % 10 = 0)
-),{_XSPAN_MERGE_CTES}
-SELECT doc_id, span_start, span_end,
-       span_end - span_start + 1 AS span_tokens
-FROM spans
-""",
-    description="SERVED span decontamination: the benchmark's distinct "
-    "k-gram set is built ONCE per (session, sf_dir) as a persisted "
-    "parquet artifact (the nightly shape — benchmark sets change "
-    "rarely, crawls arrive daily) and every subsequent decontamination "
-    "pass left-semi joins against the stored set instead of "
-    "re-tokenizing the benchmark. Deterministic extraction ⇒ the "
-    "artifact changes COST, never the answer — same oracle VERBATIM as "
-    "decontamination_overlap_spans (the identical-answer contract "
-    "embedding_ivf_index_topk pins for the IVF index); artifact reuse "
-    "pytest-pinned",
-    tags=("extension", "curation", "dedup"),
-)
-def decontamination_overlap_spans_served(
-    spark: SparkSession, sf_dir: str
-) -> DataFrame:
+def _bench_kgram_artifact(spark: SparkSession, sf_dir: str):
+    """Build-once the benchmark's distinct k-gram parquet and return
+    its lazy DataFrame — shared by the served batch query and the
+    streaming gate (one nightly artifact, two consumers)."""
     from spotify_tracks_etl_portfolio_spark.operators.dedup import (
         EXACT_SUBSTR_TOKENS,
-        _flagged_to_spans,
         _stride1_kgrams,
     )
 
@@ -3906,7 +3887,35 @@ def decontamination_overlap_spans_served(
         .distinct()
         .write.parquet(f"{tmp}/kgrams"),
     )
-    bench_kg = F.broadcast(spark.read.parquet(f"{root}/kgrams"))
+    return spark.read.parquet(f"{root}/kgrams")
+
+
+@register(
+    "decontamination_overlap_spans_served",
+    oracle=_DECONTAM_SPANS_ORACLE,
+    description="SERVED span decontamination: the benchmark's distinct "
+    "k-gram set is built ONCE per (session, sf_dir) as a persisted "
+    "parquet artifact (the nightly shape — benchmark sets change "
+    "rarely, crawls arrive daily) and every subsequent decontamination "
+    "pass left-semi joins against the stored set instead of "
+    "re-tokenizing the benchmark. Deterministic extraction ⇒ the "
+    "artifact changes COST, never the answer — same oracle VERBATIM as "
+    "decontamination_overlap_spans (the identical-answer contract "
+    "embedding_ivf_index_topk pins for the IVF index); artifact reuse "
+    "pytest-pinned",
+    tags=("extension", "curation", "dedup"),
+)
+def decontamination_overlap_spans_served(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    from spotify_tracks_etl_portfolio_spark.operators.dedup import (
+        EXACT_SUBSTR_TOKENS,
+        _flagged_to_spans,
+        _stride1_kgrams,
+    )
+
+    docs = read_parquet_table(spark, sf_dir, "documents")
+    bench_kg = F.broadcast(_bench_kgram_artifact(spark, sf_dir))
     flagged = (
         _stride1_kgrams(
             docs.filter(F.col("doc_id") % 10 != 0),
@@ -3918,6 +3927,62 @@ def decontamination_overlap_spans_served(
         .select("doc_id", "pos")
     )
     return _flagged_to_spans(flagged, "doc_id", EXACT_SUBSTR_TOKENS)
+
+
+@register(
+    "streaming_decontamination_sync",
+    oracle=_DECONTAM_SPANS_ORACLE,
+    description="8th streaming gate: the incoming-doc stream (train "
+    "docs staged as TWO files → two real micro-batches) is swept per "
+    "batch for >= 8-token substrings appearing verbatim in the "
+    "PERSISTED benchmark k-gram artifact (the same nightly artifact "
+    "the served batch query reuses — one build, batch + streaming "
+    "consumers), spans written to an epoch-partition-overwrite parquet "
+    "sink (at-least-once replays rewrite their epoch, never "
+    "duplicate) — then hash-checked against the SAME oracle as both "
+    "batch twins. Batch boundaries provably can't change the result: "
+    "a doc's spans depend only on its own text and the static "
+    "benchmark set",
+    tags=("streaming", "extension", "curation", "dedup"),
+)
+@pinned_stream_session
+def streaming_decontamination_sync(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    from spotify_tracks_etl_portfolio_spark.operators.dedup import (
+        EXACT_SUBSTR_TOKENS,
+    )
+    from spotify_tracks_etl_portfolio_spark.streaming.pipeline import (
+        read_documents_stream,
+        streaming_decontamination_spans,
+    )
+
+    docs = read_parquet_table(spark, sf_dir, "documents")
+    bench_kg = _bench_kgram_artifact(spark, sf_dir)
+    train = docs.filter(F.col("doc_id") % 10 != 0)
+    d = _session_scratch(spark, "decontam_sync")
+    out = f"{d}/out"
+    train.filter(F.col("doc_id") % 2 == 1).coalesce(1).write.parquet(
+        f"{d}/src/f1"
+    )
+    train.filter(F.col("doc_id") % 2 == 0).coalesce(1).write.parquet(
+        f"{d}/src/f2"
+    )
+    stream = read_documents_stream(spark, f"{d}/src/*")
+    q = (
+        streaming_decontamination_spans(
+            stream, bench_kg, out, f"{d}/ckpt", EXACT_SUBSTR_TOKENS
+        )
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return spark.read.parquet(out).select(
+        F.col("doc_id").cast("long").alias("doc_id"),
+        F.col("span_start").cast("long").alias("span_start"),
+        F.col("span_end").cast("long").alias("span_end"),
+        F.col("span_tokens").cast("long").alias("span_tokens"),
+    )
 
 
 #: Max duplicate-2gram fraction a doc may keep after the substring cut

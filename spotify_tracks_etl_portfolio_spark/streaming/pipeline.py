@@ -393,6 +393,49 @@ def streaming_near_dedup_new_docs(
     )
 
 
+def streaming_decontamination_spans(
+    new_stream: DataFrame,
+    bench_kgrams: DataFrame,
+    out_path: str,
+    checkpoint: str,
+    k: int,
+):
+    """Streaming span-level benchmark decontamination: each micro-batch
+    of incoming docs is swept for >= k-token substrings that appear
+    verbatim in the PERSISTED benchmark k-gram set (the
+    decontamination_overlap_spans_served artifact — built nightly,
+    broadcast per batch), flagged starts island-merge into maximal
+    spans, and the spans append to ``out_path``.
+
+    Batch boundaries cannot change the result: a doc's spans depend
+    only on that doc's text and the static benchmark set — docs never
+    interact — so any micro-batch split reproduces the batch operator
+    exactly (the equivalence the sync gate hash-checks). Same
+    epoch-partition overwrite sink as the other gates: at-least-once
+    foreachBatch replays rewrite their own epoch directory, never
+    duplicate."""
+    from spotify_tracks_etl_portfolio_spark.operators.dedup import (
+        _flagged_to_spans,
+        _stride1_kgrams,
+    )
+
+    def process(batch: DataFrame, epoch_id: int) -> None:
+        flagged = (
+            _stride1_kgrams(batch, "doc_id", "text", k)
+            .join(F.broadcast(bench_kgrams), "kg", "left_semi")
+            .select("doc_id", "pos")
+        )
+        (
+            _flagged_to_spans(flagged, "doc_id", k)
+            .write.mode("overwrite")
+            .parquet(f"{out_path}/epoch_id={int(epoch_id)}")
+        )
+
+    return new_stream.writeStream.foreachBatch(process).option(
+        "checkpointLocation", checkpoint
+    )
+
+
 def streaming_cms_cells(
     stream: DataFrame,
     out_path: str,
