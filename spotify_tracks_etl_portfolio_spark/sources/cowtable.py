@@ -104,14 +104,34 @@ _BLOOM_BITS = 8192
 _BLOOM_HASHES = 5
 
 
+def _bloom_key(value) -> str:
+    """Canonical hash key for a value. ``repr``-based so the encoding
+    is deterministic across processes (Python's builtin hash is salted
+    per process), but NUMERICALLY coercing across int/float like the
+    engine's equality residual: Spark compares a long column against a
+    float probe (and vice versa) by value, so ``7`` and ``7.0`` must
+    hash identically or an integral float probe on a long column hits a
+    Bloom FALSE NEGATIVE and ``scan_pruned_eq`` silently returns zero
+    rows (round-9 advice item). Integral floats therefore normalize to
+    the int repr; non-integral floats can never equal an integer under
+    either engine's semantics, so their distinct repr is harmless.
+    ``bool`` stays type-faithful (it is an int subclass but a distinct
+    logical type). Strings keep type-strict reprs: int 42 vs str '42'
+    never collide by construction."""
+    if (
+        isinstance(value, float)
+        and not isinstance(value, bool)
+        and value.is_integer()
+    ):
+        return repr(int(value))
+    return repr(value)
+
+
 def _bloom_hashes(value) -> tuple[int, int]:
-    """Double-hashing seed pair for a value — keyed on ``repr`` so the
-    encoding is deterministic across processes (Python's builtin hash
-    is salted per process) and type-faithful (int 42 vs str '42' never
-    collide by construction)."""
+    """Double-hashing seed pair for a value (keyed on ``_bloom_key``)."""
     import hashlib
 
-    d = hashlib.blake2b(repr(value).encode(), digest_size=16).digest()
+    d = hashlib.blake2b(_bloom_key(value).encode(), digest_size=16).digest()
     return int.from_bytes(d[:8], "big"), int.from_bytes(d[8:], "big") | 1
 
 

@@ -724,7 +724,11 @@ def test_bloom_lookup_prunes_unclustered_column(spark, tmp_path):
     value returns its exact rows; (2) scans FAR fewer files than the
     table holds; (3) an absent value scans ~0 files and returns 0
     rows."""
-    n = 20_000
+    # 12k rows / 16 files = 750 distinct u per file — UNDER the ~850
+    # 1%-FP design point of the 8192-bit/5-hash geometry (round-9
+    # advice item: the old 1250/file sat at ~4% FP per file, so the
+    # thresholds below held only by deterministic-hash luck).
+    n = 12_000
     df = spark.range(n).select(
         (F.col("id") % 100).alias("x"),
         ((F.col("id") * 2654435761) % (2**31)).alias("u"),
@@ -735,19 +739,22 @@ def test_bloom_lookup_prunes_unclustered_column(spark, tmp_path):
         spark, root, df, cluster_by="x", n_files=16, bloom_cols=["u"]
     )
     total_scanned = 0
-    probes = [(i * 2654435761) % (2**31) for i in (0, 7, 123, 9999, 19999)]
+    probes = [(i * 2654435761) % (2**31) for i in (0, 7, 123, 9999, 11999)]
     for u in probes:
         hit, scanned, total = ct.scan_pruned_eq(spark, root, "u", u)
         assert total == 16
         rows = hit.collect()
         assert len(rows) == 1 and rows[0]["u"] == u  # no false negative
         total_scanned += scanned
-    # 5 point lookups over 16 files: sort order gives no pruning on u,
-    # the bloom should rule out nearly everything
+    # 5 point lookups over 16 files: sort order gives no pruning on u.
+    # Ideal = 5 (the one true file each); at the <=1% design FP rate
+    # the expected extra is 5 probes × 15 other files × 1% = 0.75
+    # false-positive files, so <=10 leaves >5σ of margin.
     assert total_scanned <= 10
     miss, scanned, _ = ct.scan_pruned_eq(spark, root, "u", -12345)
     assert miss.count() == 0
-    assert scanned <= 1  # at most a false-positive file
+    # expected false-positive files for an absent value: 16 × 1% = 0.16
+    assert scanned <= 1
 
 
 def test_bloom_property_inherited_through_merge_and_compact(spark, tmp_path):
@@ -784,6 +791,37 @@ def test_bloom_absent_table_scans_conservatively(spark, tmp_path):
     hit, scanned, total = ct.scan_pruned_eq(spark, root, "u", 3)
     assert scanned == total == 4
     assert hit.count() == df.filter(F.col("u") == 3).count()
+
+
+def test_bloom_numeric_probe_type_coercion(spark, tmp_path):
+    """Spark's equality residual coerces int/float: probing a long
+    column with 7.0 (or a double column with 7) must not Bloom-miss
+    (round-9 advice item — repr-keyed hashing was type-strict, so the
+    documented no-false-negative contract broke for integral-float
+    probes: the residual would match rows in files the bloom had
+    already pruned away)."""
+    assert ct._bloom_key(7.0) == ct._bloom_key(7)
+    assert ct._bloom_key(True) != ct._bloom_key(1)  # bool stays distinct
+    assert ct._bloom_key(7.5) != ct._bloom_key(7)
+    assert ct._bloom_key("7") != ct._bloom_key(7)  # strings stay strict
+
+    df = spark.range(200).select(
+        F.col("id").alias("k"), (F.col("id") % 50).alias("u")
+    )
+    root = str(tmp_path / "btc")
+    ct.create_table(spark, root, df, cluster_by="k", n_files=2, bloom_cols=["u"])
+    hit, _, _ = ct.scan_pruned_eq(spark, root, "u", 7.0)
+    assert hit.count() == 4  # long column, float probe: no false negative
+
+    dfd = spark.range(200).select(
+        F.col("id").alias("k"), (F.col("id") % 50).cast("double").alias("u")
+    )
+    root2 = str(tmp_path / "btc2")
+    ct.create_table(
+        spark, root2, dfd, cluster_by="k", n_files=2, bloom_cols=["u"]
+    )
+    hit2, _, _ = ct.scan_pruned_eq(spark, root2, "u", 7)
+    assert hit2.count() == 4  # double column, int probe
 
 
 def test_zorder_rejects_bit_overflow(spark, tmp_path):
