@@ -1054,6 +1054,64 @@ def cross_corpus_substring_spans(
     return _flagged_to_spans(flagged, id_col, k)
 
 
+def corpus_kgram_set(
+    corpus: DataFrame,
+    id_col: str,
+    text_col: str,
+    k: int = EXACT_SUBSTR_TOKENS,
+) -> DataFrame:
+    """DISTINCT k-gram set of a corpus — the persistable half of
+    incremental ExactSubstr: build nightly, serve every new crawl batch
+    (see :func:`incremental_substring_spans`). Membership is all a
+    batch-vs-corpus span sweep needs (every corpus occurrence precedes
+    the whole batch by definition, so first-occurrence ``(id, pos)``
+    bookkeeping — which the within-corpus operator must track — drops
+    out, and the artifact is one narrow column). One explode + one
+    distinct (partial-agg, map-side combined); linear in corpus
+    tokens, paid once per corpus version, not per batch."""
+    return (
+        _stride1_kgrams(corpus, id_col, text_col, k).select("kg").distinct()
+    )
+
+
+def incremental_substring_spans(
+    batch: DataFrame,
+    corpus_kgrams: DataFrame,
+    id_col: str,
+    text_col: str,
+    k: int = EXACT_SUBSTR_TOKENS,
+) -> DataFrame:
+    """Incremental corpus-vs-corpus ExactSubstr: maximal >= k-token
+    spans of NEW-BATCH docs that appear verbatim anywhere in an
+    EXISTING corpus, served from the corpus's persisted distinct
+    k-gram set (:func:`corpus_kgram_set`) — the span-level twin of
+    ``incremental_dedup_documents`` (whole-doc exact) and
+    ``near_dedup_new_vs_corpus`` (whole-doc MinHash): a daily crawl is
+    swept against yesterday's corpus without ever re-exploding the
+    corpus text.
+
+    Returns ``(id, span_start, span_end, span_tokens)`` over batch docs
+    — identical span semantics to :func:`cross_corpus_substring_spans`
+    (which broadcasts a SMALL benchmark set; here the reference set is
+    corpus-sized, so the semi-join is size-planned, never hinted).
+
+    Scale shape (100 TB corpus, ~TB batch): per-batch cost is the batch
+    explode (linear in BATCH tokens) + one semi-join against the stored
+    k-gram column — the corpus side is a narrow single-column columnar
+    scan of the artifact, not a re-tokenization of corpus text; at real
+    scale the artifact is written BUCKETED on ``kg``
+    (``sources.writers.write_bucketed``) so the semi-join shuffles only
+    the batch side. The only other shuffle is the per-doc island merge,
+    sized by flagged batch positions (output-, not corpus-sized).
+    """
+    flagged = (
+        _stride1_kgrams(batch, id_col, text_col, k)
+        .join(corpus_kgrams.select("kg"), "kg", "left_semi")
+        .select(id_col, "pos")
+    )
+    return _flagged_to_spans(flagged, id_col, k)
+
+
 def exact_substring_dedup(
     df: DataFrame,
     id_col: str,

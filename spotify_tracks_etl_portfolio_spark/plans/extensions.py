@@ -3930,6 +3930,63 @@ def decontamination_overlap_spans_served(
 
 
 @register(
+    "exact_substring_new_vs_corpus",
+    oracle=f"""
+WITH {_XGRAM_CTES},
+flagged AS (
+  SELECT doc_id, pos FROM g
+  WHERE doc_id % 2 = 1
+    AND kg IN (SELECT DISTINCT kg FROM g WHERE doc_id % 2 = 0)
+),{_XSPAN_MERGE_CTES}
+SELECT doc_id, span_start, span_end,
+       span_end - span_start + 1 AS span_tokens
+FROM spans
+""",
+    description=f"Incremental corpus-vs-corpus ExactSubstr (round-9 "
+    f"verdict item): >= {_XS}-token spans of a NEW crawl batch (odd "
+    "doc_ids) that appear verbatim in the EXISTING corpus (even "
+    "doc_ids), served from the corpus's persisted DISTINCT k-gram "
+    "parquet — built once per (session, sf_dir) via the "
+    "bench_kgrams/ivf_index artifact pattern, then every batch sweep "
+    "is one batch-side explode + one size-planned semi-join against "
+    "the stored k-gram column, NEVER a re-explode of corpus text "
+    "(the span-level twin of incremental_dedup_documents / "
+    "near_dedup_new_vs_corpus). Membership suffices — corpus "
+    "occurrences precede the whole batch, so the artifact needs no "
+    "first-occurrence bookkeeping. Deterministic extraction ⇒ the "
+    "artifact changes COST, never the answer; per-batch cost scales "
+    "with the batch (probe evidence in .stress/), and at 100 TB the "
+    "artifact is written bucketed on kg so the semi-join shuffles "
+    "only the batch side",
+    tags=("extension", "dedup", "curation"),
+)
+def exact_substring_new_vs_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from spotify_tracks_etl_portfolio_spark.operators.dedup import (
+        EXACT_SUBSTR_TOKENS,
+        corpus_kgram_set,
+        incremental_substring_spans,
+    )
+
+    docs = read_parquet_table(spark, sf_dir, "documents")
+    root = _artifact_root(
+        spark,
+        "corpus_kgrams",
+        f"{os.path.realpath(sf_dir)}|k={EXACT_SUBSTR_TOKENS}",
+    )
+    _build_artifact_once(
+        root,
+        "kgrams",
+        lambda tmp: corpus_kgram_set(
+            docs.filter(F.col("doc_id") % 2 == 0), "doc_id", "text"
+        ).write.parquet(f"{tmp}/kgrams"),
+    )
+    corpus_kg = spark.read.parquet(f"{root}/kgrams")
+    return incremental_substring_spans(
+        docs.filter(F.col("doc_id") % 2 == 1), corpus_kg, "doc_id", "text"
+    )
+
+
+@register(
     "streaming_decontamination_sync",
     oracle=_DECONTAM_SPANS_ORACLE,
     description="8th streaming gate: the incoming-doc stream (train "

@@ -785,6 +785,42 @@ def test_cross_corpus_substring_spans_planted(spark):
     assert spans == {(1, 3, 13, 11)}
 
 
+def test_incremental_substring_spans_matches_direct_cross_corpus(spark):
+    """Incremental ExactSubstr (batch vs the corpus's persisted
+    distinct-k-gram set) computes the identical spans as the direct
+    cross-corpus sweep that re-tokenizes the corpus — the artifact
+    changes cost, never the answer — and a batch doc fully inside the
+    corpus is flagged end-to-end while a clean doc never appears."""
+    k = dd.EXACT_SUBSTR_TOKENS
+    shared = " ".join(f"S{i}" for i in range(k + 2))  # k+2 = 10 tokens
+    corpus = spark.createDataFrame(
+        [(0, f"c1 {shared} c2"), (2, "old corpus doc nothing shared here x")],
+        "doc_id long, text string",
+    )
+    batch = spark.createDataFrame(
+        [
+            (1, f"n1 n2 n3 {shared}"),   # shared at pos 4..13
+            (3, f"{shared}"),            # whole doc duplicated: pos 1..10
+            (5, "a genuinely new document with fresh content only here"),
+        ],
+        "doc_id long, text string",
+    )
+    kg = dd.corpus_kgram_set(corpus, "doc_id", "text")
+    served = {
+        (r["doc_id"], r["span_start"], r["span_end"], r["span_tokens"])
+        for r in dd.incremental_substring_spans(
+            batch, kg, "doc_id", "text"
+        ).collect()
+    }
+    direct = {
+        (r["doc_id"], r["span_start"], r["span_end"], r["span_tokens"])
+        for r in dd.cross_corpus_substring_spans(
+            batch, corpus, "doc_id", "text"
+        ).collect()
+    }
+    assert served == direct == {(1, 4, 13, 10), (3, 1, 10, 10)}
+
+
 def test_exact_substring_spans_df_cap_equals_window_path_below_cap(spark):
     """With the cap above every k-gram's occurrence count, the groupBy
     formulation is BIT-IDENTICAL to the default window path; above it,

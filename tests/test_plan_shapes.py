@@ -771,6 +771,10 @@ def test_persisted_index_artifacts_reused_across_calls(spark, sf_dir):
         # span-decontamination path (key pins the window width)
         ("decontamination_overlap_spans_served", "bench_kgrams",
          "kgrams", "|k=8"),
+        # round-10 verdict item 3: the persisted corpus k-gram set of
+        # incremental corpus-vs-corpus ExactSubstr
+        ("exact_substring_new_vs_corpus", "corpus_kgrams",
+         "kgrams", "|k=8"),
     ]
     from spotify_tracks_etl_portfolio_spark.plans.extensions import (
         SEMX_NEW_MAX,
