@@ -5048,6 +5048,189 @@ def embedding_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _sim.pq_topk(emb, "vec_id", "embedding", books=books, codes=codes)
 
 
+def _ivfpq_topk_oracle(
+    m: int = _sim.PQ_M,
+    sub_dim: int = _sim.PQ_SUB_DIM,
+    iters: int = 3,
+    pq_iters: int = _sim.PQ_ITERS,
+    n_queries: int = 10,
+    topk: int = 5,
+    shortlist: int = _sim.PQ_SHORTLIST,
+) -> str:
+    """Composed IVF×PQ replay: the IVF oracle's coarse-quantizer chain
+    (auto k_cells/nprobe scalar CTEs + unrolled k-means + corpus cell
+    assignment + query cell probing) ∘ the PQ oracle's per-subspace
+    chains (auto codebook k + 8 unrolled k-means + DECIMAL LUTs) — the
+    ADC scoring CTE simply gains two joins restricting candidates to
+    each query's PROBED cells, which is exactly what the engine's
+    partition-pruned codes scan does. Both constituent chains are the
+    verbatim builders of the separately-recorded embedding_ivf_*/
+    embedding_pq_topk oracles."""
+    ctes = [
+        "v AS MATERIALIZED (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings)"
+    ]
+    # IVF derived geometry (auto_ivf_cells / auto_ivf_nprobe)
+    ctes.append(
+        f"""ivfk AS MATERIALIZED (
+  SELECT GREATEST(8, LEAST({_sim.IVF_MAX_CELLS},
+    CAST(ceil(sqrt(count(*))) AS BIGINT))) AS k
+  FROM v
+)"""
+    )
+    ctes.append(
+        f"""ivfnp AS MATERIALIZED (
+  SELECT GREATEST(2, LEAST({_sim.IVF_MAX_NPROBE},
+    CAST(ceil(sqrt(k)) AS BIGINT))) AS np
+  FROM ivfk
+)"""
+    )
+    ivf_ctes, ivf_final = _kmeans_cent_ctes(
+        "SELECT k FROM ivfk", iters, prefix="ivf_"
+    )
+    ctes.extend(ivf_ctes)
+    ctes.append(f"""qcells AS MATERIALIZED (
+  SELECT query_id, cell FROM (
+    SELECT v.vec_id AS query_id, ct.cell,
+           row_number() OVER (PARTITION BY v.vec_id
+                              ORDER BY {_sql_cos('v.e', 'ct.c')} DESC,
+                                       ct.cell ASC) AS rn
+    FROM v, {ivf_final} ct
+    WHERE v.vec_id < {n_queries}) WHERE rn <= (SELECT np FROM ivfnp)
+)""")
+    # PQ derived codebook resolution (auto_pq_k)
+    ctes.append(
+        f"""pqk AS MATERIALIZED (
+  SELECT GREATEST({_sim.PQ_K}, LEAST({_sim.PQ_MAX_K},
+    CAST(ceil(sqrt(count(*))) AS BIGINT))) AS k
+  FROM v
+)"""
+    )
+    for mi in range(m):
+        lo, hi = mi * sub_dim + 1, (mi + 1) * sub_dim
+        ctes.append(
+            f"v{mi} AS MATERIALIZED (SELECT vec_id, e[{lo}:{hi}] AS e FROM v)"
+        )
+        sub_ctes, _ = _kmeans_cent_ctes(
+            "SELECT k FROM pqk", pq_iters, src=f"v{mi}", prefix=f"m{mi}_"
+        )
+        ctes.extend(sub_ctes)
+    ctes.append(
+        f"q AS MATERIALIZED (SELECT vec_id AS query_id, e FROM v WHERE vec_id < {n_queries})"
+    )
+    for mi in range(m):
+        lo, hi = mi * sub_dim + 1, (mi + 1) * sub_dim
+        final_cent = f"m{mi}_cent{pq_iters}"
+        ctes.append(f"""lut{mi} AS MATERIALIZED (
+  SELECT q.query_id, ct.cell,
+         CAST(round(list_dot_product(q.e[{lo}:{hi}], ct.c), 6)
+              AS DECIMAL(18,6)) AS lv
+  FROM q, {final_cent} ct
+)""")
+    code_joins = "\n  ".join(
+        f"JOIN m{mi}_final_asg a{mi} USING (vec_id)" for mi in range(1, m)
+    )
+    lut_joins = "\n  ".join(
+        f"JOIN lut{mi} l{mi} ON l{mi}.query_id = qc.query_id "
+        f"AND l{mi}.cell = a{mi}.cell"
+        for mi in range(m)
+    )
+    lv_sum = " + ".join(f"l{mi}.lv" for mi in range(m))
+    ctes.append(f"""sc AS MATERIALIZED (
+  SELECT a0.vec_id AS neighbor_id, qc.query_id,
+         round(CAST({lv_sum} AS DOUBLE), 6) AS adc
+  FROM m0_final_asg a0
+  {code_joins}
+  JOIN ivf_final_asg ia USING (vec_id)
+  JOIN qcells qc ON qc.cell = ia.cell
+  {lut_joins}
+  WHERE a0.vec_id <> qc.query_id
+)""")
+    ctes.append(f"""cand AS MATERIALIZED (
+  SELECT query_id, neighbor_id FROM (
+    SELECT *, row_number() OVER (PARTITION BY query_id
+                                 ORDER BY adc DESC, neighbor_id) AS crn
+    FROM sc
+  ) WHERE crn <= {shortlist}
+)""")
+    ctes.append("""rr AS (
+  SELECT c.query_id, c.neighbor_id,
+         round(list_dot_product(nv.e, q.e), 6) AS score
+  FROM cand c
+  JOIN v nv ON nv.vec_id = c.neighbor_id
+  JOIN q ON q.query_id = c.query_id
+)""")
+    return (
+        "WITH "
+        + ",\n".join(ctes)
+        + f"""
+SELECT query_id, neighbor_id, score, CAST(rank AS BIGINT) AS rank
+FROM (
+  SELECT *, row_number() OVER (PARTITION BY query_id
+                               ORDER BY score DESC, neighbor_id) AS rank
+  FROM rr
+) WHERE rank <= {topk}
+"""
+    )
+
+
+@register(
+    "embedding_ivfpq_topk",
+    oracle=_ivfpq_topk_oracle(n_queries=TOPK_N_QUERIES, topk=TOPK_K),
+    description="Composed IVF×PQ index — the billion-scale ANN serving "
+    "shape (round-10 verdict item 2; FAISS IVFPQ re-expressed as "
+    "parquet partitions): the persisted index stores PQ codes "
+    "PARTITIONED BY IVF CELL (plus coarse centroids and codebooks); a "
+    "query probes its nprobe cells against the stored centroids, the "
+    "codes scan prunes to exactly those cell directories "
+    "(PartitionFilters, plan-gated), ADC scores the m-byte-scale codes "
+    "within probed cells via broadcast DECIMAL LUT joins, and only the "
+    "top-100 shortlist survivors fetch true vectors for the exact "
+    "top-5. Composed pruning multiplies at 100 TB: IVF cuts candidate "
+    "ROWS to nprobe/k of the corpus, PQ cuts BYTES per row from dim "
+    "floats to m codes. Derived geometry throughout (auto_ivf_cells / "
+    "auto_ivf_nprobe / auto_pq_k; measured recall@5 0.94 at sf0.01 "
+    "under k_cells=23/nprobe=5/pq_k=23 vs the exact inner-product "
+    "top-k, pytest floor 0.6); every kernel is the zero-RNG one "
+    "the separate IVF and PQ indexes hash-check with, so the composed "
+    "path is hash-checked end-to-end — 'approximate' is recall "
+    "(probed cells ∩ shortlist survival), never nondeterminism. "
+    "Identical-answer contract: build once per (session, sf_dir), "
+    "serve many (artifact-reuse pytest-pinned)",
+    tags=("extension", "similarity", "approx"),
+)
+def embedding_ivfpq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = read_parquet_table(spark, sf_dir, "embeddings")
+    n = emb.count()
+    ivf_k = _sim.auto_ivf_cells(n)
+    nprobe = _sim.auto_ivf_nprobe(ivf_k)
+    pq_k = _sim.auto_pq_k(n)
+    root = _artifact_root(
+        spark,
+        "ivfpq_index",
+        f"{os.path.realpath(sf_dir)}|kc={ivf_k}|iters=3"
+        f"|m={_sim.PQ_M}|sub={_sim.PQ_SUB_DIM}|kq={pq_k}"
+        f"|pqi={_sim.PQ_ITERS}",
+    )
+    _build_artifact_once(
+        root,
+        "codes",
+        lambda tmp: _sim.build_ivfpq_index(
+            emb, "vec_id", "embedding", tmp, k_cells=ivf_k, pq_k=pq_k
+        ),
+    )
+    queries = emb.filter(F.col("vec_id") < TOPK_N_QUERIES)
+    return _sim.ivfpq_query_index(
+        spark,
+        root,
+        queries,
+        emb,
+        "vec_id",
+        "embedding",
+        TOPK_K,
+        nprobe=nprobe,
+    )
+
+
 # ===========================================================================
 # Count-min sketch heavy hitters + batch sessionization
 # ===========================================================================

@@ -64,6 +64,53 @@ def test_ivf_topk_recall_on_testdata(spark, sf_dir):
     assert recall >= 0.6, recall
 
 
+def test_ivfpq_recall_on_testdata(spark, sf_dir, tmp_path):
+    """Recall@5 floor for the composed IVF×PQ serving path at the
+    registered derived geometry (auto_ivf_cells / auto_ivf_nprobe /
+    auto_pq_k): the composition loses recall two ways — a true
+    neighbor's cell may not be probed (IVF) or it may miss the ADC
+    shortlist (PQ distortion) — so the floor gates the PRODUCT of
+    both effects against the exact brute force."""
+    emb = read_parquet_table(spark, sf_dir, "embeddings")
+    n = emb.count()
+    ivf_k = sim.auto_ivf_cells(n)
+    nprobe = sim.auto_ivf_nprobe(ivf_k)
+    pq_k = sim.auto_pq_k(n)
+    root = str(tmp_path / "ivfpq")
+    sim.build_ivfpq_index(
+        emb, "vec_id", "embedding", root, k_cells=ivf_k, pq_k=pq_k
+    )
+    from pyspark.sql import Window
+    from spotify_tracks_etl_portfolio_spark.functions import vec_dot
+
+    queries = emb.filter(F.col("vec_id") < 5)
+    # exact inner-product top-5 (the same baseline the PQ-only recall
+    # test uses — the re-rank stage scores by dot product)
+    qs = queries.select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("qv")
+    )
+    c = emb.select(
+        F.col("vec_id").alias("neighbor_id"), F.col("embedding").alias("cv")
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.desc("ip"), F.asc("neighbor_id")
+    )
+    exact = (
+        c.crossJoin(F.broadcast(qs))
+        .filter("neighbor_id != query_id")
+        .withColumn("ip", F.round(vec_dot("cv", "qv"), 6))
+        .withColumn("rk", F.row_number().over(w))
+        .filter("rk<=5")
+    )
+    approx = sim.ivfpq_query_index(
+        spark, root, queries, emb, "vec_id", "embedding", 5, nprobe=nprobe
+    )
+    e = {(r["query_id"], r["neighbor_id"]) for r in exact.collect()}
+    a = {(r["query_id"], r["neighbor_id"]) for r in approx.collect()}
+    recall = len(e & a) / len(e)
+    assert recall >= 0.6, recall
+
+
 def test_normalize_vectors(corpus):
     from spotify_tracks_etl_portfolio_spark.functions import vec_norm
 
