@@ -915,6 +915,7 @@ def exact_substring_dup_spans(
     text_col: str,
     k: int = EXACT_SUBSTR_TOKENS,
     max_kgram_df: int | None = None,
+    use_window_formulation: bool = False,
 ) -> DataFrame:
     """Exact-substring duplicate spans (the ExactSubstr operator of Lee
     et al. 2021, "Deduplicating Training Data Makes Language Models
@@ -932,34 +933,50 @@ def exact_substring_dup_spans(
     1-based inclusive over the whitespace token sequence.
 
     Scale shape (100 TB): the exploded relation is ~n_tokens rows — big
-    but linear. Two large shuffles only: (1) an unordered window
-    ``min(struct(id, pos)) over (partition by kg)`` marks non-first
-    occurrences (no global sort, no self-join; a corpus-wide boilerplate
-    k-gram is the skew hazard — at scale pre-count document frequency
-    and route hot k-grams through a groupBy+broadcast side path, the
-    same ``max_shingle_df`` trick as n-gram Jaccard); (2) a per-doc
-    window to merge islands. The final span agg reuses tiny output.
-    At scale the shuffle key would be ``xxhash64(kg)`` (narrow rows,
+    but linear. The DEFAULT formulation (round-10 verdict item 4) is
+    groupBy+join: ``min(struct(id, pos))`` + ``count`` per k-gram is a
+    PARTIAL aggregation, so a corpus-wide boilerplate k-gram — the
+    single-partition hot-key hazard of the window formulation —
+    combines map-side and never materializes one giant partition, and
+    the join back is AQE-skew-splittable. The duplicated-only filter
+    (``__df > 1``) also shrinks the join's build side to just the
+    k-grams that can flag anything. Two large shuffles either way
+    (k-gram agg/window + per-doc island merge; the join reuses the
+    k-gram partitioning); the groupBy+join path is BIT-IDENTICAL to
+    the window formulation at any cap-free setting
+    (pytest-pinned), it just has no skew cliff — which is why it is
+    the default and the window twin survives only as the A/B contrast
+    (``use_window_formulation=True``, test/benchmark-only). Measured
+    premium (.stress/exactsubstr_r10_probe.json): ~2.2x over the
+    window twin at BOTH 1x and 10x — the cost is the second corpus
+    explode + join-side pass, pure linear work that scales
+    horizontally, bought against the window's hot-key straggler which
+    does NOT (one corpus-wide boilerplate k-gram = one partition
+    holding its entire occurrence list). On real (non-twin-stress)
+    corpora the duplicated-only firsts side is small (10.5k of 225k
+    k-grams at sf0.1) and AQE converts the join-back to a broadcast at
+    runtime, sparing the second shuffle of the big side. At scale
+    the shuffle key would be ``xxhash64(kg)`` (narrow rows,
     collision-checked); the literal string key here keeps the operator
     byte-exact against its SQL oracle.
 
-    ``max_kgram_df``: the skew guard (same contract as n-gram
-    Jaccard's ``max_shingle_df``). A corpus-wide boilerplate window —
-    the same k tokens in millions of docs — concentrates its whole
-    occurrence list in one window partition. With the cap set, the
-    operator switches to a groupBy formulation (``min(struct)`` +
-    ``count`` per k-gram — PARTIAL aggregation, so the hot key combines
-    map-side and never materializes one giant partition; the join back
-    is AQE-skew-handled), and k-grams occurring in more than the cap
-    occurrences are EXCLUDED from duplicate detection — boilerplate
-    that common is a filtering concern, not a dedup one (the C4
-    rationale). Semantics therefore change above the cap, which is why
-    it is opt-in and the registered query keeps the exact default.
+    ``max_kgram_df``: the opt-in EXCLUSION knob (same contract as
+    n-gram Jaccard's ``max_shingle_df``): k-grams occurring more than
+    the cap are dropped from duplicate detection entirely —
+    boilerplate that common is a filtering concern, not a dedup one
+    (the C4 rationale). This CHANGES semantics above the cap, which is
+    why it stays opt-in; it no longer selects the formulation (the
+    safe formulation is unconditional).
     """
     from pyspark.sql import Window
 
     grams = _stride1_kgrams(df, id_col, text_col, k)
-    if max_kgram_df is None:
+    if use_window_formulation:
+        if max_kgram_df is not None:
+            raise ValueError(
+                "the window formulation is the cap-free A/B twin — "
+                "max_kgram_df requires the default groupBy+join path"
+            )
         w_kg = Window.partitionBy("kg")
         flagged = (
             grams.withColumn(
@@ -973,13 +990,14 @@ def exact_substring_dup_spans(
             F.min(F.struct(id_col, "pos")).alias("__first"),
             F.count(F.lit(1)).alias("__df"),
         )
+        dup_only = F.col("__df") > 1
+        keep = (
+            dup_only
+            if max_kgram_df is None
+            else dup_only & (F.col("__df") <= max_kgram_df)
+        )
         flagged = (
-            grams.join(
-                firsts.filter(
-                    (F.col("__df") > 1) & (F.col("__df") <= max_kgram_df)
-                ),
-                "kg",
-            )
+            grams.join(firsts.filter(keep), "kg")
             .filter(F.struct(id_col, "pos") != F.col("__first"))
             .select(id_col, "pos")
         )

@@ -3774,12 +3774,17 @@ FROM spans
 """,
     description=f"ExactSubstr span detection (Lee et al. 2021) without "
     f"the suffix array: stride-1 {_XS}-token windows, global "
-    "first-occurrence kept canonical via one unordered struct-min "
-    "window on window content, later occurrences merged per doc into "
-    "maximal duplicated spans (gaps-and-islands). Every >= k-token "
-    "duplicate is found exactly; two big shuffles total, both linear "
-    "in corpus tokens — at 100 TB the shuffle key becomes xxhash64(kg) "
-    "and hot boilerplate k-grams route through a DF-capped side path",
+    "first-occurrence kept canonical via a PARTIAL-AGG struct-min "
+    "groupBy on window content + join back (the round-10 default — "
+    "bit-identical to the window formulation it replaced, but a "
+    "corpus-wide boilerplate k-gram combines map-side instead of "
+    "landing on one window partition; plan-gated: no kg-keyed window, "
+    "partial aggregation present), later occurrences merged per doc "
+    "into maximal duplicated spans (gaps-and-islands). Every >= "
+    "k-token duplicate is found exactly; two big shuffles total, both "
+    "linear in corpus tokens — at 100 TB the shuffle key becomes "
+    "xxhash64(kg); max_kgram_df stays the opt-in boilerplate "
+    "EXCLUSION knob (C4 rationale), no longer a formulation switch",
     tags=("extension", "dedup"),
 )
 def exact_substring_dup_spans_q(spark: SparkSession, sf_dir: str) -> DataFrame:

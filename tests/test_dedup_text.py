@@ -504,6 +504,114 @@ def test_bpe_train_merges_matches_reference(spark):
     assert tx.bpe_train_merges(df, "text", num_merges=6) == want
 
 
+def _ref_bpe_counter(wf, num):
+    """Pure-python strictly sequential Sennrich BPE over a word-freq
+    Counter — the reference the batched trainer must equal."""
+    from collections import Counter
+
+    syms = {w: list(w) for w in wf}
+    merges = []
+    for rank in range(num):
+        pc = Counter()
+        for w, f in wf.items():
+            s = syms[w]
+            for i in range(len(s) - 1):
+                pc[(s[i], s[i + 1])] += f
+        if not pc:
+            break
+        (a, b), n = sorted(pc.items(), key=lambda kv: (-kv[1], kv[0]))[0]
+        merges.append((rank, a, b, n))
+        for w in syms:
+            s, out, i = syms[w], [], 0
+            while i < len(s):
+                if i + 1 < len(s) and s[i] == a and s[i + 1] == b:
+                    out.append(a + b)
+                    i += 2
+                else:
+                    out.append(s[i])
+                    i += 1
+            syms[w] = out
+    return merges
+
+
+def test_bpe_batch_selection_fuzz_equals_sequential():
+    """The batch acceptance rule (prefix-disjoint + spoiler guard,
+    operators/text.py::_select_merge_batch) must reproduce strictly
+    sequential BPE on adversarial corpora: tiny alphabets maximize
+    overlapping pairs, spelling collisions ('a'+'a' → 'aa' colliding
+    with pre-split 'aa' contexts), and count ties. Pure-python twin of
+    the Spark round loop (same selection function, same greedy apply)
+    so 400 corpora fuzz in milliseconds."""
+    import random
+    from collections import Counter
+
+    rng = random.Random(20251012)
+    for _trial in range(400):
+        nw = rng.randint(3, 14)
+        ws = [
+            "".join(rng.choices("abcd", k=rng.randint(1, 6)))
+            for _ in range(nw)
+        ]
+        wf = Counter({w: rng.randint(1, 9) for w in ws})
+        nm = rng.randint(1, 12)
+        want = _ref_bpe_counter(wf, nm)
+
+        syms = {w: list(w) for w in wf}
+        got = []
+        while len(got) < nm:
+            pc = Counter()
+            for w, f in wf.items():
+                s = syms[w]
+                for i in range(len(s) - 1):
+                    pc[(s[i], s[i + 1])] += f
+            if not pc:
+                break
+            k = 50
+            rows = [
+                (a, b, n)
+                for (a, b), n in sorted(
+                    pc.items(), key=lambda kv: (-kv[1], kv[0])
+                )[:k]
+            ]
+            unc = rows[-1][2] if len(rows) == k else 0
+            accepted = tx._select_merge_batch(rows, unc, min(4, nm - len(got)))
+            for a, b, n in accepted:
+                got.append((len(got), a, b, n))
+                for w in syms:
+                    s, out, i = syms[w], [], 0
+                    while i < len(s):
+                        if i + 1 < len(s) and s[i] == a and s[i + 1] == b:
+                            out.append(a + b)
+                            i += 2
+                        else:
+                            out.append(s[i])
+                            i += 1
+                    syms[w] = out
+        assert got == want, (dict(wf), nm, got, want)
+
+
+def test_bpe_batched_rounds_and_overlap_stop(spark):
+    """End-to-end Spark check of the batching behavior itself: on a
+    corpus whose top pairs all chain through one symbol, every round
+    accepts exactly one merge (overlap stops the batch) and the result
+    equals batch_m=1; on the planted reference corpus the batch
+    accepts >1 merge per round yet the merge table is identical."""
+    # pairs: (b,c)=5 top, then (a,b)=3 and (c,d)=2 — (a,b) shares b
+    # with the accepted (b,c), so round 1 must stop at one merge
+    chain = "abc abc abc bcd bcd"
+    df = spark.createDataFrame([(chain,)], "text string")
+    batched = tx.bpe_train_merges(df, "text", num_merges=3)
+    strict = tx.bpe_train_merges(df, "text", num_merges=3, batch_m=1)
+    assert batched == strict
+    assert batched[0][1:3] == ("b", "c")
+
+    corpus = "low low low lower lower newest newest newest newest widest widest"
+    df2 = spark.createDataFrame([(corpus,)], "text string")
+    assert tx.bpe_train_merges(df2, "text", num_merges=6) == tx.bpe_train_merges(
+        df2, "text", num_merges=6, batch_m=1
+    )
+
+
 def test_bpe_segment_words_matches_reference_application(spark):
     """Inference: applying the learned merges must segment every word
     exactly like the reference greedy leftmost-first loop (overlap case
@@ -821,11 +929,16 @@ def test_incremental_substring_spans_matches_direct_cross_corpus(spark):
     assert served == direct == {(1, 4, 13, 10), (3, 1, 10, 10)}
 
 
-def test_exact_substring_spans_df_cap_equals_window_path_below_cap(spark):
-    """With the cap above every k-gram's occurrence count, the groupBy
-    formulation is BIT-IDENTICAL to the default window path; above it,
-    the hot boilerplate window stops flagging (the opt-in semantics
-    change, same contract as Jaccard's max_shingle_df)."""
+def test_exact_substring_default_join_path_equals_window_formulation(spark):
+    """Round-10 verdict item 4: the DEFAULT (groupBy+join, no skew
+    cliff) formulation is BIT-IDENTICAL to the window formulation it
+    replaced — same flags, same spans, on a corpus that mixes hot
+    boilerplate with rare duplicates; the cap knob (still opt-in)
+    drops only above-cap boilerplate (the semantics change, same
+    contract as Jaccard's max_shingle_df); and the cap-free window
+    twin rejects a cap (it exists only as the A/B contrast)."""
+    import pytest
+
     k = dd.EXACT_SUBSTR_TOKENS
     boiler = " ".join(f"B{i}" for i in range(k))  # in EVERY doc
     rare = " ".join(f"R{i}" for i in range(k))    # in two docs
@@ -838,6 +951,13 @@ def test_exact_substring_spans_df_cap_equals_window_path_below_cap(spark):
         tuple(r)
         for r in dd.exact_substring_dup_spans(docs, "doc_id", "text").collect()
     }
+    window_twin = {
+        tuple(r)
+        for r in dd.exact_substring_dup_spans(
+            docs, "doc_id", "text", use_window_formulation=True
+        ).collect()
+    }
+    assert window_twin == base
     capped_high = {
         tuple(r)
         for r in dd.exact_substring_dup_spans(
@@ -854,6 +974,11 @@ def test_exact_substring_spans_df_cap_equals_window_path_below_cap(spark):
     # boilerplate (df=6 > 3) vanishes; the rare pair (df=2) survives
     assert capped_low < base
     assert {r[0] for r in capped_low} == {11}
+    with pytest.raises(ValueError, match="window formulation"):
+        dd.exact_substring_dup_spans(
+            docs, "doc_id", "text", max_kgram_df=3,
+            use_window_formulation=True,
+        )
 
 
 def test_ngram_dup_fraction_known_values(spark):
