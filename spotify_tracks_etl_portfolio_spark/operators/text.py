@@ -222,10 +222,94 @@ def sliding_chunks(
     )
 
 
+#: Merge-batching knobs (round-10 verdict item 6): up to BPE_BATCH_M
+#: merges learned per round (rounds ≈ merges/m when the corpus allows),
+#: selected from the per-round top-BPE_BATCH_TOPK pair counts.
+BPE_BATCH_M = 4
+BPE_BATCH_TOPK = 200
+
+
+def _select_merge_batch(
+    rows: list[tuple[str, str, int]],
+    uncollected_bound: int,
+    take: int,
+) -> list[tuple[str, str, int]]:
+    """Greedy PREFIX of the sorted pair list that is provably the same
+    set (in the same order, with the same counts) that strictly
+    sequential BPE would pick — the batch acceptance rule:
+
+    - ``rows`` is the (count desc, left asc, right asc)-sorted top of
+      the pair-count table; ``uncollected_bound`` is the largest count
+      any pair OUTSIDE the collected slice can have (the last collected
+      count when the slice is full, else 0).
+    - Accept the first pair unconditionally; accept each next pair
+      ``(a, b, n)`` only while
+      (1) PREFIX-DISJOINT: neither symbol appears in any accepted
+          pair's ``{left, right, merged}`` — overlapping pairs stop the
+          batch (never skip-and-continue: skipping would break the
+          prefix property that every pair ranked above an accepted one
+          is itself accepted and disjoint, which is what keeps later
+          counts unchanged);
+      (2) SPOILER-SAFE: for every accepted ``(aj, bj)`` with merged
+          token ``mj``, ``max(A, B) + U < n`` where ``A`` bounds pairs
+          ending in ``aj`` (each created pair ``(x, mj)`` arises from an
+          ``(x, aj)`` occurrence), ``B`` bounds pairs starting with
+          ``bj``, and ``U`` bounds PRE-EXISTING pairs touching a symbol
+          already spelled ``mj`` — the one case the prefix rule alone
+          cannot subsume: a created pair can ADD to an existing pair's
+          count when the merged spelling collides with a live symbol.
+          All three maxima are over the collected slice, floored at
+          ``uncollected_bound``.
+
+    Why this equals sequential BPE: applying a merge leaves the count
+    of every symbol-disjoint pair unchanged (its adjacencies can't
+    overlap a merge site), only DECREASES pairs touching the merged
+    symbols (all ranked below the accepted prefix, and they can only
+    fall), and CREATES pairs bounded by (2) strictly below the next
+    accepted count — so at each sequential step the next accepted pair
+    is still the argmax under (count desc, lex asc). Fuzzed against
+    the sequential reference over adversarial tiny-alphabet corpora
+    (maximal overlap pressure) in
+    tests/test_dedup_text.py::test_bpe_batch_selection_fuzz_equals_sequential.
+    """
+    accepted: list[tuple[str, str, int]] = []
+    forbidden: set[str] = set()
+    for a, b, n in rows:
+        if accepted:
+            if a in forbidden or b in forbidden:
+                break
+            safe = True
+            for aj, bj, _nj in accepted:
+                mj = aj + bj
+                cap_a = max(
+                    [c for (x, y, c) in rows if y == aj]
+                    + [uncollected_bound]
+                )
+                cap_b = max(
+                    [c for (x, y, c) in rows if x == bj]
+                    + [uncollected_bound]
+                )
+                cap_u = max(
+                    [c for (x, y, c) in rows if x == mj or y == mj]
+                    + [uncollected_bound]
+                )
+                if max(cap_a, cap_b) + cap_u >= n:
+                    safe = False
+                    break
+            if not safe:
+                break
+        accepted.append((a, b, n))
+        forbidden |= {a, b, a + b}
+        if len(accepted) == take:
+            break
+    return accepted
+
+
 def bpe_train_merges(
     df: DataFrame,
     text_col: str,
     num_merges: int = 10,
+    batch_m: int = BPE_BATCH_M,
 ) -> list[tuple[int, str, str, int]]:
     """Distributed BPE tokenizer training (Sennrich et al. 2016,
     arXiv:1508.07909) — the tokenizer-learning step of an LLM data
@@ -234,16 +318,27 @@ def bpe_train_merges(
     1. collapse the corpus to a (word, frequency) table — one shuffle;
        every later pass runs over unique words weighted by count, not
        raw text (the standard BPE corpus compression);
-    2. per merge round: explode adjacent symbol pairs, one weighted
-       count aggregation, take the most frequent pair (ties break
-       lexicographically — deterministic, no RNG), then apply the merge
-       to every word's symbol array with a greedy left-to-right
-       ``aggregate`` HOF (JVM-side, no UDF);
+    2. per ROUND (round-10 verdict item 6): explode adjacent symbol
+       pairs, one weighted count aggregation, collect the top
+       ``BPE_BATCH_TOPK`` pairs, and accept up to ``batch_m`` merges
+       via the exactness-preserving prefix-batch rule
+       (:func:`_select_merge_batch` — pairwise-disjoint prefix of the
+       sorted list with a spoiler guard, provably the merges strictly
+       sequential BPE picks, ties lexicographic, no RNG). The accepted
+       merges apply to every word's symbol array as ONE chained
+       projection of greedy left-to-right ``aggregate`` HOFs
+       (JVM-side, no UDF), so driver round-trips and corpus passes
+       drop from ``merges`` to ``rounds ≈ merges/batch_m`` (measured:
+       20 merges in 11 rounds at the sf0.01 gate; ``batch_m=1``
+       recovers the old strictly-per-merge loop exactly);
     3. the driver holds only the learned merge table (num_merges rows —
-       the same bounded-driver-state pattern as k-means centroids) and
-       each round's word table is localCheckpoint'd so plans stay flat.
+       the same bounded-driver-state pattern as k-means centroids) plus
+       the per-round top-K pair slice, and each round's word table is
+       localCheckpoint'd so plans stay flat.
 
-    Returns [(rank, left, right, weighted_count), ...].
+    Returns [(rank, left, right, weighted_count), ...] — identical to
+    the strictly sequential trainer's output (reference-equality and
+    fuzz tests pin this, overlap cases included).
     """
     words = (
         df.select(F.explode(tokens(text_col)).alias("w"))
@@ -256,7 +351,9 @@ def bpe_train_merges(
         .localCheckpoint(eager=True)
     )
     merges: list[tuple[int, str, str, int]] = []
-    for rank in range(num_merges):
+    while len(merges) < num_merges:
+        take = min(batch_m, num_merges - len(merges))
+        top_k = max(BPE_BATCH_TOPK, 2 * take)
         pairs = words.select(
             F.posexplode(F.slice("syms", 1, F.size("syms") - 1)).alias(
                 "i", "a"
@@ -272,16 +369,23 @@ def bpe_train_merges(
             pairs.groupBy("a", "b")
             .agg(F.sum("freq").alias("n"))
             .orderBy(F.desc("n"), F.asc("a"), F.asc("b"))
-            .limit(1)
+            .limit(top_k)
             .collect()
         )
-        if not top or top[0]["n"] is None:
+        rows = [
+            (r["a"], r["b"], int(r["n"])) for r in top if r["n"] is not None
+        ]
+        if not rows:
             break
-        a, b, n = top[0]["a"], top[0]["b"], int(top[0]["n"])
-        merges.append((rank, a, b, n))
+        uncollected = rows[-1][2] if len(rows) == top_k else 0
+        accepted = _select_merge_batch(rows, uncollected, take)
+        syms_out = F.col("syms")
+        base = len(merges)
+        for i, (a, b, n) in enumerate(accepted):
+            merges.append((base + i, a, b, n))
+            syms_out = apply_merge(syms_out, a, b)
         words = words.select(
-            apply_merge("syms", a, b).alias("syms"),
-            F.col("freq"),
+            syms_out.alias("syms"), F.col("freq")
         ).localCheckpoint(eager=True)
     return merges
 
