@@ -202,17 +202,122 @@ def _read_manifest(root: str, version: int) -> dict:
 #: small JSON reads, never O(versions).
 _CHECKPOINT_EVERY = 10
 
+#: Manifest-of-manifests (round-10 verdict item 7): a CHECKPOINT whose
+#: file list exceeds _SHARD_AFTER entries stores it as SHARD FILES
+#: under _manifests/shards/ instead of inline — the checkpoint manifest
+#: carries only the shard reference list (Iceberg's manifest-list
+#: design). Files hash to shards by PATH (stable across versions while
+#: the shard count holds), so a checkpoint rewrites ONLY the shards
+#: whose content changed since the previous checkpoint and re-REFERENCES
+#: the rest — writer metadata IO is O(changed shards), reader IO is one
+#: union over ~n_files/_SHARD_TARGET small JSONs (parallelizable on a
+#: real store). Below the threshold nothing changes: the inline format
+#: is byte-compatible with every pre-sharding manifest.
+_SHARD_AFTER = 2048
+_SHARD_TARGET = 512
+_SHARDS_DIR = "shards"
+
+
+def _shard_of(path: str, n_shards: int) -> int:
+    """Stable shard id for a data-file path (process-independent)."""
+    import hashlib
+
+    return int.from_bytes(
+        hashlib.md5(path.encode("utf-8")).digest()[:8], "big"
+    ) % n_shards
+
+
+def _shard_count(n_files: int) -> int:
+    """Power-of-two shard count targeting ~_SHARD_TARGET files per
+    shard — powers of two so the count (and therefore every file's
+    shard id) changes rarely; a count change simply rewrites all
+    shards at that checkpoint."""
+    import math
+
+    return max(2, 1 << math.ceil(math.log2(max(1, n_files) / _SHARD_TARGET)))
+
+
+def _read_shard(root: str, ref: str) -> list[dict]:
+    with open(os.path.join(root, _MANIFEST_DIR, ref)) as fh:
+        return json.load(fh)
+
+
+def _nearest_checkpoint_raw(root: str, version: int) -> dict | None:
+    """RAW manifest of the nearest self-contained ancestor (inline or
+    sharded checkpoint) at or below ``version`` — used for shard reuse
+    when writing the next checkpoint. None if the chain is gone
+    (vacuumed ancestors)."""
+    v = version
+    while v is not None and v >= 0:
+        try:
+            m = _read_manifest(root, v)
+        except FileNotFoundError:
+            return None
+        if "files" in m or "file_shards" in m:
+            return m
+        v = m.get("parent")
+    return None
+
+
+def _write_shards(root: str, version: int, files: list[dict]) -> list[str]:
+    """Write (or reuse) the shard files for a checkpoint's file list and
+    return the reference list. Shards are compared against the previous
+    checkpoint's shards at the same index: identical content reuses the
+    OLD shard file by reference — only changed shards touch disk."""
+    n = _shard_count(len(files))
+    groups: list[list[dict]] = [[] for _ in range(n)]
+    for f in files:
+        groups[_shard_of(f["path"], n)].append(f)
+    for g in groups:
+        g.sort(key=lambda f: f["path"])
+    parent_shards: dict[int, tuple[str, list[dict]]] = {}
+    prev = _nearest_checkpoint_raw(root, version - 1) if version > 0 else None
+    if prev is not None and len(prev.get("file_shards", ())) == n:
+        for gi, ref in enumerate(prev["file_shards"]):
+            try:
+                parent_shards[gi] = (ref, _read_shard(root, ref))
+            except (OSError, ValueError):
+                pass  # unreadable parent shard → just rewrite ours
+    sdir = os.path.join(root, _MANIFEST_DIR, _SHARDS_DIR)
+    os.makedirs(sdir, exist_ok=True)
+    refs: list[str] = []
+    for gi, group in enumerate(groups):
+        if gi in parent_shards and parent_shards[gi][1] == group:
+            refs.append(parent_shards[gi][0])
+            continue
+        ref = f"{_SHARDS_DIR}/v{version}_s{gi}.json"
+        tmp = os.path.join(root, _MANIFEST_DIR, ref) + ".tmp"
+        with open(tmp, "w") as fh:
+            json.dump(group, fh, default=str)
+        os.replace(tmp, os.path.join(root, _MANIFEST_DIR, ref))
+        refs.append(ref)
+    return refs
+
+
+def _checkpoint_files(root: str, m: dict) -> list[dict] | None:
+    """Full file list of a RAW manifest if it is self-contained (inline
+    ``files`` or sharded ``file_shards``), else None for deltas."""
+    if "files" in m:
+        return list(m["files"])
+    if "file_shards" in m:
+        out: list[dict] = []
+        for ref in m["file_shards"]:
+            out.extend(_read_shard(root, ref))
+        return out
+    return None
+
 
 def _resolve_files(root: str, version: int) -> list[dict]:
     """Full file-stats list of a snapshot: walk parents back to the
-    nearest full-list manifest (checkpoint or create — bounded by the
-    checkpoint cadence), then replay the deltas oldest-first."""
+    nearest self-contained manifest (inline or sharded checkpoint —
+    bounded by the checkpoint cadence), then replay the deltas
+    oldest-first."""
     chain = []
     m = _read_manifest(root, version)
-    while "files" not in m:
+    while "files" not in m and "file_shards" not in m:
         chain.append(m)
         m = _read_manifest(root, m["parent"])
-    files = list(m["files"])
+    files = _checkpoint_files(root, m)
     for delta in reversed(chain):
         removed = set(delta["files_removed"])
         files = [f for f in files if f["path"] not in removed]
@@ -222,21 +327,26 @@ def _resolve_files(root: str, version: int) -> list[dict]:
 
 def _load_snapshot(root: str, version: int) -> dict:
     """Manifest dict with ``files`` guaranteed RESOLVED — the one entry
-    point readers/writers use, so they never see the delta encoding."""
+    point readers/writers use, so they never see the delta (or shard)
+    encoding."""
     m = _read_manifest(root, version)
     if "files" not in m:
         m = dict(m)
+        m.pop("file_shards", None)
         m["files"] = _resolve_files(root, version)
     return m
 
 
 def _files_payload(
-    version: int, parent_files: list[dict], files: list[dict]
+    root: str, version: int, parent_files: list[dict], files: list[dict]
 ) -> dict:
-    """Checkpoint versions embed the full list; others the delta vs the
-    parent (removed paths + added stat entries)."""
+    """Checkpoint versions embed the full list (inline below
+    ``_SHARD_AFTER`` entries, sharded above — see ``_write_shards``);
+    others the delta vs the parent (removed paths + added entries)."""
     if version % _CHECKPOINT_EVERY == 0:
-        return {"files": files}
+        if len(files) <= _SHARD_AFTER:
+            return {"files": files}
+        return {"file_shards": _write_shards(root, version, files)}
     new_paths = {f["path"] for f in files}
     old_paths = {f["path"] for f in parent_files}
     return {
@@ -329,7 +439,7 @@ def create_table(
         "parent": None,
         "operation": "create",
         "schema": df.schema.json(),
-        "files": files,
+        **_files_payload(root, 0, [], files),
     }
     if bloom_cols:
         manifest["bloom_cols"] = list(bloom_cols)
@@ -411,7 +521,7 @@ def add_columns(root: str, cols: dict[str, str]) -> int:
         "parent": v,
         "operation": "add_columns",
         "schema": schema.json(),
-        **_files_payload(v + 1, m["files"], m["files"]),
+        **_files_payload(root, v + 1, m["files"], m["files"]),
     }
     if m.get("stream_batch_id") is not None:
         manifest["stream_batch_id"] = m["stream_batch_id"]
@@ -442,8 +552,9 @@ def history(root: str) -> list[dict]:
         return out
     for v in range(first, latest_version(root) + 1):
         raw = _read_manifest(root, v)
-        if "files" in raw:
-            files = list(raw["files"])
+        ck = _checkpoint_files(root, raw)
+        if ck is not None:
+            files = ck
         elif files is not None:
             removed = set(raw["files_removed"])
             files = [f for f in files if f["path"] not in removed]
@@ -546,7 +657,7 @@ def delete_where(
         "parent": v,
         "operation": "delete",
         "schema": m["schema"],
-        **_files_payload(v + 1, m["files"], keep + new_files),
+        **_files_payload(root, v + 1, m["files"], keep + new_files),
     }
     if m.get("stream_batch_id") is not None:  # keep the replay watermark
         manifest["stream_batch_id"] = m["stream_batch_id"]
@@ -618,7 +729,7 @@ def merge_into(
         "parent": v,
         "operation": "merge",
         "schema": m["schema"],
-        **_files_payload(v + 1, m["files"], keep + new_files),
+        **_files_payload(root, v + 1, m["files"], keep + new_files),
     }
     if m.get("stream_batch_id") is not None:  # keep the replay watermark
         manifest["stream_batch_id"] = m["stream_batch_id"]
@@ -699,7 +810,7 @@ def merge_latest(
         "parent": v,
         "operation": "merge_latest",
         "schema": m["schema"],
-        **_files_payload(v + 1, m["files"], keep + new_files),
+        **_files_payload(root, v + 1, m["files"], keep + new_files),
     }
     sbid, app = stream_batch_id, stream_app_id
     if sbid is None:
@@ -841,7 +952,7 @@ def compact(
         "parent": v,
         "operation": "compact",
         "schema": m["schema"],
-        **_files_payload(v + 1, m["files"], keep + new_files),
+        **_files_payload(root, v + 1, m["files"], keep + new_files),
     }
     if m.get("stream_batch_id") is not None:
         manifest["stream_batch_id"] = m["stream_batch_id"]
@@ -968,7 +1079,7 @@ def optimize_zorder(
         "operation": "optimize_zorder",
         "zorder_by": list(cols),
         "schema": m["schema"],
-        **_files_payload(v + 1, m["files"], new_files),
+        **_files_payload(root, v + 1, m["files"], new_files),
     }
     if m.get("stream_batch_id") is not None:
         manifest["stream_batch_id"] = m["stream_batch_id"]
@@ -1101,10 +1212,17 @@ def vacuum(
     # checkpointed manifest plus still-present ancestors is valid).
     if horizon > 0:
         hm = _read_manifest(root, horizon)
-        if "files" not in hm:
-            hm["files"] = _resolve_files(root, horizon)
+        if "files" not in hm and "file_shards" not in hm:
+            resolved = _resolve_files(root, horizon)
             hm.pop("files_added", None)
             hm.pop("files_removed", None)
+            # the rewrite respects the sharding threshold too — a
+            # large horizon list shards (its ancestors still exist at
+            # this point, so shard reuse applies), a small one inlines
+            if len(resolved) <= _SHARD_AFTER:
+                hm["files"] = resolved
+            else:
+                hm["file_shards"] = _write_shards(root, horizon, resolved)
             tmp = _manifest_path(root, horizon) + ".ckpt"
             with open(tmp, "w") as fh:
                 json.dump(hm, fh, indent=1, default=str)
@@ -1113,11 +1231,14 @@ def vacuum(
     # (the history() pattern): O(retained) manifest reads instead of
     # re-resolving every retained version's chain back to a checkpoint.
     referenced: set[str] = set()
+    referenced_shards: set[str] = set()
     files: list[dict] = []
     for v in range(horizon, latest + 1):
         raw = _read_manifest(root, v)
-        if "files" in raw:
-            files = list(raw["files"])
+        ck = _checkpoint_files(root, raw)
+        if ck is not None:
+            files = ck
+            referenced_shards |= set(raw.get("file_shards", ()))
         else:
             removed = set(raw["files_removed"])
             files = [f for f in files if f["path"] not in removed]
@@ -1157,9 +1278,29 @@ def vacuum(
         if os.path.exists(p):
             os.remove(p)
             manifests_dropped += 1
+    # shard GC: drop shard files no retained checkpoint references (the
+    # manifest-of-manifests twin of the data-file sweep above). The age
+    # guard covers the in-flight-writer window — a committing writer
+    # writes its shards BEFORE its manifest becomes visible.
+    shards_dropped = 0
+    sdir = os.path.join(root, _MANIFEST_DIR, _SHARDS_DIR)
+    if os.path.isdir(sdir):
+        for name in sorted(os.listdir(sdir)):
+            ref = f"{_SHARDS_DIR}/{name}"
+            p = os.path.join(sdir, name)
+            if ref in referenced_shards or not name.endswith(".json"):
+                continue
+            try:
+                if now - os.path.getmtime(p) < min_age_seconds:
+                    continue
+            except FileNotFoundError:
+                continue
+            os.remove(p)
+            shards_dropped += 1
     return {
         "manifests_dropped": manifests_dropped,
         "files_deleted": files_deleted,
+        "shards_dropped": shards_dropped,
     }
 
 

@@ -824,6 +824,82 @@ def test_bloom_numeric_probe_type_coercion(spark, tmp_path):
     assert hit2.count() == 4  # double column, int probe
 
 
+def test_manifest_sharding_end_to_end(spark, tmp_path, monkeypatch):
+    """Manifest-of-manifests (round-10 verdict item 7), forced active by
+    shrinking the thresholds: a table whose checkpoints exceed
+    _SHARD_AFTER files stores the file list as shard files referenced
+    from the manifest. Exercises, on a genuinely multi-shard table:
+    create (v0 sharded) → read → MERGE deltas → time travel → the v10
+    checkpoint REUSING unchanged v0 shards by reference → range-pruned
+    and Bloom-pruned scans → vacuum (horizon rewrite + shard GC) with
+    every retained version still reading exactly as committed."""
+    monkeypatch.setattr(ct, "_SHARD_AFTER", 4)
+    monkeypatch.setattr(ct, "_SHARD_TARGET", 2)
+
+    df = spark.range(4_000).select(
+        F.col("id").alias("k"),
+        (F.col("id") % 97).alias("u"),
+        (F.col("id") * 3).alias("payload"),
+    )
+    root = str(tmp_path / "sharded")
+    # 48 files at target 2 → 32 shards; ten merges net ~+10 files,
+    # still ≤ 64 so the power-of-two shard count HOLDS across the next
+    # checkpoint — the regime where shard reuse fires (a count change
+    # legitimately rewrites all shards, documented in _shard_count)
+    ct.create_table(
+        spark, root, df, cluster_by="k", n_files=48, bloom_cols=["u"]
+    )
+    m0 = ct._read_manifest(root, 0)
+    assert "files" not in m0 and len(m0["file_shards"]) == 32
+    assert ct.read_table(spark, root).count() == 4_000
+
+    # ten MERGE commits (deltas v1..v9, checkpoint v10) touching only
+    # the files that hold each key — most shards' content is unchanged
+    for i in range(10):
+        upd = spark.createDataFrame(
+            [(i * 37, i * 37 % 97, -1)], "k long, u long, payload long"
+        )
+        ct.merge_into(spark, root, upd, "k")
+    assert ct.latest_version(root) == 10
+    m10 = ct._read_manifest(root, 10)
+    assert "file_shards" in m10
+    reused = set(m0["file_shards"]) & set(m10["file_shards"])
+    assert reused, "v10 checkpoint reuses no v0 shards"
+    assert set(m10["file_shards"]) - set(m0["file_shards"]), (
+        "v10 rewrote nothing — the merges must have changed some shard"
+    )
+
+    # reads: latest, time travel to v0 and a delta version, history
+    assert ct.read_table(spark, root).count() == 4_000
+    assert ct.read_table(spark, root, version=0).count() == 4_000
+    v5 = ct.read_table(spark, root, version=5)
+    assert v5.filter(F.col("k") == 4 * 37).first()["payload"] == -1
+    hist = ct.history(root)
+    assert [h["version"] for h in hist] == list(range(11))
+    assert all(h["n_rows"] == 4_000 for h in hist)
+
+    # pruned scans still work over the sharded snapshot
+    hit, scanned, total = ct.scan_pruned(spark, root, "k", 100, 120)
+    assert hit.count() == 21 and scanned < total
+    bhit, bscanned, btotal = ct.scan_pruned_eq(spark, root, "u", 96)
+    assert bhit.count() == df.filter(F.col("u") == 96).count()
+    assert bscanned <= btotal
+
+    # vacuum: horizon rewrite + manifest drop + shard GC; retained
+    # versions keep reading, dropped shard files are gone
+    res = ct.vacuum(root, retain_last=3, min_age_seconds=0.0)
+    assert res["manifests_dropped"] == 8
+    assert ct.oldest_version(root) == 8
+    assert ct.read_table(spark, root).count() == 4_000
+    assert ct.read_table(spark, root, version=8).count() == 4_000
+    live_refs = set()
+    for v in range(8, 11):
+        live_refs |= set(ct._read_manifest(root, v).get("file_shards", ()))
+    sdir = tmp_path / "sharded" / "_manifests" / "shards"
+    on_disk = {f"shards/{p.name}" for p in sdir.iterdir()}
+    assert on_disk == live_refs, (on_disk, live_refs)
+
+
 def test_zorder_rejects_bit_overflow(spark, tmp_path):
     df = spark.range(10).select(*[(F.col("id")).alias(f"c{i}") for i in range(8)])
     root = str(tmp_path / "zo")
