@@ -62,9 +62,17 @@ HEADLINE = [
     "simhash_near_dups_wide",
     "embedding_lsh_near_dups_wide",
     # round-9 continuation: ExactSubstr span detection — the heaviest
-    # new dedup plan (stride-1 window explosion + content-keyed window);
-    # timing history starts this round
+    # new dedup plan (stride-1 window explosion; since round 10 the
+    # skew-safe groupBy+join default, ~2.2x the window twin by design —
+    # .stress/exactsubstr_r10_probe.json); timing history starts r09,
+    # REBASED at r10 with the formulation change (BASELINE_r10.json)
     "exact_substring_dup_spans",
+    # round-10: the composed IVF×PQ serving path and the incremental
+    # corpus-vs-corpus ExactSubstr serve (artifact built on first call
+    # per session — bench times the SERVE side after the warm-up run;
+    # timing history starts this round
+    "embedding_ivfpq_topk",
+    "exact_substring_new_vs_corpus",
 ]
 # Round-9 verdict item 4: the FROZEN-TOY twins simhash_near_dups and
 # embedding_lsh_near_dups are demoted from this list — both are

@@ -72,7 +72,15 @@ def run_bench() -> dict:
 
 def main() -> int:
     ap = argparse.ArgumentParser()
-    ap.add_argument("--baseline", default=os.path.join(REPO, "BENCH_r01.json"))
+    # BASELINE_r10.json (round-10 verdict item 8): a full-headline
+    # freeze recorded on a quiet instance of this host WITH its own
+    # canary, so the 2x gate covers every headline query under proper
+    # canary-vs-canary normalization. BENCH_r01.json remains usable via
+    # --baseline for the long-horizon comparison (14 surviving queries,
+    # --cal-ref normalization).
+    ap.add_argument(
+        "--baseline", default=os.path.join(REPO, "BASELINE_r10.json")
+    )
     ap.add_argument("--factor", type=float, default=2.0)
     ap.add_argument(
         "--fresh", default=None, help="path to a saved bench JSON line instead of re-running"
