@@ -317,6 +317,14 @@ SANCTIONED_NESTED_LOOP = {
     "benford_totalprice_audit": "1-row grand-total broadcast onto the 9-row digit table",
     "token_pmi_collocations": "1-row corpus-totals broadcast onto the vocabulary-scaled pair table",
     "corpus_drift_psi": "1-row snapshot-totals broadcast onto the ~10-row bin table",
+    # round 10
+    "embedding_ivfpq_topk": "query set (10 rows) × codebook (m×k rows) "
+    "broadcast cross for the per-subspace ADC LUTs — the _pq_adc_join "
+    "shape; both sides bounded by the query batch and the codebook, "
+    "never the corpus",
+    "events_overview_approx": "five 1-row sketch-cell aggregates "
+    "(HLL estimates, histogram quantiles, count) cross-composed into "
+    "the single output row",
 }
 
 
