@@ -559,6 +559,44 @@ def test_ivf_index_wide_probe_skips_literal_filter(
     assert sorted(map(tuple, df.collect())) == pruned
 
 
+def test_ivfpq_index_wide_probe_skips_literal_filter(
+    spark, sf_dir, tmp_path, monkeypatch
+):
+    """The composed IVF×PQ serve inherits the raised-clamp guard: past
+    IVF_PRUNE_LITERAL_MAX probed cells it must skip the literal IN on
+    the codes scan and let the cell equi-join prune — identical
+    answer. Forced by zeroing the cap (same recipe as the plain-IVF
+    twin)."""
+    from pyspark.sql import functions as F
+
+    from spotify_tracks_etl_portfolio_spark.operators import similarity as sim
+    from spotify_tracks_etl_portfolio_spark.sources.readers import (
+        read_parquet_table,
+    )
+
+    emb = read_parquet_table(spark, sf_dir, "embeddings")
+    root = str(tmp_path / "ivfpq_wide")
+    sim.build_ivfpq_index(emb, "vec_id", "embedding", root, k_cells=8, pq_k=16)
+    queries = emb.filter(F.col("vec_id") < 5)
+    pruned = sorted(
+        map(
+            tuple,
+            sim.ivfpq_query_index(
+                spark, root, queries, emb, "vec_id", "embedding", 5, nprobe=2
+            ).collect(),
+        )
+    )
+    monkeypatch.setattr(sim, "IVF_PRUNE_LITERAL_MAX", 0)
+    df = sim.ivfpq_query_index(
+        spark, root, queries, emb, "vec_id", "embedding", 5, nprobe=2
+    )
+    plan = plan_of_df(df)
+    import re
+
+    assert not re.search(r"PartitionFilters: \[cell#\d+ IN", plan)
+    assert sorted(map(tuple, df.collect())) == pruned
+
+
 def test_bucketed_join_has_no_shuffle(spark, sf_dir):
     """Persisted bucketing must eliminate the join-time exchange on
     BOTH fact sides even when neither can broadcast (threshold=-1
