@@ -1151,6 +1151,19 @@ def exact_substring_dedup(
     explode of the corpus.
     """
     spans = exact_substring_dup_spans(df, id_col, text_col, k, max_kgram_df)
+    return _cut_spans_rebuild(df, spans, id_col, text_col)
+
+
+def _cut_spans_rebuild(
+    df: DataFrame, spans: DataFrame, id_col: str, text_col: str
+) -> DataFrame:
+    """Rebuild each doc of ``df`` with the token positions covered by
+    ``spans`` (``(id, span_start, span_end, ...)``) removed — the
+    shared destructive half of ExactSubstr (within-corpus and
+    incremental variants). Spans collect per doc (bounded: one row per
+    maximal span, <= n_tokens/k), hash-join back, and the cut is a
+    JVM-side higher-order ``filter`` over token positions — no Python,
+    no second explode. Docs cut to zero tokens drop."""
     per_doc = spans.groupBy(id_col).agg(
         F.collect_list(F.struct("span_start", "span_end")).alias("__spans")
     )
@@ -1189,3 +1202,28 @@ def exact_substring_dedup(
             "kept_tokens",
         )
     )
+
+
+def incremental_substring_dedup(
+    batch: DataFrame,
+    corpus_kgrams: DataFrame,
+    id_col: str,
+    text_col: str,
+    k: int = EXACT_SUBSTR_TOKENS,
+) -> DataFrame:
+    """Destructive half of INCREMENTAL ExactSubstr: rebuild each
+    new-batch doc with every >= k-token span that appears verbatim in
+    the existing corpus CUT (the corpus copy is canonical — it was
+    there first), serving the span sweep from the corpus's persisted
+    distinct-k-gram set (:func:`corpus_kgram_set`). Batch docs that are
+    entirely corpus-duplicated drop. This is the daily-crawl ingest
+    shape: dedup today's crawl against the whole corpus at batch cost
+    (see :func:`incremental_substring_spans` for the scale argument),
+    then append only the novel text.
+
+    Returns ``(id, text_clean, n_tokens, kept_tokens)`` over surviving
+    batch docs."""
+    spans = incremental_substring_spans(
+        batch, corpus_kgrams, id_col, text_col, k
+    )
+    return _cut_spans_rebuild(batch, spans, id_col, text_col)

@@ -1949,6 +1949,7 @@ def ivfpq_query_index(
     topk: int,
     nprobe: int = 2,
     shortlist: int = PQ_SHORTLIST,
+    where: Column | None = None,
 ) -> DataFrame:
     """Query a persisted IVF×PQ index (``build_ivfpq_index``):
 
@@ -1965,6 +1966,16 @@ def ivfpq_query_index(
        the driver), keep the per-query ``shortlist`` survivors;
     4. exact re-rank: survivors equi-join their TRUE vectors from
        ``corpus`` (bounded: shortlist × |queries| rows fetched).
+
+    ``where``: optional metadata predicate over the CODES table's
+    columns (the id at minimum; store metadata columns alongside the
+    codes to widen it) — FILTERED composed ANN with PRE-FILTER
+    semantics, the same contract as ``ivf_query_index(where=...)``:
+    the predicate lands directly on the pruned codes scan (Catalyst
+    pushes it to the parquet reader beside the cell PartitionFilters),
+    non-matching candidates die before any ADC math, and the shortlist
+    is the top among PASSING candidates within the probed cells —
+    never the filter-after-search starvation hole.
 
     Per-query IO at scale: (nprobe/k_cells) of the CODES table — which
     is itself ~m bytes per vector instead of dim floats — so composed
@@ -2000,6 +2011,8 @@ def ivfpq_query_index(
         codes = codes.filter(F.col("cell").isin(*[int(c) for c in probed]))
     # else: the equi-join below drops unprobed cells (the raised-clamp
     # guard ivf_query_index documents)
+    if where is not None:
+        codes = codes.filter(where)
     books = load_pq_codebooks(spark, f"{index_root}/codebooks")
     m = len(books)
     sub_dim = len(books[0][0][1])

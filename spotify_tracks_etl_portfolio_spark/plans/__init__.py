@@ -47,6 +47,55 @@ def register(
     return deco
 
 
+def _round10_recorded() -> bool:
+    """True once a CORRECTNESS artifact of round >= 10 exists (or the
+    local-verification override is set) — the same trigger the deferred
+    force queue uses."""
+    import glob
+    import os
+    import re
+
+    if os.environ.get("SPARK_GRAFT_INCLUDE_PENDING") == "1":
+        return True
+    root = os.path.dirname(
+        os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    )
+    for p in glob.glob(os.path.join(root, "CORRECTNESS_r*.json")):
+        m = re.search(r"_r(\d+)\.json$", p)
+        if m and int(m.group(1)) >= 10:
+            return True
+    return False
+
+
+def register_pending_r11(
+    name: str,
+    oracle: str | None,
+    description: str = "",
+    tags: tuple[str, ...] = (),
+):
+    """Decorator: register ``name`` only once the r10 recording window
+    has been spent (CORRECTNESS_r10 on disk) — before that it is a
+    no-op and the function stays a plain tested operator entry point.
+
+    Why: the r10 window is budgeted EXACTLY to retire the r05-era
+    stale cohort (see ``_FORCE_RERECORD``); any debut registered now
+    would enter priority group 2 and push a stale row out. Queries
+    built late in round 10 therefore hold registration until the
+    window is spent, then debut automatically at the head of the r11
+    window (never-recorded = group 2) alongside the promoted deferred
+    force queue — 30 r06-stale + 11 deferred + these debuts still fit
+    r11's 50 slots. Local verification before the artifact lands:
+    ``SPARK_GRAFT_INCLUDE_PENDING=1`` forces registration (used by the
+    pending-query pytest and check_oracle runs)."""
+    if _round10_recorded():
+        return register(name, oracle, description, tags)
+
+    def deco(fn: Callable[[SparkSession, str], DataFrame]):
+        return fn
+
+    return deco
+
+
 # The driver's correctness harness records only the FIRST 50 registry
 # entries each round, so registration order decides which queries get a
 # durable CORRECTNESS_r{N}.json row.  We therefore order the registry so

@@ -16,7 +16,10 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from spotify_tracks_etl_portfolio_spark.functions import rolling_hash, token_count
-from spotify_tracks_etl_portfolio_spark.plans import register
+from spotify_tracks_etl_portfolio_spark.plans import (
+    register,
+    register_pending_r11,
+)
 from spotify_tracks_etl_portfolio_spark.sources.readers import read_parquet_table
 from spotify_tracks_etl_portfolio_spark.streaming.pipeline import (
     pinned_stream_session,
@@ -3991,6 +3994,73 @@ def exact_substring_new_vs_corpus(spark: SparkSession, sf_dir: str) -> DataFrame
     )
 
 
+@register_pending_r11(
+    "exact_substring_cut_new_vs_corpus",
+    oracle=f"""
+WITH {_XGRAM_CTES},
+flagged AS (
+  SELECT doc_id, pos FROM g
+  WHERE doc_id % 2 = 1
+    AND kg IN (SELECT DISTINCT kg FROM g WHERE doc_id % 2 = 0)
+),{_XSPAN_MERGE_CTES},
+tok AS (
+  SELECT doc_id, i AS p, w[i] AS t, len(w) AS n
+  FROM tb, unnest(range(1, len(w) + 1)) AS t2(i)
+  WHERE doc_id % 2 = 1
+),
+keep AS (
+  SELECT tok.* FROM tok
+  WHERE NOT EXISTS (
+    SELECT 1 FROM spans sp
+    WHERE sp.doc_id = tok.doc_id AND tok.p BETWEEN sp.span_start AND sp.span_end)
+)
+SELECT doc_id, string_agg(t, ' ' ORDER BY p) AS text_clean,
+       CAST(any_value(n) AS BIGINT) AS n_tokens,
+       CAST(count(*) AS BIGINT) AS kept_tokens
+FROM keep GROUP BY doc_id
+""",
+    description="Destructive half of incremental ExactSubstr (the "
+    "daily-crawl ingest shape): rebuild each new-batch doc (odd "
+    "doc_ids) with every >= 8-token span appearing verbatim in the "
+    "existing corpus (even doc_ids) CUT — the corpus copy was there "
+    "first, so it stays canonical; batch docs that are entirely "
+    "corpus-duplicated drop, and only novel text would append. Serves "
+    "the span sweep from the SAME persisted corpus k-gram artifact as "
+    "exact_substring_new_vs_corpus (one nightly build, both "
+    "consumers); the cut is the shared JVM-side higher-order position "
+    "filter — batch-cost per ingest, corpus never re-exploded. "
+    "Registered via the pending-r11 gate (the r10 window is budgeted "
+    "to the stale cohort); pytest-verified now",
+    tags=("extension", "dedup", "curation"),
+)
+def exact_substring_cut_new_vs_corpus(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    from spotify_tracks_etl_portfolio_spark.operators.dedup import (
+        EXACT_SUBSTR_TOKENS,
+        corpus_kgram_set,
+        incremental_substring_dedup,
+    )
+
+    docs = read_parquet_table(spark, sf_dir, "documents")
+    root = _artifact_root(
+        spark,
+        "corpus_kgrams",
+        f"{os.path.realpath(sf_dir)}|k={EXACT_SUBSTR_TOKENS}",
+    )
+    _build_artifact_once(
+        root,
+        "kgrams",
+        lambda tmp: corpus_kgram_set(
+            docs.filter(F.col("doc_id") % 2 == 0), "doc_id", "text"
+        ).write.parquet(f"{tmp}/kgrams"),
+    )
+    corpus_kg = spark.read.parquet(f"{root}/kgrams")
+    return incremental_substring_dedup(
+        docs.filter(F.col("doc_id") % 2 == 1), corpus_kg, "doc_id", "text"
+    )
+
+
 @register(
     "streaming_decontamination_sync",
     oracle=_DECONTAM_SPANS_ORACLE,
@@ -5061,6 +5131,7 @@ def _ivfpq_topk_oracle(
     n_queries: int = 10,
     topk: int = 5,
     shortlist: int = _sim.PQ_SHORTLIST,
+    corpus_filter: str | None = None,
 ) -> str:
     """Composed IVF×PQ replay: the IVF oracle's coarse-quantizer chain
     (auto k_cells/nprobe scalar CTEs + unrolled k-means + corpus cell
@@ -5140,6 +5211,7 @@ def _ivfpq_topk_oracle(
         for mi in range(m)
     )
     lv_sum = " + ".join(f"l{mi}.lv" for mi in range(m))
+    extra = f" AND ({corpus_filter})" if corpus_filter else ""
     ctes.append(f"""sc AS MATERIALIZED (
   SELECT a0.vec_id AS neighbor_id, qc.query_id,
          round(CAST({lv_sum} AS DOUBLE), 6) AS adc
@@ -5148,7 +5220,7 @@ def _ivfpq_topk_oracle(
   JOIN ivf_final_asg ia USING (vec_id)
   JOIN qcells qc ON qc.cell = ia.cell
   {lut_joins}
-  WHERE a0.vec_id <> qc.query_id
+  WHERE a0.vec_id <> qc.query_id{extra}
 )""")
     ctes.append(f"""cand AS MATERIALIZED (
   SELECT query_id, neighbor_id FROM (
@@ -5233,6 +5305,62 @@ def embedding_ivfpq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         "embedding",
         TOPK_K,
         nprobe=nprobe,
+    )
+
+
+@register_pending_r11(
+    "embedding_ivfpq_filtered_topk",
+    oracle=_ivfpq_topk_oracle(
+        n_queries=TOPK_N_QUERIES,
+        topk=TOPK_K,
+        corpus_filter="a0.vec_id % 3 = 0",
+    ),
+    description="FILTERED composed IVF×PQ search over the SAME "
+    "persisted index as embedding_ivfpq_topk (artifact reused, zero "
+    "rebuild): a metadata predicate (vec_id % 3 = 0 stands in for "
+    "'category = X') restricts the CODES scan with PRE-FILTER "
+    "semantics — the predicate lands on the pruned codes scan beside "
+    "the cell PartitionFilters, non-matching candidates die before any "
+    "ADC math, and the shortlist is the top among PASSING candidates "
+    "within the probed cells (never the filter-after-search starvation "
+    "hole). Same derived geometry and determinism contract as the "
+    "unfiltered twin; at 100 TB the codes table carries the metadata "
+    "columns, so filtered vector search scans m-byte codes + the "
+    "filter column only. Registered via the pending-r11 gate (the r10 "
+    "window is budgeted to the stale cohort); pytest-verified now",
+    tags=("extension", "similarity", "approx"),
+)
+def embedding_ivfpq_filtered_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = read_parquet_table(spark, sf_dir, "embeddings")
+    n = emb.count()
+    ivf_k = _sim.auto_ivf_cells(n)
+    nprobe = _sim.auto_ivf_nprobe(ivf_k)
+    pq_k = _sim.auto_pq_k(n)
+    root = _artifact_root(
+        spark,
+        "ivfpq_index",
+        f"{os.path.realpath(sf_dir)}|kc={ivf_k}|iters=3"
+        f"|m={_sim.PQ_M}|sub={_sim.PQ_SUB_DIM}|kq={pq_k}"
+        f"|pqi={_sim.PQ_ITERS}",
+    )
+    _build_artifact_once(
+        root,
+        "codes",
+        lambda tmp: _sim.build_ivfpq_index(
+            emb, "vec_id", "embedding", tmp, k_cells=ivf_k, pq_k=pq_k
+        ),
+    )
+    queries = emb.filter(F.col("vec_id") < TOPK_N_QUERIES)
+    return _sim.ivfpq_query_index(
+        spark,
+        root,
+        queries,
+        emb,
+        "vec_id",
+        "embedding",
+        TOPK_K,
+        nprobe=nprobe,
+        where=F.col("vec_id") % 3 == 0,
     )
 
 

@@ -929,6 +929,39 @@ def test_incremental_substring_spans_matches_direct_cross_corpus(spark):
     assert served == direct == {(1, 4, 13, 10), (3, 1, 10, 10)}
 
 
+def test_incremental_substring_dedup_cuts_corpus_spans(spark):
+    """Destructive incremental ExactSubstr: a batch doc keeps its novel
+    text and loses exactly the corpus-duplicated spans; a batch doc
+    fully contained in the corpus drops; a novel doc passes through
+    untouched. Matches cutting the spans of the non-destructive twin
+    by construction (shared kernel)."""
+    k = dd.EXACT_SUBSTR_TOKENS
+    shared = " ".join(f"S{i}" for i in range(k))  # exactly k tokens
+    corpus = spark.createDataFrame(
+        [(0, f"c1 {shared} c2")], "doc_id long, text string"
+    )
+    batch = spark.createDataFrame(
+        [
+            (1, f"n1 n2 {shared} n3"),
+            (3, shared),
+            (5, "fresh words only in the batch here now ok"),
+        ],
+        "doc_id long, text string",
+    )
+    kg = dd.corpus_kgram_set(corpus, "doc_id", "text")
+    out = {
+        r["doc_id"]: (r["text_clean"], r["n_tokens"], r["kept_tokens"])
+        for r in dd.incremental_substring_dedup(
+            batch, kg, "doc_id", "text"
+        ).collect()
+    }
+    assert out[1] == ("n1 n2 n3", k + 3, 3)
+    assert 3 not in out  # fully corpus-duplicated batch doc drops
+    assert out[5] == (
+        "fresh words only in the batch here now ok", 9, 9
+    )
+
+
 def test_exact_substring_default_join_path_equals_window_formulation(spark):
     """Round-10 verdict item 4: the DEFAULT (groupBy+join, no skew
     cliff) formulation is BIT-IDENTICAL to the window formulation it

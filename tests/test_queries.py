@@ -256,3 +256,37 @@ def test_width_parametric_oracles_generalize_beyond_registered_widths(
         for r in con.execute(ext._hyperplane_lsh_oracle(rows=12)).fetchall()
     }
     assert got_pairs == want_pairs
+
+
+def test_pending_r11_registration_gate(monkeypatch):
+    """The round-10 pending-debut gate: the two late-r10 queries stay
+    UNREGISTERED until a CORRECTNESS artifact of round >= 10 exists
+    (protecting the r10 window's stale-cohort budget), then debut
+    automatically (never-recorded = priority group 2). The decorator's
+    both branches are exercised directly; the module-level outcome is
+    asserted against whatever the checkout's artifact state implies."""
+    from spotify_tracks_etl_portfolio_spark import plans
+
+    pending = {
+        "embedding_ivfpq_filtered_topk",
+        "exact_substring_cut_new_vs_corpus",
+    }
+    monkeypatch.delenv("SPARK_GRAFT_INCLUDE_PENDING", raising=False)
+    qs = set(plans.all_queries())
+    if plans._round10_recorded():
+        # post-r10 checkout (or the import ran with the override):
+        # the debuts must be live ONLY if the import-time gate saw it
+        assert pending <= qs or not (pending & qs)
+    else:
+        assert not (pending & qs)
+    # decorator behavior, both branches, via a throwaway name
+    monkeypatch.setenv("SPARK_GRAFT_INCLUDE_PENDING", "1")
+    assert plans._round10_recorded()
+
+    @plans.register_pending_r11("___pending_probe", oracle=None)
+    def _probe(spark, sf_dir):  # pragma: no cover - never executed
+        raise AssertionError
+
+    assert "___pending_probe" in plans.QUERIES
+    del plans.QUERIES["___pending_probe"]
+    monkeypatch.delenv("SPARK_GRAFT_INCLUDE_PENDING", raising=False)

@@ -111,6 +111,51 @@ def test_ivfpq_recall_on_testdata(spark, sf_dir, tmp_path):
     assert recall >= 0.6, recall
 
 
+def test_ivfpq_filtered_query_prefilter_semantics(spark, sf_dir, tmp_path):
+    """Filtered composed IVF×PQ (where=) has PRE-FILTER semantics:
+    querying the full index with a predicate equals querying a second
+    index whose CODES table was pre-filtered to the passing ids (same
+    centroids, same codebooks) with no predicate — i.e. non-matching
+    candidates never compete for the shortlist. Every reported
+    neighbor passes the predicate."""
+    import os
+    import shutil
+
+    emb = read_parquet_table(spark, sf_dir, "embeddings")
+    root = str(tmp_path / "pq_full")
+    sim.build_ivfpq_index(emb, "vec_id", "embedding", root, k_cells=8, pq_k=16)
+    # second index: identical centroids/codebooks, codes pre-filtered
+    root2 = str(tmp_path / "pq_filtered")
+    os.makedirs(root2)
+    shutil.copytree(f"{root}/centroids", f"{root2}/centroids")
+    shutil.copytree(f"{root}/codebooks", f"{root2}/codebooks")
+    spark.read.parquet(f"{root}/codes").filter(
+        F.col("vec_id") % 3 == 0
+    ).write.partitionBy("cell").parquet(f"{root2}/codes")
+
+    queries = emb.filter(F.col("vec_id") < 5)
+    filtered = sorted(
+        map(
+            tuple,
+            sim.ivfpq_query_index(
+                spark, root, queries, emb, "vec_id", "embedding", 5,
+                nprobe=2, where=F.col("vec_id") % 3 == 0,
+            ).collect(),
+        )
+    )
+    expected = sorted(
+        map(
+            tuple,
+            sim.ivfpq_query_index(
+                spark, root2, queries, emb, "vec_id", "embedding", 5,
+                nprobe=2,
+            ).collect(),
+        )
+    )
+    assert filtered == expected
+    assert filtered and all(r[1] % 3 == 0 for r in filtered)
+
+
 def test_normalize_vectors(corpus):
     from spotify_tracks_etl_portfolio_spark.functions import vec_norm
 
