@@ -3937,9 +3937,10 @@ def decontamination_overlap_spans_served(
     return _flagged_to_spans(flagged, "doc_id", EXACT_SUBSTR_TOKENS)
 
 
-@register(
-    "exact_substring_new_vs_corpus",
-    oracle=f"""
+#: Shared by the batch and streaming incremental-ExactSubstr gates —
+#: both compute the identical answer (static corpus set; docs never
+#: interact), differing only in batch boundaries / artifact transport.
+_XS_NEW_VS_CORPUS_ORACLE = f"""
 WITH {_XGRAM_CTES},
 flagged AS (
   SELECT doc_id, pos FROM g
@@ -3949,7 +3950,12 @@ flagged AS (
 SELECT doc_id, span_start, span_end,
        span_end - span_start + 1 AS span_tokens
 FROM spans
-""",
+"""
+
+
+@register(
+    "exact_substring_new_vs_corpus",
+    oracle=_XS_NEW_VS_CORPUS_ORACLE,
     description=f"Incremental corpus-vs-corpus ExactSubstr (round-9 "
     f"verdict item): >= {_XS}-token spans of a NEW crawl batch (odd "
     "doc_ids) that appear verbatim in the EXISTING corpus (even "
@@ -4058,6 +4064,80 @@ def exact_substring_cut_new_vs_corpus(
     corpus_kg = spark.read.parquet(f"{root}/kgrams")
     return incremental_substring_dedup(
         docs.filter(F.col("doc_id") % 2 == 1), corpus_kg, "doc_id", "text"
+    )
+
+
+@register_pending_r11(
+    "streaming_incremental_substring_sync",
+    oracle=_XS_NEW_VS_CORPUS_ORACLE,
+    description="9th streaming gate: the incoming-crawl stream (new "
+    "batch = odd doc_ids, staged as TWO files → two real "
+    "micro-batches) is swept per batch for >= 8-token substrings "
+    "appearing verbatim in the PERSISTED CORPUS k-gram artifact (the "
+    "same nightly artifact exact_substring_new_vs_corpus and the cut "
+    "twin serve from — one build, batch + streaming consumers), spans "
+    "to an epoch-partition-overwrite sink (replay-idempotent), then "
+    "hash-checked against the SAME oracle as the batch twin. The "
+    "reference set is CORPUS-sized, so unlike the benchmark-"
+    "decontamination gate the per-batch semi-join carries no broadcast "
+    "hint (size-planned; bucketed artifact at scale ⇒ only the "
+    "micro-batch side shuffles per trigger). Batch boundaries provably "
+    "can't change the result: a doc's spans depend only on its own "
+    "text and the static corpus set. Registered via the pending-r11 "
+    "gate (the r10 window is budgeted to the stale cohort); "
+    "pytest-verified now",
+    tags=("streaming", "extension", "dedup", "curation"),
+)
+@pinned_stream_session
+def streaming_incremental_substring_sync(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    from spotify_tracks_etl_portfolio_spark.operators.dedup import (
+        EXACT_SUBSTR_TOKENS,
+        corpus_kgram_set,
+    )
+    from spotify_tracks_etl_portfolio_spark.streaming.pipeline import (
+        read_documents_stream,
+        streaming_incremental_substring_spans,
+    )
+
+    docs = read_parquet_table(spark, sf_dir, "documents")
+    root = _artifact_root(
+        spark,
+        "corpus_kgrams",
+        f"{os.path.realpath(sf_dir)}|k={EXACT_SUBSTR_TOKENS}",
+    )
+    _build_artifact_once(
+        root,
+        "kgrams",
+        lambda tmp: corpus_kgram_set(
+            docs.filter(F.col("doc_id") % 2 == 0), "doc_id", "text"
+        ).write.parquet(f"{tmp}/kgrams"),
+    )
+    corpus_kg = spark.read.parquet(f"{root}/kgrams")
+    batch = docs.filter(F.col("doc_id") % 2 == 1)
+    d = _session_scratch(spark, "xs_incremental_sync")
+    out = f"{d}/out"
+    batch.filter(F.col("doc_id") % 4 == 1).coalesce(1).write.parquet(
+        f"{d}/src/f1"
+    )
+    batch.filter(F.col("doc_id") % 4 == 3).coalesce(1).write.parquet(
+        f"{d}/src/f2"
+    )
+    stream = read_documents_stream(spark, f"{d}/src/*")
+    q = (
+        streaming_incremental_substring_spans(
+            stream, corpus_kg, out, f"{d}/ckpt", EXACT_SUBSTR_TOKENS
+        )
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return spark.read.parquet(out).select(
+        F.col("doc_id").cast("long").alias("doc_id"),
+        F.col("span_start").cast("long").alias("span_start"),
+        F.col("span_end").cast("long").alias("span_end"),
+        F.col("span_tokens").cast("long").alias("span_tokens"),
     )
 
 

@@ -436,6 +436,47 @@ def streaming_decontamination_spans(
     )
 
 
+def streaming_incremental_substring_spans(
+    new_stream: DataFrame,
+    corpus_kgrams: DataFrame,
+    out_path: str,
+    checkpoint: str,
+    k: int,
+):
+    """Streaming INCREMENTAL ExactSubstr: each micro-batch of incoming
+    crawl docs is swept for >= k-token substrings appearing verbatim in
+    the PERSISTED CORPUS k-gram set (the exact_substring_new_vs_corpus
+    artifact — built nightly, served to batch and streaming consumers
+    alike), flagged starts island-merge into maximal spans, spans land
+    in an epoch-partition-overwrite sink (at-least-once replays rewrite
+    their epoch, never duplicate).
+
+    The twin of ``streaming_decontamination_spans`` with the reference
+    set CORPUS-sized instead of benchmark-sized: no broadcast hint —
+    the per-batch semi-join is size-planned, and at scale the artifact
+    is written BUCKETED on kg so only the (small) micro-batch side
+    shuffles per trigger. Batch boundaries cannot change the result: a
+    doc's spans depend only on its own text and the static corpus set —
+    docs never interact — so any micro-batch split reproduces the batch
+    operator exactly (the equivalence the sync gate hash-checks)."""
+    from spotify_tracks_etl_portfolio_spark.operators.dedup import (
+        incremental_substring_spans,
+    )
+
+    def process(batch: DataFrame, epoch_id: int) -> None:
+        (
+            incremental_substring_spans(
+                batch, corpus_kgrams, "doc_id", "text", k
+            )
+            .write.mode("overwrite")
+            .parquet(f"{out_path}/epoch_id={int(epoch_id)}")
+        )
+
+    return new_stream.writeStream.foreachBatch(process).option(
+        "checkpointLocation", checkpoint
+    )
+
+
 def streaming_cms_cells(
     stream: DataFrame,
     out_path: str,

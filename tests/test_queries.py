@@ -270,6 +270,7 @@ def test_pending_r11_registration_gate(monkeypatch):
     pending = {
         "embedding_ivfpq_filtered_topk",
         "exact_substring_cut_new_vs_corpus",
+        "streaming_incremental_substring_sync",
     }
     monkeypatch.delenv("SPARK_GRAFT_INCLUDE_PENDING", raising=False)
     qs = set(plans.all_queries())
