@@ -280,12 +280,19 @@ def _write_shards(root: str, version: int, files: list[dict]) -> list[str]:
                 pass  # unreadable parent shard → just rewrite ours
     sdir = os.path.join(root, _MANIFEST_DIR, _SHARDS_DIR)
     os.makedirs(sdir, exist_ok=True)
+    # a fresh uuid token per WRITER, like data files' uuid prefixes:
+    # two writers racing to the same checkpoint version must never
+    # write the same shard path, or the commit-CAS loser could
+    # overwrite shard content the winner's manifest references — the
+    # loser's uniquely-named shards become unreferenced garbage the
+    # vacuum shard GC sweeps instead
+    token = uuid.uuid4().hex[:8]
     refs: list[str] = []
     for gi, group in enumerate(groups):
         if gi in parent_shards and parent_shards[gi][1] == group:
             refs.append(parent_shards[gi][0])
             continue
-        ref = f"{_SHARDS_DIR}/v{version}_s{gi}.json"
+        ref = f"{_SHARDS_DIR}/v{version}_s{gi}_{token}.json"
         tmp = os.path.join(root, _MANIFEST_DIR, ref) + ".tmp"
         with open(tmp, "w") as fh:
             json.dump(group, fh, default=str)

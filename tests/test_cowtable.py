@@ -900,6 +900,39 @@ def test_manifest_sharding_end_to_end(spark, tmp_path, monkeypatch):
     assert on_disk == live_refs, (on_disk, live_refs)
 
 
+def test_manifest_shard_writers_never_collide(tmp_path, monkeypatch):
+    """Two writers racing to the SAME checkpoint version write
+    uniquely-named shard files (the shard twin of data files' uuid
+    prefixes): the commit-CAS loser can never overwrite shard content
+    the winner's manifest references — its shards are unreferenced
+    garbage for the vacuum GC."""
+    monkeypatch.setattr(ct, "_SHARD_AFTER", 1)
+    monkeypatch.setattr(ct, "_SHARD_TARGET", 1)
+    root = str(tmp_path / "race")
+
+    def entries(tag, n):
+        return [
+            {"path": f"{root}/data/{tag}/{i}.parquet", "n_rows": 1,
+             "min": {}, "max": {}}
+            for i in range(n)
+        ]
+
+    files_a = entries("a", 6)
+    files_b = entries("b", 6)
+    refs_a = ct._write_shards(root, 10, files_a)
+    refs_b = ct._write_shards(root, 10, files_b)
+    assert not set(refs_a) & set(refs_b)  # disjoint paths by token
+    # writer B's writes did not disturb what A's refs resolve to
+    got_a = sorted(
+        f["path"] for ref in refs_a for f in ct._read_shard(root, ref)
+    )
+    assert got_a == sorted(f["path"] for f in files_a)
+    got_b = sorted(
+        f["path"] for ref in refs_b for f in ct._read_shard(root, ref)
+    )
+    assert got_b == sorted(f["path"] for f in files_b)
+
+
 def test_zorder_rejects_bit_overflow(spark, tmp_path):
     df = spark.range(10).select(*[(F.col("id")).alias(f"c{i}") for i in range(8)])
     root = str(tmp_path / "zo")
