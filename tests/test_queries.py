@@ -271,6 +271,7 @@ def test_pending_r11_registration_gate(monkeypatch):
         "embedding_ivfpq_filtered_topk",
         "exact_substring_cut_new_vs_corpus",
         "streaming_incremental_substring_sync",
+        "event_type_value_quantiles_sketch",
     }
     monkeypatch.delenv("SPARK_GRAFT_INCLUDE_PENDING", raising=False)
     qs = set(plans.all_queries())

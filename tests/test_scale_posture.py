@@ -236,6 +236,48 @@ def test_approx_sketches_within_error_bounds(spark, sf_dir):
     assert again == approx
 
 
+def test_grouped_quantile_sketch_within_error_bounds(spark, sf_dir):
+    """The per-group histogram-quantile sketch (pending r11 debut —
+    invoked directly, registration-independent): every event_type's
+    median and p99 estimates land within one bin width of the exact
+    per-group percentiles, and per-group counts are exact."""
+    from spotify_tracks_etl_portfolio_spark.plans.analytics import (
+        QUANT_BIN,
+        QUANT_SCALE,
+        event_type_value_quantiles_sketch,
+    )
+    from pyspark.sql import functions as F
+
+    import math
+
+    got = {
+        r["event_type"]: r
+        for r in event_type_value_quantiles_sketch(spark, sf_dir).collect()
+    }
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    vals: dict[str, list[float]] = {}
+    for r in ev.filter(F.col("value").isNotNull()).select(
+        "event_type", "value"
+    ).collect():
+        vals.setdefault(r["event_type"], []).append(r["value"])
+    assert set(got) == set(vals) and got
+    bin_w = QUANT_BIN / QUANT_SCALE
+    for t, xs in vals.items():
+        xs.sort()
+        n = len(xs)
+        # the sketch's quantile DEFINITION is rank-based (value at rank
+        # ceil(p·n)), so the exact baseline must be the same order
+        # statistic — Spark's percentile() interpolates, which differs
+        # from ANY rank-based answer by up to a whole inter-value gap
+        # in a sparse tail, independent of the sketch's bin error
+        exact_m = xs[math.floor((n + 1) / 2) - 1]
+        exact_p = xs[math.floor((99 * n + 99) / 100) - 1]
+        g = got[t]
+        assert abs(g["approx_median_value"] - exact_m) <= bin_w, t
+        assert abs(g["approx_p99_value"] - exact_p) <= bin_w, t
+        assert g["n_values"] == n, t
+
+
 def test_runtime_bloom_filter_prunes_fact_side_of_smj(spark, sf_dir):
     """When the dim side of a sort-merge join is selective, Spark's
     runtime-filter rule injects a bloom filter built from the dim keys
