@@ -2812,6 +2812,12 @@ def bpe_train_merges_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
 def bpe_segment_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = read_parquet_table(spark, sf_dir, "documents")
     merges = _tx.bpe_train_merges(docs, "text", num_merges=10)
+    return _bpe_segment_counts(docs, merges)
+
+
+def _bpe_segment_counts(docs: DataFrame, merges) -> DataFrame:
+    """Per-doc (n_words, n_bpe_tokens) under a merge table — shared by
+    the per-call-trained and artifact-served segmentation queries."""
     vocab = _tx.bpe_segment_words(docs, "text", merges)
     doc_words = docs.select(
         "doc_id", F.explode(_tx.tokens("text")).alias("__word")
@@ -2831,6 +2837,47 @@ def bpe_segment_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
             "n_bpe_tokens"
         ),
     )
+
+
+@register_pending_r11(
+    "bpe_segment_documents_served",
+    oracle=_bpe_segment_oracle(10),
+    description="SERVED BPE segmentation: the trained merge table — the "
+    "TOKENIZER, the one model artifact every later pipeline stage "
+    "consumes — is persisted once per (session, sf_dir, num_merges) as "
+    "a tiny parquet (10 rows) via the bench_kgrams/ivf_index "
+    "_build_artifact_once pattern, and every subsequent segmentation "
+    "pass loads it instead of re-running the 10-merge training loop "
+    "over the corpus (the nightly shape: tokenizers change rarely, "
+    "token accounting runs daily). Deterministic zero-RNG training ⇒ "
+    "the artifact changes COST, never the answer — same oracle "
+    "VERBATIM as bpe_segment_documents (the identical-answer contract "
+    "of the IVF/semdedup/k-gram artifacts); served==trained equality "
+    "and artifact reuse pytest-pinned. Registered via the pending-r11 "
+    "gate (the r10 window is budgeted to the stale cohort)",
+    tags=("extension", "text"),
+)
+def bpe_segment_documents_served(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    docs = read_parquet_table(spark, sf_dir, "documents")
+    root = _artifact_root(
+        spark, "bpe_merges", f"{os.path.realpath(sf_dir)}|m=10"
+    )
+
+    def _build(tmp: str) -> None:
+        merges = _tx.bpe_train_merges(docs, "text", num_merges=10)
+        spark.createDataFrame(
+            [(r, a, b, n) for r, a, b, n in merges],
+            "rank int, left string, right string, n long",
+        ).coalesce(1).write.parquet(f"{tmp}/merges")
+
+    _build_artifact_once(root, "merges", _build)
+    merges = sorted(
+        (int(r["rank"]), r["left"], r["right"], int(r["n"]))
+        for r in spark.read.parquet(f"{root}/merges").collect()
+    )
+    return _bpe_segment_counts(docs, merges)
 
 
 @register(

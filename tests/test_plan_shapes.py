@@ -448,6 +448,33 @@ def test_ivf_index_scan_prunes_to_probed_cell_partitions(
     assert got == want
 
 
+def test_bpe_merge_artifact_served_equals_trained(spark, sf_dir):
+    """Pending r11 debut (invoked directly — registration-independent):
+    the persisted BPE merge-table artifact serves segmentation
+    identically to per-call training (zero-RNG trainer ⇒ the artifact
+    changes cost, never the answer), and a second serve reuses the
+    artifact without rebuilding."""
+    import os as _os
+
+    from spotify_tracks_etl_portfolio_spark.plans import extensions as ext
+    from spotify_tracks_etl_portfolio_spark.plans.extensions import (
+        _artifact_root,
+    )
+
+    served = ext.bpe_segment_documents_served(spark, sf_dir).collect()
+    trained = ext.bpe_segment_documents(spark, sf_dir).collect()
+    assert sorted(map(tuple, served)) == sorted(map(tuple, trained))
+    root = _artifact_root(
+        spark, "bpe_merges", f"{_os.path.realpath(sf_dir)}|m=10"
+    )
+    mpath = _os.path.join(root, "merges")
+    assert _os.path.isdir(mpath)
+    mtime = _os.path.getmtime(mpath)
+    again = ext.bpe_segment_documents_served(spark, sf_dir).collect()
+    assert _os.path.getmtime(mpath) == mtime, "merge artifact rebuilt"
+    assert sorted(map(tuple, again)) == sorted(map(tuple, served))
+
+
 def test_exact_substring_default_plan_has_no_kgram_keyed_window(
     spark, sf_dir
 ):

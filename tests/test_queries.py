@@ -272,6 +272,7 @@ def test_pending_r11_registration_gate(monkeypatch):
         "exact_substring_cut_new_vs_corpus",
         "streaming_incremental_substring_sync",
         "event_type_value_quantiles_sketch",
+        "bpe_segment_documents_served",
     }
     monkeypatch.delenv("SPARK_GRAFT_INCLUDE_PENDING", raising=False)
     qs = set(plans.all_queries())
