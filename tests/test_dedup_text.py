@@ -1071,3 +1071,37 @@ def test_curate_v2_gates_and_composition(spark, sf_dir):
         assert len(set(g["ids"]) & surviving) <= 1
     # docs fully cut by ExactSubstr (whole-doc repeats) never surface
     assert surviving <= set(cleaned)
+
+
+def test_temperature_mix_upweights_small_languages(spark, sf_dir):
+    """The α=1/2 temperature mix (pending r11 debut — invoked directly):
+    keep RATES are ∝ n^(−1/2), so every smaller language keeps a
+    strictly higher fraction than every larger one; the total kept is
+    within hash-uniformity noise of the ⌈N/2⌉ budget; and a rerun is
+    identical (content-hash membership, no RNG)."""
+    from spotify_tracks_etl_portfolio_spark.plans.extensions import (
+        temperature_sampled_language_mix,
+    )
+    from pyspark.sql import functions as F
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    sizes = {
+        r["lang"]: r["n"]
+        for r in docs.groupBy("lang").agg(F.count(F.lit(1)).alias("n")).collect()
+    }
+    kept_rows = temperature_sampled_language_mix(spark, sf_dir).collect()
+    kept = {}
+    for r in kept_rows:
+        kept[r["lang"]] = kept.get(r["lang"], 0) + 1
+    fracs = {t: kept.get(t, 0) / n for t, n in sizes.items()}
+    # strictly-smaller language ⇒ strictly-higher keep fraction, up to
+    # the ±1/n granularity the integer hash threshold imposes
+    for a, na in sizes.items():
+        for b, nb in sizes.items():
+            if na < nb * 0.8:  # clearly smaller
+                assert fracs[a] > fracs[b] - 1 / min(na, nb), (a, b, fracs)
+    n_total = sum(sizes.values())
+    budget = (n_total + 1) // 2
+    assert abs(len(kept_rows) - budget) <= 0.15 * budget
+    again = temperature_sampled_language_mix(spark, sf_dir).collect()
+    assert sorted(map(tuple, again)) == sorted(map(tuple, kept_rows))

@@ -273,6 +273,7 @@ def test_pending_r11_registration_gate(monkeypatch):
         "streaming_incremental_substring_sync",
         "event_type_value_quantiles_sketch",
         "bpe_segment_documents_served",
+        "temperature_sampled_language_mix",
     }
     monkeypatch.delenv("SPARK_GRAFT_INCLUDE_PENDING", raising=False)
     qs = set(plans.all_queries())
