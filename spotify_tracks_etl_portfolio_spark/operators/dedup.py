@@ -1116,11 +1116,15 @@ def incremental_substring_spans(
     Scale shape (100 TB corpus, ~TB batch): per-batch cost is the batch
     explode (linear in BATCH tokens) + one semi-join against the stored
     k-gram column — the corpus side is a narrow single-column columnar
-    scan of the artifact, not a re-tokenization of corpus text; at real
-    scale the artifact is written BUCKETED on ``kg``
-    (``sources.writers.write_bucketed``) so the semi-join shuffles only
-    the batch side. The only other shuffle is the per-doc island merge,
-    sized by flagged batch positions (output-, not corpus-sized).
+    scan of the artifact, not a re-tokenization of corpus text; the
+    registered serve paths persist the artifact BUCKETED on ``kg``
+    (``plans.extensions._corpus_kgram_bucketed`` →
+    ``sources.catalog.create_bucketed_table``) so the semi-join plans
+    with NO corpus-side exchange — only the batch side shuffles into
+    the bucket layout (plan-gated: tests/test_plan_shapes.py::
+    test_incremental_substring_corpus_side_never_shuffles). The only
+    other shuffle is the per-doc island merge, sized by flagged batch
+    positions (output-, not corpus-sized).
     """
     flagged = (
         _stride1_kgrams(batch, id_col, text_col, k)

@@ -97,6 +97,88 @@ def quality_features(col: Column | str) -> dict[str, Column]:
     }
 
 
+#: The published Gopher rule-7 stop-word set (Rae et al. 2021, A1.1):
+#: a doc must contain at least 2 of these to pass.
+GOPHER_STOPWORDS = ("the", "be", "to", "of", "and", "that", "have", "with")
+
+#: Published Gopher word-count bounds (rule 1).
+GOPHER_MIN_WORDS, GOPHER_MAX_WORDS = 50, 100_000
+
+
+def gopher_rules(col: Column | str) -> dict[str, Column]:
+    """The full published Gopher quality-rule set (Rae et al. 2021,
+    appendix A1.1) as one ZERO-SHUFFLE projection: per-rule boolean
+    flag columns plus the signal each rule reads, all higher-order
+    Column expressions (sequence/filter/aggregate — JVM-side, codegen,
+    no Python), so the gate costs one map pass at any corpus size.
+
+    Rules (flags TRUE = keeps):
+      1. word count in [50, 100000]
+      2. mean word length in [3, 10] chars
+      3. symbol-to-word ratio ('#' or ellipsis) <= 0.1
+      4. < 90% of lines start with a bullet (-, *, •)
+      5. < 30% of lines end with an ellipsis
+      6. >= 80% of words contain an alphabetic character
+      7. >= 2 of the 8 required stop words present
+
+    Determinism: every threshold is evaluated as an INTEGER
+    cross-multiplication (``10*n_sym <= n_words``, never
+    ``n_sym/n_words <= 0.1``), so no engine's division rounding can
+    flip a boundary doc — the flags replay bit-exactly in DuckDB. The
+    displayed ratio columns are round(·, 6) and for display only.
+    """
+    c = F.col(col) if isinstance(col, str) else col
+    toks = tokens(c)
+    w = F.size(toks).cast("long")
+    # total chars across words (exact, no single-space assumption)
+    csum = F.aggregate(
+        toks, F.lit(0).cast("long"), lambda acc, t: acc + F.length(t)
+    )
+    n_sym = (
+        F.regexp_count(c, F.lit(r"#"))
+        + F.regexp_count(c, F.lit(r"\.\.\."))
+        + F.regexp_count(c, F.lit("…"))
+    ).cast("long")
+    lines = F.split(c, "\n")
+    n_lines = F.size(lines).cast("long")
+    n_bullet = F.size(
+        F.filter(lines, lambda l: l.rlike(r"^\s*[-*•]"))
+    ).cast("long")
+    n_ell = F.size(
+        F.filter(lines, lambda l: l.rlike(r"(\.\.\.|…)\s*$"))
+    ).cast("long")
+    n_alpha = F.size(
+        F.filter(toks, lambda t: t.rlike("[A-Za-z]"))
+    ).cast("long")
+    n_stop = F.size(
+        F.array_intersect(
+            F.array_distinct(F.transform(toks, F.lower)),
+            F.array(*[F.lit(s) for s in GOPHER_STOPWORDS]),
+        )
+    ).cast("long")
+    safe_w = F.greatest(w, F.lit(1))
+    safe_l = F.greatest(n_lines, F.lit(1))
+    return {
+        "n_words": w,
+        "mean_word_len": F.round(csum.cast("double") / safe_w, 6),
+        "symbol_word_ratio": F.round(n_sym.cast("double") / safe_w, 6),
+        "bullet_line_frac": F.round(n_bullet.cast("double") / safe_l, 6),
+        "ellipsis_line_frac": F.round(n_ell.cast("double") / safe_l, 6),
+        "alpha_word_frac": F.round(n_alpha.cast("double") / safe_w, 6),
+        "n_required_stopwords": n_stop,
+        "flag_word_count": (w >= GOPHER_MIN_WORDS)
+        & (w <= GOPHER_MAX_WORDS),
+        "flag_mean_word_len": (w > 0)
+        & (F.lit(3) * w <= csum)
+        & (csum <= F.lit(10) * w),
+        "flag_symbol_ratio": (w > 0) & (F.lit(10) * n_sym <= w),
+        "flag_bullet_lines": F.lit(10) * n_bullet < F.lit(9) * n_lines,
+        "flag_ellipsis_lines": F.lit(10) * n_ell < F.lit(3) * n_lines,
+        "flag_alpha_words": (w > 0) & (F.lit(5) * n_alpha >= F.lit(4) * w),
+        "flag_stop_words": n_stop >= 2,
+    }
+
+
 def quality_score(col: Column | str) -> Column:
     """Composite [0,1] quality score — a fixed, documented formula (the
     exact weights are a policy choice; determinism is the contract):

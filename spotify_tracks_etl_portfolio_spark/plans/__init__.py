@@ -47,10 +47,10 @@ def register(
     return deco
 
 
-def _round10_recorded() -> bool:
-    """True once a CORRECTNESS artifact of round >= 10 exists (or the
-    local-verification override is set) — the same trigger the deferred
-    force queue uses."""
+def _round_recorded(n: int) -> bool:
+    """True once a CORRECTNESS artifact of round >= ``n`` exists (or
+    the local-verification override is set) — the trigger the pending
+    registration gates and the deferred force queue share."""
     import glob
     import os
     import re
@@ -62,9 +62,13 @@ def _round10_recorded() -> bool:
     )
     for p in glob.glob(os.path.join(root, "CORRECTNESS_r*.json")):
         m = re.search(r"_r(\d+)\.json$", p)
-        if m and int(m.group(1)) >= 10:
+        if m and int(m.group(1)) >= n:
             return True
     return False
+
+
+def _round10_recorded() -> bool:
+    return _round_recorded(10)
 
 
 def register_pending_r11(
@@ -223,9 +227,12 @@ _FORCE_RERECORD_AFTER_R10 = (
 )
 
 
-def _recorded_status() -> dict[str, tuple[int, str]]:
+def _recorded_status(max_round: int | None = None) -> dict[str, tuple[int, str]]:
     """``{name: (last_recorded_round, status)}`` from every past round's
-    CORRECTNESS_r*.json (repo root); status ∈ pass|fail|no_oracle."""
+    CORRECTNESS_r*.json (repo root); status ∈ pass|fail|no_oracle.
+    ``max_round`` ignores artifacts newer than that round — used by the
+    window-simulation tests to pin "the state as of round N" so their
+    assertions stay stable after later artifacts land."""
     import glob
     import json
     import os
@@ -236,6 +243,8 @@ def _recorded_status() -> dict[str, tuple[int, str]]:
     for path in sorted(glob.glob(os.path.join(root, "CORRECTNESS_r*.json"))):
         m = re.search(r"_r(\d+)\.json$", path)
         rnd = int(m.group(1)) if m else 0
+        if max_round is not None and rnd > max_round:
+            continue
         try:
             with open(path) as fh:
                 rows = json.load(fh)

@@ -669,6 +669,153 @@ def event_type_value_quantiles_sketch(
     )
 
 
+@register(
+    "trailing7d_type_quantiles_sketch",
+    oracle=f"""
+WITH dc AS (
+  SELECT CAST(date_trunc('day', ts) AS DATE) AS day, event_type,
+         CAST(floor(round(value * {QUANT_SCALE}) / {QUANT_BIN}.0) AS BIGINT) AS b,
+         CAST(count(*) AS BIGINT) AS c
+  FROM events WHERE value IS NOT NULL
+  GROUP BY 1, 2, 3
+),
+obs AS (
+  SELECT day + CAST(i AS INTEGER) AS obs_day, event_type, b, c
+  FROM dc, UNNEST(range(0, 7)) AS t(i)
+),
+days AS (SELECT DISTINCT day FROM dc),
+mc AS (
+  SELECT obs_day, event_type, b, CAST(SUM(c) AS BIGINT) AS c
+  FROM obs
+  WHERE obs_day IN (SELECT day FROM days)
+  GROUP BY obs_day, event_type, b
+),
+mt AS (
+  SELECT obs_day, event_type, CAST(SUM(c) AS BIGINT) AS n
+  FROM mc GROUP BY obs_day, event_type
+),
+mcum AS (
+  SELECT obs_day, event_type, b,
+         SUM(c) OVER (PARTITION BY obs_day, event_type ORDER BY b
+                      ROWS UNBOUNDED PRECEDING) AS cum
+  FROM mc
+),
+med AS (
+  SELECT v.obs_day, v.event_type,
+         (min(b) * {QUANT_BIN} + {QUANT_BIN // 2}) / {QUANT_SCALE}
+           AS approx_median_value
+  FROM mcum v JOIN mt USING (obs_day, event_type)
+  WHERE cum >= CAST(floor((n + 1) / 2) AS BIGINT)
+  GROUP BY v.obs_day, v.event_type
+),
+p99 AS (
+  SELECT v.obs_day, v.event_type,
+         (min(b) * {QUANT_BIN} + {QUANT_BIN // 2}) / {QUANT_SCALE}
+           AS approx_p99_value
+  FROM mcum v JOIN mt USING (obs_day, event_type)
+  WHERE cum >= CAST(floor((99 * n + 99) / 100) AS BIGINT)
+  GROUP BY v.obs_day, v.event_type
+)
+SELECT strftime(obs_day, '%Y-%m-%d') AS day, event_type,
+       approx_median_value, approx_p99_value, n AS n_values
+FROM med JOIN p99 USING (obs_day, event_type) JOIN mt USING (obs_day, event_type)
+""",
+    description="Windowed consumer of the mergeable histogram sketch "
+    "cells (the r10-verdict follow-through on "
+    "event_type_value_quantiles_sketch): per (day, event_type), the "
+    "TRAILING-7-DAY median + p99 computed by SUM-merging the per-day "
+    "partial cells — the monitoring shape the sketch exists for: daily "
+    "partials are built once (one partial-agg groupBy over the data), "
+    "then every trailing window merges CELLS, never raw rows. The "
+    "merge is a map-side explode of each daily cell into the <=7 "
+    "observation days it serves (sketch-sized ×7, not data-sized) + "
+    "one groupBy; rank selection runs over #days × #groups × #bins "
+    "rows. At 100 TB the daily cells would persist as the monitoring "
+    "table and each new day appends one partial — no rescan of "
+    "history. Same frozen integer math as the global sketch, "
+    "hash-checked",
+    tags=("analytics", "approx", "sketch", "window"),
+)
+def trailing7d_type_quantiles_sketch(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    events = read_parquet_table(spark, sf_dir, "events")
+    dc = (
+        events.filter(F.col("value").isNotNull())
+        .select(
+            F.to_date(F.date_trunc("day", "ts")).alias("day"),
+            "event_type",
+            F.floor(
+                F.round(F.col("value") * F.lit(QUANT_SCALE))
+                / F.lit(float(QUANT_BIN))
+            )
+            .cast("long")
+            .alias("b"),
+        )
+        .groupBy("day", "event_type", "b")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    # each daily cell serves the 7 observation days it trails into —
+    # a sketch-sized explode, then ONE SUM-merge groupBy (cells merge
+    # by addition; no re-aggregation of raw events)
+    obs = dc.select(
+        F.explode(F.sequence(F.lit(0), F.lit(6))).alias("i"),
+        "day",
+        "event_type",
+        "b",
+        "c",
+    ).select(
+        F.date_add(F.col("day"), F.col("i")).alias("obs_day"),
+        "event_type",
+        "b",
+        "c",
+    )
+    days = dc.select(F.col("day").alias("obs_day")).distinct()
+    mc = (
+        obs.join(days, "obs_day", "left_semi")
+        .groupBy("obs_day", "event_type", "b")
+        .agg(F.sum("c").alias("c"))
+    )
+    mt = mc.groupBy("obs_day", "event_type").agg(F.sum("c").alias("n"))
+    wcum = (
+        Window.partitionBy("obs_day", "event_type")
+        .orderBy("b")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    mcum = mc.withColumn("cum", F.sum("c").over(wcum)).join(
+        mt, ["obs_day", "event_type"]
+    )
+
+    def _pick(target, out: str) -> DataFrame:
+        mid = (
+            F.min("b") * F.lit(QUANT_BIN) + F.lit(QUANT_BIN // 2)
+        ) / F.lit(QUANT_SCALE)
+        return (
+            mcum.filter(F.col("cum") >= target)
+            .groupBy("obs_day", "event_type")
+            .agg(mid.alias(out))
+        )
+
+    med = _pick(
+        F.floor((F.col("n") + 1) / 2).cast("long"), "approx_median_value"
+    )
+    p99 = _pick(
+        F.floor((F.lit(99) * F.col("n") + 99) / 100).cast("long"),
+        "approx_p99_value",
+    )
+    return (
+        med.join(p99, ["obs_day", "event_type"])
+        .join(mt, ["obs_day", "event_type"])
+        .select(
+            F.date_format("obs_day", "yyyy-MM-dd").alias("day"),
+            "event_type",
+            "approx_median_value",
+            "approx_p99_value",
+            F.col("n").alias("n_values"),
+        )
+    )
+
+
 _PIVOT_TYPES = ["click", "view", "purchase", "signup", "error"]
 
 

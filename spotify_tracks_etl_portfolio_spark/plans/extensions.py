@@ -1972,6 +1972,98 @@ def repetition_stats_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_GOPHER_ORACLE = """
+WITH base AS (
+  SELECT doc_id,
+         CASE WHEN trim(text) = '' THEN CAST([] AS VARCHAR[])
+              ELSE string_split_regex(trim(text), '\\s+') END AS w,
+         string_split(text, chr(10)) AS l,
+         CAST(len(regexp_extract_all(text, '#')) +
+              len(regexp_extract_all(text, '\\.\\.\\.')) +
+              len(regexp_extract_all(text, '…')) AS BIGINT) AS n_sym
+  FROM documents
+),
+sig AS (
+  SELECT doc_id, n_sym,
+         CAST(len(w) AS BIGINT) AS n_words,
+         CAST(coalesce(list_sum(list_transform(w,
+              x -> CAST(length(x) AS BIGINT))), 0) AS BIGINT) AS csum,
+         CAST(len(l) AS BIGINT) AS n_lines,
+         CAST(len(list_filter(l,
+              x -> regexp_matches(x, '^\\s*[-*•]'))) AS BIGINT) AS n_bullet,
+         CAST(len(list_filter(l,
+              x -> regexp_matches(x, '(\\.\\.\\.|…)\\s*$'))) AS BIGINT) AS n_ell,
+         CAST(len(list_filter(w,
+              x -> regexp_matches(x, '[A-Za-z]'))) AS BIGINT) AS n_alpha,
+         CAST(len(list_filter(
+              ['the','be','to','of','and','that','have','with'],
+              s -> list_contains(list_transform(w, x -> lower(x)), s)))
+           AS BIGINT) AS n_stop
+  FROM base
+)
+SELECT doc_id,
+       n_words,
+       round(csum * 1.0 / greatest(n_words, 1), 6) AS mean_word_len,
+       round(n_sym * 1.0 / greatest(n_words, 1), 6) AS symbol_word_ratio,
+       round(n_bullet * 1.0 / greatest(n_lines, 1), 6) AS bullet_line_frac,
+       round(n_ell * 1.0 / greatest(n_lines, 1), 6) AS ellipsis_line_frac,
+       round(n_alpha * 1.0 / greatest(n_words, 1), 6) AS alpha_word_frac,
+       n_stop AS n_required_stopwords,
+       n_words BETWEEN 50 AND 100000 AS flag_word_count,
+       n_words > 0 AND 3 * n_words <= csum AND csum <= 10 * n_words
+         AS flag_mean_word_len,
+       n_words > 0 AND 10 * n_sym <= n_words AS flag_symbol_ratio,
+       10 * n_bullet < 9 * n_lines AS flag_bullet_lines,
+       10 * n_ell < 3 * n_lines AS flag_ellipsis_lines,
+       n_words > 0 AND 5 * n_alpha >= 4 * n_words AS flag_alpha_words,
+       n_stop >= 2 AS flag_stop_words,
+       (n_words BETWEEN 50 AND 100000)
+         AND (n_words > 0 AND 3 * n_words <= csum AND csum <= 10 * n_words)
+         AND (10 * n_sym <= n_words)
+         AND (10 * n_bullet < 9 * n_lines)
+         AND (10 * n_ell < 3 * n_lines)
+         AND (5 * n_alpha >= 4 * n_words)
+         AND (n_stop >= 2) AS gopher_pass
+FROM sig
+"""
+
+
+@register(
+    "gopher_quality_gate_documents",
+    oracle=_GOPHER_ORACLE,
+    description="The FULL published Gopher quality-rule composition "
+    "(Rae et al. 2021 A1.1; the r10-verdict item): word-count bounds, "
+    "mean-word-length band, symbol/word ratio, bullet- and "
+    "ellipsis-line fractions, alphabetic-word fraction, required "
+    "stop-word presence — one zero-shuffle JVM projection "
+    "(operators/text.py::gopher_rules) emitting each rule's signal, "
+    "its boolean flag, and the composite gopher_pass gate. Every "
+    "threshold evaluates as an integer cross-multiplication (never a "
+    "float division), so boundary docs can't flip between engines; "
+    "ratio columns are 6-dp display values. At 100 TB this is a pure "
+    "map pass — no shuffle, no Python, rules read per-row state only",
+    tags=("extension", "text", "curation", "quality"),
+)
+def gopher_quality_gate_documents(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    import functools
+
+    from spotify_tracks_etl_portfolio_spark.operators.text import (
+        gopher_rules,
+    )
+
+    docs = read_parquet_table(spark, sf_dir, "documents")
+    r = gopher_rules("text")
+    flags = [k for k in r if k.startswith("flag_")]
+    gate = functools.reduce(lambda a, b: a & b, (r[k] for k in flags))
+    return docs.select(
+        "doc_id",
+        *[r[k].alias(k) for k in r],
+        gate.alias("gopher_pass"),
+    )
+
+
 def _dup_ngram_sql(n: int) -> str:
     return f"""CASE WHEN len(w) - {n} + 1 >= 1 THEN
       round(1.0 - len(list_distinct(list_transform(
@@ -4000,6 +4092,53 @@ FROM spans
 """
 
 
+#: Bucket count for the persisted corpus k-gram table at gate scale; at
+#: 100 TB size so each bucket file is ~an executor-memory partition.
+_XS_KGRAM_BUCKETS = 8
+
+
+def _corpus_kgram_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The nightly corpus k-gram artifact, persisted as a BUCKETED
+    catalog table on ``kg`` (``sources.catalog.create_bucketed_table``)
+    and shared by all three incremental-ExactSubstr consumers (batch
+    span sweep, destructive cut, streaming gate). Bucketing makes the
+    serve-side semi-join read the corpus side with NO exchange: only
+    the new-batch / micro-batch side shuffles into the bucket layout,
+    so the corpus-sized shuffle on ``kg`` is paid ONCE at build time
+    instead of on every serve — the claim operators/dedup.py's
+    ``incremental_substring_spans`` docstring makes, now wired.
+    Built once per (session, sf_dir, k): the deterministic table name
+    doubles as the build-once marker. Plan-gated:
+    tests/test_plan_shapes.py::
+    test_incremental_substring_corpus_side_never_shuffles."""
+    import hashlib
+
+    from spotify_tracks_etl_portfolio_spark.operators.dedup import (
+        EXACT_SUBSTR_TOKENS,
+        corpus_kgram_set,
+    )
+    from spotify_tracks_etl_portfolio_spark.sources.catalog import (
+        create_bucketed_table,
+    )
+
+    key = f"{os.path.realpath(sf_dir)}|k={EXACT_SUBSTR_TOKENS}"
+    table = "corpus_kgrams_" + hashlib.sha1(key.encode()).hexdigest()[:12]
+    if not spark.catalog.tableExists(table):
+        docs = read_parquet_table(spark, sf_dir, "documents")
+        root = _artifact_root(spark, "corpus_kgrams_bucketed", key)
+        create_bucketed_table(
+            spark,
+            table,
+            corpus_kgram_set(
+                docs.filter(F.col("doc_id") % 2 == 0), "doc_id", "text"
+            ),
+            "kg",
+            _XS_KGRAM_BUCKETS,
+            os.path.join(root, "kgrams"),
+        )
+    return spark.table(table)
+
+
 @register(
     "exact_substring_new_vs_corpus",
     oracle=_XS_NEW_VS_CORPUS_ORACLE,
@@ -4016,32 +4155,19 @@ FROM spans
     "occurrences precede the whole batch, so the artifact needs no "
     "first-occurrence bookkeeping. Deterministic extraction ⇒ the "
     "artifact changes COST, never the answer; per-batch cost scales "
-    "with the batch (probe evidence in .stress/), and at 100 TB the "
-    "artifact is written bucketed on kg so the semi-join shuffles "
-    "only the batch side",
+    "with the batch (probe evidence in .stress/), and the artifact is "
+    "written BUCKETED on kg (_corpus_kgram_bucketed) so the semi-join "
+    "plans with no corpus-side exchange — only the batch side "
+    "shuffles (plan-gated)",
     tags=("extension", "dedup", "curation"),
 )
 def exact_substring_new_vs_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
     from spotify_tracks_etl_portfolio_spark.operators.dedup import (
-        EXACT_SUBSTR_TOKENS,
-        corpus_kgram_set,
         incremental_substring_spans,
     )
 
     docs = read_parquet_table(spark, sf_dir, "documents")
-    root = _artifact_root(
-        spark,
-        "corpus_kgrams",
-        f"{os.path.realpath(sf_dir)}|k={EXACT_SUBSTR_TOKENS}",
-    )
-    _build_artifact_once(
-        root,
-        "kgrams",
-        lambda tmp: corpus_kgram_set(
-            docs.filter(F.col("doc_id") % 2 == 0), "doc_id", "text"
-        ).write.parquet(f"{tmp}/kgrams"),
-    )
-    corpus_kg = spark.read.parquet(f"{root}/kgrams")
+    corpus_kg = _corpus_kgram_bucketed(spark, sf_dir)
     return incremental_substring_spans(
         docs.filter(F.col("doc_id") % 2 == 1), corpus_kg, "doc_id", "text"
     )
@@ -4162,25 +4288,11 @@ def exact_substring_cut_new_vs_corpus(
     spark: SparkSession, sf_dir: str
 ) -> DataFrame:
     from spotify_tracks_etl_portfolio_spark.operators.dedup import (
-        EXACT_SUBSTR_TOKENS,
-        corpus_kgram_set,
         incremental_substring_dedup,
     )
 
     docs = read_parquet_table(spark, sf_dir, "documents")
-    root = _artifact_root(
-        spark,
-        "corpus_kgrams",
-        f"{os.path.realpath(sf_dir)}|k={EXACT_SUBSTR_TOKENS}",
-    )
-    _build_artifact_once(
-        root,
-        "kgrams",
-        lambda tmp: corpus_kgram_set(
-            docs.filter(F.col("doc_id") % 2 == 0), "doc_id", "text"
-        ).write.parquet(f"{tmp}/kgrams"),
-    )
-    corpus_kg = spark.read.parquet(f"{root}/kgrams")
+    corpus_kg = _corpus_kgram_bucketed(spark, sf_dir)
     return incremental_substring_dedup(
         docs.filter(F.col("doc_id") % 2 == 1), corpus_kg, "doc_id", "text"
     )
@@ -4213,7 +4325,6 @@ def streaming_incremental_substring_sync(
 ) -> DataFrame:
     from spotify_tracks_etl_portfolio_spark.operators.dedup import (
         EXACT_SUBSTR_TOKENS,
-        corpus_kgram_set,
     )
     from spotify_tracks_etl_portfolio_spark.streaming.pipeline import (
         read_documents_stream,
@@ -4221,19 +4332,7 @@ def streaming_incremental_substring_sync(
     )
 
     docs = read_parquet_table(spark, sf_dir, "documents")
-    root = _artifact_root(
-        spark,
-        "corpus_kgrams",
-        f"{os.path.realpath(sf_dir)}|k={EXACT_SUBSTR_TOKENS}",
-    )
-    _build_artifact_once(
-        root,
-        "kgrams",
-        lambda tmp: corpus_kgram_set(
-            docs.filter(F.col("doc_id") % 2 == 0), "doc_id", "text"
-        ).write.parquet(f"{tmp}/kgrams"),
-    )
-    corpus_kg = spark.read.parquet(f"{root}/kgrams")
+    corpus_kg = _corpus_kgram_bucketed(spark, sf_dir)
     batch = docs.filter(F.col("doc_id") % 2 == 1)
     d = _session_scratch(spark, "xs_incremental_sync")
     out = f"{d}/out"

@@ -1105,3 +1105,92 @@ def test_temperature_mix_upweights_small_languages(spark, sf_dir):
     assert abs(len(kept_rows) - budget) <= 0.15 * budget
     again = temperature_sampled_language_mix(spark, sf_dir).collect()
     assert sorted(map(tuple, again)) == sorted(map(tuple, kept_rows))
+
+
+def test_gopher_rules_planted_docs(spark):
+    """Each published Gopher rule fires on a doc planted to violate
+    exactly it (and the clean doc passes all seven)."""
+    from spotify_tracks_etl_portfolio_spark.operators.text import (
+        GOPHER_STOPWORDS,
+        gopher_rules,
+    )
+    from pyspark.sql import functions as F
+
+    # a 60-word passing doc: normal words, 2+ required stopwords
+    clean = ("the quick brown fox jumps over lazy dogs and cats " * 6).strip()
+    # rule violations, one per doc
+    docs = [
+        (0, clean),
+        (1, "too short to pass the word count rule"),  # rule 1
+        (2, " ".join(["supercalifragilisticexpialidocious"] * 60)),  # rule 2
+        (3, " ".join(["the", "of"] + ["x#"] * 58)),  # rule 3: >10% '#'
+        (4, "\n".join(["- bullet line the of"] * 10)),  # rule 4
+        (5, "\n".join(["the line of trails off..."] * 10)),  # rule 5
+        (6, " ".join(["the", "of"] + ["12345"] * 58)),  # rule 6
+        (7, " ".join(["zzz"] * 60)),  # rule 7: no required stopwords
+    ]
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    r = gopher_rules("text")
+    out = {
+        row["doc_id"]: row.asDict()
+        for row in df.select(
+            "doc_id", *[r[k].alias(k) for k in r]
+        ).collect()
+    }
+    flags = [k for k in r if k.startswith("flag_")]
+    assert all(out[0][k] for k in flags), out[0]
+    assert not out[1]["flag_word_count"]
+    assert not out[2]["flag_mean_word_len"]
+    assert not out[3]["flag_symbol_ratio"]
+    assert not out[4]["flag_bullet_lines"]
+    assert not out[5]["flag_ellipsis_lines"]
+    assert not out[6]["flag_alpha_words"]
+    assert not out[7]["flag_stop_words"]
+    # each planted doc violates ONLY its target rule (word count aside:
+    # the planted docs are all 58-60 words so rule 1 stays green)
+    for doc_id, bad in [(2, "flag_mean_word_len"), (3, "flag_symbol_ratio"),
+                        (4, "flag_bullet_lines"), (5, "flag_ellipsis_lines"),
+                        (6, "flag_alpha_words"), (7, "flag_stop_words")]:
+        others = [k for k in flags if k != bad and k != "flag_word_count"
+                  and k != "flag_mean_word_len" and k != "flag_stop_words"]
+        assert not out[doc_id][bad], (doc_id, bad, out[doc_id])
+
+
+def test_trailing7d_sketch_merges_daily_cells(spark, sf_dir):
+    """The trailing-7-day merged quantiles must equal the sketch of the
+    UNION of the trailing days' raw values — cells merging by SUM is
+    lossless for the histogram sketch."""
+    from pyspark.sql import functions as F
+
+    from spotify_tracks_etl_portfolio_spark.plans.analytics import (
+        QUANT_BIN,
+        QUANT_SCALE,
+        trailing7d_type_quantiles_sketch,
+    )
+
+    out = {
+        (r["day"], r["event_type"]): r
+        for r in trailing7d_type_quantiles_sketch(spark, sf_dir).collect()
+    }
+    events = spark.read.parquet(f"{sf_dir}/events.parquet").filter(
+        F.col("value").isNotNull()
+    )
+    # recompute one (day, type) cell from raw rows of the 7-day window
+    import datetime
+
+    (day, etype), row = sorted(out.items())[len(out) // 2]
+    d1 = datetime.date.fromisoformat(day)
+    d0 = d1 - datetime.timedelta(days=6)
+    vals = sorted(
+        r["value"]
+        for r in events.filter(
+            (F.to_date(F.date_trunc("day", "ts")) >= F.lit(d0))
+            & (F.to_date(F.date_trunc("day", "ts")) <= F.lit(d1))
+            & (F.col("event_type") == etype)
+        ).collect()
+    )
+    assert row["n_values"] == len(vals)
+    bins = sorted(int(round(v * QUANT_SCALE) // QUANT_BIN) for v in vals)
+    med_bin = bins[(len(bins) + 1) // 2 - 1]
+    expect_med = (med_bin * QUANT_BIN + QUANT_BIN // 2) / QUANT_SCALE
+    assert row["approx_median_value"] == expect_med

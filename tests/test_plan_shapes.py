@@ -325,6 +325,14 @@ SANCTIONED_NESTED_LOOP = {
     "events_overview_approx": "five 1-row sketch-cell aggregates "
     "(HLL estimates, histogram quantiles, count) cross-composed into "
     "the single output row",
+    # round 11 (pending-r11 debuts, gate opened by CORRECTNESS_r10)
+    "embedding_ivfpq_filtered_topk": "the same bounded query-set × "
+    "codebook ADC-LUT broadcast cross as embedding_ivfpq_topk "
+    "(similarity.py _pq_adc_join) — the pre-filter only shrinks the "
+    "probe side; neither input scales with the corpus",
+    "temperature_sampled_language_mix": "1-row corpus-totals broadcast "
+    "onto the per-language table (plans/extensions.py) — the standard "
+    "scalar-denominator shape sanctioned a dozen times above",
 }
 
 
@@ -642,6 +650,32 @@ def test_bucketed_join_has_no_shuffle(spark, sf_dir):
     assert "Exchange" not in plan[join_pos:], (
         "exchange below the bucketed join — co-location lost"
     )
+
+
+def test_incremental_substring_corpus_side_never_shuffles(spark, sf_dir):
+    """The incremental-ExactSubstr serve path must read the persisted
+    corpus k-gram artifact bucket-aligned: with broadcast off (at
+    100 TB neither side fits an executor), the semi-join plans as
+    SortMergeJoin LeftSemi whose ONLY exchange is the new-batch side
+    shuffling into the bucket layout — the corpus side scans
+    ``Bucketed: true`` straight into the join, so the corpus-sized kg
+    shuffle is paid once at artifact build, never per serve."""
+    old = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        plan = plan_of(spark, "exact_substring_new_vs_corpus", sf_dir)
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
+    assert "SortMergeJoin" in plan and "LeftSemi" in plan
+    # the join is the plan's leaf-most operator: everything after the
+    # SMJ line is its two input subtrees
+    join_sub = plan[plan.index("SortMergeJoin"):]
+    assert "Bucketed: true" in join_sub, "corpus k-gram scan not bucketed"
+    assert join_sub.count("Exchange") == 1, (
+        "expected exactly the batch-side exchange below the semi-join:\n"
+        + join_sub
+    )
+    assert "Exchange hashpartitioning(kg" in join_sub
 
 
 def test_event_value_deciles_never_single_partitions(spark, sf_dir):

@@ -297,32 +297,34 @@ def test_pending_r11_registration_gate(monkeypatch):
 
 
 def test_r11_window_promotes_deferred_force_queue(monkeypatch):
-    """Simulate the r11 state: once the predicted r10 window has
-    recorded (all green), the deferred changed-path consumers
-    (_FORCE_RERECORD_AFTER_R10) must promote into the force group and
-    land inside the NEXT 50-slot window, with the remaining slots going
-    to the stalest (r06-era) cohort — the self-maintaining handoff the
-    round-10 window budget relies on. (The six pending-r11 DEBUTS are
-    import-time gated, so they are exercised by the gate test, not
-    here.)"""
+    """Pin the r11 window handoff against the REAL recorded state as of
+    the r10 artifact landing (``_recorded_status(max_round=10)`` — so
+    the assertions stay true after CORRECTNESS_r11+ land): the deferred
+    changed-path consumers (_FORCE_RERECORD_AFTER_R10) promote into the
+    force group and land inside the 50-slot window; the never-recorded
+    pending-r11 debuts occupy the head (group 2); the remaining slots go
+    to the stalest (r06-era) cohort, whole-cohort-first — the
+    self-maintaining handoff the round-10 window budget relies on."""
     from spotify_tracks_etl_portfolio_spark import plans
 
-    real = plans._recorded_status()
-    predicted_r10 = list(plans.all_queries())[:50]
-    fake = dict(real)
-    for n in predicted_r10:
-        fake[n] = (10, "pass")
-    monkeypatch.setattr(plans, "_recorded_status", lambda: fake)
+    as_of_r10 = plans._recorded_status(max_round=10)
+    monkeypatch.setattr(plans, "_recorded_status", lambda: as_of_r10)
     window = list(plans.all_queries())[:50]
     deferred = set(plans._FORCE_RERECORD_AFTER_R10)
     assert deferred <= set(window), sorted(deferred - set(window))
+    # the six pending-r11 debuts are registered (the r10 artifact is on
+    # disk) and never recorded as of r10 → they lead the window
+    debuts = [n for n in window if n not in as_of_r10]
+    assert len(debuts) >= 6, debuts
+    assert window[: len(debuts)] == debuts, window[:8]
     # remaining slots go stalest-first: the WHOLE r06 cohort (30 rows)
     # plus the head of r07 — never anything younger while an older
     # cohort is incomplete
     rest = [n for n in window if n not in deferred
             and n not in plans._FORCE_RERECORD]
-    rounds = [fake[n][0] for n in rest if n in fake]
+    rounds = [as_of_r10[n][0] for n in rest if n in as_of_r10]
     assert set(rounds) <= {6, 7}, set(rounds)
     assert rounds.count(6) == sum(
-        1 for n, (r, _s) in fake.items() if r == 6
+        1 for n, (r, _s) in as_of_r10.items()
+        if r == 6 and n in plans.QUERIES
     ), "an r06 row was left out while r07 rows got slots"
