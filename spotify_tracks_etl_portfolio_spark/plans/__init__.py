@@ -100,6 +100,30 @@ def register_pending_r11(
     return deco
 
 
+def register_pending_r12(
+    name: str,
+    oracle: str | None,
+    description: str = "",
+    tags: tuple[str, ...] = (),
+):
+    """Decorator: register ``name`` only once the r11 recording window
+    has been spent (a CORRECTNESS artifact of round >= 11 on disk) —
+    the same debut-deferral contract as :func:`register_pending_r11`,
+    one round later: the r11 window is budgeted exactly (pending-r11
+    debuts + the promoted deferred force queue + the whole r06 stale
+    cohort = 50), so queries built mid-round-11 hold registration and
+    debut automatically at the head of the r12 window. Local
+    verification: ``SPARK_GRAFT_INCLUDE_PENDING=1`` forces
+    registration (pending-query pytest + check_oracle runs)."""
+    if _round_recorded(11):
+        return register(name, oracle, description, tags)
+
+    def deco(fn: Callable[[SparkSession, str], DataFrame]):
+        return fn
+
+    return deco
+
+
 # The driver's correctness harness records only the FIRST 50 registry
 # entries each round, so registration order decides which queries get a
 # durable CORRECTNESS_r{N}.json row.  We therefore order the registry so

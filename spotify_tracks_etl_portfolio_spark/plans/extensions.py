@@ -17,6 +17,7 @@ from pyspark.sql import functions as F
 
 from spotify_tracks_etl_portfolio_spark.functions import rolling_hash, token_count
 from spotify_tracks_etl_portfolio_spark.plans import (
+    register_pending_r12,
     register,
     register_pending_r11,
 )
@@ -475,7 +476,11 @@ def _sql_cos(ae: str, be: str) -> str:
 
 
 def _kmeans_cent_ctes(
-    k: int | str, iters: int, src: str = "v", prefix: str = ""
+    k: int | str,
+    iters: int,
+    src: str = "v",
+    prefix: str = "",
+    asg_src: str | None = None,
 ) -> tuple[list[str], str]:
     """SQL replay of the engine's deterministic Lloyd's k-means
     (``operators/similarity.py::kmeans_centroids``) — possible because
@@ -494,16 +499,21 @@ def _kmeans_cent_ctes(
     CTE after cent0 is k-agnostic — it operates per cell — so a
     data-derived k only changes the seed filter (round-7 verdict
     item 1: the recorded auto-geometry plan replays exactly because
-    the auto formula is a deterministic closed form)."""
+    the auto formula is a deterministic closed form).
 
-    def argmax_cell(cent: str, out: str) -> str:
+    ``asg_src``: optional distinct source for the FINAL assignment CTE
+    only — the incremental-index replay (train on the frozen base,
+    assign the base+appended union against the frozen centroids);
+    training iterations always run over ``src``."""
+
+    def argmax_cell(cent: str, out: str, over: str = src) -> str:
         return f"""{out} AS MATERIALIZED (
   SELECT vec_id, e, cell FROM (
     SELECT v.vec_id, v.e, ct.cell,
            row_number() OVER (PARTITION BY v.vec_id
                               ORDER BY {_sql_cos('v.e', 'ct.c')} DESC,
                                        ct.cell ASC) AS rn
-    FROM {src} v, {cent} ct) WHERE rn = 1
+    FROM {over} v, {cent} ct) WHERE rn = 1
 )"""
 
     if isinstance(k, int):
@@ -541,7 +551,7 @@ def _kmeans_cent_ctes(
   ) m USING (cell)
 )""")
         prev = f"{prefix}cent{t}"
-    ctes.append(argmax_cell(prev, f"{prefix}final_asg"))
+    ctes.append(argmax_cell(prev, f"{prefix}final_asg", asg_src or src))
     return ctes, prev
 
 
@@ -5430,6 +5440,7 @@ def _ivfpq_topk_oracle(
     topk: int = 5,
     shortlist: int = _sim.PQ_SHORTLIST,
     corpus_filter: str | None = None,
+    train_filter: str | None = None,
 ) -> str:
     """Composed IVF×PQ replay: the IVF oracle's coarse-quantizer chain
     (auto k_cells/nprobe scalar CTEs + unrolled k-means + corpus cell
@@ -5439,16 +5450,29 @@ def _ivfpq_topk_oracle(
     each query's PROBED cells, which is exactly what the engine's
     partition-pruned codes scan does. Both constituent chains are the
     verbatim builders of the separately-recorded embedding_ivf_*/
-    embedding_pq_topk oracles."""
+    embedding_pq_topk oracles.
+
+    ``train_filter``: when set, k-means (coarse + every PQ subspace)
+    and the derived geometry train on only the rows matching it — the
+    FROZEN-base replay of ``append_to_ivfpq_index``: assignments and
+    encoding still cover the full corpus, exactly like the engine
+    assigning an appended batch against frozen centroids/codebooks."""
+    train = "vb" if train_filter else "v"
+    asg_over = "v" if train_filter else None
     ctes = [
         "v AS MATERIALIZED (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings)"
     ]
-    # IVF derived geometry (auto_ivf_cells / auto_ivf_nprobe)
+    if train_filter:
+        ctes.append(
+            f"vb AS MATERIALIZED (SELECT * FROM v WHERE {train_filter})"
+        )
+    # IVF derived geometry (auto_ivf_cells / auto_ivf_nprobe) — over
+    # the TRAINING corpus (the engine sizes the index at build time)
     ctes.append(
         f"""ivfk AS MATERIALIZED (
   SELECT GREATEST(8, LEAST({_sim.IVF_MAX_CELLS},
     CAST(ceil(sqrt(count(*))) AS BIGINT))) AS k
-  FROM v
+  FROM {train}
 )"""
     )
     ctes.append(
@@ -5459,7 +5483,11 @@ def _ivfpq_topk_oracle(
 )"""
     )
     ivf_ctes, ivf_final = _kmeans_cent_ctes(
-        "SELECT k FROM ivfk", iters, prefix="ivf_"
+        "SELECT k FROM ivfk",
+        iters,
+        src=train,
+        prefix="ivf_",
+        asg_src=asg_over,
     )
     ctes.extend(ivf_ctes)
     ctes.append(f"""qcells AS MATERIALIZED (
@@ -5471,12 +5499,12 @@ def _ivfpq_topk_oracle(
     FROM v, {ivf_final} ct
     WHERE v.vec_id < {n_queries}) WHERE rn <= (SELECT np FROM ivfnp)
 )""")
-    # PQ derived codebook resolution (auto_pq_k)
+    # PQ derived codebook resolution (auto_pq_k) — training corpus
     ctes.append(
         f"""pqk AS MATERIALIZED (
   SELECT GREATEST({_sim.PQ_K}, LEAST({_sim.PQ_MAX_K},
     CAST(ceil(sqrt(count(*))) AS BIGINT))) AS k
-  FROM v
+  FROM {train}
 )"""
     )
     for mi in range(m):
@@ -5484,8 +5512,17 @@ def _ivfpq_topk_oracle(
         ctes.append(
             f"v{mi} AS MATERIALIZED (SELECT vec_id, e[{lo}:{hi}] AS e FROM v)"
         )
+        if train_filter:
+            ctes.append(
+                f"vb{mi} AS MATERIALIZED "
+                f"(SELECT vec_id, e[{lo}:{hi}] AS e FROM vb)"
+            )
         sub_ctes, _ = _kmeans_cent_ctes(
-            "SELECT k FROM pqk", pq_iters, src=f"v{mi}", prefix=f"m{mi}_"
+            "SELECT k FROM pqk",
+            pq_iters,
+            src=f"vb{mi}" if train_filter else f"v{mi}",
+            prefix=f"m{mi}_",
+            asg_src=f"v{mi}" if train_filter else None,
         )
         ctes.extend(sub_ctes)
     ctes.append(
@@ -5659,6 +5696,75 @@ def embedding_ivfpq_filtered_topk(spark: SparkSession, sf_dir: str) -> DataFrame
         TOPK_K,
         nprobe=nprobe,
         where=F.col("vec_id") % 3 == 0,
+    )
+
+
+#: The appended-batch predicate of the incremental IVFPQ gate: ~10% of
+#: the corpus arrives AFTER the index is built (a nightly increment).
+_IVFPQ_APPEND_BATCH = "vec_id % 10 = 7"
+
+
+@register_pending_r12(
+    "embedding_ivfpq_append_topk",
+    oracle=_ivfpq_topk_oracle(
+        n_queries=TOPK_N_QUERIES,
+        topk=TOPK_K,
+        train_filter=f"NOT ({_IVFPQ_APPEND_BATCH})",
+    ),
+    description="INCREMENTAL IVF×PQ index maintenance (round-10 "
+    "verdict item 5 — the continuous-ingestion twin of the "
+    "nightly-build/serve split the k-gram artifact demonstrates): the "
+    "index is built on the BASE corpus (vec_id % 10 <> 7), then the "
+    "new batch (the other 10%) is appended via append_to_ivfpq_index "
+    "— assigned to its nearest FROZEN cells, encoded against the "
+    "FROZEN codebooks, appended into the existing per-cell partition "
+    "directories; no retrain, no base re-read, versions/v1.json "
+    "records the increment. Queries then probe the composed index "
+    "over the UNION corpus. Oracle replays the frozen-base semantics "
+    "exactly: k-means chains and derived geometry train on the base "
+    "rows only (train_filter), assignment/encoding cover the union — "
+    "bit-identical to the engine's append path. Per-batch cost at "
+    "100 TB: batch explode + batch-sized shuffle into cells; the base "
+    "corpus is never touched. Registered via the pending-r12 gate "
+    "(the r11 window is budgeted: 8 debuts + 12 force re-records + "
+    "the full 30-row r06 cohort = 50); pytest-verified now",
+    tags=("extension", "similarity", "approx"),
+)
+def embedding_ivfpq_append_topk(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    emb = read_parquet_table(spark, sf_dir, "embeddings")
+    base = emb.filter(~F.expr(_IVFPQ_APPEND_BATCH))
+    batch = emb.filter(F.expr(_IVFPQ_APPEND_BATCH))
+    n = base.count()
+    ivf_k = _sim.auto_ivf_cells(n)
+    nprobe = _sim.auto_ivf_nprobe(ivf_k)
+    pq_k = _sim.auto_pq_k(n)
+    root = _artifact_root(
+        spark,
+        "ivfpq_index_incr",
+        f"{os.path.realpath(sf_dir)}|kc={ivf_k}|iters=3"
+        f"|m={_sim.PQ_M}|sub={_sim.PQ_SUB_DIM}|kq={pq_k}"
+        f"|pqi={_sim.PQ_ITERS}|batch={_IVFPQ_APPEND_BATCH}",
+    )
+
+    def _build(tmp: str) -> None:
+        _sim.build_ivfpq_index(
+            base, "vec_id", "embedding", tmp, k_cells=ivf_k, pq_k=pq_k
+        )
+        _sim.append_to_ivfpq_index(batch, tmp, "vec_id", "embedding")
+
+    _build_artifact_once(root, "codes", _build)
+    queries = emb.filter(F.col("vec_id") < TOPK_N_QUERIES)
+    return _sim.ivfpq_query_index(
+        spark,
+        root,
+        queries,
+        emb,
+        "vec_id",
+        "embedding",
+        TOPK_K,
+        nprobe=nprobe,
     )
 
 

@@ -296,6 +296,32 @@ def test_pending_r11_registration_gate(monkeypatch):
     monkeypatch.delenv("SPARK_GRAFT_INCLUDE_PENDING", raising=False)
 
 
+def test_pending_r12_registration_gate(monkeypatch):
+    """The round-11 pending-debut gate (same contract as the r11 one,
+    one round later): late-r11 queries stay unregistered until a
+    CORRECTNESS artifact of round >= 11 exists, protecting the r11
+    window's exact 50-slot budget (8 debuts + 12 force + 30 r06)."""
+    from spotify_tracks_etl_portfolio_spark import plans
+
+    pending = {"embedding_ivfpq_append_topk"}
+    monkeypatch.delenv("SPARK_GRAFT_INCLUDE_PENDING", raising=False)
+    qs = set(plans.all_queries())
+    if plans._round_recorded(11):
+        assert pending <= qs or not (pending & qs)
+    else:
+        assert not (pending & qs)
+    monkeypatch.setenv("SPARK_GRAFT_INCLUDE_PENDING", "1")
+    assert plans._round_recorded(11)
+
+    @plans.register_pending_r12("___pending_probe12", oracle=None)
+    def _probe(spark, sf_dir):  # pragma: no cover - never executed
+        raise AssertionError
+
+    assert "___pending_probe12" in plans.QUERIES
+    del plans.QUERIES["___pending_probe12"]
+    monkeypatch.delenv("SPARK_GRAFT_INCLUDE_PENDING", raising=False)
+
+
 def test_r11_window_promotes_deferred_force_queue(monkeypatch):
     """Pin the r11 window handoff against the REAL recorded state as of
     the r10 artifact landing (``_recorded_status(max_round=10)`` — so

@@ -1401,3 +1401,65 @@ def test_ivf_filtered_query_equals_prefiltered_corpus(spark, sf_dir, tmp_path):
     ).collect()
     key = lambda r: (r["query_id"], r["rank"])
     assert sorted(map(tuple, served)) == sorted(map(tuple, direct))
+
+
+def test_ivfpq_append_frozen_encode_and_versioning(spark, sf_dir, tmp_path):
+    """append_to_ivfpq_index must (a) leave every base code row
+    untouched, (b) add exactly the batch's rows encoded/assigned with
+    the FROZEN centroids+codebooks (bit-identical to encoding the
+    batch directly against the stored models), and (c) bump the
+    artifact version with a manifest per increment."""
+    emb = read_parquet_table(spark, sf_dir, "embeddings")
+    base = emb.filter(F.col("vec_id") % 10 != 7)
+    batch = emb.filter(F.col("vec_id") % 10 == 7)
+    n = base.count()
+    ivf_k = sim.auto_ivf_cells(n)
+    pq_k = sim.auto_pq_k(n)
+    root = str(tmp_path / "ivfpq_incr")
+    sim.build_ivfpq_index(
+        base, "vec_id", "embedding", root, k_cells=ivf_k, pq_k=pq_k
+    )
+    assert sim.ivfpq_index_version(root) == 0
+    before = {
+        tuple(r) for r in spark.read.parquet(f"{root}/codes").collect()
+    }
+    v = sim.append_to_ivfpq_index(batch, root, "vec_id", "embedding")
+    assert v == 1 and sim.ivfpq_index_version(root) == 1
+    after = {
+        tuple(r) for r in spark.read.parquet(f"{root}/codes").collect()
+    }
+    # (a) base rows are a strict subset, untouched
+    assert before <= after
+    added = after - before
+    batch_ids = {r["vec_id"] for r in batch.select("vec_id").collect()}
+    # (b) exactly the batch appended, frozen-model encoded
+    cents = spark.read.parquet(f"{root}/centroids")
+    cent_rows = [
+        (int(r["cell"]), [float(x) for x in r["embedding"]])
+        for r in cents.collect()
+    ]
+    books = sim.load_pq_codebooks(spark, f"{root}/codebooks")
+    assign1 = sim.probe_cells_udf(cent_rows, nprobe=1)
+    expect = sim.pq_encode(batch, "vec_id", "embedding", books).join(
+        batch.select(
+            "vec_id",
+            F.element_at(assign1(F.col("embedding")), 1).alias("cell"),
+        ),
+        "vec_id",
+    )
+    # align column order with the partitioned read (cell goes last)
+    cols = spark.read.parquet(f"{root}/codes").columns
+    expect_rows = {tuple(r) for r in expect.select(*cols).collect()}
+    assert added == expect_rows
+    assert {t[0] for t in added} == batch_ids
+    # (c) manifest content + a second increment bumps again
+    import json
+
+    with open(f"{root}/versions/v1.json") as fh:
+        man = json.load(fh)
+    assert man["rows"] == len(batch_ids)
+    assert man["cells"] == sorted({t[cols.index("cell")] for t in added})
+    v2 = sim.append_to_ivfpq_index(
+        batch.limit(0), root, "vec_id", "embedding"
+    )
+    assert v2 == 2 and sim.ivfpq_index_version(root) == 2
