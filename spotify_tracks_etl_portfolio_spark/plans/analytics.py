@@ -564,74 +564,12 @@ def events_overview_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
 from spotify_tracks_etl_portfolio_spark.plans import register_pending_r11
 
 
-@register_pending_r11(
-    "event_type_value_quantiles_sketch",
-    oracle=f"""
-WITH vc AS (
-  SELECT event_type, b, CAST(count(*) AS BIGINT) AS c FROM (
-    SELECT event_type,
-           CAST(floor(round(value * {QUANT_SCALE}) / {QUANT_BIN}.0) AS BIGINT) AS b
-    FROM events WHERE value IS NOT NULL
-  ) GROUP BY event_type, b
-),
-vt AS (SELECT event_type, CAST(SUM(c) AS BIGINT) AS n FROM vc GROUP BY event_type),
-vcum AS (
-  SELECT event_type, b,
-         SUM(c) OVER (PARTITION BY event_type ORDER BY b
-                      ROWS UNBOUNDED PRECEDING) AS cum
-  FROM vc
-),
-med AS (
-  SELECT v.event_type,
-         (min(b) * {QUANT_BIN} + {QUANT_BIN // 2}) / {QUANT_SCALE}
-           AS approx_median_value
-  FROM vcum v JOIN vt USING (event_type)
-  WHERE cum >= CAST(floor((n + 1) / 2) AS BIGINT)
-  GROUP BY v.event_type
-),
-p99 AS (
-  SELECT v.event_type,
-         (min(b) * {QUANT_BIN} + {QUANT_BIN // 2}) / {QUANT_SCALE}
-           AS approx_p99_value
-  FROM vcum v JOIN vt USING (event_type)
-  WHERE cum >= CAST(floor((99 * n + 99) / 100) AS BIGINT)
-  GROUP BY v.event_type
-)
-SELECT event_type, approx_median_value, approx_p99_value, n AS n_values
-FROM med JOIN p99 USING (event_type) JOIN vt USING (event_type)
-""",
-    description="PER-GROUP approximate quantiles from the mergeable "
-    "histogram sketch cells (the grouped twin of "
-    "events_overview_approx's global cells): per event_type, median + "
-    "p99 from per-(group, bin) BIGINT counts — the 100 TB shape for "
-    "percentile-per-key, where exact per-group percentiles need a "
-    "per-group sort but bin counts are ONE partial-agg groupBy (merge "
-    "by SUM across partitions/days/streams) and the rank selection "
-    "runs over sketch-sized (#groups × #bins) rows. Same deterministic "
-    "integer math as the global sketch (micro-int quantization, "
-    "power-of-two bins, integer ranks, midpoint estimates ≤ half a bin "
-    "off), hash-checked. Registered via the pending-r11 gate (the r10 "
-    "window is budgeted to the stale cohort); pytest-verified now",
-    tags=("analytics", "approx", "sketch"),
-)
-def event_type_value_quantiles_sketch(
-    spark: SparkSession, sf_dir: str
-) -> DataFrame:
-    events = read_parquet_table(spark, sf_dir, "events")
-    vc = (
-        events.filter(F.col("value").isNotNull())
-        .select(
-            "event_type",
-            F.floor(
-                F.round(F.col("value") * F.lit(QUANT_SCALE))
-                / F.lit(float(QUANT_BIN))
-            )
-            .cast("long")
-            .alias("b"),
-        )
-        .groupBy("event_type", "b")
-        .agg(F.count(F.lit(1)).alias("c"))
-    )
+def _type_quantiles_from_cells(vc: DataFrame) -> DataFrame:
+    """Rank-select per-group approx median/p99 from mergeable histogram
+    cells ``(event_type, b, c)`` — shared by the batch sketch query and
+    the streaming gate (the cells are the state; where they came from —
+    one batch pass, daily partials, micro-batch partials — cannot
+    change the answer because counter addition is associative)."""
     vt = vc.groupBy("event_type").agg(F.sum("c").alias("n"))
     wcum = (
         Window.partitionBy("event_type")
@@ -667,6 +605,80 @@ def event_type_value_quantiles_sketch(
             F.col("n").alias("n_values"),
         )
     )
+
+
+TYPE_QUANTILES_ORACLE = f"""
+WITH vc AS (
+  SELECT event_type, b, CAST(count(*) AS BIGINT) AS c FROM (
+    SELECT event_type,
+           CAST(floor(round(value * {QUANT_SCALE}) / {QUANT_BIN}.0) AS BIGINT) AS b
+    FROM events WHERE value IS NOT NULL
+  ) GROUP BY event_type, b
+),
+vt AS (SELECT event_type, CAST(SUM(c) AS BIGINT) AS n FROM vc GROUP BY event_type),
+vcum AS (
+  SELECT event_type, b,
+         SUM(c) OVER (PARTITION BY event_type ORDER BY b
+                      ROWS UNBOUNDED PRECEDING) AS cum
+  FROM vc
+),
+med AS (
+  SELECT v.event_type,
+         (min(b) * {QUANT_BIN} + {QUANT_BIN // 2}) / {QUANT_SCALE}
+           AS approx_median_value
+  FROM vcum v JOIN vt USING (event_type)
+  WHERE cum >= CAST(floor((n + 1) / 2) AS BIGINT)
+  GROUP BY v.event_type
+),
+p99 AS (
+  SELECT v.event_type,
+         (min(b) * {QUANT_BIN} + {QUANT_BIN // 2}) / {QUANT_SCALE}
+           AS approx_p99_value
+  FROM vcum v JOIN vt USING (event_type)
+  WHERE cum >= CAST(floor((99 * n + 99) / 100) AS BIGINT)
+  GROUP BY v.event_type
+)
+SELECT event_type, approx_median_value, approx_p99_value, n AS n_values
+FROM med JOIN p99 USING (event_type) JOIN vt USING (event_type)
+"""
+
+
+@register_pending_r11(
+    "event_type_value_quantiles_sketch",
+    oracle=TYPE_QUANTILES_ORACLE,
+    description="PER-GROUP approximate quantiles from the mergeable "
+    "histogram sketch cells (the grouped twin of "
+    "events_overview_approx's global cells): per event_type, median + "
+    "p99 from per-(group, bin) BIGINT counts — the 100 TB shape for "
+    "percentile-per-key, where exact per-group percentiles need a "
+    "per-group sort but bin counts are ONE partial-agg groupBy (merge "
+    "by SUM across partitions/days/streams) and the rank selection "
+    "runs over sketch-sized (#groups × #bins) rows. Same deterministic "
+    "integer math as the global sketch (micro-int quantization, "
+    "power-of-two bins, integer ranks, midpoint estimates ≤ half a bin "
+    "off), hash-checked. Registered via the pending-r11 gate (the r10 "
+    "window is budgeted to the stale cohort); pytest-verified now",
+    tags=("analytics", "approx", "sketch"),
+)
+def event_type_value_quantiles_sketch(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    events = read_parquet_table(spark, sf_dir, "events")
+    vc = (
+        events.filter(F.col("value").isNotNull())
+        .select(
+            "event_type",
+            F.floor(
+                F.round(F.col("value") * F.lit(QUANT_SCALE))
+                / F.lit(float(QUANT_BIN))
+            )
+            .cast("long")
+            .alias("b"),
+        )
+        .groupBy("event_type", "b")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    return _type_quantiles_from_cells(vc)
 
 
 @register(

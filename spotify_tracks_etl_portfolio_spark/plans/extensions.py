@@ -6143,6 +6143,105 @@ def streaming_cms_sync(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.createDataFrame(rows, "r long, bucket long, cnt long")
 
 
+@register_pending_r12(
+    "streaming_type_quantiles_sync",
+    # same oracle VERBATIM as the batch sketch query: micro-batch
+    # boundaries cannot change a sum of counter cells
+    oracle=None,  # bound below to analytics.TYPE_QUANTILES_ORACLE
+    description="10th streaming gate — the per-group quantile sketch "
+    "maintained over a REAL stream (the r10-verdict sketch "
+    "follow-through, streaming half): each micro-batch writes its "
+    "bounded PARTIAL (event_type, bin, count) cell table exactly-once "
+    "(epoch-partition overwrite under foreachBatch's at-least-once "
+    "replay); after the drain the cells SUM-merge and the SAME "
+    "rank-selection as the batch twin (shared "
+    "_type_quantiles_from_cells) yields per-type median/p99 — "
+    "hash-checked against the batch sketch oracle VERBATIM, proving "
+    "the mergeability contract end-to-end across real micro-batches. "
+    "At 100 TB: per-trigger state is #groups × #bins cells, quantile "
+    "monitoring reads cells only, never raw history. Registered via "
+    "the pending-r12 gate; pytest-verified now",
+    tags=("streaming", "sketch", "approx"),
+)
+@pinned_stream_session
+def streaming_type_quantiles_sync(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    import shutil
+    import tempfile
+
+    from spotify_tracks_etl_portfolio_spark.plans.analytics import (
+        QUANT_BIN,
+        QUANT_SCALE,
+        _type_quantiles_from_cells,
+    )
+    from spotify_tracks_etl_portfolio_spark.streaming import (
+        read_events_stream,
+    )
+    from spotify_tracks_etl_portfolio_spark.streaming.pipeline import (
+        streaming_histogram_cells,
+    )
+
+    d = tempfile.mkdtemp(prefix="quant_sync_")
+    out = f"{d}/cells"
+    try:
+        in_dir = f"{d}/in"
+        ev = read_parquet_table(spark, sf_dir, "events")
+        # two appends → two part files → two REAL micro-batches under
+        # availableNow (the merge has actual partials to merge)
+        ev.filter(F.col("event_id") % 2 == 0).coalesce(1).write.mode(
+            "append"
+        ).parquet(in_dir)
+        ev.filter(F.col("event_id") % 2 == 1).coalesce(1).write.mode(
+            "append"
+        ).parquet(in_dir)
+        stream = read_events_stream(spark, in_dir)
+        q = (
+            streaming_histogram_cells(
+                stream,
+                out,
+                f"{d}/ckpt",
+                "event_type",
+                "value",
+                QUANT_SCALE,
+                QUANT_BIN,
+            )
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+        merged = (
+            spark.read.parquet(out)
+            .groupBy("event_type", "b")
+            .agg(F.sum("c").alias("c"))
+        )
+        rows = _type_quantiles_from_cells(merged).collect()
+    finally:
+        shutil.rmtree(d, ignore_errors=True)
+    return spark.createDataFrame(
+        rows,
+        "event_type string, approx_median_value double, "
+        "approx_p99_value double, n_values long",
+    )
+
+
+def _bind_streaming_quantiles_oracle() -> None:
+    """Late-bind the gate's oracle to the batch twin's (import-order:
+    analytics imports extensions' register helpers, so the constant
+    can't be read at decoration time without a cycle)."""
+    from spotify_tracks_etl_portfolio_spark.plans import QUERIES
+    from spotify_tracks_etl_portfolio_spark.plans.analytics import (
+        TYPE_QUANTILES_ORACLE,
+    )
+
+    spec = QUERIES.get("streaming_type_quantiles_sync")
+    if spec is not None and spec.oracle is None:
+        spec.oracle = TYPE_QUANTILES_ORACLE
+
+
+_bind_streaming_quantiles_oracle()
+
+
 @register(
     "cow_incremental_rollup",
     oracle="""

@@ -477,6 +477,53 @@ def streaming_incremental_substring_spans(
     )
 
 
+def streaming_histogram_cells(
+    stream: DataFrame,
+    out_path: str,
+    checkpoint: str,
+    group_col: str,
+    value_col: str,
+    scale: int,
+    bin_width: int,
+):
+    """Per-group histogram-quantile SKETCH maintained over a stream:
+    each micro-batch reduces to its own PARTIAL ``(group, b, c)`` cell
+    table — bounded by #groups × #bins regardless of stream length —
+    and the merged sketch is the cell-wise SUM of the epoch partials,
+    bit-identical to the batch cells over the full input (counter
+    addition is associative+commutative; the binning is the IEEE-exact
+    micro-int quantization the batch sketch queries freeze). This is
+    the monitoring pipeline the mergeable cells exist for: per-day /
+    per-trigger partials persist, quantile selection reads cells only.
+
+    Sink semantics: foreachBatch is at-least-once; per-epoch partition
+    overwrite makes the partials effectively exactly-once under replay
+    (same contract as the CMS/near-dedup sinks). Returns the
+    DataStreamWriter (caller sets the trigger)."""
+
+    def process(batch: DataFrame, epoch_id: int) -> None:
+        (
+            batch.filter(F.col(value_col).isNotNull())
+            .select(
+                F.col(group_col),
+                F.floor(
+                    F.round(F.col(value_col) * F.lit(scale))
+                    / F.lit(float(bin_width))
+                )
+                .cast("long")
+                .alias("b"),
+            )
+            .groupBy(group_col, "b")
+            .agg(F.count(F.lit(1)).alias("c"))
+            .write.mode("overwrite")
+            .parquet(f"{out_path}/epoch_id={int(epoch_id)}")
+        )
+
+    return stream.writeStream.foreachBatch(process).option(
+        "checkpointLocation", checkpoint
+    )
+
+
 def streaming_cms_cells(
     stream: DataFrame,
     out_path: str,

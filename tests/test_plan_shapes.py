@@ -333,6 +333,11 @@ SANCTIONED_NESTED_LOOP = {
     "temperature_sampled_language_mix": "1-row corpus-totals broadcast "
     "onto the per-language table (plans/extensions.py) — the standard "
     "scalar-denominator shape sanctioned a dozen times above",
+    # round 11 (pending-r12 debut, verified under the forced-open gate)
+    "embedding_ivfpq_append_topk": "the same bounded query-set × "
+    "codebook ADC-LUT broadcast cross as embedding_ivfpq_topk — the "
+    "incremental index serves through the identical query path; "
+    "neither input scales with the corpus",
 }
 
 
