@@ -907,3 +907,27 @@ def test_sessionize_fold_handles_cross_batch_late_events():
     assert past["session_start"].value // 1000 == t0 - 100 * m
     assert past["n_events"] == 1 and past["sum_value"] == 9.0
     assert state.get == (t0 + 40 * m, t0 + 40 * m, 1, 1.0)
+
+
+def test_streaming_type_quantiles_equals_batch(spark, sf_dir):
+    """10th streaming gate: per-micro-batch histogram partials
+    SUM-merged after the drain must yield bit-identical per-type
+    quantiles to the batch sketch over the full event log — any
+    micro-batch split of a sum of counter cells is answer-neutral."""
+    from spotify_tracks_etl_portfolio_spark.plans.analytics import (
+        event_type_value_quantiles_sketch,
+    )
+    from spotify_tracks_etl_portfolio_spark.plans.extensions import (
+        streaming_type_quantiles_sync,
+    )
+
+    got = sorted(
+        map(tuple, streaming_type_quantiles_sync(spark, sf_dir).collect())
+    )
+    want = sorted(
+        map(
+            tuple,
+            event_type_value_quantiles_sketch(spark, sf_dir).collect(),
+        )
+    )
+    assert got == want and len(got) > 0
