@@ -73,6 +73,12 @@ HEADLINE = [
     # timing history starts this round
     "embedding_ivfpq_topk",
     "exact_substring_new_vs_corpus",
+    # round-11: the Gopher rule composition (zero-shuffle projection —
+    # cheap, but it gates every curation pipeline, so its cost is
+    # watched) and the windowed sketch-merge monitor; timing history
+    # starts this round
+    "gopher_quality_gate_documents",
+    "trailing7d_type_quantiles_sketch",
 ]
 # Round-9 verdict item 4: the FROZEN-TOY twins simhash_near_dups and
 # embedding_lsh_near_dups are demoted from this list — both are

@@ -105,7 +105,9 @@ GOPHER_STOPWORDS = ("the", "be", "to", "of", "and", "that", "have", "with")
 GOPHER_MIN_WORDS, GOPHER_MAX_WORDS = 50, 100_000
 
 
-def gopher_rules(col: Column | str) -> dict[str, Column]:
+def gopher_rules(
+    col: Column | str, stopword_min: int = 2
+) -> dict[str, Column]:
     """The full published Gopher quality-rule set (Rae et al. 2021,
     appendix A1.1) as one ZERO-SHUFFLE projection: per-rule boolean
     flag columns plus the signal each rule reads, all higher-order
@@ -119,7 +121,11 @@ def gopher_rules(col: Column | str) -> dict[str, Column]:
       4. < 90% of lines start with a bullet (-, *, •)
       5. < 30% of lines end with an ellipsis
       6. >= 80% of words contain an alphabetic character
-      7. >= 2 of the 8 required stop words present
+      7. >= ``stopword_min`` (published default 2) of the 8 required
+         stop words present — the knob exists because a corpus whose
+         vocabulary lacks most of the English required set (e.g. the
+         synthetic gate corpus, which contains only 'the') zeroes out
+         under 2; production keeps the published value
 
     Determinism: every threshold is evaluated as an INTEGER
     cross-multiplication (``10*n_sym <= n_words``, never
@@ -175,7 +181,7 @@ def gopher_rules(col: Column | str) -> dict[str, Column]:
         "flag_bullet_lines": F.lit(10) * n_bullet < F.lit(9) * n_lines,
         "flag_ellipsis_lines": F.lit(10) * n_ell < F.lit(3) * n_lines,
         "flag_alpha_words": (w > 0) & (F.lit(5) * n_alpha >= F.lit(4) * w),
-        "flag_stop_words": n_stop >= 2,
+        "flag_stop_words": n_stop >= stopword_min,
     }
 
 

@@ -1982,8 +1982,11 @@ def repetition_stats_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-_GOPHER_ORACLE = """
-WITH base AS (
+def _gopher_sig_sql(src: str = "documents") -> str:
+    """The Gopher rule-signal CTE chain (``base`` → ``sig``) over any
+    ``(doc_id, text)`` source — shared by the standalone gate query and
+    the curation-v3 composition."""
+    return f"""base AS (
   SELECT doc_id,
          CASE WHEN trim(text) = '' THEN CAST([] AS VARCHAR[])
               ELSE string_split_regex(trim(text), '\\s+') END AS w,
@@ -1991,7 +1994,7 @@ WITH base AS (
          CAST(len(regexp_extract_all(text, '#')) +
               len(regexp_extract_all(text, '\\.\\.\\.')) +
               len(regexp_extract_all(text, '…')) AS BIGINT) AS n_sym
-  FROM documents
+  FROM {src}
 ),
 sig AS (
   SELECT doc_id, n_sym,
@@ -2010,7 +2013,26 @@ sig AS (
               s -> list_contains(list_transform(w, x -> lower(x)), s)))
            AS BIGINT) AS n_stop
   FROM base
-)
+)"""
+
+
+def _gopher_pass_sql(stopword_min: int = 2) -> str:
+    """The composite pass predicate over the ``sig`` CTE's columns
+    (``stopword_min`` mirrors ``gopher_rules``'s knob)."""
+    return f"""(n_words BETWEEN 50 AND 100000)
+         AND (n_words > 0 AND 3 * n_words <= csum AND csum <= 10 * n_words)
+         AND (10 * n_sym <= n_words)
+         AND (10 * n_bullet < 9 * n_lines)
+         AND (10 * n_ell < 3 * n_lines)
+         AND (5 * n_alpha >= 4 * n_words)
+         AND (n_stop >= {stopword_min})"""
+
+
+_GOPHER_PASS_SQL = _gopher_pass_sql()
+
+
+_GOPHER_ORACLE = f"""
+WITH {_gopher_sig_sql()}
 SELECT doc_id,
        n_words,
        round(csum * 1.0 / greatest(n_words, 1), 6) AS mean_word_len,
@@ -2027,13 +2049,7 @@ SELECT doc_id,
        10 * n_ell < 3 * n_lines AS flag_ellipsis_lines,
        n_words > 0 AND 5 * n_alpha >= 4 * n_words AS flag_alpha_words,
        n_stop >= 2 AS flag_stop_words,
-       (n_words BETWEEN 50 AND 100000)
-         AND (n_words > 0 AND 3 * n_words <= csum AND csum <= 10 * n_words)
-         AND (10 * n_sym <= n_words)
-         AND (10 * n_bullet < 9 * n_lines)
-         AND (10 * n_ell < 3 * n_lines)
-         AND (5 * n_alpha >= 4 * n_words)
-         AND (n_stop >= 2) AS gopher_pass
+       {_GOPHER_PASS_SQL} AS gopher_pass
 FROM sig
 """
 
@@ -2071,6 +2087,122 @@ def gopher_quality_gate_documents(
         "doc_id",
         *[r[k].alias(k) for k in r],
         gate.alias("gopher_pass"),
+    )
+
+
+@register_pending_r12(
+    "curate_training_corpus_v3",
+    oracle=f"""
+WITH canon AS (
+  SELECT min(doc_id) AS doc_id FROM documents GROUP BY text
+),
+surv AS (
+  SELECT d.doc_id, d.lang, d.text FROM documents d JOIN canon USING (doc_id)
+),
+{_gopher_sig_sql('surv')},
+kept AS (
+  SELECT s.doc_id, s.lang, s.text, g.n_words
+  FROM surv s JOIN sig g USING (doc_id)
+  WHERE {_gopher_pass_sql(stopword_min=1)}
+),
+c AS (
+  SELECT lang, CAST(count(*) AS BIGINT) AS n,
+         CAST(round(sqrt(count(*)) * 1000000) AS BIGINT) AS s
+  FROM kept GROUP BY lang
+),
+t AS (SELECT CAST(SUM(n) AS BIGINT) AS total_n,
+             CAST(SUM(s) AS BIGINT) AS total_s FROM c),
+r AS (
+  SELECT lang,
+         LEAST(1000000, CAST(floor(
+           ((CAST(floor((total_n + 1) / 2) AS BIGINT) * s)
+            / (total_s * n)) * 1000000) AS BIGINT)) AS thr
+  FROM c, t
+),
+h AS (
+  SELECT doc_id, lang, n_words,
+         ({_FP_SQL}) % 1000000 AS h,
+         ({_FP_SQL}) % 100 AS b
+  FROM kept
+)
+SELECT doc_id, lang, n_words,
+       CASE WHEN b < 90 THEN 'train' WHEN b < 95 THEN 'val'
+            ELSE 'test' END AS split
+FROM h JOIN r USING (lang) WHERE h < thr
+""",
+    description="Curation pipeline v3 — THIS round's operators "
+    "composed end-to-end in one Catalyst plan (the published "
+    "multilingual recipe shape): exact content dedup (min-doc_id "
+    "canonical, one groupBy) → the FULL Gopher rule gate "
+    "(gopher_rules, zero-shuffle integer-exact flags) → "
+    "temperature-sampled language rebalancing over the SURVIVORS "
+    "(α = 1/2, ⌈N/2⌉ budget, content-hash membership — low-resource "
+    "languages upweighted) → content-hash 90/5/5 split. The stop-word "
+    "rule runs at stopword_min=1 here (the synthetic vocabulary "
+    "contains only 'the' of the 8 required words, so the published "
+    "≥2 is degenerate-zero on this corpus; ≥1 keeps the rule active — "
+    "382/500 differentiating — and production keeps the published "
+    "default). Beyond the "
+    "dedup groupBy the plan is row-local projections plus two "
+    "sketch-sized aggregations (per-lang counts, 1-row totals "
+    "broadcast); the gated corpus materializes once (slim "
+    "localCheckpoint, the v2/grouped_prefix_sum pattern — it IS the "
+    "persisted artifact of a real pipeline). Deterministic end-to-end "
+    "(no RNG anywhere: the mix replays from the recipe alone). "
+    "Registered via the pending-r12 gate; pytest-verified now",
+    tags=("extension", "curation", "dedup", "quality", "sampling"),
+)
+def curate_training_corpus_v3(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import functools
+
+    from spotify_tracks_etl_portfolio_spark.operators.text import (
+        gopher_rules,
+    )
+
+    docs = read_parquet_table(spark, sf_dir, "documents")
+    canon = docs.groupBy("text").agg(F.min("doc_id").alias("doc_id"))
+    surv = docs.join(canon.select("doc_id"), "doc_id", "left_semi")
+    rules = gopher_rules("text", stopword_min=1)
+    gate = functools.reduce(
+        lambda a, b: a & b,
+        (v for k, v in rules.items() if k.startswith("flag_")),
+    )
+    kept = (
+        surv.filter(gate)
+        .select("doc_id", "lang", "text", rules["n_words"].alias("n_words"))
+        .localCheckpoint(eager=False)
+    )
+    m = 1_000_000
+    c = kept.groupBy("lang").agg(F.count(F.lit(1)).alias("n")).select(
+        "lang", "n", F.round(F.sqrt("n") * m).cast("long").alias("s")
+    )
+    t = c.agg(F.sum("n").alias("total_n"), F.sum("s").alias("total_s"))
+    budget = F.floor((F.col("total_n") + 1) / 2).cast("long")
+    rate = (budget * F.col("s")) / (F.col("total_s") * F.col("n"))
+    thr = c.crossJoin(F.broadcast(t)).select(
+        "lang",
+        F.least(F.lit(m), F.floor(rate * m).cast("long")).alias("thr"),
+    )
+    fp = rolling_hash("text")
+    h = kept.select(
+        "doc_id",
+        "lang",
+        "n_words",
+        (fp % m).alias("h"),
+        (fp % 100).alias("b"),
+    )
+    return (
+        h.join(F.broadcast(thr), "lang")
+        .filter(F.col("h") < F.col("thr"))
+        .select(
+            "doc_id",
+            "lang",
+            "n_words",
+            F.when(F.col("b") < 90, "train")
+            .when(F.col("b") < 95, "val")
+            .otherwise("test")
+            .alias("split"),
+        )
     )
 
 

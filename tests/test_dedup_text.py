@@ -1194,3 +1194,70 @@ def test_trailing7d_sketch_merges_daily_cells(spark, sf_dir):
     med_bin = bins[(len(bins) + 1) // 2 - 1]
     expect_med = (med_bin * QUANT_BIN + QUANT_BIN // 2) / QUANT_SCALE
     assert row["approx_median_value"] == expect_med
+
+
+def test_curate_corpus_v3_invariants(spark, sf_dir):
+    """v3 pipeline invariants: every output doc is a dedup canonical
+    that passes the (stopword_min=1) Gopher gate; smaller languages
+    keep strictly higher fractions (the α=1/2 inversion); the split is
+    ~90/5/5 by content hash; a rerun is identical (no RNG)."""
+    import functools
+
+    from pyspark.sql import functions as F
+
+    from spotify_tracks_etl_portfolio_spark.operators.text import gopher_rules
+    from spotify_tracks_etl_portfolio_spark.plans.extensions import (
+        curate_training_corpus_v3,
+    )
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    out = curate_training_corpus_v3(spark, sf_dir).collect()
+    assert len(out) > 0
+    out_ids = {r["doc_id"] for r in out}
+    # gate membership: canonical + gopher(stopword_min=1)
+    canon = {
+        r["doc_id"]
+        for r in docs.groupBy("text")
+        .agg(F.min("doc_id").alias("doc_id"))
+        .collect()
+    }
+    rules = gopher_rules("text", stopword_min=1)
+    gate = functools.reduce(
+        lambda a, b: a & b,
+        (v for k, v in rules.items() if k.startswith("flag_")),
+    )
+    passing = {r["doc_id"] for r in docs.filter(gate).collect()}
+    kept = canon & passing
+    assert out_ids <= kept
+    # α = 1/2 inversion over the gated corpus
+    sizes = {}
+    for r in (
+        docs.filter(gate)
+        .join(
+            docs.groupBy("text").agg(F.min("doc_id").alias("doc_id")),
+            "doc_id",
+            "left_semi",
+        )
+        .groupBy("lang")
+        .count()
+        .collect()
+    ):
+        sizes[r["lang"]] = r["count"]
+    kept_by_lang = {}
+    for r in out:
+        kept_by_lang[r["lang"]] = kept_by_lang.get(r["lang"], 0) + 1
+    fracs = {t: kept_by_lang.get(t, 0) / n for t, n in sizes.items()}
+    for a, na in sizes.items():
+        for b, nb in sizes.items():
+            if na < nb * 0.8:
+                assert fracs[a] > fracs[b] - 1 / min(na, nb), (a, b, fracs)
+    # split shape
+    splits = {}
+    for r in out:
+        splits[r["split"]] = splits.get(r["split"], 0) + 1
+    assert set(splits) <= {"train", "val", "test"}
+    assert splits.get("train", 0) > splits.get("val", 0)
+    assert splits.get("train", 0) > splits.get("test", 0)
+    # determinism
+    again = curate_training_corpus_v3(spark, sf_dir).collect()
+    assert sorted(map(tuple, again)) == sorted(map(tuple, out))

@@ -338,6 +338,9 @@ SANCTIONED_NESTED_LOOP = {
     "codebook ADC-LUT broadcast cross as embedding_ivfpq_topk — the "
     "incremental index serves through the identical query path; "
     "neither input scales with the corpus",
+    "curate_training_corpus_v3": "1-row corpus-totals broadcast onto "
+    "the per-language table — the temperature_sampled_language_mix "
+    "shape inside the composed pipeline",
 }
 
 
