@@ -5866,6 +5866,26 @@ def embedding_ivfpq_append_topk(
     spark: SparkSession, sf_dir: str
 ) -> DataFrame:
     emb = read_parquet_table(spark, sf_dir, "embeddings")
+    root, nprobe = _ivfpq_incr_index(spark, sf_dir)
+    queries = emb.filter(F.col("vec_id") < TOPK_N_QUERIES)
+    return _sim.ivfpq_query_index(
+        spark,
+        root,
+        queries,
+        emb,
+        "vec_id",
+        "embedding",
+        TOPK_K,
+        nprobe=nprobe,
+    )
+
+
+def _ivfpq_incr_index(spark: SparkSession, sf_dir: str) -> tuple[str, int]:
+    """Build-once (per session, sf_dir) the INCREMENTAL IVFPQ index:
+    base build on vec_id % 10 <> 7, frozen-model append of the rest —
+    shared by the append-serve query and the cell-drift monitor.
+    Returns (index_root, nprobe)."""
+    emb = read_parquet_table(spark, sf_dir, "embeddings")
     base = emb.filter(~F.expr(_IVFPQ_APPEND_BATCH))
     batch = emb.filter(F.expr(_IVFPQ_APPEND_BATCH))
     n = base.count()
@@ -5887,16 +5907,85 @@ def embedding_ivfpq_append_topk(
         _sim.append_to_ivfpq_index(batch, tmp, "vec_id", "embedding")
 
     _build_artifact_once(root, "codes", _build)
-    queries = emb.filter(F.col("vec_id") < TOPK_N_QUERIES)
-    return _sim.ivfpq_query_index(
-        spark,
-        root,
-        queries,
-        emb,
-        "vec_id",
-        "embedding",
-        TOPK_K,
-        nprobe=nprobe,
+    return root, nprobe
+
+
+def _ivfpq_cell_drift_oracle(iters: int = 3) -> str:
+    """IVF-only replay for the cell-drift monitor: coarse k-means
+    trained on the BASE rows (the frozen quantizer), final assignment
+    over the UNION — then per-cell base/new counts and share drift."""
+    ctes = [
+        "v AS MATERIALIZED (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings)",
+        f"vb AS MATERIALIZED (SELECT * FROM v WHERE NOT ({_IVFPQ_APPEND_BATCH}))",
+        f"""ivfk AS MATERIALIZED (
+  SELECT GREATEST(8, LEAST({_sim.IVF_MAX_CELLS},
+    CAST(ceil(sqrt(count(*))) AS BIGINT))) AS k
+  FROM vb
+)""",
+    ]
+    ivf_ctes, _ = _kmeans_cent_ctes(
+        "SELECT k FROM ivfk", iters, src="vb", prefix="ivf_", asg_src="v"
+    )
+    ctes.extend(ivf_ctes)
+    ctes.append(f"""cc AS (
+  SELECT cell,
+         CAST(count(*) FILTER (NOT ({_IVFPQ_APPEND_BATCH})) AS BIGINT) AS n_base,
+         CAST(count(*) FILTER ({_IVFPQ_APPEND_BATCH}) AS BIGINT) AS n_new
+  FROM ivf_final_asg GROUP BY cell
+)""")
+    ctes.append(
+        "t AS (SELECT CAST(SUM(n_base) AS BIGINT) AS tb, "
+        "CAST(SUM(n_new) AS BIGINT) AS tn FROM cc)"
+    )
+    return (
+        "WITH "
+        + ",\n".join(ctes)
+        + """
+SELECT cell, n_base, n_new,
+       round(n_base * 1.0 / tb, 6) AS share_base,
+       round(n_new * 1.0 / tn, 6) AS share_new,
+       round(n_new * 1.0 / tn - n_base * 1.0 / tb, 6) AS share_drift
+FROM cc, t
+"""
+    )
+
+
+@register_pending_r12(
+    "ivfpq_cell_drift",
+    oracle=_ivfpq_cell_drift_oracle(),
+    description="Index-health monitor for the INCREMENTAL IVFPQ index "
+    "(the operational twin of embedding_ivfpq_append_topk, same "
+    "persisted artifact): per coarse cell, base-corpus vs "
+    "appended-batch counts and the occupancy-share drift — the check "
+    "a nightly ingest runs to decide whether the frozen quantizer "
+    "still fits the arriving distribution (a ballooning cell = drift "
+    "⇒ schedule the rebuild that resets recall). Reads ONLY the "
+    "persisted codes table (cell is the partition column; no vector "
+    "math, no embedding IO at serve) + one sketch-sized agg and a "
+    "1-row totals broadcast. Oracle replays the frozen-base coarse "
+    "quantizer (train on base, assign the union) and the exact share "
+    "arithmetic. Registered via the pending-r12 gate; pytest-verified "
+    "now",
+    tags=("extension", "similarity", "monitoring"),
+)
+def ivfpq_cell_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    root, _nprobe = _ivfpq_incr_index(spark, sf_dir)
+    codes = spark.read.parquet(f"{root}/codes").select("vec_id", "cell")
+    is_new = F.expr(_IVFPQ_APPEND_BATCH)
+    cc = codes.groupBy("cell").agg(
+        F.sum(F.when(~is_new, 1).otherwise(0)).cast("long").alias("n_base"),
+        F.sum(F.when(is_new, 1).otherwise(0)).cast("long").alias("n_new"),
+    )
+    t = cc.agg(F.sum("n_base").alias("tb"), F.sum("n_new").alias("tn"))
+    return cc.crossJoin(F.broadcast(t)).select(
+        F.col("cell").cast("long").alias("cell"),
+        "n_base",
+        "n_new",
+        F.round(F.col("n_base") / F.col("tb"), 6).alias("share_base"),
+        F.round(F.col("n_new") / F.col("tn"), 6).alias("share_new"),
+        F.round(
+            F.col("n_new") / F.col("tn") - F.col("n_base") / F.col("tb"), 6
+        ).alias("share_drift"),
     )
 
 

@@ -341,6 +341,8 @@ SANCTIONED_NESTED_LOOP = {
     "curate_training_corpus_v3": "1-row corpus-totals broadcast onto "
     "the per-language table — the temperature_sampled_language_mix "
     "shape inside the composed pipeline",
+    "ivfpq_cell_drift": "1-row (total_base, total_new) broadcast onto "
+    "the #cells-sized occupancy table",
 }
 
 
