@@ -2398,10 +2398,10 @@ def unigram_logprob_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
 BIGRAM_K = 0.5
 
 
-@register(
-    "bigram_logprob_documents",
-    oracle=f"""
-WITH btb AS (
+#: Bigram add-k LM CTE chain (model counts → per-doc 9-dp DECIMAL
+#: logprob sums) — shared by the per-doc scorer and the CCNet-style
+#: perplexity bucketing.
+_BIGRAM_LP_CTES = f"""btb AS (
   SELECT doc_id, string_split_regex(trim(text), '\\s+') AS w
   FROM documents WHERE trim(text) <> ''
 ),
@@ -2428,7 +2428,13 @@ bagg AS (
   SELECT doc_id, CAST(count(*) AS BIGINT) AS n_bigrams,
          sum(l) AS s
   FROM blp GROUP BY doc_id
-)
+)"""
+
+
+@register(
+    "bigram_logprob_documents",
+    oracle=f"""
+WITH {_BIGRAM_LP_CTES}
 SELECT d.doc_id,
        COALESCE(a.n_bigrams, 0) AS n_bigrams,
        COALESCE(round(CAST(a.s AS DOUBLE) / a.n_bigrams, 6), 0.0)
@@ -2500,6 +2506,121 @@ def bigram_logprob_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.col("__s").cast("double") / F.col("n_bigrams"), 6),
             F.lit(0.0),
         ).alias("avg_logprob"),
+    )
+
+
+#: Histogram-sketch bin width for perplexity bucketing, in micro-units
+#: of avg_logprob (2^9 ≈ 0.0005 logprob units): a language's scores
+#: concentrate in a few hundredths of a logprob unit, so tercile
+#: thresholds need sub-millunit bins; even a several-unit global range
+#: stays a few thousand cells per language — sketch-sized.
+CCNET_BIN = 1 << 9
+
+
+@register_pending_r12(
+    "ccnet_perplexity_buckets",
+    oracle=f"""
+WITH {_BIGRAM_LP_CTES},
+sc AS (
+  SELECT d.doc_id, d.lang, a.n_bigrams,
+         round(CAST(a.s AS DOUBLE) / a.n_bigrams, 6) AS avg_logprob
+  FROM documents d JOIN bagg a USING (doc_id)
+),
+bins AS (
+  SELECT doc_id, lang, n_bigrams, avg_logprob,
+         CAST(floor(round(avg_logprob * 1000000) / {CCNET_BIN}.0) AS BIGINT) AS b
+  FROM sc
+),
+lc AS (SELECT lang, b, CAST(count(*) AS BIGINT) AS c FROM bins GROUP BY lang, b),
+lt AS (SELECT lang, CAST(SUM(c) AS BIGINT) AS n FROM lc GROUP BY lang),
+lcum AS (
+  SELECT lang, b,
+         SUM(c) OVER (PARTITION BY lang ORDER BY b
+                      ROWS UNBOUNDED PRECEDING) AS cum
+  FROM lc
+),
+t33 AS (
+  SELECT l.lang, min(b) AS b33 FROM lcum l JOIN lt USING (lang)
+  WHERE cum >= CAST(floor((n + 2) / 3) AS BIGINT) GROUP BY l.lang
+),
+t66 AS (
+  SELECT l.lang, min(b) AS b66 FROM lcum l JOIN lt USING (lang)
+  WHERE cum >= CAST(floor((2 * n + 2) / 3) AS BIGINT) GROUP BY l.lang
+)
+SELECT doc_id, lang, n_bigrams, avg_logprob,
+       CASE WHEN b <= b33 THEN 'tail' WHEN b <= b66 THEN 'middle'
+            ELSE 'head' END AS ppl_bucket
+FROM bins JOIN t33 USING (lang) JOIN t66 USING (lang)
+""",
+    description="CCNet-style per-language perplexity bucketing "
+    "(Wenzek et al. 2020: score each doc with an LM, split every "
+    "language into head/middle/tail terciles, train on head+middle): "
+    "the add-k bigram LM scores each doc (shared model CTEs with "
+    "bigram_logprob_documents; higher avg logprob = more fluent), "
+    "per-language tercile THRESHOLDS come from the mergeable "
+    "histogram-sketch cells (micro-int binned scores, per-(lang, bin) "
+    "counts, integer rank selection — never a per-language sort of "
+    "raw docs), and bucket assignment compares integer BINS, so no "
+    "engine's float rounding can flip a boundary doc. Scale shape: "
+    "the LM model is two hash aggs, scoring one vocabulary-scaled "
+    "equi-join, thresholds run over #langs × #bins sketch rows, and "
+    "the bucket join broadcasts #langs threshold rows. Docs with <2 "
+    "tokens are unscoreable and excluded (CCNet drops them). "
+    "Registered via the pending-r12 gate; pytest-verified now",
+    tags=("extension", "text", "curation", "sketch"),
+)
+def ccnet_perplexity_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    docs = read_parquet_table(spark, sf_dir, "documents")
+    scored = (
+        bigram_logprob_documents(spark, sf_dir)
+        .filter(F.col("n_bigrams") >= 1)
+        .join(docs.select("doc_id", "lang"), "doc_id")
+    )
+    bins = scored.select(
+        "doc_id",
+        "lang",
+        "n_bigrams",
+        "avg_logprob",
+        F.floor(
+            F.round(F.col("avg_logprob") * F.lit(1_000_000))
+            / F.lit(float(CCNET_BIN))
+        )
+        .cast("long")
+        .alias("b"),
+    )
+    lc = bins.groupBy("lang", "b").agg(F.count(F.lit(1)).alias("c"))
+    lt = lc.groupBy("lang").agg(F.sum("c").alias("n"))
+    wcum = (
+        Window.partitionBy("lang")
+        .orderBy("b")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    lcum = lc.withColumn("cum", F.sum("c").over(wcum)).join(lt, "lang")
+
+    def _thr(target, out: str) -> DataFrame:
+        return (
+            lcum.filter(F.col("cum") >= target)
+            .groupBy("lang")
+            .agg(F.min("b").alias(out))
+        )
+
+    t33 = _thr(F.floor((F.col("n") + 2) / 3).cast("long"), "b33")
+    t66 = _thr(F.floor((F.lit(2) * F.col("n") + 2) / 3).cast("long"), "b66")
+    return (
+        bins.join(F.broadcast(t33), "lang")
+        .join(F.broadcast(t66), "lang")
+        .select(
+            "doc_id",
+            "lang",
+            "n_bigrams",
+            "avg_logprob",
+            F.when(F.col("b") <= F.col("b33"), "tail")
+            .when(F.col("b") <= F.col("b66"), "middle")
+            .otherwise("head")
+            .alias("ppl_bucket"),
+        )
     )
 
 

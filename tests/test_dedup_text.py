@@ -1261,3 +1261,33 @@ def test_curate_corpus_v3_invariants(spark, sf_dir):
     # determinism
     again = curate_training_corpus_v3(spark, sf_dir).collect()
     assert sorted(map(tuple, again)) == sorted(map(tuple, out))
+
+
+def test_ccnet_perplexity_buckets_shape(spark, sf_dir):
+    """CCNet bucketing invariants: per language, every tail doc scores
+    <= every middle doc <= every head doc (bins are monotone in the
+    score), each bucket holds roughly a third (within bin
+    granularity), and a rerun is identical."""
+    from spotify_tracks_etl_portfolio_spark.plans.extensions import (
+        ccnet_perplexity_buckets,
+    )
+
+    rows = ccnet_perplexity_buckets(spark, sf_dir).collect()
+    assert rows
+    by_lang = {}
+    for r in rows:
+        by_lang.setdefault(r["lang"], []).append(r)
+    for lang, rs in by_lang.items():
+        scores = {"tail": [], "middle": [], "head": []}
+        for r in rs:
+            scores[r["ppl_bucket"]].append(r["avg_logprob"])
+        assert scores["tail"] and scores["middle"] and scores["head"], lang
+        assert max(scores["tail"]) <= min(scores["middle"]) + 1e-9, lang
+        assert max(scores["middle"]) <= min(scores["head"]) + 1e-9, lang
+        n = len(rs)
+        for b in scores:
+            # within bin-granularity of a tercile (coarse langs have
+            # few bins, so allow a generous band)
+            assert len(scores[b]) >= n // 6, (lang, b, len(scores[b]), n)
+    again = ccnet_perplexity_buckets(spark, sf_dir).collect()
+    assert sorted(map(tuple, again)) == sorted(map(tuple, rows))
