@@ -4355,9 +4355,13 @@ FROM spans
 """
 
 
-#: Bucket count for the persisted corpus k-gram table at gate scale; at
-#: 100 TB size so each bucket file is ~an executor-memory partition.
-_XS_KGRAM_BUCKETS = 8
+#: Bucket count for the persisted corpus k-gram table. 32 = the test
+#: session's shuffle partitions, so the bucket layout never CAPS the
+#: serve join's parallelism below what a shuffle would get (probed:
+#: 8 buckets cost ~11% at 10x for exactly that reason —
+#: .stress/bucketed_kgram_probe_r11.json); at 100 TB size the count so
+#: each bucket file is ~an executor-memory partition.
+_XS_KGRAM_BUCKETS = 32
 
 
 def _corpus_kgram_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
