@@ -100,6 +100,13 @@ def register_pending_r11(
     return deco
 
 
+#: Names registered through register_pending_r12 (recorded in BOTH
+#: branches): the r11 window-simulation test excludes them so the
+#: freeze-time "run the suite with the next gate forced open" check
+#: can't redden a test that pins the r11 window shape.
+PENDING_R12_NAMES: list[str] = []
+
+
 def register_pending_r12(
     name: str,
     oracle: str | None,
@@ -115,6 +122,7 @@ def register_pending_r12(
     debut automatically at the head of the r12 window. Local
     verification: ``SPARK_GRAFT_INCLUDE_PENDING=1`` forces
     registration (pending-query pytest + check_oracle runs)."""
+    PENDING_R12_NAMES.append(name)
     if _round_recorded(11):
         return register(name, oracle, description, tags)
 
