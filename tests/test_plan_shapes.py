@@ -343,6 +343,9 @@ SANCTIONED_NESTED_LOOP = {
     "shape inside the composed pipeline",
     "ivfpq_cell_drift": "1-row (total_base, total_new) broadcast onto "
     "the #cells-sized occupancy table",
+    "ccnet_perplexity_buckets": "the same 1-row vocab-size broadcast "
+    "already sanctioned for bigram_logprob_documents — the composed "
+    "scorer inherits it",
 }
 
 
@@ -960,9 +963,10 @@ def test_persisted_index_artifacts_reused_across_calls(spark, sf_dir):
         # span-decontamination path (key pins the window width)
         ("decontamination_overlap_spans_served", "bench_kgrams",
          "kgrams", "|k=8"),
-        # round-10 verdict item 3: the persisted corpus k-gram set of
-        # incremental corpus-vs-corpus ExactSubstr
-        ("exact_substring_new_vs_corpus", "corpus_kgrams",
+        # round-10 verdict item 3 (r11: now a BUCKETED catalog table,
+        # _corpus_kgram_bucketed — tableExists is the build-once
+        # marker, the location dir below it must not be rewritten)
+        ("exact_substring_new_vs_corpus", "corpus_kgrams_bucketed",
          "kgrams", "|k=8"),
         # round-10 verdict item 2: the composed IVF×PQ index (codes
         # partitioned by IVF cell; key pins both derived geometries)
