@@ -259,6 +259,23 @@ _FORCE_RERECORD_AFTER_R10 = (
 )
 
 
+#: Round-11 changed-path consumers DEFERRED to the r12 window (the
+#: same self-promoting mechanism as _FORCE_RERECORD_AFTER_R10): these
+#: have a pre-r11 green driver row that certifies a retired code path,
+#: but the r11 window is budgeted exactly (8 debuts + 12 promoted
+#: deferred + the whole 30-row r06 cohort = 50), so they promote into
+#: the force queue the moment a CORRECTNESS artifact of round >= 11
+#: exists. SWEEP_r11 (192/192) certifies them meanwhile.
+_FORCE_RERECORD_AFTER_R11 = (
+    # bucketed k-gram serve (plans/extensions.py::_corpus_kgram_bucketed):
+    # the r10 row certifies the plain-parquet artifact path; rows are
+    # bit-identical (oracle re-verified + plan-gated) but the serve
+    # layout every call runs changed. The other two consumers (cut,
+    # streaming gate) debut in r11 and record the new path directly.
+    "exact_substring_new_vs_corpus",
+)
+
+
 def _recorded_status(max_round: int | None = None) -> dict[str, tuple[int, str]]:
     """``{name: (last_recorded_round, status)}`` from every past round's
     CORRECTNESS_r*.json (repo root); status ∈ pass|fail|no_oracle.
@@ -330,6 +347,10 @@ def all_queries() -> dict[str, QuerySpec]:
         # the r10 window has been spent on the stale cohort — promote
         # the deferred changed-path consumers into the force queue
         force_seq = force_seq + _FORCE_RERECORD_AFTER_R10
+    if any(rnd >= 11 for rnd, _status in recorded.values()):
+        # likewise once the r11 window is spent: the r11 changed-path
+        # consumer re-records at the head of the r12 force group
+        force_seq = force_seq + _FORCE_RERECORD_AFTER_R11
     force = {name: i for i, name in enumerate(force_seq)}
 
     def sort_key(item: tuple[int, str]) -> tuple[int, int, int, int]:

@@ -366,3 +366,37 @@ def test_r11_window_promotes_deferred_force_queue(monkeypatch):
         1 for n, (r, _s) in as_of_r10.items()
         if r == 6 and n in plans.QUERIES
     ), "an r06 row was left out while r07 rows got slots"
+
+
+def test_r12_window_promotes_r11_deferred(monkeypatch):
+    """One round ahead: once the predicted r11 window records (all
+    green), the r11 changed-path consumer
+    (_FORCE_RERECORD_AFTER_R11: the bucketed k-gram serve) must
+    promote into the force group and land inside the r12 window, with
+    the remaining slots going stalest-first — the whole r07 cohort
+    before any r08 row. Registration-state agnostic: pending-r12
+    debuts (if the import saw the gate open) simply occupy head slots."""
+    from spotify_tracks_etl_portfolio_spark import plans
+
+    as_of_r10 = plans._recorded_status(max_round=10)
+    monkeypatch.setattr(plans, "_recorded_status", lambda: as_of_r10)
+    r11_window = [
+        n for n in plans.all_queries() if n not in plans.PENDING_R12_NAMES
+    ][:50]
+    fake = dict(as_of_r10)
+    for n in r11_window:
+        fake[n] = (11, "pass")
+    monkeypatch.setattr(plans, "_recorded_status", lambda: fake)
+    window = list(plans.all_queries())[:50]
+    assert set(plans._FORCE_RERECORD_AFTER_R11) <= set(window)
+    force_names = (
+        set(plans._FORCE_RERECORD)
+        | set(plans._FORCE_RERECORD_AFTER_R10)
+        | set(plans._FORCE_RERECORD_AFTER_R11)
+    )
+    rest = [n for n in window if n not in force_names and n in fake]
+    rounds = [fake[n][0] for n in rest]
+    assert set(rounds) <= {7, 8}, set(rounds)
+    assert rounds.count(7) == sum(
+        1 for n, (r, _s) in fake.items() if r == 7 and n in plans.QUERIES
+    ), "an r07 row was left out while r08 rows got slots"
