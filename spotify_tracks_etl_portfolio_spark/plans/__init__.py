@@ -132,6 +132,38 @@ def register_pending_r12(
     return deco
 
 
+#: Names registered through register_pending_r13 (recorded in BOTH
+#: branches): window-simulation tests exclude them so the freeze-time
+#: "run the suite with the next gate forced open" check can't redden a
+#: test that pins the r12 window shape.
+PENDING_R13_NAMES: list[str] = []
+
+
+def register_pending_r13(
+    name: str,
+    oracle: str | None,
+    description: str = "",
+    tags: tuple[str, ...] = (),
+):
+    """Decorator: register ``name`` only once the r12 recording window
+    has been spent (a CORRECTNESS artifact of round >= 12 on disk) —
+    the same debut-deferral contract as :func:`register_pending_r12`,
+    one round later: the r12 window is budgeted exactly (5 pending-r12
+    debuts + the promoted r11 deferred re-record + the whole r07 stale
+    cohort + the r08 head = 50), so queries built mid-round-12 hold
+    registration and debut automatically at the head of the r13
+    window. Local verification: ``SPARK_GRAFT_INCLUDE_PENDING=1``
+    forces registration (pending-query pytest + check_oracle runs)."""
+    PENDING_R13_NAMES.append(name)
+    if _round_recorded(12):
+        return register(name, oracle, description, tags)
+
+    def deco(fn: Callable[[SparkSession, str], DataFrame]):
+        return fn
+
+    return deco
+
+
 # The driver's correctness harness records only the FIRST 50 registry
 # entries each round, so registration order decides which queries get a
 # durable CORRECTNESS_r{N}.json row.  We therefore order the registry so
@@ -210,53 +242,20 @@ _PRIORITY_UNRECORDED = (
 #: green row no longer certifies the current code, so they jump the
 #: staleness queue (right behind failures/upgrades) to get re-recorded.
 _FORCE_RERECORD = (
-    # --- round 10. The whole r09 queue (28 names) landed green in
-    # CORRECTNESS_r09 (judge-verified name-by-name), so it is cleared.
-    # This round's 50-slot window is budgeted to the R05-ERA STALE
-    # COHORT (the r10 verdict's top item): 1 oracle upgrade
-    # (events_overview_approx, itself r05-era, group 1) + 2 debuts
-    # (embedding_ivfpq_topk, exact_substring_new_vs_corpus, group 2)
-    # + the single force entry below + the 46 remaining r05 rows
-    # (group 4, stalest-first) = exactly 50, retiring every r05 row.
-    # ---
-    # simhash_documents: the round-9 ADVICE item — it was the one name
-    # trimmed from the r09 scan_parallelism consumer queue to protect
-    # the window, so its re-certification against the changed scan
-    # path is owed a driver row first.
-    "simhash_documents",
+    # --- round 12. The round-11 force queue (simhash_documents + the
+    # 11 round-10 deferred changed-path consumers) landed green in
+    # CORRECTNESS_r11 (verified name-by-name at round-12 start), so
+    # both queues are CLEARED per the standing per-round hygiene.
+    # This round's 50-slot window: the 5 pending-r12 debuts (group 2)
+    # + exact_substring_new_vs_corpus (_FORCE_RERECORD_AFTER_R11,
+    # group 3) + the WHOLE r07 cohort (29 rows) + the head of r08
+    # (15 of 23) = exactly 50.
 )
 
-#: Round-10 changed-path consumers DEFERRED to the r11 window. The
-#: queue's principle ("an old green row certifies dead code") says
-#: these should re-record NOW; the r10 verdict's top item says this
-#: round's 50 slots belong to the r05-era stale cohort — both can't
-#: fit, so the conflict is resolved EXPLICITLY (not by a quiet trim,
-#: the round-9 advice flag): these names are certified this round by
-#: SWEEP_r10 (the full-registry post-change local replica of the
-#: driver compare) and PROMOTE THEMSELVES into the force queue the
-#: moment a CORRECTNESS artifact of round >= 10 exists on disk, so
-#: the r11 window records them without anyone having to remember.
-_FORCE_RERECORD_AFTER_R10 = (
-    # ExactSubstr groupBy+join default (operators/dedup.py): flags are
-    # bit-identical (pytest + oracle re-verified) but the default
-    # formulation every one of these plans runs changed.
-    "exact_substring_dup_spans",
-    "exact_substring_dedup_documents",
-    "curate_training_corpus_v2",
-    # BPE merge-round batching (operators/text.py): identical merge
-    # tables (fuzz + reference equality), new round loop.
-    "bpe_train_merges_documents",
-    "bpe_segment_documents",
-    # cowtable manifest sharding + Bloom probe type coercion
-    # (sources/cowtable.py): every manifest read/write crosses the new
-    # payload/resolve code (inline format unchanged below threshold).
-    "cowtable_merge_roundtrip",
-    "cowtable_snapshot_diff",
-    "cow_incremental_rollup",
-    "streaming_cow_upsert_sync",
-    "cowtable_zorder_pruned_scan",
-    "cowtable_bloom_point_lookup",
-)
+#: Round-10 changed-path consumers deferred to the r11 window — all 11
+#: re-recorded green in CORRECTNESS_r11, queue cleared (round-12
+#: hygiene). The historical window-pin tests carry the literal list.
+_FORCE_RERECORD_AFTER_R10 = ()
 
 
 #: Round-11 changed-path consumers DEFERRED to the r12 window (the
@@ -274,6 +273,16 @@ _FORCE_RERECORD_AFTER_R11 = (
     # streaming gate) debut in r11 and record the new path directly.
     "exact_substring_new_vs_corpus",
 )
+
+
+#: Round-12 changed-path consumers DEFERRED to the r13 window (the
+#: same self-promoting mechanism): these have a pre-r12 green driver
+#: row that certifies a retired code path, but the r12 window is
+#: budgeted exactly (5 debuts + 1 promoted re-record + the whole r07
+#: cohort + the r08 head = 50), so they promote into the force queue
+#: the moment a CORRECTNESS artifact of round >= 12 exists. SWEEP_r12
+#: certifies them meanwhile.
+_FORCE_RERECORD_AFTER_R12: tuple[str, ...] = ()
 
 
 def _recorded_status(max_round: int | None = None) -> dict[str, tuple[int, str]]:
@@ -351,6 +360,10 @@ def all_queries() -> dict[str, QuerySpec]:
         # likewise once the r11 window is spent: the r11 changed-path
         # consumer re-records at the head of the r12 force group
         force_seq = force_seq + _FORCE_RERECORD_AFTER_R11
+    if any(rnd >= 12 for rnd, _status in recorded.values()):
+        # and once the r12 window is spent: round-12 changed-path
+        # consumers re-record at the head of the r13 force group
+        force_seq = force_seq + _FORCE_RERECORD_AFTER_R12
     force = {name: i for i, name in enumerate(force_seq)}
 
     def sort_key(item: tuple[int, str]) -> tuple[int, int, int, int]:

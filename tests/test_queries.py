@@ -323,80 +323,169 @@ def test_pending_r12_registration_gate(monkeypatch):
 
     assert "___pending_probe12" in plans.QUERIES
     del plans.QUERIES["___pending_probe12"]
+    plans.PENDING_R12_NAMES.remove("___pending_probe12")
     monkeypatch.delenv("SPARK_GRAFT_INCLUDE_PENDING", raising=False)
 
 
-def test_r11_window_promotes_deferred_force_queue(monkeypatch):
-    """Pin the r11 window handoff against the REAL recorded state as of
-    the r10 artifact landing (``_recorded_status(max_round=10)`` — so
-    the assertions stay true after CORRECTNESS_r11+ land): the deferred
-    changed-path consumers (_FORCE_RERECORD_AFTER_R10) promote into the
-    force group and land inside the 50-slot window; the never-recorded
-    pending-r11 debuts occupy the head (group 2); the remaining slots go
-    to the stalest (r06-era) cohort, whole-cohort-first — the
-    self-maintaining handoff the round-10 window budget relies on."""
+def test_pending_r13_registration_gate(monkeypatch):
+    """The round-12 pending-debut gate (same contract as the r12 one,
+    one round later): late-r12 queries stay unregistered until a
+    CORRECTNESS artifact of round >= 12 exists, protecting the r12
+    window's exact 50-slot budget (5 debuts + 1 promoted re-record +
+    the whole r07 cohort + the r08 head)."""
     from spotify_tracks_etl_portfolio_spark import plans
 
-    as_of_r10 = plans._recorded_status(max_round=10)
-    monkeypatch.setattr(plans, "_recorded_status", lambda: as_of_r10)
-    # exclude pending-r12 debuts: they are NOT registered as of the r10
-    # artifact state this test pins, but the freeze-time forced-open
-    # gate (SPARK_GRAFT_INCLUDE_PENDING=1 / a CORRECTNESS_r11 artifact)
-    # registers them at import — removing names preserves the relative
-    # order of the rest, so the window reconstruction stays exact
-    ordered = [
-        n for n in plans.all_queries() if n not in plans.PENDING_R12_NAMES
+    pending = set(plans.PENDING_R13_NAMES)
+    monkeypatch.delenv("SPARK_GRAFT_INCLUDE_PENDING", raising=False)
+    qs = set(plans.all_queries())
+    # registration is decided at IMPORT time (artifact on disk or the
+    # override env var), so the debuts are either ALL live or ALL held
+    assert pending <= qs or not (pending & qs)
+    monkeypatch.setenv("SPARK_GRAFT_INCLUDE_PENDING", "1")
+    assert plans._round_recorded(12)
+
+    @plans.register_pending_r13("___pending_probe13", oracle=None)
+    def _probe(spark, sf_dir):  # pragma: no cover - never executed
+        raise AssertionError
+
+    assert "___pending_probe13" in plans.QUERIES
+    del plans.QUERIES["___pending_probe13"]
+    plans.PENDING_R13_NAMES.remove("___pending_probe13")
+    monkeypatch.delenv("SPARK_GRAFT_INCLUDE_PENDING", raising=False)
+
+
+# The round-11 force queue as it stood when CORRECTNESS_r11 was
+# recorded (cleared from plans/__init__.py at round-12 start per the
+# per-round hygiene — this literal pins the historical handoff).
+_R11_FORCE_QUEUE = (
+    "simhash_documents",
+    # round-10 deferred changed-path consumers (_FORCE_RERECORD_AFTER_R10)
+    "exact_substring_dup_spans",
+    "exact_substring_dedup_documents",
+    "curate_training_corpus_v2",
+    "bpe_train_merges_documents",
+    "bpe_segment_documents",
+    "cowtable_merge_roundtrip",
+    "cowtable_snapshot_diff",
+    "cow_incremental_rollup",
+    "streaming_cow_upsert_sync",
+    "cowtable_zorder_pruned_scan",
+    "cowtable_bloom_point_lookup",
+)
+
+
+def test_r11_window_landed_as_pinned():
+    """The r11 handoff is now HISTORY: CORRECTNESS_r11.json must contain
+    exactly what the round-11 window pin predicted — the promoted force
+    queue (simhash + the 11 r10-deferred changed-path consumers, the
+    literal above) all green, every row green, and no registered
+    query's latest row older than r07 afterwards. This is the artifact
+    the round-12 queue-clearing hygiene is justified by."""
+    import json
+    import os
+
+    from spotify_tracks_etl_portfolio_spark import plans
+
+    root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    with open(os.path.join(root, "CORRECTNESS_r11.json")) as fh:
+        r11 = json.load(fh)
+    assert len(r11) == 50
+    for name in _R11_FORCE_QUEUE:
+        row = r11.get(name)
+        assert row is not None, f"{name} missing from CORRECTNESS_r11"
+        assert row["hash_match"] and row["rows_match"], name
+    assert all(v["hash_match"] and v["rows_match"] for v in r11.values())
+    # the queues those rows certify are cleared (round-12 hygiene)
+    assert plans._FORCE_RERECORD == ()
+    assert plans._FORCE_RERECORD_AFTER_R10 == ()
+    # staleness floor: no registered query's latest row older than r07
+    plans.all_queries()  # side-effect: populate QUERIES
+    rec = plans._recorded_status(max_round=11)
+    stale = [
+        (n, r) for n, (r, _s) in rec.items()
+        if n in plans.QUERIES and r < 7
     ]
-    window = ordered[:50]
-    deferred = set(plans._FORCE_RERECORD_AFTER_R10)
-    assert deferred <= set(window), sorted(deferred - set(window))
-    # the six pending-r11 debuts are registered (the r10 artifact is on
-    # disk) and never recorded as of r10 → they lead the window
-    debuts = [n for n in window if n not in as_of_r10]
-    assert len(debuts) >= 6, debuts
-    assert window[: len(debuts)] == debuts, window[:8]
-    # remaining slots go stalest-first: the WHOLE r06 cohort (30 rows)
-    # plus the head of r07 — never anything younger while an older
-    # cohort is incomplete
-    rest = [n for n in window if n not in deferred
-            and n not in plans._FORCE_RERECORD]
-    rounds = [as_of_r10[n][0] for n in rest if n in as_of_r10]
-    assert set(rounds) <= {6, 7}, set(rounds)
-    assert rounds.count(6) == sum(
-        1 for n, (r, _s) in as_of_r10.items()
-        if r == 6 and n in plans.QUERIES
-    ), "an r06 row was left out while r07 rows got slots"
+    assert stale == [], stale
 
 
 def test_r12_window_promotes_r11_deferred(monkeypatch):
-    """One round ahead: once the predicted r11 window records (all
-    green), the r11 changed-path consumer
-    (_FORCE_RERECORD_AFTER_R11: the bucketed k-gram serve) must
-    promote into the force group and land inside the r12 window, with
-    the remaining slots going stalest-first — the whole r07 cohort
-    before any r08 row. Registration-state agnostic: pending-r12
-    debuts (if the import saw the gate open) simply occupy head slots."""
+    """Pin the r12 window against the REAL recorded state as of the r11
+    artifact landing (``_recorded_status(max_round=11)`` — stable after
+    CORRECTNESS_r12+ land): the 5 pending-r12 debuts lead (group 2,
+    never recorded), the r11 changed-path consumer
+    (_FORCE_RERECORD_AFTER_R11: the bucketed k-gram serve) promotes
+    into the force group, and the remaining slots go stalest-first —
+    the WHOLE r07 cohort (29 rows) before any r08 row. Pending-r13
+    debuts are excluded: they are unregistered as of the r11 state this
+    test pins, but the freeze-time forced-open gate registers them."""
     from spotify_tracks_etl_portfolio_spark import plans
 
-    as_of_r10 = plans._recorded_status(max_round=10)
-    monkeypatch.setattr(plans, "_recorded_status", lambda: as_of_r10)
-    r11_window = [
-        n for n in plans.all_queries() if n not in plans.PENDING_R12_NAMES
-    ][:50]
-    fake = dict(as_of_r10)
-    for n in r11_window:
-        fake[n] = (11, "pass")
-    monkeypatch.setattr(plans, "_recorded_status", lambda: fake)
-    window = list(plans.all_queries())[:50]
+    as_of_r11 = plans._recorded_status(max_round=11)
+    monkeypatch.setattr(plans, "_recorded_status", lambda: as_of_r11)
+    ordered = [
+        n for n in plans.all_queries() if n not in plans.PENDING_R13_NAMES
+    ]
+    window = ordered[:50]
+    # the five pending-r12 debuts are registered (the r11 artifact is
+    # on disk) and never recorded as of r11 → they lead the window
+    debuts = [n for n in window if n not in as_of_r11]
+    assert set(debuts) == set(plans.PENDING_R12_NAMES), debuts
+    assert window[: len(debuts)] == debuts, window[:8]
+    # the promoted r11 deferred re-record is next (force group)
     assert set(plans._FORCE_RERECORD_AFTER_R11) <= set(window)
+    assert window[len(debuts)] == "exact_substring_new_vs_corpus"
+    # remaining slots go stalest-first: the WHOLE r07 cohort plus the
+    # head of r08 — never anything younger while an older cohort is
+    # incomplete
+    rest = [
+        n for n in window
+        if n not in plans._FORCE_RERECORD_AFTER_R11 and n in as_of_r11
+    ]
+    rounds = [as_of_r11[n][0] for n in rest]
+    assert set(rounds) <= {7, 8}, set(rounds)
+    assert rounds.count(7) == sum(
+        1 for n, (r, _s) in as_of_r11.items()
+        if r == 7 and n in plans.QUERIES
+    ), "an r07 row was left out while r08 rows got slots"
+
+
+def test_r13_window_promotes_r12_deferred(monkeypatch):
+    """One round ahead: once the predicted r12 window records (all
+    green), the round-12 changed-path consumers
+    (_FORCE_RERECORD_AFTER_R12) must promote into the force group and
+    land inside the r13 window, with the remaining slots going
+    stalest-first — the r08 remainder cohort before any r09 row.
+    Registration-state agnostic: pending-r13 debuts (if the import saw
+    the gate open) occupy head slots and are excluded here."""
+    from spotify_tracks_etl_portfolio_spark import plans
+
+    as_of_r11 = plans._recorded_status(max_round=11)
+    monkeypatch.setattr(plans, "_recorded_status", lambda: as_of_r11)
+    r12_window = [
+        n for n in plans.all_queries() if n not in plans.PENDING_R13_NAMES
+    ][:50]
+    fake = dict(as_of_r11)
+    for n in r12_window:
+        fake[n] = (12, "pass")
+    monkeypatch.setattr(plans, "_recorded_status", lambda: fake)
+    window = [
+        n for n in plans.all_queries() if n not in plans.PENDING_R13_NAMES
+    ][:50]
+    assert set(plans._FORCE_RERECORD_AFTER_R12) <= set(window), sorted(
+        set(plans._FORCE_RERECORD_AFTER_R12) - set(window)
+    )
+    # _FORCE_RERECORD_AFTER_R11 stays populated until the r13-start
+    # hygiene clears it (its r12 row is green by then), so its name
+    # still sorts into the force group in this simulation
     force_names = (
         set(plans._FORCE_RERECORD)
-        | set(plans._FORCE_RERECORD_AFTER_R10)
         | set(plans._FORCE_RERECORD_AFTER_R11)
+        | set(plans._FORCE_RERECORD_AFTER_R12)
     )
     rest = [n for n in window if n not in force_names and n in fake]
     rounds = [fake[n][0] for n in rest]
-    assert set(rounds) <= {7, 8}, set(rounds)
-    assert rounds.count(7) == sum(
-        1 for n, (r, _s) in fake.items() if r == 7 and n in plans.QUERIES
-    ), "an r07 row was left out while r08 rows got slots"
+    # r08 remainder (8 rows) + r09 head fill the rest of the window
+    assert set(rounds) <= {8, 9}, set(rounds)
+    assert rounds.count(8) == sum(
+        1 for n, (r, _s) in fake.items() if r == 8 and n in plans.QUERIES
+    ), "an r08 row was left out while r09 rows got slots"
