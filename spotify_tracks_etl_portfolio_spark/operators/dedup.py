@@ -750,43 +750,72 @@ def star_connected_components(
     return non_roots.union(roots), rounds
 
 
-def cross_corpus_near_dup_ids(
+def corpus_band_key() -> Column:
+    """The single bucketable LSH blocking key: ``band|sig`` — injective
+    (band is an int, sig never contains ``|``), so joining on ``bkey``
+    is exactly the (band, sig) equi-join, expressed on ONE column so a
+    persisted corpus band table can be BUCKETED on it and the serve
+    join reads the corpus side with no exchange."""
+    return F.concat_ws("|", F.col("band"), F.col("sig")).alias("bkey")
+
+
+def corpus_minhash_artifacts(
+    old_df: DataFrame, id_col: str, text_col: str, k: int = SHINGLE_K
+) -> tuple[DataFrame, DataFrame]:
+    """The two corpus-side MinHash serve artifacts, as DataFrames ready
+    to persist (the nightly build of the cross-corpus near-dedup serve
+    path): ``(bands, shingles)`` where ``bands`` is (id_old, bkey) —
+    one row per (doc, band) — and ``shingles`` is (id_old, hashes) —
+    the deduped shingle-hash array the exact-Jaccard verify reads.
+    Persist both BUCKETED (bands on bkey, shingles on id_old) and every
+    subsequent batch/micro-batch serve shuffles ONLY the batch side."""
+    ob = shingle_hash_arrays(old_df, id_col, text_col, k)
+    shingles = ob.select(
+        F.col(id_col).alias("id_old"), F.col("__hashes").alias("hashes")
+    )
+    bands = minhash_band_rows(
+        ob.select(id_col, *_signature_cols()), id_col
+    ).select(F.col(id_col).alias("id_old"), corpus_band_key())
+    return bands, shingles
+
+
+def cross_corpus_near_dup_ids_served(
     new_df: DataFrame,
-    old_df: DataFrame,
+    corpus_bands: DataFrame,
+    corpus_shingles: DataFrame,
     id_col: str,
     text_col: str,
     threshold: float,
     k: int = SHINGLE_K,
 ) -> DataFrame:
     """Ids of NEW-corpus docs that are near-dups (n-gram Jaccard ≥
-    threshold) of ANY old-corpus doc — the near-dup twin of the exact
-    fingerprint anti-join in incremental corpus dedup.
+    threshold) of ANY old-corpus doc, served from PRECOMPUTED corpus
+    artifacts (:func:`corpus_minhash_artifacts`): ``corpus_bands``
+    (id_old, bkey) and ``corpus_shingles`` (id_old, hashes).
 
-    Scale shape (the point at 100 TB, where old is the full corpus and
-    new is one day's crawl): both sides reduce to MinHash band rows
-    (pure projections), candidates come from a narrow (band, sig)
-    equi-join — never new×old — and the exact-Jaccard verify touches
-    candidates only, fetching each side's shingle array by id.
-    """
+    Scale shape (the point at 100 TB, where the corpus artifacts are
+    nightly bucketed tables and new is one day's crawl): the new side
+    reduces to band rows by pure projection, candidates come from a
+    narrow bkey equi-join against the bucketed band table — never
+    new×old, no corpus-side exchange — and the exact-Jaccard verify
+    touches candidates only, fetching the corpus shingle array from
+    the id_old-bucketed artifact (again no corpus-side exchange). The
+    per-serve shuffles all scale with the BATCH, not the corpus —
+    plan-gated by tests/test_plan_shapes.py::
+    test_near_dedup_corpus_side_never_shuffles."""
     nb = shingle_hash_arrays(new_df, id_col, text_col, k).repartition(
-        F.col(id_col)
-    )
-    ob = shingle_hash_arrays(old_df, id_col, text_col, k).repartition(
         F.col(id_col)
     )
     nbands = minhash_band_rows(
         nb.select(id_col, *_signature_cols()), id_col
-    ).select(F.col(id_col).alias("id_new"), "band", "sig")
-    obands = minhash_band_rows(
-        ob.select(id_col, *_signature_cols()), id_col
-    ).select(F.col(id_col).alias("id_old"), "band", "sig")
+    ).select(F.col(id_col).alias("id_new"), corpus_band_key())
     cands = (
-        nbands.join(obands, ["band", "sig"])
+        nbands.join(corpus_bands, "bkey")
         .select("id_new", "id_old")
         .distinct()
     )
     a = nb.select(F.col(id_col).alias("id_new"), F.col("__hashes").alias("__ha"))
-    b = ob.select(F.col(id_col).alias("id_old"), F.col("__hashes").alias("__hb"))
+    b = corpus_shingles.select("id_old", F.col("hashes").alias("__hb"))
     return (
         cands.join(a, "id_new")
         .join(b, "id_old")
@@ -802,6 +831,33 @@ def cross_corpus_near_dup_ids(
         .filter(F.col("jaccard") >= threshold)
         .select(F.col("id_new").alias(id_col))
         .distinct()
+    )
+
+
+def cross_corpus_near_dup_ids(
+    new_df: DataFrame,
+    old_df: DataFrame,
+    id_col: str,
+    text_col: str,
+    threshold: float,
+    k: int = SHINGLE_K,
+) -> DataFrame:
+    """Ids of NEW-corpus docs that are near-dups (n-gram Jaccard ≥
+    threshold) of ANY old-corpus doc — the near-dup twin of the exact
+    fingerprint anti-join in incremental corpus dedup. Self-contained
+    variant: derives the corpus band/shingle frames inline and
+    delegates to :func:`cross_corpus_near_dup_ids_served` (identical
+    math, identical rows); the registered queries serve the corpus
+    side from the persisted bucketed artifacts instead."""
+    bands, shingles = corpus_minhash_artifacts(old_df, id_col, text_col, k)
+    return cross_corpus_near_dup_ids_served(
+        new_df,
+        bands.repartition(F.col("id_old")),
+        shingles.repartition(F.col("id_old")),
+        id_col,
+        text_col,
+        threshold,
+        k,
     )
 
 

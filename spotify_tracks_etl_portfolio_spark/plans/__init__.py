@@ -282,7 +282,15 @@ _FORCE_RERECORD_AFTER_R11 = (
 #: cohort + the r08 head = 50), so they promote into the force queue
 #: the moment a CORRECTNESS artifact of round >= 12 exists. SWEEP_r12
 #: certifies them meanwhile.
-_FORCE_RERECORD_AFTER_R12: tuple[str, ...] = ()
+_FORCE_RERECORD_AFTER_R12: tuple[str, ...] = (
+    # bucketed corpus MinHash band+shingle serve (plans/extensions.py::
+    # _corpus_minhash_bands_bucketed): rows are bit-identical (oracle
+    # re-verified + plan-gated) but the serve layout both cross-corpus
+    # near-dedup consumers run changed from per-call re-banding to the
+    # persisted bucketed artifacts.
+    "near_dedup_new_vs_corpus",
+    "streaming_near_dedup_sync",
+)
 
 
 def _recorded_status(max_round: int | None = None) -> dict[str, tuple[int, str]]:

@@ -4378,8 +4378,6 @@ def _corpus_kgram_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
     doubles as the build-once marker. Plan-gated:
     tests/test_plan_shapes.py::
     test_incremental_substring_corpus_side_never_shuffles."""
-    import hashlib
-
     from spotify_tracks_etl_portfolio_spark.operators.dedup import (
         EXACT_SUBSTR_TOKENS,
         corpus_kgram_set,
@@ -4389,7 +4387,7 @@ def _corpus_kgram_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     key = f"{os.path.realpath(sf_dir)}|k={EXACT_SUBSTR_TOKENS}"
-    table = "corpus_kgrams_" + hashlib.sha1(key.encode()).hexdigest()[:12]
+    table = _bucketed_table_name(spark, "corpus_kgrams", key)
     if not spark.catalog.tableExists(table):
         docs = read_parquet_table(spark, sf_dir, "documents")
         root = _artifact_root(spark, "corpus_kgrams_bucketed", key)
@@ -4404,6 +4402,104 @@ def _corpus_kgram_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
             os.path.join(root, "kgrams"),
         )
     return spark.table(table)
+
+
+def _bucketed_table_name(spark: SparkSession, prefix: str, key: str) -> str:
+    """Deterministic per-(application, key) catalog-table name for a
+    bucketed serve artifact. The applicationId is part of the digest —
+    the table's data lives under the applicationId-scoped
+    ``_artifact_root``, so under a PERSISTENT metastore (hive support)
+    a name scoped only by key could pass ``tableExists`` while pointing
+    at a prior application's vanished temp directory (round-11 advice).
+    App-scoping the name makes ``tableExists`` a sound build-once
+    marker in every catalog implementation."""
+    import hashlib
+
+    app = spark.sparkContext.applicationId
+    digest = hashlib.sha1(f"{key}|{app}".encode()).hexdigest()[:12]
+    return f"{prefix}_{digest}"
+
+
+#: Bucket count for the persisted corpus MinHash band + shingle tables —
+#: sized like _XS_KGRAM_BUCKETS (match shuffle parallelism; 8 buckets
+#: measurably capped the bucketed k-gram join's parallelism, probed in
+#: .stress/bucketed_kgram_probe_r11.json). At 100 TB size so each
+#: bucket file is ~an executor-memory partition.
+_MH_BAND_BUCKETS = 32
+
+
+def _corpus_minhash_bands_bucketed(
+    spark: SparkSession, sf_dir: str
+) -> tuple[DataFrame, DataFrame]:
+    """The nightly corpus MinHash serve artifacts, persisted as two
+    BUCKETED catalog tables (``sources.catalog.create_bucketed_table``)
+    and shared by both cross-corpus near-dedup consumers (batch
+    ``near_dedup_new_vs_corpus``, streaming
+    ``streaming_near_dedup_sync``): the band table (id_old, bkey)
+    bucketed on ``bkey`` so the candidate equi-join reads the corpus
+    side with NO exchange, and the shingle table (id_old, hashes)
+    bucketed on ``id_old`` so the exact-Jaccard verify fetches corpus
+    shingle arrays with NO exchange either — the corpus-sized shuffles
+    are paid ONCE at build, never per serve; per-batch cost scales with
+    the batch (the claim operators/dedup.py's
+    ``cross_corpus_near_dup_ids_served`` docstring makes, wired here).
+    The shingle computation is paid once: the shingle table is built
+    first and the band table derives from the STORED hash arrays (the
+    signature min-hash is a pure projection over them). Built once per
+    (application, sf_dir, k): the app-scoped deterministic table name
+    doubles as the build-once marker. Plan-gated:
+    tests/test_plan_shapes.py::test_near_dedup_corpus_side_never_shuffles.
+    """
+    from spotify_tracks_etl_portfolio_spark.operators.dedup import (
+        SHINGLE_K,
+        _signature_cols,
+        corpus_band_key,
+        minhash_band_rows,
+        shingle_hash_arrays,
+    )
+    from spotify_tracks_etl_portfolio_spark.sources.catalog import (
+        create_bucketed_table,
+    )
+
+    key = f"{os.path.realpath(sf_dir)}|k={SHINGLE_K}|minhash"
+    bands_table = _bucketed_table_name(spark, "corpus_mh_bands", key)
+    sh_table = _bucketed_table_name(spark, "corpus_mh_shingles", key)
+    if not (
+        spark.catalog.tableExists(bands_table)
+        and spark.catalog.tableExists(sh_table)
+    ):
+        docs = read_parquet_table(spark, sf_dir, "documents")
+        old = docs.filter(F.col("doc_id") % 2 == 0)
+        root = _artifact_root(spark, "corpus_mh_bucketed", key)
+        shingles_df = shingle_hash_arrays(old, "doc_id", "text").select(
+            F.col("doc_id").alias("id_old"),
+            F.col("__hashes").alias("hashes"),
+        )
+        create_bucketed_table(
+            spark,
+            sh_table,
+            shingles_df,
+            "id_old",
+            _MH_BAND_BUCKETS,
+            os.path.join(root, "shingles"),
+        )
+        # derive bands from the STORED arrays — the text is shingled
+        # exactly once per build
+        stored = spark.table(sh_table).select(
+            F.col("id_old").alias("doc_id"), F.col("hashes").alias("__hashes")
+        )
+        bands_df = minhash_band_rows(
+            stored.select("doc_id", *_signature_cols()), "doc_id"
+        ).select(F.col("doc_id").alias("id_old"), corpus_band_key())
+        create_bucketed_table(
+            spark,
+            bands_table,
+            bands_df,
+            "bkey",
+            _MH_BAND_BUCKETS,
+            os.path.join(root, "bands"),
+        )
+    return spark.table(bands_table), spark.table(sh_table)
 
 
 @register(
@@ -4825,16 +4921,21 @@ WHERE d.doc_id % 2 = 1
     "(odd ids stand in for today's crawl) MinHash-band-join against the "
     "existing corpus (even ids), candidates verify by exact Jaccard, "
     "flagged ids anti-join away. Never materializes new×old — bands "
-    "narrow the join, verify touches candidates only; at 100 TB the "
-    "old-corpus band table is a precomputed, bucketed artifact",
+    "narrow the join, verify touches candidates only; the old-corpus "
+    "band AND shingle tables are precomputed BUCKETED catalog tables "
+    "(_corpus_minhash_bands_bucketed: bands on bkey, shingles on "
+    "id_old) so neither corpus-sized table shuffles at serve — only "
+    "the batch side does (plan-gated: "
+    "test_near_dedup_corpus_side_never_shuffles); deterministic "
+    "artifacts change COST, never the answer",
     tags=("extension", "dedup", "lsh"),
 )
 def near_dedup_new_vs_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = read_parquet_table(spark, sf_dir, "documents")
     new = docs.filter(F.col("doc_id") % 2 == 1)
-    old = docs.filter(F.col("doc_id") % 2 == 0)
-    flagged = _dd.cross_corpus_near_dup_ids(
-        new, old, "doc_id", "text", JACCARD_THRESHOLD
+    bands, shingles = _corpus_minhash_bands_bucketed(spark, sf_dir)
+    flagged = _dd.cross_corpus_near_dup_ids_served(
+        new, bands, shingles, "doc_id", "text", JACCARD_THRESHOLD
     )
     return new.join(flagged, "doc_id", "left_anti").select("doc_id")
 
@@ -4873,8 +4974,11 @@ def chunk_documents_sliding(spark: SparkSession, sf_dir: str) -> DataFrame:
     "incoming-doc stream (odd ids, staged as TWO files → two real "
     "micro-batches) is near-dedup-checked per batch against the static "
     "corpus (even ids) via foreachBatch + the cross-corpus MinHash "
-    "band/verify operator, survivors appended to a parquet sink — then "
-    "hash-checked against the SAME DuckDB oracle as the batch twin "
+    "band/verify operator SERVED from the persisted bucketed corpus "
+    "band + shingle tables (_corpus_minhash_bands_bucketed — shared "
+    "with the batch twin; no corpus-side shuffle per micro-batch), "
+    "survivors appended to a parquet sink — then hash-checked against "
+    "the SAME DuckDB oracle as the batch twin "
     "near_dedup_new_vs_corpus. Batch boundaries provably can't change "
     "the result (new docs compare only against the corpus, never each "
     "other), and the gate proves it",
@@ -4889,8 +4993,8 @@ def streaming_near_dedup_sync(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     docs = read_parquet_table(spark, sf_dir, "documents")
-    corpus = docs.filter(F.col("doc_id") % 2 == 0)
     new = docs.filter(F.col("doc_id") % 2 == 1)
+    bands, shingles = _corpus_minhash_bands_bucketed(spark, sf_dir)
 
     d = _session_scratch(spark, "nd_sync")
     out = f"{d}/out"
@@ -4899,7 +5003,7 @@ def streaming_near_dedup_sync(spark: SparkSession, sf_dir: str) -> DataFrame:
     stream = read_documents_stream(spark, f"{d}/src/*")
     q = (
         streaming_near_dedup_new_docs(
-            stream, corpus, out, f"{d}/ckpt", JACCARD_THRESHOLD
+            stream, bands, shingles, out, f"{d}/ckpt", JACCARD_THRESHOLD
         )
         .trigger(availableNow=True)
         .start()

@@ -348,7 +348,8 @@ def read_documents_stream(
 
 def streaming_near_dedup_new_docs(
     new_stream: DataFrame,
-    corpus: DataFrame,
+    corpus_bands: DataFrame,
+    corpus_shingles: DataFrame,
     out_path: str,
     checkpoint: str,
     threshold: float,
@@ -356,15 +357,19 @@ def streaming_near_dedup_new_docs(
     """Streaming curation: each micro-batch of incoming docs is
     near-dedup-checked against the STATIC corpus (MinHash bands →
     candidates → exact-Jaccard verify, operators/dedup.py
-    cross_corpus_near_dup_ids) and survivors append to ``out_path``.
+    cross_corpus_near_dup_ids_served) and survivors append to
+    ``out_path``.
 
     Batch boundaries cannot change the result: every new doc is compared
     against the corpus only — never against other new docs — so any
     split of the stream into micro-batches yields exactly the batch
     operator's output (the equivalence the sync query hash-checks).
-    At scale the corpus band table is a precomputed bucketed artifact;
-    here it is recomputed per batch, which only costs time, not
-    correctness.
+    The corpus side is the PRECOMPUTED pair of bucketed artifacts
+    (``corpus_bands`` (id_old, bkey) bucketed on bkey,
+    ``corpus_shingles`` (id_old, hashes) bucketed on id_old —
+    plans ``_corpus_minhash_bands_bucketed``), so a micro-batch serve
+    shuffles only the batch side; the corpus-sized shuffles were paid
+    once at artifact build, never per epoch.
 
     Sink semantics: foreachBatch is at-least-once — a micro-batch can be
     retried after a partial or even completed write. The sink is made
@@ -374,12 +379,12 @@ def streaming_near_dedup_new_docs(
     see ``epoch_id`` as an ordinary partition column. Returns the
     DataStreamWriter (caller sets the trigger)."""
     from spotify_tracks_etl_portfolio_spark.operators.dedup import (
-        cross_corpus_near_dup_ids,
+        cross_corpus_near_dup_ids_served,
     )
 
     def process(batch: DataFrame, epoch_id: int) -> None:
-        flagged = cross_corpus_near_dup_ids(
-            batch, corpus, "doc_id", "text", threshold
+        flagged = cross_corpus_near_dup_ids_served(
+            batch, corpus_bands, corpus_shingles, "doc_id", "text", threshold
         )
         (
             batch.join(flagged, "doc_id", "left_anti")

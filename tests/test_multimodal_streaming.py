@@ -660,6 +660,7 @@ def test_streaming_near_dedup_matches_batch_operator(spark, sf_dir, tmp_path):
     boundaries can't matter — new docs compare only against the static
     corpus, never each other)."""
     from spotify_tracks_etl_portfolio_spark.operators.dedup import (
+        corpus_minhash_artifacts,
         cross_corpus_near_dup_ids,
     )
     from spotify_tracks_etl_portfolio_spark.streaming.pipeline import (
@@ -670,6 +671,7 @@ def test_streaming_near_dedup_matches_batch_operator(spark, sf_dir, tmp_path):
     docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
     corpus = docs.filter(F.col("doc_id") % 2 == 0)
     new = docs.filter(F.col("doc_id") % 2 == 1)
+    bands, shingles = corpus_minhash_artifacts(corpus, "doc_id", "text")
 
     src = tmp_path / "nd_src"
     new.filter(F.col("doc_id") % 4 == 1).coalesce(1).write.parquet(
@@ -682,7 +684,7 @@ def test_streaming_near_dedup_matches_batch_operator(spark, sf_dir, tmp_path):
     stream = read_documents_stream(spark, str(src / "*"))
     q = (
         streaming_near_dedup_new_docs(
-            stream, corpus, out, str(tmp_path / "nd_ckpt"), 0.5
+            stream, bands, shingles, out, str(tmp_path / "nd_ckpt"), 0.5
         )
         .trigger(availableNow=True)
         .start()

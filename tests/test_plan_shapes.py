@@ -691,6 +691,35 @@ def test_incremental_substring_corpus_side_never_shuffles(spark, sf_dir):
     assert "Exchange hashpartitioning(kg" in join_sub
 
 
+def test_near_dedup_corpus_side_never_shuffles(spark, sf_dir):
+    """The cross-corpus MinHash near-dedup serve path must read BOTH
+    persisted corpus artifacts bucket-aligned: with broadcast off (at
+    100 TB neither side fits an executor), the candidate band join
+    shuffles ONLY the new-batch side into the bkey bucket layout (one
+    bkey exchange in the whole plan — a second would mean the corpus
+    band table re-shuffled), and the exact-Jaccard verify fetches
+    corpus shingle arrays from the id_old-bucketed table with only the
+    candidate side exchanging (one id_old-leading exchange). Both
+    corpus-sized shuffles are paid once at artifact build, never per
+    serve/micro-batch."""
+    import re
+
+    old = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        plan = plan_of(spark, "near_dedup_new_vs_corpus", sf_dir)
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
+    assert "SortMergeJoin" in plan
+    # both corpus artifact scans read bucketed, straight into their joins
+    assert plan.count("Bucketed: true") == 2, plan.count("Bucketed: true")
+    # the band join: exactly ONE bkey exchange — the new-batch side
+    assert len(re.findall(r"Exchange hashpartitioning\(bkey", plan)) == 1
+    # the verify fetch: exactly ONE exchange led by id_old — the
+    # candidate side; the corpus shingle side scans bucketed
+    assert len(re.findall(r"Exchange hashpartitioning\(id_old#\d+L?, \d+\)", plan)) == 1
+
+
 def test_event_value_deciles_never_single_partitions(spark, sf_dir):
     """The decile query computes EXACT ntile(10) without the
     single-partition global-sort window: ranks come from per-bucket
