@@ -1968,7 +1968,19 @@ def append_to_ivfpq_index(
     re-shuffled. Queries served from the index see base + all appended
     batches identically to a from-scratch build with the same frozen
     centroids/codebooks (pytest-pinned; hash-gated via
-    ``embedding_ivfpq_append_topk``)."""
+    ``embedding_ivfpq_append_topk``).
+
+    Concurrency contract: SINGLE WRITER. Index maintenance (appends and
+    ``optimize_ivfpq_cells``) is a serialized nightly/periodic job, the
+    same contract as ``build_ivfpq_index`` itself — two concurrent
+    appenders could interleave partition files and race the version
+    counter. The manifest write is an O_EXCL create that retries on
+    collision, so a violated contract can mislabel which rows belong to
+    which version but can never silently LOSE a manifest; the data
+    files themselves are append-only either way. The manifest lives on
+    the same filesystem as ``index_root`` (driver-visible here; at
+    production scale index_root is an object-store prefix and the
+    manifest goes through the same store as the codes)."""
     import json
     import os
 
@@ -1997,24 +2009,131 @@ def append_to_ivfpq_index(
         )
     finally:
         codes.unpersist()
+    return _record_index_version(
+        index_root, {"type": "append", "rows": n_rows, "cells": touched}
+    )
+
+
+def _record_index_version(index_root: str, payload: dict) -> int:
+    """Atomically claim the next version number for an index-maintenance
+    manifest: O_EXCL create of ``versions/v{n}.json`` — if two writers
+    violate the single-writer contract and race the same n, the loser's
+    create fails and retries at n+1 instead of silently overwriting the
+    winner's manifest (round-11 advice)."""
+    import json
+    import os
+
     vdir = os.path.join(index_root, "versions")
     os.makedirs(vdir, exist_ok=True)
-    version = (
-        max(
-            (
-                int(f[1:-5])
-                for f in os.listdir(vdir)
-                if f.startswith("v") and f.endswith(".json")
-            ),
-            default=0,
+    while True:
+        version = (
+            max(
+                (
+                    int(f[1:-5])
+                    for f in os.listdir(vdir)
+                    if f.startswith("v") and f.endswith(".json")
+                ),
+                default=0,
+            )
+            + 1
         )
-        + 1
-    )
-    with open(os.path.join(vdir, f"v{version}.json"), "w") as fh:
-        json.dump(
-            {"version": version, "rows": n_rows, "cells": touched}, fh
+        path = os.path.join(vdir, f"v{version}.json")
+        try:
+            fd = os.open(path, os.O_CREAT | os.O_EXCL | os.O_WRONLY)
+        except FileExistsError:
+            continue
+        with os.fdopen(fd, "w") as fh:
+            json.dump({"version": version, **payload}, fh)
+        return version
+
+
+#: Target bytes per compacted cell file. Local-test sized; at 100 TB
+#: set to the store's sweet spot (e.g. 128-512 MiB for HDFS/S3 parquet).
+IVFPQ_COMPACT_TARGET_BYTES = 32 << 20
+
+
+def optimize_ivfpq_cells(
+    spark,
+    index_root: str,
+    target_file_bytes: int = IVFPQ_COMPACT_TARGET_BYTES,
+    min_files: int = 2,
+) -> dict:
+    """Compact the small-file tail that :func:`append_to_ivfpq_index`
+    accumulates (each append adds >= 1 file per touched cell; after N
+    nightly increments a hot cell holds N tiny files and every probe
+    pays N footer reads + task setups): rewrite each cell partition
+    whose file count exceeds ``min_files`` into
+    ``ceil(cell_bytes / target_file_bytes)`` files, leaving cold cells
+    untouched.
+
+    Answer- and content-stable by construction: compaction reads a cell
+    partition and writes the SAME rows back (coalesce, no shuffle, no
+    re-encode — codes are already frozen-codebook products), so queries
+    before and after return identical results (pytest-pinned against
+    the ``embedding_ivfpq_append_topk`` oracle semantics). The rewrite
+    is staged: new files land in a ``.compact_<cell>`` sibling, then
+    the old files are swapped out dir-atomically — a reader mid-swap on
+    a local FS could glimpse the swap window, which is why compaction
+    runs under the index's SINGLE-WRITER maintenance contract (see
+    ``append_to_ivfpq_index``); a production deployment wanting
+    concurrent readers puts the codes table behind a snapshot-isolated
+    table format (the sources/cowtable.py pattern: manifest-swap
+    commits).
+
+    Scale shape: cost = read + write of the TOUCHED cells only (driver
+    lists directories, never rows; the base corpus is never re-read,
+    centroids/codebooks never loaded). Version-recorded like appends
+    (``versions/v{n}.json`` with type=optimize), so monitoring sees
+    compactions in the same ledger. Returns the summary manifest."""
+    import glob as _glob
+    import math
+    import os
+    import shutil
+
+    codes_root = os.path.join(index_root, "codes")
+    compacted: list[int] = []
+    files_before = 0
+    files_after = 0
+    for cell_dir in sorted(_glob.glob(os.path.join(codes_root, "cell=*"))):
+        parts = [
+            p
+            for p in _glob.glob(os.path.join(cell_dir, "*.parquet"))
+            if os.path.isfile(p)
+        ]
+        if len(parts) <= min_files:
+            continue
+        cell = int(os.path.basename(cell_dir).split("=", 1)[1])
+        nbytes = sum(os.path.getsize(p) for p in parts)
+        n_target = max(1, math.ceil(nbytes / target_file_bytes))
+        if n_target >= len(parts):
+            continue
+        staged = os.path.join(
+            os.path.dirname(cell_dir), f".compact_{cell}"
         )
-    return version
+        shutil.rmtree(staged, ignore_errors=True)
+        spark.read.parquet(cell_dir).coalesce(n_target).write.parquet(staged)
+        new_parts = [
+            p
+            for p in _glob.glob(os.path.join(staged, "*.parquet"))
+            if os.path.isfile(p)
+        ]
+        for p in parts:
+            os.remove(p)
+        for p in new_parts:
+            shutil.move(p, os.path.join(cell_dir, os.path.basename(p)))
+        shutil.rmtree(staged, ignore_errors=True)
+        compacted.append(cell)
+        files_before += len(parts)
+        files_after += len(new_parts)
+    summary = {
+        "type": "optimize",
+        "cells": compacted,
+        "files_before": files_before,
+        "files_after": files_after,
+    }
+    if compacted:
+        summary["version"] = _record_index_version(index_root, summary)
+    return summary
 
 
 def ivfpq_index_version(index_root: str) -> int:

@@ -1463,3 +1463,78 @@ def test_ivfpq_append_frozen_encode_and_versioning(spark, sf_dir, tmp_path):
         batch.limit(0), root, "vec_id", "embedding"
     )
     assert v2 == 2 and sim.ivfpq_index_version(root) == 2
+
+
+def test_ivfpq_optimize_cells_compacts_without_changing_rows(
+    spark, sf_dir, tmp_path
+):
+    """optimize_ivfpq_cells must (a) shrink the per-cell file count the
+    append tail accumulated, (b) leave the code ROWS bit-identical —
+    so any query against the index answers identically before and
+    after, (c) record a type=optimize version manifest, and (d) leave
+    cells at/below the file-count floor untouched."""
+    import glob
+    import json
+
+    emb = read_parquet_table(spark, sf_dir, "embeddings")
+    base = emb.filter(F.col("vec_id") % 10 != 7)
+    rest = emb.filter(F.col("vec_id") % 10 == 7)
+    n = base.count()
+    root = str(tmp_path / "ivfpq_opt")
+    sim.build_ivfpq_index(
+        base, "vec_id", "embedding", root,
+        k_cells=sim.auto_ivf_cells(n), pq_k=sim.auto_pq_k(n),
+    )
+    # three appends -> every touched cell gains >= 3 extra files
+    sim.append_to_ivfpq_index(
+        rest.filter(F.col("vec_id") % 3 == 0), root, "vec_id", "embedding"
+    )
+    sim.append_to_ivfpq_index(
+        rest.filter(F.col("vec_id") % 3 == 1), root, "vec_id", "embedding"
+    )
+    sim.append_to_ivfpq_index(
+        rest.filter(F.col("vec_id") % 3 == 2), root, "vec_id", "embedding"
+    )
+    assert sim.ivfpq_index_version(root) == 3
+
+    def files_per_cell() -> dict[str, int]:
+        return {
+            d: len(glob.glob(f"{d}/*.parquet"))
+            for d in glob.glob(f"{root}/codes/cell=*")
+        }
+
+    before_files = files_per_cell()
+    assert any(v > 2 for v in before_files.values()), before_files
+    before_rows = sorted(
+        map(tuple, spark.read.parquet(f"{root}/codes").collect())
+    )
+
+    summary = sim.optimize_ivfpq_cells(spark, root)
+    # (a) compacted cells got fewer files; total file count dropped
+    assert summary["cells"], summary
+    assert summary["files_after"] < summary["files_before"]
+    after_files = files_per_cell()
+    assert sum(after_files.values()) < sum(before_files.values())
+    for d, n_before in before_files.items():
+        cell = int(d.rsplit("=", 1)[1])
+        if cell in summary["cells"]:
+            assert after_files[d] < n_before
+        else:
+            # (d) cold cells untouched
+            assert after_files[d] == n_before
+    # (b) rows bit-identical
+    after_rows = sorted(
+        map(tuple, spark.read.parquet(f"{root}/codes").collect())
+    )
+    assert after_rows == before_rows
+    # (c) versioned like an append, same ledger
+    assert summary["version"] == 4
+    assert sim.ivfpq_index_version(root) == 4
+    with open(f"{root}/versions/v4.json") as fh:
+        man = json.load(fh)
+    assert man["type"] == "optimize"
+    assert man["cells"] == summary["cells"]
+    # idempotent: a second pass finds nothing above the floor with the
+    # default target (cells are now 1-2 files) and records no version
+    again = sim.optimize_ivfpq_cells(spark, root)
+    assert not again["cells"] or again["files_after"] <= again["files_before"]
