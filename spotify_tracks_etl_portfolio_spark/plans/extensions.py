@@ -18,6 +18,7 @@ from pyspark.sql import functions as F
 from spotify_tracks_etl_portfolio_spark.functions import rolling_hash, token_count
 from spotify_tracks_etl_portfolio_spark.plans import (
     register_pending_r12,
+    register_pending_r13,
     register,
     register_pending_r11,
 )
@@ -5641,6 +5642,203 @@ def weighted_sample_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("sample_key").desc(), "doc_id")
         .limit(50)
     )
+
+
+#: DSIR feature-hash bucket count. Gate-scale sized (the synthetic
+#: vocabulary is small); the DSIR paper uses 10k — at 100 TB raise it:
+#: cost is one B-row broadcast recipe either way.
+_DSIR_BUCKETS = 64
+#: Resampled selection size (Gumbel top-k).
+_DSIR_K = 100
+
+
+def dsir_importance_scores(
+    docs: DataFrame,
+    is_target,
+    buckets: int = _DSIR_BUCKETS,
+    k: int = _DSIR_K,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """DSIR-style importance resampling (Xie et al. 2023, "Data
+    Selection for Language Models via Importance Resampling"): select
+    the raw-corpus docs whose hashed-n-gram distribution looks most
+    like a TARGET corpus — the standard targeted-data-selection step a
+    100 TB pipeline runs between dedup and mixing.
+
+    1. Features: every unigram and adjacent bigram hashes into one of
+       ``buckets`` dimensions (the paper's hashed n-gram features; the
+       same polynomial rolling hash the rest of the text family uses).
+    2. Two bag-of-features unigram LMs from TWO corpus scans — the
+       target side (rows matching ``is_target``) and the raw side (all
+       rows) — each one tiny groupBy(dim) aggregate; add-1 smoothed.
+    3. The per-bucket log-likelihood ratio λ_b = ln p(b) − ln q(b) is a
+       ``buckets``-number BROADCAST RECIPE (collected bounded, rounded
+       to 6 dp on the driver), so per-doc importance weights are a
+       ZERO-SHUFFLE projection: log w(doc) = Σ_features λ_feature,
+       folded as an exact DECIMAL sum (order-independent — no float
+       accumulation anywhere).
+    4. Resampling without replacement = Gumbel top-k: score =
+       log w + G with G a hash-derived deterministic Gumbel
+       (−ln(−ln u), u from the document fingerprint ⊕ id — the
+       weighted_sample_documents machinery; no RNG, reruns and the
+       DuckDB oracle replay bit-identically), TakeOrderedAndProject
+       keeps the k winners.
+
+    Scale shape: two feature-count aggregates (shuffle = B-bounded
+    partials) + one pure-projection scoring pass + one top-k — the
+    raw corpus is read twice and shuffled never."""
+    b = buckets
+    toks = _tx.tokens(text_col)
+    uni = F.transform(toks, lambda t: rolling_hash(t) % b)
+    bigrams = F.when(
+        F.size(toks) >= 2,
+        F.transform(
+            F.sequence(F.lit(0), F.size(toks) - 2),
+            lambda i: F.concat_ws(
+                " ",
+                F.element_at(toks, (i + 1).cast("int")),
+                F.element_at(toks, (i + 2).cast("int")),
+            ),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    dims = F.concat(uni, F.transform(bigrams, lambda g: rolling_hash(g) % b))
+
+    feats = docs.select(
+        F.col(id_col), is_target.alias("__t"), F.explode(dims).alias("dim")
+    )
+    raw_counts = {
+        r["dim"]: r["n"]
+        for r in feats.groupBy("dim").agg(F.count(F.lit(1)).alias("n")).collect()
+    }
+    tgt_counts = {
+        r["dim"]: r["n"]
+        for r in feats.filter(F.col("__t"))
+        .groupBy("dim")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .collect()
+    }
+    import math
+    from decimal import Decimal
+
+    nr = sum(raw_counts.values())
+    nt = sum(tgt_counts.values())
+    lam = [
+        Decimal(
+            f"{round(math.log((tgt_counts.get(j, 0) + 1) / (nt + b)) - math.log((raw_counts.get(j, 0) + 1) / (nr + b)), 6):.6f}"
+        )
+        for j in range(b)
+    ]
+    lam_arr = F.array(*[F.lit(l).cast("decimal(18,6)") for l in lam])
+    logw_dec = F.aggregate(
+        dims,
+        F.lit(Decimal(0)).cast("decimal(38,6)"),
+        lambda acc, d: (
+            acc + F.element_at(lam_arr, (d + 1).cast("int"))
+        ).cast("decimal(38,6)"),
+    )
+    u = (
+        (rolling_hash(text_col) * 31 + F.col(id_col)) % F.lit(1000000007) + 1
+    ) / F.lit(1000000008.0)
+    gum = F.round(-F.log(-F.log(u)), 6).cast("decimal(18,6)")
+    return (
+        docs.select(
+            F.col(id_col),
+            logw_dec.alias("__lw"),
+            gum.alias("__g"),
+        )
+        .select(
+            id_col,
+            F.col("__lw").cast("double").alias("logw"),
+            (F.col("__lw") + F.col("__g")).cast("double").alias("score"),
+        )
+        .orderBy(F.col("score").desc(), F.col(id_col))
+        .limit(k)
+    )
+
+
+def _dsir_oracle(b: int = _DSIR_BUCKETS, k: int = _DSIR_K) -> str:
+    th_t = _TOKEN_HASH.format(t="t")
+    th_text = _TOKEN_HASH.format(t="text")
+    return f"""
+WITH tk AS (
+  SELECT doc_id, string_split_regex(trim(text), '\\s+') AS w
+  FROM documents WHERE trim(text) <> ''
+),
+feats AS (
+  SELECT doc_id, ({th_t}) % {b} AS dim FROM (
+    SELECT doc_id, unnest(w) AS t FROM tk
+    UNION ALL
+    SELECT doc_id,
+           unnest([w[i] || ' ' || w[i+1] for i in range(1, len(w))]) AS t
+    FROM tk WHERE len(w) >= 2
+  )
+),
+raw AS (SELECT dim, count(*) AS cr FROM feats GROUP BY dim),
+tgt AS (
+  SELECT f.dim, count(*) AS ct
+  FROM feats f JOIN documents d USING (doc_id)
+  WHERE d.lang = 'en' GROUP BY f.dim
+),
+tot AS (
+  SELECT (SELECT count(*) FROM feats) AS nr,
+         (SELECT count(*) FROM feats f JOIN documents d USING (doc_id)
+          WHERE d.lang = 'en') AS nt
+),
+lam AS (
+  SELECT dims.dim,
+         CAST(round(ln((coalesce(t.ct, 0) + 1.0) / (tot.nt + {b}))
+                  - ln((coalesce(r.cr, 0) + 1.0) / (tot.nr + {b})), 6)
+              AS DECIMAL(18,6)) AS lam
+  FROM (SELECT unnest(range({b})) AS dim) dims
+  LEFT JOIN raw r USING (dim)
+  LEFT JOIN tgt t USING (dim), tot
+),
+lw AS (
+  SELECT d.doc_id,
+         coalesce(sum(l.lam), CAST(0 AS DECIMAL(18,6))) AS lw_dec
+  FROM documents d
+  LEFT JOIN feats f USING (doc_id)
+  LEFT JOIN lam l ON f.dim = l.dim
+  GROUP BY d.doc_id
+),
+g AS (
+  SELECT doc_id,
+         CAST(round(-ln(-ln(((({th_text} * 31 + doc_id) % 1000000007) + 1)
+                            / CAST(1000000008 AS DOUBLE))), 6)
+              AS DECIMAL(18,6)) AS gum
+  FROM documents
+)
+SELECT lw.doc_id,
+       CAST(lw.lw_dec AS DOUBLE) AS logw,
+       CAST(lw.lw_dec + g.gum AS DOUBLE) AS score
+FROM lw JOIN g ON lw.doc_id = g.doc_id
+ORDER BY score DESC, lw.doc_id
+LIMIT {k}
+"""
+
+
+@register_pending_r13(
+    "dsir_resample_documents",
+    oracle=_dsir_oracle(),
+    description="DSIR-style importance resampling (Xie et al. 2023 — "
+    "the targeted-data-selection step between dedup and mixing): "
+    "hashed unigram+bigram features, add-1-smoothed target-vs-raw "
+    f"bag-of-features LMs (target = lang='en'; {_DSIR_BUCKETS} "
+    "buckets at gate scale, the paper's 10k is a knob), per-bucket "
+    "log-ratios collected as a bounded 6-dp broadcast recipe, per-doc "
+    "log-weights folded as ORDER-INDEPENDENT exact DECIMAL sums in a "
+    "zero-shuffle projection, and Gumbel top-"
+    f"{_DSIR_K} selection with hash-derived deterministic Gumbel "
+    "noise (no RNG — the draw replays bit-identically in DuckDB). "
+    "Two B-bounded feature aggregates + one projection + "
+    "TakeOrderedAndProject: the raw corpus is read twice, shuffled "
+    "never",
+    tags=("extension", "curation"),
+)
+def dsir_resample_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = read_parquet_table(spark, sf_dir, "documents")
+    return dsir_importance_scores(docs, F.col("lang") == "en")
 
 
 def _pq_topk_oracle(

@@ -1291,3 +1291,51 @@ def test_ccnet_perplexity_buckets_shape(spark, sf_dir):
             assert len(scores[b]) >= n // 6, (lang, b, len(scores[b]), n)
     again = ccnet_perplexity_buckets(spark, sf_dir).collect()
     assert sorted(map(tuple, again)) == sorted(map(tuple, rows))
+
+
+def test_dsir_planted_shift_oversamples_target_like_docs(spark):
+    """DSIR importance resampling must up-weight raw docs whose hashed
+    n-gram distribution matches the TARGET corpus: with a target of
+    vocab-A docs, every target-like raw doc's log-weight must exceed
+    every vocab-B doc's, the Gumbel top-k must oversample vocab-A
+    docs vs their share of the raw corpus, and the draw must replay
+    bit-identically (zero RNG)."""
+    from spotify_tracks_etl_portfolio_spark.plans.extensions import (
+        dsir_importance_scores,
+    )
+
+    vocab_a = "solar wind turbine battery storage inverter panel grid"
+    vocab_b = "violin cello trumpet oboe sonata concerto legato tempo"
+    rows = []
+    # 8 target docs (vocab A, marked)
+    for i in range(8):
+        rows.append((i, vocab_a + f" sample {i}", True))
+    # 12 target-LIKE raw docs (vocab A, unmarked) + 20 vocab-B docs
+    for i in range(8, 20):
+        rows.append((i, vocab_a + f" field report {i}", False))
+    for i in range(20, 40):
+        rows.append((i, vocab_b + f" program note {i}", False))
+    docs = spark.createDataFrame(rows, "doc_id long, text string, tgt boolean")
+
+    # k = all docs -> inspect every log-weight
+    allscores = dsir_importance_scores(
+        docs, F.col("tgt"), k=100
+    ).collect()
+    lw = {r["doc_id"]: r["logw"] for r in allscores}
+    a_ids = set(range(20))
+    b_ids = set(range(20, 40))
+    assert min(lw[i] for i in a_ids) > max(lw[i] for i in b_ids)
+
+    # k = 12: the selection must be dominated by vocab-A docs even
+    # though they are only half the corpus
+    picked = {
+        r["doc_id"]
+        for r in dsir_importance_scores(docs, F.col("tgt"), k=12).collect()
+    }
+    assert len(picked & a_ids) >= 10, picked
+
+    # deterministic replay
+    again = dsir_importance_scores(docs, F.col("tgt"), k=12).collect()
+    assert sorted(map(tuple, again)) == sorted(
+        map(tuple, dsir_importance_scores(docs, F.col("tgt"), k=12).collect())
+    )
