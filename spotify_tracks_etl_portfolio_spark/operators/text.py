@@ -114,12 +114,16 @@ def gopher_rules(
     Column expressions (sequence/filter/aggregate — JVM-side, codegen,
     no Python), so the gate costs one map pass at any corpus size.
 
-    Rules (flags TRUE = keeps):
+    Rules (flags TRUE = keeps; the paper REMOVES docs strictly beyond
+    each bound, so every flag keeps the boundary doc — <=, not <):
       1. word count in [50, 100000]
       2. mean word length in [3, 10] chars
-      3. symbol-to-word ratio ('#' or ellipsis) <= 0.1
-      4. < 90% of lines start with a bullet (-, *, •)
-      5. < 30% of lines end with an ellipsis
+      3. symbol-to-word ratio <= 0.1 for EACH of the hash symbol and
+         the ellipsis, tested per symbol (round-11 advice: a combined
+         sum could pass a doc that is 8% '#' + 8% '…' — the paper
+         bounds each)
+      4. <= 90% of lines start with a bullet (-, *, •)
+      5. <= 30% of lines end with an ellipsis
       6. >= 80% of words contain an alphabetic character
       7. >= ``stopword_min`` (published default 2) of the 8 required
          stop words present — the knob exists because a corpus whose
@@ -128,8 +132,8 @@ def gopher_rules(
          under 2; production keeps the published value
 
     Determinism: every threshold is evaluated as an INTEGER
-    cross-multiplication (``10*n_sym <= n_words``, never
-    ``n_sym/n_words <= 0.1``), so no engine's division rounding can
+    cross-multiplication (``10*n_hash <= n_words``, never
+    ``n_hash/n_words <= 0.1``), so no engine's division rounding can
     flip a boundary doc — the flags replay bit-exactly in DuckDB. The
     displayed ratio columns are round(·, 6) and for display only.
     """
@@ -140,10 +144,9 @@ def gopher_rules(
     csum = F.aggregate(
         toks, F.lit(0).cast("long"), lambda acc, t: acc + F.length(t)
     )
-    n_sym = (
-        F.regexp_count(c, F.lit(r"#"))
-        + F.regexp_count(c, F.lit(r"\.\.\."))
-        + F.regexp_count(c, F.lit("…"))
+    n_hash = F.regexp_count(c, F.lit(r"#")).cast("long")
+    n_ellsym = (
+        F.regexp_count(c, F.lit(r"\.\.\.")) + F.regexp_count(c, F.lit("…"))
     ).cast("long")
     lines = F.split(c, "\n")
     n_lines = F.size(lines).cast("long")
@@ -167,7 +170,8 @@ def gopher_rules(
     return {
         "n_words": w,
         "mean_word_len": F.round(csum.cast("double") / safe_w, 6),
-        "symbol_word_ratio": F.round(n_sym.cast("double") / safe_w, 6),
+        "hash_word_ratio": F.round(n_hash.cast("double") / safe_w, 6),
+        "ellipsis_word_ratio": F.round(n_ellsym.cast("double") / safe_w, 6),
         "bullet_line_frac": F.round(n_bullet.cast("double") / safe_l, 6),
         "ellipsis_line_frac": F.round(n_ell.cast("double") / safe_l, 6),
         "alpha_word_frac": F.round(n_alpha.cast("double") / safe_w, 6),
@@ -177,9 +181,11 @@ def gopher_rules(
         "flag_mean_word_len": (w > 0)
         & (F.lit(3) * w <= csum)
         & (csum <= F.lit(10) * w),
-        "flag_symbol_ratio": (w > 0) & (F.lit(10) * n_sym <= w),
-        "flag_bullet_lines": F.lit(10) * n_bullet < F.lit(9) * n_lines,
-        "flag_ellipsis_lines": F.lit(10) * n_ell < F.lit(3) * n_lines,
+        "flag_symbol_ratio": (w > 0)
+        & (F.lit(10) * n_hash <= w)
+        & (F.lit(10) * n_ellsym <= w),
+        "flag_bullet_lines": F.lit(10) * n_bullet <= F.lit(9) * n_lines,
+        "flag_ellipsis_lines": F.lit(10) * n_ell <= F.lit(3) * n_lines,
         "flag_alpha_words": (w > 0) & (F.lit(5) * n_alpha >= F.lit(4) * w),
         "flag_stop_words": n_stop >= stopword_min,
     }

@@ -290,6 +290,13 @@ _FORCE_RERECORD_AFTER_R12: tuple[str, ...] = (
     # persisted bucketed artifacts.
     "near_dedup_new_vs_corpus",
     "streaming_near_dedup_sync",
+    # Gopher rule fidelity (round-11 advice): boundary docs now KEEP at
+    # exactly 90%/30% line fractions (<= not <), the symbol rule tests
+    # '#' and ellipsis ratios per symbol, and the signal columns split
+    # (hash_word_ratio + ellipsis_word_ratio replace symbol_word_ratio)
+    # — engine and oracle changed together (parity re-verified), but
+    # the r11 row certifies the old schema/semantics.
+    "gopher_quality_gate_documents",
 )
 
 

@@ -1992,13 +1992,13 @@ def _gopher_sig_sql(src: str = "documents") -> str:
          CASE WHEN trim(text) = '' THEN CAST([] AS VARCHAR[])
               ELSE string_split_regex(trim(text), '\\s+') END AS w,
          string_split(text, chr(10)) AS l,
-         CAST(len(regexp_extract_all(text, '#')) +
-              len(regexp_extract_all(text, '\\.\\.\\.')) +
-              len(regexp_extract_all(text, '…')) AS BIGINT) AS n_sym
+         CAST(len(regexp_extract_all(text, '#')) AS BIGINT) AS n_hash,
+         CAST(len(regexp_extract_all(text, '\\.\\.\\.')) +
+              len(regexp_extract_all(text, '…')) AS BIGINT) AS n_ellsym
   FROM {src}
 ),
 sig AS (
-  SELECT doc_id, n_sym,
+  SELECT doc_id, n_hash, n_ellsym,
          CAST(len(w) AS BIGINT) AS n_words,
          CAST(coalesce(list_sum(list_transform(w,
               x -> CAST(length(x) AS BIGINT))), 0) AS BIGINT) AS csum,
@@ -2022,9 +2022,9 @@ def _gopher_pass_sql(stopword_min: int = 2) -> str:
     (``stopword_min`` mirrors ``gopher_rules``'s knob)."""
     return f"""(n_words BETWEEN 50 AND 100000)
          AND (n_words > 0 AND 3 * n_words <= csum AND csum <= 10 * n_words)
-         AND (10 * n_sym <= n_words)
-         AND (10 * n_bullet < 9 * n_lines)
-         AND (10 * n_ell < 3 * n_lines)
+         AND (10 * n_hash <= n_words AND 10 * n_ellsym <= n_words)
+         AND (10 * n_bullet <= 9 * n_lines)
+         AND (10 * n_ell <= 3 * n_lines)
          AND (5 * n_alpha >= 4 * n_words)
          AND (n_stop >= {stopword_min})"""
 
@@ -2037,7 +2037,8 @@ WITH {_gopher_sig_sql()}
 SELECT doc_id,
        n_words,
        round(csum * 1.0 / greatest(n_words, 1), 6) AS mean_word_len,
-       round(n_sym * 1.0 / greatest(n_words, 1), 6) AS symbol_word_ratio,
+       round(n_hash * 1.0 / greatest(n_words, 1), 6) AS hash_word_ratio,
+       round(n_ellsym * 1.0 / greatest(n_words, 1), 6) AS ellipsis_word_ratio,
        round(n_bullet * 1.0 / greatest(n_lines, 1), 6) AS bullet_line_frac,
        round(n_ell * 1.0 / greatest(n_lines, 1), 6) AS ellipsis_line_frac,
        round(n_alpha * 1.0 / greatest(n_words, 1), 6) AS alpha_word_frac,
@@ -2045,9 +2046,10 @@ SELECT doc_id,
        n_words BETWEEN 50 AND 100000 AS flag_word_count,
        n_words > 0 AND 3 * n_words <= csum AND csum <= 10 * n_words
          AS flag_mean_word_len,
-       n_words > 0 AND 10 * n_sym <= n_words AS flag_symbol_ratio,
-       10 * n_bullet < 9 * n_lines AS flag_bullet_lines,
-       10 * n_ell < 3 * n_lines AS flag_ellipsis_lines,
+       n_words > 0 AND 10 * n_hash <= n_words AND 10 * n_ellsym <= n_words
+         AS flag_symbol_ratio,
+       10 * n_bullet <= 9 * n_lines AS flag_bullet_lines,
+       10 * n_ell <= 3 * n_lines AS flag_ellipsis_lines,
        n_words > 0 AND 5 * n_alpha >= 4 * n_words AS flag_alpha_words,
        n_stop >= 2 AS flag_stop_words,
        {_GOPHER_PASS_SQL} AS gopher_pass

@@ -1118,14 +1118,20 @@ def test_gopher_rules_planted_docs(spark):
 
     # a 60-word passing doc: normal words, 2+ required stopwords
     clean = ("the quick brown fox jumps over lazy dogs and cats " * 6).strip()
+    # an ellipsis-line doc whose PER-SYMBOL ratio still passes: 14
+    # words/line, 1 ellipsis/line -> 10 ellipses over 140 words (7%)
+    ell_line = (
+        "the of alpha beta gamma delta epsilon zeta "
+        "eta theta iota kappa trails off..."
+    )
     # rule violations, one per doc
     docs = [
         (0, clean),
         (1, "too short to pass the word count rule"),  # rule 1
         (2, " ".join(["supercalifragilisticexpialidocious"] * 60)),  # rule 2
-        (3, " ".join(["the", "of"] + ["x#"] * 58)),  # rule 3: >10% '#'
+        (3, " ".join(["the", "of"] + ["xxx#"] * 58)),  # rule 3: >10% '#'
         (4, "\n".join(["- bullet line the of"] * 10)),  # rule 4
-        (5, "\n".join(["the line of trails off..."] * 10)),  # rule 5
+        (5, "\n".join([ell_line] * 10)),  # rule 5: 100% ellipsis lines
         (6, " ".join(["the", "of"] + ["12345"] * 58)),  # rule 6
         (7, " ".join(["zzz"] * 60)),  # rule 7: no required stopwords
     ]
@@ -1146,14 +1152,19 @@ def test_gopher_rules_planted_docs(spark):
     assert not out[5]["flag_ellipsis_lines"]
     assert not out[6]["flag_alpha_words"]
     assert not out[7]["flag_stop_words"]
-    # each planted doc violates ONLY its target rule (word count aside:
-    # the planted docs are all 58-60 words so rule 1 stays green)
+    # each planted doc violates ONLY its target rule (doc 2's
+    # single-nonsense-word vocabulary necessarily also lacks the
+    # required stop words — the one documented double violation)
+    extra_bad = {2: {"flag_stop_words"}}
     for doc_id, bad in [(2, "flag_mean_word_len"), (3, "flag_symbol_ratio"),
                         (4, "flag_bullet_lines"), (5, "flag_ellipsis_lines"),
                         (6, "flag_alpha_words"), (7, "flag_stop_words")]:
-        others = [k for k in flags if k != bad and k != "flag_word_count"
-                  and k != "flag_mean_word_len" and k != "flag_stop_words"]
         assert not out[doc_id][bad], (doc_id, bad, out[doc_id])
+        others = [
+            k for k in flags
+            if k != bad and k not in extra_bad.get(doc_id, set())
+        ]
+        assert all(out[doc_id][k] for k in others), (doc_id, out[doc_id])
 
 
 def test_trailing7d_sketch_merges_daily_cells(spark, sf_dir):
