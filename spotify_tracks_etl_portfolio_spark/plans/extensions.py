@@ -1,7732 +1,35 @@
-"""LLM-data-pipeline extension queries: dedup, text analysis, similarity
-search over ``documents`` / ``embeddings`` (BASELINE.json north star;
-SURVEY.md §7 M4).
+"""Extension query families — facade.
 
-Implementations live in ``operators/{dedup,text,similarity}.py``; this
-module registers the oracle-checked query surface.
+The implementation lives in the family modules (split at round 12 from
+the original single file; registry ordering is pinned by
+``plans._CANONICAL_ORDER`` so the split cannot move a window slot):
+
+- :mod:`._ext_shared`  — shared scratch/artifact plumbing + SQL fragments
+- :mod:`.ext_text`       — text analysis / LM / BPE / search
+- :mod:`.ext_dedup`      — exact/near/semantic dedup + ExactSubstr
+- :mod:`.ext_similarity` — ANN: IVF / PQ / IVFPQ (+ incremental)
+- :mod:`.ext_curation`   — gates, splits, mixing, sampling, packing
+- :mod:`.ext_infra`      — COW table, streaming gates, multimodal, graph
+
+Importing this module registers every family's queries (side effect of
+the family imports below) and re-exports their names so existing
+``from ...plans.extensions import X`` call sites keep working.
 """
 
 from __future__ import annotations
 
-import os
-import tempfile
-import uuid
-
-from pyspark.sql import DataFrame, SparkSession
-from pyspark.sql import functions as F
-
-from spotify_tracks_etl_portfolio_spark.functions import rolling_hash, token_count
-from spotify_tracks_etl_portfolio_spark.plans import (
-    register_pending_r12,
-    register_pending_r13,
-    register,
-    register_pending_r11,
-)
-from spotify_tracks_etl_portfolio_spark.sources.readers import read_parquet_table
-from spotify_tracks_etl_portfolio_spark.streaming.pipeline import (
-    pinned_stream_session,
-)
-
-
-def _session_scratch(spark: SparkSession, name: str) -> str:
-    """Session-scoped scratch dir for queries that must materialize an
-    intermediate sink (streaming gates, interchange round-trips). Keyed
-    by Spark application id under the OS temp root, so the written data
-    outlives the query call and the result can be returned as a LAZY
-    ``spark.read`` — no ``.collect()`` through the driver. On a cluster
-    this would be a warehouse/object-store path; the whole tree dies
-    with the OS temp dir."""
-    base = os.path.join(
-        tempfile.gettempdir(),
-        "spark_graft_scratch",
-        spark.sparkContext.applicationId,
-    )
-    path = os.path.join(base, f"{name}_{uuid.uuid4().hex[:8]}")
-    os.makedirs(path, exist_ok=True)
-    return path
-
-
-def _artifact_root(spark: SparkSession, name: str, key: str) -> str:
-    """DETERMINISTIC per-(session, artifact, key) path — unlike
-    ``_session_scratch`` there is no per-call uuid, so build-once/
-    query-many reuse actually fires: the same session asking for the
-    same artifact over the same input gets the same directory. ``key``
-    must pin everything the artifact derives from (for the persisted
-    indexes: the resolved sf_dir — driver testdata is immutable per
-    scale factor, and the applicationId prefix fences off any cross-
-    session staleness). The dir itself is NOT created here: callers
-    build into a temp sibling and atomically ``os.rename`` onto this
-    path, so a half-built artifact is never observable at the root."""
-    import hashlib
-
-    digest = hashlib.sha1(key.encode("utf-8")).hexdigest()[:12]
-    base = os.path.join(
-        tempfile.gettempdir(),
-        "spark_graft_scratch",
-        spark.sparkContext.applicationId,
-    )
-    os.makedirs(base, exist_ok=True)
-    return os.path.join(base, f"{name}_{digest}")
-
-
-def _build_artifact_once(root: str, marker: str, build) -> None:
-    """Run ``build(tmp_path)`` then atomically publish ``tmp_path`` at
-    ``root`` — unless ``root/marker`` already exists (reuse). A lost
-    rename race (concurrent builder won) discards our copy; the winner's
-    artifact is equivalent by construction (deterministic build). Any
-    OTHER rename failure (EXDEV, permissions) re-raises instead of
-    silently swallowing the artifact, and a failed ``build`` never
-    leaks its tmp tree."""
-    import shutil
-
-    if os.path.isdir(os.path.join(root, marker)):
-        return
-    tmp = f"{root}.build_{uuid.uuid4().hex[:8]}"
-    try:
-        build(tmp)
-    except BaseException:
-        shutil.rmtree(tmp, ignore_errors=True)
-        raise
-    try:
-        os.rename(tmp, root)
-    except OSError:
-        shutil.rmtree(tmp, ignore_errors=True)
-        # a lost race is the only benign cause: the winner's equivalent
-        # artifact must now be present — otherwise this was a genuine
-        # failure (cross-device rename, permissions) and hiding it would
-        # surface later as an unreadable index
-        if not os.path.isdir(os.path.join(root, marker)):
-            raise
-
-
-@register(
-    "dedup_exact_documents",
-    oracle="""
-SELECT min(doc_id) AS doc_id, CAST(count(*) AS BIGINT) AS n_copies
-FROM documents
-GROUP BY text
-""",
-    description="Exact dedup: hash-groupBy on content, keep lowest doc_id "
-    "(one shuffle on the content hash; at scale group by xxhash64(text) "
-    "instead of the full text)",
-    tags=("extension", "dedup"),
-)
-def dedup_exact_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = read_parquet_table(spark, sf_dir, "documents")
-    return docs.groupBy("text").agg(
-        F.min("doc_id").alias("doc_id"), F.count(F.lit(1)).alias("n_copies")
-    ).select("doc_id", "n_copies")
-
-
-@register(
-    "text_stats_documents",
-    oracle="""
-SELECT doc_id,
-       CAST(length(text) AS BIGINT) AS n_chars,
-       CAST(CASE WHEN trim(text) = '' THEN 0
-                 ELSE len(string_split_regex(trim(text), '\\s+')) END AS BIGINT) AS n_tokens,
-       CAST(len(list_filter(string_split_regex(trim(text), '\\s+'),
-                 t -> t IN ('the', 'a', 'of', 'and', 'to'))) AS BIGINT) AS n_stopwords
-FROM documents
-""",
-    description="Text quality stats: char count, whitespace token count, "
-    "stopword count — all JVM-side array ops, no UDF",
-    tags=("extension", "text"),
-)
-def text_stats_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = read_parquet_table(spark, sf_dir, "documents")
-    toks = F.split(F.trim("text"), r"\s+")
-    stop = F.filter(toks, lambda t: t.isin("the", "a", "of", "and", "to"))
-    return docs.select(
-        "doc_id",
-        F.length("text").cast("long").alias("n_chars"),
-        token_count("text").cast("long").alias("n_tokens"),
-        F.when(F.trim("text") == "", F.lit(0))
-        .otherwise(F.size(stop))
-        .cast("long")
-        .alias("n_stopwords"),
-    )
-
-
-@register(
-    "document_fingerprints",
-    oracle="""
-SELECT doc_id,
-       list_reduce(
-         list_prepend(CAST(0 AS BIGINT),
-                      list_transform(string_split(text, ''), c -> CAST(ascii(c) AS BIGINT))),
-         (a, b) -> (a * 31 + b) % 1000000007
-       ) AS fingerprint
-FROM documents
-""",
-    description="Document fingerprint: polynomial rolling hash over the "
-    "characters, overflow-free mod 1e9+7 (deterministic across engines)",
-    tags=("extension", "text"),
-)
-def document_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = read_parquet_table(spark, sf_dir, "documents")
-    return docs.select("doc_id", rolling_hash("text").alias("fingerprint"))
-
-
-# ===========================================================================
-# Dedup family (operators/dedup.py) — oracle SQL generated from the SAME
-# frozen constants as the Spark implementation.
-# ===========================================================================
-
-from spotify_tracks_etl_portfolio_spark.operators import dedup as _dd  # noqa: E402
-from spotify_tracks_etl_portfolio_spark.operators import text as _tx  # noqa: E402
-
-#: Shared DuckDB CTEs: whitespace tokens → per-token rolling char hash →
-#: k-shingle hash = polynomial combine of the k token hashes (mirrors
-#: operators/dedup.py shingle_hash_arrays — SAME constants, SAME fold).
-_B = _dd.SHINGLE_B
-_M = 1_000_000_007  # FINGERPRINT_MOD
-_SHINGLE_CTES = f"""
-toks AS (
-  SELECT doc_id,
-         CASE WHEN trim(text) = '' THEN CAST([] AS VARCHAR[])
-              ELSE string_split_regex(trim(text), '\\s+') END AS w
-  FROM documents
-),
-th AS (
-  SELECT doc_id,
-         list_transform(w, t -> list_reduce(
-           list_prepend(CAST(0 AS BIGINT),
-                        list_transform(string_split(t, ''),
-                                       c -> CAST(ascii(c) AS BIGINT))),
-           (a, b) -> (a * 31 + b) % {_M})) AS th
-  FROM toks
-),
-shh AS (
-  SELECT DISTINCT doc_id, h FROM (
-    SELECT doc_id,
-           unnest(CASE WHEN len(th) >= {_dd.SHINGLE_K}
-                  THEN list_distinct(
-                    [((th[i] * {_B} + th[i+1]) % {_M} * {_B} + th[i+2]) % {_M}
-                     for i in range(1, len(th) - 1)])
-                  ELSE [list_reduce(list_prepend(CAST(0 AS BIGINT), th),
-                                    (a, b) -> (a * {_B} + b) % {_M})]
-                  END) AS h
-    FROM th
-  )
-)
-"""
-
-_JACCARD_CTES = f"""
-{_SHINGLE_CTES},
-sizes AS (SELECT doc_id, count(*) AS n FROM shh GROUP BY doc_id),
-pairs AS (
-  SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS shared
-  FROM shh a JOIN shh b ON a.h = b.h AND a.doc_id < b.doc_id
-  GROUP BY 1, 2
-),
-jac AS (
-  SELECT id_a, id_b,
-         round(shared * 1.0 / (sa.n + sb.n - shared), 6) AS jaccard
-  FROM pairs
-  JOIN sizes sa ON id_a = sa.doc_id
-  JOIN sizes sb ON id_b = sb.doc_id
-)
-"""
-
-JACCARD_THRESHOLD = 0.5
-#: Document-frequency cap on shingles entering the Jaccard self-join —
-#: THE quadratic-fanout guard: a shingle shared by d docs contributes
-#: d² candidate rows, so boilerplate shingles (headers, licenses)
-#: dominate the join at scale. Shingles with df > cap are dropped from
-#: BOTH the pair join and the per-doc set sizes (Spark and oracle
-#: apply the same cap, so the query stays exactly checkable).
-MAX_SHINGLE_DF = 100
-
-#: Capped twin of _JACCARD_CTES: same shingle pipeline, but shingles
-#: with document frequency > MAX_SHINGLE_DF are removed before sizes
-#: and pairs — mirrors jaccard_pairs(max_shingle_df=...).
-_JACCARD_CAPPED_CTES = f"""
-{_SHINGLE_CTES},
-rare AS (SELECT h FROM shh GROUP BY h HAVING count(*) <= {MAX_SHINGLE_DF}),
-shc AS (SELECT s.doc_id, s.h FROM shh s JOIN rare r ON s.h = r.h),
-csizes AS (SELECT doc_id, count(*) AS n FROM shc GROUP BY doc_id),
-cpairs AS (
-  SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS shared
-  FROM shc a JOIN shc b ON a.h = b.h AND a.doc_id < b.doc_id
-  GROUP BY 1, 2
-),
-cjac AS (
-  SELECT id_a, id_b,
-         round(shared * 1.0 / (sa.n + sb.n - shared), 6) AS jaccard
-  FROM cpairs
-  JOIN csizes sa ON id_a = sa.doc_id
-  JOIN csizes sb ON id_b = sb.doc_id
-)
-"""
-
-
-@register(
-    "ngram_jaccard_pairs",
-    oracle=f"""
-WITH {_JACCARD_CAPPED_CTES}
-SELECT id_a, id_b, jaccard FROM cjac WHERE jaccard >= {JACCARD_THRESHOLD}
-""",
-    description="Near-dup dedup via n-gram (3-word shingle) Jaccard "
-    "similarity: explode→hash→self-join with the document-frequency "
-    f"fanout guard ENGAGED (max_shingle_df={MAX_SHINGLE_DF}; hot "
-    "shingles are dropped via a left-semi join before the quadratic "
-    "self-join — the oracle applies the identical cap)",
-    tags=("extension", "dedup"),
-)
-def ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = read_parquet_table(spark, sf_dir, "documents")
-    return _dd.jaccard_pairs(
-        docs, "doc_id", "text", JACCARD_THRESHOLD, max_shingle_df=MAX_SHINGLE_DF
-    )
-
-
-def _minhash_sig_sql() -> str:
-    cols = ", ".join(
-        f"min((h * {a} + {b}) % {_dd.MINHASH_P}) AS mh_{i}"
-        for i, (a, b) in enumerate(_dd.MINHASH_COEFFS)
-    )
-    return f"sigs AS (SELECT doc_id, {cols} FROM shh GROUP BY doc_id)"
-
-
-def _minhash_bands_sql() -> str:
-    selects = []
-    for bi in range(_dd.LSH_BANDS):
-        sig = " || '_' || ".join(
-            f"CAST(mh_{bi * _dd.LSH_ROWS + r} AS VARCHAR)"
-            for r in range(_dd.LSH_ROWS)
-        )
-        selects.append(f"SELECT doc_id, {bi} AS band, {sig} AS sig FROM sigs")
-    return "bands AS (" + " UNION ALL ".join(selects) + ")"
-
-
-@register(
-    "minhash_lsh_near_dups",
-    oracle=f"""
-WITH {_JACCARD_CTES},
-{_minhash_sig_sql()},
-{_minhash_bands_sql()},
-cands AS (
-  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
-  FROM bands a JOIN bands b
-    ON a.band = b.band AND a.sig = b.sig AND a.doc_id < b.doc_id
-)
-SELECT c.id_a, c.id_b, j.jaccard
-FROM cands c JOIN jac j ON c.id_a = j.id_a AND c.id_b = j.id_b
-WHERE j.jaccard >= {JACCARD_THRESHOLD}
-""",
-    description=f"MinHash({_dd.NUM_MINHASHES})+LSH({_dd.LSH_BANDS}×{_dd.LSH_ROWS}) "
-    "near-dup pipeline: signature agg → band-collision candidates → exact "
-    "Jaccard verify of candidates only (the 100 TB path — no all-pairs join)",
-    tags=("extension", "dedup", "lsh"),
-)
-def minhash_lsh_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = read_parquet_table(spark, sf_dir, "documents")
-    return _dd.minhash_near_dup_pairs(docs, "doc_id", "text", JACCARD_THRESHOLD)
-
-
-def _simhash_sql(bits: int = _dd.SIMHASH_BITS) -> str:
-    """Width-parametric SimHash replay. Bits 0..29 read the frozen
-    (31, 1e9+7) rolling-hash stream; a width past 30 adds the second
-    independent (37, 998244353) stream exactly as the engine does
-    (``operators/dedup.py::simhash``, bits ≥ SIMHASH_BITS read ``h2``
-    at offset j−30). ``bits`` is a static registration-time constant,
-    so the per-bit expressions unroll into plain SQL the driver can
-    replay — this is what makes the WIDE twin oracle-recordable while
-    the n-dependent auto width is not."""
-
-    def src(j: int) -> tuple[str, int]:
-        if j < _dd.SIMHASH_BITS:
-            return "h", j
-        return "h2", j - _dd.SIMHASH_BITS
-
-    votes = ", ".join(
-        "sum(CASE WHEN ({0} >> {1}) & 1 = 1 THEN 1 ELSE -1 END) AS v_{2}".format(
-            *src(j), j
-        )
-        for j in range(bits)
-    )
-    packed = " + ".join(
-        f"(CASE WHEN v_{j} > 0 THEN CAST({1 << j} AS BIGINT) ELSE CAST(0 AS BIGINT) END)"
-        for j in range(bits)
-    )
-    h2 = (
-        f""",
-         list_reduce(
-           list_prepend(CAST(0 AS BIGINT),
-                        list_transform(string_split(t, ''),
-                                       c -> CAST(ascii(c) AS BIGINT))),
-           (a, b) -> (a * 37 + b) % {_dd.SIMHASH_MOD2}) AS h2"""
-        if bits > _dd.SIMHASH_BITS
-        else ""
-    )
-    return f"""
-tokh AS (
-  SELECT doc_id,
-         list_reduce(
-           list_prepend(CAST(0 AS BIGINT),
-                        list_transform(string_split(t, ''),
-                                       c -> CAST(ascii(c) AS BIGINT))),
-           (a, b) -> (a * 31 + b) % 1000000007) AS h{h2}
-  FROM (SELECT doc_id, unnest(w) AS t FROM toks)
-),
-votes AS (SELECT doc_id, {votes} FROM tokh GROUP BY doc_id),
-simh AS (SELECT doc_id, {packed} AS simhash FROM votes)
-"""
-
-
-@register(
-    "simhash_documents",
-    oracle=f"""
-WITH {_SHINGLE_CTES},
-{_simhash_sql()}
-SELECT doc_id, simhash FROM simh
-""",
-    description=f"{_dd.SIMHASH_BITS}-bit SimHash per document: per-token "
-    "polynomial hash → per-bit ±1 votes → packed sign vector (one "
-    "fixed-width agg; near-dup = Hamming ≤ k via bit_count(xor))",
-    tags=("extension", "dedup"),
-)
-def simhash_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = read_parquet_table(spark, sf_dir, "documents")
-    # frozen 30-bit oracle geometry (bare callers get the auto width)
-    return _dd.simhash(docs, "doc_id", "text", bits=_dd.SIMHASH_BITS)
-
-
-@register(
-    "simhash_near_dups",
-    oracle=f"""
-WITH {_SHINGLE_CTES},
-{_simhash_sql()}
-SELECT a.doc_id AS id_a, b.doc_id AS id_b,
-       CAST(bit_count(xor(a.simhash, b.simhash)) AS BIGINT) AS hamming
-FROM simh a JOIN simh b ON a.doc_id < b.doc_id
-WHERE bit_count(xor(a.simhash, b.simhash)) <= 3
-""",
-    description="SimHash near-dup pairs at Hamming ≤ 3 via pigeonhole "
-    "chunk blocking: the 30-bit simhash splits into 4 bit-chunks, any "
-    "pair within Hamming ≤ 3 matches at least one chunk exactly, so "
-    "candidates come from narrow (chunk, value) equi-joins — identical "
-    "result set to the all-pairs filter (recall 1.0 by pigeonhole), "
-    "never touching the |docs|² pair space. This is the FROZEN TOY "
-    "geometry (kept for recording continuity; its 2^8 chunk buckets "
-    "saturate past ~10^5 docs) — the registered SCALE plan is the "
-    "simhash_near_dups_wide twin, and bare operator callers get the "
-    "n-derived auto width",
-    tags=("extension", "dedup", "lsh"),
-)
-def simhash_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = read_parquet_table(spark, sf_dir, "documents")
-    # frozen 30-bit oracle geometry (bare callers get the auto width)
-    out = _dd.simhash_near_dup_pairs(
-        docs, "doc_id", "text", max_hamming=3, bits=_dd.SIMHASH_BITS
-    )
-    return out.withColumn("hamming", F.col("hamming").cast("long"))
-
-
-@register(
-    "simhash_near_dups_wide",
-    oracle=f"""
-WITH {_SHINGLE_CTES},
-{_simhash_sql(bits=_dd.SIMHASH_MAX_BITS)}
-SELECT a.doc_id AS id_a, b.doc_id AS id_b,
-       CAST(bit_count(xor(a.simhash, b.simhash)) AS BIGINT) AS hamming
-FROM simh a JOIN simh b ON a.doc_id < b.doc_id
-WHERE bit_count(xor(a.simhash, b.simhash)) <= 3
-""",
-    description=f"SimHash near-dup pairs at the SCALE geometry: "
-    f"{_dd.SIMHASH_MAX_BITS}-bit fingerprints (two independent rolling-"
-    "hash streams) pigeonhole-blocked into 4 ~15-bit chunks — per-chunk "
-    "bucket space ~2^15 vs the toy twin's 2^8, which is what keeps "
-    "candidate growth near-linear past 10^5 docs (the toy geometry "
-    "measured 18.4x wall / ~100x candidates at 10x data, BENCH_NOTES "
-    "r5/r7). Same recall-1.0 pigeonhole guarantee; bits=59 is a static "
-    "constant so the oracle unrolls and replays exactly",
-    tags=("extension", "dedup", "lsh", "scale-twin"),
-)
-def simhash_near_dups_wide(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = read_parquet_table(spark, sf_dir, "documents")
-    # frozen WIDE geometry: the registered scale plan (bare callers
-    # get the n-derived auto width, which lands on these 59 bits from
-    # ~10^5 docs up)
-    out = _dd.simhash_near_dup_pairs(
-        docs, "doc_id", "text", max_hamming=3, bits=_dd.SIMHASH_MAX_BITS
-    )
-    return out.withColumn("hamming", F.col("hamming").cast("long"))
-
-
-# ===========================================================================
-# Similarity search (operators/similarity.py)
-# ===========================================================================
-
-from spotify_tracks_etl_portfolio_spark.operators import similarity as _sim  # noqa: E402
-
-EMB_NEAR_DUP_THRESHOLD = 0.4
-TOPK_K = 5
-TOPK_N_QUERIES = 10
-
-
-def _sql_cos(ae: str, be: str) -> str:
-    """6-dp-rounded cosine in DuckDB, clamped denominators — mirrors
-    ``functions.cosine_similarity`` + the probe's 1e-12 norm clamp."""
-    return (
-        f"round(list_dot_product({ae}, {be}) / "
-        f"(greatest(sqrt(list_dot_product({ae}, {ae})), 1e-12) * "
-        f"greatest(sqrt(list_dot_product({be}, {be})), 1e-12)), 6)"
-    )
-
-
-def _kmeans_cent_ctes(
-    k: int | str,
-    iters: int,
-    src: str = "v",
-    prefix: str = "",
-    asg_src: str | None = None,
-) -> tuple[list[str], str]:
-    """SQL replay of the engine's deterministic Lloyd's k-means
-    (``operators/similarity.py::kmeans_centroids``) — possible because
-    it has NO RNG anywhere (smallest-id seed rows, 6-dp-rounded cosine
-    assignment with smallest-cell ties, per-dimension mean update,
-    empty cells keep their centroid). The iteration count is a
-    compile-time constant, so the loop unrolls into a CTE chain
-    cent0 → (asg_t, means_t, cent_t)×iters. Returns (ctes,
-    final_cent_name); callers append their own consumers. Assumes a
-    CTE ``{src}(vec_id, e)`` with DOUBLE[] embeddings; ``prefix``
-    namespaces the chain so several replays (e.g. one per PQ subspace)
-    coexist in one statement.
-
-    ``k`` may be an int literal OR an SQL scalar expression string
-    (e.g. a subquery replaying ``auto_semdedup_k(COUNT(*))``): every
-    CTE after cent0 is k-agnostic — it operates per cell — so a
-    data-derived k only changes the seed filter (round-7 verdict
-    item 1: the recorded auto-geometry plan replays exactly because
-    the auto formula is a deterministic closed form).
-
-    ``asg_src``: optional distinct source for the FINAL assignment CTE
-    only — the incremental-index replay (train on the frozen base,
-    assign the base+appended union against the frozen centroids);
-    training iterations always run over ``src``."""
-
-    def argmax_cell(cent: str, out: str, over: str = src) -> str:
-        return f"""{out} AS MATERIALIZED (
-  SELECT vec_id, e, cell FROM (
-    SELECT v.vec_id, v.e, ct.cell,
-           row_number() OVER (PARTITION BY v.vec_id
-                              ORDER BY {_sql_cos('v.e', 'ct.c')} DESC,
-                                       ct.cell ASC) AS rn
-    FROM {over} v, {cent} ct) WHERE rn = 1
-)"""
-
-    if isinstance(k, int):
-        seed = f"""{prefix}cent0 AS MATERIALIZED (
-  SELECT row_number() OVER (ORDER BY vec_id) - 1 AS cell, e AS c
-  FROM {src} ORDER BY vec_id LIMIT {k}
-)"""
-    else:
-        seed = f"""{prefix}cent0 AS MATERIALIZED (
-  SELECT cell, c FROM (
-    SELECT row_number() OVER (ORDER BY vec_id) - 1 AS cell, e AS c
-    FROM {src}) WHERE cell < ({k})
-)"""
-    ctes = [seed]
-    prev = f"{prefix}cent0"
-    for t in range(1, iters + 1):
-        ctes.append(argmax_cell(prev, f"{prefix}asg{t}"))
-        # mean update sums 9-dp FIXED-POINT BIGINTs — mirrors the
-        # engine's partition-order-independent Lloyd mean
-        # (operators/similarity.py::_fixed_point_mean; round-7 advice
-        # item). Op order matches the engine verbatim:
-        # sum(long) → double, / scale, / count — all IEEE-exact
-        # replayable steps.
-        ctes.append(f"""{prefix}means{t} AS MATERIALIZED (
-  SELECT cell, d,
-         CAST(SUM(CAST(round(e[d] * 1000000000) AS BIGINT)) AS DOUBLE)
-           / 1000000000.0 / count(*) AS m
-  FROM {prefix}asg{t}, unnest(range(1, len(e) + 1)) AS t(d)
-  GROUP BY cell, d
-)""")
-        ctes.append(f"""{prefix}cent{t} AS MATERIALIZED (
-  SELECT p.cell, coalesce(m.c, p.c) AS c
-  FROM {prev} p LEFT JOIN (
-    SELECT cell, list(m ORDER BY d) AS c FROM {prefix}means{t} GROUP BY cell
-  ) m USING (cell)
-)""")
-        prev = f"{prefix}cent{t}"
-    ctes.append(argmax_cell(prev, f"{prefix}final_asg", asg_src or src))
-    return ctes, prev
-
-
-#: Frozen geometry of the SPLIT-PATH semantic-dedup query: k=4 level-1
-#: cells over the gate corpus leave every cell far past max_cell=32,
-#: so the per-cell refinement level (the round-8 scale guard for
-#: corpora beyond the SEMDEDUP_MAX_K clamp) is ACTIVE at sf0.01 and
-#: therefore hash-gated, not just pytest-gated.
-SPLIT_K1, SPLIT_ITERS, SPLIT_MAX_CELL, SPLIT_TARGET = 4, 2, 32, 16
-
-
-def _semantic_split_oracle(
-    k: int | str = SPLIT_K1,
-    iters: int = SPLIT_ITERS,
-    threshold: float = 0.9,
-    max_cell: int = SPLIT_MAX_CELL,
-    target: int = SPLIT_TARGET,
-) -> str:
-    """Replay of ``semantic_dedup`` INCLUDING its oversized-cell
-    refinement: the level-1 unrolled k-means (``_kmeans_cent_ctes``,
-    ``k="auto"`` replays ``auto_semdedup_k(n)`` as a scalar CTE), then
-    — for cells past ``max_cell`` — a PER-CELL second Lloyd level
-    whose CTEs are cell-parallel (seeds = the ⌈n_cell/target⌉
-    smallest-id members via a per-cell row_number; assignment/means
-    partition by cell), then the lower-id near-dup drop scoped to
-    (cell, subcell). With NO oversized cell the split CTEs are empty
-    and this reduces exactly to the unsplit semantics — which is why
-    the MAIN recorded query also uses this oracle (round-8 review
-    finding: the engine's default guard is armed, so an oracle without
-    the split replay would diverge the moment a skewed cell crossed
-    max_cell). Replayable because the per-cell sub-clustering is the
-    SAME zero-RNG contract as the global one: 6-dp HALF_UP cosine
-    assignment with smallest-subcell ties (numpy argmax picks the
-    first max; SQL row_number orders sub ASC), 9-dp fixed-point
-    integer mean sums (exact int64 on both engines), empty subcells
-    keep their centroid. The engine side computes this in
-    ``applyInPandas`` (``_subcluster_fn``) — cross-engine equality
-    verified at sf0.001/0.01/0.1 before registration."""
-    ctes = ["v AS (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings)"]
-    if k == "auto":
-        from spotify_tracks_etl_portfolio_spark.operators.similarity import (
-            SEMDEDUP_MAX_K,
-            SEMDEDUP_TARGET_CELL,
-        )
-
-        ctes.append(
-            f"""kk AS MATERIALIZED (
-  SELECT GREATEST(8, LEAST({SEMDEDUP_MAX_K},
-    CAST(ceil(count(*) / {SEMDEDUP_TARGET_CELL}.0) AS BIGINT))) AS k
-  FROM v
-)"""
-        )
-        k = "SELECT k FROM kk"
-    l1, _ = _kmeans_cent_ctes(k, iters)
-    ctes.extend(l1)
-    ctes.append("""cs AS MATERIALIZED (
-  SELECT cell, count(*) AS n FROM final_asg GROUP BY cell
-)""")
-    ctes.append(f"""mem AS MATERIALIZED (
-  SELECT f.vec_id, f.e, f.cell, cs.n
-  FROM final_asg f JOIN cs USING (cell) WHERE cs.n > {max_cell}
-)""")
-    ctes.append(f"""sub0 AS MATERIALIZED (
-  SELECT cell, rn - 1 AS sub, e AS c FROM (
-    SELECT cell, e, n,
-           row_number() OVER (PARTITION BY cell ORDER BY vec_id) AS rn
-    FROM mem)
-  WHERE rn <= CAST(ceil(n / {target}.0) AS BIGINT)
-)""")
-
-    def sassign(cent: str, out: str) -> str:
-        return f"""{out} AS MATERIALIZED (
-  SELECT vec_id, cell, e, sub FROM (
-    SELECT m.vec_id, m.cell, m.e, s.sub,
-           row_number() OVER (PARTITION BY m.vec_id
-                              ORDER BY {_sql_cos('m.e', 's.c')} DESC,
-                                       s.sub ASC) AS rn
-    FROM mem m JOIN {cent} s USING (cell)) WHERE rn = 1
-)"""
-
-    prev = "sub0"
-    for t in range(1, iters + 1):
-        ctes.append(sassign(prev, f"sasg{t}"))
-        ctes.append(f"""smeans{t} AS MATERIALIZED (
-  SELECT cell, sub, d,
-         CAST(SUM(CAST(round(e[d] * 1000000000) AS BIGINT)) AS DOUBLE)
-           / 1000000000.0 / count(*) AS m
-  FROM sasg{t}, unnest(range(1, len(e) + 1)) AS t(d)
-  GROUP BY cell, sub, d
-)""")
-        ctes.append(f"""scent{t} AS MATERIALIZED (
-  SELECT p.cell, p.sub, coalesce(mm.c, p.c) AS c
-  FROM {prev} p LEFT JOIN (
-    SELECT cell, sub, list(m ORDER BY d) AS c FROM smeans{t}
-    GROUP BY cell, sub
-  ) mm USING (cell, sub)
-)""")
-        prev = f"scent{t}"
-    ctes.append(sassign(prev, "sfinal"))
-    ctes.append("""keyed AS MATERIALIZED (
-  SELECT f.vec_id, f.e, f.cell, COALESCE(sf.sub, 0) AS subcell
-  FROM final_asg f LEFT JOIN sfinal sf USING (vec_id)
-)""")
-    ctes.append(f"""dropped AS (
-  SELECT DISTINCT a.vec_id
-  FROM keyed a JOIN keyed b
-    ON a.cell = b.cell AND a.subcell = b.subcell AND b.vec_id < a.vec_id
-  WHERE {_sql_cos('a.e', 'b.e')} >= {threshold}
-)""")
-    return (
-        "WITH "
-        + ",\n".join(ctes)
-        + """
-SELECT f.vec_id, CAST(f.cell AS BIGINT) AS cell,
-       (d.vec_id IS NULL) AS is_kept
-FROM keyed f LEFT JOIN dropped d USING (vec_id)
-"""
-    )
-
-
-
-def _ivf_topk_oracle(
-    k_cells: int | str = 8,
-    iters: int = 3,
-    nprobe: int | str = 2,
-    topk: int = 5,
-    n_queries: int = 10,
-    corpus_filter: str | None = None,
-) -> str:
-    """IVF replay: the SAME unrolled k-means, then corpus→cell
-    assignment (final_asg), query→top-nprobe cell probing, exact
-    scoring within the probed cells, per-query top-k — deterministic
-    end-to-end, so the 'approximate' ANN path is exactly checkable
-    (approximate refers to recall vs brute force, not to
-    nondeterminism).
-
-    ``k_cells="auto"``/``nprobe="auto"`` replay the engine's derived
-    geometry (``auto_ivf_cells``/``auto_ivf_nprobe``: k = ⌈√n⌉ and
-    nprobe = ⌈√k⌉, each clamped) as scalar CTEs — the round-8 verdict
-    item, same recipe as the SemDeDup auto-k: the closed forms are
-    deterministic (ceil(sqrt()) is IEEE-exact on both engines), so the
-    RECORDED query exercises the k ∝ √n scale geometry instead of the
-    toy 8-cell one whose nprobe/k fraction is a linear scan."""
-    ctes = ["v AS (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings)"]
-    if k_cells == "auto":
-        ctes.append(
-            f"""ivfk AS MATERIALIZED (
-  SELECT GREATEST(8, LEAST({_sim.IVF_MAX_CELLS},
-    CAST(ceil(sqrt(count(*))) AS BIGINT))) AS k
-  FROM v
-)"""
-        )
-        k_cells = "SELECT k FROM ivfk"
-    if nprobe == "auto":
-        ctes.append(
-            f"""ivfnp AS MATERIALIZED (
-  SELECT GREATEST(2, LEAST({_sim.IVF_MAX_NPROBE},
-    CAST(ceil(sqrt(k)) AS BIGINT))) AS np
-  FROM ivfk
-)"""
-        )
-        nprobe = "(SELECT np FROM ivfnp)"
-    cent_ctes, final_cent = _kmeans_cent_ctes(k_cells, iters)
-    ctes.extend(cent_ctes)
-    ctes.append(f"""qcells AS (
-  SELECT vec_id AS query_id, e AS qe, cell FROM (
-    SELECT v.vec_id, v.e, ct.cell,
-           row_number() OVER (PARTITION BY v.vec_id
-                              ORDER BY {_sql_cos('v.e', 'ct.c')} DESC,
-                                       ct.cell ASC) AS rn
-    FROM v, {final_cent} ct
-    WHERE v.vec_id < {n_queries}) WHERE rn <= {nprobe}
-)""")
-    extra = f" AND ({corpus_filter})" if corpus_filter else ""
-    ctes.append(f"""ivf_scored AS (
-  SELECT q.query_id, a.vec_id AS neighbor_id,
-         {_sql_cos('a.e', 'q.qe')} AS cosine
-  FROM final_asg a JOIN qcells q USING (cell)
-  WHERE a.vec_id <> q.query_id{extra}
-)""")
-    return (
-        "WITH "
-        + ",\n".join(ctes)
-        + f"""
-SELECT query_id, neighbor_id, cosine, CAST(rank AS BIGINT) AS rank
-FROM (
-  SELECT *, row_number() OVER (PARTITION BY query_id
-                               ORDER BY cosine DESC, neighbor_id) AS rank
-  FROM ivf_scored
-) WHERE rank <= {topk}
-"""
-    )
-
-
-
-@register(
-    "embedding_ivf_index_topk",
-    oracle=_ivf_topk_oracle(
-        k_cells="auto",
-        iters=3,
-        nprobe="auto",
-        topk=TOPK_K,
-        n_queries=TOPK_N_QUERIES,
-    ),
-    description="Persisted-IVF serving path: the index (k-means "
-    "centroids + corpus PARTITIONED BY CELL) is built once as an "
-    "on-disk artifact, then queried — probe the stored centroids, scan "
-    "ONLY the probed cells' partitions (static partition pruning on "
-    "the cell directory; the probed set is bounded by |queries|×nprobe "
-    "driver metadata), score exactly. Bit-identical to the "
-    "self-contained embedding_ivf_topk — same oracle — proving the "
-    "build-once/query-many artifact changes the COST, not the answer. "
-    "RECORDED under the derived geometry (round-8 verdict item): "
-    "k = auto_ivf_cells(n) ∝ √n, nprobe = auto_ivf_nprobe(k) ∝ √k, so "
-    "per-query IO is the k^(-1/2) corpus fraction — the IVF design "
-    "point — not the toy 8-cell linear scan. At 100 TB this is the ANN "
-    "serving pattern: nightly index build, per-query IO ∝ nprobe/k.",
-    tags=("extension", "similarity", "approx"),
-)
-def embedding_ivf_index_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
-    emb = read_parquet_table(spark, sf_dir, "embeddings")
-    k = _sim.auto_ivf_cells(emb.count())
-    nprobe = _sim.auto_ivf_nprobe(k)
-    # k pins the geometry alongside the data (it derives from the
-    # corpus count, but an explicit key survives testdata regeneration
-    # under the same path) — the pq_index key convention
-    root = _artifact_root(
-        spark, "ivf_index", f"{os.path.realpath(sf_dir)}|k={k}|iters=3"
-    )
-    _build_artifact_once(
-        root,
-        "centroids",
-        lambda tmp: _sim.build_ivf_index(
-            emb, "vec_id", "embedding", tmp, k=k, iters=3
-        ),
-    )
-    queries = emb.filter(F.col("vec_id") < TOPK_N_QUERIES)
-    return _sim.ivf_query_index(
-        spark, root, queries, "vec_id", "embedding", TOPK_K, nprobe=nprobe
-    )
-
-
-@register(
-    "embedding_ivf_filtered_topk",
-    oracle=_ivf_topk_oracle(
-        k_cells="auto",
-        iters=3,
-        nprobe="auto",
-        topk=TOPK_K,
-        n_queries=TOPK_N_QUERIES,
-        corpus_filter="a.vec_id % 3 = 0",
-    ),
-    description="FILTERED vector search over the SAME persisted IVF "
-    "index as embedding_ivf_index_topk (artifact reused, zero rebuild): "
-    "a metadata predicate (vec_id % 3 = 0 stands in for 'category = X') "
-    "restricts the corpus side with PRE-FILTER semantics — the "
-    "predicate lands directly on the pruned assignments scan, Catalyst "
-    "pushes it to the parquet reader next to the cell PartitionFilters, "
-    "non-matching vectors die before any norm/score math, and the "
-    "result is the exact top-k among passing vectors within the probed "
-    "cells. Never the filter-after-search recall hole (top-k of a "
-    "fixed candidate list post-filtered can starve); same derived "
-    "geometry, same 6-dp determinism contract",
-    tags=("extension", "similarity", "approx"),
-)
-def embedding_ivf_filtered_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
-    emb = read_parquet_table(spark, sf_dir, "embeddings")
-    k = _sim.auto_ivf_cells(emb.count())
-    nprobe = _sim.auto_ivf_nprobe(k)
-    root = _artifact_root(
-        spark, "ivf_index", f"{os.path.realpath(sf_dir)}|k={k}|iters=3"
-    )
-    _build_artifact_once(
-        root,
-        "centroids",
-        lambda tmp: _sim.build_ivf_index(
-            emb, "vec_id", "embedding", tmp, k=k, iters=3
-        ),
-    )
-    queries = emb.filter(F.col("vec_id") < TOPK_N_QUERIES)
-    return _sim.ivf_query_index(
-        spark,
-        root,
-        queries,
-        "vec_id",
-        "embedding",
-        TOPK_K,
-        nprobe=nprobe,
-        where=F.col("vec_id") % 3 == 0,
-    )
-
-
-@register(
-    "embedding_cosine_topk",
-    oracle=f"""
-WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings),
-q AS (SELECT vec_id AS query_id, e AS qv FROM v WHERE vec_id < {TOPK_N_QUERIES}),
-scored AS (
-  SELECT query_id, v.vec_id AS neighbor_id,
-         round(list_dot_product(e, qv) /
-               (sqrt(list_dot_product(e, e)) * sqrt(list_dot_product(qv, qv))),
-               6) AS cosine
-  FROM v, q WHERE v.vec_id <> q.query_id
-),
-ranked AS (
-  SELECT *, row_number() OVER (PARTITION BY query_id
-                               ORDER BY cosine DESC, neighbor_id) AS rank
-  FROM scored
-)
-SELECT query_id, neighbor_id, cosine, CAST(rank AS BIGINT) AS rank
-FROM ranked WHERE rank <= {TOPK_K}
-""",
-    description="Exact brute-force cosine top-k neighbor search: broadcast "
-    "query set, zip_with/aggregate dot products (JVM-side), per-query "
-    "window top-k; cosine rounded before ranking for deterministic "
-    "membership",
-    tags=("extension", "similarity"),
-)
-def embedding_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
-    emb = read_parquet_table(spark, sf_dir, "embeddings")
-    queries = emb.filter(F.col("vec_id") < TOPK_N_QUERIES)
-    return _sim.cosine_topk(emb, queries, "vec_id", "embedding", TOPK_K)
-
-
-# NOTE: the brute-force embedding_near_dup_pairs query was DEMOTED in
-# round 2 — its full-corpus crossJoin is quadratic and the scale-safe
-# registered path is ``embedding_lsh_near_dups`` (hyperplane-LSH
-# banding + exact-cosine verify). The brute-force operator survives as
-# the test-only recall/precision baseline for the LSH path
-# (tests/test_similarity.py::test_hyperplane_lsh_vs_brute_force).
-
-
-@register(
-    "embedding_ivf_topk",
-    oracle=_ivf_topk_oracle(
-        k_cells="auto",
-        iters=3,
-        nprobe="auto",
-        topk=TOPK_K,
-        n_queries=TOPK_N_QUERIES,
-    ),
-    description="IVF approximate top-k: deterministic Lloyd's k-means "
-    "centroids (iterative DataFrame job), centroid assignment join + "
-    "nprobe-cell-pruned search. RECORDED under the derived geometry "
-    "(round-8 verdict item): k = auto_ivf_cells(n) ∝ √n and nprobe = "
-    "auto_ivf_nprobe(k) ∝ √k, so the touched corpus fraction nprobe/k "
-    "falls as n^(-1/2) — the IVF design point, vs the old toy 8-cell "
-    "config whose 2-of-8 probe was a 25% linear scan. Measured "
-    "recall@5 vs the exact brute-force oracle: 0.94 at sf0.01 under "
-    "the derived k=23/nprobe=5 (pytest enforces a 0.6 floor). "
-    "'Approximate' = recall vs brute force, NOT nondeterminism: the "
-    "zero-RNG pipeline replays exactly as an unrolled DuckDB CTE "
-    "chain whose k/nprobe scalars replay the same closed forms, so "
-    "the ANN result set itself is hash-checked.",
-    tags=("extension", "similarity", "approx"),
-)
-def embedding_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
-    emb = read_parquet_table(spark, sf_dir, "embeddings")
-    k = _sim.auto_ivf_cells(emb.count())
-    nprobe = _sim.auto_ivf_nprobe(k)
-    queries = emb.filter(F.col("vec_id") < TOPK_N_QUERIES)
-    centroids = _sim.kmeans_centroids(
-        emb, "vec_id", "embedding", k=k, iters=3
-    ).withColumnRenamed("cell", "vec_id")
-    return _sim.ivf_topk(
-        emb, queries, centroids, "vec_id", "embedding", TOPK_K, nprobe=nprobe
-    )
-
-
-# ===========================================================================
-# Text analysis (operators/text.py)
-# ===========================================================================
-
-
-def _lang_sql() -> tuple[str, str]:
-    scores = []
-    for lang, markers in _tx.LANG_MARKERS.items():
-        lst = ", ".join(f"'{m}'" for m in markers)
-        scores.append(
-            f"len(list_filter(w, t -> t IN ({lst}))) AS s_{lang}"
-        )
-    best = ", ".join(f"s_{lang}" for lang in _tx.LANG_MARKERS)
-    whens = " ".join(
-        f"WHEN s_{lang} = best AND best > 0 THEN '{lang}'"
-        for lang in _tx.LANG_MARKERS
-    )
-    return (
-        f"scored AS (SELECT doc_id, lang, {', '.join(scores)} FROM toks2),\n"
-        f"best AS (SELECT *, greatest({best}) AS best FROM scored)",
-        f"CASE {whens} ELSE 'und' END",
-    )
-
-
-_LANG_CTES, _LANG_CASE = _lang_sql()
-
-
-@register(
-    "lang_id_documents",
-    oracle=f"""
-WITH toks2 AS (
-  SELECT doc_id, lang,
-         CASE WHEN trim(text) = '' THEN CAST([] AS VARCHAR[])
-              ELSE string_split_regex(trim(text), '\\s+') END AS w
-  FROM documents
-),
-{_LANG_CTES}
-SELECT doc_id, lang AS labeled_lang, {_LANG_CASE} AS predicted_lang FROM best
-""",
-    description="Heuristic language ID: marker-word hit argmax with fixed "
-    "tie-break order; pure Column exprs (no UDF)",
-    tags=("extension", "text"),
-)
-def lang_id_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = read_parquet_table(spark, sf_dir, "documents")
-    return _tx.add_lang_id(docs, "text", "predicted_lang").select(
-        "doc_id",
-        F.col("lang").alias("labeled_lang"),
-        "predicted_lang",
-    )
-
-
-def _quality_ctes(src: str) -> str:
-    """f/g/h quality-feature CTE block over any (doc_id, text) source —
-    shared between the standalone scoring query and the curation
-    pipeline so the formula exists exactly once."""
-    return f"""
-f AS (
-  SELECT doc_id,
-         CASE WHEN trim(text) = '' THEN CAST([] AS VARCHAR[])
-              ELSE string_split_regex(trim(text), '\\s+') END AS w,
-         length(text) AS n_chars,
-         len(regexp_extract_all(text, '[.,!?;:]')) AS n_punct,
-         len(regexp_extract_all(text, '[0-9]')) AS n_digit
-  FROM {src}
-),
-g AS (
-  SELECT doc_id,
-         len(w) AS n_tok,
-         len(list_filter(w, t -> t IN ('the', 'a', 'of', 'and', 'to'))) AS n_stop,
-         n_chars, n_punct, n_digit
-  FROM f
-),
-h AS (
-  SELECT doc_id,
-         CAST(n_tok AS BIGINT) AS n_tokens,
-         round(n_stop * 1.0 / greatest(n_tok, 1), 6) AS stopword_ratio,
-         round(n_punct * 1.0 / greatest(n_chars, 1), 6) AS punct_ratio,
-         round(n_digit * 1.0 / greatest(n_chars, 1), 6) AS digit_ratio
-  FROM g
-)"""
-
-
-_QUALITY_EXPR = (
-    "round((CASE WHEN n_tokens >= 5 AND n_tokens <= 5000 THEN 1.0 ELSE 0.3 END) * 0.5"
-    " + least(stopword_ratio * 4.0, 1.0) * 0.3"
-    " + (1.0 - least((punct_ratio + digit_ratio) * 2.0, 1.0)) * 0.2, 6)"
-)
-
-
-@register(
-    "quality_score_documents",
-    oracle=f"""
-WITH {_quality_ctes('documents')}
-SELECT doc_id, n_tokens, stopword_ratio, punct_ratio, digit_ratio,
-       {_QUALITY_EXPR} AS quality_score
-FROM h
-""",
-    description="Document quality scoring: token/stopword/punct/digit "
-    "signals combined by a fixed formula",
-    tags=("extension", "text"),
-)
-def quality_score_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = read_parquet_table(spark, sf_dir, "documents")
-    feats = _tx.quality_features("text")
-    return docs.select(
-        "doc_id",
-        feats["n_tokens"].alias("n_tokens"),
-        feats["stopword_ratio"].alias("stopword_ratio"),
-        feats["punct_ratio"].alias("punct_ratio"),
-        feats["digit_ratio"].alias("digit_ratio"),
-        _tx.quality_score("text").alias("quality_score"),
-    )
-
-
-@register(
-    "bpe_token_counts",
-    oracle=r"""
-SELECT doc_id,
-       CAST(len(regexp_extract_all(text, '[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9\s]')) AS BIGINT)
-         AS n_bpe_tokens
-FROM documents
-""",
-    description="BPE-ish pre-tokenizer counts: letter runs, digit runs, "
-    "single punctuation (regexp_count, JVM-side)",
-    tags=("extension", "text"),
-)
-def bpe_token_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = read_parquet_table(spark, sf_dir, "documents")
-    return docs.select(
-        "doc_id", _tx.bpe_token_count("text").cast("long").alias("n_bpe_tokens")
-    )
-
-
-# ===========================================================================
-# Multimodal plumbing (operators/multimodal.py) — binary columns through
-# Arrow-batched mapInPandas with REAL pure-Python image codecs (PNG via
-# zlib inflate + scanline defilter, 24-bit BMP, PPM P6). Each document's
-# text bytes are encoded as a real grayscale image (format by doc_id%3),
-# then decoded back on executors; the oracle recomputes the decoded
-# dimensions + pixel mean arithmetically from the text.
-# ===========================================================================
-
-from spotify_tracks_etl_portfolio_spark.operators import multimodal as _mm  # noqa: E402
-
-_MM_WIDTH = 16
-
-
-def _utf8_bytes_sql(txt: str) -> str:
-    """DuckDB list of the UTF-8 BYTE values of a string column.
-
-    The multimodal encoders operate on ``text.encode('utf-8')`` — i.e.
-    bytes — while DuckDB's ``ascii(c)`` yields the CODE POINT per
-    character, which only coincides with the byte value for pure-ASCII
-    input (round-3 advice). Expanding each code point into its UTF-8
-    byte sequence makes the oracle's byte geometry (sums, slices,
-    lengths) exact for ANY input, so ``len(<this>)`` also equals
-    ``octet_length(encode(text))``."""
-    u = "unicode(c)"
-    return f"""flatten(list_transform(
-      list_filter(string_split({txt}, ''), c -> c != ''), c ->
-      CASE
-        WHEN {u} < 128 THEN [CAST({u} AS BIGINT)]
-        WHEN {u} < 2048 THEN [
-          CAST(192 + ({u} // 64) AS BIGINT),
-          CAST(128 + ({u} % 64) AS BIGINT)]
-        WHEN {u} < 65536 THEN [
-          CAST(224 + ({u} // 4096) AS BIGINT),
-          CAST(128 + (({u} // 64) % 64) AS BIGINT),
-          CAST(128 + ({u} % 64) AS BIGINT)]
-        ELSE [
-          CAST(240 + ({u} // 262144) AS BIGINT),
-          CAST(128 + (({u} // 4096) % 64) AS BIGINT),
-          CAST(128 + (({u} // 64) % 64) AS BIGINT),
-          CAST(128 + ({u} % 64) AS BIGINT)]
-      END))"""
-
-
-@register(
-    "multimodal_decode_features",
-    oracle=f"""
-WITH d AS (
-  SELECT doc_id,
-         octet_length(encode(text)) AS n,
-         COALESCE(CAST(list_sum({_utf8_bytes_sql('text')}) AS BIGINT), 0) AS s
-  FROM documents
-),
-g AS (
-  SELECT doc_id, n, s,
-         GREATEST(1, CAST(ceil(n / {_MM_WIDTH}.0) AS INT)) AS h
-  FROM d
-)
-SELECT doc_id AS id,
-       CASE CAST(doc_id % 3 AS INT)
-            WHEN 0 THEN 'png' WHEN 1 THEN 'bmp' ELSE 'ppm' END AS format,
-       {_MM_WIDTH} AS width,
-       h AS height,
-       CASE WHEN CAST(doc_id % 3 AS INT) = 0 THEN 1 ELSE 3 END AS channels,
-       CAST({_MM_WIDTH} * h AS BIGINT) AS n_pixels,
-       CAST(s AS DOUBLE) / ({_MM_WIDTH} * h) AS mean_pixel
-FROM g
-""",
-    description="Multimodal REAL decode path: text→real PNG/BMP/PPM binary "
-    "media (pure-Python codecs, zlib PNG), decoded on executors via "
-    "Arrow-batched mapInPandas into true width/height/channel statistics",
-    tags=("extension", "multimodal"),
-)
-def multimodal_decode_features(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = read_parquet_table(spark, sf_dir, "documents")
-    media = _mm.attach_encoded_media(docs, "doc_id", "text", width=_MM_WIDTH)
-    return _mm.decode_image_features(media, "doc_id")
-
-
-@register(
-    "multimodal_image_fingerprints",
-    oracle=f"""
-WITH fpd AS (
-  SELECT doc_id, {_utf8_bytes_sql('text')} AS bs,
-         octet_length(encode(text)) AS n
-  FROM documents
-),
-fpg AS (
-  SELECT doc_id, bs, n,
-         GREATEST(1, CAST(ceil(n / {_MM_WIDTH}.0) AS BIGINT)) AS h
-  FROM fpd
-),
-fpx AS (
-  SELECT doc_id, h, i,
-         CASE WHEN i < n THEN bs[CAST(i + 1 AS INT)] ELSE 0 END AS v,
-         ((i // {_MM_WIDTH}) * {_mm.FP_BINS}) // h AS band
-  FROM fpg, unnest(range(0, h * {_MM_WIDTH})) t(i)
-),
-fpo AS (
-  SELECT doc_id, CAST(sum(v) AS DOUBLE) / (max(h) * {_MM_WIDTH}) AS overall
-  FROM fpx GROUP BY doc_id
-),
-fpb AS (
-  SELECT doc_id, band, CAST(sum(v) AS DOUBLE) / count(*) AS m
-  FROM fpx GROUP BY doc_id, band
-),
-fpf AS (
-  SELECT b.doc_id,
-         CAST(sum(CASE WHEN b.m >= o.overall
-                       THEN 1 << CAST(b.band AS INT) ELSE 0 END) AS BIGINT)
-           AS fingerprint
-  FROM fpb b JOIN fpo o USING (doc_id) GROUP BY b.doc_id
-)
-SELECT g.doc_id AS id, CAST(g.h AS INT) AS height, f.fingerprint
-FROM fpg g JOIN fpf f ON g.doc_id = f.doc_id
-""",
-    description="Container-invariant perceptual image fingerprint over "
-    "the REAL decode path — the image-dedup primitive: mixed PNG/BMP/"
-    "PPM media decode on executors, the gray pixel stream folds into "
-    f"{_mm.FP_BINS} horizontal bands, bit b set when band b's mean "
-    "luminance >= the image mean (aHash-style row profile). The SAME "
-    "picture fingerprints identically across container formats "
-    "(replicated RGB collapses to gray), so re-encoded duplicates "
-    "collide and exact-dedup hash-groupBy machinery extends to images. "
-    "Hash-checked against an arithmetic oracle over the identical "
-    "padded byte geometry; integer-exact sums make the bit decisions "
-    "engine-independent",
-    tags=("extension", "multimodal", "dedup"),
-)
-def multimodal_image_fingerprints(
-    spark: SparkSession, sf_dir: str
-) -> DataFrame:
-    docs = read_parquet_table(spark, sf_dir, "documents")
-    media = _mm.attach_encoded_media(docs, "doc_id", "text", width=_MM_WIDTH)
-    return _mm.image_fingerprints(media, "doc_id")
-
-
-@register(
-    "multimodal_image_dedup_groups",
-    oracle=f"""
-WITH fpd AS (
-  SELECT doc_id, {_utf8_bytes_sql('text')} AS bs,
-         octet_length(encode(text)) AS n
-  FROM documents
-),
-fpg AS (
-  SELECT doc_id, bs, n,
-         GREATEST(1, CAST(ceil(n / {_MM_WIDTH}.0) AS BIGINT)) AS h
-  FROM fpd
-),
-fpx AS (
-  SELECT doc_id, h, i,
-         CASE WHEN i < n THEN bs[CAST(i + 1 AS INT)] ELSE 0 END AS v,
-         ((i // {_MM_WIDTH}) * {_mm.FP_BINS}) // h AS band
-  FROM fpg, unnest(range(0, h * {_MM_WIDTH})) t(i)
-),
-fpo AS (
-  SELECT doc_id, CAST(sum(v) AS DOUBLE) / (max(h) * {_MM_WIDTH}) AS overall
-  FROM fpx GROUP BY doc_id
-),
-fpb AS (
-  SELECT doc_id, band, CAST(sum(v) AS DOUBLE) / count(*) AS m
-  FROM fpx GROUP BY doc_id, band
-),
-fpf AS (
-  SELECT b.doc_id,
-         CAST(sum(CASE WHEN b.m >= o.overall
-                       THEN 1 << CAST(b.band AS INT) ELSE 0 END) AS BIGINT)
-           AS fingerprint
-  FROM fpb b JOIN fpo o USING (doc_id) GROUP BY b.doc_id
-)
-SELECT fingerprint,
-       min(doc_id) AS canonical_id,
-       CAST(count(*) AS BIGINT) AS n_members
-FROM fpf GROUP BY fingerprint
-""",
-    description="Image DEDUP GROUPS over the perceptual fingerprints — "
-    "the payoff query of the multimodal fingerprint family: decode the "
-    "mixed-container media, fingerprint, hash-groupBy the fingerprint; "
-    "each group keeps its lowest-id canonical with the member count "
-    "(re-encoded and visually-identical images collapse together, the "
-    "exact-dedup shape applied to pictures). One decode pass + one "
-    "shuffle on a 16-bit key at any corpus size",
-    tags=("extension", "multimodal", "dedup"),
-)
-def multimodal_image_dedup_groups(
-    spark: SparkSession, sf_dir: str
-) -> DataFrame:
-    docs = read_parquet_table(spark, sf_dir, "documents")
-    media = _mm.attach_encoded_media(docs, "doc_id", "text", width=_MM_WIDTH)
-    fps = _mm.image_fingerprints(media, "doc_id")
-    return fps.groupBy("fingerprint").agg(
-        F.min("id").alias("canonical_id"),
-        F.count(F.lit(1)).alias("n_members"),
-    )
-
-
-@register(
-    "gdpr_delete_documents",
-    oracle="""
-SELECT doc_id, 'documents' AS table_name,
-       CAST(1 AS BIGINT) AS n_rows_deleted,
-       CAST((SELECT count(*) FROM documents) - count(*) OVER () AS BIGINT)
-         AS n_rows_surviving
-FROM documents WHERE doc_id % 97 = 0
-""",
-    description="Deletion propagation (right-to-be-forgotten / takedown "
-    "gate): a deletion-request list anti-joins every keyed table in the "
-    "lineage (broadcast — one scan-and-rewrite per table, no shuffle) "
-    "and emits a tombstone audit of what was deleted where, WITHOUT "
-    "retaining the payload; the surviving count proves the rewrite "
-    "dropped exactly the requested keys",
-    tags=("extension", "curation", "governance"),
-)
-def gdpr_delete_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from spotify_tracks_etl_portfolio_spark.operators.medallion import (
-        propagate_deletes,
-    )
-
-    docs = read_parquet_table(spark, sf_dir, "documents")
-    requests = docs.filter(F.col("doc_id") % 97 == 0).select("doc_id")
-    cleaned, tombstones = propagate_deletes(
-        {"documents": docs}, requests, "doc_id", F.lit("2026-01-01")
-    )
-    surviving = cleaned["documents"].agg(
-        F.count(F.lit(1)).alias("n_rows_surviving")
-    )
-    return tombstones.crossJoin(F.broadcast(surviving)).select(
-        "doc_id", "table_name", "n_rows_deleted", "n_rows_surviving"
-    )
-
-
-_WAV_RATE = 8000
-
-
-@register(
-    "multimodal_audio_features",
-    oracle=f"""
-WITH d AS (
-  SELECT doc_id,
-         octet_length(encode(text)) AS n,
-         COALESCE(CAST(list_sum({_utf8_bytes_sql('text')}) AS BIGINT), 0) AS s
-  FROM documents
-)
-SELECT doc_id AS id,
-       {_WAV_RATE} AS sample_rate,
-       1 AS channels,
-       CAST(n AS BIGINT) AS n_samples,
-       CAST(n * 1000 // {_WAV_RATE} AS BIGINT) AS duration_ms,
-       CASE WHEN n = 0 THEN 0.0 ELSE CAST(s AS DOUBLE) / n END AS mean_sample
-FROM d
-""",
-    description="Multimodal AUDIO path, decode REAL end-to-end: each "
-    "document's text bytes become the PCM samples of a genuine RIFF/WAVE "
-    f"file ({_WAV_RATE} Hz 8-bit mono), executors parse the container "
-    "back via the stdlib wave reader into true sample-rate/duration/"
-    "amplitude statistics — hash-checked against an arithmetic oracle",
-    tags=("extension", "multimodal"),
-)
-def multimodal_audio_features(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = read_parquet_table(spark, sf_dir, "documents")
-    media = _mm.attach_encoded_audio(docs, "doc_id", "text", _WAV_RATE)
-    return _mm.decode_audio_features(media, "doc_id")
-
-
-@register(
-    "multimodal_audio_fingerprints",
-    oracle=f"""
-WITH afd AS (
-  SELECT doc_id, {_utf8_bytes_sql('text')} AS bs,
-         octet_length(encode(text)) AS n
-  FROM documents
-),
-afx AS (
-  SELECT doc_id, n, i, bs[CAST(i + 1 AS INT)] AS v,
-         (i * {_mm.FP_BINS}) // n AS band
-  FROM afd, unnest(range(0, n)) t(i)
-  WHERE n > 0
-),
-afo AS (
-  SELECT doc_id, CAST(sum(v) AS DOUBLE) / max(n) AS overall
-  FROM afx GROUP BY doc_id
-),
-afb AS (
-  SELECT doc_id, band, CAST(sum(v) AS DOUBLE) / count(*) AS m
-  FROM afx GROUP BY doc_id, band
-),
-aff AS (
-  SELECT b.doc_id,
-         CAST(sum(CASE WHEN b.m >= o.overall
-                       THEN 1 << CAST(b.band AS INT) ELSE 0 END) AS BIGINT)
-           AS fingerprint
-  FROM afb b JOIN afo o USING (doc_id) GROUP BY b.doc_id
-)
-SELECT d.doc_id AS id, CAST(d.n AS BIGINT) AS n_samples,
-       COALESCE(f.fingerprint, 0) AS fingerprint
-FROM afd d LEFT JOIN aff f USING (doc_id)
-""",
-    description="Time-band energy fingerprint over the REAL WAV decode "
-    "path — the audio-dedup twin of the image fingerprint: the 8-bit "
-    f"PCM sample stream folds into {_mm.FP_BINS} consecutive time "
-    "bands, bit b set when band b's mean amplitude >= the clip mean. "
-    "Fixed 16-bit output for any clip length; hash-checked against the "
-    "arithmetic oracle over the same byte stream; empty clips "
-    "fingerprint 0 through the left join",
-    tags=("extension", "multimodal", "dedup"),
-)
-def multimodal_audio_fingerprints(
-    spark: SparkSession, sf_dir: str
-) -> DataFrame:
-    docs = read_parquet_table(spark, sf_dir, "documents")
-    media = _mm.attach_encoded_audio(docs, "doc_id", "text", _WAV_RATE)
-    return _mm.audio_fingerprints(media, "doc_id")
-
-
-_Y4M_W, _Y4M_H, _Y4M_STRIDE = 8, 8, 2
-
-
-@register(
-    "multimodal_video_fingerprints",
-    oracle=f"""
-WITH vfd AS (
-  SELECT doc_id, {_utf8_bytes_sql('text')} AS bs,
-         octet_length(encode(text)) AS n
-  FROM documents
-),
-vfg AS (
-  SELECT doc_id, bs, n,
-         GREATEST(1, CAST(ceil(n / {_Y4M_W * _Y4M_H}.0) AS BIGINT)) AS nf
-  FROM vfd
-),
-vff AS (
-  SELECT doc_id, nf, k,
-         COALESCE(list_sum(list_slice(bs,
-           CAST(k * {_Y4M_W * _Y4M_H} + 1 AS BIGINT),
-           CAST((k + 1) * {_Y4M_W * _Y4M_H} AS BIGINT))), 0) AS fs
-  FROM vfg, unnest(range(0, nf)) t(k)
-),
-vfo AS (
-  SELECT doc_id,
-         CAST(sum(fs) AS DOUBLE) / (max(nf) * {_Y4M_W * _Y4M_H}) AS overall
-  FROM vff GROUP BY doc_id
-),
-vfp AS (
-  SELECT f.doc_id,
-         bit_or(CASE WHEN CAST(f.fs AS DOUBLE) / {_Y4M_W * _Y4M_H}
-                          >= o.overall
-                     THEN CAST(1 AS BIGINT) << CAST(f.k % 62 AS INT)
-                     ELSE CAST(0 AS BIGINT) END) AS fingerprint
-  FROM vff f JOIN vfo o USING (doc_id) GROUP BY f.doc_id
-)
-SELECT g.doc_id AS id, CAST(g.nf AS INT) AS n_frames,
-       p.fingerprint
-FROM vfg g JOIN vfp p USING (doc_id)
-""",
-    description="Per-frame luma-bit fingerprint over the REAL y4m "
-    "decode — the video-dedup member of the fingerprint family: one "
-    "bit per frame, set when the frame's mean luma >= the stream mean "
-    "(temporal brightness profile; frame f folds onto bit f % 62 so "
-    "any duration stays one BIGINT). Re-muxed copies of the same "
-    "frames collide; hash-checked against the arithmetic oracle over "
-    "the identical padded frame geometry",
-    tags=("extension", "multimodal", "dedup"),
-)
-def multimodal_video_fingerprints(
-    spark: SparkSession, sf_dir: str
-) -> DataFrame:
-    docs = read_parquet_table(spark, sf_dir, "documents")
-    media = _mm.attach_encoded_video(docs, "doc_id", "text", _Y4M_W, _Y4M_H)
-    return _mm.video_fingerprints(media, "doc_id")
-
-
-@register(
-    "multimodal_video_frame_sample",
-    oracle=f"""
-WITH d AS (
-  SELECT doc_id,
-         octet_length(encode(text)) AS n,
-         {_utf8_bytes_sql('text')} AS bs
-  FROM documents
-),
-g AS (
-  SELECT doc_id, n, bs,
-         GREATEST(1, CAST(ceil(n / {_Y4M_W * _Y4M_H}.0) AS BIGINT)) AS nf
-  FROM d
-)
-SELECT doc_id AS id,
-       nf AS n_frames,
-       {_Y4M_W} AS width,
-       {_Y4M_H} AS height,
-       CAST(fi AS INT) AS frame_idx,
-       CAST(COALESCE(list_sum(list_slice(bs, CAST(fi * {_Y4M_W * _Y4M_H} + 1 AS BIGINT),
-                                         CAST((fi + 1) * {_Y4M_W * _Y4M_H} AS BIGINT))), 0)
-            AS DOUBLE) / {_Y4M_W * _Y4M_H} AS mean_luma
-FROM g, unnest(range(0, nf, {_Y4M_STRIDE})) t(fi)
-""",
-    description="Multimodal VIDEO path, frame sampling REAL end-to-end: "
-    "each document's text bytes fill the luma planes of a genuine "
-    f"multi-frame YUV4MPEG2 stream ({_Y4M_W}x{_Y4M_H} Cmono); executors "
-    f"parse the container, keep every {_Y4M_STRIDE}nd frame (the 1→N "
-    "explode shape of video training prep) and emit per-frame luma "
-    "means — hash-checked against an arithmetic oracle over the same "
-    "byte geometry",
-    tags=("extension", "multimodal"),
-)
-def multimodal_video_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = read_parquet_table(spark, sf_dir, "documents")
-    media = _mm.attach_encoded_video(docs, "doc_id", "text", _Y4M_W, _Y4M_H)
-    return _mm.sample_video_frames(media, "doc_id", stride=_Y4M_STRIDE)
-
-
-def _hyperplane_lsh_oracle(rows: int = _sim.HP_ROWS) -> str:
-    """DuckDB replica of operators/similarity.py hyperplane LSH — planes
-    regenerated from the SAME frozen constants; sign decisions via the
-    same all-integer quantized dot product (exact on both engines
-    regardless of reduction order). ``rows`` is the band width (the
-    scale knob): plane count = HP_BANDS·rows, band = j // rows, bit
-    position = j % rows — a static registration-time constant, so wide
-    geometries replay exactly like the frozen 8-row one."""
-    s = _sim
-    n_planes = s.HP_BANDS * rows
-    return f"""
-WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings),
-qv AS (
-  SELECT vec_id, e,
-         list_transform(e, x -> CAST(round(x * {s.HP_SCALE}) AS BIGINT)) AS q
-  FROM v
-),
-planes AS (
-  SELECT j, d,
-         2 * ((j * {s.HP_A} + d * {s.HP_B} + {s.HP_C}) % {s.HP_M}) - {s.HP_M} AS w
-  FROM range({n_planes}) pj(j), range({s.HP_DIM}) pd(d)
-),
-bits AS (
-  SELECT vec_id, j, sum(q[d + 1] * w) >= 0 AS bit
-  FROM qv, planes GROUP BY vec_id, j
-),
-bands AS (
-  SELECT vec_id, j // {rows} AS band,
-         sum(CASE WHEN bit THEN 1 << (j % {rows}) ELSE 0 END) AS sig
-  FROM bits GROUP BY vec_id, j // {rows}
-),
-cands AS (
-  SELECT DISTINCT a.vec_id AS id_a, b.vec_id AS id_b
-  FROM bands a JOIN bands b
-    ON a.band = b.band AND a.sig = b.sig AND a.vec_id < b.vec_id
-)
-SELECT c.id_a, c.id_b,
-       round(list_dot_product(a.e, b.e) /
-             (sqrt(list_dot_product(a.e, a.e)) * sqrt(list_dot_product(b.e, b.e))),
-             6) AS cosine
-FROM cands c JOIN v a ON c.id_a = a.vec_id JOIN v b ON c.id_b = b.vec_id
-WHERE round(list_dot_product(a.e, b.e) /
-            (sqrt(list_dot_product(a.e, a.e)) * sqrt(list_dot_product(b.e, b.e))),
-            6) >= {EMB_NEAR_DUP_THRESHOLD}
-"""
-
-
-@register(
-    "embedding_lsh_near_dups",
-    oracle=_hyperplane_lsh_oracle(),
-    description=f"Random-hyperplane LSH near-dup pairs: "
-    f"{_sim.HP_PLANES} frozen sign-bit planes banded "
-    f"{_sim.HP_BANDS}×{_sim.HP_ROWS}, band-collision candidates, exact "
-    "cosine verify of candidates only — precision 1.0, recall "
-    "probabilistic; the band equi-join never touches the |v|² pair "
-    "space. This is the FROZEN TOY geometry (kept for recording "
-    "continuity; its 2^8-bucket bands saturate past ~10^5 vectors) — "
-    "the registered SCALE plan is the embedding_lsh_near_dups_wide "
-    "twin, and bare operator callers get the n-derived auto width",
-    tags=("extension", "dedup", "similarity", "lsh"),
-)
-def embedding_lsh_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
-    emb = read_parquet_table(spark, sf_dir, "embeddings")
-    # frozen 4×8 oracle geometry (bare callers get the auto width)
-    return _sim.hyperplane_lsh_near_dup_pairs(
-        emb, "vec_id", "embedding", EMB_NEAR_DUP_THRESHOLD, rows=_sim.HP_ROWS
-    )
-
-
-#: Band width of the registered WIDE hyperplane-LSH twin. 16 bits per
-#: band → 2^16 buckets per band vs the frozen twin's 2^8: the toy
-#: geometry's candidate set measured ~104× growth for 10× vectors
-#: (saturated buckets, BENCH_NOTES r5) while rows=16 measured sublinear
-#: (2.8× at sf1). Inside auto_hyperplane_rows' [8, 24] clamp and a
-#: static constant, so the oracle replays it exactly.
-HP_ROWS_WIDE = 16
-
-
-@register(
-    "embedding_lsh_near_dups_wide",
-    oracle=_hyperplane_lsh_oracle(rows=HP_ROWS_WIDE),
-    description=f"Random-hyperplane LSH near-dup pairs at the SCALE "
-    f"geometry: {_sim.HP_BANDS}×{HP_ROWS_WIDE} sign-bit bands (2^16 "
-    "buckets per band vs the toy twin's 2^8 — the width that keeps the "
-    "band equi-join's candidate volume near-linear past 10^5 vectors; "
-    "the toy width measured ~104x candidate growth at 10x data), exact "
-    "cosine verify of candidates only. Precision 1.0; per-band recall "
-    "for weaker pairs trades against bucket sparsity exactly as in "
-    "standard LSH practice — exact twins still collide on every band",
-    tags=("extension", "dedup", "similarity", "lsh", "scale-twin"),
-)
-def embedding_lsh_near_dups_wide(spark: SparkSession, sf_dir: str) -> DataFrame:
-    emb = read_parquet_table(spark, sf_dir, "embeddings")
-    # frozen WIDE geometry: the registered scale plan (bare callers get
-    # the n-derived auto width, which reaches 16 rows at ~10^5 vectors)
-    return _sim.hyperplane_lsh_near_dup_pairs(
-        emb, "vec_id", "embedding", EMB_NEAR_DUP_THRESHOLD, rows=HP_ROWS_WIDE
-    )
-
-
-CURATE_MIN_QUALITY = 0.5
-
-
-@register(
-    "curate_training_documents",
-    oracle=f"""
-WITH dedup AS (
-  SELECT min(doc_id) AS doc_id, text FROM documents GROUP BY text
-),
-toks2 AS (
-  SELECT doc_id, '' AS lang,
-         CASE WHEN trim(text) = '' THEN CAST([] AS VARCHAR[])
-              ELSE string_split_regex(trim(text), '\\s+') END AS w
-  FROM dedup
-),
-{_LANG_CTES},
-{_quality_ctes('dedup')}
-SELECT b.doc_id,
-       {_LANG_CASE} AS lang,
-       h.n_tokens,
-       {_QUALITY_EXPR} AS quality_score
-FROM best b JOIN h ON b.doc_id = h.doc_id
-WHERE ({_LANG_CASE}) <> 'und'
-  AND {_QUALITY_EXPR} >= {CURATE_MIN_QUALITY}
-  AND h.n_tokens BETWEEN 5 AND 5000
-""",
-    description="End-to-end training-set curation pipeline composed from "
-    "the engine's operators: exact dedup (keep lowest id) → language ID "
-    "(drop 'und') → quality gate (score ≥ 0.5) → token-count bounds — "
-    "the whole chain is one Catalyst plan (dedup shuffle + pure "
-    "projections), and the full composition is oracle-checked end-to-end",
-    tags=("extension", "dedup", "text", "pipeline"),
-)
-def curate_training_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = read_parquet_table(spark, sf_dir, "documents")
-    deduped = docs.groupBy("text").agg(F.min("doc_id").alias("doc_id"))
-    toks = token_count("text").cast("long")
-    enriched = _tx.add_quality(
-        _tx.add_lang_id(deduped, "text", "lang"), "text", "quality_score"
-    )
-    return (
-        enriched.select(
-            "doc_id",
-            "lang",
-            toks.alias("n_tokens"),
-            "quality_score",
-        )
-        .filter(
-            (F.col("lang") != "und")
-            & (F.col("quality_score") >= CURATE_MIN_QUALITY)
-            & F.col("n_tokens").between(5, 5000)
-        )
-    )
-
-
-@register(
-    "near_dup_doc_clusters",
-    oracle=f"""
-WITH RECURSIVE {_JACCARD_CTES},
-{_minhash_sig_sql()},
-{_minhash_bands_sql()},
-cands AS (
-  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
-  FROM bands a JOIN bands b
-    ON a.band = b.band AND a.sig = b.sig AND a.doc_id < b.doc_id
-),
-ndpairs AS (
-  SELECT c.id_a, c.id_b
-  FROM cands c JOIN jac j ON c.id_a = j.id_a AND c.id_b = j.id_b
-  WHERE j.jaccard >= {JACCARD_THRESHOLD}
-),
-ccedges AS (
-  SELECT id_a AS a, id_b AS b FROM ndpairs
-  UNION ALL
-  SELECT id_b AS a, id_a AS b FROM ndpairs
-),
-cc_nodes AS (SELECT DISTINCT a AS node FROM ccedges),
-reach AS (
-  SELECT node, node AS label FROM cc_nodes
-  UNION
-  SELECT e.b AS node, r.label FROM reach r JOIN ccedges e ON e.a = r.node
-),
-cccomp AS (SELECT node AS doc_id, min(label) AS cluster_id FROM reach GROUP BY node),
-ccsizes AS (
-  SELECT cluster_id, CAST(count(*) AS BIGINT) AS cluster_size
-  FROM cccomp GROUP BY cluster_id
-)
-SELECT c.doc_id, c.cluster_id,
-       (c.doc_id = c.cluster_id) AS is_canonical,
-       s.cluster_size
-FROM cccomp c JOIN ccsizes s ON c.cluster_id = s.cluster_id
-""",
-    description="Near-dup pairs → dedup GROUPS: MinHash+LSH pairs fed "
-    "through iterative min-label-propagation connected components "
-    "(operators/dedup.py: connected_components) — cluster id = smallest "
-    "doc_id in the component, is_canonical marks the one doc to keep. "
-    "The DuckDB oracle recomputes the same components with a recursive "
-    "CTE, so the iterative distributed algorithm is verified against a "
-    "declarative fixpoint",
-    tags=("extension", "dedup", "graph"),
-)
-def near_dup_doc_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from pyspark.sql import Window
-
-    docs = read_parquet_table(spark, sf_dir, "documents")
-    pairs = _dd.minhash_near_dup_pairs(docs, "doc_id", "text", JACCARD_THRESHOLD)
-    comp = _dd.connected_components(pairs, "id_a", "id_b")
-    w = Window.partitionBy("cluster_id")
-    return (
-        comp.select(
-            F.col("node").alias("doc_id"), F.col("comp").alias("cluster_id")
-        )
-        .withColumn("cluster_size", F.count(F.lit(1)).over(w).cast("long"))
-        .withColumn("is_canonical", F.col("doc_id") == F.col("cluster_id"))
-        .select("doc_id", "cluster_id", "is_canonical", "cluster_size")
-    )
-
-
-@register(
-    "near_dup_quality_canonicals",
-    oracle=f"""
-WITH RECURSIVE {_JACCARD_CTES},
-{_minhash_sig_sql()},
-{_minhash_bands_sql()},
-cands AS (
-  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
-  FROM bands a JOIN bands b
-    ON a.band = b.band AND a.sig = b.sig AND a.doc_id < b.doc_id
-),
-ndpairs AS (
-  SELECT c.id_a, c.id_b
-  FROM cands c JOIN jac j ON c.id_a = j.id_a AND c.id_b = j.id_b
-  WHERE j.jaccard >= {JACCARD_THRESHOLD}
-),
-ccedges AS (
-  SELECT id_a AS a, id_b AS b FROM ndpairs
-  UNION ALL
-  SELECT id_b AS a, id_a AS b FROM ndpairs
-),
-cc_nodes AS (SELECT DISTINCT a AS node FROM ccedges),
-reach AS (
-  SELECT node, node AS label FROM cc_nodes
-  UNION
-  SELECT e.b AS node, r.label FROM reach r JOIN ccedges e ON e.a = r.node
-),
-cccomp AS (SELECT node AS doc_id, min(label) AS cluster_id FROM reach GROUP BY node),
-{_quality_ctes('documents').lstrip()},
-q AS (SELECT doc_id, {_QUALITY_EXPR} AS quality_score FROM h),
-cl AS (
-  SELECT q.doc_id, COALESCE(c.cluster_id, q.doc_id) AS cluster_id,
-         q.quality_score
-  FROM q LEFT JOIN cccomp c USING (doc_id)
-),
-rk AS (
-  SELECT *, row_number() OVER (PARTITION BY cluster_id
-                               ORDER BY quality_score DESC, doc_id) AS rn
-  FROM cl
-)
-SELECT doc_id, CAST(cluster_id AS BIGINT) AS cluster_id,
-       (rn = 1) AS is_kept, quality_score
-FROM rk
-""",
-    description="Quality-aware canonical selection over near-dup "
-    "clusters — the curation policy layered on the dedup graph: within "
-    "each MinHash-LSH connected component KEEP the HIGHEST-quality "
-    "member (ties → smallest id) instead of the arbitrary min-id "
-    "representative; unclustered docs are their own canonical. The "
-    "quality argmax is a min_by over struct(-score, id) — one grouped "
-    "aggregation, no per-cluster sort; the whole composition "
-    "(banded LSH → exact-Jaccard verify → iterative connected "
-    "components → quality formula → argmax) is oracle-checked "
-    "end-to-end against a recursive-CTE fixpoint",
-    tags=("extension", "dedup", "curation", "graph"),
-)
-def near_dup_quality_canonicals(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = read_parquet_table(spark, sf_dir, "documents")
-    pairs = _dd.minhash_near_dup_pairs(
-        docs, "doc_id", "text", JACCARD_THRESHOLD
-    )
-    comp = _dd.connected_components(pairs, "id_a", "id_b")
-    scored = _tx.add_quality(docs, "text", "quality_score").select(
-        "doc_id", "quality_score"
-    )
-    clustered = (
-        scored.join(comp, scored.doc_id == comp.node, "left")
-        .select(
-            "doc_id",
-            F.coalesce("comp", "doc_id").alias("cluster_id"),
-            "quality_score",
-        )
-    )
-    best = clustered.groupBy("cluster_id").agg(
-        F.min_by(
-            "doc_id",
-            F.struct(
-                (-F.col("quality_score")).alias("nq"), F.col("doc_id")
-            ),
-        ).alias("__keep_id")
-    )
-    return clustered.join(best, "cluster_id").select(
-        "doc_id",
-        "cluster_id",
-        (F.col("doc_id") == F.col("__keep_id")).alias("is_kept"),
-        "quality_score",
-    )
-
-
-#: DuckDB form of functions.rolling_hash — same constants (31, 1e9+7).
-_FP_SQL = """list_reduce(
-         list_prepend(CAST(0 AS BIGINT),
-                      list_transform(string_split(text, ''), c -> CAST(ascii(c) AS BIGINT))),
-         (a, b) -> (a * 31 + b) % 1000000007
-       )"""
-
-
-@register(
-    "train_val_test_split",
-    oracle=f"""
-WITH fp AS (SELECT doc_id, {_FP_SQL} AS f FROM documents)
-SELECT doc_id,
-       f % 100 AS bucket,
-       CASE WHEN f % 100 < 90 THEN 'train'
-            WHEN f % 100 < 95 THEN 'val'
-            ELSE 'test' END AS split
-FROM fp
-""",
-    description="Deterministic 90/5/5 train/val/test assignment by CONTENT "
-    "hash (rolling hash mod 100): reproducible on any cluster at any "
-    "parallelism (no RNG, no partition dependence), and duplicate texts "
-    "always land in the same split — the content-hash property that "
-    "prevents train/test leakage through near-copies. Pure projection: "
-    "zero shuffles at any scale",
-    tags=("extension", "curation"),
-)
-def train_val_test_split(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = read_parquet_table(spark, sf_dir, "documents")
-    bucket = F.pmod(rolling_hash("text"), F.lit(100))
-    return docs.select(
-        "doc_id",
-        bucket.cast("long").alias("bucket"),
-        F.when(bucket < 90, "train")
-        .when(bucket < 95, "val")
-        .otherwise("test")
-        .alias("split"),
-    )
-
-
-@register(
-    "leakage_safe_split_documents",
-    oracle=f"""
-WITH RECURSIVE {_JACCARD_CTES},
-{_minhash_sig_sql()},
-{_minhash_bands_sql()},
-cands AS (
-  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
-  FROM bands a JOIN bands b
-    ON a.band = b.band AND a.sig = b.sig AND a.doc_id < b.doc_id
-),
-ndpairs AS (
-  SELECT c.id_a, c.id_b
-  FROM cands c JOIN jac j ON c.id_a = j.id_a AND c.id_b = j.id_b
-  WHERE j.jaccard >= {JACCARD_THRESHOLD}
-),
-ccedges AS (
-  SELECT id_a AS a, id_b AS b FROM ndpairs
-  UNION ALL
-  SELECT id_b AS a, id_a AS b FROM ndpairs
-),
-cc_nodes AS (SELECT DISTINCT a AS node FROM ccedges),
-reach AS (
-  SELECT node, node AS label FROM cc_nodes
-  UNION
-  SELECT e.b AS node, r.label FROM reach r JOIN ccedges e ON e.a = r.node
-),
-cccomp AS (SELECT node AS doc_id, min(label) AS cluster_id FROM reach GROUP BY node),
-cl AS (
-  SELECT d.doc_id, CAST(COALESCE(c.cluster_id, d.doc_id) AS BIGINT) AS cluster_id
-  FROM documents d LEFT JOIN cccomp c USING (doc_id)
-),
-fp AS (SELECT doc_id, {_FP_SQL} AS f FROM documents)
-SELECT cl.doc_id, cl.cluster_id,
-       fp.f % 100 AS bucket,
-       CASE WHEN fp.f % 100 < 90 THEN 'train'
-            WHEN fp.f % 100 < 95 THEN 'val'
-            ELSE 'test' END AS split
-FROM cl JOIN fp ON fp.doc_id = cl.cluster_id
-""",
-    description="Cluster-aware train/val/test split — closes the "
-    "near-dup leakage hole the plain content-hash split leaves open: "
-    "MinHash-LSH near-dup clusters (iterative connected components, "
-    "same machinery as near_dup_doc_clusters) are assigned WHOLE to one "
-    "split, keyed by the rolling hash of the cluster CANONICAL's text "
-    "(min-id member), so a near-copy can never sit in train while its "
-    "twin sits in test; singleton docs degrade to exactly the "
-    "train_val_test_split assignment (pinned by test). Cost on top of "
-    "the dedup graph: one doc_id-keyed equi-join to fetch canonical "
-    "text — no new quadratic term at any scale",
-    tags=("extension", "curation", "dedup", "graph"),
-)
-def leakage_safe_split_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = read_parquet_table(spark, sf_dir, "documents")
-    pairs = _dd.minhash_near_dup_pairs(docs, "doc_id", "text", JACCARD_THRESHOLD)
-    comp = _dd.connected_components(pairs, "id_a", "id_b")
-    clustered = (
-        docs.select("doc_id")
-        .join(comp, docs.doc_id == comp.node, "left")
-        .select(
-            "doc_id", F.coalesce("comp", "doc_id").cast("long").alias("cluster_id")
-        )
-    )
-    canon = docs.select(
-        F.col("doc_id").alias("cluster_id"),
-        F.pmod(rolling_hash("text"), F.lit(100)).cast("long").alias("bucket"),
-    )
-    return clustered.join(canon, "cluster_id").select(
-        "doc_id",
-        "cluster_id",
-        "bucket",
-        F.when(F.col("bucket") < 90, "train")
-        .when(F.col("bucket") < 95, "val")
-        .otherwise("test")
-        .alias("split"),
-    )
-
-
-@register(
-    "benchmark_decontamination",
-    oracle=f"""
-WITH {_SHINGLE_CTES},
-bench AS (SELECT DISTINCT h FROM shh WHERE doc_id % 10 = 0)
-SELECT s.doc_id, CAST(count(*) AS BIGINT) AS n_shared_shingles
-FROM shh s JOIN bench b ON s.h = b.h
-WHERE s.doc_id % 10 <> 0
-GROUP BY s.doc_id
-""",
-    description="Benchmark decontamination (the eval-leakage gate every "
-    "LLM training pipeline needs): training docs sharing any word "
-    "n-gram with the benchmark set (doc_id % 10 = 0 stands in for the "
-    "held-out benchmark) are flagged with their overlap count; the "
-    "clean training set is the anti-join complement. Scale posture: the "
-    "benchmark shingle set is tiny and broadcast; the training side "
-    "streams through one equi-join on the shingle hash plus a narrow "
-    "per-doc count — never a doc×doc comparison",
-    tags=("extension", "curation", "dedup"),
-)
-def benchmark_decontamination(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = read_parquet_table(spark, sf_dir, "documents")
-    sh = _dd.exploded_shingle_hashes(docs, "doc_id", "text")
-    bench = (
-        sh.filter(F.col("doc_id") % 10 == 0).select("h").distinct()
-    )
-    train = sh.filter(F.col("doc_id") % 10 != 0)
-    return (
-        train.join(F.broadcast(bench), "h")
-        .groupBy("doc_id")
-        .agg(F.count(F.lit(1)).alias("n_shared_shingles"))
-    )
-
-
-@register(
-    "repetition_stats_documents",
-    oracle="""
-WITH dtoks AS (
-  SELECT doc_id, unnest(string_split_regex(trim(text), '\\s+')) AS token
-  FROM documents WHERE trim(text) <> ''
-),
-dtf AS (
-  SELECT doc_id, token, count(*) AS cnt FROM dtoks GROUP BY doc_id, token
-),
-dtop AS (
-  SELECT doc_id, token, cnt,
-         row_number() OVER (PARTITION BY doc_id
-                            ORDER BY cnt DESC, token DESC) AS rn,
-         CAST(sum(cnt) OVER (PARTITION BY doc_id) AS BIGINT) AS n_tokens,
-         CAST(count(*) OVER (PARTITION BY doc_id) AS BIGINT) AS n_distinct_tokens
-  FROM dtf
-)
-SELECT doc_id, n_tokens, n_distinct_tokens,
-       token AS top_token,
-       round(cnt * 1.0 / n_tokens, 6) AS top_token_ratio,
-       round(n_distinct_tokens * 1.0 / n_tokens, 6) AS distinct_ratio
-FROM dtop WHERE rn = 1
-""",
-    description="Repetition signals (Gopher-style quality rules): per "
-    "doc, total/distinct token counts, the most frequent token and its "
-    "frequency ratio (high top-token ratio or low distinct ratio = "
-    "degenerate repetitive text → filter candidate). One explode + two "
-    "hash aggregations; argmax is max(struct(cnt, token)) — no sort, "
-    "deterministic tie to the lexicographically larger token",
-    tags=("extension", "text", "curation"),
-)
-def repetition_stats_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from spotify_tracks_etl_portfolio_spark.operators.text import tokens
-
-    docs = read_parquet_table(spark, sf_dir, "documents")
-    toks = docs.select("doc_id", F.explode(tokens("text")).alias("token"))
-    tf = toks.groupBy("doc_id", "token").agg(F.count(F.lit(1)).alias("cnt"))
-    stats = tf.groupBy("doc_id").agg(
-        F.sum("cnt").alias("n_tokens"),
-        F.count(F.lit(1)).alias("n_distinct_tokens"),
-        F.max(F.struct("cnt", "token")).alias("__top"),
-    )
-    return stats.select(
-        "doc_id",
-        "n_tokens",
-        "n_distinct_tokens",
-        F.col("__top.token").alias("top_token"),
-        F.round(
-            F.col("__top.cnt").cast("double") / F.col("n_tokens"), 6
-        ).alias("top_token_ratio"),
-        F.round(
-            F.col("n_distinct_tokens").cast("double") / F.col("n_tokens"), 6
-        ).alias("distinct_ratio"),
-    )
-
-
-def _gopher_sig_sql(src: str = "documents") -> str:
-    """The Gopher rule-signal CTE chain (``base`` → ``sig``) over any
-    ``(doc_id, text)`` source — shared by the standalone gate query and
-    the curation-v3 composition."""
-    return f"""base AS (
-  SELECT doc_id,
-         CASE WHEN trim(text) = '' THEN CAST([] AS VARCHAR[])
-              ELSE string_split_regex(trim(text), '\\s+') END AS w,
-         string_split(text, chr(10)) AS l,
-         CAST(len(regexp_extract_all(text, '#')) AS BIGINT) AS n_hash,
-         CAST(len(regexp_extract_all(text, '\\.\\.\\.')) +
-              len(regexp_extract_all(text, '…')) AS BIGINT) AS n_ellsym
-  FROM {src}
-),
-sig AS (
-  SELECT doc_id, n_hash, n_ellsym,
-         CAST(len(w) AS BIGINT) AS n_words,
-         CAST(coalesce(list_sum(list_transform(w,
-              x -> CAST(length(x) AS BIGINT))), 0) AS BIGINT) AS csum,
-         CAST(len(l) AS BIGINT) AS n_lines,
-         CAST(len(list_filter(l,
-              x -> regexp_matches(x, '^\\s*[-*•]'))) AS BIGINT) AS n_bullet,
-         CAST(len(list_filter(l,
-              x -> regexp_matches(x, '(\\.\\.\\.|…)\\s*$'))) AS BIGINT) AS n_ell,
-         CAST(len(list_filter(w,
-              x -> regexp_matches(x, '[A-Za-z]'))) AS BIGINT) AS n_alpha,
-         CAST(len(list_filter(
-              ['the','be','to','of','and','that','have','with'],
-              s -> list_contains(list_transform(w, x -> lower(x)), s)))
-           AS BIGINT) AS n_stop
-  FROM base
-)"""
-
-
-def _gopher_pass_sql(stopword_min: int = 2) -> str:
-    """The composite pass predicate over the ``sig`` CTE's columns
-    (``stopword_min`` mirrors ``gopher_rules``'s knob)."""
-    return f"""(n_words BETWEEN 50 AND 100000)
-         AND (n_words > 0 AND 3 * n_words <= csum AND csum <= 10 * n_words)
-         AND (10 * n_hash <= n_words AND 10 * n_ellsym <= n_words)
-         AND (10 * n_bullet <= 9 * n_lines)
-         AND (10 * n_ell <= 3 * n_lines)
-         AND (5 * n_alpha >= 4 * n_words)
-         AND (n_stop >= {stopword_min})"""
-
-
-_GOPHER_PASS_SQL = _gopher_pass_sql()
-
-
-_GOPHER_ORACLE = f"""
-WITH {_gopher_sig_sql()}
-SELECT doc_id,
-       n_words,
-       round(csum * 1.0 / greatest(n_words, 1), 6) AS mean_word_len,
-       round(n_hash * 1.0 / greatest(n_words, 1), 6) AS hash_word_ratio,
-       round(n_ellsym * 1.0 / greatest(n_words, 1), 6) AS ellipsis_word_ratio,
-       round(n_bullet * 1.0 / greatest(n_lines, 1), 6) AS bullet_line_frac,
-       round(n_ell * 1.0 / greatest(n_lines, 1), 6) AS ellipsis_line_frac,
-       round(n_alpha * 1.0 / greatest(n_words, 1), 6) AS alpha_word_frac,
-       n_stop AS n_required_stopwords,
-       n_words BETWEEN 50 AND 100000 AS flag_word_count,
-       n_words > 0 AND 3 * n_words <= csum AND csum <= 10 * n_words
-         AS flag_mean_word_len,
-       n_words > 0 AND 10 * n_hash <= n_words AND 10 * n_ellsym <= n_words
-         AS flag_symbol_ratio,
-       10 * n_bullet <= 9 * n_lines AS flag_bullet_lines,
-       10 * n_ell <= 3 * n_lines AS flag_ellipsis_lines,
-       n_words > 0 AND 5 * n_alpha >= 4 * n_words AS flag_alpha_words,
-       n_stop >= 2 AS flag_stop_words,
-       {_GOPHER_PASS_SQL} AS gopher_pass
-FROM sig
-"""
-
-
-@register(
-    "gopher_quality_gate_documents",
-    oracle=_GOPHER_ORACLE,
-    description="The FULL published Gopher quality-rule composition "
-    "(Rae et al. 2021 A1.1; the r10-verdict item): word-count bounds, "
-    "mean-word-length band, symbol/word ratio, bullet- and "
-    "ellipsis-line fractions, alphabetic-word fraction, required "
-    "stop-word presence — one zero-shuffle JVM projection "
-    "(operators/text.py::gopher_rules) emitting each rule's signal, "
-    "its boolean flag, and the composite gopher_pass gate. Every "
-    "threshold evaluates as an integer cross-multiplication (never a "
-    "float division), so boundary docs can't flip between engines; "
-    "ratio columns are 6-dp display values. At 100 TB this is a pure "
-    "map pass — no shuffle, no Python, rules read per-row state only",
-    tags=("extension", "text", "curation", "quality"),
-)
-def gopher_quality_gate_documents(
-    spark: SparkSession, sf_dir: str
-) -> DataFrame:
-    import functools
-
-    from spotify_tracks_etl_portfolio_spark.operators.text import (
-        gopher_rules,
-    )
-
-    docs = read_parquet_table(spark, sf_dir, "documents")
-    r = gopher_rules("text")
-    flags = [k for k in r if k.startswith("flag_")]
-    gate = functools.reduce(lambda a, b: a & b, (r[k] for k in flags))
-    return docs.select(
-        "doc_id",
-        *[r[k].alias(k) for k in r],
-        gate.alias("gopher_pass"),
-    )
-
-
-@register_pending_r12(
-    "curate_training_corpus_v3",
-    oracle=f"""
-WITH canon AS (
-  SELECT min(doc_id) AS doc_id FROM documents GROUP BY text
-),
-surv AS (
-  SELECT d.doc_id, d.lang, d.text FROM documents d JOIN canon USING (doc_id)
-),
-{_gopher_sig_sql('surv')},
-kept AS (
-  SELECT s.doc_id, s.lang, s.text, g.n_words
-  FROM surv s JOIN sig g USING (doc_id)
-  WHERE {_gopher_pass_sql(stopword_min=1)}
-),
-c AS (
-  SELECT lang, CAST(count(*) AS BIGINT) AS n,
-         CAST(round(sqrt(count(*)) * 1000000) AS BIGINT) AS s
-  FROM kept GROUP BY lang
-),
-t AS (SELECT CAST(SUM(n) AS BIGINT) AS total_n,
-             CAST(SUM(s) AS BIGINT) AS total_s FROM c),
-r AS (
-  SELECT lang,
-         LEAST(1000000, CAST(floor(
-           ((CAST(floor((total_n + 1) / 2) AS BIGINT) * s)
-            / (total_s * n)) * 1000000) AS BIGINT)) AS thr
-  FROM c, t
-),
-h AS (
-  SELECT doc_id, lang, n_words,
-         ({_FP_SQL}) % 1000000 AS h,
-         ({_FP_SQL}) % 100 AS b
-  FROM kept
-)
-SELECT doc_id, lang, n_words,
-       CASE WHEN b < 90 THEN 'train' WHEN b < 95 THEN 'val'
-            ELSE 'test' END AS split
-FROM h JOIN r USING (lang) WHERE h < thr
-""",
-    description="Curation pipeline v3 — THIS round's operators "
-    "composed end-to-end in one Catalyst plan (the published "
-    "multilingual recipe shape): exact content dedup (min-doc_id "
-    "canonical, one groupBy) → the FULL Gopher rule gate "
-    "(gopher_rules, zero-shuffle integer-exact flags) → "
-    "temperature-sampled language rebalancing over the SURVIVORS "
-    "(α = 1/2, ⌈N/2⌉ budget, content-hash membership — low-resource "
-    "languages upweighted) → content-hash 90/5/5 split. The stop-word "
-    "rule runs at stopword_min=1 here (the synthetic vocabulary "
-    "contains only 'the' of the 8 required words, so the published "
-    "≥2 is degenerate-zero on this corpus; ≥1 keeps the rule active — "
-    "382/500 differentiating — and production keeps the published "
-    "default). Beyond the "
-    "dedup groupBy the plan is row-local projections plus two "
-    "sketch-sized aggregations (per-lang counts, 1-row totals "
-    "broadcast); the gated corpus materializes once (slim "
-    "localCheckpoint, the v2/grouped_prefix_sum pattern — it IS the "
-    "persisted artifact of a real pipeline). Deterministic end-to-end "
-    "(no RNG anywhere: the mix replays from the recipe alone). "
-    "Registered via the pending-r12 gate; pytest-verified now",
-    tags=("extension", "curation", "dedup", "quality", "sampling"),
-)
-def curate_training_corpus_v3(spark: SparkSession, sf_dir: str) -> DataFrame:
-    import functools
-
-    from spotify_tracks_etl_portfolio_spark.operators.text import (
-        gopher_rules,
-    )
-
-    docs = read_parquet_table(spark, sf_dir, "documents")
-    canon = docs.groupBy("text").agg(F.min("doc_id").alias("doc_id"))
-    surv = docs.join(canon.select("doc_id"), "doc_id", "left_semi")
-    rules = gopher_rules("text", stopword_min=1)
-    gate = functools.reduce(
-        lambda a, b: a & b,
-        (v for k, v in rules.items() if k.startswith("flag_")),
-    )
-    kept = (
-        surv.filter(gate)
-        .select("doc_id", "lang", "text", rules["n_words"].alias("n_words"))
-        .localCheckpoint(eager=False)
-    )
-    m = 1_000_000
-    c = kept.groupBy("lang").agg(F.count(F.lit(1)).alias("n")).select(
-        "lang", "n", F.round(F.sqrt("n") * m).cast("long").alias("s")
-    )
-    t = c.agg(F.sum("n").alias("total_n"), F.sum("s").alias("total_s"))
-    budget = F.floor((F.col("total_n") + 1) / 2).cast("long")
-    rate = (budget * F.col("s")) / (F.col("total_s") * F.col("n"))
-    thr = c.crossJoin(F.broadcast(t)).select(
-        "lang",
-        F.least(F.lit(m), F.floor(rate * m).cast("long")).alias("thr"),
-    )
-    fp = rolling_hash("text")
-    h = kept.select(
-        "doc_id",
-        "lang",
-        "n_words",
-        (fp % m).alias("h"),
-        (fp % 100).alias("b"),
-    )
-    return (
-        h.join(F.broadcast(thr), "lang")
-        .filter(F.col("h") < F.col("thr"))
-        .select(
-            "doc_id",
-            "lang",
-            "n_words",
-            F.when(F.col("b") < 90, "train")
-            .when(F.col("b") < 95, "val")
-            .otherwise("test")
-            .alias("split"),
-        )
-    )
-
-
-def _dup_ngram_sql(n: int) -> str:
-    return f"""CASE WHEN len(w) - {n} + 1 >= 1 THEN
-      round(1.0 - len(list_distinct(list_transform(
-                range(1, len(w) - {n} + 2),
-                i -> array_to_string(w[i:(i+{n}-1)], ' '))))
-            * 1.0 / (len(w) - {n} + 1), 6)
-    ELSE 0.0 END"""
-
-
-@register(
-    "ngram_repetition_documents",
-    oracle=f"""
-WITH tb AS (
-  SELECT doc_id,
-         CASE WHEN trim(text) = '' THEN CAST([] AS VARCHAR[])
-              ELSE string_split_regex(trim(text), '\\s+') END AS w
-  FROM documents
-)
-SELECT doc_id,
-       {_dup_ngram_sql(2)} AS dup_2gram_frac,
-       {_dup_ngram_sql(3)} AS dup_3gram_frac,
-       {_dup_ngram_sql(4)} AS dup_4gram_frac
-FROM tb
-""",
-    description="Within-doc n-gram repetition fractions (the Gopher "
-    "duplicate-2/3/4-gram rules): per doc, the fraction of word "
-    "n-grams repeating an earlier n-gram of the SAME doc — the "
-    "looping/boilerplate filter signal that complements "
-    "repetition_stats' token-level ratios. Computed entirely inside "
-    "the row with higher-order functions (sequence → slice → "
-    "array_distinct): a pure zero-shuffle projection at any corpus "
-    "size, the cheapest dedup-family signal because it never compares "
-    "across rows",
-    tags=("extension", "text", "curation"),
-)
-def ngram_repetition_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = read_parquet_table(spark, sf_dir, "documents")
-    return docs.select(
-        "doc_id",
-        _tx.ngram_dup_fraction("text", 2).alias("dup_2gram_frac"),
-        _tx.ngram_dup_fraction("text", 3).alias("dup_3gram_frac"),
-        _tx.ngram_dup_fraction("text", 4).alias("dup_4gram_frac"),
-    )
-
-
-@register(
-    "top_bigrams",
-    oracle="""
-WITH bt AS (
-  SELECT doc_id,
-         string_split_regex(trim(text), '\\s+') AS w
-  FROM documents WHERE trim(text) <> ''
-),
-bg AS (
-  SELECT doc_id,
-         unnest([w[i] || ' ' || w[i+1] for i in range(1, len(w))]) AS bigram
-  FROM bt WHERE len(w) >= 2
-),
-bc AS (SELECT bigram, CAST(count(*) AS BIGINT) AS n FROM bg GROUP BY bigram)
-SELECT bigram, n FROM bc
-ORDER BY n DESC, bigram
-LIMIT 50
-""",
-    description="Corpus-wide top-50 bigrams (vocabulary/merge-rule "
-    "mining for BPE-style tokenizers): adjacent-token pairs built as a "
-    "pure array transform (no self-join), one explode + one hash "
-    "aggregation + TakeOrderedAndProject; count-desc with bigram "
-    "tie-break for deterministic membership",
-    tags=("extension", "text"),
-)
-def top_bigrams(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from spotify_tracks_etl_portfolio_spark.operators.text import tokens
-
-    docs = read_parquet_table(spark, sf_dir, "documents")
-    toks = tokens("text")
-    bigrams = F.transform(
-        F.sequence(F.lit(0), F.size(toks) - 2),
-        lambda i: F.concat_ws(
-            " ",
-            F.element_at(toks, (i + 1).cast("int")),
-            F.element_at(toks, (i + 2).cast("int")),
-        ),
-    )
-    return (
-        docs.filter(F.size(toks) >= 2)
-        .select(F.explode(bigrams).alias("bigram"))
-        .groupBy("bigram")
-        .agg(F.count(F.lit(1)).alias("n"))
-        .orderBy(F.desc("n"), F.asc("bigram"))
-        .limit(50)
-    )
-
-
-@register(
-    "token_length_histogram",
-    oracle="""
-WITH tl AS (
-  SELECT CAST(CASE WHEN trim(text) = '' THEN 0
-              ELSE len(string_split_regex(trim(text), '\\s+')) END AS BIGINT) AS nt
-  FROM documents
-)
-SELECT (nt // 10) * 10 AS bucket, CAST(count(*) AS BIGINT) AS n_docs
-FROM tl GROUP BY 1
-""",
-    description="Document length distribution (curation dashboard "
-    "staple): token counts bucketed by 10 — one projection + one tiny "
-    "hash aggregation, the length-cutoff calibration view for quality "
-    "filtering",
-    tags=("extension", "text", "card"),
-)
-def token_length_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = read_parquet_table(spark, sf_dir, "documents")
-    nt = token_count("text").cast("long")
-    return (
-        docs.select((F.floor(nt / 10) * 10).alias("bucket"))
-        .groupBy("bucket")
-        .agg(F.count(F.lit(1)).alias("n_docs"))
-    )
-
-
-@register(
-    "unigram_logprob_documents",
-    oracle="""
-WITH utoks AS (
-  SELECT doc_id, unnest(string_split_regex(trim(text), '\\s+')) AS token
-  FROM documents WHERE trim(text) <> ''
-),
-utf AS (SELECT token, count(*) AS cnt FROM utoks GROUP BY token),
-utot AS (SELECT CAST(sum(cnt) AS DOUBLE) AS n FROM utf),
-ulp AS (
-  SELECT token,
-         CAST(round(ln(cnt / n), 9) AS DECIMAL(20, 9)) AS lp
-  FROM utf, utot
-)
-SELECT t.doc_id,
-       CAST(count(*) AS BIGINT) AS n_tokens,
-       CAST(round(CAST(sum(l.lp) AS DOUBLE), 6) AS DOUBLE) AS total_logprob,
-       round(CAST(sum(l.lp) AS DOUBLE) / count(*), 6) AS avg_logprob
-FROM utoks t JOIN ulp l ON t.token = l.token
-GROUP BY t.doc_id
-""",
-    description="Unigram LM log-probability per document (the "
-    "CCNet-style perplexity proxy for quality filtering: low avg "
-    "logprob = rare-token-heavy text): corpus token frequencies feed "
-    "per-token logprobs, per-doc totals come from ONE broadcast join "
-    "(the unigram table is small) + a hash aggregation. Determinism: "
-    "each logprob is rounded to 9 dp and summed as DECIMAL — exact and "
-    "order-insensitive regardless of partitioning — then divided once "
-    "in DOUBLE at the output",
-    tags=("extension", "text", "curation"),
-)
-def unigram_logprob_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from spotify_tracks_etl_portfolio_spark.operators.text import tokens
-
-    docs = read_parquet_table(spark, sf_dir, "documents")
-    toks = docs.select("doc_id", F.explode(tokens("text")).alias("token"))
-    tf = toks.groupBy("token").agg(F.count(F.lit(1)).alias("cnt"))
-    total = tf.agg(F.sum("cnt").cast("double").alias("n"))
-    lp = (
-        tf.crossJoin(F.broadcast(total))
-        .select(
-            "token",
-            F.round(F.log(F.col("cnt") / F.col("n")), 9)
-            .cast("decimal(20,9)")
-            .alias("lp"),
-        )
-    )
-    return (
-        # no broadcast hint: lp is one row per DISTINCT token — a
-        # vocabulary-scaled table at 100 TB; size-based planning
-        # broadcasts it at small SF and shuffle-joins it at large.
-        toks.join(lp, "token")
-        .groupBy("doc_id")
-        .agg(
-            F.count(F.lit(1)).alias("n_tokens"),
-            F.sum("lp").alias("__dec_lp"),
-        )
-        .select(
-            "doc_id",
-            "n_tokens",
-            F.round(F.col("__dec_lp").cast("double"), 6).alias("total_logprob"),
-            F.round(
-                F.col("__dec_lp").cast("double") / F.col("n_tokens"), 6
-            ).alias("avg_logprob"),
-        )
-    )
-
-
-#: Add-k smoothing constant for the bigram LM (k=0.5, Jeffreys prior).
-BIGRAM_K = 0.5
-
-
-#: Bigram add-k LM CTE chain (model counts → per-doc 9-dp DECIMAL
-#: logprob sums) — shared by the per-doc scorer and the CCNet-style
-#: perplexity bucketing.
-_BIGRAM_LP_CTES = f"""btb AS (
-  SELECT doc_id, string_split_regex(trim(text), '\\s+') AS w
-  FROM documents WHERE trim(text) <> ''
-),
-bpairs AS (
-  SELECT doc_id, w[i] AS w1, w[i + 1] AS w2
-  FROM btb, unnest(range(1, len(w))) t(i)
-  WHERE len(w) >= 2
-),
-bbc AS (SELECT w1, w2, count(*) AS cab FROM bpairs GROUP BY w1, w2),
-buc AS (SELECT w1, count(*) AS ca FROM bpairs GROUP BY w1),
-bv AS (
-  SELECT CAST(count(DISTINCT t) AS DOUBLE) AS vv
-  FROM (SELECT unnest(w) AS t FROM btb)
-),
-blp AS (
-  SELECT p.doc_id,
-         CAST(round(ln((bc.cab + {BIGRAM_K}) / (uc.ca + {BIGRAM_K} * v.vv)), 9)
-              AS DECIMAL(20, 9)) AS l
-  FROM bpairs p
-  JOIN bbc bc ON p.w1 = bc.w1 AND p.w2 = bc.w2
-  JOIN buc uc ON p.w1 = uc.w1, bv v
-),
-bagg AS (
-  SELECT doc_id, CAST(count(*) AS BIGINT) AS n_bigrams,
-         sum(l) AS s
-  FROM blp GROUP BY doc_id
-)"""
-
-
-@register(
-    "bigram_logprob_documents",
-    oracle=f"""
-WITH {_BIGRAM_LP_CTES}
-SELECT d.doc_id,
-       COALESCE(a.n_bigrams, 0) AS n_bigrams,
-       COALESCE(round(CAST(a.s AS DOUBLE) / a.n_bigrams, 6), 0.0)
-         AS avg_logprob
-FROM documents d LEFT JOIN bagg a USING (doc_id)
-""",
-    description="BIGRAM LM log-probability per document (the step past "
-    "the unigram proxy toward CCNet's KenLM filter): corpus bigram and "
-    "first-position unigram counts feed add-k-smoothed conditional "
-    "logprobs P(w2|w1)=(c12+k)/(c1+kV); per-doc averages flag "
-    "incoherent word SEQUENCES that unigram frequency cannot see "
-    "(shuffled text scores like fluent text under a unigram LM). "
-    "Scale shape: two hash aggregations for the model, one "
-    "vocabulary-scaled equi-join for scoring (no broadcast hint — "
-    "bigram tables grow with the corpus), per-doc 9-dp DECIMAL sums "
-    "for order-insensitive determinism; docs with <2 tokens come back "
-    "0/0.0 through the left join",
-    tags=("extension", "text", "curation"),
-)
-def bigram_logprob_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from spotify_tracks_etl_portfolio_spark.operators.text import tokens
-
-    docs = read_parquet_table(spark, sf_dir, "documents")
-    toks = tokens("text")
-    # greatest(…, 0): slice() rejects negative lengths, and empty/1-token
-    # docs would produce size-1 = -1 (verified crash) — they must yield
-    # zero pairs instead.
-    n_pairs = F.greatest(F.size(toks) - 1, F.lit(0))
-    pairs = docs.select(
-        "doc_id",
-        F.explode(
-            F.zip_with(
-                F.slice(toks, 1, n_pairs),
-                F.slice(toks, 2, n_pairs),
-                lambda x, y: F.struct(x.alias("w1"), y.alias("w2")),
-            )
-        ).alias("p"),
-    ).select("doc_id", "p.w1", "p.w2")
-    bc = pairs.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("cab"))
-    uc = pairs.groupBy("w1").agg(F.count(F.lit(1)).alias("ca"))
-    v = docs.select(F.explode(toks).alias("t")).agg(
-        F.countDistinct("t").cast("double").alias("vv")
-    )
-    lp = (
-        pairs.join(bc, ["w1", "w2"])
-        .join(uc, "w1")
-        .crossJoin(F.broadcast(v))
-        .select(
-            "doc_id",
-            F.round(
-                F.log(
-                    (F.col("cab") + F.lit(BIGRAM_K))
-                    / (F.col("ca") + F.lit(BIGRAM_K) * F.col("vv"))
-                ),
-                9,
-            )
-            .cast("decimal(20,9)")
-            .alias("l"),
-        )
-    )
-    agg = lp.groupBy("doc_id").agg(
-        F.count(F.lit(1)).alias("n_bigrams"),
-        F.sum("l").alias("__s"),
-    )
-    return docs.select("doc_id").join(agg, "doc_id", "left").select(
-        "doc_id",
-        F.coalesce("n_bigrams", F.lit(0).cast("long")).alias("n_bigrams"),
-        F.coalesce(
-            F.round(F.col("__s").cast("double") / F.col("n_bigrams"), 6),
-            F.lit(0.0),
-        ).alias("avg_logprob"),
-    )
-
-
-#: Histogram-sketch bin width for perplexity bucketing, in micro-units
-#: of avg_logprob (2^9 ≈ 0.0005 logprob units): a language's scores
-#: concentrate in a few hundredths of a logprob unit, so tercile
-#: thresholds need sub-millunit bins; even a several-unit global range
-#: stays a few thousand cells per language — sketch-sized.
-CCNET_BIN = 1 << 9
-
-
-@register_pending_r12(
-    "ccnet_perplexity_buckets",
-    oracle=f"""
-WITH {_BIGRAM_LP_CTES},
-sc AS (
-  SELECT d.doc_id, d.lang, a.n_bigrams,
-         round(CAST(a.s AS DOUBLE) / a.n_bigrams, 6) AS avg_logprob
-  FROM documents d JOIN bagg a USING (doc_id)
-),
-bins AS (
-  SELECT doc_id, lang, n_bigrams, avg_logprob,
-         CAST(floor(round(avg_logprob * 1000000) / {CCNET_BIN}.0) AS BIGINT) AS b
-  FROM sc
-),
-lc AS (SELECT lang, b, CAST(count(*) AS BIGINT) AS c FROM bins GROUP BY lang, b),
-lt AS (SELECT lang, CAST(SUM(c) AS BIGINT) AS n FROM lc GROUP BY lang),
-lcum AS (
-  SELECT lang, b,
-         SUM(c) OVER (PARTITION BY lang ORDER BY b
-                      ROWS UNBOUNDED PRECEDING) AS cum
-  FROM lc
-),
-t33 AS (
-  SELECT l.lang, min(b) AS b33 FROM lcum l JOIN lt USING (lang)
-  WHERE cum >= CAST(floor((n + 2) / 3) AS BIGINT) GROUP BY l.lang
-),
-t66 AS (
-  SELECT l.lang, min(b) AS b66 FROM lcum l JOIN lt USING (lang)
-  WHERE cum >= CAST(floor((2 * n + 2) / 3) AS BIGINT) GROUP BY l.lang
-)
-SELECT doc_id, lang, n_bigrams, avg_logprob,
-       CASE WHEN b <= b33 THEN 'tail' WHEN b <= b66 THEN 'middle'
-            ELSE 'head' END AS ppl_bucket
-FROM bins JOIN t33 USING (lang) JOIN t66 USING (lang)
-""",
-    description="CCNet-style per-language perplexity bucketing "
-    "(Wenzek et al. 2020: score each doc with an LM, split every "
-    "language into head/middle/tail terciles, train on head+middle): "
-    "the add-k bigram LM scores each doc (shared model CTEs with "
-    "bigram_logprob_documents; higher avg logprob = more fluent), "
-    "per-language tercile THRESHOLDS come from the mergeable "
-    "histogram-sketch cells (micro-int binned scores, per-(lang, bin) "
-    "counts, integer rank selection — never a per-language sort of "
-    "raw docs), and bucket assignment compares integer BINS, so no "
-    "engine's float rounding can flip a boundary doc. Scale shape: "
-    "the LM model is two hash aggs, scoring one vocabulary-scaled "
-    "equi-join, thresholds run over #langs × #bins sketch rows, and "
-    "the bucket join broadcasts #langs threshold rows. Docs with <2 "
-    "tokens are unscoreable and excluded (CCNet drops them). "
-    "Registered via the pending-r12 gate; pytest-verified now",
-    tags=("extension", "text", "curation", "sketch"),
-)
-def ccnet_perplexity_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from pyspark.sql import Window
-
-    docs = read_parquet_table(spark, sf_dir, "documents")
-    scored = (
-        bigram_logprob_documents(spark, sf_dir)
-        .filter(F.col("n_bigrams") >= 1)
-        .join(docs.select("doc_id", "lang"), "doc_id")
-    )
-    bins = scored.select(
-        "doc_id",
-        "lang",
-        "n_bigrams",
-        "avg_logprob",
-        F.floor(
-            F.round(F.col("avg_logprob") * F.lit(1_000_000))
-            / F.lit(float(CCNET_BIN))
-        )
-        .cast("long")
-        .alias("b"),
-    )
-    lc = bins.groupBy("lang", "b").agg(F.count(F.lit(1)).alias("c"))
-    lt = lc.groupBy("lang").agg(F.sum("c").alias("n"))
-    wcum = (
-        Window.partitionBy("lang")
-        .orderBy("b")
-        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    )
-    lcum = lc.withColumn("cum", F.sum("c").over(wcum)).join(lt, "lang")
-
-    def _thr(target, out: str) -> DataFrame:
-        return (
-            lcum.filter(F.col("cum") >= target)
-            .groupBy("lang")
-            .agg(F.min("b").alias(out))
-        )
-
-    t33 = _thr(F.floor((F.col("n") + 2) / 3).cast("long"), "b33")
-    t66 = _thr(F.floor((F.lit(2) * F.col("n") + 2) / 3).cast("long"), "b66")
-    return (
-        bins.join(F.broadcast(t33), "lang")
-        .join(F.broadcast(t66), "lang")
-        .select(
-            "doc_id",
-            "lang",
-            "n_bigrams",
-            "avg_logprob",
-            F.when(F.col("b") <= F.col("b33"), "tail")
-            .when(F.col("b") <= F.col("b66"), "middle")
-            .otherwise("head")
-            .alias("ppl_bucket"),
-        )
-    )
-
-
-STRATA_SAMPLE_N = 20
-
-
-@register(
-    "stratified_sample_by_lang",
-    oracle=f"""
-WITH sfp AS (SELECT doc_id, lang, {_FP_SQL} AS f FROM documents),
-sr AS (
-  SELECT doc_id, lang,
-         row_number() OVER (PARTITION BY lang ORDER BY f, doc_id) AS rn
-  FROM sfp
-)
-SELECT doc_id, lang, CAST(rn AS BIGINT) AS sample_rank
-FROM sr WHERE rn <= {STRATA_SAMPLE_N}
-""",
-    description=f"Stratified sampling: {STRATA_SAMPLE_N} docs per "
-    "language, ordered by CONTENT hash (rolling fingerprint) with "
-    "doc_id tie-break — a reproducible quota sample at any parallelism "
-    "on any cluster (no RNG), the balanced-evaluation-set / "
-    "data-ablation primitive. Per-group top-N window → WindowGroupLimit "
-    "prunes each stratum map-side before the final rank",
-    tags=("extension", "curation"),
-)
-def stratified_sample_by_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from spotify_tracks_etl_portfolio_spark.operators.similarity import (
-        per_group_topk,
-    )
-
-    docs = read_parquet_table(spark, sf_dir, "documents")
-    # two-stage bucketed bottom-k: ~10 langs over the corpus would
-    # otherwise merge each stratum's survivors in one task
-    ranked = per_group_topk(
-        docs.withColumn("__h", rolling_hash("text")),
-        "lang",
-        "__h",
-        "doc_id",
-        STRATA_SAMPLE_N,
-        "sample_rank",
-        descending=False,
-    )
-    return ranked.select(
-        "doc_id", "lang", F.col("sample_rank").cast("long").alias("sample_rank")
-    )
-
-
-@register(
-    "source_mixing_weights",
-    oracle="""
-WITH stok AS (
-  SELECT source,
-         CAST(CASE WHEN trim(text) = '' THEN 0
-              ELSE len(string_split_regex(trim(text), '\\s+')) END AS BIGINT) AS nt
-  FROM documents
-),
-sagg AS (
-  SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
-         CAST(sum(nt) AS BIGINT) AS n_tokens
-  FROM stok GROUP BY source
-),
-sshare AS (
-  SELECT source, n_docs, n_tokens,
-         round(n_tokens * 1.0 / sum(n_tokens) OVER (), 6) AS token_share,
-         CAST(round(sqrt(n_tokens * 1.0 / sum(n_tokens) OVER ()), 6)
-              AS DECIMAL(18, 6)) AS w6
-  FROM sagg
-)
-SELECT source, n_docs, n_tokens, token_share,
-       round(CAST(w6 AS DOUBLE) / CAST(sum(w6) OVER () AS DOUBLE), 6)
-         AS mixing_weight
-FROM sshare
-""",
-    description="Domain-mixing weights: per source, doc/token counts, "
-    "token share, and a sqrt-scaled sampling weight (the standard "
-    "temperature-mixing shape that up-weights small sources). "
-    "Determinism: per-source sqrt is IEEE-exact from integer token "
-    "counts; the normalization sums 6-dp DECIMALs exactly, so no "
-    "float-summation-order dependence anywhere. One aggregation + one "
-    "broadcast-size window over |sources| rows",
-    tags=("extension", "curation"),
-)
-def source_mixing_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from pyspark.sql import Window
-
-    docs = read_parquet_table(spark, sf_dir, "documents")
-    agg = docs.groupBy("source").agg(
-        F.count(F.lit(1)).alias("n_docs"),
-        F.sum(token_count("text").cast("long")).alias("n_tokens"),
-    )
-    wall = Window.partitionBy()
-    share = F.col("n_tokens").cast("double") / F.sum("n_tokens").over(wall)
-    with_w = agg.withColumn("token_share", F.round(share, 6)).withColumn(
-        "w6", F.round(F.sqrt(share), 6).cast("decimal(18,6)")
-    )
-    return with_w.select(
-        "source",
-        "n_docs",
-        "n_tokens",
-        "token_share",
-        F.round(
-            F.col("w6").cast("double")
-            / F.sum("w6").over(wall).cast("double"),
-            6,
-        ).alias("mixing_weight"),
-    )
-
-
-@register(
-    "incremental_dedup_documents",
-    oracle=f"""
-WITH fp AS (SELECT doc_id, {_FP_SQL} AS fingerprint FROM documents)
-SELECT b.doc_id, b.fingerprint
-FROM fp b
-WHERE b.doc_id % 2 = 1
-  AND NOT EXISTS (
-    SELECT 1 FROM fp c
-    WHERE c.doc_id % 2 = 0 AND c.fingerprint = b.fingerprint
-  )
-""",
-    description="Incremental corpus dedup: an incoming batch (odd doc_ids "
-    "stand in for 'new') anti-joins the existing corpus (even doc_ids) on "
-    "the content fingerprint — only genuinely new content survives. The "
-    "daily-ingest shape at 100 TB: the corpus side is a narrow "
-    "(fingerprint-only) table, the anti join shuffles both sides once on "
-    "the hash; with the corpus bucketed on fingerprint the shuffle "
-    "disappears entirely",
-    tags=("extension", "dedup", "curation"),
-)
-def incremental_dedup_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = read_parquet_table(spark, sf_dir, "documents").select(
-        "doc_id", rolling_hash("text").alias("fingerprint")
-    )
-    batch = docs.filter(F.col("doc_id") % 2 == 1)
-    corpus = docs.filter(F.col("doc_id") % 2 == 0).select("fingerprint")
-    return batch.join(corpus, "fingerprint", "left_anti").select(
-        "doc_id", "fingerprint"
-    )
-
-
-SHARD_TOKEN_BUDGET = 2000
-
-
-@register(
-    "token_budget_shards",
-    oracle=f"""
-WITH tb AS (
-  SELECT doc_id, lang,
-         CAST(CASE WHEN trim(text) = '' THEN 0
-              ELSE len(string_split_regex(trim(text), '\\s+')) END AS BIGINT) AS nt,
-         {_FP_SQL} AS f
-  FROM documents
-),
-csum AS (
-  SELECT doc_id, lang, nt,
-         sum(nt) OVER (PARTITION BY lang ORDER BY f, doc_id
-                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
-  FROM tb
-)
-SELECT doc_id, lang, nt AS n_tokens,
-       CAST((cum - nt) // {SHARD_TOKEN_BUDGET} AS BIGINT) AS shard
-FROM csum
-""",
-    description="Token-budget shard assignment (the corpus-packing "
-    f"primitive for training): within each language, docs ordered by "
-    "content hash accumulate token counts and spill into the next shard "
-    f"every {SHARD_TOKEN_BUDGET} tokens — deterministic at any "
-    "parallelism (content-hash order, integer cumulative sums, no RNG), "
-    "so every re-run of the pipeline produces identical shard "
-    "membership. The running sums go through the bucketed prefix-sum "
-    "kernel (grouped_prefix_sum — range-bucketed on the content hash "
-    "with per-(lang, bucket) offsets), so at 100 TB the cumulative "
-    "pass parallelizes WITHIN each language too, not just across the "
-    "handful of strata; integer-exact either way",
-    tags=("extension", "curation"),
-)
-def token_budget_shards(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from spotify_tracks_etl_portfolio_spark.operators.stats import (
-        grouped_prefix_sum,
-    )
-
-    docs = read_parquet_table(spark, sf_dir, "documents")
-    nt = token_count("text").cast("long")
-    pre = grouped_prefix_sum(
-        docs,
-        ["lang"],
-        rolling_hash("text"),
-        ["doc_id"],
-        nt,
-        "__cum_before",
-        val_out="n_tokens",
-        lead_range=(0, _M - 1),
-    )
-    return pre.select(
-        "doc_id",
-        "lang",
-        "n_tokens",
-        F.floor(F.col("__cum_before") / SHARD_TOKEN_BUDGET)
-        .cast("long")
-        .alias("shard"),
-    )
-
-
-@register(
-    "streaming_scd2_sync",
-    oracle="""
-WITH flags AS (
-  SELECT c_custkey, c_mktsegment AS orig,
-         c_custkey % 6 = 0 AS u1, c_custkey % 4 = 0 AS u2
-  FROM customer
-)
-SELECT c_custkey, orig AS c_mktsegment,
-       '2020-01-01' AS valid_from,
-       CASE WHEN u1 THEN '2024-01-01'
-            WHEN u2 THEN '2024-06-01' END AS valid_to,
-       NOT (u1 OR u2) AS is_current
-FROM flags
-UNION ALL
-SELECT c_custkey, 'SEG_B1', '2024-01-01',
-       CASE WHEN u2 THEN '2024-06-01' END, NOT u2
-FROM flags WHERE u1
-UNION ALL
-SELECT c_custkey, 'SEG_B2', '2024-06-01', NULL, true
-FROM flags WHERE u2
-""",
-    description="Streaming SCD Type-2 under the CORRECTNESS gate: two "
-    "ordered micro-batches of segment updates (every-6th customer at "
-    "2024-01-01, then every-4th at 2024-06-01) flow through foreachBatch "
-    "+ the batch scd2_apply operator against a versioned state dir "
-    "(epoch-numbered overwrite → replay-idempotent), and the final "
-    "dimension hash-matches the oracle's declarative enumeration of "
-    "close/insert chains — a customer hit by both updates carries the "
-    "full 3-version history. Updates must arrive in order (a real CDC "
-    "feed keys on a sequence column); the staged files pin mtimes to "
-    "guarantee it",
-    tags=("streaming", "extension", "scd", "warehouse"),
-)
-@pinned_stream_session
-def streaming_scd2_sync(spark: SparkSession, sf_dir: str) -> DataFrame:
-
-    import glob as _glob
-
-    from spotify_tracks_etl_portfolio_spark.operators.scd import scd2_apply
-
-    c = read_parquet_table(spark, sf_dir, "customer")
-    dim0 = c.select(
-        "c_custkey",
-        "c_mktsegment",
-        F.lit("2020-01-01").alias("valid_from"),
-        F.lit(None).cast("string").alias("valid_to"),
-        F.lit(True).alias("is_current"),
-    )
-    d = _session_scratch(spark, "scd2_sync")
-    b1 = c.filter(F.col("c_custkey") % 6 == 0).select(
-        "c_custkey",
-        F.lit("SEG_B1").alias("c_mktsegment"),
-        F.lit("2024-01-01").alias("update_ts"),
-    )
-    b2 = c.filter(F.col("c_custkey") % 4 == 0).select(
-        "c_custkey",
-        F.lit("SEG_B2").alias("c_mktsegment"),
-        F.lit("2024-06-01").alias("update_ts"),
-    )
-    b1.coalesce(1).write.parquet(f"{d}/src/f1")
-    b2.coalesce(1).write.parquet(f"{d}/src/f2")
-    # the file source orders micro-batches by modification time: pin
-    # mtimes so batch 1 provably precedes batch 2
-    for i, sub in enumerate(("f1", "f2")):
-        for p in _glob.glob(f"{d}/src/{sub}/*.parquet"):
-            os.utime(p, (1_700_000_000 + 100 * i, 1_700_000_000 + 100 * i))
-
-    stream = (
-        spark.readStream.schema(
-            "c_custkey long, c_mktsegment string, update_ts string"
-        )
-        .option("maxFilesPerTrigger", 1)
-        .parquet(f"{d}/src/*")
-    )
-
-    def process(batch: DataFrame, epoch_id: int) -> None:
-        ts_val = batch.agg(F.max("update_ts")).first()[0]
-        if ts_val is None:  # empty replayed batch
-            return
-        versions = sorted(_glob.glob(f"{d}/state_v*"))
-        cur = spark.read.parquet(versions[-1]) if versions else dim0
-        new = scd2_apply(
-            cur,
-            batch.select("c_custkey", "c_mktsegment"),
-            key_cols=["c_custkey"],
-            attr_cols=["c_mktsegment"],
-            update_ts=F.lit(ts_val),
-        )
-        new.write.mode("overwrite").parquet(f"{d}/state_v{int(epoch_id):05d}")
-
-    q = (
-        stream.writeStream.foreachBatch(process)
-        .option("checkpointLocation", f"{d}/ckpt")
-        .trigger(availableNow=True)
-        .start()
-    )
-    q.awaitTermination()
-    latest = sorted(_glob.glob(f"{d}/state_v*"))[-1]
-    return spark.read.parquet(latest).select(
-        "c_custkey", "c_mktsegment", "valid_from", "valid_to", "is_current"
-    )
-
-
-@register(
-    "streaming_cow_upsert_sync",
-    oracle="""
-WITH latest AS (
-  SELECT user_id, event_id, value,
-         row_number() OVER (PARTITION BY user_id
-                            ORDER BY event_id DESC) AS rn
-  FROM events
-)
-SELECT user_id, event_id AS last_event_id, value AS last_value
-FROM latest WHERE rn = 1
-""",
-    description="Streaming EXACTLY-ONCE upsert sink into the COW table "
-    "format (6th streaming gate): the events stream drains in "
-    "micro-batches via availableNow, each batch compacts to its latest "
-    "row per user and merge_latest-upserts into a manifest-committed "
-    "table — latest-wins argmax makes out-of-order batches safe, the "
-    "manifest-recorded stream_batch_id makes replayed batches no-ops "
-    "(foreachBatch is at-least-once; the TABLE STATE is exactly-once). "
-    "File-granular COW per batch: only files whose key range contains "
-    "a batch key rewrite. Final state hash-checked against the "
-    "arg-max-per-user SQL over the full event log.",
-    tags=("extension", "streaming", "acid"),
-)
-@pinned_stream_session
-def streaming_cow_upsert_sync(spark: SparkSession, sf_dir: str) -> DataFrame:
-
-    from spotify_tracks_etl_portfolio_spark.sources import cowtable as _ct
-
-    events = read_parquet_table(spark, sf_dir, "events").select(
-        "user_id", "event_id", "value"
-    )
-    d = _session_scratch(spark, "cow_sync")
-    root = f"{d}/table"
-    # seed: version 0 holds events from the first third of the log,
-    # clustered on user_id so per-batch COW merges stay file-granular
-    seed_latest = (
-        events.filter(F.col("event_id") % 3 == 0)
-        .groupBy("user_id")
-        .agg(
-            F.max_by(
-                F.struct("user_id", "event_id", "value"), F.col("event_id")
-            ).alias("__r")
-        )
-        .select("__r.*")
-    )
-    _ct.create_table(spark, root, seed_latest, cluster_by="user_id")
-    # the remaining two thirds arrive as ordered micro-batches
-    for i in (1, 2):
-        events.filter(F.col("event_id") % 3 == i).coalesce(1).write.parquet(
-            f"{d}/src/f{i}"
-        )
-    import glob as _glob
-
-    for i in (1, 2):
-        for p in _glob.glob(f"{d}/src/f{i}/*.parquet"):
-            os.utime(p, (1_700_000_000 + 100 * i,) * 2)
-
-    stream = (
-        spark.readStream.schema("user_id long, event_id long, value double")
-        .option("maxFilesPerTrigger", 1)
-        .parquet(f"{d}/src/*")
-    )
-
-    def process(batch: DataFrame, epoch_id: int) -> None:
-        compacted = (
-            batch.groupBy("user_id")
-            .agg(
-                F.max_by(
-                    F.struct("user_id", "event_id", "value"),
-                    F.col("event_id"),
-                ).alias("__r")
-            )
-            .select("__r.*")
-        )
-        _ct.merge_latest(
-            spark, root, compacted, "user_id", ["event_id"],
-            stream_batch_id=int(epoch_id),
-        )
-
-    q = (
-        stream.writeStream.foreachBatch(process)
-        .option("checkpointLocation", f"{d}/ckpt")
-        .trigger(availableNow=True)
-        .start()
-    )
-    q.awaitTermination()
-    return _ct.read_table(spark, root).select(
-        "user_id",
-        F.col("event_id").alias("last_event_id"),
-        F.col("value").alias("last_value"),
-    )
-
-
-def _bpe_round_ctes(num_merges: int) -> list[str]:
-    """Shared CTE chain replaying the deterministic BPE training loop —
-    the merge count is a compile-time constant, so the rounds unroll
-    like the k-means oracles.  The only non-set-based step, the greedy
-    left-to-right merge application, becomes set-based via run
-    analysis: occurrences of pair (a,b) can only overlap when a = b
-    (consecutive positions force syms[i+1] = b = a), and within each
-    maximal run of consecutive occurrence positions greedy selection
-    keeps exactly the odd-ranked ones — so ``row_number per run % 2 = 1``
-    reproduces the engine's aggregate-HOF semantics exactly, for any
-    corpus. MATERIALIZED CTEs stop DuckDB from inlining the word table
-    3× per round (exponential plan blowup over 10 rounds).  Exposes
-    ``top{r}`` (the merge table) and ``words{num_merges}`` (the final
-    segmented vocabulary) to consumers."""
-    ctes = [
-        r"""w0 AS MATERIALIZED (
-  SELECT w, CAST(count(*) AS BIGINT) AS freq
-  FROM (SELECT unnest(CASE WHEN trim(text) = '' THEN CAST([] AS VARCHAR[])
-               ELSE string_split_regex(trim(text), '\s+') END) AS w
-        FROM documents)
-  GROUP BY w
-)""",
-        "words0 AS MATERIALIZED "
-        "(SELECT w, string_split(w, '') AS syms, freq FROM w0)",
-    ]
-    prev = "words0"
-    for r in range(1, num_merges + 1):
-        ctes.append(f"""top{r} AS MATERIALIZED (
-  SELECT syms[i] AS a, syms[i + 1] AS b, CAST(sum(freq) AS BIGINT) AS n
-  FROM {prev}, unnest(range(1, len(syms))) t(i)
-  GROUP BY a, b
-  ORDER BY n DESC, a ASC, b ASC LIMIT 1
-)""")
-        ctes.append(f"""keep{r} AS MATERIALIZED (
-  SELECT w, i FROM (
-    SELECT w, i, row_number() OVER (PARTITION BY w, grp ORDER BY i) AS rn
-    FROM (SELECT o.w, o.i,
-                 o.i - row_number() OVER (PARTITION BY o.w ORDER BY o.i) AS grp
-          FROM (SELECT p.w, t.i
-                FROM {prev} p, unnest(range(1, len(p.syms))) t(i), top{r} tp
-                WHERE p.syms[t.i] = tp.a AND p.syms[t.i + 1] = tp.b) o))
-  WHERE rn % 2 = 1
-)""")
-        ctes.append(f"""words{r} AS MATERIALIZED (
-  SELECT q.w,
-         list(CASE WHEN q.hit THEN q.s1 || q.s2 ELSE q.s1 END
-              ORDER BY q.j) AS syms,
-         any_value(q.freq) AS freq
-  FROM (
-    SELECT p.w, p.freq, t.j, p.syms[t.j] AS s1, p.syms[t.j + 1] AS s2,
-           k.i IS NOT NULL AS hit, k2.i IS NOT NULL AS drop_
-    FROM {prev} p
-    CROSS JOIN unnest(range(1, len(p.syms) + 1)) t(j)
-    LEFT JOIN keep{r} k ON k.w = p.w AND k.i = t.j
-    LEFT JOIN keep{r} k2 ON k2.w = p.w AND k2.i = t.j - 1
-  ) q
-  WHERE NOT q.drop_
-  GROUP BY q.w
-)""")
-        prev = f"words{r}"
-    return ctes
-
-
-def _bpe_merges_oracle(num_merges: int = 10) -> str:
-    """Training oracle: the merge table (one row per unrolled round)."""
-    ctes = _bpe_round_ctes(num_merges)
-    union = "\nUNION ALL ".join(
-        f"SELECT CAST({r - 1} AS INT) AS merge_rank, a AS \"left\", "
-        f"b AS \"right\", n AS weighted_count FROM top{r}"
-        for r in range(1, num_merges + 1)
-    )
-    return "WITH " + ",\n".join(ctes) + "\n" + union
-
-
-def _bpe_segment_oracle(num_merges: int = 10) -> str:
-    """Inference oracle: after the same unrolled rounds, every word's
-    final symbol list is sitting in ``words{N}`` — per-document subword
-    counts are a words-join away (empty documents keep 0/0 through the
-    left join)."""
-    ctes = _bpe_round_ctes(num_merges)
-    ctes.append(r"""doc_words AS (
-  SELECT doc_id, unnest(string_split_regex(trim(text), '\s+')) AS w
-  FROM documents WHERE trim(text) <> ''
-)""")
-    return (
-        "WITH "
-        + ",\n".join(ctes)
-        + f"""
-SELECT d.doc_id,
-       COALESCE(c.n_words, 0) AS n_words,
-       COALESCE(c.n_bpe_tokens, 0) AS n_bpe_tokens
-FROM documents d LEFT JOIN (
-  SELECT dw.doc_id,
-         CAST(count(*) AS BIGINT) AS n_words,
-         CAST(sum(len(wf.syms)) AS BIGINT) AS n_bpe_tokens
-  FROM doc_words dw JOIN words{num_merges} wf USING (w)
-  GROUP BY dw.doc_id
-) c USING (doc_id)
-"""
-    )
-
-
-@register(
-    "bpe_train_merges_documents",
-    oracle=_bpe_merges_oracle(10),
-    description="Distributed BPE tokenizer training (arXiv:1508.07909) — "
-    "the tokenizer-learning step of an LLM data pipeline: corpus "
-    "collapses to a weighted (word, freq) table once, then each merge "
-    "round is one pair-count aggregation + a greedy left-to-right merge "
-    "applied via a JVM-side aggregate HOF (no UDF); ties break "
-    "lexicographically, no RNG. Driver holds only the learned merge "
-    "table (num_merges rows, the k-means-centroid pattern). Fully "
-    "oracle-checked: the zero-RNG loop unrolls into a DuckDB CTE chain "
-    "whose greedy merge application is reproduced set-based by run "
-    "analysis. Pytest additionally proves exact equality with a "
-    "reference Python BPE on a planted corpus.",
-    tags=("extension", "text", "iterative"),
-)
-def bpe_train_merges_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = read_parquet_table(spark, sf_dir, "documents")
-    merges = _tx.bpe_train_merges(docs, "text", num_merges=10)
-    return spark.createDataFrame(
-        merges, "merge_rank int, left string, right string, weighted_count long"
-    )
-
-
-@register(
-    "bpe_segment_documents",
-    oracle=_bpe_segment_oracle(10),
-    description="BPE tokenizer INFERENCE — the other half of the "
-    "trainer: the 10 learned merges segment every document, emitting "
-    "per-doc word and subword counts (the token accounting a training "
-    "mix needs AFTER the tokenizer exists, vs the regex-approximation "
-    "bpe_token_counts). Scale shape: merges apply once per DISTINCT "
-    "word (the corpus vocabulary), documents then join the segmented "
-    "vocab — no per-occurrence re-merging, no broadcast hint on the "
-    "vocabulary (it scales with the corpus). Oracle reuses the unrolled "
-    "training CTE chain: words10 already holds every word's final "
-    "segmentation.",
-    tags=("extension", "text", "iterative"),
-)
-def bpe_segment_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = read_parquet_table(spark, sf_dir, "documents")
-    merges = _tx.bpe_train_merges(docs, "text", num_merges=10)
-    return _bpe_segment_counts(docs, merges)
-
-
-def _bpe_segment_counts(docs: DataFrame, merges) -> DataFrame:
-    """Per-doc (n_words, n_bpe_tokens) under a merge table — shared by
-    the per-call-trained and artifact-served segmentation queries."""
-    vocab = _tx.bpe_segment_words(docs, "text", merges)
-    doc_words = docs.select(
-        "doc_id", F.explode(_tx.tokens("text")).alias("__word")
-    )
-    counts = (
-        doc_words.join(vocab, "__word")
-        .groupBy("doc_id")
-        .agg(
-            F.count(F.lit(1)).alias("n_words"),
-            F.sum("n_subwords").alias("n_bpe_tokens"),
-        )
-    )
-    return docs.select("doc_id").join(counts, "doc_id", "left").select(
-        "doc_id",
-        F.coalesce("n_words", F.lit(0).cast("long")).alias("n_words"),
-        F.coalesce("n_bpe_tokens", F.lit(0).cast("long")).alias(
-            "n_bpe_tokens"
-        ),
-    )
-
-
-@register_pending_r11(
-    "bpe_segment_documents_served",
-    oracle=_bpe_segment_oracle(10),
-    description="SERVED BPE segmentation: the trained merge table — the "
-    "TOKENIZER, the one model artifact every later pipeline stage "
-    "consumes — is persisted once per (session, sf_dir, num_merges) as "
-    "a tiny parquet (10 rows) via the bench_kgrams/ivf_index "
-    "_build_artifact_once pattern, and every subsequent segmentation "
-    "pass loads it instead of re-running the 10-merge training loop "
-    "over the corpus (the nightly shape: tokenizers change rarely, "
-    "token accounting runs daily). Deterministic zero-RNG training ⇒ "
-    "the artifact changes COST, never the answer — same oracle "
-    "VERBATIM as bpe_segment_documents (the identical-answer contract "
-    "of the IVF/semdedup/k-gram artifacts); served==trained equality "
-    "and artifact reuse pytest-pinned. Registered via the pending-r11 "
-    "gate (the r10 window is budgeted to the stale cohort)",
-    tags=("extension", "text"),
-)
-def bpe_segment_documents_served(
-    spark: SparkSession, sf_dir: str
-) -> DataFrame:
-    docs = read_parquet_table(spark, sf_dir, "documents")
-    root = _artifact_root(
-        spark, "bpe_merges", f"{os.path.realpath(sf_dir)}|m=10"
-    )
-
-    def _build(tmp: str) -> None:
-        merges = _tx.bpe_train_merges(docs, "text", num_merges=10)
-        spark.createDataFrame(
-            [(r, a, b, n) for r, a, b, n in merges],
-            "rank int, left string, right string, n long",
-        ).coalesce(1).write.parquet(f"{tmp}/merges")
-
-    _build_artifact_once(root, "merges", _build)
-    merges = sorted(
-        (int(r["rank"]), r["left"], r["right"], int(r["n"]))
-        for r in spark.read.parquet(f"{root}/merges").collect()
-    )
-    return _bpe_segment_counts(docs, merges)
-
-
-@register(
-    "semantic_dedup_embeddings",
-    oracle=_semantic_split_oracle(
-        k="auto",
-        iters=3,
-        threshold=0.9,
-        max_cell=_sim.SEMDEDUP_SPLIT_CELL,
-        target=_sim.SEMDEDUP_TARGET_CELL,
-    ),
-    description="SemDeDup-style semantic dedup (arXiv:2303.09540): "
-    "deterministic k-means clusters the embedding space, then within "
-    "each cluster every vector with a lower-id cosine>=0.9 neighbor is "
-    "dropped — pairwise work scoped to cells (n²/k, the SemDeDup design "
-    "point), exact Column-math verify, no RNG so re-runs drop the "
-    "identical set. The RECORDED geometry is the scale-safe auto "
-    "k = auto_semdedup_k(n) ∝ n (round-7 verdict item 1): cells stay "
-    "~512 vectors, so the per-cell quadratic term stays ~n·512 as the "
-    "corpus grows, and past 64 cells assignment routes through the "
-    "two-level coarse-quantizer probe (~n·√k instead of n·k). Fully "
-    "oracle-checked: the auto-k closed form replays as a scalar CTE "
-    "and the zero-RNG pipeline (seeded Lloyd's, order-independent "
-    "DECIMAL-mean update, 6-dp assignment, within-cell verify) as an "
-    "unrolled DuckDB CTE chain — INCLUDING the round-8 oversized-cell "
-    "guard (the oracle replays the per-cell refinement level, which "
-    "reduces to the unsplit semantics whenever no cell exceeds "
-    "SEMDEDUP_SPLIT_CELL, so engine and oracle agree under any skew). "
-    "Extra pytest gates: planted duplicates "
-    "drop, soundness vs global brute force. The k-means centroids are "
-    "a PERSISTED model artifact (same pattern as the IVF index / PQ "
-    "codebooks): the first call in a session trains and publishes "
-    "them, later calls reuse — zero-RNG training means the artifact "
-    "changes the cost, never the answer.",
-    tags=("extension", "similarity", "dedup"),
-)
-def semantic_dedup_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
-    emb = read_parquet_table(spark, sf_dir, "embeddings")
-    # the auto-k geometry IS the recorded plan (k ∝ n, scale-safe);
-    # one count derives k — the artifact key pins the derived geometry
-    # alongside the data so a different (k, iters) could never serve a
-    # stale model
-    k = _sim.auto_semdedup_k(emb.count())
-    root = _artifact_root(
-        spark, "semdedup_cents", f"{os.path.realpath(sf_dir)}|k={k}|iters=3"
-    )
-    _build_artifact_once(
-        root,
-        "centroids",
-        lambda tmp: _sim.kmeans_centroids(
-            emb, "vec_id", "embedding", k=k, iters=3
-        )
-        .coalesce(1)
-        .write.parquet(f"{tmp}/centroids"),
-    )
-    cents = spark.read.parquet(f"{root}/centroids")
-    return _sim.semantic_dedup(
-        emb, "vec_id", "embedding", threshold=0.9, centroids=cents
-    )
-
-
-@register(
-    "semantic_dedup_split_cells",
-    oracle=_semantic_split_oracle(threshold=0.9),
-    description="SemDeDup with the oversized-cell refinement ACTIVE "
-    f"(round-8 scale guard): k={SPLIT_K1} level-1 cells leave every "
-    f"cell past max_cell={SPLIT_MAX_CELL}, so each cell sub-clusters "
-    f"into ⌈|cell|/{SPLIT_TARGET}⌉ subcells via the per-cell "
-    "deterministic Lloyd (applyInPandas, one task per oversized cell) "
-    "and the near-dup drop scopes to (cell, subcell). This is the "
-    "guard that keeps the verify ~n·target_cell past the "
-    "SEMDEDUP_MAX_K clamp (n ≳ 2M, where cells would otherwise grow "
-    "unboundedly and the per-cell self-join would go quadratic: "
-    "measured 4.0× at sf3 with forced engagement, BENCH_NOTES r8). "
-    "Registered with deliberately small thresholds so the split path "
-    "is exercised and HASH-CHECKED at the sf0.01 gate — the oracle "
-    "replays the per-cell second Lloyd level as cell-parallel SQL "
-    "(zero-RNG, HALF_UP rounding parity pinned by pytest).",
-    tags=("extension", "similarity", "dedup", "scale-twin"),
-)
-def semantic_dedup_split_cells(spark: SparkSession, sf_dir: str) -> DataFrame:
-    emb = read_parquet_table(spark, sf_dir, "embeddings")
-    return _sim.semantic_dedup(
-        emb,
-        "vec_id",
-        "embedding",
-        threshold=0.9,
-        k=SPLIT_K1,
-        iters=SPLIT_ITERS,
-        max_cell=SPLIT_MAX_CELL,
-        target_cell=SPLIT_TARGET,
-    )
-
-
-#: Cross-corpus semantic-dedup demo split: the first SEMX_NEW_MAX ids
-#: are "today's crawl", the rest are the existing training corpus.
-#: Threshold deliberately at the LSH near-dup level (0.4) so the gate
-#: corpus produces true positives, exercising both flag values.
-SEMX_NEW_MAX = 100
-SEMX_THRESHOLD = 0.4
-
-
-def _semantic_cross_corpus_oracle() -> str:
-    """Replay of ``semantic_dedup_new_vs_corpus``: k-means trained on
-    the CORPUS side only (auto-k from the corpus count as a scalar
-    CTE), both sides assigned by the same 6-dp argmax, then a
-    cell-scoped new×corpus cosine check — deterministic end-to-end,
-    the same zero-RNG replay contract as the in-corpus SemDeDup."""
-    from spotify_tracks_etl_portfolio_spark.operators.similarity import (
-        SEMDEDUP_MAX_K,
-        SEMDEDUP_TARGET_CELL,
-    )
-
-    ctes = [
-        "v AS (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings)",
-        f"corp AS (SELECT vec_id, e FROM v WHERE vec_id >= {SEMX_NEW_MAX})",
-        f"newv AS (SELECT vec_id, e FROM v WHERE vec_id < {SEMX_NEW_MAX})",
-        f"""kk AS MATERIALIZED (
-  SELECT GREATEST(8, LEAST({SEMDEDUP_MAX_K},
-    CAST(ceil(count(*) / {SEMDEDUP_TARGET_CELL}.0) AS BIGINT))) AS k
-  FROM corp
-)""",
-    ]
-    cent_ctes, final_cent = _kmeans_cent_ctes(
-        "SELECT k FROM kk", 3, src="corp"
-    )
-    ctes.extend(cent_ctes)
-    ctes.append(f"""new_asg AS MATERIALIZED (
-  SELECT vec_id, e, cell FROM (
-    SELECT n.vec_id, n.e, ct.cell,
-           row_number() OVER (PARTITION BY n.vec_id
-                              ORDER BY {_sql_cos('n.e', 'ct.c')} DESC,
-                                       ct.cell ASC) AS rn
-    FROM newv n, {final_cent} ct) WHERE rn = 1
-)""")
-    ctes.append(f"""dups AS (
-  SELECT DISTINCT n.vec_id
-  FROM new_asg n JOIN final_asg o ON n.cell = o.cell
-  WHERE {_sql_cos('n.e', 'o.e')} >= {SEMX_THRESHOLD}
-)""")
-    return (
-        "WITH "
-        + ",\n".join(ctes)
-        + """
-SELECT n.vec_id, CAST(n.cell AS BIGINT) AS cell,
-       (d.vec_id IS NOT NULL) AS is_dup
-FROM new_asg n LEFT JOIN dups d USING (vec_id)
-"""
-    )
-
-
-@register(
-    "semantic_dedup_new_vs_corpus",
-    oracle=_semantic_cross_corpus_oracle(),
-    description="Cross-corpus SEMANTIC dedup — the SemDeDup twin of "
-    "the MinHash near_dedup_new_vs_corpus and the "
-    "continuous-ingestion serving shape: flag every new-batch vector "
-    "with a same-cell corpus vector at cosine ≥ "
-    f"{SEMX_THRESHOLD}. Centroids train on the CORPUS only (auto-k "
-    "from the corpus count; at 100 TB they are the persisted nightly "
-    "model and the batch just assigns), both sides assign through the "
-    "Arrow probe, and the verify is a cell-scoped new×corpus "
-    "equi-join (~|new|·target_cell pairs under auto-k) — never "
-    "|new|×|corpus|. Zero-RNG end-to-end, so the whole pipeline "
-    "(corpus-trained Lloyd, dual assignment, cell-scoped verify) "
-    "replays as one DuckDB CTE chain and the query is hash-checked.",
-    tags=("extension", "similarity", "dedup"),
-)
-def semantic_dedup_new_vs_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
-    emb = read_parquet_table(spark, sf_dir, "embeddings")
-    new = emb.filter(F.col("vec_id") < SEMX_NEW_MAX)
-    corpus = emb.filter(F.col("vec_id") >= SEMX_NEW_MAX)
-    return _sim.semantic_dedup_new_vs_corpus(
-        new, corpus, "vec_id", "embedding", threshold=SEMX_THRESHOLD
-    )
-
-
-@register(
-    "semantic_dedup_new_vs_corpus_served",
-    # the persisted model is zero-RNG, so the artifact changes the
-    # COST, never the answer — same oracle as the per-call trainer,
-    # the exact contract embedding_ivf_index_topk pins for the IVF
-    # index (identical-answer proof via shared oracle + hash gate)
-    oracle=_semantic_cross_corpus_oracle(),
-    description="Cross-corpus semantic dedup SERVED from a persisted "
-    "model artifact (round-9 verdict item 3): the corpus-trained "
-    "k-means centroids are built ONCE per (session, sf_dir, geometry) "
-    "and published as an on-disk artifact (the semdedup_cents / "
-    "ivf_index pattern), then the batch query just loads them and "
-    "assigns — the actual continuous-ingestion serving shape "
-    "semantic_dedup_new_vs_corpus's docstring advertises (nightly "
-    "model, per-batch assignment; training is NOT on the batch path). "
-    "Zero-RNG training means the artifact changes the cost, never the "
-    "answer: this query shares the per-call trainer's oracle verbatim "
-    "and must produce the identical hash (artifact-reuse equality also "
-    "pytest-pinned). The artifact key pins the derived auto-k geometry "
-    "next to the data so a different (k, iters) can never serve a "
-    "stale model.",
-    tags=("extension", "similarity", "dedup", "artifact"),
-)
-def semantic_dedup_new_vs_corpus_served(
-    spark: SparkSession, sf_dir: str
-) -> DataFrame:
-    emb = read_parquet_table(spark, sf_dir, "embeddings")
-    new = emb.filter(F.col("vec_id") < SEMX_NEW_MAX)
-    corpus = emb.filter(F.col("vec_id") >= SEMX_NEW_MAX).localCheckpoint(
-        eager=False
-    )
-    # auto-k derives from the CORPUS count (the cells must cover the
-    # corpus, not the batch) — computed here so the artifact key pins
-    # the derived geometry, the semdedup_cents convention
-    k = _sim.auto_semdedup_k(corpus.count())
-    root = _artifact_root(
-        spark,
-        "semx_cents",
-        f"{os.path.realpath(sf_dir)}|new<{SEMX_NEW_MAX}|k={k}|iters=3",
-    )
-    _build_artifact_once(
-        root,
-        "centroids",
-        lambda tmp: _sim.kmeans_centroids(
-            corpus, "vec_id", "embedding", k=k, iters=3
-        )
-        .coalesce(1)
-        .write.parquet(f"{tmp}/centroids"),
-    )
-    cents = spark.read.parquet(f"{root}/centroids")
-    return _sim.semantic_dedup_new_vs_corpus(
-        new,
-        corpus,
-        "vec_id",
-        "embedding",
-        threshold=SEMX_THRESHOLD,
-        centroids=cents,
-    )
-
-
-#: Model context length for sequence packing (tokens).
-PACK_CONTEXT_LEN = 512
-
-
-@register(
-    "pack_training_sequences",
-    oracle=f"""
-WITH t AS (
-  SELECT doc_id, lang,
-         CAST(CASE WHEN trim(text) = '' THEN 0
-              ELSE len(string_split_regex(trim(text), '\\s+')) END AS BIGINT) AS n_tokens,
-         {_FP_SQL} AS h
-  FROM documents
-),
-base AS (
-  SELECT lang,
-         COALESCE(SUM(lt) OVER (ORDER BY lang
-           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS base
-  FROM (SELECT lang, SUM(n_tokens) AS lt FROM t GROUP BY lang)
-),
-c AS (
-  SELECT t.doc_id, t.n_tokens,
-         b.base + COALESCE(SUM(t.n_tokens) OVER (
-           PARTITION BY t.lang ORDER BY t.h, t.doc_id
-           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cum_before
-  FROM t JOIN base b USING (lang)
-)
-SELECT doc_id, n_tokens,
-       CAST(cum_before // {PACK_CONTEXT_LEN} AS BIGINT) AS seq_id,
-       CAST(cum_before % {PACK_CONTEXT_LEN} AS BIGINT) AS seq_offset,
-       CAST((cum_before + greatest(n_tokens, 1) - 1) // {PACK_CONTEXT_LEN}
-            - cum_before // {PACK_CONTEXT_LEN} AS BIGINT) AS n_boundary_crossings
-FROM c
-""",
-    description=f"GPT-style concatenative sequence packing: documents are "
-    f"laid end-to-end in a deterministic global order (lang, then content "
-    f"hash, then id — no RNG, so re-runs pack identically) and cut every "
-    f"{PACK_CONTEXT_LEN} tokens; each doc gets its (seq_id, seq_offset) "
-    f"plus how many context boundaries it spans. Scale shape: the global "
-    f"prefix sum is bucketed per-(lang, hash-range) running sums "
-    f"(grouped_prefix_sum, so the scan parallelizes WITHIN a stratum "
-    f"too), with the cross-lang bases folded into the kernel's "
-    f"driver-side offset pass — never a single-partition global window "
-    f"and never one task per language. The shared polynomial content "
-    f"hash orders both engines identically, same as token_budget_shards",
-    tags=("extension", "curation"),
-)
-def pack_training_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from spotify_tracks_etl_portfolio_spark.operators.stats import (
-        grouped_prefix_sum,
-    )
-
-    docs = read_parquet_table(spark, sf_dir, "documents")
-    nt = token_count("text").cast("long")
-    # global_base folds the per-lang base offsets into the kernel's
-    # driver-side offset pass (rows = #langs × #buckets scalars), so
-    # the corpus text is scanned exactly once per call and the
-    # group-major global prefix comes out directly
-    pre = grouped_prefix_sum(
-        docs,
-        ["lang"],
-        rolling_hash("text"),
-        ["doc_id"],
-        nt,
-        "__cum_before",
-        val_out="n_tokens",
-        lead_range=(0, _M - 1),
-        global_base=True,
-    )
-    cum_before = F.col("__cum_before")
-    ntc = F.col("n_tokens")
-    return (
-        pre
-        .select(
-            "doc_id",
-            "n_tokens",
-            F.floor(cum_before / PACK_CONTEXT_LEN).cast("long").alias("seq_id"),
-            (cum_before % PACK_CONTEXT_LEN).cast("long").alias("seq_offset"),
-            (
-                F.floor(
-                    (cum_before + F.greatest(ntc, F.lit(1)) - 1)
-                    / PACK_CONTEXT_LEN
-                )
-                - F.floor(cum_before / PACK_CONTEXT_LEN)
-            ).cast("long").alias("n_boundary_crossings"),
-        )
-    )
-
-
-@register(
-    "prepare_training_corpus",
-    oracle=f"""
-WITH dedup AS (
-  SELECT min(doc_id) AS doc_id, text FROM documents GROUP BY text
-),
-toks2 AS (
-  SELECT doc_id, '' AS lang,
-         CASE WHEN trim(text) = '' THEN CAST([] AS VARCHAR[])
-              ELSE string_split_regex(trim(text), '\\s+') END AS w
-  FROM dedup
-),
-{_LANG_CTES},
-{_quality_ctes('dedup')},
-curated AS (
-  SELECT b.doc_id, {_LANG_CASE} AS lang, h.n_tokens
-  FROM best b JOIN h ON b.doc_id = h.doc_id
-  WHERE ({_LANG_CASE}) <> 'und'
-    AND {_QUALITY_EXPR} >= {CURATE_MIN_QUALITY}
-    AND h.n_tokens BETWEEN 5 AND 5000
-),
-{_SHINGLE_CTES},
-pbench AS (SELECT DISTINCT h FROM shh WHERE doc_id % 10 = 0),
-contaminated AS (
-  SELECT DISTINCT s.doc_id FROM shh s JOIN pbench b ON s.h = b.h
-  WHERE s.doc_id % 10 <> 0
-),
-clean AS (
-  SELECT c.doc_id, c.lang, c.n_tokens, {_FP_SQL} AS hsh
-  FROM curated c JOIN dedup d2 ON c.doc_id = d2.doc_id
-  WHERE c.doc_id % 10 <> 0
-    AND c.doc_id NOT IN (SELECT doc_id FROM contaminated)
-),
-pbase AS (
-  SELECT lang,
-         COALESCE(SUM(lt2) OVER (ORDER BY lang
-           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS base
-  FROM (SELECT lang, SUM(n_tokens) AS lt2 FROM clean GROUP BY lang)
-),
-pc AS (
-  SELECT c.doc_id, c.lang, c.n_tokens,
-         b.base + COALESCE(SUM(c.n_tokens) OVER (
-           PARTITION BY c.lang ORDER BY c.hsh, c.doc_id
-           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cum_before
-  FROM clean c JOIN pbase b USING (lang)
-)
-SELECT doc_id, lang, n_tokens,
-       CAST(cum_before // {PACK_CONTEXT_LEN} AS BIGINT) AS seq_id,
-       CAST(cum_before % {PACK_CONTEXT_LEN} AS BIGINT) AS seq_offset
-FROM pc
-""",
-    description="FLAGSHIP end-to-end training-corpus preparation in ONE "
-    "registered call — the complete Spark-first prep chain a user of "
-    "this engine runs before tokenizing: exact dedup (keep lowest id) "
-    "→ language-ID (drop 'und') → quality gate (≥ 0.5) → token bounds "
-    "→ benchmark decontamination (drop training docs sharing any word "
-    "n-gram with the held-out set AND the benchmark docs themselves) → "
-    "GPT-style deterministic sequence packing of the survivors "
-    f"(lang/content-hash/id order, cut every {PACK_CONTEXT_LEN} "
-    "tokens). Every stage reuses the individually-gated operator, and "
-    "the COMPOSITION is hash-checked end-to-end. Scale: dedup shuffle "
-    "+ shingle equi-joins + per-lang prefix-sum windows over a "
-    "broadcast per-lang base — no stage sees unpartitioned raw data",
-    tags=("extension", "pipeline", "dedup", "curation"),
-)
-def prepare_training_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = read_parquet_table(spark, sf_dir, "documents")
-    deduped = docs.groupBy("text").agg(F.min("doc_id").alias("doc_id"))
-    nt = token_count("text").cast("long")
-    curated = (
-        _tx.add_quality(_tx.add_lang_id(deduped, "text", "lang"), "text", "q")
-        .select(
-            "doc_id",
-            "text",
-            "lang",
-            nt.alias("n_tokens"),
-            "q",
-        )
-        .filter(
-            (F.col("lang") != "und")
-            & (F.col("q") >= CURATE_MIN_QUALITY)
-            & F.col("n_tokens").between(5, 5000)
-        )
-    )
-    sh = _dd.exploded_shingle_hashes(docs, "doc_id", "text")
-    bench = sh.filter(F.col("doc_id") % 10 == 0).select("h").distinct()
-    contaminated = (
-        sh.filter(F.col("doc_id") % 10 != 0)
-        .join(F.broadcast(bench), "h")
-        .select("doc_id")
-        .distinct()
-    )
-    clean = (
-        curated.filter(F.col("doc_id") % 10 != 0)
-        .join(contaminated, "doc_id", "left_anti")
-        .select("doc_id", "lang", "n_tokens", "text")
-    )
-    from spotify_tracks_etl_portfolio_spark.operators.stats import (
-        grouped_prefix_sum,
-    )
-
-    # global_base folds the per-lang base offsets into the kernel's
-    # driver-side offset pass; the curation pipeline is evaluated
-    # exactly once (the kernel's slim checkpoint)
-    pre = grouped_prefix_sum(
-        clean,
-        ["lang"],
-        rolling_hash("text"),
-        ["doc_id"],
-        F.col("n_tokens"),
-        "__cum_before",
-        val_out="n_tokens",
-        lead_range=(0, _M - 1),
-        global_base=True,
-    )
-    cum_before = F.col("__cum_before")
-    return (
-        pre
-        .select(
-            "doc_id",
-            "lang",
-            "n_tokens",
-            F.floor(cum_before / PACK_CONTEXT_LEN).cast("long").alias(
-                "seq_id"
-            ),
-            (cum_before % PACK_CONTEXT_LEN).cast("long").alias("seq_offset"),
-        )
-    )
-
-
-@register(
-    "embedding_dimension_stats",
-    oracle="""
-WITH ed AS (
-  SELECT u.d - 1 AS dim, e.embedding[u.d] AS x
-  FROM embeddings e, unnest(generate_series(1, len(e.embedding))) u(d)
-)
-SELECT CAST(dim AS BIGINT) AS dim,
-       CAST(count(*) AS BIGINT) AS n,
-       round(CAST(SUM(CAST(round(x, 9) AS DECIMAL(28,9))) AS DOUBLE)
-             / count(*), 6) AS mean,
-       round(min(x), 6) AS min_x,
-       round(max(x), 6) AS max_x
-FROM ed GROUP BY dim
-""",
-    description="Per-dimension embedding statistics (the normalization/"
-    "whitening prep every vector pipeline runs before indexing): "
-    "posexplode to (dim, value), one hash aggregation over 64 dims — "
-    "the shuffle carries 64 partial states, never vectors. Means sum "
-    "9-dp-rounded DECIMALs so the per-dimension totals are "
-    "partition-order-independent",
-    tags=("extension", "similarity", "stats"),
-)
-def embedding_dimension_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
-    emb = read_parquet_table(spark, sf_dir, "embeddings")
-    ed = emb.select(F.posexplode("embedding").alias("dim", "x"))
-    return ed.groupBy(F.col("dim").cast("long").alias("dim")).agg(
-        F.count(F.lit(1)).alias("n"),
-        F.round(
-            F.sum(F.round(F.col("x"), 9).cast("decimal(28,9)")).cast("double")
-            / F.count(F.lit(1)),
-            6,
-        ).alias("mean"),
-        F.round(F.min("x"), 6).alias("min_x"),
-        F.round(F.max("x"), 6).alias("max_x"),
-    )
-
-
-@register(
-    "source_quality_summary",
-    oracle=f"""
-WITH {_quality_ctes('documents')},
-base AS (
-  SELECT d.source, d.lang, d.text, h.doc_id,
-         {_QUALITY_EXPR} AS q
-  FROM documents d JOIN h ON d.doc_id = h.doc_id
-),
-dupes AS (
-  SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
-         CAST(count(DISTINCT text) AS BIGINT) AS n_unique_texts,
-         CAST(count(DISTINCT lang) AS BIGINT) AS n_langs,
-         round(CAST(SUM(CAST(q AS DECIMAL(18,6))) AS DOUBLE) / count(*), 6)
-           AS avg_quality
-  FROM base GROUP BY source
-)
-SELECT source, n_docs, n_unique_texts, n_langs, avg_quality,
-       round((n_docs - n_unique_texts) * 1.0 / n_docs, 6) AS dup_ratio
-FROM dupes
-""",
-    description="Per-source corpus health card (the curation dashboard's "
-    "triage view): doc count, exact-duplicate ratio, language diversity, "
-    "and mean quality score per source — one hash aggregation composing "
-    "the quality-score operator; quality means sum 6-dp DECIMALs "
-    "(order-exact). At 100 TB this is the query that decides which "
-    "source to drop or re-crawl",
-    tags=("extension", "text", "curation", "card"),
-)
-def source_quality_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = _tx.add_quality(
-        read_parquet_table(spark, sf_dir, "documents"), "text", "__q"
-    )
-    q = F.col("__q")
-    agg = docs.groupBy("source").agg(
-        F.count(F.lit(1)).alias("n_docs"),
-        F.countDistinct("text").alias("n_unique_texts"),
-        F.countDistinct("lang").alias("n_langs"),
-        F.round(
-            F.sum(F.round(q, 6).cast("decimal(18,6)")).cast("double")
-            / F.count(F.lit(1)),
-            6,
-        ).alias("avg_quality"),
-    )
-    return agg.withColumn(
-        "dup_ratio",
-        F.round(
-            (F.col("n_docs") - F.col("n_unique_texts")).cast("double")
-            / F.col("n_docs"),
-            6,
-        ),
-    )
-
-
-@register(
-    "embedding_int8_quantization",
-    oracle="""
-WITH eq AS (
-  SELECT vec_id,
-         list_transform(embedding::DOUBLE[],
-                        x -> CAST(round(x * 127.0) AS BIGINT)) AS q,
-         embedding::DOUBLE[] AS e
-  FROM embeddings
-),
-er AS (
-  SELECT vec_id,
-         list_transform(range(1, len(e) + 1),
-                        i -> abs(e[i] - q[i] / 127.0)) AS errs
-  FROM eq
-)
-SELECT vec_id,
-       round(list_max(errs), 6) AS max_abs_err,
-       round(list_sum(errs) / len(errs), 6) AS mean_abs_err
-FROM er
-""",
-    description="Scalar int8 quantization audit (the vector-index "
-    "compression step: 4x smaller embeddings before ANN indexing): "
-    "quantize each dimension to round(x*127), reconstruct, and report "
-    "per-vector max/mean absolute error — all array HOFs (transform / "
-    "zip_with / aggregate), no UDF, one pass, no shuffle. The error "
-    "stats are the go/no-go gate for running LSH/IVF over the "
-    "compressed vectors",
-    tags=("extension", "similarity"),
-)
-def embedding_int8_quantization(spark: SparkSession, sf_dir: str) -> DataFrame:
-    emb = read_parquet_table(spark, sf_dir, "embeddings")
-    q = F.transform(
-        F.col("embedding"),
-        lambda x: F.round(x.cast("double") * F.lit(127.0)).cast("long"),
-    )
-    errs = F.zip_with(
-        F.col("embedding"),
-        q,
-        lambda x, qi: F.abs(x.cast("double") - qi.cast("double") / F.lit(127.0)),
-    )
-    return emb.select(
-        "vec_id",
-        F.round(F.array_max(errs), 6).alias("max_abs_err"),
-        F.round(
-            F.aggregate(errs, F.lit(0.0), lambda a, b: a + b)
-            / F.size(errs),
-            6,
-        ).alias("mean_abs_err"),
-    )
-
-
-@register(
-    "near_dup_keep_best_quality",
-    oracle=f"""
-WITH RECURSIVE {_JACCARD_CTES},
-{_minhash_sig_sql()},
-{_minhash_bands_sql()},
-cands AS (
-  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
-  FROM bands a JOIN bands b
-    ON a.band = b.band AND a.sig = b.sig AND a.doc_id < b.doc_id
-),
-ndpairs AS (
-  SELECT c.id_a, c.id_b
-  FROM cands c JOIN jac j ON c.id_a = j.id_a AND c.id_b = j.id_b
-  WHERE j.jaccard >= {JACCARD_THRESHOLD}
-),
-ccedges AS (
-  SELECT id_a AS a, id_b AS b FROM ndpairs
-  UNION ALL
-  SELECT id_b AS a, id_a AS b FROM ndpairs
-),
-cc_nodes AS (SELECT DISTINCT a AS node FROM ccedges),
-reach AS (
-  SELECT node, node AS label FROM cc_nodes
-  UNION
-  SELECT e.b AS node, r.label FROM reach r JOIN ccedges e ON e.a = r.node
-),
-cccomp AS (SELECT node AS doc_id, min(label) AS cluster_id FROM reach GROUP BY node),
-alldocs AS (
-  SELECT d.doc_id, COALESCE(c.cluster_id, d.doc_id) AS cluster_id
-  FROM documents d LEFT JOIN cccomp c ON d.doc_id = c.doc_id
-),
-{_quality_ctes('documents')},
-qq AS (SELECT doc_id, {_QUALITY_EXPR} AS q FROM h),
-jj AS (
-  SELECT a.cluster_id, a.doc_id, qq.q
-  FROM alldocs a JOIN qq ON a.doc_id = qq.doc_id
-),
-rr AS (
-  SELECT *, row_number() OVER (PARTITION BY cluster_id
-                               ORDER BY q DESC, doc_id) AS rn,
-         count(*) OVER (PARTITION BY cluster_id) AS csize
-  FROM jj
-)
-SELECT cluster_id, doc_id AS kept_doc_id, q AS kept_quality,
-       CAST(csize AS BIGINT) AS cluster_size
-FROM rr WHERE rn = 1
-""",
-    description="Quality-aware canonical selection — the production "
-    "dedup policy (keep the BEST copy, not the lowest id): MinHash+LSH "
-    "near-dup pairs → connected components → per-cluster argmax of the "
-    "quality score (ties to smaller doc_id); singleton docs are their "
-    "own canonical via the left join. Composes three operator families "
-    "in one Catalyst plan, and the whole composition — banding, "
-    "clustering fixpoint, quality formula, argmax — is hash-checked "
-    "against a single declarative oracle (recursive CTE + window)",
-    tags=("extension", "dedup", "curation", "pipeline"),
-)
-def near_dup_keep_best_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from pyspark.sql import Window
-
-    docs = read_parquet_table(spark, sf_dir, "documents")
-    pairs = _dd.minhash_near_dup_pairs(docs, "doc_id", "text", JACCARD_THRESHOLD)
-    comp = _dd.connected_components(pairs, "id_a", "id_b")
-    labeled = (
-        _tx.add_quality(docs, "text", "q")
-        .join(comp, F.col("doc_id") == comp.node, "left")
-        .select(
-            "doc_id",
-            F.coalesce("comp", "doc_id").alias("cluster_id"),
-            "q",
-        )
-    )
-    w = Window.partitionBy("cluster_id").orderBy(F.desc("q"), F.asc("doc_id"))
-    return (
-        labeled.withColumn("rn", F.row_number().over(w))
-        .withColumn(
-            "cluster_size",
-            F.count(F.lit(1)).over(Window.partitionBy("cluster_id")).cast("long"),
-        )
-        .filter(F.col("rn") == 1)
-        .select(
-            "cluster_id",
-            F.col("doc_id").alias("kept_doc_id"),
-            F.col("q").alias("kept_quality"),
-            "cluster_size",
-        )
-    )
-
-
-def _hyperplane_pairs_ctes() -> str:
-    """Hyperplane-LSH candidate-pair CTE chain with e-prefixed names (no
-    collisions with the MinHash block when both live in one WITH) —
-    regenerated from the SAME frozen constants as operators/similarity."""
-    s = _sim
-    return f"""
-ev AS (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings),
-eqv AS (
-  SELECT vec_id, e,
-         list_transform(e, x -> CAST(round(x * {s.HP_SCALE}) AS BIGINT)) AS q
-  FROM ev
-),
-eplanes AS (
-  SELECT j, d,
-         2 * ((j * {s.HP_A} + d * {s.HP_B} + {s.HP_C}) % {s.HP_M}) - {s.HP_M} AS w
-  FROM range({s.HP_PLANES}) pj(j), range({s.HP_DIM}) pd(d)
-),
-ebits AS (
-  SELECT vec_id, j, sum(q[d + 1] * w) >= 0 AS bit
-  FROM eqv, eplanes GROUP BY vec_id, j
-),
-ebands AS (
-  SELECT vec_id, j // {s.HP_ROWS} AS band,
-         sum(CASE WHEN bit THEN 1 << (j % {s.HP_ROWS}) ELSE 0 END) AS sig
-  FROM ebits GROUP BY vec_id, j // {s.HP_ROWS}
-),
-ecands AS (
-  SELECT DISTINCT a.vec_id AS id_a, b.vec_id AS id_b
-  FROM ebands a JOIN ebands b
-    ON a.band = b.band AND a.sig = b.sig AND a.vec_id < b.vec_id
-),
-epairs AS (
-  SELECT c.id_a, c.id_b
-  FROM ecands c JOIN ev a ON c.id_a = a.vec_id JOIN ev b ON c.id_b = b.vec_id
-  WHERE round(list_dot_product(a.e, b.e) /
-              (sqrt(list_dot_product(a.e, a.e)) * sqrt(list_dot_product(b.e, b.e))),
-              6) >= {EMB_NEAR_DUP_THRESHOLD}
-)"""
-
-
-@register(
-    "ensemble_near_dups",
-    oracle=f"""
-WITH {_JACCARD_CTES},
-{_minhash_sig_sql()},
-{_minhash_bands_sql()},
-cands AS (
-  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
-  FROM bands a JOIN bands b
-    ON a.band = b.band AND a.sig = b.sig AND a.doc_id < b.doc_id
-),
-tpairs AS (
-  SELECT c.id_a, c.id_b
-  FROM cands c JOIN jac j ON c.id_a = j.id_a AND c.id_b = j.id_b
-  WHERE j.jaccard >= {JACCARD_THRESHOLD}
-),
-{_hyperplane_pairs_ctes()},
-unioned AS (
-  SELECT id_a, id_b, 'text_minhash' AS signal FROM tpairs
-  UNION ALL
-  SELECT id_a, id_b, 'embedding_lsh' AS signal FROM epairs
-)
-SELECT id_a, id_b,
-       array_to_string(list_sort(list_distinct(list(signal))), ',') AS signals,
-       CAST(count(DISTINCT signal) AS BIGINT) AS n_signals
-FROM unioned GROUP BY id_a, id_b
-""",
-    description="Ensemble near-dup detection — production pipelines "
-    "union MULTIPLE dedup signals: MinHash-LSH over the text and "
-    "hyperplane-LSH over the embedding (doc_id and vec_id share the id "
-    "space) merge into one pair list with sorted signal provenance and "
-    "agreement count. Both branches are the scale-safe banded paths; "
-    "the union adds one narrow pair-keyed aggregation. The full "
-    "two-modality composition is hash-checked against a single oracle",
-    tags=("extension", "dedup", "similarity", "lsh", "pipeline"),
-)
-def ensemble_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = read_parquet_table(spark, sf_dir, "documents")
-    emb = read_parquet_table(spark, sf_dir, "embeddings")
-    text_pairs = _dd.minhash_near_dup_pairs(
-        docs, "doc_id", "text", JACCARD_THRESHOLD
-    ).select("id_a", "id_b", F.lit("text_minhash").alias("signal"))
-    emb_pairs = _sim.hyperplane_lsh_near_dup_pairs(
-        emb, "vec_id", "embedding", EMB_NEAR_DUP_THRESHOLD, rows=_sim.HP_ROWS
-    ).select("id_a", "id_b", F.lit("embedding_lsh").alias("signal"))
-    return (
-        text_pairs.unionByName(emb_pairs)
-        .groupBy("id_a", "id_b")
-        .agg(
-            F.array_join(F.sort_array(F.collect_set("signal")), ",").alias(
-                "signals"
-            ),
-            F.countDistinct("signal").alias("n_signals"),
-        )
-    )
-
-
-def _diversity_cells_oracle() -> str:
-    """DuckDB replica of diversity_sample_cells: band-0 sign bits from
-    the SAME frozen integer plane constants as the hyperplane LSH."""
-    s = _sim
-    return f"""
-WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings),
-qv AS (
-  SELECT vec_id,
-         list_transform(e, x -> CAST(round(x * {s.HP_SCALE}) AS BIGINT)) AS q
-  FROM v
-),
-planes AS (
-  SELECT j, d,
-         2 * ((j * {s.HP_A} + d * {s.HP_B} + {s.HP_C}) % {s.HP_M}) - {s.HP_M} AS w
-  FROM range({s.HP_ROWS}) pj(j), range({s.HP_DIM}) pd(d)
-),
-bits AS (
-  SELECT vec_id, j, sum(q[d + 1] * w) >= 0 AS bit
-  FROM qv, planes GROUP BY vec_id, j
-),
-cells AS (
-  -- CAST: sum() would emit HUGEINT → decimal128 through the driver's
-  -- Arrow fetch, hash-mismatching Spark's int64 (round-3 failure).
-  SELECT vec_id,
-         CAST(sum(CASE WHEN bit THEN 1 << j ELSE 0 END) AS BIGINT) AS cell
-  FROM bits GROUP BY vec_id
-)
-SELECT cell, min(vec_id) AS rep_id, CAST(count(*) AS BIGINT) AS n_members
-FROM cells GROUP BY cell
-"""
-
-
-@register(
-    "embedding_diverse_sample",
-    oracle=_diversity_cells_oracle(),
-    description=f"Coverage-first diversity subsampling: each embedding "
-    f"quantized to its {_sim.HP_ROWS}-bit hyperplane sign cell "
-    f"(2^{_sim.HP_ROWS} coarse cells over the space), ONE representative "
-    "kept per occupied cell with the member count — the semantic "
-    "de-densification primitive for corpus curation (uniform sampling "
-    "over-picks dense regions; one-per-cell preserves coverage). No "
-    "pairwise term: one narrow sketch aggregation + one cell groupBy, "
-    "integer-exact cell assignment on both engines",
-    tags=("extension", "similarity", "sampling"),
-)
-def embedding_diverse_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
-    emb = read_parquet_table(spark, sf_dir, "embeddings")
-    return _sim.diversity_sample_cells(emb, "vec_id", "embedding")
-
-
-# ===========================================================================
-# Passage-level dedup, cross-corpus near-dedup, sliding chunks (round 2+)
-# ===========================================================================
-
-_PB = _dd.PASSAGE_TOKENS
-
-
-@register(
-    "passage_dedup_documents",
-    oracle=f"""
-WITH tb AS (
-  SELECT doc_id,
-         CASE WHEN trim(text) = '' THEN CAST([] AS VARCHAR[])
-              ELSE string_split_regex(trim(text), '\\s+') END AS w
-  FROM documents
-),
-blk AS (
-  SELECT doc_id, i AS pos,
-         array_to_string(w[((i-1)*{_PB}+1):(i*{_PB})], ' ') AS passage
-  FROM tb, unnest(range(1, CAST(ceil(len(w) / {_PB}.0) AS BIGINT) + 1)) AS t(i)
-),
-keep AS (
-  SELECT doc_id, pos, passage,
-         row_number() OVER (PARTITION BY passage ORDER BY doc_id, pos) AS rn
-  FROM blk
-),
-np AS (SELECT doc_id, CAST(ceil(len(w) / {_PB}.0) AS BIGINT) AS n_passages FROM tb)
-SELECT k.doc_id,
-       string_agg(k.passage, ' ' ORDER BY k.pos) AS text_clean,
-       any_value(np.n_passages) AS n_passages,
-       CAST(count(*) AS BIGINT) AS n_kept
-FROM keep k JOIN np USING (doc_id)
-WHERE k.rn = 1
-GROUP BY k.doc_id
-""",
-    description=f"Passage-level exact dedup with reassembly (C4/"
-    f"RefinedWeb line-dedup shape over {_PB}-token blocks): global "
-    "first-occurrence window keyed on passage content, then in-order "
-    "per-doc rebuild — exactly two shuffles (window on passage, agg on "
-    "doc id) at any corpus size; boilerplate passages are dropped "
-    "everywhere but their first occurrence, never via pairwise joins",
-    tags=("extension", "dedup"),
-)
-def passage_dedup_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = read_parquet_table(spark, sf_dir, "documents")
-    return _dd.passage_dedup(docs, "doc_id", "text")
-
-
-_XS = _dd.EXACT_SUBSTR_TOKENS
-
-#: Shared oracle CTE chain for the ExactSubstr family: stride-1 k-token
-#: windows, global first-occurrence via an unordered struct-min window
-#: (DuckDB struct comparison is field-order lexicographic, same as
-#: Spark's), gaps-and-islands merge of flagged starts (equal-width spans
-#: merge iff the start gap <= k).
-_XGRAM_CTES = f"""
-tb AS (
-  SELECT doc_id,
-         CASE WHEN trim(text) = '' THEN CAST([] AS VARCHAR[])
-              ELSE string_split_regex(trim(text), '\\s+') END AS w
-  FROM documents
-),
-g AS (
-  SELECT doc_id, i AS pos, array_to_string(w[i:(i+{_XS}-1)], ' ') AS kg
-  FROM tb, unnest(range(1, len(w) - {_XS} + 2)) AS t(i)
-  WHERE len(w) >= {_XS}
-)"""
-
-#: Island merge given a ``flagged(doc_id, pos)`` CTE — the SQL twin of
-#: operators/dedup.py::_flagged_to_spans.
-_XSPAN_MERGE_CTES = f"""
-brk AS (
-  SELECT doc_id, pos,
-         CASE WHEN pos - lag(pos) OVER (PARTITION BY doc_id ORDER BY pos)
-                   <= {_XS} THEN 0 ELSE 1 END AS b
-  FROM flagged
-),
-isl AS (
-  SELECT doc_id, pos,
-         sum(b) OVER (PARTITION BY doc_id ORDER BY pos
-                      ROWS UNBOUNDED PRECEDING) AS island
-  FROM brk
-),
-spans AS (
-  SELECT doc_id, CAST(min(pos) AS BIGINT) AS span_start,
-         CAST(max(pos) + {_XS} - 1 AS BIGINT) AS span_end
-  FROM isl GROUP BY doc_id, island
-)"""
-
-_XSUBSTR_CTES = f"""{_XGRAM_CTES},
-flagged AS (
-  SELECT doc_id, pos FROM (
-    SELECT doc_id, pos,
-           min(struct_pack(d := doc_id, p := pos)) OVER (PARTITION BY kg) AS f
-    FROM g)
-  WHERE struct_pack(d := doc_id, p := pos) <> f
-),{_XSPAN_MERGE_CTES}"""
-
-
-@register(
-    "exact_substring_dup_spans",
-    oracle=f"""
-WITH {_XSUBSTR_CTES}
-SELECT doc_id, span_start, span_end,
-       span_end - span_start + 1 AS span_tokens
-FROM spans
-""",
-    description=f"ExactSubstr span detection (Lee et al. 2021) without "
-    f"the suffix array: stride-1 {_XS}-token windows, global "
-    "first-occurrence kept canonical via a PARTIAL-AGG struct-min "
-    "groupBy on window content + join back (the round-10 default — "
-    "bit-identical to the window formulation it replaced, but a "
-    "corpus-wide boilerplate k-gram combines map-side instead of "
-    "landing on one window partition; plan-gated: no kg-keyed window, "
-    "partial aggregation present), later occurrences merged per doc "
-    "into maximal duplicated spans (gaps-and-islands). Every >= "
-    "k-token duplicate is found exactly; two big shuffles total, both "
-    "linear in corpus tokens — at 100 TB the shuffle key becomes "
-    "xxhash64(kg); max_kgram_df stays the opt-in boilerplate "
-    "EXCLUSION knob (C4 rationale), no longer a formulation switch",
-    tags=("extension", "dedup"),
-)
-def exact_substring_dup_spans_q(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = read_parquet_table(spark, sf_dir, "documents")
-    return _dd.exact_substring_dup_spans(docs, "doc_id", "text")
-
-
-@register(
-    "exact_substring_dedup_documents",
-    oracle=f"""
-WITH {_XSUBSTR_CTES},
-tok AS (
-  SELECT doc_id, i AS p, w[i] AS t, len(w) AS n
-  FROM tb, unnest(range(1, len(w) + 1)) AS t2(i)
-),
-keep AS (
-  SELECT tok.* FROM tok
-  WHERE NOT EXISTS (
-    SELECT 1 FROM spans sp
-    WHERE sp.doc_id = tok.doc_id AND tok.p BETWEEN sp.span_start AND sp.span_end)
-)
-SELECT doc_id, string_agg(t, ' ' ORDER BY p) AS text_clean,
-       CAST(any_value(n) AS BIGINT) AS n_tokens,
-       CAST(count(*) AS BIGINT) AS kept_tokens
-FROM keep GROUP BY doc_id
-""",
-    description="Destructive half of ExactSubstr: cut every duplicated "
-    ">= k-token span (all but its globally-first occurrence) and "
-    "rebuild the doc from surviving tokens; fully-duplicated docs drop. "
-    "Spans collect per doc (bounded <= n_tokens/k) and the cut is a "
-    "JVM-side higher-order filter over token positions — the corpus is "
-    "never exploded a second time and no Python runs",
-    tags=("extension", "dedup"),
-)
-def exact_substring_dedup_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = read_parquet_table(spark, sf_dir, "documents")
-    return _dd.exact_substring_dedup(docs, "doc_id", "text")
-
-
-#: Shared by the fresh, served, and streaming decontamination queries —
-#: all three compute the identical answer (static benchmark set; docs
-#: never interact), differing only in artifact reuse / batch boundaries.
-_DECONTAM_SPANS_ORACLE = f"""
-WITH {_XGRAM_CTES},
-flagged AS (
-  SELECT doc_id, pos FROM g
-  WHERE doc_id % 10 <> 0
-    AND kg IN (SELECT DISTINCT kg FROM g WHERE doc_id % 10 = 0)
-),{_XSPAN_MERGE_CTES}
-SELECT doc_id, span_start, span_end,
-       span_end - span_start + 1 AS span_tokens
-FROM spans
-"""
-
-
-@register(
-    "decontamination_overlap_spans",
-    oracle=_DECONTAM_SPANS_ORACLE,
-    description=f"Span-level benchmark decontamination: every >= "
-    f"{_XS}-token substring of a training doc (doc_id % 10 != 0) that "
-    "appears verbatim anywhere in the benchmark set (doc_id % 10 = 0), "
-    "as maximal per-doc spans — the surgical complement to "
-    "benchmark_decontamination's whole-doc n-gram overlap counts: cut "
-    "exactly the leaked spans, keep the doc. Bench k-gram set is "
-    "distinct + broadcast (benchmarks are small); the train side "
-    "streams through one left-semi join; the only large shuffle is the "
-    "output-sized per-doc island merge",
-    tags=("extension", "curation", "dedup"),
-)
-def decontamination_overlap_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = read_parquet_table(spark, sf_dir, "documents")
-    return _dd.cross_corpus_substring_spans(
-        docs.filter(F.col("doc_id") % 10 != 0),
-        docs.filter(F.col("doc_id") % 10 == 0),
-        "doc_id",
-        "text",
-    )
-
-
-def _bench_kgram_artifact(spark: SparkSession, sf_dir: str):
-    """Build-once the benchmark's distinct k-gram parquet and return
-    its lazy DataFrame — shared by the served batch query and the
-    streaming gate (one nightly artifact, two consumers)."""
-    from spotify_tracks_etl_portfolio_spark.operators.dedup import (
-        EXACT_SUBSTR_TOKENS,
-        _stride1_kgrams,
-    )
-
-    docs = read_parquet_table(spark, sf_dir, "documents")
-    root = _artifact_root(
-        spark,
-        "bench_kgrams",
-        f"{os.path.realpath(sf_dir)}|k={EXACT_SUBSTR_TOKENS}",
-    )
-    _build_artifact_once(
-        root,
-        "kgrams",
-        lambda tmp: _stride1_kgrams(
-            docs.filter(F.col("doc_id") % 10 == 0),
-            "doc_id",
-            "text",
-            EXACT_SUBSTR_TOKENS,
-        )
-        .select("kg")
-        .distinct()
-        .write.parquet(f"{tmp}/kgrams"),
-    )
-    return spark.read.parquet(f"{root}/kgrams")
-
-
-@register(
-    "decontamination_overlap_spans_served",
-    oracle=_DECONTAM_SPANS_ORACLE,
-    description="SERVED span decontamination: the benchmark's distinct "
-    "k-gram set is built ONCE per (session, sf_dir) as a persisted "
-    "parquet artifact (the nightly shape — benchmark sets change "
-    "rarely, crawls arrive daily) and every subsequent decontamination "
-    "pass left-semi joins against the stored set instead of "
-    "re-tokenizing the benchmark. Deterministic extraction ⇒ the "
-    "artifact changes COST, never the answer — same oracle VERBATIM as "
-    "decontamination_overlap_spans (the identical-answer contract "
-    "embedding_ivf_index_topk pins for the IVF index); artifact reuse "
-    "pytest-pinned",
-    tags=("extension", "curation", "dedup"),
-)
-def decontamination_overlap_spans_served(
-    spark: SparkSession, sf_dir: str
-) -> DataFrame:
-    from spotify_tracks_etl_portfolio_spark.operators.dedup import (
-        EXACT_SUBSTR_TOKENS,
-        _flagged_to_spans,
-        _stride1_kgrams,
-    )
-
-    docs = read_parquet_table(spark, sf_dir, "documents")
-    bench_kg = F.broadcast(_bench_kgram_artifact(spark, sf_dir))
-    flagged = (
-        _stride1_kgrams(
-            docs.filter(F.col("doc_id") % 10 != 0),
-            "doc_id",
-            "text",
-            EXACT_SUBSTR_TOKENS,
-        )
-        .join(bench_kg, "kg", "left_semi")
-        .select("doc_id", "pos")
-    )
-    return _flagged_to_spans(flagged, "doc_id", EXACT_SUBSTR_TOKENS)
-
-
-#: Shared by the batch and streaming incremental-ExactSubstr gates —
-#: both compute the identical answer (static corpus set; docs never
-#: interact), differing only in batch boundaries / artifact transport.
-_XS_NEW_VS_CORPUS_ORACLE = f"""
-WITH {_XGRAM_CTES},
-flagged AS (
-  SELECT doc_id, pos FROM g
-  WHERE doc_id % 2 = 1
-    AND kg IN (SELECT DISTINCT kg FROM g WHERE doc_id % 2 = 0)
-),{_XSPAN_MERGE_CTES}
-SELECT doc_id, span_start, span_end,
-       span_end - span_start + 1 AS span_tokens
-FROM spans
-"""
-
-
-#: Bucket count for the persisted corpus k-gram table. 32 = the test
-#: session's shuffle partitions, so the bucket layout never CAPS the
-#: serve join's parallelism below what a shuffle would get (probed:
-#: 8 buckets cost ~11% at 10x for exactly that reason —
-#: .stress/bucketed_kgram_probe_r11.json); at 100 TB size the count so
-#: each bucket file is ~an executor-memory partition.
-_XS_KGRAM_BUCKETS = 32
-
-
-def _corpus_kgram_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """The nightly corpus k-gram artifact, persisted as a BUCKETED
-    catalog table on ``kg`` (``sources.catalog.create_bucketed_table``)
-    and shared by all three incremental-ExactSubstr consumers (batch
-    span sweep, destructive cut, streaming gate). Bucketing makes the
-    serve-side semi-join read the corpus side with NO exchange: only
-    the new-batch / micro-batch side shuffles into the bucket layout,
-    so the corpus-sized shuffle on ``kg`` is paid ONCE at build time
-    instead of on every serve — the claim operators/dedup.py's
-    ``incremental_substring_spans`` docstring makes, now wired.
-    Built once per (session, sf_dir, k): the deterministic table name
-    doubles as the build-once marker. Plan-gated:
-    tests/test_plan_shapes.py::
-    test_incremental_substring_corpus_side_never_shuffles."""
-    from spotify_tracks_etl_portfolio_spark.operators.dedup import (
-        EXACT_SUBSTR_TOKENS,
-        corpus_kgram_set,
-    )
-    from spotify_tracks_etl_portfolio_spark.sources.catalog import (
-        create_bucketed_table,
-    )
-
-    key = f"{os.path.realpath(sf_dir)}|k={EXACT_SUBSTR_TOKENS}"
-    table = _bucketed_table_name(spark, "corpus_kgrams", key)
-    if not spark.catalog.tableExists(table):
-        docs = read_parquet_table(spark, sf_dir, "documents")
-        root = _artifact_root(spark, "corpus_kgrams_bucketed", key)
-        create_bucketed_table(
-            spark,
-            table,
-            corpus_kgram_set(
-                docs.filter(F.col("doc_id") % 2 == 0), "doc_id", "text"
-            ),
-            "kg",
-            _XS_KGRAM_BUCKETS,
-            os.path.join(root, "kgrams"),
-        )
-    return spark.table(table)
-
-
-def _bucketed_table_name(spark: SparkSession, prefix: str, key: str) -> str:
-    """Deterministic per-(application, key) catalog-table name for a
-    bucketed serve artifact. The applicationId is part of the digest —
-    the table's data lives under the applicationId-scoped
-    ``_artifact_root``, so under a PERSISTENT metastore (hive support)
-    a name scoped only by key could pass ``tableExists`` while pointing
-    at a prior application's vanished temp directory (round-11 advice).
-    App-scoping the name makes ``tableExists`` a sound build-once
-    marker in every catalog implementation."""
-    import hashlib
-
-    app = spark.sparkContext.applicationId
-    digest = hashlib.sha1(f"{key}|{app}".encode()).hexdigest()[:12]
-    return f"{prefix}_{digest}"
-
-
-#: Bucket count for the persisted corpus MinHash band + shingle tables —
-#: sized like _XS_KGRAM_BUCKETS (match shuffle parallelism; 8 buckets
-#: measurably capped the bucketed k-gram join's parallelism, probed in
-#: .stress/bucketed_kgram_probe_r11.json). At 100 TB size so each
-#: bucket file is ~an executor-memory partition.
-_MH_BAND_BUCKETS = 32
-
-
-def _corpus_minhash_bands_bucketed(
-    spark: SparkSession, sf_dir: str
-) -> tuple[DataFrame, DataFrame]:
-    """The nightly corpus MinHash serve artifacts, persisted as two
-    BUCKETED catalog tables (``sources.catalog.create_bucketed_table``)
-    and shared by both cross-corpus near-dedup consumers (batch
-    ``near_dedup_new_vs_corpus``, streaming
-    ``streaming_near_dedup_sync``): the band table (id_old, bkey)
-    bucketed on ``bkey`` so the candidate equi-join reads the corpus
-    side with NO exchange, and the shingle table (id_old, hashes)
-    bucketed on ``id_old`` so the exact-Jaccard verify fetches corpus
-    shingle arrays with NO exchange either — the corpus-sized shuffles
-    are paid ONCE at build, never per serve; per-batch cost scales with
-    the batch (the claim operators/dedup.py's
-    ``cross_corpus_near_dup_ids_served`` docstring makes, wired here).
-    The shingle computation is paid once: the shingle table is built
-    first and the band table derives from the STORED hash arrays (the
-    signature min-hash is a pure projection over them). Built once per
-    (application, sf_dir, k): the app-scoped deterministic table name
-    doubles as the build-once marker. Plan-gated:
-    tests/test_plan_shapes.py::test_near_dedup_corpus_side_never_shuffles.
-    """
-    from spotify_tracks_etl_portfolio_spark.operators.dedup import (
-        SHINGLE_K,
-        _signature_cols,
-        corpus_band_key,
-        minhash_band_rows,
-        shingle_hash_arrays,
-    )
-    from spotify_tracks_etl_portfolio_spark.sources.catalog import (
-        create_bucketed_table,
-    )
-
-    key = f"{os.path.realpath(sf_dir)}|k={SHINGLE_K}|minhash"
-    bands_table = _bucketed_table_name(spark, "corpus_mh_bands", key)
-    sh_table = _bucketed_table_name(spark, "corpus_mh_shingles", key)
-    if not (
-        spark.catalog.tableExists(bands_table)
-        and spark.catalog.tableExists(sh_table)
-    ):
-        docs = read_parquet_table(spark, sf_dir, "documents")
-        old = docs.filter(F.col("doc_id") % 2 == 0)
-        root = _artifact_root(spark, "corpus_mh_bucketed", key)
-        shingles_df = shingle_hash_arrays(old, "doc_id", "text").select(
-            F.col("doc_id").alias("id_old"),
-            F.col("__hashes").alias("hashes"),
-        )
-        create_bucketed_table(
-            spark,
-            sh_table,
-            shingles_df,
-            "id_old",
-            _MH_BAND_BUCKETS,
-            os.path.join(root, "shingles"),
-        )
-        # derive bands from the STORED arrays — the text is shingled
-        # exactly once per build
-        stored = spark.table(sh_table).select(
-            F.col("id_old").alias("doc_id"), F.col("hashes").alias("__hashes")
-        )
-        bands_df = minhash_band_rows(
-            stored.select("doc_id", *_signature_cols()), "doc_id"
-        ).select(F.col("doc_id").alias("id_old"), corpus_band_key())
-        create_bucketed_table(
-            spark,
-            bands_table,
-            bands_df,
-            "bkey",
-            _MH_BAND_BUCKETS,
-            os.path.join(root, "bands"),
-        )
-    return spark.table(bands_table), spark.table(sh_table)
-
-
-@register(
-    "exact_substring_new_vs_corpus",
-    oracle=_XS_NEW_VS_CORPUS_ORACLE,
-    description=f"Incremental corpus-vs-corpus ExactSubstr (round-9 "
-    f"verdict item): >= {_XS}-token spans of a NEW crawl batch (odd "
-    "doc_ids) that appear verbatim in the EXISTING corpus (even "
-    "doc_ids), served from the corpus's persisted DISTINCT k-gram "
-    "parquet — built once per (session, sf_dir) via the "
-    "bench_kgrams/ivf_index artifact pattern, then every batch sweep "
-    "is one batch-side explode + one size-planned semi-join against "
-    "the stored k-gram column, NEVER a re-explode of corpus text "
-    "(the span-level twin of incremental_dedup_documents / "
-    "near_dedup_new_vs_corpus). Membership suffices — corpus "
-    "occurrences precede the whole batch, so the artifact needs no "
-    "first-occurrence bookkeeping. Deterministic extraction ⇒ the "
-    "artifact changes COST, never the answer; per-batch cost scales "
-    "with the batch (probe evidence in .stress/), and the artifact is "
-    "written BUCKETED on kg (_corpus_kgram_bucketed) so the semi-join "
-    "plans with no corpus-side exchange — only the batch side "
-    "shuffles (plan-gated)",
-    tags=("extension", "dedup", "curation"),
-)
-def exact_substring_new_vs_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from spotify_tracks_etl_portfolio_spark.operators.dedup import (
-        incremental_substring_spans,
-    )
-
-    docs = read_parquet_table(spark, sf_dir, "documents")
-    corpus_kg = _corpus_kgram_bucketed(spark, sf_dir)
-    return incremental_substring_spans(
-        docs.filter(F.col("doc_id") % 2 == 1), corpus_kg, "doc_id", "text"
-    )
-
-
-@register_pending_r11(
-    "temperature_sampled_language_mix",
-    oracle=f"""
-WITH c AS (
-  SELECT lang, CAST(count(*) AS BIGINT) AS n,
-         CAST(round(sqrt(count(*)) * 1000000) AS BIGINT) AS s
-  FROM documents GROUP BY lang
-),
-t AS (SELECT CAST(SUM(n) AS BIGINT) AS total_n,
-             CAST(SUM(s) AS BIGINT) AS total_s FROM c),
-r AS (
-  SELECT lang,
-         LEAST(1000000, CAST(floor(
-           ((CAST(floor((total_n + 1) / 2) AS BIGINT) * s)
-            / (total_s * n)) * 1000000) AS BIGINT)) AS thr
-  FROM c, t
-),
-h AS (
-  SELECT doc_id, lang, ({_FP_SQL}) % 1000000 AS h FROM documents
-)
-SELECT doc_id, lang FROM h JOIN r USING (lang) WHERE h < thr
-""",
-    description="Temperature-based data mixing (the multilingual "
-    "training-recipe primitive: T5/mT5-style α-smoothed sampling that "
-    "UP-weights low-resource strata): per-language keep rates ∝ "
-    "n_lang^(α−1) with α = 1/2 frozen — chosen because √ is the one "
-    "non-rational step IEEE guarantees correctly rounded on every "
-    "engine, so unlike pow(x, 0.7) the whole mix replays bit-exactly "
-    "in DuckDB. Math is integer-exact end-to-end: per-lang √n scales "
-    "to micro-ints, their SUM is a BIGINT (no order-sensitive float "
-    "accumulation), each rate = (budget·s)/(W·n) is ONE "
-    "correctly-rounded division of exact ints (budget = ⌈N/2⌉ of the "
-    "corpus), and membership is a content-hash threshold — "
-    "deterministic, rerun-stable, no RNG, so a data mix is "
-    "reproducible from the recipe alone. One groupBy + one broadcast "
-    "join at any scale; at extreme N the BIGINT products upgrade to "
-    "DECIMAL(38,0). Measured at the gate: en (218 docs) keeps ~35%, "
-    "fr (64) keeps ~65% — the upweighting inversion the recipe "
-    "exists for. Registered via the pending-r11 gate",
-    tags=("extension", "curation", "sampling"),
-)
-def temperature_sampled_language_mix(
-    spark: SparkSession, sf_dir: str
-) -> DataFrame:
-    docs = read_parquet_table(spark, sf_dir, "documents")
-    m = 1_000_000
-    c = docs.groupBy("lang").agg(F.count(F.lit(1)).alias("n")).select(
-        "lang",
-        "n",
-        F.round(F.sqrt("n") * m).cast("long").alias("s"),
-    )
-    t = c.agg(
-        F.sum("n").alias("total_n"), F.sum("s").alias("total_s")
-    )
-    budget = F.floor((F.col("total_n") + 1) / 2).cast("long")
-    rate = (budget * F.col("s")) / (F.col("total_s") * F.col("n"))
-    r = c.crossJoin(F.broadcast(t)).select(
-        "lang",
-        F.least(
-            F.lit(m), F.floor(rate * m).cast("long")
-        ).alias("thr"),
-    )
-    h = docs.select(
-        "doc_id", "lang", (rolling_hash("text") % m).alias("h")
-    )
-    return (
-        h.join(F.broadcast(r), "lang")
-        .filter(F.col("h") < F.col("thr"))
-        .select("doc_id", "lang")
-    )
-
-
-@register_pending_r11(
-    "exact_substring_cut_new_vs_corpus",
-    oracle=f"""
-WITH {_XGRAM_CTES},
-flagged AS (
-  SELECT doc_id, pos FROM g
-  WHERE doc_id % 2 = 1
-    AND kg IN (SELECT DISTINCT kg FROM g WHERE doc_id % 2 = 0)
-),{_XSPAN_MERGE_CTES},
-tok AS (
-  SELECT doc_id, i AS p, w[i] AS t, len(w) AS n
-  FROM tb, unnest(range(1, len(w) + 1)) AS t2(i)
-  WHERE doc_id % 2 = 1
-),
-keep AS (
-  SELECT tok.* FROM tok
-  WHERE NOT EXISTS (
-    SELECT 1 FROM spans sp
-    WHERE sp.doc_id = tok.doc_id AND tok.p BETWEEN sp.span_start AND sp.span_end)
-)
-SELECT doc_id, string_agg(t, ' ' ORDER BY p) AS text_clean,
-       CAST(any_value(n) AS BIGINT) AS n_tokens,
-       CAST(count(*) AS BIGINT) AS kept_tokens
-FROM keep GROUP BY doc_id
-""",
-    description="Destructive half of incremental ExactSubstr (the "
-    "daily-crawl ingest shape): rebuild each new-batch doc (odd "
-    "doc_ids) with every >= 8-token span appearing verbatim in the "
-    "existing corpus (even doc_ids) CUT — the corpus copy was there "
-    "first, so it stays canonical; batch docs that are entirely "
-    "corpus-duplicated drop, and only novel text would append. Serves "
-    "the span sweep from the SAME persisted corpus k-gram artifact as "
-    "exact_substring_new_vs_corpus (one nightly build, both "
-    "consumers); the cut is the shared JVM-side higher-order position "
-    "filter — batch-cost per ingest, corpus never re-exploded. "
-    "Registered via the pending-r11 gate (the r10 window is budgeted "
-    "to the stale cohort); pytest-verified now",
-    tags=("extension", "dedup", "curation"),
-)
-def exact_substring_cut_new_vs_corpus(
-    spark: SparkSession, sf_dir: str
-) -> DataFrame:
-    from spotify_tracks_etl_portfolio_spark.operators.dedup import (
-        incremental_substring_dedup,
-    )
-
-    docs = read_parquet_table(spark, sf_dir, "documents")
-    corpus_kg = _corpus_kgram_bucketed(spark, sf_dir)
-    return incremental_substring_dedup(
-        docs.filter(F.col("doc_id") % 2 == 1), corpus_kg, "doc_id", "text"
-    )
-
-
-@register_pending_r11(
-    "streaming_incremental_substring_sync",
-    oracle=_XS_NEW_VS_CORPUS_ORACLE,
-    description="9th streaming gate: the incoming-crawl stream (new "
-    "batch = odd doc_ids, staged as TWO files → two real "
-    "micro-batches) is swept per batch for >= 8-token substrings "
-    "appearing verbatim in the PERSISTED CORPUS k-gram artifact (the "
-    "same nightly artifact exact_substring_new_vs_corpus and the cut "
-    "twin serve from — one build, batch + streaming consumers), spans "
-    "to an epoch-partition-overwrite sink (replay-idempotent), then "
-    "hash-checked against the SAME oracle as the batch twin. The "
-    "reference set is CORPUS-sized, so unlike the benchmark-"
-    "decontamination gate the per-batch semi-join carries no broadcast "
-    "hint (size-planned; bucketed artifact at scale ⇒ only the "
-    "micro-batch side shuffles per trigger). Batch boundaries provably "
-    "can't change the result: a doc's spans depend only on its own "
-    "text and the static corpus set. Registered via the pending-r11 "
-    "gate (the r10 window is budgeted to the stale cohort); "
-    "pytest-verified now",
-    tags=("streaming", "extension", "dedup", "curation"),
-)
-@pinned_stream_session
-def streaming_incremental_substring_sync(
-    spark: SparkSession, sf_dir: str
-) -> DataFrame:
-    from spotify_tracks_etl_portfolio_spark.operators.dedup import (
-        EXACT_SUBSTR_TOKENS,
-    )
-    from spotify_tracks_etl_portfolio_spark.streaming.pipeline import (
-        read_documents_stream,
-        streaming_incremental_substring_spans,
-    )
-
-    docs = read_parquet_table(spark, sf_dir, "documents")
-    corpus_kg = _corpus_kgram_bucketed(spark, sf_dir)
-    batch = docs.filter(F.col("doc_id") % 2 == 1)
-    d = _session_scratch(spark, "xs_incremental_sync")
-    out = f"{d}/out"
-    batch.filter(F.col("doc_id") % 4 == 1).coalesce(1).write.parquet(
-        f"{d}/src/f1"
-    )
-    batch.filter(F.col("doc_id") % 4 == 3).coalesce(1).write.parquet(
-        f"{d}/src/f2"
-    )
-    stream = read_documents_stream(spark, f"{d}/src/*")
-    q = (
-        streaming_incremental_substring_spans(
-            stream, corpus_kg, out, f"{d}/ckpt", EXACT_SUBSTR_TOKENS
-        )
-        .trigger(availableNow=True)
-        .start()
-    )
-    q.awaitTermination()
-    return spark.read.parquet(out).select(
-        F.col("doc_id").cast("long").alias("doc_id"),
-        F.col("span_start").cast("long").alias("span_start"),
-        F.col("span_end").cast("long").alias("span_end"),
-        F.col("span_tokens").cast("long").alias("span_tokens"),
-    )
-
-
-@register(
-    "streaming_decontamination_sync",
-    oracle=_DECONTAM_SPANS_ORACLE,
-    description="8th streaming gate: the incoming-doc stream (train "
-    "docs staged as TWO files → two real micro-batches) is swept per "
-    "batch for >= 8-token substrings appearing verbatim in the "
-    "PERSISTED benchmark k-gram artifact (the same nightly artifact "
-    "the served batch query reuses — one build, batch + streaming "
-    "consumers), spans written to an epoch-partition-overwrite parquet "
-    "sink (at-least-once replays rewrite their epoch, never "
-    "duplicate) — then hash-checked against the SAME oracle as both "
-    "batch twins. Batch boundaries provably can't change the result: "
-    "a doc's spans depend only on its own text and the static "
-    "benchmark set",
-    tags=("streaming", "extension", "curation", "dedup"),
-)
-@pinned_stream_session
-def streaming_decontamination_sync(
-    spark: SparkSession, sf_dir: str
-) -> DataFrame:
-    from spotify_tracks_etl_portfolio_spark.operators.dedup import (
-        EXACT_SUBSTR_TOKENS,
-    )
-    from spotify_tracks_etl_portfolio_spark.streaming.pipeline import (
-        read_documents_stream,
-        streaming_decontamination_spans,
-    )
-
-    docs = read_parquet_table(spark, sf_dir, "documents")
-    bench_kg = _bench_kgram_artifact(spark, sf_dir)
-    train = docs.filter(F.col("doc_id") % 10 != 0)
-    d = _session_scratch(spark, "decontam_sync")
-    out = f"{d}/out"
-    train.filter(F.col("doc_id") % 2 == 1).coalesce(1).write.parquet(
-        f"{d}/src/f1"
-    )
-    train.filter(F.col("doc_id") % 2 == 0).coalesce(1).write.parquet(
-        f"{d}/src/f2"
-    )
-    stream = read_documents_stream(spark, f"{d}/src/*")
-    q = (
-        streaming_decontamination_spans(
-            stream, bench_kg, out, f"{d}/ckpt", EXACT_SUBSTR_TOKENS
-        )
-        .trigger(availableNow=True)
-        .start()
-    )
-    q.awaitTermination()
-    return spark.read.parquet(out).select(
-        F.col("doc_id").cast("long").alias("doc_id"),
-        F.col("span_start").cast("long").alias("span_start"),
-        F.col("span_end").cast("long").alias("span_end"),
-        F.col("span_tokens").cast("long").alias("span_tokens"),
-    )
-
-
-#: Max duplicate-2gram fraction a doc may keep after the substring cut
-#: (the Gopher dup-fraction gate of the v2 pipeline).
-CURATE_MAX_DUP2 = 0.2
-
-@register(
-    "curate_training_corpus_v2",
-    oracle=f"""
-WITH {_XSUBSTR_CTES},
-tok AS (
-  SELECT doc_id, i AS p, w[i] AS t, len(w) AS n
-  FROM tb, unnest(range(1, len(w) + 1)) AS t2(i)
-),
-keep AS (
-  SELECT tok.* FROM tok
-  WHERE NOT EXISTS (
-    SELECT 1 FROM spans sp
-    WHERE sp.doc_id = tok.doc_id AND tok.p BETWEEN sp.span_start AND sp.span_end)
-),
-cleaned AS (
-  SELECT doc_id, string_agg(t, ' ' ORDER BY p) AS text,
-         CAST(count(*) AS BIGINT) AS kept_tokens
-  FROM keep GROUP BY doc_id
-),
-ctb AS (
-  SELECT doc_id,
-         CASE WHEN trim(text) = '' THEN CAST([] AS VARCHAR[])
-              ELSE string_split_regex(trim(text), '\\s+') END AS w
-  FROM cleaned
-),
-rep AS (SELECT doc_id, {_dup_ngram_sql(2)} AS dup_2gram_frac FROM ctb),
-qg AS (
-  SELECT doc_id, len(w) AS n_tok,
-         len(list_filter(w, t -> t IN ('the', 'a', 'of', 'and', 'to'))) AS n_stop,
-         length(text) AS n_chars,
-         len(regexp_extract_all(text, '[.,!?;:]')) AS n_punct,
-         len(regexp_extract_all(text, '[0-9]')) AS n_digit
-  FROM ctb JOIN cleaned USING (doc_id)
-),
-qh AS (
-  SELECT doc_id,
-         CAST(n_tok AS BIGINT) AS n_tokens,
-         round(n_stop * 1.0 / greatest(n_tok, 1), 6) AS stopword_ratio,
-         round(n_punct * 1.0 / greatest(n_chars, 1), 6) AS punct_ratio,
-         round(n_digit * 1.0 / greatest(n_chars, 1), 6) AS digit_ratio
-  FROM qg
-),
-q AS (SELECT doc_id, {_QUALITY_EXPR} AS quality_score FROM qh),
-fp2 AS (SELECT doc_id, {_FP_SQL} AS fv FROM cleaned)
-SELECT c.doc_id, c.kept_tokens, q.quality_score, r.dup_2gram_frac,
-       CASE WHEN fp2.fv % 100 < 90 THEN 'train'
-            WHEN fp2.fv % 100 < 95 THEN 'val'
-            ELSE 'test' END AS split
-FROM cleaned c
-JOIN q USING (doc_id) JOIN rep r USING (doc_id) JOIN fp2 USING (doc_id)
-WHERE r.dup_2gram_frac <= {CURATE_MAX_DUP2}
-  AND q.quality_score >= {CURATE_MIN_QUALITY}
-""",
-    description="V2 curation pipeline composing this round's operators "
-    "end-to-end as ONE Catalyst plan: ExactSubstr cut (every >= 8-token "
-    "cross-doc repeat removed, fully-duplicated docs drop) → Gopher "
-    "duplicate-2gram gate (<= 0.2 on the CLEANED text) → quality gate "
-    "(>= 0.5, same fixed formula as quality_score_documents, scored on "
-    "the cleaned text) → content-hash 90/5/5 split of the cleaned text. "
-    "Beyond the span detector's two linear shuffles everything is "
-    "zero-shuffle row-local projection; the whole composition is "
-    "hash-checked against a single oracle CTE chain reusing the "
-    "ExactSubstr, repetition, quality, and split blocks",
-    tags=("extension", "dedup", "text", "curation", "pipeline"),
-)
-def curate_training_corpus_v2(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = read_parquet_table(spark, sf_dir, "documents")
-    # Slim localCheckpoint (the grouped_prefix_sum pattern): without it,
-    # projection collapse INLINES the text_clean rebuild (the whole
-    # span-join + higher-order position filter + array_join chain) into
-    # EACH downstream expression — quality, dup-fraction, and the split
-    # hash each re-derive the cleaned corpus (5 copies in the optimized
-    # plan; measured 48.5 s vs ~3 s for the span detector alone at
-    # sf0.1). Materializing the cleaned relation once is also what a
-    # real pipeline does — the cleaned corpus IS a persisted artifact.
-    cleaned = _dd.exact_substring_dedup(docs, "doc_id", "text").localCheckpoint(
-        eager=False
-    )
-    bucket = F.pmod(rolling_hash("text_clean"), F.lit(100))
-    scored = cleaned.select(
-        "doc_id",
-        "kept_tokens",
-        _tx.quality_score("text_clean").alias("quality_score"),
-        _tx.ngram_dup_fraction("text_clean", 2).alias("dup_2gram_frac"),
-        bucket.alias("__b"),
-    )
-    return scored.filter(
-        (F.col("dup_2gram_frac") <= CURATE_MAX_DUP2)
-        & (F.col("quality_score") >= CURATE_MIN_QUALITY)
-    ).select(
-        "doc_id",
-        "kept_tokens",
-        "quality_score",
-        "dup_2gram_frac",
-        F.when(F.col("__b") < 90, "train")
-        .when(F.col("__b") < 95, "val")
-        .otherwise("test")
-        .alias("split"),
-    )
-
-
-_NEAR_DEDUP_NEW_VS_CORPUS_ORACLE = f"""
-WITH {_SHINGLE_CTES},
-sizes AS (SELECT doc_id, count(*) AS n FROM shh GROUP BY doc_id),
-{_minhash_sig_sql()},
-{_minhash_bands_sql()},
-cands AS (
-  SELECT DISTINCT a.doc_id AS id_new, b.doc_id AS id_old
-  FROM bands a JOIN bands b ON a.band = b.band AND a.sig = b.sig
-  WHERE a.doc_id % 2 = 1 AND b.doc_id % 2 = 0
-),
-shared AS (
-  SELECT c.id_new, c.id_old, count(*) AS shared
-  FROM cands c
-  JOIN shh n ON n.doc_id = c.id_new
-  JOIN shh o ON o.doc_id = c.id_old AND o.h = n.h
-  GROUP BY 1, 2
-),
-flagged AS (
-  SELECT DISTINCT s.id_new
-  FROM shared s
-  JOIN sizes sa ON s.id_new = sa.doc_id
-  JOIN sizes sb ON s.id_old = sb.doc_id
-  WHERE round(s.shared * 1.0 / (sa.n + sb.n - s.shared), 6) >= {JACCARD_THRESHOLD}
-)
-SELECT d.doc_id FROM documents d
-WHERE d.doc_id % 2 = 1
-  AND d.doc_id NOT IN (SELECT id_new FROM flagged)
-"""
-
-
-@register(
-    "near_dedup_new_vs_corpus",
-    oracle=_NEAR_DEDUP_NEW_VS_CORPUS_ORACLE,
-    description="Cross-corpus NEAR-dedup anti-join (the near-dup twin "
-    "of incremental_dedup_documents, which is exact-only): new docs "
-    "(odd ids stand in for today's crawl) MinHash-band-join against the "
-    "existing corpus (even ids), candidates verify by exact Jaccard, "
-    "flagged ids anti-join away. Never materializes new×old — bands "
-    "narrow the join, verify touches candidates only; the old-corpus "
-    "band AND shingle tables are precomputed BUCKETED catalog tables "
-    "(_corpus_minhash_bands_bucketed: bands on bkey, shingles on "
-    "id_old) so neither corpus-sized table shuffles at serve — only "
-    "the batch side does (plan-gated: "
-    "test_near_dedup_corpus_side_never_shuffles); deterministic "
-    "artifacts change COST, never the answer",
-    tags=("extension", "dedup", "lsh"),
-)
-def near_dedup_new_vs_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = read_parquet_table(spark, sf_dir, "documents")
-    new = docs.filter(F.col("doc_id") % 2 == 1)
-    bands, shingles = _corpus_minhash_bands_bucketed(spark, sf_dir)
-    flagged = _dd.cross_corpus_near_dup_ids_served(
-        new, bands, shingles, "doc_id", "text", JACCARD_THRESHOLD
-    )
-    return new.join(flagged, "doc_id", "left_anti").select("doc_id")
-
-
-@register(
-    "chunk_documents_sliding",
-    oracle=f"""
-WITH ch AS (
-  SELECT doc_id,
-         greatest(1, CAST(ceil((len(text) - {_tx.CHUNK_CHARS}) / {_tx.CHUNK_STRIDE}.0) AS BIGINT) + 1) AS n_chunks
-  FROM documents
-)
-SELECT d.doc_id,
-       i AS chunk_idx,
-       substr(d.text, CAST((i-1)*{_tx.CHUNK_STRIDE} + 1 AS INT), {_tx.CHUNK_CHARS}) AS chunk,
-       c.n_chunks
-FROM documents d
-JOIN ch c USING (doc_id), unnest(range(1, c.n_chunks + 1)) AS t(i)
-""",
-    description=f"Sliding-window chunking ({_tx.CHUNK_CHARS}-char chunks, "
-    f"{_tx.CHUNK_STRIDE}-char stride ⇒ {_tx.CHUNK_CHARS - _tx.CHUNK_STRIDE}-char "
-    "overlap) — the embedding/RAG prep operator: sequence → posexplode → "
-    "substr is a pure generator projection with ZERO shuffles; chunk "
-    "count is a deterministic function of text length so re-runs and "
-    "retries produce identical chunk ids at any scale",
-    tags=("extension", "text"),
-)
-def chunk_documents_sliding(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = read_parquet_table(spark, sf_dir, "documents")
-    return _tx.sliding_chunks(docs, "doc_id", "text")
-
-@register(
-    "streaming_near_dedup_sync",
-    oracle=_NEAR_DEDUP_NEW_VS_CORPUS_ORACLE,
-    description="Streaming curation under the CORRECTNESS gate: the "
-    "incoming-doc stream (odd ids, staged as TWO files → two real "
-    "micro-batches) is near-dedup-checked per batch against the static "
-    "corpus (even ids) via foreachBatch + the cross-corpus MinHash "
-    "band/verify operator SERVED from the persisted bucketed corpus "
-    "band + shingle tables (_corpus_minhash_bands_bucketed — shared "
-    "with the batch twin; no corpus-side shuffle per micro-batch), "
-    "survivors appended to a parquet sink — then hash-checked against "
-    "the SAME DuckDB oracle as the batch twin "
-    "near_dedup_new_vs_corpus. Batch boundaries provably can't change "
-    "the result (new docs compare only against the corpus, never each "
-    "other), and the gate proves it",
-    tags=("streaming", "extension", "dedup"),
-)
-@pinned_stream_session
-def streaming_near_dedup_sync(spark: SparkSession, sf_dir: str) -> DataFrame:
-
-    from spotify_tracks_etl_portfolio_spark.streaming.pipeline import (
-        read_documents_stream,
-        streaming_near_dedup_new_docs,
-    )
-
-    docs = read_parquet_table(spark, sf_dir, "documents")
-    new = docs.filter(F.col("doc_id") % 2 == 1)
-    bands, shingles = _corpus_minhash_bands_bucketed(spark, sf_dir)
-
-    d = _session_scratch(spark, "nd_sync")
-    out = f"{d}/out"
-    new.filter(F.col("doc_id") % 4 == 1).coalesce(1).write.parquet(f"{d}/src/f1")
-    new.filter(F.col("doc_id") % 4 == 3).coalesce(1).write.parquet(f"{d}/src/f2")
-    stream = read_documents_stream(spark, f"{d}/src/*")
-    q = (
-        streaming_near_dedup_new_docs(
-            stream, bands, shingles, out, f"{d}/ckpt", JACCARD_THRESHOLD
-        )
-        .trigger(availableNow=True)
-        .start()
-    )
-    q.awaitTermination()
-    # lazy read from the session-scoped sink: the result never transits
-    # the driver (epoch_id is the sink's idempotency partition column)
-    return spark.read.parquet(out).select(F.col("doc_id").cast("long").alias("doc_id"))
-
-
-@register(
-    "jsonl_corpus_roundtrip",
-    oracle="SELECT doc_id, text, lang, source, n_chars FROM documents",
-    description="JSONL corpus interchange under the gate: the documents "
-    "table exports to gzip'd JSON-Lines (write_jsonl: round-robin "
-    "resharded, one object per line — the format training stacks and "
-    "labeling tools ingest) and reads back with a strict schema "
-    "(read_jsonl refuses inference: that's a full extra pass at "
-    "100 TB), then hash-matches the original table byte-for-byte — "
-    "proving JSON string escaping round-trips every document exactly",
-    tags=("extension", "sources"),
-)
-def jsonl_corpus_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from spotify_tracks_etl_portfolio_spark.sources.readers import read_jsonl
-    from spotify_tracks_etl_portfolio_spark.sources.writers import write_jsonl
-
-    schema = (
-        "doc_id long, text string, lang string, source string, n_chars long"
-    )
-    docs = read_parquet_table(spark, sf_dir, "documents")
-    d = _session_scratch(spark, "jsonl_rt")
-    write_jsonl(docs, f"{d}/corpus", shards=2)
-    # lazy read back from the session-scoped export — no .collect()
-    return read_jsonl(spark, f"{d}/corpus", schema).select(
-        "doc_id", "text", "lang", "source", "n_chars"
-    )
-
-
-@register(
-    "pii_scrub_documents",
-    oracle=r"""
-WITH base AS (
-  SELECT doc_id,
-         text || ' Contact: user' || doc_id ||
-         '@example.com via https://example.org/u/' || doc_id ||
-         ' from 10.' || (doc_id % 250) || '.0.1 ref 5551234' ||
-         lpad(CAST(doc_id AS VARCHAR), 4, '0') AS t0
-  FROM documents
-),
-s1 AS (SELECT doc_id,
-              CAST(len(regexp_extract_all(t0, 'https?://[^\s]+')) AS BIGINT) AS n_url,
-              regexp_replace(t0, 'https?://[^\s]+', '[URL]', 'g') AS t1 FROM base),
-s2 AS (SELECT doc_id, n_url,
-              CAST(len(regexp_extract_all(t1, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')) AS BIGINT) AS n_email,
-              regexp_replace(t1, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '[EMAIL]', 'g') AS t2 FROM s1),
-s3 AS (SELECT doc_id, n_url, n_email,
-              CAST(len(regexp_extract_all(t2, '\b\d{1,3}(\.\d{1,3}){3}\b')) AS BIGINT) AS n_ip,
-              regexp_replace(t2, '\b\d{1,3}(\.\d{1,3}){3}\b', '[IP]', 'g') AS t3 FROM s2)
-SELECT doc_id, n_url, n_email, n_ip,
-       CAST(len(regexp_extract_all(t3, '\d{7,}')) AS BIGINT) AS n_number,
-       regexp_replace(t3, '\d{7,}', '[NUMBER]', 'g') AS text_clean
-FROM s3
-""",
-    description="Multi-category PII scrub (URL → email → IPv4 → long "
-    "digit runs, typed mask tokens, per-category counts at each stage): "
-    "a deterministic contact footer is appended to every document (the "
-    "synthetic corpus carries no PII-shaped tokens) and scrubbed — one "
-    "chained regexp projection, whole-stage codegen, no UDF",
-    tags=("extension", "text"),
-)
-def pii_scrub_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = read_parquet_table(spark, sf_dir, "documents")
-    footered = docs.select(
-        "doc_id",
-        F.concat(
-            F.col("text"),
-            F.lit(" Contact: user"), F.col("doc_id"),
-            F.lit("@example.com via https://example.org/u/"), F.col("doc_id"),
-            F.lit(" from 10."), F.col("doc_id") % 250,
-            F.lit(".0.1 ref 5551234"),
-            F.lpad(F.col("doc_id").cast("string"), 4, "0"),
-        ).alias("t0"),
-    )
-    return _tx.pii_scrub(footered, "t0").select(
-        "doc_id", "n_url", "n_email", "n_ip", "n_number", "text_clean"
-    )
-
-
-@register(
-    "orc_corpus_roundtrip",
-    oracle="SELECT doc_id, text, lang, source, n_chars FROM documents",
-    description="ORC corpus interchange under the gate: the documents "
-    "table exports to zstd ORC (write_orc: round-robin resharded — the "
-    "columnar format Hive/Trino stacks ingest natively) and reads back "
-    "with an explicit schema, then hash-matches the original table "
-    "byte-for-byte — proving the second columnar interchange format "
-    "round-trips exactly like parquet/JSONL",
-    tags=("extension", "sources"),
-)
-def orc_corpus_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from spotify_tracks_etl_portfolio_spark.sources.readers import read_orc
-    from spotify_tracks_etl_portfolio_spark.sources.writers import write_orc
-
-    schema = (
-        "doc_id long, text string, lang string, source string, n_chars long"
-    )
-    docs = read_parquet_table(spark, sf_dir, "documents")
-    d = _session_scratch(spark, "orc_rt")
-    write_orc(docs, f"{d}/corpus", shards=2)
-    return read_orc(spark, f"{d}/corpus", schema).select(
-        "doc_id", "text", "lang", "source", "n_chars"
-    )
-
-
-@register(
-    "cowtable_merge_roundtrip",
-    oracle="""
-WITH upd AS (
-  SELECT doc_id, CAST(-n_chars AS BIGINT) AS n_chars
-  FROM documents WHERE doc_id % 50 = 0
-),
-ins AS (
-  SELECT CAST(doc_id + 1000000 AS BIGINT) AS doc_id, CAST(-1 AS BIGINT) AS n_chars
-  FROM documents WHERE doc_id % 50 = 0
-),
-base AS (
-  SELECT doc_id, CAST(n_chars AS BIGINT) AS n_chars
-  FROM documents WHERE doc_id % 97 <> 0 AND doc_id % 50 <> 0
-)
-SELECT doc_id, n_chars FROM base
-UNION ALL SELECT doc_id, n_chars FROM upd
-UNION ALL SELECT doc_id, n_chars FROM ins
-""",
-    description="ACID-style table lifecycle under the correctness gate "
-    "(sources/cowtable.py — the round-3 'no merge table format' gap, "
-    "filled with the env's means): CREATE a copy-on-write manifest "
-    "table clustered on doc_id, DELETE the %97 keys, MERGE upserts for "
-    "the %50 keys plus brand-new inserted keys, then snapshot-read the "
-    "final version. Commits are O_EXCL-atomic manifests; DELETE/MERGE "
-    "rewrite ONLY the files whose footer [min,max] actually contains "
-    "an affected key (exact range-join pruning — file-granular at "
-    "100 TB, never a table rewrite); untouched files carry over by "
-    "reference. Time travel + conflict detection covered in "
-    "tests/test_cowtable.py.",
-    tags=("extension", "sources", "acid"),
-)
-def cowtable_merge_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from spotify_tracks_etl_portfolio_spark.sources import cowtable as _ct
-
-    docs = read_parquet_table(spark, sf_dir, "documents").select(
-        "doc_id", F.col("n_chars").cast("long").alias("n_chars")
-    )
-    root = os.path.join(
-        _session_scratch(spark, "cowtable"), uuid.uuid4().hex
-    )
-    _ct.create_table(spark, root, docs, cluster_by="doc_id", n_files=8)
-    _ct.delete_where(
-        spark, root, "doc_id",
-        docs.filter(F.col("doc_id") % 97 == 0).select("doc_id"),
-    )
-    upserts = docs.filter(F.col("doc_id") % 50 == 0).select(
-        "doc_id", (-F.col("n_chars")).alias("n_chars")
-    )
-    inserts = docs.filter(F.col("doc_id") % 50 == 0).select(
-        (F.col("doc_id") + 1000000).alias("doc_id"),
-        F.lit(-1).cast("long").alias("n_chars"),
-    )
-    _ct.merge_into(
-        spark, root, upserts.unionByName(inserts), "doc_id"
-    )
-    return _ct.read_table(spark, root).select("doc_id", "n_chars")
-
-
-@register(
-    "cowtable_snapshot_diff",
-    oracle="""
-SELECT doc_id, 'removed' AS status FROM documents
-WHERE doc_id % 97 = 0 AND doc_id % 50 <> 0
-UNION ALL
-SELECT doc_id, 'changed' FROM documents
-WHERE doc_id % 50 = 0 AND n_chars <> 0
-UNION ALL
-SELECT CAST(doc_id + 1000000 AS BIGINT), 'added' FROM documents
-WHERE doc_id % 50 = 0
-""",
-    description="Snapshot AUDIT over the COW table lifecycle: after the "
-    "same delete+merge flow as cowtable_merge_roundtrip, diff version 0 "
-    "against the latest — per key 'added'/'removed'/'changed' (deleted "
-    "%97 keys read removed; %50 upserts read changed; brand-new keys "
-    "read added; a deleted-then-reinserted key reads changed, which is "
-    "the net truth). One full-outer join of two time-travel reads — "
-    "the evidence a governance review wants, derived from manifests, "
-    "not logs",
-    tags=("extension", "sources", "acid", "governance"),
-)
-def cowtable_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from spotify_tracks_etl_portfolio_spark.sources import cowtable as _ct
-
-    docs = read_parquet_table(spark, sf_dir, "documents").select(
-        "doc_id", F.col("n_chars").cast("long").alias("n_chars")
-    )
-    root = os.path.join(
-        _session_scratch(spark, "cow_diff"), uuid.uuid4().hex
-    )
-    _ct.create_table(spark, root, docs, cluster_by="doc_id", n_files=8)
-    _ct.delete_where(
-        spark, root, "doc_id",
-        docs.filter(F.col("doc_id") % 97 == 0).select("doc_id"),
-    )
-    upserts = docs.filter(F.col("doc_id") % 50 == 0).select(
-        "doc_id", (-F.col("n_chars")).alias("n_chars")
-    )
-    inserts = docs.filter(F.col("doc_id") % 50 == 0).select(
-        (F.col("doc_id") + 1000000).alias("doc_id"),
-        F.lit(-1).cast("long").alias("n_chars"),
-    )
-    _ct.merge_into(spark, root, upserts.unionByName(inserts), "doc_id")
-    return _ct.snapshot_diff(spark, root, "doc_id", 0)
-
-
-@register(
-    "cowtable_zorder_pruned_scan",
-    oracle="""
-SELECT l_returnflag,
-       CAST(count(*) AS BIGINT) AS n_rows,
-       CAST(sum(l_partkey) AS BIGINT) AS sum_partkey
-FROM lineitem
-WHERE l_partkey BETWEEN 1 AND 200 AND l_suppkey BETWEEN 1 AND 10
-GROUP BY l_returnflag
-""",
-    description="OPTIMIZE ZORDER lifecycle under the correctness gate "
-    "(sources/cowtable.py: optimize_zorder/scan_pruned_multi): create a "
-    "COW table from lineitem linearly clustered on l_orderkey, rewrite "
-    "it Z-ordered on (l_partkey, l_suppkey) — Morton-interleaved bins, "
-    "one range shuffle, old snapshot still time-travels — then answer a "
-    "two-column box predicate through manifest-level multi-column "
-    "footer pruning + residual filter. Layout changes cost, never the "
-    "answer: the oracle is the plain predicate on the source table. "
-    "The pruning-rate and both-dimension guarantees are pytest-pinned "
-    "(tests/test_cowtable.py); linear clustering can prune only its "
-    "one sort key — Z-order is what makes multi-dimension file skipping "
-    "work at 100 TB",
-    tags=("extension", "sources", "acid"),
-)
-def cowtable_zorder_pruned_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from spotify_tracks_etl_portfolio_spark.sources import cowtable as _ct
-
-    li = read_parquet_table(spark, sf_dir, "lineitem").select(
-        "l_orderkey", "l_partkey", "l_suppkey", "l_returnflag"
-    )
-    root = os.path.join(
-        _session_scratch(spark, "cow_zorder"), uuid.uuid4().hex
-    )
-    _ct.create_table(spark, root, li, cluster_by="l_orderkey", n_files=8)
-    _ct.optimize_zorder(spark, root, ["l_partkey", "l_suppkey"], n_files=8)
-    pruned, _scanned, _total = _ct.scan_pruned_multi(
-        spark, root, {"l_partkey": (1, 200), "l_suppkey": (1, 10)}
-    )
-    return pruned.groupBy("l_returnflag").agg(
-        F.count(F.lit(1)).cast("long").alias("n_rows"),
-        F.sum("l_partkey").cast("long").alias("sum_partkey"),
-    )
-
-
-@register(
-    "cowtable_bloom_point_lookup",
-    oracle="""
-SELECT event_type, CAST(count(*) AS BIGINT) AS n_events
-FROM events WHERE user_id = 7
-GROUP BY event_type
-""",
-    description="Bloom-index point lookup under the correctness gate "
-    "(sources/cowtable.py: bloom_cols/scan_pruned_eq): create a COW "
-    "table from events clustered on event_id with a per-file Bloom "
-    "filter on the UNCLUSTERED user_id column (8192 bits / 5 hashes, "
-    "~1% fp — a 2 KiB manifest entry per file), then answer an equality "
-    "lookup scanning only bloom-positive files + residual filter. Sort "
-    "order can't prune this shape (every file's user_id [min,max] spans "
-    "the domain); the bloom has no false negatives so the oracle is the "
-    "plain predicate. High-cardinality pruning rate, property "
-    "inheritance through MERGE/COMPACT, and bloom-less fallback are "
-    "pytest-pinned (tests/test_cowtable.py)",
-    tags=("extension", "sources", "acid"),
-)
-def cowtable_bloom_point_lookup(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from spotify_tracks_etl_portfolio_spark.sources import cowtable as _ct
-
-    ev = read_parquet_table(spark, sf_dir, "events").select(
-        "event_id", "user_id", "event_type"
-    )
-    root = os.path.join(
-        _session_scratch(spark, "cow_bloom"), uuid.uuid4().hex
-    )
-    _ct.create_table(
-        spark, root, ev, cluster_by="event_id", n_files=8,
-        bloom_cols=["user_id"],
-    )
-    hit, _scanned, _total = _ct.scan_pruned_eq(spark, root, "user_id", 7)
-    return hit.groupBy("event_type").agg(
-        F.count(F.lit(1)).cast("long").alias("n_events")
-    )
-
-
-def _random_projection_oracle() -> str:
-    s = _sim
-    projs = ",\n       ".join(
-        f"max(CASE WHEN j = {j} THEN s END) AS proj_{j}"
-        for j in range(s.RP_DIMS)
-    )
-    return f"""
-WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings),
-qv AS (
-  SELECT vec_id,
-         list_transform(e, x -> CAST(round(x * {s.HP_SCALE}) AS BIGINT)) AS q
-  FROM v
-),
-planes AS (
-  SELECT j, d,
-         2 * ((j * {s.HP_A} + d * {s.HP_B} + {s.HP_C}) % {s.HP_M}) - {s.HP_M} AS w
-  FROM range({s.RP_DIMS}) pj(j), range({s.HP_DIM}) pd(d)
-),
-dots AS (
-  -- CAST: DuckDB sum(BIGINT) is HUGEINT, which crosses the driver's
-  -- Arrow fetch as decimal128 and hash-mismatches Spark's int64 even
-  -- for identical values (round-3 failure); magnitudes are < 2^45 so
-  -- BIGINT is exact.
-  SELECT vec_id, j, CAST(sum(q[d + 1] * w) AS BIGINT) AS s
-  FROM qv, planes GROUP BY vec_id, j
-)
-SELECT vec_id,
-       {projs}
-FROM dots GROUP BY vec_id
-"""
-
-
-@register(
-    "embedding_random_projection",
-    oracle=_random_projection_oracle(),
-    description=f"Dimensionality reduction by deterministic random "
-    f"projection ({_sim.HP_DIM}→{_sim.RP_DIMS} dims, Johnson–"
-    "Lindenstrauss style): each embedding projected onto frozen "
-    "closed-formula integer planes — coordinates stay INTEGER-exact on "
-    "both engines (no RNG, no fitted model, reruns bit-identical), so "
-    "reduced-space bucketing/coarse filtering is reproducible. Shares "
-    "the plane_dots kernel with the LSH sign sketch (signs-only is the "
-    "special case); one posexplode + one hash agg, map-side partials "
-    "collapse each vector before the single narrow shuffle",
-    tags=("extension", "similarity"),
-)
-def embedding_random_projection(spark: SparkSession, sf_dir: str) -> DataFrame:
-    emb = read_parquet_table(spark, sf_dir, "embeddings")
-    return _sim.random_projection(emb, "vec_id", "embedding")
-
-
-# ===========================================================================
-# Iterative graph analytics, corpus drift monitoring, feature hashing,
-# weighted sampling (round-4 continuation wave).
-# ===========================================================================
-
-from spotify_tracks_etl_portfolio_spark.operators import graph as _gr  # noqa: E402
-
-#: Per-token polynomial rolling hash (DuckDB side) — shared expression.
-_TOKEN_HASH = (
-    "list_reduce(list_prepend(CAST(0 AS BIGINT), "
-    "list_transform(string_split({t}, ''), c -> CAST(ascii(c) AS BIGINT))), "
-    "(a, b) -> (a * 31 + b) % 1000000007)"
-)
-
-
-def _pagerank_oracle(iters: int = _gr.PAGERANK_ITERS) -> str:
-    """Unrolled PageRank power iteration as a DuckDB CTE chain —
-    replays operators/graph.py:pagerank step-for-step: every scalar op
-    is a single IEEE double operation and every sum is a DECIMAL-exact
-    fold of 12-dp-rounded contributions, so the trajectory is
-    bit-identical."""
-    dp = _gr.CONTRIB_DP
-    ctes = [
-        """tr AS (
-  SELECT DISTINCT o_custkey * 2 AS cnode, l_suppkey * 2 + 1 AS snode
-  FROM lineitem JOIN orders ON l_orderkey = o_orderkey
-),
-e AS (
-  SELECT cnode AS src, snode AS dst FROM tr
-  UNION ALL
-  SELECT snode AS src, cnode AS dst FROM tr
-),
-deg AS (SELECT src AS node, count(*) AS deg FROM e GROUP BY src),
-nn AS (SELECT CAST(count(*) AS DOUBLE) AS n FROM deg),
-r0 AS (SELECT node, CAST(1 AS DOUBLE) / (SELECT n FROM nn) AS rank FROM deg)"""
-    ]
-    for i in range(1, iters + 1):
-        ctes.append(
-            f"""c{i} AS (
-  SELECT e.dst AS node,
-         CAST(round(r.rank / d.deg, {dp}) AS DECIMAL(28,{dp})) AS c
-  FROM e JOIN r{i - 1} r ON e.src = r.node JOIN deg d ON e.src = d.node
-),
-s{i} AS (SELECT node, sum(c) AS s FROM c{i} GROUP BY node),
-r{i} AS (
-  SELECT d.node,
-         round((CAST(1 AS DOUBLE) - CAST(0.85 AS DOUBLE)) / (SELECT n FROM nn)
-               + CAST(0.85 AS DOUBLE)
-               * coalesce(CAST(s.s AS DOUBLE), CAST(0 AS DOUBLE)), {dp}) AS rank
-  FROM deg d LEFT JOIN s{i} s ON d.node = s.node
-)"""
-        )
-    return (
-        "WITH "
-        + ",\n".join(ctes)
-        + f"""
-SELECT CASE WHEN node % 2 = 0 THEN 'customer' ELSE 'supplier' END AS entity_type,
-       CAST(node // 2 AS BIGINT) AS entity_key,
-       rank AS pagerank
-FROM r{iters}"""
-    )
-
-
-@register(
-    "trade_graph_pagerank",
-    oracle=_pagerank_oracle(),
-    description="PageRank over the undirected customer–supplier trade "
-    "graph (distinct orders⋈lineitem pairs, both edge directions), 3 "
-    "unrolled power iterations. Determinism: each rank update is one "
-    "IEEE division + multiply + add over a DECIMAL-exact sum of "
-    "12-dp-rounded per-edge contributions, so the oracle's unrolled "
-    "CTE chain matches bit-for-bit. Scale: one equi-join + one hash "
-    "agg per iteration, rank state never leaves the cluster",
-    tags=("extension", "graph"),
-)
-def trade_graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
-    orders = read_parquet_table(spark, sf_dir, "orders")
-    lineitem = read_parquet_table(spark, sf_dir, "lineitem")
-    edges = _gr.trade_graph_edges(orders, lineitem)
-    ranks = _gr.pagerank(edges)
-    return ranks.select(
-        F.when(F.col("node") % 2 == 0, F.lit("customer"))
-        .otherwise(F.lit("supplier"))
-        .alias("entity_type"),
-        F.expr("node div 2").cast("long").alias("entity_key"),
-        F.col("rank").alias("pagerank"),
-    )
-
-
-@register(
-    "corpus_drift_psi",
-    oracle="""
-WITH b AS (
-  SELECT least(n_chars // 100, 9) AS bin, doc_id % 2 = 0 AS is_old
-  FROM documents
-),
-a AS (
-  SELECT bin,
-         CAST(sum(CASE WHEN is_old THEN 1 ELSE 0 END) AS BIGINT) AS n_old,
-         CAST(sum(CASE WHEN is_old THEN 0 ELSE 1 END) AS BIGINT) AS n_new
-  FROM b GROUP BY bin
-),
-t AS (
-  SELECT CAST(sum(n_old) AS DOUBLE) AS t_old,
-         CAST(sum(n_new) AS DOUBLE) AS t_new
-  FROM a
-),
-q AS (
-  SELECT bin, n_old, n_new,
-         (n_old + 1) / (t_old + CAST(10 AS DOUBLE)) AS po,
-         (n_new + 1) / (t_new + CAST(10 AS DOUBLE)) AS pn
-  FROM a, t
-),
-z AS (
-  SELECT bin, n_old, n_new, po, pn,
-         round((pn - po) * ln(pn / po), 9) AS psi_term
-  FROM q
-)
-SELECT bin, n_old, n_new,
-       round(po, 6) AS p_old,
-       round(pn, 6) AS p_new,
-       psi_term,
-       round(CAST(sum(CAST(psi_term AS DECIMAL(20,9))) OVER () AS DOUBLE), 6)
-         AS total_psi
-FROM z
-""",
-    description="Corpus drift detection between two snapshot halves "
-    "(doc_id parity stands in for crawl generations): population "
-    "stability index over fixed 100-char length bins with +1 Laplace "
-    "smoothing. Per-bin PSI terms are 9-dp-rounded IEEE scalars; the "
-    "whole-table total window runs over the ~10-row AGGREGATED bin "
-    "table (sanctioned single-partition input). The drift gate a "
-    "training pipeline runs before accepting a new crawl",
-    tags=("extension", "curation"),
-)
-def corpus_drift_psi(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from pyspark.sql import Window
-
-    docs = read_parquet_table(spark, sf_dir, "documents")
-    b = docs.select(
-        F.least(F.expr("n_chars div 100"), F.lit(9)).cast("long").alias("bin"),
-        (F.col("doc_id") % 2 == 0).alias("is_old"),
-    )
-    a = b.groupBy("bin").agg(
-        F.sum(F.when(F.col("is_old"), 1).otherwise(0)).cast("long").alias("n_old"),
-        F.sum(F.when(F.col("is_old"), 0).otherwise(1)).cast("long").alias("n_new"),
-    )
-    t = a.agg(
-        F.sum("n_old").cast("double").alias("t_old"),
-        F.sum("n_new").cast("double").alias("t_new"),
-    )
-    po = (F.col("n_old") + 1) / (F.col("t_old") + F.lit(10.0))
-    pn = (F.col("n_new") + 1) / (F.col("t_new") + F.lit(10.0))
-    z = a.crossJoin(F.broadcast(t)).select(
-        "bin",
-        "n_old",
-        "n_new",
-        po.alias("po"),
-        pn.alias("pn"),
-        F.round((pn - po) * F.log(pn / po), 9).alias("psi_term"),
-    )
-    return z.select(
-        "bin",
-        "n_old",
-        "n_new",
-        F.round(F.col("po"), 6).alias("p_old"),
-        F.round(F.col("pn"), 6).alias("p_new"),
-        "psi_term",
-        F.round(
-            F.sum(F.col("psi_term").cast("decimal(20,9)"))
-            .over(Window.partitionBy())
-            .cast("double"),
-            6,
-        ).alias("total_psi"),
-    )
-
-
-def _hashed_vector_oracle(dims: int = 16) -> str:
-    th = _TOKEN_HASH.format(t="t")
-    cols = ",\n         ".join(
-        f"CAST(sum(CASE WHEN dim = {j} THEN 1 ELSE 0 END) AS BIGINT) AS d{j}"
-        for j in range(dims)
-    )
-    outs = ",\n       ".join(
-        f"coalesce(v.d{j}, CAST(0 AS BIGINT)) AS d{j}" for j in range(dims)
-    )
-    return f"""
-WITH tk AS (
-  SELECT doc_id, unnest(string_split_regex(trim(text), '\\s+')) AS t
-  FROM documents WHERE trim(text) <> ''
-),
-dh AS (
-  SELECT doc_id, {th} % {dims} AS dim
-  FROM tk
-),
-v AS (
-  SELECT doc_id,
-         {cols}
-  FROM dh GROUP BY doc_id
-)
-SELECT d.doc_id,
-       {outs}
-FROM documents d LEFT JOIN v ON d.doc_id = v.doc_id
-"""
-
-
-@register(
-    "hashed_token_vectors",
-    oracle=_hashed_vector_oracle(),
-    description="Feature-hashing text vectorizer (hashing trick): each "
-    "whitespace token lands in one of 16 dimensions via the polynomial "
-    "rolling hash mod 16; per-document counts accumulate INSIDE the "
-    "row via aggregate/transform higher-order functions — integer-"
-    "exact, ZERO shuffles (pure codegen projection), the text→vector "
-    "bridge between the token operators and the embedding family",
-    tags=("extension", "text", "similarity"),
-)
-def hashed_token_vectors(spark: SparkSession, sf_dir: str) -> DataFrame:
-    dims = 16
-    docs = read_parquet_table(spark, sf_dir, "documents")
-    toks = _tx.tokens("text")
-    dim_of = F.transform(toks, lambda t: rolling_hash(t) % dims)
-    vec = F.aggregate(
-        dim_of,
-        F.array_repeat(F.lit(0).cast("long"), dims),
-        lambda acc, d: F.transform(
-            acc, lambda v, i: v + F.when(d == i, 1).otherwise(0)
-        ),
-    )
-    # Two-step select on purpose: projecting vec.getItem(j) directly
-    # would inline the whole tokenize+hash+fold expression into EVERY
-    # output column (16× the work — measured 4× wall even at sf0.001);
-    # materializing the vector in its own projection keeps it computed
-    # once (CollapseProject declines to duplicate non-cheap exprs).
-    return docs.select("doc_id", vec.alias("__v")).select(
-        "doc_id",
-        *[F.col("__v").getItem(j).alias(f"d{j}") for j in range(dims)],
-    )
-
-
-@register(
-    "weighted_sample_documents",
-    oracle=f"""
-WITH fp AS (
-  SELECT doc_id, n_chars,
-         {_TOKEN_HASH.format(t="text")} AS f
-  FROM documents
-),
-k AS (
-  SELECT doc_id, CAST(n_chars AS BIGINT) AS weight,
-         round(ln((((f * 31 + doc_id) % 1000000007) + 1)
-                  / CAST(1000000008 AS DOUBLE)) / n_chars, 12) AS sample_key
-  FROM fp
-)
-SELECT doc_id, weight, sample_key
-FROM k
-ORDER BY sample_key DESC, doc_id
-LIMIT 50
-""",
-    description="Deterministic weighted sampling without replacement "
-    "(Efraimidis–Spirakis A-ES): key = ln(u)/w with u a hash-derived "
-    "uniform (document fingerprint ⊕ doc_id — no RNG, reruns bit-"
-    "identical) and w = n_chars; top-50 keys win. ln is 12-dp-rounded "
-    "for cross-engine parity; the top-k is TakeOrderedAndProject (per-"
-    "partition heaps, no global sort) so the sample draw is one scan "
-    "at any scale",
-    tags=("extension", "curation"),
-)
-def weighted_sample_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = read_parquet_table(spark, sf_dir, "documents")
-    u = (
-        (rolling_hash("text") * 31 + F.col("doc_id")) % F.lit(1000000007) + 1
-    ) / F.lit(1000000008.0)
-    key = F.round(F.log(u) / F.col("n_chars"), 12)
-    return (
-        docs.select(
-            "doc_id",
-            F.col("n_chars").cast("long").alias("weight"),
-            key.alias("sample_key"),
-        )
-        .orderBy(F.col("sample_key").desc(), "doc_id")
-        .limit(50)
-    )
-
-
-#: DSIR feature-hash bucket count. Gate-scale sized (the synthetic
-#: vocabulary is small); the DSIR paper uses 10k — at 100 TB raise it:
-#: cost is one B-row broadcast recipe either way.
-_DSIR_BUCKETS = 64
-#: Resampled selection size (Gumbel top-k).
-_DSIR_K = 100
-
-
-def dsir_importance_scores(
-    docs: DataFrame,
-    is_target,
-    buckets: int = _DSIR_BUCKETS,
-    k: int = _DSIR_K,
-    id_col: str = "doc_id",
-    text_col: str = "text",
-) -> DataFrame:
-    """DSIR-style importance resampling (Xie et al. 2023, "Data
-    Selection for Language Models via Importance Resampling"): select
-    the raw-corpus docs whose hashed-n-gram distribution looks most
-    like a TARGET corpus — the standard targeted-data-selection step a
-    100 TB pipeline runs between dedup and mixing.
-
-    1. Features: every unigram and adjacent bigram hashes into one of
-       ``buckets`` dimensions (the paper's hashed n-gram features; the
-       same polynomial rolling hash the rest of the text family uses).
-    2. Two bag-of-features unigram LMs from TWO corpus scans — the
-       target side (rows matching ``is_target``) and the raw side (all
-       rows) — each one tiny groupBy(dim) aggregate; add-1 smoothed.
-    3. The per-bucket log-likelihood ratio λ_b = ln p(b) − ln q(b) is a
-       ``buckets``-number BROADCAST RECIPE (collected bounded, rounded
-       to 6 dp on the driver), so per-doc importance weights are a
-       ZERO-SHUFFLE projection: log w(doc) = Σ_features λ_feature,
-       folded as an exact DECIMAL sum (order-independent — no float
-       accumulation anywhere).
-    4. Resampling without replacement = Gumbel top-k: score =
-       log w + G with G a hash-derived deterministic Gumbel
-       (−ln(−ln u), u from the document fingerprint ⊕ id — the
-       weighted_sample_documents machinery; no RNG, reruns and the
-       DuckDB oracle replay bit-identically), TakeOrderedAndProject
-       keeps the k winners.
-
-    Scale shape: two feature-count aggregates (shuffle = B-bounded
-    partials) + one pure-projection scoring pass + one top-k — the
-    raw corpus is read twice and shuffled never."""
-    b = buckets
-    toks = _tx.tokens(text_col)
-    uni = F.transform(toks, lambda t: rolling_hash(t) % b)
-    bigrams = F.when(
-        F.size(toks) >= 2,
-        F.transform(
-            F.sequence(F.lit(0), F.size(toks) - 2),
-            lambda i: F.concat_ws(
-                " ",
-                F.element_at(toks, (i + 1).cast("int")),
-                F.element_at(toks, (i + 2).cast("int")),
-            ),
-        ),
-    ).otherwise(F.array().cast("array<string>"))
-    dims = F.concat(uni, F.transform(bigrams, lambda g: rolling_hash(g) % b))
-
-    feats = docs.select(
-        F.col(id_col), is_target.alias("__t"), F.explode(dims).alias("dim")
-    )
-    raw_counts = {
-        r["dim"]: r["n"]
-        for r in feats.groupBy("dim").agg(F.count(F.lit(1)).alias("n")).collect()
-    }
-    tgt_counts = {
-        r["dim"]: r["n"]
-        for r in feats.filter(F.col("__t"))
-        .groupBy("dim")
-        .agg(F.count(F.lit(1)).alias("n"))
-        .collect()
-    }
-    import math
-    from decimal import Decimal
-
-    nr = sum(raw_counts.values())
-    nt = sum(tgt_counts.values())
-    lam = [
-        Decimal(
-            f"{round(math.log((tgt_counts.get(j, 0) + 1) / (nt + b)) - math.log((raw_counts.get(j, 0) + 1) / (nr + b)), 6):.6f}"
-        )
-        for j in range(b)
-    ]
-    lam_arr = F.array(*[F.lit(l).cast("decimal(18,6)") for l in lam])
-    logw_dec = F.aggregate(
-        dims,
-        F.lit(Decimal(0)).cast("decimal(38,6)"),
-        lambda acc, d: (
-            acc + F.element_at(lam_arr, (d + 1).cast("int"))
-        ).cast("decimal(38,6)"),
-    )
-    u = (
-        (rolling_hash(text_col) * 31 + F.col(id_col)) % F.lit(1000000007) + 1
-    ) / F.lit(1000000008.0)
-    gum = F.round(-F.log(-F.log(u)), 6).cast("decimal(18,6)")
-    return (
-        docs.select(
-            F.col(id_col),
-            logw_dec.alias("__lw"),
-            gum.alias("__g"),
-        )
-        .select(
-            id_col,
-            F.col("__lw").cast("double").alias("logw"),
-            (F.col("__lw") + F.col("__g")).cast("double").alias("score"),
-        )
-        .orderBy(F.col("score").desc(), F.col(id_col))
-        .limit(k)
-    )
-
-
-def _dsir_oracle(b: int = _DSIR_BUCKETS, k: int = _DSIR_K) -> str:
-    th_t = _TOKEN_HASH.format(t="t")
-    th_text = _TOKEN_HASH.format(t="text")
-    return f"""
-WITH tk AS (
-  SELECT doc_id, string_split_regex(trim(text), '\\s+') AS w
-  FROM documents WHERE trim(text) <> ''
-),
-feats AS (
-  SELECT doc_id, ({th_t}) % {b} AS dim FROM (
-    SELECT doc_id, unnest(w) AS t FROM tk
-    UNION ALL
-    SELECT doc_id,
-           unnest([w[i] || ' ' || w[i+1] for i in range(1, len(w))]) AS t
-    FROM tk WHERE len(w) >= 2
-  )
-),
-raw AS (SELECT dim, count(*) AS cr FROM feats GROUP BY dim),
-tgt AS (
-  SELECT f.dim, count(*) AS ct
-  FROM feats f JOIN documents d USING (doc_id)
-  WHERE d.lang = 'en' GROUP BY f.dim
-),
-tot AS (
-  SELECT (SELECT count(*) FROM feats) AS nr,
-         (SELECT count(*) FROM feats f JOIN documents d USING (doc_id)
-          WHERE d.lang = 'en') AS nt
-),
-lam AS (
-  SELECT dims.dim,
-         CAST(round(ln((coalesce(t.ct, 0) + 1.0) / (tot.nt + {b}))
-                  - ln((coalesce(r.cr, 0) + 1.0) / (tot.nr + {b})), 6)
-              AS DECIMAL(18,6)) AS lam
-  FROM (SELECT unnest(range({b})) AS dim) dims
-  LEFT JOIN raw r USING (dim)
-  LEFT JOIN tgt t USING (dim), tot
-),
-lw AS (
-  SELECT d.doc_id,
-         coalesce(sum(l.lam), CAST(0 AS DECIMAL(18,6))) AS lw_dec
-  FROM documents d
-  LEFT JOIN feats f USING (doc_id)
-  LEFT JOIN lam l ON f.dim = l.dim
-  GROUP BY d.doc_id
-),
-g AS (
-  SELECT doc_id,
-         CAST(round(-ln(-ln(((({th_text} * 31 + doc_id) % 1000000007) + 1)
-                            / CAST(1000000008 AS DOUBLE))), 6)
-              AS DECIMAL(18,6)) AS gum
-  FROM documents
-)
-SELECT lw.doc_id,
-       CAST(lw.lw_dec AS DOUBLE) AS logw,
-       CAST(lw.lw_dec + g.gum AS DOUBLE) AS score
-FROM lw JOIN g ON lw.doc_id = g.doc_id
-ORDER BY score DESC, lw.doc_id
-LIMIT {k}
-"""
-
-
-@register_pending_r13(
-    "dsir_resample_documents",
-    oracle=_dsir_oracle(),
-    description="DSIR-style importance resampling (Xie et al. 2023 — "
-    "the targeted-data-selection step between dedup and mixing): "
-    "hashed unigram+bigram features, add-1-smoothed target-vs-raw "
-    f"bag-of-features LMs (target = lang='en'; {_DSIR_BUCKETS} "
-    "buckets at gate scale, the paper's 10k is a knob), per-bucket "
-    "log-ratios collected as a bounded 6-dp broadcast recipe, per-doc "
-    "log-weights folded as ORDER-INDEPENDENT exact DECIMAL sums in a "
-    "zero-shuffle projection, and Gumbel top-"
-    f"{_DSIR_K} selection with hash-derived deterministic Gumbel "
-    "noise (no RNG — the draw replays bit-identically in DuckDB). "
-    "Two B-bounded feature aggregates + one projection + "
-    "TakeOrderedAndProject: the raw corpus is read twice, shuffled "
-    "never",
-    tags=("extension", "curation"),
-)
-def dsir_resample_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = read_parquet_table(spark, sf_dir, "documents")
-    return dsir_importance_scores(docs, F.col("lang") == "en")
-
-
-def _pq_topk_oracle(
-    m: int = _sim.PQ_M,
-    sub_dim: int = _sim.PQ_SUB_DIM,
-    k: int | str = _sim.PQ_K,
-    iters: int = _sim.PQ_ITERS,
-    n_queries: int = 10,
-    topk: int = 5,
-    shortlist: int = _sim.PQ_SHORTLIST,
-) -> str:
-    """Product-quantization ADC replay: per subspace, the SAME unrolled
-    zero-RNG k-means chain (namespaced by prefix) learns the codebook
-    and assigns every vector its code; queries build 6-dp-rounded
-    DECIMAL lookup tables against the final codebooks; ADC scores are
-    the DECIMAL-exact sum of the m LUT entries; the per-query
-    ``shortlist`` survivors re-rank by the exact dot product.
-
-    ``k="auto"`` replays the engine's ``auto_pq_k(n)`` closed form
-    (⌈√n⌉ clamped to [16, 256]) as one scalar CTE shared by every
-    per-subspace k-means chain — the round-8 verdict item's derived
-    geometry for the codebook resolution."""
-    ctes = ["v AS MATERIALIZED (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings)"]
-    if k == "auto":
-        ctes.append(
-            f"""pqk AS MATERIALIZED (
-  SELECT GREATEST({_sim.PQ_K}, LEAST({_sim.PQ_MAX_K},
-    CAST(ceil(sqrt(count(*))) AS BIGINT))) AS k
-  FROM v
-)"""
-        )
-        k = "SELECT k FROM pqk"
-    finals = []
-    for mi in range(m):
-        lo, hi = mi * sub_dim + 1, (mi + 1) * sub_dim
-        ctes.append(
-            f"v{mi} AS MATERIALIZED (SELECT vec_id, e[{lo}:{hi}] AS e FROM v)"
-        )
-        sub_ctes, final_cent = _kmeans_cent_ctes(
-            k, iters, src=f"v{mi}", prefix=f"m{mi}_"
-        )
-        ctes.extend(sub_ctes)
-        finals.append(final_cent)
-    ctes.append(
-        f"q AS MATERIALIZED (SELECT vec_id AS query_id, e FROM v WHERE vec_id < {n_queries})"
-    )
-    for mi in range(m):
-        lo, hi = mi * sub_dim + 1, (mi + 1) * sub_dim
-        ctes.append(f"""lut{mi} AS MATERIALIZED (
-  SELECT q.query_id, ct.cell,
-         CAST(round(list_dot_product(q.e[{lo}:{hi}], ct.c), 6)
-              AS DECIMAL(18,6)) AS lv
-  FROM q, {finals[mi]} ct
-)""")
-    code_joins = "\n  ".join(
-        f"JOIN m{mi}_final_asg a{mi} USING (vec_id)" for mi in range(1, m)
-    )
-    lut_joins = "\n  ".join(
-        f"JOIN lut{mi} l{mi} ON l{mi}.query_id = l0.query_id "
-        f"AND l{mi}.cell = a{mi}.cell"
-        for mi in range(1, m)
-    )
-    lv_sum = " + ".join(f"l{mi}.lv" for mi in range(m))
-    ctes.append(f"""sc AS MATERIALIZED (
-  SELECT a0.vec_id AS neighbor_id, l0.query_id,
-         round(CAST({lv_sum} AS DOUBLE), 6) AS adc
-  FROM m0_final_asg a0
-  {code_joins}
-  JOIN lut0 l0 ON l0.cell = a0.cell
-  {lut_joins}
-  WHERE a0.vec_id <> l0.query_id
-)""")
-    ctes.append(f"""cand AS MATERIALIZED (
-  SELECT query_id, neighbor_id FROM (
-    SELECT *, row_number() OVER (PARTITION BY query_id
-                                 ORDER BY adc DESC, neighbor_id) AS crn
-    FROM sc
-  ) WHERE crn <= {shortlist}
-)""")
-    ctes.append("""rr AS (
-  SELECT c.query_id, c.neighbor_id,
-         round(list_dot_product(nv.e, q.e), 6) AS score
-  FROM cand c
-  JOIN v nv ON nv.vec_id = c.neighbor_id
-  JOIN q ON q.query_id = c.query_id
-)""")
-    return (
-        "WITH "
-        + ",\n".join(ctes)
-        + f"""
-SELECT query_id, neighbor_id, score, CAST(rank AS BIGINT) AS rank
-FROM (
-  SELECT *, row_number() OVER (PARTITION BY query_id
-                               ORDER BY score DESC, neighbor_id) AS rank
-  FROM rr
-) WHERE rank <= {topk}
-"""
-    )
-
-
-@register(
-    "embedding_pq_topk",
-    oracle=_pq_topk_oracle(k="auto"),
-    description="Product-quantization ANN, ADC shortlist + exact "
-    "re-rank (the production PQ serving shape): 64-dim vectors split "
-    "into 8×8-dim subspaces, each quantized against a codebook from "
-    "the deterministic zero-RNG k-means, RECORDED at the derived "
-    "resolution k = auto_pq_k(n) = ⌈√n⌉ clamped to the standard 8-bit "
-    "256 cap (round-8 verdict item; measured recall@5 0.98 at sf0.01 "
-    "under the derived k=23 vs 0.94 at the toy 16); the shortlist "
-    "scan touches per-subspace CODES only, summing tiny broadcast "
-    "query-LUT entries (DECIMAL-exact, 6-dp-rounded), and only the "
-    "top-100 survivors fetch their true vectors for the exact top-5 — "
-    "the memory-side scale path completing the ANN family (brute, "
-    "IVF, hyperplane-LSH, PQ). Hash-checked end-to-end: 'approximate' "
-    "is shortlist recall vs brute force, never nondeterminism. The "
-    "codebooks AND the encoded corpus codes are one PERSISTED index "
-    "artifact (like BM25/trigram/IVF): the first call in a session "
-    "trains, encodes, and publishes; later calls serve straight from "
-    "the code table — build changes the cost, not the answer (zero-RNG "
-    "k-means, deterministic encode)",
-    tags=("extension", "similarity"),
-)
-def embedding_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
-    emb = read_parquet_table(spark, sf_dir, "embeddings")
-    k = _sim.auto_pq_k(emb.count())
-
-    # key pins the PQ geometry alongside the data (codebooks and codes
-    # derive from both), matching the semdedup_cents key convention
-    root = _artifact_root(
-        spark,
-        "pq_index",
-        f"{os.path.realpath(sf_dir)}|m={_sim.PQ_M}|sub={_sim.PQ_SUB_DIM}"
-        f"|k={k}|iters={_sim.PQ_ITERS}",
-    )
-
-    def _build(tmp: str) -> None:
-        books = _sim.pq_train_codebooks(emb, "vec_id", "embedding", k=k)
-        _sim.save_pq_codebooks(spark, books, f"{tmp}/codebooks")
-        # the encoded corpus IS the PQ index — persist it so serving
-        # never re-runs the encode UDF over the full corpus
-        _sim.pq_encode(emb, "vec_id", "embedding", books).write.parquet(
-            f"{tmp}/codes"
-        )
-
-    _build_artifact_once(root, "codes", _build)
-    books = _sim.load_pq_codebooks(spark, f"{root}/codebooks")
-    codes = spark.read.parquet(f"{root}/codes")
-    return _sim.pq_topk(emb, "vec_id", "embedding", books=books, codes=codes)
-
-
-def _ivfpq_topk_oracle(
-    m: int = _sim.PQ_M,
-    sub_dim: int = _sim.PQ_SUB_DIM,
-    iters: int = 3,
-    pq_iters: int = _sim.PQ_ITERS,
-    n_queries: int = 10,
-    topk: int = 5,
-    shortlist: int = _sim.PQ_SHORTLIST,
-    corpus_filter: str | None = None,
-    train_filter: str | None = None,
-) -> str:
-    """Composed IVF×PQ replay: the IVF oracle's coarse-quantizer chain
-    (auto k_cells/nprobe scalar CTEs + unrolled k-means + corpus cell
-    assignment + query cell probing) ∘ the PQ oracle's per-subspace
-    chains (auto codebook k + 8 unrolled k-means + DECIMAL LUTs) — the
-    ADC scoring CTE simply gains two joins restricting candidates to
-    each query's PROBED cells, which is exactly what the engine's
-    partition-pruned codes scan does. Both constituent chains are the
-    verbatim builders of the separately-recorded embedding_ivf_*/
-    embedding_pq_topk oracles.
-
-    ``train_filter``: when set, k-means (coarse + every PQ subspace)
-    and the derived geometry train on only the rows matching it — the
-    FROZEN-base replay of ``append_to_ivfpq_index``: assignments and
-    encoding still cover the full corpus, exactly like the engine
-    assigning an appended batch against frozen centroids/codebooks."""
-    train = "vb" if train_filter else "v"
-    asg_over = "v" if train_filter else None
-    ctes = [
-        "v AS MATERIALIZED (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings)"
-    ]
-    if train_filter:
-        ctes.append(
-            f"vb AS MATERIALIZED (SELECT * FROM v WHERE {train_filter})"
-        )
-    # IVF derived geometry (auto_ivf_cells / auto_ivf_nprobe) — over
-    # the TRAINING corpus (the engine sizes the index at build time)
-    ctes.append(
-        f"""ivfk AS MATERIALIZED (
-  SELECT GREATEST(8, LEAST({_sim.IVF_MAX_CELLS},
-    CAST(ceil(sqrt(count(*))) AS BIGINT))) AS k
-  FROM {train}
-)"""
-    )
-    ctes.append(
-        f"""ivfnp AS MATERIALIZED (
-  SELECT GREATEST(2, LEAST({_sim.IVF_MAX_NPROBE},
-    CAST(ceil(sqrt(k)) AS BIGINT))) AS np
-  FROM ivfk
-)"""
-    )
-    ivf_ctes, ivf_final = _kmeans_cent_ctes(
-        "SELECT k FROM ivfk",
-        iters,
-        src=train,
-        prefix="ivf_",
-        asg_src=asg_over,
-    )
-    ctes.extend(ivf_ctes)
-    ctes.append(f"""qcells AS MATERIALIZED (
-  SELECT query_id, cell FROM (
-    SELECT v.vec_id AS query_id, ct.cell,
-           row_number() OVER (PARTITION BY v.vec_id
-                              ORDER BY {_sql_cos('v.e', 'ct.c')} DESC,
-                                       ct.cell ASC) AS rn
-    FROM v, {ivf_final} ct
-    WHERE v.vec_id < {n_queries}) WHERE rn <= (SELECT np FROM ivfnp)
-)""")
-    # PQ derived codebook resolution (auto_pq_k) — training corpus
-    ctes.append(
-        f"""pqk AS MATERIALIZED (
-  SELECT GREATEST({_sim.PQ_K}, LEAST({_sim.PQ_MAX_K},
-    CAST(ceil(sqrt(count(*))) AS BIGINT))) AS k
-  FROM {train}
-)"""
-    )
-    for mi in range(m):
-        lo, hi = mi * sub_dim + 1, (mi + 1) * sub_dim
-        ctes.append(
-            f"v{mi} AS MATERIALIZED (SELECT vec_id, e[{lo}:{hi}] AS e FROM v)"
-        )
-        if train_filter:
-            ctes.append(
-                f"vb{mi} AS MATERIALIZED "
-                f"(SELECT vec_id, e[{lo}:{hi}] AS e FROM vb)"
-            )
-        sub_ctes, _ = _kmeans_cent_ctes(
-            "SELECT k FROM pqk",
-            pq_iters,
-            src=f"vb{mi}" if train_filter else f"v{mi}",
-            prefix=f"m{mi}_",
-            asg_src=f"v{mi}" if train_filter else None,
-        )
-        ctes.extend(sub_ctes)
-    ctes.append(
-        f"q AS MATERIALIZED (SELECT vec_id AS query_id, e FROM v WHERE vec_id < {n_queries})"
-    )
-    for mi in range(m):
-        lo, hi = mi * sub_dim + 1, (mi + 1) * sub_dim
-        final_cent = f"m{mi}_cent{pq_iters}"
-        ctes.append(f"""lut{mi} AS MATERIALIZED (
-  SELECT q.query_id, ct.cell,
-         CAST(round(list_dot_product(q.e[{lo}:{hi}], ct.c), 6)
-              AS DECIMAL(18,6)) AS lv
-  FROM q, {final_cent} ct
-)""")
-    code_joins = "\n  ".join(
-        f"JOIN m{mi}_final_asg a{mi} USING (vec_id)" for mi in range(1, m)
-    )
-    lut_joins = "\n  ".join(
-        f"JOIN lut{mi} l{mi} ON l{mi}.query_id = qc.query_id "
-        f"AND l{mi}.cell = a{mi}.cell"
-        for mi in range(m)
-    )
-    lv_sum = " + ".join(f"l{mi}.lv" for mi in range(m))
-    extra = f" AND ({corpus_filter})" if corpus_filter else ""
-    ctes.append(f"""sc AS MATERIALIZED (
-  SELECT a0.vec_id AS neighbor_id, qc.query_id,
-         round(CAST({lv_sum} AS DOUBLE), 6) AS adc
-  FROM m0_final_asg a0
-  {code_joins}
-  JOIN ivf_final_asg ia USING (vec_id)
-  JOIN qcells qc ON qc.cell = ia.cell
-  {lut_joins}
-  WHERE a0.vec_id <> qc.query_id{extra}
-)""")
-    ctes.append(f"""cand AS MATERIALIZED (
-  SELECT query_id, neighbor_id FROM (
-    SELECT *, row_number() OVER (PARTITION BY query_id
-                                 ORDER BY adc DESC, neighbor_id) AS crn
-    FROM sc
-  ) WHERE crn <= {shortlist}
-)""")
-    ctes.append("""rr AS (
-  SELECT c.query_id, c.neighbor_id,
-         round(list_dot_product(nv.e, q.e), 6) AS score
-  FROM cand c
-  JOIN v nv ON nv.vec_id = c.neighbor_id
-  JOIN q ON q.query_id = c.query_id
-)""")
-    return (
-        "WITH "
-        + ",\n".join(ctes)
-        + f"""
-SELECT query_id, neighbor_id, score, CAST(rank AS BIGINT) AS rank
-FROM (
-  SELECT *, row_number() OVER (PARTITION BY query_id
-                               ORDER BY score DESC, neighbor_id) AS rank
-  FROM rr
-) WHERE rank <= {topk}
-"""
-    )
-
-
-@register(
-    "embedding_ivfpq_topk",
-    oracle=_ivfpq_topk_oracle(n_queries=TOPK_N_QUERIES, topk=TOPK_K),
-    description="Composed IVF×PQ index — the billion-scale ANN serving "
-    "shape (round-10 verdict item 2; FAISS IVFPQ re-expressed as "
-    "parquet partitions): the persisted index stores PQ codes "
-    "PARTITIONED BY IVF CELL (plus coarse centroids and codebooks); a "
-    "query probes its nprobe cells against the stored centroids, the "
-    "codes scan prunes to exactly those cell directories "
-    "(PartitionFilters, plan-gated), ADC scores the m-byte-scale codes "
-    "within probed cells via broadcast DECIMAL LUT joins, and only the "
-    "top-100 shortlist survivors fetch true vectors for the exact "
-    "top-5. Composed pruning multiplies at 100 TB: IVF cuts candidate "
-    "ROWS to nprobe/k of the corpus, PQ cuts BYTES per row from dim "
-    "floats to m codes. Derived geometry throughout (auto_ivf_cells / "
-    "auto_ivf_nprobe / auto_pq_k; measured recall@5 0.94 at sf0.01 "
-    "under k_cells=23/nprobe=5/pq_k=23 vs the exact inner-product "
-    "top-k, pytest floor 0.6); every kernel is the zero-RNG one "
-    "the separate IVF and PQ indexes hash-check with, so the composed "
-    "path is hash-checked end-to-end — 'approximate' is recall "
-    "(probed cells ∩ shortlist survival), never nondeterminism. "
-    "Identical-answer contract: build once per (session, sf_dir), "
-    "serve many (artifact-reuse pytest-pinned)",
-    tags=("extension", "similarity", "approx"),
-)
-def embedding_ivfpq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
-    emb = read_parquet_table(spark, sf_dir, "embeddings")
-    n = emb.count()
-    ivf_k = _sim.auto_ivf_cells(n)
-    nprobe = _sim.auto_ivf_nprobe(ivf_k)
-    pq_k = _sim.auto_pq_k(n)
-    root = _artifact_root(
-        spark,
-        "ivfpq_index",
-        f"{os.path.realpath(sf_dir)}|kc={ivf_k}|iters=3"
-        f"|m={_sim.PQ_M}|sub={_sim.PQ_SUB_DIM}|kq={pq_k}"
-        f"|pqi={_sim.PQ_ITERS}",
-    )
-    _build_artifact_once(
-        root,
-        "codes",
-        lambda tmp: _sim.build_ivfpq_index(
-            emb, "vec_id", "embedding", tmp, k_cells=ivf_k, pq_k=pq_k
-        ),
-    )
-    queries = emb.filter(F.col("vec_id") < TOPK_N_QUERIES)
-    return _sim.ivfpq_query_index(
-        spark,
-        root,
-        queries,
-        emb,
-        "vec_id",
-        "embedding",
-        TOPK_K,
-        nprobe=nprobe,
-    )
-
-
-@register_pending_r11(
-    "embedding_ivfpq_filtered_topk",
-    oracle=_ivfpq_topk_oracle(
-        n_queries=TOPK_N_QUERIES,
-        topk=TOPK_K,
-        corpus_filter="a0.vec_id % 3 = 0",
-    ),
-    description="FILTERED composed IVF×PQ search over the SAME "
-    "persisted index as embedding_ivfpq_topk (artifact reused, zero "
-    "rebuild): a metadata predicate (vec_id % 3 = 0 stands in for "
-    "'category = X') restricts the CODES scan with PRE-FILTER "
-    "semantics — the predicate lands on the pruned codes scan beside "
-    "the cell PartitionFilters, non-matching candidates die before any "
-    "ADC math, and the shortlist is the top among PASSING candidates "
-    "within the probed cells (never the filter-after-search starvation "
-    "hole). Same derived geometry and determinism contract as the "
-    "unfiltered twin; at 100 TB the codes table carries the metadata "
-    "columns, so filtered vector search scans m-byte codes + the "
-    "filter column only. Registered via the pending-r11 gate (the r10 "
-    "window is budgeted to the stale cohort); pytest-verified now",
-    tags=("extension", "similarity", "approx"),
-)
-def embedding_ivfpq_filtered_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
-    emb = read_parquet_table(spark, sf_dir, "embeddings")
-    n = emb.count()
-    ivf_k = _sim.auto_ivf_cells(n)
-    nprobe = _sim.auto_ivf_nprobe(ivf_k)
-    pq_k = _sim.auto_pq_k(n)
-    root = _artifact_root(
-        spark,
-        "ivfpq_index",
-        f"{os.path.realpath(sf_dir)}|kc={ivf_k}|iters=3"
-        f"|m={_sim.PQ_M}|sub={_sim.PQ_SUB_DIM}|kq={pq_k}"
-        f"|pqi={_sim.PQ_ITERS}",
-    )
-    _build_artifact_once(
-        root,
-        "codes",
-        lambda tmp: _sim.build_ivfpq_index(
-            emb, "vec_id", "embedding", tmp, k_cells=ivf_k, pq_k=pq_k
-        ),
-    )
-    queries = emb.filter(F.col("vec_id") < TOPK_N_QUERIES)
-    return _sim.ivfpq_query_index(
-        spark,
-        root,
-        queries,
-        emb,
-        "vec_id",
-        "embedding",
-        TOPK_K,
-        nprobe=nprobe,
-        where=F.col("vec_id") % 3 == 0,
-    )
-
-
-#: The appended-batch predicate of the incremental IVFPQ gate: ~10% of
-#: the corpus arrives AFTER the index is built (a nightly increment).
-_IVFPQ_APPEND_BATCH = "vec_id % 10 = 7"
-
-
-@register_pending_r12(
-    "embedding_ivfpq_append_topk",
-    oracle=_ivfpq_topk_oracle(
-        n_queries=TOPK_N_QUERIES,
-        topk=TOPK_K,
-        train_filter=f"NOT ({_IVFPQ_APPEND_BATCH})",
-    ),
-    description="INCREMENTAL IVF×PQ index maintenance (round-10 "
-    "verdict item 5 — the continuous-ingestion twin of the "
-    "nightly-build/serve split the k-gram artifact demonstrates): the "
-    "index is built on the BASE corpus (vec_id % 10 <> 7), then the "
-    "new batch (the other 10%) is appended via append_to_ivfpq_index "
-    "— assigned to its nearest FROZEN cells, encoded against the "
-    "FROZEN codebooks, appended into the existing per-cell partition "
-    "directories; no retrain, no base re-read, versions/v1.json "
-    "records the increment. Queries then probe the composed index "
-    "over the UNION corpus. Oracle replays the frozen-base semantics "
-    "exactly: k-means chains and derived geometry train on the base "
-    "rows only (train_filter), assignment/encoding cover the union — "
-    "bit-identical to the engine's append path. Per-batch cost at "
-    "100 TB: batch explode + batch-sized shuffle into cells; the base "
-    "corpus is never touched. Registered via the pending-r12 gate "
-    "(the r11 window is budgeted: 8 debuts + 12 force re-records + "
-    "the full 30-row r06 cohort = 50); pytest-verified now",
-    tags=("extension", "similarity", "approx"),
-)
-def embedding_ivfpq_append_topk(
-    spark: SparkSession, sf_dir: str
-) -> DataFrame:
-    emb = read_parquet_table(spark, sf_dir, "embeddings")
-    root, nprobe = _ivfpq_incr_index(spark, sf_dir)
-    queries = emb.filter(F.col("vec_id") < TOPK_N_QUERIES)
-    return _sim.ivfpq_query_index(
-        spark,
-        root,
-        queries,
-        emb,
-        "vec_id",
-        "embedding",
-        TOPK_K,
-        nprobe=nprobe,
-    )
-
-
-def _ivfpq_incr_index(spark: SparkSession, sf_dir: str) -> tuple[str, int]:
-    """Build-once (per session, sf_dir) the INCREMENTAL IVFPQ index:
-    base build on vec_id % 10 <> 7, frozen-model append of the rest —
-    shared by the append-serve query and the cell-drift monitor.
-    Returns (index_root, nprobe)."""
-    emb = read_parquet_table(spark, sf_dir, "embeddings")
-    base = emb.filter(~F.expr(_IVFPQ_APPEND_BATCH))
-    batch = emb.filter(F.expr(_IVFPQ_APPEND_BATCH))
-    n = base.count()
-    ivf_k = _sim.auto_ivf_cells(n)
-    nprobe = _sim.auto_ivf_nprobe(ivf_k)
-    pq_k = _sim.auto_pq_k(n)
-    root = _artifact_root(
-        spark,
-        "ivfpq_index_incr",
-        f"{os.path.realpath(sf_dir)}|kc={ivf_k}|iters=3"
-        f"|m={_sim.PQ_M}|sub={_sim.PQ_SUB_DIM}|kq={pq_k}"
-        f"|pqi={_sim.PQ_ITERS}|batch={_IVFPQ_APPEND_BATCH}",
-    )
-
-    def _build(tmp: str) -> None:
-        _sim.build_ivfpq_index(
-            base, "vec_id", "embedding", tmp, k_cells=ivf_k, pq_k=pq_k
-        )
-        _sim.append_to_ivfpq_index(batch, tmp, "vec_id", "embedding")
-
-    _build_artifact_once(root, "codes", _build)
-    return root, nprobe
-
-
-def _ivfpq_cell_drift_oracle(iters: int = 3) -> str:
-    """IVF-only replay for the cell-drift monitor: coarse k-means
-    trained on the BASE rows (the frozen quantizer), final assignment
-    over the UNION — then per-cell base/new counts and share drift."""
-    ctes = [
-        "v AS MATERIALIZED (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings)",
-        f"vb AS MATERIALIZED (SELECT * FROM v WHERE NOT ({_IVFPQ_APPEND_BATCH}))",
-        f"""ivfk AS MATERIALIZED (
-  SELECT GREATEST(8, LEAST({_sim.IVF_MAX_CELLS},
-    CAST(ceil(sqrt(count(*))) AS BIGINT))) AS k
-  FROM vb
-)""",
-    ]
-    ivf_ctes, _ = _kmeans_cent_ctes(
-        "SELECT k FROM ivfk", iters, src="vb", prefix="ivf_", asg_src="v"
-    )
-    ctes.extend(ivf_ctes)
-    ctes.append(f"""cc AS (
-  SELECT cell,
-         CAST(count(*) FILTER (NOT ({_IVFPQ_APPEND_BATCH})) AS BIGINT) AS n_base,
-         CAST(count(*) FILTER ({_IVFPQ_APPEND_BATCH}) AS BIGINT) AS n_new
-  FROM ivf_final_asg GROUP BY cell
-)""")
-    ctes.append(
-        "t AS (SELECT CAST(SUM(n_base) AS BIGINT) AS tb, "
-        "CAST(SUM(n_new) AS BIGINT) AS tn FROM cc)"
-    )
-    return (
-        "WITH "
-        + ",\n".join(ctes)
-        + """
-SELECT cell, n_base, n_new,
-       round(n_base * 1.0 / tb, 6) AS share_base,
-       round(n_new * 1.0 / tn, 6) AS share_new,
-       round(n_new * 1.0 / tn - n_base * 1.0 / tb, 6) AS share_drift
-FROM cc, t
-"""
-    )
-
-
-@register_pending_r12(
-    "ivfpq_cell_drift",
-    oracle=_ivfpq_cell_drift_oracle(),
-    description="Index-health monitor for the INCREMENTAL IVFPQ index "
-    "(the operational twin of embedding_ivfpq_append_topk, same "
-    "persisted artifact): per coarse cell, base-corpus vs "
-    "appended-batch counts and the occupancy-share drift — the check "
-    "a nightly ingest runs to decide whether the frozen quantizer "
-    "still fits the arriving distribution (a ballooning cell = drift "
-    "⇒ schedule the rebuild that resets recall). Reads ONLY the "
-    "persisted codes table (cell is the partition column; no vector "
-    "math, no embedding IO at serve) + one sketch-sized agg and a "
-    "1-row totals broadcast. Oracle replays the frozen-base coarse "
-    "quantizer (train on base, assign the union) and the exact share "
-    "arithmetic. Registered via the pending-r12 gate; pytest-verified "
-    "now",
-    tags=("extension", "similarity", "monitoring"),
-)
-def ivfpq_cell_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
-    root, _nprobe = _ivfpq_incr_index(spark, sf_dir)
-    codes = spark.read.parquet(f"{root}/codes").select("vec_id", "cell")
-    is_new = F.expr(_IVFPQ_APPEND_BATCH)
-    cc = codes.groupBy("cell").agg(
-        F.sum(F.when(~is_new, 1).otherwise(0)).cast("long").alias("n_base"),
-        F.sum(F.when(is_new, 1).otherwise(0)).cast("long").alias("n_new"),
-    )
-    t = cc.agg(F.sum("n_base").alias("tb"), F.sum("n_new").alias("tn"))
-    return cc.crossJoin(F.broadcast(t)).select(
-        F.col("cell").cast("long").alias("cell"),
-        "n_base",
-        "n_new",
-        F.round(F.col("n_base") / F.col("tb"), 6).alias("share_base"),
-        F.round(F.col("n_new") / F.col("tn"), 6).alias("share_new"),
-        F.round(
-            F.col("n_new") / F.col("tn") - F.col("n_base") / F.col("tb"), 6
-        ).alias("share_drift"),
-    )
-
-
-# ===========================================================================
-# Count-min sketch heavy hitters + batch sessionization
-# ===========================================================================
-
-#: Frozen CMS geometry/hash constants (shared with the oracle).
-CMS_W = 64
-CMS_ROWS = ((31, 7), (131, 17), (1031, 29))
-CMS_P = 1_000_000_007
-
-
-def _cms_oracle() -> str:
-    th = _TOKEN_HASH.format(t="t")
-    # explicit {h} placeholder (same pattern as _TOKEN_HASH's {t}) so the
-    # probe-side rewrite is a format() with a qualified column, never
-    # string surgery on the rendered expression
-    hash_tmpls = [
-        f"(({a} * {{h}} + {b}) % {CMS_P}) % {CMS_W}" for a, b in CMS_ROWS
-    ]
-    cell_rows = "\n  UNION ALL\n  ".join(
-        f"SELECT {r} AS r, {hash_tmpls[r].format(h='h')} AS bucket, 1 AS one FROM th"
-        for r in range(len(CMS_ROWS))
-    )
-    est_joins = "\n  ".join(
-        f"JOIN cells c{r} ON c{r}.r = {r} AND c{r}.bucket = {hash_tmpls[r].format(h='tp.h')}"
-        for r in range(len(CMS_ROWS))
-    )
-    least_args = ", ".join(f"c{r}.cnt" for r in range(len(CMS_ROWS)))
-    return f"""
-WITH tk AS MATERIALIZED (
-  SELECT unnest(string_split_regex(trim(text), '\\s+')) AS t
-  FROM documents WHERE trim(text) <> ''
-),
-th AS MATERIALIZED (SELECT t, {th} AS h FROM tk),
-cells AS MATERIALIZED (
-  SELECT r, bucket, CAST(count(*) AS BIGINT) AS cnt FROM (
-  {cell_rows}
-  ) GROUP BY r, bucket
-),
-tf AS MATERIALIZED (
-  SELECT t AS token, any_value(h) AS h, CAST(count(*) AS BIGINT) AS true_count
-  FROM th GROUP BY t
-),
-top AS (
-  SELECT token, h, true_count FROM tf
-  ORDER BY true_count DESC, token LIMIT 20
-)
-SELECT tp.token, tp.true_count,
-       least({least_args}) AS cms_estimate,
-       least({least_args}) - tp.true_count AS overestimate
-FROM top tp
-  {est_joins}
-"""
-
-
-@register(
-    "cms_heavy_hitters_tokens",
-    oracle=_cms_oracle(),
-    description="Count-min sketch heavy-hitter audit over the document "
-    "token stream: 3×64 counter matrix from frozen pairwise hashes of "
-    "the token rolling hash — the sketch state is 192 mergeable cells "
-    "regardless of vocabulary size (map-side combinable, the bounded-"
-    "state frequency primitive at 100 TB). The top-20 true tokens join "
-    "their CMS estimates; overestimate = estimate - truth is the "
-    "audited collision error (provably ≥ 0). Deterministic end-to-end "
-    "— no RNG, integer-exact",
-    tags=("extension", "text", "sketch"),
-)
-def cms_heavy_hitters_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = read_parquet_table(spark, sf_dir, "documents")
-    toks = docs.select(F.explode(_tx.tokens("text")).alias("t"))
-    th = toks.select("t", rolling_hash("t").alias("h"))
-
-    def bucket(r: int):
-        a, b = CMS_ROWS[r]
-        return ((F.lit(a) * F.col("h") + F.lit(b)) % CMS_P) % CMS_W
-
-    cells = (
-        th.select(
-            F.explode(
-                F.array(
-                    *[
-                        F.struct(
-                            F.lit(r).alias("r"), bucket(r).alias("bucket")
-                        )
-                        for r in range(len(CMS_ROWS))
-                    ]
-                )
-            ).alias("rb")
-        )
-        .select("rb.r", "rb.bucket")
-        .groupBy("r", "bucket")
-        .agg(F.count(F.lit(1)).alias("cnt"))
-    )
-    tf = th.groupBy("t").agg(
-        F.first("h").alias("h"), F.count(F.lit(1)).alias("true_count")
-    )
-    top = (
-        tf.orderBy(F.desc("true_count"), F.asc("t"))
-        .limit(20)
-        .select(F.col("t").alias("token"), "h", "true_count")
-    )
-    est = top
-    for r in range(len(CMS_ROWS)):
-        a, b = CMS_ROWS[r]
-        cr = cells.filter(F.col("r") == r).select(
-            F.col("bucket").alias(f"__b{r}"), F.col("cnt").alias(f"__c{r}")
-        )
-        est = est.withColumn(
-            f"__b{r}", ((F.lit(a) * F.col("h") + F.lit(b)) % CMS_P) % CMS_W
-        ).join(F.broadcast(cr), f"__b{r}")
-    cms = F.least(*[F.col(f"__c{r}") for r in range(len(CMS_ROWS))])
-    return est.select(
-        "token",
-        "true_count",
-        cms.alias("cms_estimate"),
-        (cms - F.col("true_count")).alias("overestimate"),
-    )
-
-
-@register(
-    "sessionize_events_batch",
-    oracle=f"""
-WITH se AS (
-  SELECT user_id, event_id, value, epoch_us(ts) AS us FROM events
-),
-sg AS (
-  SELECT *, CASE WHEN lag(us) OVER sw IS NULL
-                   OR us - lag(us) OVER sw > {30 * 60 * 1_000_000}
-            THEN 1 ELSE 0 END AS brk
-  FROM se WINDOW sw AS (PARTITION BY user_id ORDER BY us, event_id)
-),
-ss AS (
-  SELECT *, SUM(brk) OVER (PARTITION BY user_id ORDER BY us, event_id
-                           ROWS UNBOUNDED PRECEDING) AS sid
-  FROM sg
-)
-SELECT user_id, CAST(sid AS BIGINT) AS session_idx,
-       min(us) AS session_start_us,
-       max(us) AS session_end_us,
-       CAST(count(*) AS BIGINT) AS n_events,
-       CAST(sum(CAST(value AS DECIMAL(24,8))) AS DOUBLE) AS sum_value
-FROM ss GROUP BY user_id, sid
-""",
-    description="Batch sessionization (30-min gap): lag-break + "
-    "cumulative session id + per-session aggregate, ALL in one shuffle "
-    "on user_id (both windows and the final group share the "
-    "partitioning, so the exchange is reused). The batch twin of the "
-    "stateful streaming sessionizer — includes each user's trailing "
-    "session, which the stream correctly holds open. DECIMAL-exact "
-    "value sums (order-insensitive)",
-    tags=("extension", "analytics"),
-)
-def sessionize_events_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from pyspark.sql import Window
-
-    ev = read_parquet_table(spark, sf_dir, "events").select(
-        "user_id",
-        "event_id",
-        "value",
-        F.unix_micros(F.col("ts").cast("timestamp")).alias("us"),
-    )
-    sw = Window.partitionBy("user_id").orderBy("us", "event_id")
-    brk = F.when(
-        F.lag("us").over(sw).isNull()
-        | ((F.col("us") - F.lag("us").over(sw)) > 30 * 60 * 1_000_000),
-        1,
-    ).otherwise(0)
-    ss = ev.withColumn("brk", brk).withColumn(
-        "sid", F.sum("brk").over(sw.rowsBetween(Window.unboundedPreceding, 0))
-    )
-    return ss.groupBy("user_id", "sid").agg(
-        F.min("us").alias("session_start_us"),
-        F.max("us").alias("session_end_us"),
-        F.count(F.lit(1)).alias("n_events"),
-        F.sum(F.col("value").cast("decimal(24,8)"))
-        .cast("double")
-        .alias("sum_value"),
-    ).select(
-        "user_id",
-        F.col("sid").cast("long").alias("session_idx"),
-        "session_start_us",
-        "session_end_us",
-        "n_events",
-        "sum_value",
-    )
-
-
-@register(
-    "fuzzy_part_name_links",
-    oracle="""
-WITH names AS (
-  SELECT p_name,
-         string_split(p_name, ' ')[-1] AS noun,
-         CAST(min(p_partkey) AS BIGINT) AS canon_id,
-         CAST(count(*) AS BIGINT) AS n_parts
-  FROM part GROUP BY p_name
-)
-SELECT a.p_name AS name_a, b.p_name AS name_b,
-       CAST(levenshtein(a.p_name, b.p_name) AS BIGINT) AS edit_dist,
-       a.canon_id AS canon_a, b.canon_id AS canon_b,
-       a.n_parts AS n_parts_a, b.n_parts AS n_parts_b
-FROM names a JOIN names b
-  ON a.noun = b.noun AND a.p_name < b.p_name
-WHERE levenshtein(a.p_name, b.p_name) <= 2
-""",
-    description="Record linkage (entity resolution) over part names: "
-    "exact names collapse first (dedup groupBy — the linkage runs on "
-    "DISTINCT entities, vocabulary-scaled, not row-scaled), then a "
-    "BLOCKED fuzzy self-join — equi-join on the name's head noun, "
-    "Levenshtein ≤ 2 within the block only — never an all-pairs "
-    "distance matrix. The blocked-equi-join + verify shape is the same "
-    "100 TB contract as the MinHash band join",
-    tags=("extension", "dedup"),
-)
-def fuzzy_part_name_links(spark: SparkSession, sf_dir: str) -> DataFrame:
-    part = read_parquet_table(spark, sf_dir, "part")
-    names = part.groupBy("p_name").agg(
-        F.min("p_partkey").cast("long").alias("canon_id"),
-        F.count(F.lit(1)).cast("long").alias("n_parts"),
-    ).withColumn("noun", F.element_at(F.split("p_name", " "), -1))
-    a = names.select(
-        F.col("p_name").alias("name_a"),
-        F.col("noun").alias("__noun"),
-        F.col("canon_id").alias("canon_a"),
-        F.col("n_parts").alias("n_parts_a"),
-    )
-    b = names.select(
-        F.col("p_name").alias("name_b"),
-        F.col("noun").alias("__noun"),
-        F.col("canon_id").alias("canon_b"),
-        F.col("n_parts").alias("n_parts_b"),
-    )
-    return (
-        a.join(b, "__noun")
-        .filter(F.col("name_a") < F.col("name_b"))
-        .withColumn(
-            "edit_dist",
-            F.levenshtein("name_a", "name_b").cast("long"),
-        )
-        .filter(F.col("edit_dist") <= 2)
-        .select(
-            "name_a",
-            "name_b",
-            "edit_dist",
-            "canon_a",
-            "canon_b",
-            "n_parts_a",
-            "n_parts_b",
-        )
-    )
-
-
-@register(
-    "bloom_semi_join_urgent_revenue",
-    oracle="""
-SELECT l_returnflag,
-       CAST(sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(24,8)))
-            AS DOUBLE) AS revenue,
-       CAST(count(*) AS BIGINT) AS n_items
-FROM lineitem JOIN orders ON l_orderkey = o_orderkey
-WHERE o_orderpriority = '1-URGENT'
-GROUP BY l_returnflag
-""",
-    description="Bloom-filter semi-join reduction (explicit operator "
-    "form of Spark's runtime-bloom AQE): a 2^18-bit Bloom of the "
-    "selective build side (urgent orders) compiles to a ≤4096-row "
-    "(word, mask) broadcast table; the lineitem probe drops non-"
-    "matching rows BEFORE its shuffle via three broadcast bit lookups. "
-    "Transparent by construction — no false negatives, the real join "
-    "removes false positives — so the oracle is the plain join; the "
-    "filter changes shuffle volume, never results",
-    tags=("extension", "join"),
-)
-def bloom_semi_join_urgent_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from spotify_tracks_etl_portfolio_spark.operators.joins import (
-        bloom_build,
-        bloom_probe,
-    )
-
-    orders = read_parquet_table(spark, sf_dir, "orders")
-    lineitem = read_parquet_table(spark, sf_dir, "lineitem")
-    urgent = orders.filter(F.col("o_orderpriority") == "1-URGENT").select(
-        "o_orderkey"
-    )
-    bloom = bloom_build(urgent, "o_orderkey")
-    survivors = bloom_probe(lineitem, "l_orderkey", bloom)
-    return (
-        survivors.join(
-            urgent, F.col("l_orderkey") == F.col("o_orderkey")
-        )
-        .groupBy("l_returnflag")
-        .agg(
-            F.sum(
-                (F.col("l_extendedprice") * (1 - F.col("l_discount"))).cast(
-                    "decimal(24,8)"
-                )
-            )
-            .cast("double")
-            .alias("revenue"),
-            F.count(F.lit(1)).alias("n_items"),
-        )
-    )
-
-
-@register(
-    "streaming_cms_sync",
-    oracle=f"""
-WITH pos AS (
-  SELECT t.r, ((user_id * t.a + t.b) % {CMS_P}) % {CMS_W} AS bucket
-  FROM events, (VALUES {", ".join(f"({r}, {a}, {b})" for r, (a, b) in enumerate(CMS_ROWS))}) t(r, a, b)
-)
-SELECT CAST(r AS BIGINT) AS r, CAST(bucket AS BIGINT) AS bucket,
-       CAST(count(*) AS BIGINT) AS cnt
-FROM pos GROUP BY r, bucket
-""",
-    description="Mergeable sketch over a REAL stream (7th streaming "
-    "gate): a count-min sketch of user-id frequencies maintained "
-    "across multiple micro-batches — each epoch writes its bounded "
-    "partial cell table exactly-once (per-epoch partition overwrite "
-    "under foreachBatch's at-least-once replay), the final sketch is "
-    "the cell-wise sum of the partials. Hash-checked against the "
-    "batch sketch over the full event log: counter addition is "
-    "associative+commutative, so ANY micro-batch split yields the "
-    "identical sketch — the mergeability contract, proven end-to-end",
-    tags=("streaming", "sketch"),
-)
-@pinned_stream_session
-def streaming_cms_sync(spark: SparkSession, sf_dir: str) -> DataFrame:
-
-    import shutil
-    import tempfile
-
-    from spotify_tracks_etl_portfolio_spark.streaming import read_events_stream
-    from spotify_tracks_etl_portfolio_spark.streaming.pipeline import (
-        streaming_cms_cells,
-    )
-
-    d = tempfile.mkdtemp(prefix="cms_sync_")
-    out = f"{d}/cells"
-    try:
-        in_dir = f"{d}/in"
-        ev = read_parquet_table(spark, sf_dir, "events")
-        # Two appends → two part files → two REAL micro-batches under
-        # maxFilesPerTrigger=1 (the merge has actual partials to merge).
-        ev.filter(F.col("event_id") % 2 == 0).coalesce(1).write.mode(
-            "append"
-        ).parquet(in_dir)
-        ev.filter(F.col("event_id") % 2 == 1).coalesce(1).write.mode(
-            "append"
-        ).parquet(in_dir)
-        stream = read_events_stream(spark, in_dir)
-        q = (
-            streaming_cms_cells(
-                stream, out, f"{d}/ckpt", rows=CMS_ROWS, width=CMS_W, mod=CMS_P
-            )
-            .trigger(availableNow=True)
-            .start()
-        )
-        q.awaitTermination()
-        merged = (
-            spark.read.parquet(out)
-            .groupBy("r", "bucket")
-            .agg(F.sum("cnt").cast("long").alias("cnt"))
-            .select(
-                F.col("r").cast("long").alias("r"),
-                F.col("bucket").cast("long").alias("bucket"),
-                "cnt",
-            )
-        )
-        rows = merged.collect()
-    finally:
-        shutil.rmtree(d, ignore_errors=True)
-    return spark.createDataFrame(rows, "r long, bucket long, cnt long")
-
-
-@register_pending_r12(
-    "streaming_type_quantiles_sync",
-    # same oracle VERBATIM as the batch sketch query: micro-batch
-    # boundaries cannot change a sum of counter cells
-    oracle=None,  # bound below to analytics.TYPE_QUANTILES_ORACLE
-    description="10th streaming gate — the per-group quantile sketch "
-    "maintained over a REAL stream (the r10-verdict sketch "
-    "follow-through, streaming half): each micro-batch writes its "
-    "bounded PARTIAL (event_type, bin, count) cell table exactly-once "
-    "(epoch-partition overwrite under foreachBatch's at-least-once "
-    "replay); after the drain the cells SUM-merge and the SAME "
-    "rank-selection as the batch twin (shared "
-    "_type_quantiles_from_cells) yields per-type median/p99 — "
-    "hash-checked against the batch sketch oracle VERBATIM, proving "
-    "the mergeability contract end-to-end across real micro-batches. "
-    "At 100 TB: per-trigger state is #groups × #bins cells, quantile "
-    "monitoring reads cells only, never raw history. Registered via "
-    "the pending-r12 gate; pytest-verified now",
-    tags=("streaming", "sketch", "approx"),
-)
-@pinned_stream_session
-def streaming_type_quantiles_sync(
-    spark: SparkSession, sf_dir: str
-) -> DataFrame:
-    import shutil
-    import tempfile
-
-    from spotify_tracks_etl_portfolio_spark.plans.analytics import (
-        QUANT_BIN,
-        QUANT_SCALE,
-        _type_quantiles_from_cells,
-    )
-    from spotify_tracks_etl_portfolio_spark.streaming import (
-        read_events_stream,
-    )
-    from spotify_tracks_etl_portfolio_spark.streaming.pipeline import (
-        streaming_histogram_cells,
-    )
-
-    d = tempfile.mkdtemp(prefix="quant_sync_")
-    out = f"{d}/cells"
-    try:
-        in_dir = f"{d}/in"
-        ev = read_parquet_table(spark, sf_dir, "events")
-        # two appends → two part files → two REAL micro-batches under
-        # availableNow (the merge has actual partials to merge)
-        ev.filter(F.col("event_id") % 2 == 0).coalesce(1).write.mode(
-            "append"
-        ).parquet(in_dir)
-        ev.filter(F.col("event_id") % 2 == 1).coalesce(1).write.mode(
-            "append"
-        ).parquet(in_dir)
-        stream = read_events_stream(spark, in_dir)
-        q = (
-            streaming_histogram_cells(
-                stream,
-                out,
-                f"{d}/ckpt",
-                "event_type",
-                "value",
-                QUANT_SCALE,
-                QUANT_BIN,
-            )
-            .trigger(availableNow=True)
-            .start()
-        )
-        q.awaitTermination()
-        merged = (
-            spark.read.parquet(out)
-            .groupBy("event_type", "b")
-            .agg(F.sum("c").alias("c"))
-        )
-        rows = _type_quantiles_from_cells(merged).collect()
-    finally:
-        shutil.rmtree(d, ignore_errors=True)
-    return spark.createDataFrame(
-        rows,
-        "event_type string, approx_median_value double, "
-        "approx_p99_value double, n_values long",
-    )
-
-
-def _bind_streaming_quantiles_oracle() -> None:
-    """Late-bind the gate's oracle to the batch twin's (import-order:
-    analytics imports extensions' register helpers, so the constant
-    can't be read at decoration time without a cycle)."""
-    from spotify_tracks_etl_portfolio_spark.plans import QUERIES
-    from spotify_tracks_etl_portfolio_spark.plans.analytics import (
-        TYPE_QUANTILES_ORACLE,
-    )
-
-    spec = QUERIES.get("streaming_type_quantiles_sync")
-    if spec is not None and spec.oracle is None:
-        spec.oracle = TYPE_QUANTILES_ORACLE
-
-
-_bind_streaming_quantiles_oracle()
-
-
-@register(
-    "cow_incremental_rollup",
-    oracle="""
-WITH final AS (
-  SELECT doc_id, lang,
-         CASE WHEN doc_id % 50 = 0 THEN -n_chars ELSE n_chars END AS n_chars
-  FROM documents
-  WHERE NOT (doc_id % 97 = 0 AND doc_id % 50 <> 0)
-  UNION ALL
-  SELECT doc_id + 1000000, lang, -1 FROM documents WHERE doc_id % 50 = 0
-)
-SELECT lang, CAST(count(*) AS BIGINT) AS n_docs,
-       CAST(sum(n_chars) AS BIGINT) AS sum_chars
-FROM final GROUP BY lang
-""",
-    description="Incremental view maintenance over the COW table: a "
-    "per-lang rollup materialized at v0 is advanced to the latest "
-    "snapshot by scanning ONLY the data files the two manifests do not "
-    "share (copy-on-write rewrites whole files, so the file-list "
-    "symmetric difference IS the complete change set; rewritten-but-"
-    "unchanged rows appear in both scans and cancel in the merge). "
-    "R1 = R0 ⊎ agg(added) ⊖ agg(removed) — one group-merge whose cost "
-    "scales with the DELTA, not the table; hash-checked equal to the "
-    "full recompute of the final state",
-    tags=("extension", "sources", "acid"),
-)
-def cow_incremental_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from spotify_tracks_etl_portfolio_spark.sources import cowtable as _ct
-
-    docs = read_parquet_table(spark, sf_dir, "documents").select(
-        "doc_id", "lang", F.col("n_chars").cast("long").alias("n_chars")
-    )
-    root = os.path.join(_session_scratch(spark, "cow_ivm"), uuid.uuid4().hex)
-    _ct.create_table(spark, root, docs, cluster_by="doc_id", n_files=8)
-    # The "existing" materialized rollup over v0.
-    r0 = (
-        _ct.read_table(spark, root, 0)
-        .groupBy("lang")
-        .agg(
-            F.count(F.lit(1)).alias("n_docs"),
-            F.sum("n_chars").alias("sum_chars"),
-        )
-        .localCheckpoint(eager=True)
-    )
-    # Same delta flow as cowtable_snapshot_diff: delete %97, negate %50
-    # via upsert, insert brand-new +1000000 keys.
-    _ct.delete_where(
-        spark,
-        root,
-        "doc_id",
-        docs.filter(F.col("doc_id") % 97 == 0).select("doc_id"),
-    )
-    upserts = docs.filter(F.col("doc_id") % 50 == 0).select(
-        "doc_id", "lang", (-F.col("n_chars")).alias("n_chars")
-    )
-    inserts = docs.filter(F.col("doc_id") % 50 == 0).select(
-        (F.col("doc_id") + 1000000).alias("doc_id"),
-        "lang",
-        F.lit(-1).cast("long").alias("n_chars"),
-    )
-    _ct.merge_into(spark, root, upserts.unionByName(inserts), "doc_id")
-    added, removed = _ct.changed_file_scans(spark, root, 0)
-    delta = added.select(
-        "lang", F.lit(1).alias("__d"), F.col("n_chars").alias("__c")
-    ).unionByName(
-        removed.select(
-            "lang", F.lit(-1).alias("__d"), (-F.col("n_chars")).alias("__c")
-        )
-    )
-    merged = r0.select(
-        "lang", F.col("n_docs").alias("__d"), F.col("sum_chars").alias("__c")
-    ).unionByName(delta)
-    return (
-        merged.groupBy("lang")
-        .agg(
-            F.sum("__d").cast("long").alias("n_docs"),
-            F.sum("__c").cast("long").alias("sum_chars"),
-        )
-        .filter(F.col("n_docs") > 0)
-    )
-
-
-#: Fixed time origin for regression features (2024-01-01 UTC, µs) —
-#: a LITERAL, not a data-derived min, so x needs no first pass.
-_TREND_ORIGIN_US = 1_704_067_200_000_000
-
-
-@register(
-    "event_value_trend_by_type",
-    oracle=f"""
-WITH f AS (
-  SELECT event_type,
-         round((epoch_us(ts) - {_TREND_ORIGIN_US}) / 3600000000.0, 6) AS x,
-         value AS y
-  FROM events WHERE value IS NOT NULL
-),
-s AS (
-  SELECT event_type,
-         CAST(count(*) AS BIGINT) AS n,
-         CAST(sum(CAST(round(x, 6) AS DECIMAL(24,6))) AS DOUBLE) AS sx,
-         CAST(sum(CAST(round(y, 6) AS DECIMAL(24,6))) AS DOUBLE) AS sy,
-         CAST(sum(CAST(round(x * x, 6) AS DECIMAL(24,6))) AS DOUBLE) AS sxx,
-         CAST(sum(CAST(round(x * y, 6) AS DECIMAL(24,6))) AS DOUBLE) AS sxy,
-         CAST(sum(CAST(round(y * y, 6) AS DECIMAL(24,6))) AS DOUBLE) AS syy
-  FROM f GROUP BY event_type
-)
-SELECT event_type, n,
-       round((n * sxy - sx * sy) / (n * sxx - sx * sx), 6) AS slope,
-       round((sy - ((n * sxy - sx * sy) / (n * sxx - sx * sx)) * sx) / n, 6)
-         AS intercept,
-       CASE WHEN (n * sxx - sx * sx) * (n * syy - sy * sy) <= 0 THEN NULL
-            ELSE round((n * sxy - sx * sy) * (n * sxy - sx * sy)
-                       / ((n * sxx - sx * sx) * (n * syy - sy * sy)), 6)
-       END AS r2
-FROM s
-""",
-    description="Per-group OLS trend (closed-form simple linear "
-    "regression of event value on time): one hash aggregation collects "
-    "the five sufficient statistics as DECIMAL-exact sums of 6-dp-"
-    "rounded IEEE products (order-insensitive under any partitioning), "
-    "slope/intercept/r² are a handful of scalar IEEE ops on the "
-    "aggregates — distributed ML-style analytics with zero extra "
-    "passes and no solver",
-    tags=("extension", "analytics"),
-)
-def event_value_trend_by_type(spark: SparkSession, sf_dir: str) -> DataFrame:
-    ev = read_parquet_table(spark, sf_dir, "events").filter(
-        F.col("value").isNotNull()
-    )
-    x = F.round(
-        (F.unix_micros(F.col("ts").cast("timestamp")) - _TREND_ORIGIN_US)
-        / F.lit(3.6e9),
-        6,
-    )
-    y = F.col("value")
-
-    def dsum(expr):
-        return F.sum(F.round(expr, 6).cast("decimal(24,6)")).cast("double")
-
-    s = ev.select("event_type", x.alias("x"), y.alias("y")).groupBy(
-        "event_type"
-    ).agg(
-        F.count(F.lit(1)).alias("n"),
-        dsum(F.col("x")).alias("sx"),
-        dsum(F.col("y")).alias("sy"),
-        dsum(F.col("x") * F.col("x")).alias("sxx"),
-        dsum(F.col("x") * F.col("y")).alias("sxy"),
-        dsum(F.col("y") * F.col("y")).alias("syy"),
-    )
-    n, sx, sy = F.col("n"), F.col("sx"), F.col("sy")
-    sxx, sxy, syy = F.col("sxx"), F.col("sxy"), F.col("syy")
-    slope = (n * sxy - sx * sy) / (n * sxx - sx * sx)
-    denom = (n * sxx - sx * sx) * (n * syy - sy * sy)
-    return s.select(
-        "event_type",
-        "n",
-        F.round(slope, 6).alias("slope"),
-        F.round((sy - slope * sx) / n, 6).alias("intercept"),
-        F.when(denom <= 0, F.lit(None).cast("double"))
-        .otherwise(
-            F.round((n * sxy - sx * sy) * (n * sxy - sx * sy) / denom, 6)
-        )
-        .alias("r2"),
-    )
-
-
-@register(
-    "daily_volume_anomalies",
-    oracle="""
-WITH d AS (
-  SELECT strftime(date_trunc('day', ts), '%Y-%m-%d') AS day,
-         CAST(dayofweek(date_trunc('day', ts)) AS BIGINT) AS dow,
-         CAST(count(*) AS BIGINT) AS n
-  FROM events GROUP BY 1, 2
-),
-s AS (
-  SELECT dow,
-         CAST(count(*) AS BIGINT) AS n_days,
-         CAST(sum(n) AS BIGINT) AS sn,
-         CAST(sum(n * n) AS BIGINT) AS snn
-  FROM d GROUP BY dow
-),
-z AS (
-  SELECT d.day, d.dow, d.n,
-         sn / CAST(n_days AS DOUBLE) AS mu,
-         sqrt(greatest(
-           snn / CAST(n_days AS DOUBLE)
-             - (sn / CAST(n_days AS DOUBLE)) * (sn / CAST(n_days AS DOUBLE)),
-           1e-12)) AS sigma
-  FROM d JOIN s USING (dow)
-)
-SELECT day, dow, n,
-       round(mu, 6) AS dow_mean,
-       round((n - mu) / sigma, 6) AS z_score,
-       abs((n - mu) / sigma) > 2.0 AS is_anomaly
-FROM z
-""",
-    description="Seasonal volume anomaly detection: daily event counts "
-    "z-scored against their DAY-OF-WEEK mean/std (weekday seasonality "
-    "removed, the monitor a pipeline runs on ingest volume). Integer-"
-    "exact sufficient statistics (counts and squared counts are "
-    "BIGINTs), then a handful of scalar IEEE ops — deterministic; the "
-    "day table is aggregated (365 rows/year) so every downstream step "
-    "is driver-trivial at any event scale",
-    tags=("extension", "analytics", "dq"),
-)
-def daily_volume_anomalies(spark: SparkSession, sf_dir: str) -> DataFrame:
-    ev = read_parquet_table(spark, sf_dir, "events").select(
-        F.date_trunc("day", F.col("ts").cast("timestamp")).alias("d")
-    )
-    d = ev.groupBy("d").agg(F.count(F.lit(1)).alias("n")).select(
-        F.date_format("d", "yyyy-MM-dd").alias("day"),
-        # DuckDB dayofweek: Sunday=0; Spark dayofweek: Sunday=1
-        (F.dayofweek("d") - 1).cast("long").alias("dow"),
-        F.col("n"),
-    )
-    s = d.groupBy("dow").agg(
-        F.count(F.lit(1)).alias("n_days"),
-        F.sum("n").alias("sn"),
-        F.sum(F.col("n") * F.col("n")).alias("snn"),
-    )
-    mu = F.col("sn") / F.col("n_days").cast("double")
-    sigma = F.sqrt(
-        F.greatest(
-            F.col("snn") / F.col("n_days").cast("double") - mu * mu,
-            F.lit(1e-12),
-        )
-    )
-    z = (F.col("n") - mu) / sigma
-    return (
-        d.join(s, "dow")
-        .select(
-            "day",
-            "dow",
-            "n",
-            F.round(mu, 6).alias("dow_mean"),
-            F.round(z, 6).alias("z_score"),
-            (F.abs(z) > 2.0).alias("is_anomaly"),
-        )
-    )
-
-
-@register(
-    "source_lang_entropy",
-    oracle="""
-WITH c AS (
-  SELECT source, lang, CAST(count(*) AS BIGINT) AS n
-  FROM documents GROUP BY source, lang
-),
-t AS (SELECT source, CAST(sum(n) AS BIGINT) AS tot FROM c GROUP BY source),
-e AS (
-  SELECT c.source, c.lang, c.n, t.tot,
-         CAST(round(-(c.n / CAST(t.tot AS DOUBLE))
-                    * ln(c.n / CAST(t.tot AS DOUBLE)), 9)
-              AS DECIMAL(20,9)) AS term
-  FROM c JOIN t USING (source)
-)
-SELECT source,
-       CAST(max(tot) AS BIGINT) AS n_docs,
-       CAST(count(*) AS BIGINT) AS n_langs,
-       round(CAST(sum(term) AS DOUBLE), 6) AS lang_entropy
-FROM e GROUP BY source
-""",
-    description="Per-source language diversity (Shannon entropy of the "
-    "lang distribution): the mixing-health signal a corpus curator "
-    "tracks per provider. Each -p·ln(p) term is a 9-dp-rounded IEEE "
-    "scalar summed as DECIMAL (order-insensitive); two hash "
-    "aggregations over (source, lang) — group cardinality scales with "
-    "the label vocabulary, not the corpus",
-    tags=("extension", "curation", "dq"),
-)
-def source_lang_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = read_parquet_table(spark, sf_dir, "documents")
-    c = docs.groupBy("source", "lang").agg(F.count(F.lit(1)).alias("n"))
-    t = c.groupBy("source").agg(F.sum("n").alias("tot"))
-    p = F.col("n") / F.col("tot").cast("double")
-    e = c.join(t, "source").select(
-        "source",
-        "tot",
-        F.round(-p * F.log(p), 9).cast("decimal(20,9)").alias("term"),
-    )
-    return e.groupBy("source").agg(
-        F.max("tot").cast("long").alias("n_docs"),
-        F.count(F.lit(1)).alias("n_langs"),
-        F.round(F.sum("term").cast("double"), 6).alias("lang_entropy"),
-    )
-
-
-#: Reciprocal-rank-fusion constant (the standard k=60 from the RRF
-#: paper) and list depths for the hybrid retrieval query.
-RRF_K = 60
-RRF_DEPTH = 20
-RRF_TOPK = 10
-RRF_QUERY_VEC = 0
-
-
-def _hybrid_rrf_oracle() -> str:
-    from spotify_tracks_etl_portfolio_spark.plans.analytics import _bm25_ctes
-
-    return f"""
-WITH {_bm25_ctes()},
-brr AS (
-  SELECT doc_id,
-         row_number() OVER (ORDER BY bm25 DESC, doc_id) AS bm25_rank
-  FROM bm25_scores
-  QUALIFY bm25_rank <= {RRF_DEPTH}
-),
-v AS (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings),
-qv AS (SELECT e FROM v WHERE vec_id = {RRF_QUERY_VEC}),
-cr AS (
-  SELECT v.vec_id AS doc_id, {_sql_cos('v.e', 'q.e')} AS cosine
-  FROM v, qv q WHERE v.vec_id <> {RRF_QUERY_VEC}
-),
-crr AS (
-  SELECT doc_id,
-         row_number() OVER (ORDER BY cosine DESC, doc_id) AS cos_rank
-  FROM cr
-  QUALIFY cos_rank <= {RRF_DEPTH}
-),
-fused AS (
-  SELECT COALESCE(b.doc_id, c.doc_id) AS doc_id,
-         CAST(b.bm25_rank AS BIGINT) AS bm25_rank,
-         CAST(c.cos_rank AS BIGINT) AS cos_rank,
-         round(COALESCE(1.0 / ({RRF_K} + b.bm25_rank), CAST(0 AS DOUBLE))
-               + COALESCE(1.0 / ({RRF_K} + c.cos_rank), CAST(0 AS DOUBLE)), 9)
-           AS rrf_score
-  FROM brr b FULL OUTER JOIN crr c USING (doc_id)
-)
-SELECT doc_id, bm25_rank, cos_rank, rrf_score,
-       CAST(fused_rank AS BIGINT) AS fused_rank
-FROM (
-  SELECT *, row_number() OVER (ORDER BY rrf_score DESC, doc_id) AS fused_rank
-  FROM fused
-) WHERE fused_rank <= {RRF_TOPK}
-"""
-
-
-@register(
-    "hybrid_rrf_search",
-    oracle=_hybrid_rrf_oracle(),
-    description="Hybrid retrieval with reciprocal-rank fusion (the "
-    "modern RAG serving shape): the BM25 lexical top-20 and the "
-    "cosine vector top-20 (query-by-example on one embedding) fuse by "
-    "RRF score = Σ 1/(60+rank); documents found by only one modality "
-    "contribute one term. Both rank lists are TakeOrdered-style "
-    "bounded sets, the fusion is a full outer join of two ≤20-row "
-    "tables — list depth bounds every post-retrieval stage at any "
-    "corpus size. IEEE-deterministic (ranks are integers; two "
-    "divisions + one add per row, rounded)",
-    tags=("extension", "search", "similarity"),
-)
-def hybrid_rrf_search(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from pyspark.sql import Window
-
-    from spotify_tracks_etl_portfolio_spark.functions import (
-        vec_dot,
-        vec_norm_safe,
-    )
-    from spotify_tracks_etl_portfolio_spark.plans.analytics import (
-        bm25_search_documents,
-    )
-
-    bm25 = bm25_search_documents(spark, sf_dir)
-    brr = bm25.select(
-        "doc_id",
-        F.row_number()
-        .over(Window.orderBy(F.desc("bm25"), F.asc("doc_id")))
-        .cast("long")
-        .alias("bm25_rank"),
-    ).filter(F.col("bm25_rank") <= RRF_DEPTH)
-
-    emb = read_parquet_table(spark, sf_dir, "embeddings")
-    q = emb.filter(F.col("vec_id") == RRF_QUERY_VEC).select(
-        F.col("embedding").alias("__qv"),
-        vec_norm_safe("embedding").alias("__qn"),
-    )
-    cr = (
-        emb.filter(F.col("vec_id") != RRF_QUERY_VEC)
-        .crossJoin(F.broadcast(q))
-        .select(
-            F.col("vec_id").alias("doc_id"),
-            F.round(
-                vec_dot("embedding", "__qv")
-                / (vec_norm_safe("embedding") * F.col("__qn")),
-                6,
-            ).alias("cosine"),
-        )
-    )
-    # TakeOrderedAndProject bounds the corpus-scaled side to DEPTH rows
-    # BEFORE the rank window — the global row_number then runs over 20
-    # rows, never the corpus (the single-partition gate's contract).
-    c20 = cr.orderBy(F.desc("cosine"), F.asc("doc_id")).limit(RRF_DEPTH)
-    crr = c20.select(
-        "doc_id",
-        F.row_number()
-        .over(Window.orderBy(F.desc("cosine"), F.asc("doc_id")))
-        .cast("long")
-        .alias("cos_rank"),
-    )
-
-    score = F.round(
-        F.coalesce(1.0 / (F.lit(RRF_K) + F.col("bm25_rank")), F.lit(0.0))
-        + F.coalesce(1.0 / (F.lit(RRF_K) + F.col("cos_rank")), F.lit(0.0)),
-        9,
-    )
-    fused = brr.join(crr, "doc_id", "full_outer").select(
-        "doc_id", "bm25_rank", "cos_rank", score.alias("rrf_score")
-    )
-    return (
-        fused.withColumn(
-            "fused_rank",
-            F.row_number()
-            .over(Window.orderBy(F.desc("rrf_score"), F.asc("doc_id")))
-            .cast("long"),
-        )
-        .filter(F.col("fused_rank") <= RRF_TOPK)
-    )
-
-
-@register(
-    "benford_totalprice_audit",
-    oracle="""
-WITH c AS (
-  SELECT CAST(round(o_totalprice * 100) AS BIGINT) AS cents
-  FROM orders WHERE o_totalprice > 0
-),
-d AS (
-  SELECT CAST(substr(CAST(cents AS VARCHAR), 1, 1) AS BIGINT) AS digit
-  FROM c
-),
-a AS (
-  SELECT digit, CAST(count(*) AS BIGINT) AS n FROM d GROUP BY digit
-),
-t AS (SELECT CAST(sum(n) AS DOUBLE) AS tot FROM a),
-z AS (
-  SELECT digit, n,
-         round(n / tot, 6) AS observed_share,
-         round(ln(1.0 + 1.0 / digit) / ln(CAST(10 AS DOUBLE)), 9)
-           AS expected_share,
-         round((n - tot * (ln(1.0 + 1.0 / digit) / ln(CAST(10 AS DOUBLE))))
-               * (n - tot * (ln(1.0 + 1.0 / digit) / ln(CAST(10 AS DOUBLE))))
-               / (tot * (ln(1.0 + 1.0 / digit) / ln(CAST(10 AS DOUBLE)))), 6)
-           AS chi2_term
-  FROM a, t
-)
-SELECT digit, n, observed_share, expected_share, chi2_term,
-       round(CAST(sum(CAST(chi2_term AS DECIMAL(24,6))) OVER () AS DOUBLE), 6)
-         AS chi2_total
-FROM z
-""",
-    description="Benford's-law audit of order totals (the fraud/"
-    "synthetic-data smell test): first significant digit extracted "
-    "INTEGER-exactly (cents → string → leading digit, identical "
-    "formatting on both engines — no log10-of-double knife edges), "
-    "per-digit χ² terms against log10(1+1/d), total χ² windowed over "
-    "the 9-row aggregated digit table. One scan, one hash agg",
-    tags=("extension", "dq"),
-)
-def benford_totalprice_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from pyspark.sql import Window
-
-    orders = read_parquet_table(spark, sf_dir, "orders")
-    cents = (
-        orders.filter(F.col("o_totalprice") > 0)
-        .select(F.round(F.col("o_totalprice") * 100).cast("long").alias("c"))
-    )
-    a = (
-        cents.select(
-            F.substring(F.col("c").cast("string"), 1, 1)
-            .cast("long")
-            .alias("digit")
-        )
-        .groupBy("digit")
-        .agg(F.count(F.lit(1)).alias("n"))
-    )
-    t = a.agg(F.sum("n").cast("double").alias("tot"))
-    exp_share = F.round(
-        F.log(1.0 + 1.0 / F.col("digit")) / F.log(F.lit(10.0)), 9
-    )
-    exp_n = F.col("tot") * (
-        F.log(1.0 + 1.0 / F.col("digit")) / F.log(F.lit(10.0))
-    )
-    z = a.crossJoin(F.broadcast(t)).select(
-        "digit",
-        "n",
-        F.round(F.col("n") / F.col("tot"), 6).alias("observed_share"),
-        exp_share.alias("expected_share"),
-        F.round((F.col("n") - exp_n) * (F.col("n") - exp_n) / exp_n, 6).alias(
-            "chi2_term"
-        ),
-    )
-    return z.select(
-        "*",
-        F.round(
-            F.sum(F.col("chi2_term").cast("decimal(24,6)"))
-            .over(Window.partitionBy())
-            .cast("double"),
-            6,
-        ).alias("chi2_total"),
-    )
-
-
-@register(
-    "sessionize_native_session_window",
-    oracle=f"""
-WITH se AS (
-  SELECT user_id, event_id, value, epoch_us(ts) AS us FROM events
-),
-sg AS (
-  SELECT *, CASE WHEN lag(us) OVER sw IS NULL
-                   OR us - lag(us) OVER sw >= {30 * 60 * 1_000_000}
-            THEN 1 ELSE 0 END AS brk
-  FROM se WINDOW sw AS (PARTITION BY user_id ORDER BY us, event_id)
-),
-ss AS (
-  SELECT *, SUM(brk) OVER (PARTITION BY user_id ORDER BY us, event_id
-                           ROWS UNBOUNDED PRECEDING) AS sid
-  FROM sg
-)
-SELECT user_id,
-       min(us) AS session_start_us,
-       max(us) + {30 * 60 * 1_000_000} AS session_end_us,
-       CAST(count(*) AS BIGINT) AS n_events,
-       CAST(sum(CAST(value AS DECIMAL(24,8))) AS DOUBLE) AS sum_value
-FROM ss GROUP BY user_id, sid
-""",
-    description="Gap sessions via Spark's NATIVE session_window "
-    "aggregation (the built-in the manual lag-break twin re-derives): "
-    "one hash aggregation with session merge in the state machinery, "
-    "no window functions at all. Native semantics differ from the "
-    "manual twin on two points the oracle mirrors exactly: a gap of "
-    "EXACTLY 30min starts a new session (>= vs >), and session_end = "
-    "last event + gap (the watermark-eviction bound), not last event",
-    tags=("extension", "analytics"),
-)
-def sessionize_native_session_window(
-    spark: SparkSession, sf_dir: str
-) -> DataFrame:
-    ev = read_parquet_table(spark, sf_dir, "events").select(
-        "user_id", F.col("ts").cast("timestamp").alias("ts"), "value"
-    )
-    return (
-        ev.groupBy(F.session_window("ts", "30 minutes"), "user_id")
-        .agg(
-            F.count(F.lit(1)).alias("n_events"),
-            F.sum(F.col("value").cast("decimal(24,8)"))
-            .cast("double")
-            .alias("sum_value"),
-        )
-        .select(
-            "user_id",
-            F.unix_micros(F.col("session_window.start")).alias(
-                "session_start_us"
-            ),
-            F.unix_micros(F.col("session_window.end")).alias(
-                "session_end_us"
-            ),
-            "n_events",
-            "sum_value",
-        )
-    )
-
-
-@register(
-    "event_type_markov_transitions",
-    oracle="""
-WITH s AS (
-  SELECT user_id, event_type, epoch_us(ts) AS us, event_id FROM events
-),
-p AS (
-  SELECT event_type AS cur,
-         lead(event_type) OVER (PARTITION BY user_id
-                                ORDER BY us, event_id) AS nxt
-  FROM s
-),
-c AS (
-  SELECT cur, nxt, CAST(count(*) AS BIGINT) AS n
-  FROM p WHERE nxt IS NOT NULL GROUP BY cur, nxt
-),
-t AS (SELECT cur, CAST(sum(n) AS BIGINT) AS tot FROM c GROUP BY cur)
-SELECT c.cur, c.nxt, c.n,
-       round(c.n / CAST(t.tot AS DOUBLE), 6) AS p_transition
-FROM c JOIN t USING (cur)
-""",
-    description="User-journey Markov chain: per-user consecutive event "
-    "pairs (ONE shuffle on user_id for the lead window) reduce to the "
-    "event-type transition matrix with row-normalized probabilities — "
-    "the product-analytics operator behind flow/sankey views. States "
-    "scale with the type vocabulary, not the event count",
-    tags=("extension", "analytics"),
-)
-def event_type_markov_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from pyspark.sql import Window
-
-    ev = read_parquet_table(spark, sf_dir, "events").select(
-        "user_id",
-        "event_type",
-        F.unix_micros(F.col("ts").cast("timestamp")).alias("us"),
-        "event_id",
-    )
-    w = Window.partitionBy("user_id").orderBy("us", "event_id")
-    pairs = ev.select(
-        F.col("event_type").alias("cur"),
-        F.lead("event_type").over(w).alias("nxt"),
-    ).filter(F.col("nxt").isNotNull())
-    c = pairs.groupBy("cur", "nxt").agg(F.count(F.lit(1)).alias("n"))
-    t = c.groupBy("cur").agg(F.sum("n").alias("tot"))
-    return c.join(t, "cur").select(
-        "cur",
-        "nxt",
-        "n",
-        F.round(F.col("n") / F.col("tot").cast("double"), 6).alias(
-            "p_transition"
-        ),
-    )
-
-
-@register(
-    "token_pmi_collocations",
-    oracle="""
-WITH toks AS (
-  SELECT doc_id, string_split_regex(trim(text), '\\s+') AS w
-  FROM documents WHERE trim(text) <> ''
-),
-bg AS (
-  SELECT w[i] AS t1, w[i + 1] AS t2
-  FROM toks, unnest(range(1, len(w))) AS r(i)
-),
-bc AS (
-  SELECT t1, t2, CAST(count(*) AS BIGINT) AS n_pair
-  FROM bg GROUP BY t1, t2
-),
-uc AS (
-  SELECT t, CAST(count(*) AS BIGINT) AS n_tok FROM (
-    SELECT unnest(w) AS t FROM toks
-  ) GROUP BY t
-),
-tot AS (
-  SELECT CAST(sum(n_pair) AS DOUBLE) AS n_bi,
-         (SELECT CAST(sum(n_tok) AS DOUBLE) FROM uc) AS n_uni
-  FROM bc
-)
-SELECT t1, t2, n_pair,
-       round(ln((n_pair / n_bi)
-                / ((u1.n_tok / n_uni) * (u2.n_tok / n_uni))), 6) AS pmi
-FROM bc JOIN uc u1 ON bc.t1 = u1.t JOIN uc u2 ON bc.t2 = u2.t, tot
-WHERE n_pair >= 5
-ORDER BY pmi DESC, t1, t2 LIMIT 25
-""",
-    description="Collocation mining by pointwise mutual information: "
-    "adjacent-token pair counts vs unigram marginals, PMI = "
-    "ln(p(ab)/(p(a)p(b))), support floor 5, top-25. The phrase-"
-    "detection step of tokenizer/corpus preparation. Bigrams explode "
-    "from the token array (zero extra scans), both count tables are "
-    "vocabulary-scaled, the final top-k is TakeOrderedAndProject",
-    tags=("extension", "text"),
-)
-def token_pmi_collocations(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = read_parquet_table(spark, sf_dir, "documents")
-    toks = docs.filter(F.trim("text") != "").select(
-        F.split(F.trim("text"), r"\s+").alias("w")
-    )
-    bg = toks.select(
-        F.explode(
-            F.zip_with(
-                F.slice(F.col("w"), 1, F.greatest(F.size("w") - 1, F.lit(0))),
-                F.slice(F.col("w"), 2, F.greatest(F.size("w") - 1, F.lit(0))),
-                lambda a, b: F.struct(a.alias("t1"), b.alias("t2")),
-            )
-        ).alias("p")
-    ).select("p.t1", "p.t2")
-    bc = bg.groupBy("t1", "t2").agg(F.count(F.lit(1)).alias("n_pair"))
-    uc = toks.select(F.explode("w").alias("t")).groupBy("t").agg(
-        F.count(F.lit(1)).alias("n_tok")
-    )
-    tot = bc.agg(F.sum("n_pair").cast("double").alias("n_bi")).crossJoin(
-        F.broadcast(uc.agg(F.sum("n_tok").cast("double").alias("n_uni")))
-    )
-    u1 = uc.select(F.col("t").alias("t1"), F.col("n_tok").alias("__u1"))
-    u2 = uc.select(F.col("t").alias("t2"), F.col("n_tok").alias("__u2"))
-    pmi = F.round(
-        F.log(
-            (F.col("n_pair") / F.col("n_bi"))
-            / (
-                (F.col("__u1") / F.col("n_uni"))
-                * (F.col("__u2") / F.col("n_uni"))
-            )
-        ),
-        6,
-    )
-    return (
-        bc.filter(F.col("n_pair") >= 5)
-        .join(u1, "t1")
-        .join(u2, "t2")
-        .crossJoin(F.broadcast(tot))
-        .select("t1", "t2", "n_pair", pmi.alias("pmi"))
-        .orderBy(F.desc("pmi"), "t1", "t2")
-        .limit(25)
-    )
-
-
-@register(
-    "trade_graph_degree_distribution",
-    oracle="""
-WITH tr AS (
-  SELECT DISTINCT o_custkey * 2 AS cnode, l_suppkey * 2 + 1 AS snode
-  FROM lineitem JOIN orders ON l_orderkey = o_orderkey
-),
-e AS (
-  SELECT cnode AS src FROM tr UNION ALL SELECT snode FROM tr
-),
-deg AS (SELECT src, CAST(count(*) AS BIGINT) AS degree FROM e GROUP BY src)
-SELECT CASE WHEN src % 2 = 0 THEN 'customer' ELSE 'supplier' END
-         AS entity_type,
-       degree,
-       CAST(count(*) AS BIGINT) AS n_nodes
-FROM deg GROUP BY 1, 2
-""",
-    description="Degree distribution of the customer–supplier trade "
-    "graph per node type — the structural audit run before any "
-    "iterative graph algorithm (skew in this table predicts hub "
-    "hotspots in the PageRank shuffle). Two hash aggregations, "
-    "integer-exact",
-    tags=("extension", "graph"),
-)
-def trade_graph_degree_distribution(
-    spark: SparkSession, sf_dir: str
-) -> DataFrame:
-    from spotify_tracks_etl_portfolio_spark.operators.graph import (
-        trade_graph_edges,
-    )
-
-    orders = read_parquet_table(spark, sf_dir, "orders")
-    lineitem = read_parquet_table(spark, sf_dir, "lineitem")
-    deg = (
-        trade_graph_edges(orders, lineitem)
-        .groupBy("src")
-        .agg(F.count(F.lit(1)).alias("degree"))
-    )
-    return (
-        deg.select(
-            F.when(F.col("src") % 2 == 0, F.lit("customer"))
-            .otherwise(F.lit("supplier"))
-            .alias("entity_type"),
-            "degree",
-        )
-        .groupBy("entity_type", "degree")
-        .agg(F.count(F.lit(1)).alias("n_nodes"))
-    )
-
-
-#: Fixed search pattern for the trigram-accelerated LIKE query.
-TRGM_PATTERN = "window stream"
-
-
-@register(
-    "trigram_like_search",
-    oracle=f"""
-SELECT doc_id, n_chars
-FROM documents
-WHERE text LIKE '%{TRGM_PATTERN}%'
-""",
-    description="Substring search served from a PERSISTED trigram index "
-    "(the pg_trgm pattern, now a real on-disk artifact like the BM25 "
-    "and IVF indexes): distinct (trigram, doc_id) postings partitioned "
-    "by trigram hash bucket are built ONCE; a query prunes the "
-    "postings scan to the pattern trigrams' buckets (PartitionFilters "
-    "+ pushed trigram filter, plan-gated — the corpus is never "
-    "re-tokenized at query time), keeps docs holding ALL pattern "
-    "trigrams, and the final LIKE verifies candidates only (the heap "
-    "recheck). Index recall is total (a true match contains every "
-    "pattern trigram), so the oracle is the plain LIKE scan; the "
-    "index changes the work, never the answer",
-    tags=("extension", "text", "search"),
-)
-def trigram_like_search(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from spotify_tracks_etl_portfolio_spark.operators.text import (
-        build_trigram_index,
-        trigram_index_candidates,
-    )
-
-    docs = read_parquet_table(spark, sf_dir, "documents")
-    root = _artifact_root(spark, "trgm_index", os.path.realpath(sf_dir))
-    _build_artifact_once(
-        root,
-        "postings",
-        lambda tmp: build_trigram_index(docs, "doc_id", "text", tmp),
-    )
-    cands = trigram_index_candidates(spark, root, TRGM_PATTERN)
-    return (
-        docs.join(cands, "doc_id", "left_semi")
-        .filter(F.col("text").contains(TRGM_PATTERN))
-        .select("doc_id", "n_chars")
-    )
-
-
-@register(
-    "bm25_index_search",
-    oracle=None,  # set just below to the SAME oracle as the live query
-    description="BM25 served from a PERSISTED inverted index (the "
-    "search twin of the persisted IVF index): term postings partitioned "
-    "by token bucket + doc lengths + 1-row corpus stats are on-disk "
-    "artifacts; a query scans ONLY its terms' posting buckets "
-    "(PartitionFilters + pushed token filter, plan-gated) — the corpus "
-    "text is never re-tokenized at query time. Same oracle as "
-    "bm25_search_documents: the index changes the cost, not the answer",
-    tags=("extension", "text", "search"),
-)
-def bm25_index_search(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from spotify_tracks_etl_portfolio_spark.operators.text import (
-        bm25_query_index,
-        build_text_index,
-    )
-    from spotify_tracks_etl_portfolio_spark.plans.analytics import (
-        BM25_B,
-        BM25_K1,
-        BM25_TERMS,
-    )
-
-    root = _artifact_root(spark, "text_index", os.path.realpath(sf_dir))
-    _build_artifact_once(
-        root,
-        "stats",
-        lambda tmp: build_text_index(
-            read_parquet_table(spark, sf_dir, "documents"),
-            "doc_id",
-            "text",
-            tmp,
-        ),
-    )
-    return bm25_query_index(spark, root, BM25_TERMS, BM25_K1, BM25_B, 20)
-
-
-# same answer ⇒ same oracle (import here to avoid a module-level cycle)
-from spotify_tracks_etl_portfolio_spark.plans import QUERIES as _Q  # noqa: E402
-from spotify_tracks_etl_portfolio_spark.plans.analytics import _bm25_oracle  # noqa: E402
-
-_Q["bm25_index_search"].oracle = _bm25_oracle()
+from spotify_tracks_etl_portfolio_spark.plans import (  # noqa: F401
+    _ext_shared,
+    ext_curation,
+    ext_dedup,
+    ext_infra,
+    ext_similarity,
+    ext_text,
+)
+
+for _mod in (_ext_shared, ext_text, ext_dedup, ext_similarity,
+             ext_curation, ext_infra):
+    for _k, _v in vars(_mod).items():
+        if not _k.startswith("__"):
+            globals().setdefault(_k, _v)
+del _mod, _k, _v
