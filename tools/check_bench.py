@@ -78,8 +78,12 @@ def main() -> int:
     # canary-vs-canary normalization. BENCH_r01.json remains usable via
     # --baseline for the long-horizon comparison (14 surviving queries,
     # --cal-ref normalization).
+    # BASELINE_r11.json (round-11 verdict item 4): BASELINE_r10
+    # verbatim plus the two round-11 headline debuts grafted in the
+    # same canary frame — the default gate now covers the full
+    # 35-query headline with nothing rebaselined.
     ap.add_argument(
-        "--baseline", default=os.path.join(REPO, "BASELINE_r10.json")
+        "--baseline", default=os.path.join(REPO, "BASELINE_r11.json")
     )
     ap.add_argument("--factor", type=float, default=2.0)
     ap.add_argument(
