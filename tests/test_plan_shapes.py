@@ -720,6 +720,37 @@ def test_near_dedup_corpus_side_never_shuffles(spark, sf_dir):
     assert len(re.findall(r"Exchange hashpartitioning\(id_old#\d+L?, \d+\)", plan)) == 1
 
 
+def test_dsir_scoring_is_projection_plus_topk(spark, sf_dir):
+    """DSIR importance resampling's scale claim: once the B-bucket
+    log-ratio recipe is collected (two bounded aggregates, paid before
+    the plan under test), the SCORING pass over the raw corpus is a
+    pure projection — the returned plan must contain no join, no
+    aggregate exchange, and take its top-k via TakeOrderedAndProject,
+    never a global range sort."""
+    import os
+
+    os.environ["SPARK_GRAFT_INCLUDE_PENDING"] = "1"
+    try:
+        from spotify_tracks_etl_portfolio_spark.plans.ext_curation import (
+            dsir_importance_scores,
+        )
+        from spotify_tracks_etl_portfolio_spark.sources.readers import (
+            read_parquet_table,
+        )
+        from pyspark.sql import functions as F
+
+        docs = read_parquet_table(spark, sf_dir, "documents")
+        df = dsir_importance_scores(docs, F.col("lang") == "en")
+        plan = plan_of_df(df)
+    finally:
+        os.environ.pop("SPARK_GRAFT_INCLUDE_PENDING", None)
+    assert "TakeOrderedAndProject" in plan
+    assert "rangepartitioning" not in plan
+    assert "Join" not in plan
+    assert "Exchange hashpartitioning" not in plan
+    assert plan.count("FileScan parquet") == 1
+
+
 def test_event_value_deciles_never_single_partitions(spark, sf_dir):
     """The decile query computes EXACT ntile(10) without the
     single-partition global-sort window: ranks come from per-bucket
