@@ -652,6 +652,67 @@ def build_text_index(docs: DataFrame, id_col: str, text_col: str, root: str) -> 
     ).write.mode("error").parquet(f"{root}/stats")
 
 
+def append_to_text_index(
+    new_docs: DataFrame, index_root: str, id_col: str, text_col: str
+) -> int:
+    """INCREMENTAL maintenance of a persisted inverted text index (the
+    text twin of ``similarity.append_to_ivfpq_index``): tokenize ONLY
+    the new batch, append its ``(token, doc_id, tf)`` postings into the
+    existing token-bucket partition directories (dynamic-partition
+    append — no existing file rewritten, concurrent readers keep a
+    consistent view) and its rows into ``doc_lengths``; the 1-row
+    corpus ``stats`` table (N, avgdl) stays FROZEN at the last full
+    build — the production contract between nightly rebuilds: per-term
+    df is computed live from the (now larger) posting lists at query
+    time, so appended docs are immediately searchable and scored with
+    base-corpus length normalization; the nightly rebuild refreshes
+    the stats. Deterministic tokenization ⇒ the append changes COST,
+    never which postings exist.
+
+    Concurrency contract: SINGLE WRITER, same as the IVFPQ index (the
+    version manifest is O_EXCL-claimed via the shared ledger —
+    ``similarity._record_index_version`` — so a violated contract can
+    mislabel rows-per-version but never lose a manifest).
+
+    Scale shape: per-batch cost = one tokenization + two hash aggs over
+    the BATCH + a batch-sized partitioned append. The corpus postings
+    are never re-read, never re-tokenized, never re-shuffled. Returns
+    the new version number."""
+    from spotify_tracks_etl_portfolio_spark.operators.similarity import (
+        _record_index_version,
+    )
+
+    toks = new_docs.select(
+        F.col(id_col).alias("doc_id"),
+        F.explode(tokens(text_col)).alias("token"),
+    )
+    postings = (
+        toks.groupBy("token", "doc_id")
+        .agg(F.count(F.lit(1)).cast("double").alias("tf"))
+        .withColumn("bucket", token_bucket("token"))
+    )
+    postings.persist()
+    try:
+        n_postings = postings.count()
+        buckets = sorted(
+            int(r["bucket"])
+            for r in postings.select("bucket").distinct().collect()
+        )
+        postings.write.mode("append").partitionBy("bucket").parquet(
+            f"{index_root}/postings"
+        )
+    finally:
+        postings.unpersist()
+    dl = toks.groupBy("doc_id").agg(
+        F.count(F.lit(1)).cast("double").alias("dl")
+    )
+    dl.write.mode("append").parquet(f"{index_root}/doc_lengths")
+    return _record_index_version(
+        index_root,
+        {"type": "append", "postings": n_postings, "buckets": buckets},
+    )
+
+
 def bm25_query_index(
     spark, root: str, terms: tuple[str, ...], k1: float, b: float, topk: int
 ) -> DataFrame:

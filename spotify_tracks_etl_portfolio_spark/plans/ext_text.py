@@ -1528,3 +1528,105 @@ def bm25_index_search(spark: SparkSession, sf_dir: str) -> DataFrame:
 _Q["bm25_index_search"].oracle = _bm25_oracle()
 
 
+def _bm25_incr_oracle() -> str:
+    """Frozen-stats incremental BM25 replay: postings/tf/df/doc-lengths
+    over the FULL corpus (base + the appended batch), but (N, avgdl)
+    over the BASE only — exactly what the served index computes when
+    the stats table is frozen at the last full build and postings were
+    appended (operators/text.py::append_to_text_index)."""
+    from spotify_tracks_etl_portfolio_spark.plans.analytics import (
+        BM25_B,
+        BM25_K1,
+        BM25_TERMS,
+    )
+
+    terms = ", ".join(f"'{t}'" for t in BM25_TERMS)
+    per_term = " + ".join(
+        f"COALESCE(max(CASE WHEN token = '{t}' THEN ts END), 0.0)"
+        for t in BM25_TERMS
+    )
+    return f"""
+WITH toks AS (
+  SELECT doc_id, unnest(string_split_regex(trim(text), '\\s+')) AS token
+  FROM documents WHERE trim(text) <> ''
+),
+dl AS (SELECT doc_id, CAST(count(*) AS DOUBLE) AS dl FROM toks GROUP BY doc_id),
+stats AS (
+  SELECT CAST(count(*) AS DOUBLE) AS n, avg(dl) AS avgdl
+  FROM dl WHERE doc_id % 10 != 7
+),
+tf AS (
+  SELECT doc_id, token, CAST(count(*) AS DOUBLE) AS tf
+  FROM toks WHERE token IN ({terms}) GROUP BY doc_id, token
+),
+dfreq AS (
+  SELECT token, CAST(count(DISTINCT doc_id) AS DOUBLE) AS df
+  FROM toks WHERE token IN ({terms}) GROUP BY token
+),
+ts AS (
+  SELECT tf.doc_id, tf.token,
+         ln((s.n - d.df + 0.5) / (d.df + 0.5) + 1.0)
+           * tf.tf * ({BM25_K1} + 1.0)
+           / (tf.tf + {BM25_K1} * (1.0 - {BM25_B} + {BM25_B} * dl.dl / s.avgdl))
+           AS ts
+  FROM tf JOIN dfreq d USING (token) JOIN dl USING (doc_id) CROSS JOIN stats s
+),
+bm25_scores AS (
+  SELECT doc_id, round({per_term}, 6) AS bm25
+  FROM ts GROUP BY doc_id
+)
+SELECT doc_id, bm25 FROM bm25_scores
+ORDER BY bm25 DESC, doc_id LIMIT 20
+"""
+
+
+@register_pending_r13(
+    "bm25_index_search_incremental",
+    oracle=_bm25_incr_oracle(),
+    description="BM25 served from a persisted inverted index AFTER an "
+    "incremental append (the text twin of embedding_ivfpq_append_topk, "
+    "completing the build-once/serve-many maintenance arc): the base "
+    "corpus (doc_id % 10 != 7) builds the index, today's batch (the "
+    "rest) appends via append_to_text_index — batch-only tokenization, "
+    "dynamic-partition postings append, doc_lengths append, version "
+    "ledger shared with the IVFPQ index — and the query scores "
+    "base+batch with per-term df computed LIVE from the grown posting "
+    "lists while (N, avgdl) stay FROZEN at the base build (the "
+    "production contract between nightly rebuilds: appended docs are "
+    "immediately searchable; the rebuild refreshes normalization). "
+    "The oracle replays exactly that frozen-stats math. Serve-side "
+    "plan unchanged: bucket-pruned postings scan, never a corpus "
+    "re-tokenize",
+    tags=("extension", "text", "search"),
+)
+def bm25_index_search_incremental(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    from spotify_tracks_etl_portfolio_spark.operators.text import (
+        append_to_text_index,
+        bm25_query_index,
+        build_text_index,
+    )
+    from spotify_tracks_etl_portfolio_spark.plans.analytics import (
+        BM25_B,
+        BM25_K1,
+        BM25_TERMS,
+    )
+
+    root = _artifact_root(
+        spark, "text_index_incr", os.path.realpath(sf_dir)
+    )
+
+    def _build(tmp: str) -> None:
+        docs = read_parquet_table(spark, sf_dir, "documents")
+        build_text_index(
+            docs.filter(F.col("doc_id") % 10 != 7), "doc_id", "text", tmp
+        )
+        append_to_text_index(
+            docs.filter(F.col("doc_id") % 10 == 7), tmp, "doc_id", "text"
+        )
+
+    _build_artifact_once(root, "stats", _build)
+    return bm25_query_index(spark, root, BM25_TERMS, BM25_K1, BM25_B, 20)
+
+

@@ -1350,3 +1350,60 @@ def test_dsir_planted_shift_oversamples_target_like_docs(spark):
     assert sorted(map(tuple, again)) == sorted(
         map(tuple, dsir_importance_scores(docs, F.col("tgt"), k=12).collect())
     )
+
+
+def test_text_index_append_frozen_stats_contract(spark, sf_dir, tmp_path):
+    """append_to_text_index must (a) leave every base posting/doc-length
+    row untouched, (b) add exactly the batch's postings (bit-identical
+    to indexing the batch directly), (c) leave the 1-row stats table
+    FROZEN at the base build, and (d) advance the shared version ledger
+    with a type=append manifest."""
+    import json
+
+    from spotify_tracks_etl_portfolio_spark.operators.similarity import (
+        ivfpq_index_version,
+    )
+    from spotify_tracks_etl_portfolio_spark.operators.text import (
+        append_to_text_index,
+        build_text_index,
+    )
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    base = docs.filter(F.col("doc_id") % 10 != 7)
+    batch = docs.filter(F.col("doc_id") % 10 == 7)
+    root = str(tmp_path / "tidx")
+    build_text_index(base, "doc_id", "text", root)
+    p_before = {
+        tuple(r) for r in spark.read.parquet(f"{root}/postings").collect()
+    }
+    dl_before = {
+        tuple(r) for r in spark.read.parquet(f"{root}/doc_lengths").collect()
+    }
+    stats_before = spark.read.parquet(f"{root}/stats").collect()
+
+    v = append_to_text_index(batch, root, "doc_id", "text")
+    assert v == 1 and ivfpq_index_version(root) == 1
+
+    p_after = {
+        tuple(r) for r in spark.read.parquet(f"{root}/postings").collect()
+    }
+    dl_after = {
+        tuple(r) for r in spark.read.parquet(f"{root}/doc_lengths").collect()
+    }
+    # (a) base rows a strict subset, untouched
+    assert p_before <= p_after
+    assert dl_before <= dl_after
+    # (b) exactly the batch's postings appended
+    broot = str(tmp_path / "tidx_batch_only")
+    build_text_index(batch, "doc_id", "text", broot)
+    p_batch = {
+        tuple(r) for r in spark.read.parquet(f"{broot}/postings").collect()
+    }
+    assert p_after - p_before == p_batch
+    # (c) stats frozen at the base build
+    assert spark.read.parquet(f"{root}/stats").collect() == stats_before
+    # (d) manifest recorded in the shared ledger
+    with open(f"{root}/versions/v1.json") as fh:
+        man = json.load(fh)
+    assert man["type"] == "append" and man["postings"] == len(p_batch)
+    assert man["buckets"] == sorted({t[-1] for t in p_batch})

@@ -306,6 +306,7 @@ SANCTIONED_NESTED_LOOP = {
     "tfidf_top_terms": "1-row corpus-count broadcast",
     "bm25_search_documents": "1-row (N, avgdl) corpus-stats broadcast",
     "bm25_index_search": "the same 1-row (N, avgdl) corpus-stats broadcast, read from the index",
+    "bm25_index_search_incremental": "the same 1-row frozen (N, avgdl) stats broadcast, read from the appended index",
     "gdpr_delete_documents": "1-row surviving-count broadcast onto the tombstone audit",
     "unigram_logprob_documents": "1-row token-total broadcast",
     "bigram_logprob_documents": "1-row vocab-size broadcast",
@@ -1003,6 +1004,10 @@ def test_persisted_index_artifacts_reused_across_calls(spark, sf_dir):
     pq_k = sim.auto_pq_k(n)
     cases = [
         ("bm25_index_search", "text_index", "stats", ""),
+        # round-12: the incremental append twin (base build + one
+        # frozen-stats append inside ONE _build_artifact_once closure —
+        # the marker is the frozen base stats table)
+        ("bm25_index_search_incremental", "text_index_incr", "stats", ""),
         ("trigram_like_search", "trgm_index", "postings", ""),
         # IVF/PQ artifact keys pin the round-8 DERIVED geometry
         # (auto_ivf_cells(n) / auto_pq_k(n) — the recorded plans)
