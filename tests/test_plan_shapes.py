@@ -1049,6 +1049,10 @@ def test_persisted_index_artifacts_reused_across_calls(spark, sf_dir):
     )
     qs = all_queries()
     for qname, artifact, marker, keysuffix in cases:
+        if qname not in qs:
+            # pending-gated debut in the normal (gate-closed) suite
+            # state — the forced-open freeze run covers it
+            continue
         if keysuffix == "|SEMX|":
             keysuffix = f"|new<{SEMX_NEW_MAX}|k={semx_k}|iters=3"
         first = qs[qname].fn(spark, sf_dir).collect()
