@@ -467,21 +467,12 @@ _FORCE_RERECORD = (
 _FORCE_RERECORD_AFTER_R10 = ()
 
 
-#: Round-11 changed-path consumers DEFERRED to the r12 window (the
-#: same self-promoting mechanism as _FORCE_RERECORD_AFTER_R10): these
-#: have a pre-r11 green driver row that certifies a retired code path,
-#: but the r11 window is budgeted exactly (8 debuts + 12 promoted
-#: deferred + the whole 30-row r06 cohort = 50), so they promote into
-#: the force queue the moment a CORRECTNESS artifact of round >= 11
-#: exists. SWEEP_r11 (192/192) certifies them meanwhile.
-_FORCE_RERECORD_AFTER_R11 = (
-    # bucketed k-gram serve (plans/extensions.py::_corpus_kgram_bucketed):
-    # the r10 row certifies the plain-parquet artifact path; rows are
-    # bit-identical (oracle re-verified + plan-gated) but the serve
-    # layout every call runs changed. The other two consumers (cut,
-    # streaming gate) debut in r11 and record the new path directly.
-    "exact_substring_new_vs_corpus",
-)
+#: Round-11 changed-path consumer (the bucketed k-gram serve,
+#: `exact_substring_new_vs_corpus`) re-recorded GREEN in
+#: CORRECTNESS_r12 (verified name-by-name at round-13 start), so the
+#: queue is CLEARED per the standing per-round hygiene. The historical
+#: window-pin test carries the literal name.
+_FORCE_RERECORD_AFTER_R11 = ()
 
 
 #: Round-12 changed-path consumers DEFERRED to the r13 window (the

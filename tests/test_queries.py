@@ -408,20 +408,63 @@ def test_r11_window_landed_as_pinned():
     assert stale == [], stale
 
 
+# The round-12 force queue as it stood when CORRECTNESS_r12 was
+# recorded (cleared from plans/__init__.py at round-13 start per the
+# per-round hygiene — this literal pins the historical handoff).
+_R12_FORCE_QUEUE = ("exact_substring_new_vs_corpus",)
+
+
+def test_r12_window_landed_as_pinned():
+    """The r12 handoff is now HISTORY: CORRECTNESS_r12.json must contain
+    exactly what the round-12 window pin predicted — the 5 pending-r12
+    debuts, the promoted r11 force queue (the bucketed k-gram serve,
+    the literal above) all green, every row green, and no registered
+    query's latest row older than r08 afterwards. This is the artifact
+    the round-13 queue-clearing hygiene is justified by."""
+    import json
+    import os
+
+    from spotify_tracks_etl_portfolio_spark import plans
+
+    root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    with open(os.path.join(root, "CORRECTNESS_r12.json")) as fh:
+        r12 = json.load(fh)
+    assert len(r12) == 50
+    for name in _R12_FORCE_QUEUE + tuple(plans.PENDING_R12_NAMES):
+        row = r12.get(name)
+        assert row is not None, f"{name} missing from CORRECTNESS_r12"
+        assert row["hash_match"] and row["rows_match"], name
+    assert all(v["hash_match"] and v["rows_match"] for v in r12.values())
+    # the queue those rows certify is cleared (round-13 hygiene)
+    assert plans._FORCE_RERECORD == ()
+    assert plans._FORCE_RERECORD_AFTER_R10 == ()
+    assert plans._FORCE_RERECORD_AFTER_R11 == ()
+    # staleness floor: no registered query's latest row older than r08
+    plans.all_queries()  # side-effect: populate QUERIES
+    rec = plans._recorded_status(max_round=12)
+    stale = [
+        (n, r) for n, (r, _s) in rec.items()
+        if n in plans.QUERIES and r < 8
+    ]
+    assert stale == [], stale
+
+
 def test_r12_window_promotes_r11_deferred(monkeypatch):
     """Pin the r12 window against the REAL recorded state as of the r11
     artifact landing (``_recorded_status(max_round=11)`` — stable after
     CORRECTNESS_r12+ land): the 5 pending-r12 debuts lead (group 2,
-    never recorded), the r11 changed-path consumer
-    (_FORCE_RERECORD_AFTER_R11: the bucketed k-gram serve) promotes
-    into the force group, and the remaining slots go stalest-first —
-    the WHOLE r07 cohort (29 rows) before any r08 row. Pending-r13
-    debuts are excluded: they are unregistered as of the r11 state this
-    test pins, but the freeze-time forced-open gate registers them."""
+    never recorded), the r11 changed-path consumer (the bucketed k-gram
+    serve — the _R12_FORCE_QUEUE literal; the live tuple was cleared at
+    round-13 start after its r12 row landed green) promotes into the
+    force group, and the remaining slots go stalest-first — the WHOLE
+    r07 cohort (29 rows) before any r08 row. Pending-r13 debuts are
+    excluded: they are unregistered as of the r11 state this test pins,
+    but the freeze-time forced-open gate registers them."""
     from spotify_tracks_etl_portfolio_spark import plans
 
     as_of_r11 = plans._recorded_status(max_round=11)
     monkeypatch.setattr(plans, "_recorded_status", lambda: as_of_r11)
+    monkeypatch.setattr(plans, "_FORCE_RERECORD_AFTER_R11", _R12_FORCE_QUEUE)
     ordered = [
         n for n in plans.all_queries() if n not in plans.PENDING_R13_NAMES
     ]
@@ -432,14 +475,14 @@ def test_r12_window_promotes_r11_deferred(monkeypatch):
     assert set(debuts) == set(plans.PENDING_R12_NAMES), debuts
     assert window[: len(debuts)] == debuts, window[:8]
     # the promoted r11 deferred re-record is next (force group)
-    assert set(plans._FORCE_RERECORD_AFTER_R11) <= set(window)
+    assert set(_R12_FORCE_QUEUE) <= set(window)
     assert window[len(debuts)] == "exact_substring_new_vs_corpus"
     # remaining slots go stalest-first: the WHOLE r07 cohort plus the
     # head of r08 — never anything younger while an older cohort is
     # incomplete
     rest = [
         n for n in window
-        if n not in plans._FORCE_RERECORD_AFTER_R11 and n in as_of_r11
+        if n not in _R12_FORCE_QUEUE and n in as_of_r11
     ]
     rounds = [as_of_r11[n][0] for n in rest]
     assert set(rounds) <= {7, 8}, set(rounds)
@@ -461,12 +504,18 @@ def test_r13_window_promotes_r12_deferred(monkeypatch):
 
     as_of_r11 = plans._recorded_status(max_round=11)
     monkeypatch.setattr(plans, "_recorded_status", lambda: as_of_r11)
+    # replay history: the r12 window was computed while the (since
+    # cleared) r11 force queue was still live
+    monkeypatch.setattr(plans, "_FORCE_RERECORD_AFTER_R11", _R12_FORCE_QUEUE)
     r12_window = [
         n for n in plans.all_queries() if n not in plans.PENDING_R13_NAMES
     ][:50]
     fake = dict(as_of_r11)
     for n in r12_window:
         fake[n] = (12, "pass")
+    # the r13 window runs on the LIVE code: the r11 queue cleared at
+    # round-13 start (its r12 row is green), only the r12 queue promotes
+    monkeypatch.setattr(plans, "_FORCE_RERECORD_AFTER_R11", ())
     monkeypatch.setattr(plans, "_recorded_status", lambda: fake)
     window = [
         n for n in plans.all_queries() if n not in plans.PENDING_R13_NAMES
@@ -474,12 +523,11 @@ def test_r13_window_promotes_r12_deferred(monkeypatch):
     assert set(plans._FORCE_RERECORD_AFTER_R12) <= set(window), sorted(
         set(plans._FORCE_RERECORD_AFTER_R12) - set(window)
     )
-    # _FORCE_RERECORD_AFTER_R11 stays populated until the r13-start
-    # hygiene clears it (its r12 row is green by then), so its name
-    # still sorts into the force group in this simulation
+    # the spent re-record must NOT burn a second slot: its r12 row is
+    # green and the cleared queue leaves it in the stalest-first pool
+    assert "exact_substring_new_vs_corpus" not in window
     force_names = (
         set(plans._FORCE_RERECORD)
-        | set(plans._FORCE_RERECORD_AFTER_R11)
         | set(plans._FORCE_RERECORD_AFTER_R12)
     )
     rest = [n for n in window if n not in force_names and n in fake]
