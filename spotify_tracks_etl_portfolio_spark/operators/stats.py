@@ -43,22 +43,27 @@ def column_modes(df: DataFrame, cols: list[str]) -> dict[str, object]:
     reference takes ``.iloc[0]`` (``reference: dags/de_spotify_silver.py:64-69``)
     — so ties break to the smallest value.
 
-    Scale shape: ALL string columns are unpivoted to (col, val) rows and
-    counted in ONE shuffle (the reference loops a pandas ``.mode()`` per
+    Scale shape: columns are grouped by their Spark dtype and every
+    group is unpivoted to (col, val) rows and counted in ONE shuffle
+    per DISTINCT dtype (the reference loops a pandas ``.mode()`` per
     column); the argmax-per-column is a ``min_by`` over
-    ``struct(−cnt, val)`` — highest count, ties to smallest value — with
-    no driver-side sort. Non-string columns fall back to a per-column
-    pass (a shared unpivot would force a lossy common cast).
+    ``struct(−cnt, val)`` — highest count, ties to smallest value IN
+    THE COLUMN'S OWN TYPE ORDER (a shared cross-type unpivot would
+    force a lossy common cast and a string tie-break, which orders
+    ``10 < 9``). Job count is bounded by the number of distinct dtypes
+    (a handful), never the column count, so a wide all-numeric schema
+    still runs O(1) aggregation passes.
     """
     if not cols:
         return {}
     dtypes = dict(df.dtypes)
     out: dict[str, object] = {}
 
-    string_cols = [c for c in cols if dtypes[c] == "string"]
-    other_cols = [c for c in cols if dtypes[c] != "string"]
+    by_type: dict[str, list[str]] = {}
+    for c in cols:
+        by_type.setdefault(dtypes[c], []).append(c)
 
-    if string_cols:
+    for group in by_type.values():
         stacked = df.select(
             F.explode(
                 F.array(
@@ -66,7 +71,7 @@ def column_modes(df: DataFrame, cols: list[str]) -> dict[str, object]:
                         F.struct(
                             F.lit(c).alias("col"), F.col(c).alias("val")
                         )
-                        for c in string_cols
+                        for c in group
                     ]
                 )
             ).alias("cv")
@@ -86,21 +91,8 @@ def column_modes(df: DataFrame, cols: list[str]) -> dict[str, object]:
             .collect()
         )
         found = {r["col"]: r["mode"] for r in rows}
-        for c in string_cols:
+        for c in group:
             out[c] = found.get(c)
-
-    for c in other_cols:
-        counted = (
-            df.filter(F.col(c).isNotNull())
-            .groupBy(F.col(c).alias("val"))
-            .agg(F.count(F.lit(1)).alias("cnt"))
-        )
-        row = counted.agg(
-            F.min_by("val", F.struct((-F.col("cnt")).alias("nc"), F.col("val"))).alias(
-                "mode"
-            )
-        ).first()
-        out[c] = row["mode"]
     return out
 
 

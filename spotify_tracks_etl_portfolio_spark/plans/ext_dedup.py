@@ -264,12 +264,14 @@ WHERE bit_count(xor(a.simhash, b.simhash)) <= 3
     "pair within Hamming ≤ 3 matches at least one chunk exactly, so "
     "candidates come from narrow (chunk, value) equi-joins — identical "
     "result set to the all-pairs filter (recall 1.0 by pigeonhole), "
-    "never touching the |docs|² pair space. This is the FROZEN TOY "
-    "geometry (kept for recording continuity; its 2^8 chunk buckets "
-    "saturate past ~10^5 docs) — the registered SCALE plan is the "
-    "simhash_near_dups_wide twin, and bare operator callers get the "
-    "n-derived auto width",
-    tags=("extension", "dedup", "lsh"),
+    "never touching the |docs|² pair space. NON-SCALE A/B CONTROL: "
+    "this is the FROZEN TOY geometry, kept ONLY as the measured "
+    "contrast against the registered SCALE plan (its 2^8 chunk buckets "
+    "saturate past ~10^5 docs — 18.6x wall at 10x data, STRESS_r12, vs "
+    "the wide twin's 5.0x). Never deploy this geometry at scale: use "
+    "simhash_near_dups_wide; bare operator callers get the n-derived "
+    "auto width, which leaves this geometry from ~10^5 docs up",
+    tags=("extension", "dedup", "lsh", "toy-control"),
 )
 def simhash_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = read_parquet_table(spark, sf_dir, "documents")

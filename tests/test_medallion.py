@@ -49,6 +49,19 @@ def test_mode_tie_breaks_ascending_like_pandas(bronze):
     assert column_modes(bronze, ["genre"])["genre"] == "x"
 
 
+def test_mode_typed_tie_break_not_string_order(spark):
+    # Mixed dtypes in one call: each dtype group is one unpivoted pass
+    # and the tie-break compares in the COLUMN'S OWN type order — a
+    # string-cast unpivot would break the int tie as '10' < '9'.
+    df = spark.createDataFrame(
+        [(9, 1.5, "b"), (9, 1.5, "b"), (10, 0.25, "a"), (10, 0.25, "a")],
+        "i int, d double, s string",
+    )
+    modes = column_modes(df, ["i", "d", "s"])
+    assert modes == {"i": 9, "d": 0.25, "s": "a"}
+    assert isinstance(modes["i"], int) and isinstance(modes["d"], float)
+
+
 def test_dedup_keeps_lowest_order_key(bronze):
     out = dedup_first(bronze, "track_id", ["idx"])
     rows = {r["track_id"]: r["idx"] for r in out.collect()}
