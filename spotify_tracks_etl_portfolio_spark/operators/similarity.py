@@ -1970,6 +1970,21 @@ def append_to_ivfpq_index(
     centroids/codebooks (pytest-pinned; hash-gated via
     ``embedding_ivfpq_append_topk``).
 
+    Rebuild threshold (measured): recall@5 under appends is pinned by
+    ``test_ivfpq_recall_holds_under_appends`` — on same-distribution
+    appends it stays flat (0.96 → 0.96 → 0.92 → 0.96 at 23%/45%/67%
+    of base appended, sf0.001 geometry k=18/nprobe=5), because frozen
+    quantizers only lose recall with genuine DISTRIBUTION drift, not
+    with volume. Operational rule: schedule the nightly/weekly rebuild
+    when EITHER (a) cumulative appended rows exceed ~50% of the base
+    build (past the measured flat region — cheap insurance even
+    without drift), or (b) ``ivfpq_cell_drift`` shows the appended
+    batch's cell-occupancy distribution diverging from the base's
+    (ratio_new_vs_base outside ~[0.5, 2.0] on cells holding a
+    meaningful share) — that skew is exactly what stale centroids look
+    like, and it degrades both recall and probe balance before any
+    volume rule fires.
+
     Concurrency contract: SINGLE WRITER. Index maintenance (appends and
     ``optimize_ivfpq_cells``) is a serialized nightly/periodic job, the
     same contract as ``build_ivfpq_index`` itself — two concurrent

@@ -1538,3 +1538,75 @@ def test_ivfpq_optimize_cells_compacts_without_changing_rows(
     # default target (cells are now 1-2 files) and records no version
     again = sim.optimize_ivfpq_cells(spark, root)
     assert not again["cells"] or again["files_after"] <= again["files_before"]
+
+
+def test_ivfpq_recall_holds_under_appends(spark, sf_dir, tmp_path):
+    """Quantify ANN recall drift as the appended fraction grows
+    (round-12 verdict item 8): frozen centroids/codebooks mean appended
+    vectors are quantized against models they never trained, so recall
+    can only degrade with append volume. Grow the index from a 60%
+    base through three appends (~23%/~45%/~67% of base) and assert
+    recall@5 vs the exact brute force over the CURRENT corpus stays
+    above the same 0.6 floor the build-time tests gate — the measured
+    basis for the documented rebuild threshold on
+    ``append_to_ivfpq_index`` (rebuild before appends exceed ~50% of
+    base)."""
+    from pyspark.sql import Window
+
+    from spotify_tracks_etl_portfolio_spark.functions import vec_dot
+
+    emb = read_parquet_table(spark, sf_dir, "embeddings")
+    base = emb.filter(F.col("vec_id") < 300)
+    batches = [
+        emb.filter((F.col("vec_id") >= lo) & (F.col("vec_id") < hi))
+        for lo, hi in ((300, 370), (370, 435), (435, 500))
+    ]
+    n = base.count()
+    ivf_k = sim.auto_ivf_cells(n)
+    nprobe = sim.auto_ivf_nprobe(ivf_k)
+    pq_k = sim.auto_pq_k(n)
+    root = str(tmp_path / "ivfpq_drift")
+    sim.build_ivfpq_index(
+        base, "vec_id", "embedding", root, k_cells=ivf_k, pq_k=pq_k
+    )
+    queries = emb.filter(F.col("vec_id") < 5)
+    qs = queries.select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("qv")
+    )
+
+    def recall_at_5(corpus):
+        c = corpus.select(
+            F.col("vec_id").alias("neighbor_id"),
+            F.col("embedding").alias("cv"),
+        )
+        w = Window.partitionBy("query_id").orderBy(
+            F.desc("ip"), F.asc("neighbor_id")
+        )
+        exact = (
+            c.crossJoin(F.broadcast(qs))
+            .filter("neighbor_id != query_id")
+            .withColumn("ip", F.round(vec_dot("cv", "qv"), 6))
+            .withColumn("rk", F.row_number().over(w))
+            .filter("rk<=5")
+        )
+        approx = sim.ivfpq_query_index(
+            spark, root, queries, corpus, "vec_id", "embedding", 5,
+            nprobe=nprobe,
+        )
+        e = {(r["query_id"], r["neighbor_id"]) for r in exact.collect()}
+        a = {(r["query_id"], r["neighbor_id"]) for r in approx.collect()}
+        return len(e & a) / len(e)
+
+    corpus = base
+    recalls = [recall_at_5(corpus)]
+    for batch in batches:
+        sim.append_to_ivfpq_index(batch, root, "vec_id", "embedding")
+        corpus = corpus.unionByName(batch)
+        recalls.append(recall_at_5(corpus))
+    # floor at EVERY append stage, not just the end — a collapse right
+    # after the first append would otherwise hide behind a recovery
+    assert all(r >= 0.6 for r in recalls), recalls
+    # drift bound: appends may cost recall but never a cliff — the
+    # fully-grown index (67% appended) stays within 0.3 of the
+    # fresh-build recall
+    assert recalls[-1] >= recalls[0] - 0.3, recalls
