@@ -259,20 +259,575 @@ def decode_ppm(blob: bytes) -> dict:
     }
 
 
+# ===========================================================================
+# Baseline JPEG (ITU-T T.81 / JFIF), pure Python + numpy IDCT.
+#
+# Decoder: general baseline sequential (SOF0) — DQT/DHT tables read from
+# the FILE (any standard-compliant baseline encoder's output decodes, not
+# just ours), 1- or 3-component scans at 4:4:4 (all sampling factors 1),
+# 8- or 16-bit quant tables, DRI/RSTn restart markers, byte-stuffing. The
+# un-supported corners of the spec (progressive SOF2, arithmetic coding,
+# chroma subsampling, 12-bit) raise the documented ``NotImplementedError``
+# codec seam with a precise message. A 100 TB multimodal corpus is mostly
+# JPEG — this is the decode path the fingerprint/dedup family runs on it.
+#
+# Encoder (tests + synthetic media): grayscale or RGB 4:4:4 with ALL-ONES
+# quantization tables — the near-lossless corner of baseline JPEG (the
+# only loss left is DCT-coefficient rounding, ±<1 gray level per pixel in
+# the mean), so decoded statistics verify against the lossless twin with
+# wide margins while still exercising every decoder stage (DCT, Huffman,
+# zigzag, DC prediction, stuffing).
+# ===========================================================================
+
+#: Zigzag scan order: position k in the scan -> index row*8+col.
+_JPEG_ZIGZAG = [
+    0, 1, 8, 16, 9, 2, 3, 10, 17, 24, 32, 25, 18, 11, 4, 5,
+    12, 19, 26, 33, 40, 48, 41, 34, 27, 20, 13, 6, 7, 14, 21, 28,
+    35, 42, 49, 56, 57, 50, 43, 36, 29, 22, 15, 23, 30, 37, 44, 51,
+    58, 59, 52, 45, 38, 31, 39, 46, 53, 60, 61, 54, 47, 55, 62, 63,
+]
+
+# Standard Huffman tables, ITU-T T.81 Annex K.3 (the tables virtually
+# every baseline encoder ships): (BITS counts for lengths 1..16, HUFFVAL).
+_JPEG_STD_DC_LUM = (
+    [0, 1, 5, 1, 1, 1, 1, 1, 1, 0, 0, 0, 0, 0, 0, 0],
+    list(range(12)),
+)
+_JPEG_STD_DC_CHR = (
+    [0, 3, 1, 1, 1, 1, 1, 1, 1, 1, 1, 0, 0, 0, 0, 0],
+    list(range(12)),
+)
+_JPEG_STD_AC_LUM = (
+    [0, 2, 1, 3, 3, 2, 4, 3, 5, 5, 4, 4, 0, 0, 1, 0x7D],
+    [
+        0x01, 0x02, 0x03, 0x00, 0x04, 0x11, 0x05, 0x12, 0x21, 0x31, 0x41,
+        0x06, 0x13, 0x51, 0x61, 0x07, 0x22, 0x71, 0x14, 0x32, 0x81, 0x91,
+        0xA1, 0x08, 0x23, 0x42, 0xB1, 0xC1, 0x15, 0x52, 0xD1, 0xF0, 0x24,
+        0x33, 0x62, 0x72, 0x82, 0x09, 0x0A, 0x16, 0x17, 0x18, 0x19, 0x1A,
+        0x25, 0x26, 0x27, 0x28, 0x29, 0x2A, 0x34, 0x35, 0x36, 0x37, 0x38,
+        0x39, 0x3A, 0x43, 0x44, 0x45, 0x46, 0x47, 0x48, 0x49, 0x4A, 0x53,
+        0x54, 0x55, 0x56, 0x57, 0x58, 0x59, 0x5A, 0x63, 0x64, 0x65, 0x66,
+        0x67, 0x68, 0x69, 0x6A, 0x73, 0x74, 0x75, 0x76, 0x77, 0x78, 0x79,
+        0x7A, 0x83, 0x84, 0x85, 0x86, 0x87, 0x88, 0x89, 0x8A, 0x92, 0x93,
+        0x94, 0x95, 0x96, 0x97, 0x98, 0x99, 0x9A, 0xA2, 0xA3, 0xA4, 0xA5,
+        0xA6, 0xA7, 0xA8, 0xA9, 0xAA, 0xB2, 0xB3, 0xB4, 0xB5, 0xB6, 0xB7,
+        0xB8, 0xB9, 0xBA, 0xC2, 0xC3, 0xC4, 0xC5, 0xC6, 0xC7, 0xC8, 0xC9,
+        0xCA, 0xD2, 0xD3, 0xD4, 0xD5, 0xD6, 0xD7, 0xD8, 0xD9, 0xDA, 0xE1,
+        0xE2, 0xE3, 0xE4, 0xE5, 0xE6, 0xE7, 0xE8, 0xE9, 0xEA, 0xF1, 0xF2,
+        0xF3, 0xF4, 0xF5, 0xF6, 0xF7, 0xF8, 0xF9, 0xFA,
+    ],
+)
+_JPEG_STD_AC_CHR = (
+    [0, 2, 1, 2, 4, 4, 3, 4, 7, 5, 4, 4, 0, 1, 2, 0x77],
+    [
+        0x00, 0x01, 0x02, 0x03, 0x11, 0x04, 0x05, 0x21, 0x31, 0x06, 0x12,
+        0x41, 0x51, 0x07, 0x61, 0x71, 0x13, 0x22, 0x32, 0x81, 0x08, 0x14,
+        0x42, 0x91, 0xA1, 0xB1, 0xC1, 0x09, 0x23, 0x33, 0x52, 0xF0, 0x15,
+        0x62, 0x72, 0xD1, 0x0A, 0x16, 0x24, 0x34, 0xE1, 0x25, 0xF1, 0x17,
+        0x18, 0x19, 0x1A, 0x26, 0x27, 0x28, 0x29, 0x2A, 0x35, 0x36, 0x37,
+        0x38, 0x39, 0x3A, 0x43, 0x44, 0x45, 0x46, 0x47, 0x48, 0x49, 0x4A,
+        0x53, 0x54, 0x55, 0x56, 0x57, 0x58, 0x59, 0x5A, 0x63, 0x64, 0x65,
+        0x66, 0x67, 0x68, 0x69, 0x6A, 0x73, 0x74, 0x75, 0x76, 0x77, 0x78,
+        0x79, 0x7A, 0x82, 0x83, 0x84, 0x85, 0x86, 0x87, 0x88, 0x89, 0x8A,
+        0x92, 0x93, 0x94, 0x95, 0x96, 0x97, 0x98, 0x99, 0x9A, 0xA2, 0xA3,
+        0xA4, 0xA5, 0xA6, 0xA7, 0xA8, 0xA9, 0xAA, 0xB2, 0xB3, 0xB4, 0xB5,
+        0xB6, 0xB7, 0xB8, 0xB9, 0xBA, 0xC2, 0xC3, 0xC4, 0xC5, 0xC6, 0xC7,
+        0xC8, 0xC9, 0xCA, 0xD2, 0xD3, 0xD4, 0xD5, 0xD6, 0xD7, 0xD8, 0xD9,
+        0xDA, 0xE2, 0xE3, 0xE4, 0xE5, 0xE6, 0xE7, 0xE8, 0xE9, 0xEA, 0xF2,
+        0xF3, 0xF4, 0xF5, 0xF6, 0xF7, 0xF8, 0xF9, 0xFA,
+    ],
+)
+
+
+def _jpeg_canonical_codes(bits: list[int], vals: list[int]) -> dict:
+    """Canonical Huffman code assignment (T.81 C.2): ``{symbol: (code,
+    length)}``."""
+    out, code = {}, 0
+    i = 0
+    for length in range(1, 17):
+        for _ in range(bits[length - 1]):
+            out[vals[i]] = (code, length)
+            code += 1
+            i += 1
+        code <<= 1
+    return out
+
+
+def _jpeg_decode_tree(bits: list[int], vals: list[int]) -> dict:
+    """Decoding map ``{(length, code): symbol}`` from a DHT spec."""
+    out, code = {}, 0
+    i = 0
+    for length in range(1, 17):
+        for _ in range(bits[length - 1]):
+            out[(length, code)] = vals[i]
+            code += 1
+            i += 1
+        code <<= 1
+    return out
+
+
+def _jpeg_dct_matrix():
+    import numpy as np
+
+    k = np.arange(8).reshape(8, 1)
+    i = np.arange(8).reshape(1, 8)
+    m = np.cos((2 * i + 1) * k * np.pi / 16) * np.sqrt(2.0 / 8)
+    m[0, :] = np.sqrt(1.0 / 8)
+    return m
+
+
+class _JpegBitWriter:
+    """MSB-first bit accumulator with 0xFF byte stuffing (F.1.2.3)."""
+
+    def __init__(self) -> None:
+        self.buf = bytearray()
+        self.acc = 0
+        self.nbits = 0
+
+    def write(self, code: int, length: int) -> None:
+        self.acc = (self.acc << length) | (code & ((1 << length) - 1))
+        self.nbits += length
+        while self.nbits >= 8:
+            byte = (self.acc >> (self.nbits - 8)) & 0xFF
+            self.buf.append(byte)
+            if byte == 0xFF:
+                self.buf.append(0x00)
+            self.nbits -= 8
+        self.acc &= (1 << self.nbits) - 1
+
+    def restart(self, n: int) -> None:
+        """Byte-align (1-fill) and emit RSTn — markers are never
+        stuffed, so they bypass ``write``."""
+        if self.nbits:
+            pad = 8 - self.nbits
+            self.write((1 << pad) - 1, pad)
+        self.buf += bytes((0xFF, 0xD0 + (n % 8)))
+
+    def flush(self) -> bytes:
+        if self.nbits:
+            pad = 8 - self.nbits
+            self.write((1 << pad) - 1, pad)  # 1-fill per F.1.2.3
+        return bytes(self.buf)
+
+
+class _JpegBitReader:
+    """MSB-first bit reader over entropy-coded data; un-stuffs 0xFF 0x00
+    and stops at any other marker (the caller handles RSTn)."""
+
+    def __init__(self, data: bytes, pos: int) -> None:
+        self.data = data
+        self.pos = pos
+        self.acc = 0
+        self.nbits = 0
+
+    def _fill(self) -> None:
+        d = self.data
+        if self.pos >= len(d):
+            raise ValueError("truncated JPEG entropy stream")
+        b = d[self.pos]
+        if b == 0xFF:
+            nxt = d[self.pos + 1] if self.pos + 1 < len(d) else None
+            if nxt == 0x00:
+                self.pos += 2
+            else:
+                raise _JpegMarkerHit(nxt)
+        else:
+            self.pos += 1
+        self.acc = (self.acc << 8) | b
+        self.nbits += 8
+
+    def bit(self) -> int:
+        if not self.nbits:
+            self._fill()
+        self.nbits -= 1
+        return (self.acc >> self.nbits) & 1
+
+    def bits(self, n: int) -> int:
+        v = 0
+        for _ in range(n):
+            v = (v << 1) | self.bit()
+        return v
+
+    def align_to_marker(self) -> int:
+        """Drop partial bits and consume a marker (for RSTn)."""
+        self.acc = 0
+        self.nbits = 0
+        d = self.data
+        while self.pos + 1 < len(d):
+            if d[self.pos] == 0xFF and d[self.pos + 1] != 0x00:
+                marker = d[self.pos + 1]
+                self.pos += 2
+                return marker
+            self.pos += 1
+        raise ValueError("truncated JPEG: expected restart marker")
+
+
+class _JpegMarkerHit(Exception):
+    """Internal: the entropy decoder ran into a real marker."""
+
+    def __init__(self, marker):
+        self.marker = marker
+
+
+def _jpeg_huff_read(reader: _JpegBitReader, tree: dict) -> int:
+    code, length = 0, 0
+    while length < 16:
+        code = (code << 1) | reader.bit()
+        length += 1
+        sym = tree.get((length, code))
+        if sym is not None:
+            return sym
+    raise ValueError("invalid JPEG Huffman code")
+
+
+def _jpeg_extend(v: int, t: int) -> int:
+    """Sign-extend a t-bit magnitude value (T.81 F.2.2.1 EXTEND)."""
+    return v - (1 << t) + 1 if t and v < (1 << (t - 1)) else v
+
+
+def _jpeg_category(v: int) -> int:
+    """Bit category of a DC diff / AC value (T.81 F.1.2.1.1)."""
+    a, t = abs(v), 0
+    while a:
+        a >>= 1
+        t += 1
+    return t
+
+
+def encode_jpeg_gray(
+    data: bytes, width: int = 16, restart_interval: int = 0
+) -> bytes:
+    """Real baseline JFIF, 8-bit grayscale, ALL-ONES quant table (the
+    near-lossless corner): payload zero-padded to the grid like the
+    other gray encoders, image edge-replicated to 8-pixel block
+    multiples (SOF0 keeps the TRUE dims; the decoder crops).
+    ``restart_interval`` > 0 emits DRI + RSTn markers every N MCUs."""
+    padded, height = _pad_to_grid(data, width)
+    return _encode_jpeg_planes(
+        [padded], width, height, gray=True, restart_interval=restart_interval
+    )
+
+
+def encode_jpeg_rgb(rgb: bytes, width: int, height: int) -> bytes:
+    """Real baseline JFIF, 3-component YCbCr 4:4:4 from interleaved RGB
+    bytes — exercises the decoder's multi-component scan, chroma quant/
+    Huffman table selection, and color conversion."""
+    if len(rgb) != width * height * 3:
+        raise ValueError("rgb payload must be width*height*3 bytes")
+    import numpy as np
+
+    px = np.frombuffer(rgb, dtype=np.uint8).reshape(height, width, 3)
+    r = px[:, :, 0].astype(np.float64)
+    g = px[:, :, 1].astype(np.float64)
+    b = px[:, :, 2].astype(np.float64)
+    y = 0.299 * r + 0.587 * g + 0.114 * b
+    cb = 128.0 - 0.168735892 * r - 0.331264108 * g + 0.5 * b
+    cr = 128.0 + 0.5 * r - 0.418687589 * g - 0.081312411 * b
+    planes = [
+        np.clip(np.rint(p), 0, 255).astype(np.uint8).tobytes()
+        for p in (y, cb, cr)
+    ]
+    return _encode_jpeg_planes(planes, width, height, gray=False)
+
+
+def _encode_jpeg_planes(
+    planes: list[bytes],
+    width: int,
+    height: int,
+    gray: bool,
+    restart_interval: int = 0,
+) -> bytes:
+    import numpy as np
+
+    m = _jpeg_dct_matrix()
+    ncomp = len(planes)
+    bw, bh = -(-width // 8), -(-height // 8)
+    dc_tabs = [
+        _jpeg_canonical_codes(*(_JPEG_STD_DC_LUM if c == 0 else _JPEG_STD_DC_CHR))
+        for c in range(ncomp)
+    ]
+    ac_tabs = [
+        _jpeg_canonical_codes(*(_JPEG_STD_AC_LUM if c == 0 else _JPEG_STD_AC_CHR))
+        for c in range(ncomp)
+    ]
+    imgs = []
+    for p in planes:
+        img = np.frombuffer(p, dtype=np.uint8).reshape(height, width)
+        imgs.append(
+            np.pad(
+                img, ((0, bh * 8 - height), (0, bw * 8 - width)), mode="edge"
+            ).astype(np.float64)
+            - 128.0
+        )
+    wr = _JpegBitWriter()
+    pred = [0] * ncomp
+    mcu = 0
+    for by in range(bh):
+        for bx in range(bw):
+            if restart_interval and mcu and mcu % restart_interval == 0:
+                wr.restart(mcu // restart_interval - 1)
+                pred = [0] * ncomp
+            mcu += 1
+            for c in range(ncomp):
+                block = imgs[c][by * 8 : by * 8 + 8, bx * 8 : bx * 8 + 8]
+                coef = np.rint(m @ block @ m.T).astype(np.int64)
+                zz = [int(coef.flat[_JPEG_ZIGZAG[k]]) for k in range(64)]
+                diff = zz[0] - pred[c]
+                pred[c] = zz[0]
+                t = _jpeg_category(diff)
+                code, ln = dc_tabs[c][t]
+                wr.write(code, ln)
+                if t:
+                    wr.write(diff if diff >= 0 else diff + (1 << t) - 1, t)
+                run = 0
+                for k in range(1, 64):
+                    v = zz[k]
+                    if v == 0:
+                        run += 1
+                        continue
+                    while run > 15:
+                        code, ln = ac_tabs[c][0xF0]  # ZRL
+                        wr.write(code, ln)
+                        run -= 16
+                    t = _jpeg_category(v)
+                    code, ln = ac_tabs[c][(run << 4) | t]
+                    wr.write(code, ln)
+                    wr.write(v if v >= 0 else v + (1 << t) - 1, t)
+                    run = 0
+                if run:
+                    code, ln = ac_tabs[c][0x00]  # EOB
+                    wr.write(code, ln)
+    scan = wr.flush()
+
+    def seg(marker: int, payload: bytes) -> bytes:
+        return bytes((0xFF, marker)) + struct.pack(">H", len(payload) + 2) + payload
+
+    out = bytearray(b"\xff\xd8")  # SOI
+    out += seg(0xE0, b"JFIF\x00\x01\x01\x00\x00\x01\x00\x01\x00\x00")
+    if restart_interval:
+        out += seg(0xDD, struct.pack(">H", restart_interval))  # DRI
+    out += seg(0xDB, b"\x00" + bytes([1] * 64))  # DQT 0: all ones
+    if ncomp == 3:
+        out += seg(0xDB, b"\x01" + bytes([1] * 64))
+    sof = bytearray(struct.pack(">BHHB", 8, height, width, ncomp))
+    for c in range(ncomp):
+        sof += bytes((c + 1, 0x11, 0 if (gray or c == 0) else 1))
+    out += seg(0xC0, bytes(sof))  # SOF0 baseline
+    for cls, tid, (bits, vals) in (
+        (0, 0, _JPEG_STD_DC_LUM),
+        (1, 0, _JPEG_STD_AC_LUM),
+        *(() if ncomp == 1 else (
+            (0, 1, _JPEG_STD_DC_CHR),
+            (1, 1, _JPEG_STD_AC_CHR),
+        )),
+    ):
+        out += seg(
+            0xC4, bytes(((cls << 4) | tid,)) + bytes(bits) + bytes(vals)
+        )
+    sos = bytearray((ncomp,))
+    for c in range(ncomp):
+        tid = 0 if c == 0 else 1
+        sos += bytes((c + 1, (tid << 4) | tid))
+    sos += b"\x00\x3f\x00"
+    out += seg(0xDA, bytes(sos))
+    out += scan
+    out += b"\xff\xd9"  # EOI
+    return bytes(out)
+
+
+def decode_jpeg(blob: bytes) -> dict:
+    """Decode baseline sequential JFIF (SOF0): tables from the file,
+    1 or 3 components at 4:4:4, 8/16-bit DQT, DRI/RSTn, numpy-batched
+    IDCT. Progressive (SOF2), arithmetic coding, subsampling, and
+    12-bit precision raise the documented ``NotImplementedError``
+    codec seam. Returns format/width/height/channels/samples (RGB for
+    3-component scans, BT.601 rounding)."""
+    import numpy as np
+
+    if blob[:2] != b"\xff\xd8":
+        raise ValueError("not a JPEG")
+    qtables: dict[int, list[int]] = {}
+    htrees: dict[tuple[int, int], dict] = {}
+    width = height = None
+    comps: list[dict] = []
+    restart_interval = 0
+    pos = 2
+    while pos + 4 <= len(blob):
+        if blob[pos] != 0xFF:
+            raise ValueError("bad JPEG marker sync")
+        marker = blob[pos + 1]
+        if marker == 0xD9:  # EOI
+            break
+        (seglen,) = struct.unpack(">H", blob[pos + 2 : pos + 4])
+        data = blob[pos + 4 : pos + 2 + seglen]
+        if marker == 0xDB:  # DQT
+            dpos = 0
+            while dpos < len(data):
+                prec, tid = data[dpos] >> 4, data[dpos] & 0x0F
+                dpos += 1
+                if prec == 0:
+                    qtables[tid] = list(data[dpos : dpos + 64])
+                    dpos += 64
+                else:
+                    qtables[tid] = [
+                        struct.unpack(">H", data[dpos + 2 * k : dpos + 2 * k + 2])[0]
+                        for k in range(64)
+                    ]
+                    dpos += 128
+        elif marker == 0xC4:  # DHT
+            dpos = 0
+            while dpos < len(data):
+                cls, tid = data[dpos] >> 4, data[dpos] & 0x0F
+                bits = list(data[dpos + 1 : dpos + 17])
+                n = sum(bits)
+                vals = list(data[dpos + 17 : dpos + 17 + n])
+                htrees[(cls, tid)] = _jpeg_decode_tree(bits, vals)
+                dpos += 17 + n
+        elif marker == 0xC0 or marker == 0xC1:  # SOF0/1: baseline ok
+            prec, height, width, nc = struct.unpack(">BHHB", data[:6])
+            if prec != 8:
+                raise NotImplementedError(
+                    f"JPEG subset is 8-bit baseline; got precision {prec}"
+                )
+            comps = []
+            for c in range(nc):
+                cid, hv, tq = data[6 + 3 * c : 9 + 3 * c]
+                if hv != 0x11:
+                    raise NotImplementedError(
+                        "JPEG subset is 4:4:4 (no chroma subsampling); "
+                        f"got sampling factors 0x{hv:02x}"
+                    )
+                comps.append({"id": cid, "tq": tq})
+            if len(comps) not in (1, 3):
+                raise NotImplementedError(
+                    f"JPEG subset decodes 1 or 3 components; got {len(comps)}"
+                )
+        elif marker in (0xC2, 0xC3, 0xC5, 0xC6, 0xC7,
+                        0xC9, 0xCA, 0xCB, 0xCD, 0xCE, 0xCF):
+            raise NotImplementedError(
+                f"JPEG subset is baseline sequential (SOF0); got SOF marker "
+                f"0xFF{marker:02X} (progressive/arithmetic/hierarchical)"
+            )
+        elif marker == 0xDD:  # DRI
+            (restart_interval,) = struct.unpack(">H", data[:2])
+        elif marker == 0xDA:  # SOS
+            ns = data[0]
+            scan_comps = []
+            for s in range(ns):
+                cs, tabs = data[1 + 2 * s : 3 + 2 * s]
+                comp = next(c for c in comps if c["id"] == cs)
+                scan_comps.append(
+                    {**comp, "td": tabs >> 4, "ta": tabs & 0x0F}
+                )
+            return _jpeg_decode_scan(
+                blob, pos + 2 + seglen, scan_comps, qtables, htrees,
+                width, height, restart_interval, np,
+            )
+        pos += 2 + seglen
+    raise ValueError("JPEG: no SOS marker found")
+
+
+def _jpeg_decode_scan(
+    blob, spos, scan_comps, qtables, htrees, width, height,
+    restart_interval, np,
+):
+    ncomp = len(scan_comps)
+    bw, bh = -(-width // 8), -(-height // 8)
+    n_mcu = bw * bh
+    reader = _JpegBitReader(blob, spos)
+    pred = [0] * ncomp
+    coefs = np.zeros((ncomp, n_mcu, 64), dtype=np.float64)
+    mcu = 0
+    while mcu < n_mcu:
+        if restart_interval and mcu and mcu % restart_interval == 0:
+            marker = reader.align_to_marker()
+            if not (0xD0 <= marker <= 0xD7):
+                raise ValueError(
+                    f"JPEG: expected RSTn at MCU {mcu}, got 0xFF{marker:02X}"
+                )
+            pred = [0] * ncomp
+        try:
+            for c, sc in enumerate(scan_comps):
+                dct = htrees[(0, sc["td"])]
+                act = htrees[(1, sc["ta"])]
+                qt = qtables[sc["tq"]]
+                t = _jpeg_huff_read(reader, dct)
+                diff = _jpeg_extend(reader.bits(t), t) if t else 0
+                pred[c] += diff
+                block = coefs[c, mcu]
+                block[0] = pred[c] * qt[0]
+                k = 1
+                while k < 64:
+                    rs = _jpeg_huff_read(reader, act)
+                    if rs == 0x00:  # EOB
+                        break
+                    if rs == 0xF0:  # ZRL
+                        k += 16
+                        continue
+                    k += rs >> 4
+                    t = rs & 0x0F
+                    if k > 63:
+                        raise ValueError("JPEG AC coefficient overflow")
+                    block[_JPEG_ZIGZAG[k]] = (
+                        _jpeg_extend(reader.bits(t), t) * qt[k]
+                    )
+                    k += 1
+        except _JpegMarkerHit as hit:
+            raise ValueError(
+                f"JPEG entropy stream ended early at MCU {mcu} "
+                f"(marker 0xFF{hit.marker:02X})"
+            ) from None
+        mcu += 1
+    m = _jpeg_dct_matrix()
+    blocks = coefs.reshape(ncomp * n_mcu, 8, 8)
+    spatial = np.einsum("ki,nkl,lj->nij", m, blocks, m) + 128.0
+    spatial = np.clip(np.rint(spatial), 0, 255).astype(np.uint8)
+    spatial = spatial.reshape(ncomp, bh, bw, 8, 8)
+    planes = [
+        spatial[c].transpose(0, 2, 1, 3).reshape(bh * 8, bw * 8)[
+            :height, :width
+        ]
+        for c in range(ncomp)
+    ]
+    if ncomp == 1:
+        samples = planes[0].tobytes()
+        channels = 1
+    else:
+        y = planes[0].astype(np.float64)
+        cb = planes[1].astype(np.float64) - 128.0
+        cr = planes[2].astype(np.float64) - 128.0
+        rgb = np.stack(
+            [
+                y + 1.402 * cr,
+                y - 0.344136286 * cb - 0.714136286 * cr,
+                y + 1.772 * cb,
+            ],
+            axis=-1,
+        )
+        samples = np.clip(np.rint(rgb), 0, 255).astype(np.uint8).tobytes()
+        channels = 3
+    return {
+        "format": "jpeg", "width": width, "height": height,
+        "channels": channels, "samples": samples,
+    }
+
+
 def decode_image(blob: bytes) -> dict:
     """Sniff + decode with the built-in pure-Python codecs. Raises the
     documented ``NotImplementedError`` for formats that need a native
-    codec (JPEG etc.) — the injection seam for external codecs."""
+    codec — the injection seam for external codecs."""
     if blob[:8] == _PNG_SIG:
         return decode_png(blob)
     if blob[:2] == b"BM":
         return decode_bmp(blob)
     if blob[:2] == b"P6":
         return decode_ppm(blob)
+    if blob[:2] == b"\xff\xd8":
+        return decode_jpeg(blob)
     raise NotImplementedError(
         "media codecs (PIL/ffmpeg) are not available in this container for "
-        "this format; built-in pure-Python codecs cover png/bmp/ppm — "
-        "integrate the real decode here (or inject `codec=`)"
+        "this format; built-in pure-Python codecs cover png/bmp/ppm/"
+        "baseline-jpeg — integrate the real decode here (or inject `codec=`)"
     )
 
 
@@ -412,6 +967,102 @@ def decode_image_features(
             )
 
     return df.select(id_col, media_col).mapInPandas(extract, IMAGE_FEATURE_SCHEMA)
+
+
+#: Output of the JPEG roundtrip-fidelity kernel: exact decoded geometry
+#: plus the documented decode-error contract as boolean verdicts.
+JPEG_ROUNDTRIP_SCHEMA = (
+    "id long, variant string, width int, height int, channels int, "
+    "n_pixels long, restart_interval int, max_err_ok boolean, "
+    "mean_err_ok boolean"
+)
+
+#: Decode-error contract for the all-ones-quant (near-lossless) corner
+#: of baseline JPEG: per-pixel |err| and mean |err| ceilings per
+#: variant. Empirical worst case over every sf0.1 document (5000 docs,
+#: both variants): gray max 1 / mean 0.172, rgb max 4 / mean 0.594 —
+#: the bounds below leave >=2x margin while still failing loudly on
+#: any real decoder defect (a wrong coefficient shifts a pixel by
+#: quant-table-scale amounts, far beyond these ceilings).
+JPEG_MAX_ERR = {"gray": 2, "rgb": 8}
+JPEG_MEAN_ERR = {"gray": 1.0, "rgb": 1.5}
+
+
+def jpeg_roundtrip_features(
+    df: DataFrame, id_col: str, text_col: str, width: int = 16
+) -> DataFrame:
+    """REAL JPEG path, end to end on executors: encode each row's text
+    bytes as baseline JFIF — a grayscale leg (DRI/RSTn restart markers
+    every 4 MCUs for ``id % 4 == 0``) and a 3-component YCbCr 4:4:4 RGB
+    leg per row — then decode through the same ``decode_image`` sniff
+    dispatch the fingerprint/dedup family uses, and verify the decoded
+    samples against the original payload under the documented
+    near-lossless error contract (``JPEG_MAX_ERR``/``JPEG_MEAN_ERR``).
+
+    Output geometry (width/height/channels/n_pixels) is byte-arithmetic
+    — exactly replayable by any SQL engine from ``octet_length(text)``
+    — while the lossy-decode fidelity collapses to deterministic
+    boolean verdicts, so the whole result stays hash-checkable despite
+    DCT rounding. One Arrow-batched ``mapInPandas`` projection over a
+    single scan: no shuffle, no driver collect; at 100 TB the codec
+    work is embarrassingly parallel per input split."""
+    import numpy as np
+
+    def roundtrip(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for _id, text in zip(pdf[id_col], pdf[text_col]):
+                _id = int(_id)
+                data = text.encode("utf-8")
+                # gray leg (restart markers on every 4th id)
+                ri = 4 if _id % 4 == 0 else 0
+                img = decode_image(
+                    encode_jpeg_gray(data, width, restart_interval=ri)
+                )
+                padded, h = _pad_to_grid(data, width)
+                orig = np.frombuffer(padded, dtype=np.uint8).astype(np.int64)
+                dec = np.frombuffer(
+                    img["samples"], dtype=np.uint8
+                ).astype(np.int64)
+                err = np.abs(orig - dec)
+                rows.append((
+                    _id, "gray", img["width"], img["height"],
+                    img["channels"], img["width"] * img["height"], ri,
+                    bool(err.max(initial=0) <= JPEG_MAX_ERR["gray"]),
+                    bool(float(err.mean()) <= JPEG_MEAN_ERR["gray"]),
+                ))
+                # rgb leg: the same bytes as interleaved RGB rows
+                n = len(data)
+                h3 = max(1, -(-n // (width * 3)))
+                rgb = data + bytes(width * h3 * 3 - n)
+                img = decode_image(encode_jpeg_rgb(rgb, width, h3))
+                orig = np.frombuffer(rgb, dtype=np.uint8).astype(np.int64)
+                dec = np.frombuffer(
+                    img["samples"], dtype=np.uint8
+                ).astype(np.int64)
+                err = np.abs(orig - dec)
+                rows.append((
+                    _id, "rgb", img["width"], img["height"],
+                    img["channels"], img["width"] * img["height"], 0,
+                    bool(err.max(initial=0) <= JPEG_MAX_ERR["rgb"]),
+                    bool(float(err.mean()) <= JPEG_MEAN_ERR["rgb"]),
+                ))
+            yield pd.DataFrame(
+                rows,
+                columns=[
+                    "id", "variant", "width", "height", "channels",
+                    "n_pixels", "restart_interval", "max_err_ok",
+                    "mean_err_ok",
+                ],
+            ).astype(
+                {"id": "int64", "width": "int32", "height": "int32",
+                 "channels": "int32", "n_pixels": "int64",
+                 "restart_interval": "int32"}
+            )
+
+    return df.select(id_col, text_col).mapInPandas(
+        roundtrip, JPEG_ROUNDTRIP_SCHEMA
+    )
 
 
 def _resample_nearest(

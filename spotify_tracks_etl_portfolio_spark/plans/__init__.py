@@ -164,6 +164,40 @@ def register_pending_r13(
     return deco
 
 
+#: Names registered through register_pending_r14 (recorded in BOTH
+#: branches): window-simulation tests exclude them so the freeze-time
+#: "run the suite with the next gate forced open" check can't redden a
+#: test that pins the r13 window shape.
+PENDING_R14_NAMES: list[str] = []
+
+
+def register_pending_r14(
+    name: str,
+    oracle: str | None,
+    description: str = "",
+    tags: tuple[str, ...] = (),
+):
+    """Decorator: register ``name`` only once the r13 recording window
+    has been spent (a CORRECTNESS artifact of round >= 13 on disk) —
+    the same debut-deferral contract as :func:`register_pending_r13`,
+    one round later: the r13 window is budgeted exactly (2 pending-r13
+    debuts + the 4 promoted r12 force re-records + the r08 remainder +
+    the r09 head = 50; pinned by
+    ``test_r13_window_promotes_r12_deferred``), so queries built
+    mid-round-13 hold registration and debut automatically at the head
+    of the r14 window. Local verification:
+    ``SPARK_GRAFT_INCLUDE_PENDING=1`` forces registration
+    (pending-query pytest + check_oracle runs)."""
+    PENDING_R14_NAMES.append(name)
+    if _round_recorded(13):
+        return register(name, oracle, description, tags)
+
+    def deco(fn: Callable[[SparkSession, str], DataFrame]):
+        return fn
+
+    return deco
+
+
 #: The registry's canonical ordering, frozen at the round-12 split of
 #: plans/extensions.py into family modules: registration order is the
 #: final tiebreak of the driver's 50-slot recording window, so it must

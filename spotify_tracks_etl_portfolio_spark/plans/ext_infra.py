@@ -21,6 +21,7 @@ from pyspark.sql import functions as F
 from spotify_tracks_etl_portfolio_spark.plans import (
     register_pending_r12,
     register_pending_r13,
+    register_pending_r14,
     register,
     register_pending_r11,
 )
@@ -384,6 +385,52 @@ def multimodal_video_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame
     docs = read_parquet_table(spark, sf_dir, "documents")
     media = _mm.attach_encoded_video(docs, "doc_id", "text", _Y4M_W, _Y4M_H)
     return _mm.sample_video_frames(media, "doc_id", stride=_Y4M_STRIDE)
+
+
+
+@register_pending_r14(
+    "multimodal_jpeg_roundtrip",
+    oracle=f"""
+WITH d AS (
+  SELECT doc_id, octet_length(encode(text)) AS n FROM documents
+),
+g AS (
+  SELECT doc_id, n,
+         GREATEST(1, CAST(ceil(n / {_MM_WIDTH}.0) AS INT)) AS h1,
+         GREATEST(1, CAST(ceil(n / ({_MM_WIDTH} * 3.0)) AS INT)) AS h3
+  FROM d
+)
+SELECT doc_id AS id, 'gray' AS variant, {_MM_WIDTH} AS width,
+       h1 AS height, 1 AS channels,
+       CAST({_MM_WIDTH} * h1 AS BIGINT) AS n_pixels,
+       CASE WHEN doc_id % 4 = 0 THEN 4 ELSE 0 END AS restart_interval,
+       TRUE AS max_err_ok, TRUE AS mean_err_ok
+FROM g
+UNION ALL
+SELECT doc_id AS id, 'rgb' AS variant, {_MM_WIDTH} AS width,
+       h3 AS height, 3 AS channels,
+       CAST({_MM_WIDTH} * h3 AS BIGINT) AS n_pixels,
+       0 AS restart_interval,
+       TRUE AS max_err_ok, TRUE AS mean_err_ok
+FROM g
+""",
+    description="Baseline-JPEG decode behind the codec seam, verified "
+    "end to end: each document is REALLY encoded as JFIF on executors "
+    "(grayscale leg with DRI/RSTn restart markers on every 4th id, plus "
+    "a 3-component YCbCr 4:4:4 RGB leg), decoded back through the same "
+    "decode_image dispatch the fingerprint/dedup family uses (file-"
+    "supplied DQT/DHT Huffman tables, numpy-batched IDCT), and checked "
+    "against the original payload under the documented near-lossless "
+    "error contract. Exact decoded geometry is byte-arithmetic (oracle-"
+    "replayable); DCT-rounding fidelity collapses to deterministic "
+    "boolean verdicts so the lossy codec still hash-checks. Single "
+    "Arrow-batched mapInPandas projection — no shuffle, no collect; "
+    "per-split parallel at 100 TB",
+    tags=("extension", "multimodal"),
+)
+def multimodal_jpeg_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = read_parquet_table(spark, sf_dir, "documents")
+    return _mm.jpeg_roundtrip_features(docs, "doc_id", "text", width=_MM_WIDTH)
 
 
 

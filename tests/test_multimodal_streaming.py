@@ -195,11 +195,104 @@ def test_bmp_top_down_and_ppm_comments():
     assert (img["width"], img["height"]) == (3, 1)
 
 
+def test_jpeg_codec_roundtrip_and_seams():
+    """Baseline-JPEG codec contract: near-lossless roundtrip within the
+    documented error ceilings (gray and YCbCr-RGB legs, restart
+    markers, true-dimension crop for non-multiple-of-8 images, 16-bit
+    DQT), and precise NotImplementedError seams for the unsupported
+    spec corners (progressive, subsampling, 12-bit)."""
+    import struct
+
+    import numpy as np
+
+    rng = np.random.RandomState(13)
+    data = rng.randint(0, 256, size=16 * 21, dtype=np.uint8).tobytes()
+    orig = np.frombuffer(data, dtype=np.uint8).astype(int)
+
+    # gray roundtrip, plain and with restart markers every 3 MCUs
+    for ri in (0, 3):
+        blob = mm.encode_jpeg_gray(data, width=16, restart_interval=ri)
+        img = mm.decode_image(blob)
+        assert (img["format"], img["width"], img["height"],
+                img["channels"]) == ("jpeg", 16, 21, 1)
+        dec = np.frombuffer(img["samples"], dtype=np.uint8).astype(int)
+        assert np.abs(orig - dec).max() <= mm.JPEG_MAX_ERR["gray"], ri
+
+    # RGB 4:4:4 roundtrip at non-multiple-of-8 dims (edge-pad + crop)
+    w, h = 19, 13
+    rgb = rng.randint(0, 256, size=w * h * 3, dtype=np.uint8).tobytes()
+    img = mm.decode_jpeg(mm.encode_jpeg_rgb(rgb, w, h))
+    assert (img["width"], img["height"], img["channels"]) == (w, h, 3)
+    err = np.abs(
+        np.frombuffer(rgb, dtype=np.uint8).astype(int)
+        - np.frombuffer(img["samples"], dtype=np.uint8).astype(int)
+    )
+    assert err.max() <= mm.JPEG_MAX_ERR["rgb"]
+    assert err.mean() <= mm.JPEG_MEAN_ERR["rgb"]
+
+    # 16-bit (precision-1) DQT: rewrite the 8-bit table in place — the
+    # decoder must read the big-endian u16 form and decode identically
+    blob = bytearray(mm.encode_jpeg_gray(data, width=16))
+    i = blob.index(b"\xff\xdb")
+    (seglen,) = struct.unpack(">H", blob[i + 2 : i + 4])
+    assert seglen == 2 + 1 + 64  # one 8-bit table
+    vals = blob[i + 5 : i + 5 + 64]
+    wide = struct.pack(">H", 2 + 1 + 128) + bytes((0x10,)) + b"".join(
+        struct.pack(">H", v) for v in vals
+    )
+    blob16 = bytes(blob[: i + 2]) + wide + bytes(blob[i + 4 + 65 :])
+    img16 = mm.decode_jpeg(blob16)
+    assert img16["samples"] == mm.decode_jpeg(bytes(blob))["samples"]
+
+    # unsupported-corner seams raise with precise messages
+    good = mm.encode_jpeg_gray(data, width=16)
+    sof = good.index(b"\xff\xc0")
+    prog = good[:sof] + b"\xff\xc2" + good[sof + 2 :]
+    with pytest.raises(NotImplementedError, match="SOF0"):
+        mm.decode_jpeg(prog)
+    sub = bytearray(good)
+    sub[sof + 11] = 0x22  # luma sampling 2x2 => 4:2:0
+    with pytest.raises(NotImplementedError, match="subsampling"):
+        mm.decode_jpeg(bytes(sub))
+    twelve = bytearray(good)
+    twelve[sof + 4] = 12
+    with pytest.raises(NotImplementedError, match="precision 12"):
+        mm.decode_jpeg(bytes(twelve))
+
+    # a truncated entropy stream must raise, never emit short stats
+    with pytest.raises(ValueError):
+        mm.decode_jpeg(good[:-20] + b"\xff\xd9")
+
+
+def test_jpeg_roundtrip_features_end_to_end(spark):
+    """jpeg_roundtrip_features: real encode→decode→verify on executors;
+    exact geometry out, every fidelity verdict TRUE."""
+    df = spark.createDataFrame(DOCS, "doc_id long, text string")
+    out = mm.jpeg_roundtrip_features(df, "doc_id", "text", width=16).collect()
+    assert len(out) == 2 * len(DOCS)
+    by_key = {(r["id"], r["variant"]): r for r in out}
+    for i, text in DOCS:
+        n = len(text.encode("utf-8"))
+        g = by_key[(i, "gray")]
+        assert (g["width"], g["height"], g["channels"]) == (
+            16, max(1, -(-n // 16)), 1)
+        assert g["restart_interval"] == (4 if i % 4 == 0 else 0)
+        r3 = by_key[(i, "rgb")]
+        assert (r3["width"], r3["height"], r3["channels"]) == (
+            16, max(1, -(-n // 48)), 3)
+        for r in (g, r3):
+            assert r["max_err_ok"] and r["mean_err_ok"], r
+
+
 def test_image_fingerprint_is_container_invariant(spark):
     """The SAME picture must fingerprint identically whether it arrives
-    as PNG, BMP, or PPM — that is what lets hash-groupBy dedup catch
-    re-encoded duplicate images."""
+    as PNG, BMP, PPM, or (near-lossless) baseline JPEG — that is what
+    lets hash-groupBy dedup catch re-encoded duplicate images. The JPEG
+    leg is the real-world case: a lossy re-encode of the same picture
+    still collides because the aHash band decisions sit far from the
+    +-1-gray-level decode error."""
     texts = ["hello world " * 40, "abc", "zz" * 300]
+    n_fmt = 4
     rows = []
     for i, t in enumerate(texts):
         data = t.encode("utf-8")
@@ -207,6 +300,7 @@ def test_image_fingerprint_is_container_invariant(spark):
             (i * 10 + 0, bytes(mm.encode_png_gray(data, 16))),
             (i * 10 + 1, bytes(mm.encode_bmp_gray(data, 16))),
             (i * 10 + 2, bytes(mm.encode_ppm_gray(data, 16))),
+            (i * 10 + 3, bytes(mm.encode_jpeg_gray(data, 16))),
         ]
     df = spark.createDataFrame(rows, "doc_id long, media binary")
     got = {
@@ -214,7 +308,7 @@ def test_image_fingerprint_is_container_invariant(spark):
         for r in mm.image_fingerprints(df, "doc_id").collect()
     }
     for i in range(len(texts)):
-        fps = {got[i * 10 + j] for j in range(3)}
+        fps = {got[i * 10 + j] for j in range(n_fmt)}
         assert len(fps) == 1, f"text {i}: formats disagree: {fps}"
     # distinct pictures should (here) get distinct fingerprints
     assert len({got[i * 10] for i in range(len(texts))}) == len(texts)

@@ -354,6 +354,35 @@ def test_pending_r13_registration_gate(monkeypatch):
     monkeypatch.delenv("SPARK_GRAFT_INCLUDE_PENDING", raising=False)
 
 
+def test_pending_r14_registration_gate(monkeypatch):
+    """The round-13 pending-debut gate (same contract as the r13 one,
+    one round later): late-r13 queries stay unregistered until a
+    CORRECTNESS artifact of round >= 13 exists, protecting the r13
+    window's exact 50-slot budget (2 debuts + 4 promoted force
+    re-records + the r08 remainder + the r09 head)."""
+    from spotify_tracks_etl_portfolio_spark import plans
+
+    pending = set(plans.PENDING_R14_NAMES)
+    monkeypatch.delenv("SPARK_GRAFT_INCLUDE_PENDING", raising=False)
+    qs = set(plans.all_queries())
+    # registration is decided at IMPORT time (artifact on disk or the
+    # override env var), so the debuts are either ALL live or ALL held
+    assert pending <= qs or not (pending & qs)
+    if not plans._round_recorded(13):
+        assert not (pending & qs) or pending <= qs
+    monkeypatch.setenv("SPARK_GRAFT_INCLUDE_PENDING", "1")
+    assert plans._round_recorded(13)
+
+    @plans.register_pending_r14("___pending_probe14", oracle=None)
+    def _probe(spark, sf_dir):  # pragma: no cover - never executed
+        raise AssertionError
+
+    assert "___pending_probe14" in plans.QUERIES
+    del plans.QUERIES["___pending_probe14"]
+    plans.PENDING_R14_NAMES.remove("___pending_probe14")
+    monkeypatch.delenv("SPARK_GRAFT_INCLUDE_PENDING", raising=False)
+
+
 # The round-11 force queue as it stood when CORRECTNESS_r11 was
 # recorded (cleared from plans/__init__.py at round-12 start per the
 # per-round hygiene — this literal pins the historical handoff).
@@ -466,7 +495,9 @@ def test_r12_window_promotes_r11_deferred(monkeypatch):
     monkeypatch.setattr(plans, "_recorded_status", lambda: as_of_r11)
     monkeypatch.setattr(plans, "_FORCE_RERECORD_AFTER_R11", _R12_FORCE_QUEUE)
     ordered = [
-        n for n in plans.all_queries() if n not in plans.PENDING_R13_NAMES
+        n for n in plans.all_queries()
+        if n not in plans.PENDING_R13_NAMES
+        and n not in plans.PENDING_R14_NAMES
     ]
     window = ordered[:50]
     # the five pending-r12 debuts are registered (the r11 artifact is
@@ -508,7 +539,9 @@ def test_r13_window_promotes_r12_deferred(monkeypatch):
     # cleared) r11 force queue was still live
     monkeypatch.setattr(plans, "_FORCE_RERECORD_AFTER_R11", _R12_FORCE_QUEUE)
     r12_window = [
-        n for n in plans.all_queries() if n not in plans.PENDING_R13_NAMES
+        n for n in plans.all_queries()
+        if n not in plans.PENDING_R13_NAMES
+        and n not in plans.PENDING_R14_NAMES
     ][:50]
     fake = dict(as_of_r11)
     for n in r12_window:
@@ -518,7 +551,9 @@ def test_r13_window_promotes_r12_deferred(monkeypatch):
     monkeypatch.setattr(plans, "_FORCE_RERECORD_AFTER_R11", ())
     monkeypatch.setattr(plans, "_recorded_status", lambda: fake)
     window = [
-        n for n in plans.all_queries() if n not in plans.PENDING_R13_NAMES
+        n for n in plans.all_queries()
+        if n not in plans.PENDING_R13_NAMES
+        and n not in plans.PENDING_R14_NAMES
     ][:50]
     assert set(plans._FORCE_RERECORD_AFTER_R12) <= set(window), sorted(
         set(plans._FORCE_RERECORD_AFTER_R12) - set(window)
