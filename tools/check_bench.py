@@ -80,10 +80,12 @@ def main() -> int:
     # --cal-ref normalization).
     # BASELINE_r11.json (round-11 verdict item 4): BASELINE_r10
     # verbatim plus the two round-11 headline debuts grafted in the
-    # same canary frame — the default gate now covers the full
-    # 35-query headline with nothing rebaselined.
+    # same canary frame — full 35-query headline, nothing rebaselined.
+    # BASELINE_r12.json (round-12 verdict item 3): BASELINE_r11
+    # verbatim (round 12 added no headline debuts; round-13 debuts
+    # graft at the round-13 freeze), same canary frame.
     ap.add_argument(
-        "--baseline", default=os.path.join(REPO, "BASELINE_r11.json")
+        "--baseline", default=os.path.join(REPO, "BASELINE_r12.json")
     )
     ap.add_argument("--factor", type=float, default=2.0)
     ap.add_argument(
