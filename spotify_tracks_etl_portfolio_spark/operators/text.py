@@ -534,6 +534,229 @@ def bpe_segment_words(
     return words.select("__word", F.size(syms).cast("long").alias("n_subwords"))
 
 
+#: Unigram-LM (SentencePiece-style) tokenizer-training geometry. The
+#: trainer is the deterministic hard-EM (Viterbi) variant of Kudo 2018
+#: (arXiv:1804.10959): piece scores are 9-dp DECIMAL log-probs, each
+#: word's segmentation is its unique Viterbi path (ties: longer last
+#: piece wins — provably total, see unigram_train_vocab), and pruning
+#: is by-disuse (a multi-char piece that wins no Viterbi slot drops
+#: out; single chars never drop, so every word stays segmentable).
+UNIGRAM_PIECE_MAXLEN = 4
+UNIGRAM_SEED_MULTI = 200
+UNIGRAM_VOCAB_SIZE = 128
+UNIGRAM_EM_ROUNDS = 2
+UNIGRAM_WORD_CAP = 16
+
+
+def _unigram_lp_table(vocab: dict[str, int]) -> dict:
+    """Add-1-smoothed 9-dp DECIMAL log-probs over the current vocab:
+    lp(piece) = round(ln((cnt+1) / (total+|V|)), 9), half-up — the
+    exact arithmetic DuckDB's ``round(ln(...), 9)`` performs, so
+    Viterbi score sums replay bit-identically cross-engine."""
+    import math
+    from decimal import ROUND_HALF_UP, Decimal
+
+    total = float(sum(vocab.values()) + len(vocab))
+    q = Decimal("0.000000001")
+    return {
+        p: Decimal(repr(math.log((c + 1) / total))).quantize(
+            q, rounding=ROUND_HALF_UP
+        )
+        for p, c in vocab.items()
+    }
+
+
+def _unigram_viterbi_pieces(lp: dict, maxlen: int = UNIGRAM_PIECE_MAXLEN):
+    """Column expression: the Viterbi segmentation (array of pieces) of
+    column ``w`` under the driver-held piece→logprob table ``lp``.
+
+    Whole thing is JVM-side higher-order functions over a literal map —
+    a pure zero-shuffle projection per distinct word (the 100 TB shape:
+    the corpus collapsed to its word table once; the model is bounded
+    driver state like the k-means centroids / BPE merge table). DP over
+    positions 1..len(w); candidates are vocab pieces ending at each
+    position; tie-break on equal DECIMAL score takes the LONGER piece.
+    Totality: at one position, two candidates with equal length are the
+    same substring, so (score, piece-length) orders candidates totally
+    and the chosen path is unique — the same argument makes the oracle's
+    ``row_number() OVER (ORDER BY score, plen DESC)`` deterministic."""
+    lpmap = F.create_map(
+        *[
+            x
+            for piece, v in lp.items()
+            for x in (F.lit(piece), F.lit(v).cast("decimal(28,9)"))
+        ]
+    )
+    w = F.col("w")
+    n = F.length(w)
+    cand = F.filter(
+        F.flatten(
+            F.transform(
+                F.sequence(F.lit(1), n),
+                lambda i: F.transform(
+                    F.sequence(
+                        F.lit(1), F.least(F.lit(maxlen), n - i + 1)
+                    ),
+                    lambda l: F.struct(
+                        (i - 1).alias("s"),
+                        (i - 1 + l).alias("e"),
+                        l.cast("int").alias("plen"),
+                        F.substring(w, i, l).alias("piece"),
+                        F.element_at(
+                            lpmap, F.substring(w, i, l)
+                        ).alias("lp"),
+                    ),
+                ),
+            )
+        ),
+        lambda c: c["lp"].isNotNull(),
+    )
+    empty_pieces = F.array().cast("array<string>")
+    init = F.array(
+        F.struct(
+            F.lit(0).cast("decimal(28,9)").alias("score"),
+            empty_pieces.alias("pieces"),
+            F.lit(0).cast("int").alias("plen"),
+        )
+    )
+    sentinel = F.struct(
+        F.lit(None).cast("decimal(28,9)").alias("score"),
+        empty_pieces.alias("pieces"),
+        F.lit(0).cast("int").alias("plen"),
+    )
+
+    def step(acc, k):
+        def challenge(best, c):
+            prev = F.element_at(acc, c["s"].cast("int") + 1)
+            cs = (prev["score"] + c["lp"]).cast("decimal(28,9)")
+            take = (
+                best["score"].isNull()
+                | (cs > best["score"])
+                | ((cs == best["score"]) & (c["plen"] > best["plen"]))
+            )
+            cand_struct = F.struct(
+                cs.alias("score"),
+                F.concat(prev["pieces"], F.array(c["piece"])).alias(
+                    "pieces"
+                ),
+                c["plen"].alias("plen"),
+            )
+            return F.when(take, cand_struct).otherwise(best)
+
+        ending_here = F.filter(cand, lambda c: c["e"] == k)
+        return F.concat(
+            acc, F.array(F.aggregate(ending_here, sentinel, challenge))
+        )
+
+    acc = F.aggregate(F.sequence(F.lit(1), n), init, step)
+    return F.element_at(acc, n + 1)["pieces"]
+
+
+def unigram_train_vocab(
+    df: DataFrame,
+    text_col: str,
+    seed_multi: int = UNIGRAM_SEED_MULTI,
+    vocab_size: int = UNIGRAM_VOCAB_SIZE,
+    piece_maxlen: int = UNIGRAM_PIECE_MAXLEN,
+    em_rounds: int = UNIGRAM_EM_ROUNDS,
+    word_cap: int = UNIGRAM_WORD_CAP,
+) -> list[tuple[int, str, int, float]]:
+    """Distributed unigram-LM (SentencePiece-style) tokenizer training
+    (Kudo 2018, arXiv:1804.10959) — the missing twin of
+    :func:`bpe_train_merges`, same zero-RNG oracle-replayable
+    discipline, expressed Spark-first:
+
+    1. collapse the corpus to a weighted (word, freq) table — ONE
+       shuffle; training words longer than ``word_cap`` chars are
+       dropped (SentencePiece's max-piece/sentence caps play the same
+       role; giant tokens are URL/noise at corpus scale);
+    2. SEED the vocabulary with raw substring frequencies: every
+       substring of length <= ``piece_maxlen``, counted with
+       multiplicity and weighted by word freq — one aggregation; the
+       top ``seed_multi`` multi-char pieces (ties by UTF-8 byte order,
+       the collation DuckDB shares) plus ALL single chars;
+    3. hard-EM rounds: the E-step segments every distinct word with its
+       Viterbi path under the current add-1-smoothed DECIMAL log-probs
+       (:func:`_unigram_viterbi_pieces` — a zero-shuffle JVM projection
+       over the word table; no joins, no Python in the loop), then ONE
+       piece-count aggregation; the M-step re-estimates log-probs from
+       the Viterbi counts and prunes by disuse (multi-char pieces with
+       zero count drop; single chars always survive, so segmentability
+       is invariant);
+    4. the final vocab ranks by (count desc, UTF-8 piece asc), truncated
+       to ``vocab_size``.
+
+    Driver state is bounded: the vocab table (<= seed_multi + alphabet
+    rows) and per-round counts — the k-means-centroid pattern; the
+    corpus-sized work is always a projection or a single aggregation.
+    Returns [(rank, piece, count, logprob), ...]; logprob is the final
+    smoothed 9-dp value as a double.
+    """
+    words = (
+        df.select(F.explode(tokens(text_col)).alias("w"))
+        .filter((F.col("w") != "") & (F.length("w") <= word_cap))
+        .groupBy("w")
+        .agg(F.count(F.lit(1)).alias("freq"))
+        .localCheckpoint(eager=True)
+    )
+    w = F.col("w")
+    n = F.length(w)
+    sub_pieces = F.flatten(
+        F.transform(
+            F.sequence(F.lit(1), n),
+            lambda i: F.transform(
+                F.sequence(F.lit(1), F.least(F.lit(piece_maxlen), n - i + 1)),
+                lambda l: F.substring(w, i, l),
+            ),
+        )
+    )
+    subs = (
+        words.select(F.explode(sub_pieces).alias("piece"), "freq")
+        .groupBy("piece")
+        .agg(F.sum("freq").alias("cnt"))
+    )
+    # bounded collects (the sanctioned model-state pattern): top multis
+    # by (count desc, UTF-8 bytes asc) + the whole alphabet
+    multis = (
+        subs.filter(F.length("piece") >= 2)
+        .orderBy(F.desc("cnt"), F.asc(F.encode("piece", "UTF-8")))
+        .limit(seed_multi)
+        .collect()
+    )
+    chars = subs.filter(F.length("piece") == 1).collect()
+    char_set = {r["piece"] for r in chars}
+    vocab: dict[str, int] = {r["piece"]: int(r["cnt"]) for r in chars}
+    vocab.update({r["piece"]: int(r["cnt"]) for r in multis})
+
+    for _ in range(em_rounds):
+        lp = _unigram_lp_table(vocab)
+        counts = (
+            words.select(
+                F.explode(
+                    _unigram_viterbi_pieces(lp, piece_maxlen)
+                ).alias("piece"),
+                "freq",
+            )
+            .groupBy("piece")
+            .agg(F.sum("freq").alias("cnt"))
+            .collect()
+        )
+        got = {r["piece"]: int(r["cnt"]) for r in counts}
+        vocab = {c: got.get(c, 0) for c in char_set}
+        vocab.update(
+            {p: c for p, c in got.items() if len(p) >= 2}
+        )
+
+    lp = _unigram_lp_table(vocab)
+    ranked = sorted(
+        vocab.items(), key=lambda kv: (-kv[1], kv[0].encode("utf-8"))
+    )[:vocab_size]
+    return [
+        (rank, piece, cnt, float(lp[piece]))
+        for rank, (piece, cnt) in enumerate(ranked)
+    ]
+
+
 def add_lang_id(
     df: DataFrame, col: str = "text", out: str = "predicted_lang"
 ) -> DataFrame:

@@ -20,6 +20,7 @@ from spotify_tracks_etl_portfolio_spark.functions import rolling_hash, token_cou
 from spotify_tracks_etl_portfolio_spark.plans import (
     register_pending_r12,
     register_pending_r13,
+    register_pending_r14,
     register,
     register_pending_r11,
 )
@@ -825,6 +826,168 @@ def bpe_train_merges_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     merges = _tx.bpe_train_merges(docs, "text", num_merges=10)
     return spark.createDataFrame(
         merges, "merge_rank int, left string, right string, weighted_count long"
+    )
+
+
+
+def _unigram_round_ctes(r: int) -> list[str]:
+    """One unigram hard-EM round as DuckDB CTEs: vocab-edge
+    enumeration, the per-word Viterbi DP unrolled over positions
+    1..UNIGRAM_WORD_CAP (best-per-position with the engine's exact
+    (score DESC, piece-length DESC) total order), Viterbi piece counts,
+    prune-by-disuse vocab update, and re-smoothed DECIMAL log-probs."""
+    ml = _tx.UNIGRAM_PIECE_MAXLEN
+    cap = _tx.UNIGRAM_WORD_CAP
+    lp_prev = f"lp{r - 1}"
+    ctes = [
+        f"""edges{r} AS MATERIALIZED (
+  SELECT w.w, t.i - 1 AS s, t.i - 1 + u.l AS e, CAST(u.l AS INT) AS plen,
+         substring(w.w, t.i, u.l) AS piece, lp.lp
+  FROM uwords w,
+       unnest(range(1, len(w.w) + 1)) t(i),
+       unnest(range(1, least({ml}, len(w.w) - t.i + 1) + 1)) u(l)
+  JOIN {lp_prev} lp ON lp.piece = substring(w.w, t.i, u.l)
+)""",
+        f"""dp{r}_0 AS MATERIALIZED (
+  SELECT w, CAST(0 AS DECIMAL(28,9)) AS score,
+         CAST([] AS VARCHAR[]) AS pieces
+  FROM uwords
+)""",
+    ]
+    for k in range(1, cap + 1):
+        branches = "\n      UNION ALL\n".join(
+            f"""      SELECT d.w, CAST(d.score + e.lp AS DECIMAL(28,9)) AS score,
+             list_append(d.pieces, e.piece) AS pieces, e.plen
+      FROM dp{r}_{j} d
+      JOIN edges{r} e ON e.w = d.w AND e.s = {j} AND e.e = {k}"""
+            for j in range(max(0, k - ml), k)
+        )
+        ctes.append(
+            f"""dp{r}_{k} AS MATERIALIZED (
+  SELECT w, score, pieces FROM (
+    SELECT x.w, x.score, x.pieces,
+           row_number() OVER (
+             PARTITION BY x.w ORDER BY x.score DESC, x.plen DESC
+           ) AS rn
+    FROM (
+{branches}
+    ) x
+  ) WHERE rn = 1
+)"""
+        )
+    fins = "\n  UNION ALL\n".join(
+        f"  SELECT w, pieces FROM dp{r}_{k} WHERE len(w) = {k}"
+        for k in range(1, cap + 1)
+    )
+    ctes.append(f"fin{r} AS MATERIALIZED (\n{fins}\n)")
+    ctes.append(
+        f"""counts{r} AS MATERIALIZED (
+  SELECT p.piece, CAST(sum(w.freq) AS BIGINT) AS cnt
+  FROM fin{r} f JOIN uwords w USING (w), unnest(f.pieces) p(piece)
+  GROUP BY p.piece
+)"""
+    )
+    ctes.append(
+        f"""vocab{r} AS MATERIALIZED (
+  SELECT v.piece, CAST(COALESCE(c.cnt, 0) AS BIGINT) AS cnt
+  FROM (SELECT piece FROM vocab0 WHERE len(piece) = 1) v
+  LEFT JOIN counts{r} c USING (piece)
+  UNION ALL
+  SELECT piece, cnt FROM counts{r} WHERE len(piece) >= 2
+)"""
+    )
+    ctes.append(
+        f"""lp{r} AS MATERIALIZED (
+  SELECT piece,
+         CAST(round(ln((cnt + 1) / (
+           (SELECT CAST(sum(cnt) AS DOUBLE) + count(*) FROM vocab{r})
+         )), 9) AS DECIMAL(28,9)) AS lp
+  FROM vocab{r}
+)"""
+    )
+    return ctes
+
+
+def _unigram_vocab_oracle() -> str:
+    """Full unigram-trainer replay: seed vocabulary from weighted
+    substring counts (+ the whole alphabet), UNIGRAM_EM_ROUNDS unrolled
+    hard-EM rounds, final (count DESC, UTF-8 bytes ASC) ranking."""
+    ml = _tx.UNIGRAM_PIECE_MAXLEN
+    cap = _tx.UNIGRAM_WORD_CAP
+    t = _tx.UNIGRAM_EM_ROUNDS
+    ctes = [
+        rf"""uwords AS MATERIALIZED (
+  SELECT w, CAST(count(*) AS BIGINT) AS freq
+  FROM (SELECT unnest(string_split_regex(trim(text), '\s+')) AS w
+        FROM documents WHERE trim(text) <> '')
+  WHERE w <> '' AND len(w) <= {cap}
+  GROUP BY w
+)""",
+        f"""subs AS MATERIALIZED (
+  SELECT substring(w, t.i, u.l) AS piece, CAST(sum(freq) AS BIGINT) AS cnt
+  FROM uwords,
+       unnest(range(1, len(w) + 1)) t(i),
+       unnest(range(1, least({ml}, len(w) - t.i + 1) + 1)) u(l)
+  GROUP BY 1
+)""",
+        f"""vocab0 AS MATERIALIZED (
+  SELECT piece, cnt FROM (
+    SELECT piece, cnt FROM subs WHERE len(piece) >= 2
+    ORDER BY cnt DESC, encode(piece) LIMIT {_tx.UNIGRAM_SEED_MULTI})
+  UNION ALL
+  SELECT piece, cnt FROM subs WHERE len(piece) = 1
+)""",
+        """lp0 AS MATERIALIZED (
+  SELECT piece,
+         CAST(round(ln((cnt + 1) / (
+           (SELECT CAST(sum(cnt) AS DOUBLE) + count(*) FROM vocab0)
+         )), 9) AS DECIMAL(28,9)) AS lp
+  FROM vocab0
+)""",
+    ]
+    for r in range(1, t + 1):
+        ctes += _unigram_round_ctes(r)
+    return (
+        "WITH "
+        + ",\n".join(ctes)
+        + f"""
+SELECT CAST(row_number() OVER (
+         ORDER BY v.cnt DESC, encode(v.piece)) - 1 AS INT) AS vocab_rank,
+       v.piece, v.cnt, CAST(l.lp AS DOUBLE) AS logprob
+FROM vocab{t} v JOIN lp{t} l USING (piece)
+ORDER BY vocab_rank
+LIMIT {_tx.UNIGRAM_VOCAB_SIZE}
+"""
+    )
+
+
+@register_pending_r14(
+    "unigram_train_vocab_documents",
+    oracle=_unigram_vocab_oracle(),
+    description="Unigram-LM (SentencePiece-style) tokenizer training "
+    "(Kudo 2018, arXiv:1804.10959) — the missing twin of "
+    "bpe_train_merges_documents, same zero-RNG oracle-replayable "
+    "discipline: corpus collapses to a weighted word table once, the "
+    "seed vocabulary is the top substring frequencies plus the whole "
+    "alphabet, and each hard-EM round segments every DISTINCT word "
+    "with its unique Viterbi path under add-1-smoothed 9-dp DECIMAL "
+    "log-probs (a zero-shuffle JVM HOF projection — the model is "
+    "bounded driver state like the BPE merge table) followed by one "
+    "piece-count aggregation; multi-char pieces prune by disuse, "
+    "single chars never drop so every word stays segmentable. Fully "
+    "hash-checked: the oracle unrolls the Viterbi DP per position "
+    "with the identical (score, piece-length) total order; pytest "
+    "additionally proves exact equality with a reference Python "
+    "trainer on a planted corpus.",
+    tags=("extension", "text", "iterative"),
+)
+def unigram_train_vocab_documents(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    docs = read_parquet_table(spark, sf_dir, "documents")
+    rows = _tx.unigram_train_vocab(docs, "text")
+    return spark.createDataFrame(
+        rows, "vocab_rank int, piece string, cnt bigint, logprob double"
     )
 
 

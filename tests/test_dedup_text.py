@@ -612,6 +612,105 @@ def test_bpe_batched_rounds_and_overlap_stop(spark):
     )
 
 
+def test_unigram_train_vocab_matches_reference(spark):
+    """The distributed unigram-LM trainer must reproduce EXACTLY the
+    reference hard-EM algorithm (Viterbi E-step under add-1-smoothed
+    9-dp DECIMAL log-probs, longer-piece tie-break, prune-by-disuse,
+    chars immortal) on a planted corpus — including the DECIMAL score
+    arithmetic and the UTF-8-byte final ranking."""
+    import math
+    from collections import Counter
+    from decimal import ROUND_HALF_UP, Decimal
+
+    docs = [
+        (0, "banana bandana ban banana"),
+        (1, "anna ban bandana nana"),
+        (2, "a banana anna and a bandana"),
+        (3, ""),
+        (4, "band and bandana banana nan"),
+    ]
+
+    def ref(seed_multi, vocab_size, maxlen, rounds, cap):
+        words: Counter = Counter()
+        for _, t in docs:
+            for w in t.split():
+                if w and len(w) <= cap:
+                    words[w] += 1
+        subs: Counter = Counter()
+        for w, f in words.items():
+            for i in range(len(w)):
+                for ln in range(1, min(maxlen, len(w) - i) + 1):
+                    subs[w[i : i + ln]] += f
+        multis = sorted(
+            ((p, c) for p, c in subs.items() if len(p) >= 2),
+            key=lambda kv: (-kv[1], kv[0].encode()),
+        )[:seed_multi]
+        chars = {p: c for p, c in subs.items() if len(p) == 1}
+        vocab = dict(chars)
+        vocab.update(dict(multis))
+        q = Decimal("0.000000001")
+
+        def lptab(v):
+            tot = float(sum(v.values()) + len(v))
+            return {
+                p: Decimal(repr(math.log((c + 1) / tot))).quantize(
+                    q, rounding=ROUND_HALF_UP
+                )
+                for p, c in v.items()
+            }
+
+        def viterbi(w, lp):
+            best = [(Decimal(0), [], 0)]
+            for k in range(1, len(w) + 1):
+                cur = None
+                for s in range(max(0, k - maxlen), k):
+                    piece = w[s:k]
+                    if piece not in lp:
+                        continue
+                    cs = best[s][0] + lp[piece]
+                    plen = k - s
+                    if (
+                        cur is None
+                        or cs > cur[0]
+                        or (cs == cur[0] and plen > cur[2])
+                    ):
+                        cur = (cs, best[s][1] + [piece], plen)
+                best.append(cur)
+            return best[len(w)][1]
+
+        for _ in range(rounds):
+            lp = lptab(vocab)
+            cnt: Counter = Counter()
+            for w, f in words.items():
+                for p in viterbi(w, lp):
+                    cnt[p] += f
+            vocab = {c: cnt.get(c, 0) for c in chars}
+            vocab.update({p: c for p, c in cnt.items() if len(p) >= 2})
+        lp = lptab(vocab)
+        ranked = sorted(
+            vocab.items(), key=lambda kv: (-kv[1], kv[0].encode())
+        )[:vocab_size]
+        return [
+            (r, p, c, float(lp[p])) for r, (p, c) in enumerate(ranked)
+        ]
+
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    got = tx.unigram_train_vocab(
+        df, "text", seed_multi=20, vocab_size=30, em_rounds=2
+    )
+    want = ref(seed_multi=20, vocab_size=30, maxlen=4, rounds=2, cap=16)
+    assert got == want
+    # the learned vocab is subword-shaped, not degenerate chars-only
+    assert any(len(p) >= 3 for _, p, c, _ in got if c > 0)
+    # deterministic across re-runs (no RNG anywhere)
+    assert (
+        tx.unigram_train_vocab(
+            df, "text", seed_multi=20, vocab_size=30, em_rounds=2
+        )
+        == want
+    )
+
+
 def test_bpe_segment_words_matches_reference_application(spark):
     """Inference: applying the learned merges must segment every word
     exactly like the reference greedy leftmost-first loop (overlap case

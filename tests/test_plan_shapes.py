@@ -470,6 +470,43 @@ def test_ivf_index_scan_prunes_to_probed_cell_partitions(
     assert got == want
 
 
+def test_unigram_estep_single_aggregation_no_join(spark, sf_dir):
+    """The unigram trainer's scale claim: each hard-EM E-step over the
+    (checkpointed) word table is a zero-shuffle Viterbi HOF projection
+    followed by ONE piece-count hash aggregation — no join anywhere
+    (the model is a literal map, not a joined table), exactly one
+    exchange, no window, no sort."""
+    from spotify_tracks_etl_portfolio_spark.operators import text as tx
+    from spotify_tracks_etl_portfolio_spark.operators.text import tokens
+    from spotify_tracks_etl_portfolio_spark.sources.readers import (
+        read_parquet_table,
+    )
+    from pyspark.sql import functions as F
+
+    docs = read_parquet_table(spark, sf_dir, "documents")
+    words = (
+        docs.select(F.explode(tokens("text")).alias("w"))
+        .filter((F.col("w") != "") & (F.length("w") <= tx.UNIGRAM_WORD_CAP))
+        .groupBy("w")
+        .agg(F.count(F.lit(1)).alias("freq"))
+        .localCheckpoint(eager=True)
+    )
+    lp = tx._unigram_lp_table({"a": 3, "an": 2, "b": 1, "n": 2, "d": 1})
+    counts = (
+        words.select(
+            F.explode(tx._unigram_viterbi_pieces(lp)).alias("piece"),
+            "freq",
+        )
+        .groupBy("piece")
+        .agg(F.sum("freq").alias("cnt"))
+    )
+    plan = plan_of_df(counts)
+    assert "Join" not in plan
+    assert plan.count("Exchange") == 1, plan
+    assert "Window" not in plan
+    assert "Sort" not in plan
+
+
 def test_bpe_merge_artifact_served_equals_trained(spark, sf_dir):
     """Pending r11 debut (invoked directly — registration-independent):
     the persisted BPE merge-table artifact serves segmentation
