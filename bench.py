@@ -79,6 +79,14 @@ HEADLINE = [
     # starts this round
     "gopher_quality_gate_documents",
     "trailing7d_type_quantiles_sketch",
+    # round-13: the baseline-JPEG codec roundtrip (the multimodal
+    # family's first headline entry — Arrow-batched encode+decode over
+    # every document) and the unigram-LM tokenizer trainer (hard-EM
+    # Viterbi HOF projection per round); both register at the r14 gate,
+    # so the driver's r13 bench skips them (spec is None) — timing
+    # history starts when they debut
+    "multimodal_jpeg_roundtrip",
+    "unigram_train_vocab_documents",
 ]
 # Round-9 verdict item 4: the FROZEN-TOY twins simhash_near_dups and
 # embedding_lsh_near_dups are demoted from this list — both are

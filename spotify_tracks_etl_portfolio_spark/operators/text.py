@@ -652,16 +652,21 @@ def _unigram_viterbi_pieces(lp: dict, maxlen: int = UNIGRAM_PIECE_MAXLEN):
     return F.element_at(acc, n + 1)["pieces"]
 
 
-def unigram_train_vocab(
+def unigram_train_model(
     df: DataFrame,
     text_col: str,
     seed_multi: int = UNIGRAM_SEED_MULTI,
-    vocab_size: int = UNIGRAM_VOCAB_SIZE,
     piece_maxlen: int = UNIGRAM_PIECE_MAXLEN,
     em_rounds: int = UNIGRAM_EM_ROUNDS,
     word_cap: int = UNIGRAM_WORD_CAP,
-) -> list[tuple[int, str, int, float]]:
-    """Distributed unigram-LM (SentencePiece-style) tokenizer training
+) -> tuple[dict[str, int], dict]:
+    """Run the unigram hard-EM training loop and return the UNTRUNCATED
+    final model ``(vocab counts, piece -> DECIMAL logprob)`` — what
+    serving needs (truncating to the ranked top-K could drop a single
+    char and break segmentability; the ranked view is
+    :func:`unigram_train_vocab`).
+
+    Distributed unigram-LM (SentencePiece-style) tokenizer training
     (Kudo 2018, arXiv:1804.10959) — the missing twin of
     :func:`bpe_train_merges`, same zero-RNG oracle-replayable
     discipline, expressed Spark-first:
@@ -689,8 +694,6 @@ def unigram_train_vocab(
     Driver state is bounded: the vocab table (<= seed_multi + alphabet
     rows) and per-round counts — the k-means-centroid pattern; the
     corpus-sized work is always a projection or a single aggregation.
-    Returns [(rank, piece, count, logprob), ...]; logprob is the final
-    smoothed 9-dp value as a double.
     """
     words = (
         df.select(F.explode(tokens(text_col)).alias("w"))
@@ -747,7 +750,30 @@ def unigram_train_vocab(
             {p: c for p, c in got.items() if len(p) >= 2}
         )
 
-    lp = _unigram_lp_table(vocab)
+    return vocab, _unigram_lp_table(vocab)
+
+
+def unigram_train_vocab(
+    df: DataFrame,
+    text_col: str,
+    seed_multi: int = UNIGRAM_SEED_MULTI,
+    vocab_size: int = UNIGRAM_VOCAB_SIZE,
+    piece_maxlen: int = UNIGRAM_PIECE_MAXLEN,
+    em_rounds: int = UNIGRAM_EM_ROUNDS,
+    word_cap: int = UNIGRAM_WORD_CAP,
+) -> list[tuple[int, str, int, float]]:
+    """Train (see :func:`unigram_train_model`) and rank the learned
+    vocabulary by (count desc, UTF-8 piece asc), truncated to
+    ``vocab_size``. Returns [(rank, piece, count, logprob), ...];
+    logprob is the final smoothed 9-dp value as a double."""
+    vocab, lp = unigram_train_model(
+        df,
+        text_col,
+        seed_multi=seed_multi,
+        piece_maxlen=piece_maxlen,
+        em_rounds=em_rounds,
+        word_cap=word_cap,
+    )
     ranked = sorted(
         vocab.items(), key=lambda kv: (-kv[1], kv[0].encode("utf-8"))
     )[:vocab_size]
@@ -755,6 +781,62 @@ def unigram_train_vocab(
         (rank, piece, cnt, float(lp[piece]))
         for rank, (piece, cnt) in enumerate(ranked)
     ]
+
+
+def unigram_segment_counts(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    lp: dict,
+    piece_maxlen: int = UNIGRAM_PIECE_MAXLEN,
+    word_cap: int = UNIGRAM_WORD_CAP,
+) -> DataFrame:
+    """Unigram tokenizer INFERENCE — the serving half of
+    :func:`unigram_train_model` (the bpe_segment_words pattern): each
+    DISTINCT in-cap word is segmented ONCE with its Viterbi path under
+    the trained model (zero-shuffle HOF projection — the model is a
+    literal map, never a joined table), documents then join the
+    segmented vocabulary. Words longer than ``word_cap`` were never
+    trainable and count as OOV (their chars may be absent from the
+    model, so no segmentation is claimed for them).
+
+    Returns (id, n_words, n_pieces, n_oov) per input row — empty text
+    keeps 0/0/0 through the left join."""
+    doc_words = df.select(
+        F.col(id_col), F.explode(tokens(text_col)).alias("w")
+    ).filter(F.col("w") != "")
+    vocab_seg = (
+        doc_words.select("w")
+        .distinct()
+        .filter(F.length("w") <= word_cap)
+        .select(
+            "w",
+            F.size(
+                _unigram_viterbi_pieces(lp, piece_maxlen)
+            ).cast("long").alias("n_sub"),
+        )
+    )
+    per_doc = (
+        doc_words.join(vocab_seg, "w", "left")
+        .groupBy(id_col)
+        .agg(
+            F.count(F.lit(1)).alias("n_words"),
+            F.sum(F.coalesce(F.col("n_sub"), F.lit(0))).alias("n_pieces"),
+            F.sum(
+                F.when(F.col("n_sub").isNull(), 1).otherwise(0)
+            ).cast("long").alias("n_oov"),
+        )
+    )
+    return (
+        df.select(F.col(id_col))
+        .join(per_doc, id_col, "left")
+        .select(
+            id_col,
+            F.coalesce("n_words", F.lit(0)).cast("long").alias("n_words"),
+            F.coalesce("n_pieces", F.lit(0)).cast("long").alias("n_pieces"),
+            F.coalesce("n_oov", F.lit(0)).cast("long").alias("n_oov"),
+        )
+    )
 
 
 def add_lang_id(

@@ -830,7 +830,7 @@ def bpe_train_merges_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 
-def _unigram_round_ctes(r: int) -> list[str]:
+def _unigram_round_ctes(r: int, dp_only: bool = False) -> list[str]:
     """One unigram hard-EM round as DuckDB CTEs: vocab-edge
     enumeration, the per-word Viterbi DP unrolled over positions
     1..UNIGRAM_WORD_CAP (best-per-position with the engine's exact
@@ -880,6 +880,8 @@ def _unigram_round_ctes(r: int) -> list[str]:
         for k in range(1, cap + 1)
     )
     ctes.append(f"fin{r} AS MATERIALIZED (\n{fins}\n)")
+    if dp_only:
+        return ctes
     ctes.append(
         f"""counts{r} AS MATERIALIZED (
   SELECT p.piece, CAST(sum(w.freq) AS BIGINT) AS cnt
@@ -908,10 +910,9 @@ def _unigram_round_ctes(r: int) -> list[str]:
     return ctes
 
 
-def _unigram_vocab_oracle() -> str:
-    """Full unigram-trainer replay: seed vocabulary from weighted
-    substring counts (+ the whole alphabet), UNIGRAM_EM_ROUNDS unrolled
-    hard-EM rounds, final (count DESC, UTF-8 bytes ASC) ranking."""
+def _unigram_vocab_oracle_ctes() -> list[str]:
+    """Trainer CTE chain (seed + UNIGRAM_EM_ROUNDS unrolled hard-EM
+    rounds) — shared by the trainer and segmentation oracles."""
     ml = _tx.UNIGRAM_PIECE_MAXLEN
     cap = _tx.UNIGRAM_WORD_CAP
     t = _tx.UNIGRAM_EM_ROUNDS
@@ -947,9 +948,17 @@ def _unigram_vocab_oracle() -> str:
     ]
     for r in range(1, t + 1):
         ctes += _unigram_round_ctes(r)
+    return ctes
+
+
+def _unigram_vocab_oracle() -> str:
+    """Full unigram-trainer replay: seed vocabulary from weighted
+    substring counts (+ the whole alphabet), UNIGRAM_EM_ROUNDS unrolled
+    hard-EM rounds, final (count DESC, UTF-8 bytes ASC) ranking."""
+    t = _tx.UNIGRAM_EM_ROUNDS
     return (
         "WITH "
-        + ",\n".join(ctes)
+        + ",\n".join(_unigram_vocab_oracle_ctes())
         + f"""
 SELECT CAST(row_number() OVER (
          ORDER BY v.cnt DESC, encode(v.piece)) - 1 AS INT) AS vocab_rank,
@@ -989,6 +998,70 @@ def unigram_train_vocab_documents(
     return spark.createDataFrame(
         rows, "vocab_rank int, piece string, cnt bigint, logprob double"
     )
+
+
+def _unigram_segment_oracle() -> str:
+    """Inference oracle: one more Viterbi DP round under the FINAL
+    (untruncated) model lp{T}, then per-document word/piece/OOV counts
+    — the bpe_segment pattern. Words longer than UNIGRAM_WORD_CAP were
+    never trainable and count as OOV."""
+    t = _tx.UNIGRAM_EM_ROUNDS
+    cap = _tx.UNIGRAM_WORD_CAP
+    ctes = _unigram_vocab_oracle_ctes()
+    ctes += _unigram_round_ctes(t + 1, dp_only=True)
+    ctes.append(
+        rf"""doc_words AS MATERIALIZED (
+  SELECT doc_id, w FROM (
+    SELECT doc_id,
+           unnest(string_split_regex(trim(text), '\s+')) AS w
+    FROM documents WHERE trim(text) <> ''
+  ) WHERE w <> ''
+)"""
+    )
+    return (
+        "WITH "
+        + ",\n".join(ctes)
+        + f"""
+SELECT d.doc_id,
+       CAST(COALESCE(c.n_words, 0) AS BIGINT) AS n_words,
+       CAST(COALESCE(c.n_pieces, 0) AS BIGINT) AS n_pieces,
+       CAST(COALESCE(c.n_oov, 0) AS BIGINT) AS n_oov
+FROM documents d LEFT JOIN (
+  SELECT dw.doc_id,
+         CAST(count(*) AS BIGINT) AS n_words,
+         CAST(sum(CASE WHEN len(dw.w) <= {cap}
+                       THEN len(f.pieces) ELSE 0 END) AS BIGINT)
+           AS n_pieces,
+         CAST(sum(CASE WHEN len(dw.w) > {cap} THEN 1 ELSE 0 END)
+              AS BIGINT) AS n_oov
+  FROM doc_words dw
+  LEFT JOIN fin{t + 1} f ON f.w = dw.w
+  GROUP BY dw.doc_id
+) c USING (doc_id)
+"""
+    )
+
+
+@register_pending_r14(
+    "unigram_segment_documents",
+    oracle=_unigram_segment_oracle(),
+    description="Unigram-LM tokenizer INFERENCE — the serving half of "
+    "unigram_train_vocab_documents (the bpe_segment_documents "
+    "pattern): the trained untruncated model segments every DISTINCT "
+    "in-cap word once with its Viterbi path (zero-shuffle literal-map "
+    "HOF projection — no per-occurrence re-segmentation), documents "
+    "then join the segmented vocabulary for per-doc word/piece/OOV "
+    "counts; over-cap words were never trainable and count as OOV. "
+    "Oracle replays one more unrolled DP round under the final "
+    "log-probs.",
+    tags=("extension", "text", "iterative"),
+)
+def unigram_segment_documents(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    docs = read_parquet_table(spark, sf_dir, "documents")
+    _, lp = _tx.unigram_train_model(docs, "text")
+    return _tx.unigram_segment_counts(docs, "doc_id", "text", lp)
 
 
 

@@ -711,6 +711,64 @@ def test_unigram_train_vocab_matches_reference(spark):
     )
 
 
+def test_unigram_segment_counts_matches_reference(spark):
+    """Serving half: per-doc word/piece/OOV counts under the trained
+    UNTRUNCATED model must match a reference segmentation — including
+    an over-cap word (never trainable → OOV, not silently char-split)
+    and an empty document (0/0/0 through the left join)."""
+    import math
+    from collections import Counter
+    from decimal import ROUND_HALF_UP, Decimal
+
+    long_word = "x" * 20  # > UNIGRAM_WORD_CAP: OOV by contract
+    docs = [
+        (0, "banana bandana ban banana"),
+        (1, f"anna {long_word} ban"),
+        (2, ""),
+        (3, "band and a nan"),
+    ]
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    vocab, lp = tx.unigram_train_model(df, "text", seed_multi=20)
+    got = {
+        r["doc_id"]: (r["n_words"], r["n_pieces"], r["n_oov"])
+        for r in tx.unigram_segment_counts(
+            df, "doc_id", "text", lp
+        ).collect()
+    }
+
+    def viterbi_len(w):
+        maxlen = tx.UNIGRAM_PIECE_MAXLEN
+        best = [(Decimal(0), 0, 0)]  # score, n_pieces, last_plen
+        for k in range(1, len(w) + 1):
+            cur = None
+            for s in range(max(0, k - maxlen), k):
+                piece = w[s:k]
+                if piece not in lp:
+                    continue
+                cs = best[s][0] + lp[piece]
+                plen = k - s
+                if (
+                    cur is None
+                    or cs > cur[0]
+                    or (cs == cur[0] and plen > cur[2])
+                ):
+                    cur = (cs, best[s][1] + 1, plen)
+            best.append(cur)
+        return best[len(w)][1]
+
+    want = {}
+    for doc_id, text in docs:
+        ws = [w for w in text.split() if w]
+        n_pieces = sum(
+            viterbi_len(w) for w in ws if len(w) <= tx.UNIGRAM_WORD_CAP
+        )
+        n_oov = sum(1 for w in ws if len(w) > tx.UNIGRAM_WORD_CAP)
+        want[doc_id] = (len(ws), n_pieces, n_oov)
+    assert got == want
+    assert got[1][2] == 1  # the planted over-cap word counted as OOV
+    assert got[2] == (0, 0, 0)
+
+
 def test_bpe_segment_words_matches_reference_application(spark):
     """Inference: applying the learned merges must segment every word
     exactly like the reference greedy leftmost-first loop (overlap case

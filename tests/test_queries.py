@@ -572,3 +572,56 @@ def test_r13_window_promotes_r12_deferred(monkeypatch):
     assert rounds.count(8) == sum(
         1 for n, (r, _s) in fake.items() if r == 8 and n in plans.QUERIES
     ), "an r08 row was left out while r09 rows got slots"
+
+
+def test_r14_window_debuts_and_stalest_first(monkeypatch):
+    """One round ahead: once the predicted r13 window records all green
+    (the 2 pending-r13 debuts lead, the r12 force group re-records, the
+    r08 remainder + r09 head retire), the r14 window carries NO force
+    entries — the r12 queue names all own green r13 rows, and the
+    round-14 hygiene clears the tuple so none re-burns a slot — and the
+    non-debut slots go purely stalest-first: the r09 remainder before
+    any r10 row. Pending-r14 debuts (the JPEG roundtrip and the unigram
+    trainer/segmenter) occupy head slots and are excluded here."""
+    import pytest as _pytest
+
+    from spotify_tracks_etl_portfolio_spark import plans
+
+    if any(n not in plans.all_queries() for n in plans.PENDING_R13_NAMES):
+        _pytest.skip("pending-r13 debuts not registered in this state")
+    as_of_r12 = plans._recorded_status(max_round=12)
+    monkeypatch.setattr(plans, "_recorded_status", lambda: as_of_r12)
+    r13_window = [
+        n for n in plans.all_queries()
+        if n not in plans.PENDING_R14_NAMES
+    ][:50]
+    # sanity: the pending-r13 debuts really lead that window
+    assert set(plans.PENDING_R13_NAMES) <= set(
+        r13_window[: len(plans.PENDING_R13_NAMES)]
+    )
+    fake = dict(as_of_r12)
+    for n in r13_window:
+        fake[n] = (13, "pass")
+    # the r14 window runs with the r12 queue cleared (round-14 hygiene)
+    monkeypatch.setattr(plans, "_FORCE_RERECORD_AFTER_R12", ())
+    monkeypatch.setattr(plans, "_recorded_status", lambda: fake)
+    window = [
+        n for n in plans.all_queries()
+        if n not in plans.PENDING_R14_NAMES
+    ][:50]
+    # none of the spent r12 force names re-burns a slot
+    for n in (
+        "near_dedup_new_vs_corpus",
+        "streaming_near_dedup_sync",
+        "gopher_quality_gate_documents",
+    ):
+        assert n not in window, n
+    rounds = [fake[n][0] for n in window if n in fake]
+    assert set(rounds) <= {9, 10}, set(rounds)
+    assert rounds.count(9) == min(
+        len(rounds),
+        sum(
+            1 for n, (r, _s) in fake.items()
+            if r == 9 and n in plans.QUERIES
+        ),
+    ), "an r09 row was left out while r10 rows got slots"
