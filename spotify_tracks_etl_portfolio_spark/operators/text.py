@@ -209,6 +209,82 @@ def quality_score(col: Column | str) -> Column:
     )
 
 
+#: Linear quality-classifier geometry: feature-hash dimension and the
+#: integer weight recipe. Weights are micro-units in [-1e6, 1e6]
+#: derived per bucket by a fixed multiplicative-hash recipe — the
+#: deterministic stand-in for a trained weight table (no trained
+#: classifier ships in this container; the INFERENCE path — hashing
+#: trick, weight lookup, margin accumulation, logistic link, threshold
+#: gate — is the part that runs at corpus scale and is what this
+#: operator implements for real).
+CLASSIFIER_DIM = 1024
+CLASSIFIER_WEIGHT_MULT = 2654435761
+CLASSIFIER_WEIGHT_ADD = 104729
+CLASSIFIER_WEIGHT_MOD = 2_000_001
+CLASSIFIER_WEIGHT_SHIFT = 1_000_000
+
+
+def classifier_token_weight(tok: Column) -> Column:
+    """Integer (micro-unit) weight of one token: polynomial token hash
+    → feature bucket (hashing trick, Weinberger et al. 2009) → fixed
+    multiplicative-hash weight in [-1e6, 1e6]. Pure integer arithmetic
+    end to end, so margin sums are EXACT and the keep decision has no
+    float boundary."""
+    from spotify_tracks_etl_portfolio_spark.functions import rolling_hash
+
+    bucket = rolling_hash(tok) % CLASSIFIER_DIM
+    return (
+        bucket * F.lit(CLASSIFIER_WEIGHT_MULT) + F.lit(CLASSIFIER_WEIGHT_ADD)
+    ) % F.lit(CLASSIFIER_WEIGHT_MOD) - F.lit(CLASSIFIER_WEIGHT_SHIFT)
+
+
+def linear_quality_scores(
+    df: DataFrame, id_col: str, text_col: str
+) -> DataFrame:
+    """Classifier-based quality filtering — the third canonical filter
+    family of an LLM data pipeline next to rule-based (``gopher_rules``)
+    and perplexity-based (the CCNet chain): the inference path of a
+    linear (fastText / logistic) document-quality classifier.
+
+    Per document: hash every token into ``CLASSIFIER_DIM`` feature
+    buckets, accumulate the bucket weights into an EXACT integer margin
+    sum (one JVM fold, nested char-hash inside token fold — no UDF),
+    normalize by token count, squash through the logistic link. The
+    keep decision is ``margin_sum >= 0`` on the INTEGER sum — bit-exact
+    on any engine, no float threshold boundary; ``margin``/``score``
+    are the reported calibrated values (round-6/round-9, the
+    established cross-engine float discipline).
+
+    Scale shape: a zero-shuffle projection — no join, no aggregation,
+    no driver state beyond the frozen weight recipe; at 100 TB this is
+    one codegen'd pass over the corpus, embarrassingly parallel per
+    split. A real trained weight table would broadcast as a literal
+    map (the unigram-trainer pattern) without changing the plan."""
+    toks = tokens(text_col)
+    n = F.size(toks)
+    z = F.aggregate(
+        toks,
+        F.lit(0).cast("long"),
+        lambda acc, t: acc + classifier_token_weight(t),
+    )
+    margin = F.when(n > 0, F.round(
+        z.cast("double")
+        / (n.cast("double") * F.lit(float(CLASSIFIER_WEIGHT_SHIFT))),
+        9,
+    )).otherwise(F.lit(0.0))
+    score = F.round(
+        F.lit(1.0) / (F.lit(1.0) + F.exp(-margin)), 6
+    )
+    return df.select(
+        F.col(id_col),
+        n.cast("long").alias("n_tokens"),
+        z.alias("margin_sum"),
+        margin.alias("margin"),
+        score.alias("score"),
+        ((n > 0) & (z >= 0)).alias("keep"),
+    )
+
+
 def redact(
     df: DataFrame,
     col: str,

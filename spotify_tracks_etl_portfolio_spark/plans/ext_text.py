@@ -1064,6 +1064,70 @@ def unigram_segment_documents(
     return _tx.unigram_segment_counts(docs, "doc_id", "text", lp)
 
 
+def _classifier_oracle() -> str:
+    d = _tx.CLASSIFIER_DIM
+    mult = _tx.CLASSIFIER_WEIGHT_MULT
+    add = _tx.CLASSIFIER_WEIGHT_ADD
+    mod = _tx.CLASSIFIER_WEIGHT_MOD
+    shift = _tx.CLASSIFIER_WEIGHT_SHIFT
+    return rf"""
+WITH ctoks AS (
+  SELECT doc_id,
+         CASE WHEN trim(text) = '' THEN CAST([] AS VARCHAR[])
+              ELSE string_split_regex(trim(text), '\s+') END AS w
+  FROM documents
+),
+cz AS (
+  SELECT doc_id, CAST(len(w) AS BIGINT) AS n_tokens,
+         CAST(COALESCE(list_sum(list_transform(w, t ->
+           ((list_reduce(list_prepend(CAST(0 AS BIGINT),
+               list_transform(string_split(t, ''),
+                              c -> CAST(ascii(c) AS BIGINT))),
+             (a, b) -> (a * 31 + b) % 1000000007) % {d})
+            * {mult} + {add}) % {mod} - {shift})), 0) AS BIGINT)
+           AS margin_sum
+  FROM ctoks
+),
+cm AS (
+  SELECT doc_id, n_tokens, margin_sum,
+         CASE WHEN n_tokens > 0
+              THEN round(margin_sum / (n_tokens * {shift}.0), 9)
+              ELSE 0.0 END AS margin
+  FROM cz
+)
+SELECT doc_id, n_tokens, margin_sum, margin,
+       round(1.0 / (1.0 + exp(-margin)), 6) AS score,
+       n_tokens > 0 AND margin_sum >= 0 AS keep
+FROM cm
+"""
+
+
+@register_pending_r14(
+    "quality_classifier_documents",
+    oracle=_classifier_oracle(),
+    description="Classifier-based quality filtering — the third "
+    "canonical LLM-pipeline filter family next to rule-based "
+    "(gopher_quality_gate_documents) and perplexity-based "
+    "(ccnet_perplexity_buckets): the inference path of a linear "
+    "(fastText/logistic) document-quality classifier. Tokens feature-"
+    "hash into a fixed-dimension bucket space (hashing trick), bucket "
+    "weights (a frozen integer micro-unit table — the deterministic "
+    "stand-in for trained weights) accumulate into an EXACT integer "
+    "margin per doc via one nested JVM fold, and the keep decision is "
+    "margin_sum >= 0 on the integer sum — no float threshold boundary; "
+    "the logistic score is reported under the established round-6 "
+    "discipline. Zero-shuffle single-scan projection; at 100 TB a real "
+    "trained weight table broadcasts as a literal map without changing "
+    "the plan.",
+    tags=("extension", "text", "curation"),
+)
+def quality_classifier_documents(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    docs = read_parquet_table(spark, sf_dir, "documents")
+    return _tx.linear_quality_scores(docs, "doc_id", "text")
+
+
 
 @register(
     "bpe_segment_documents",

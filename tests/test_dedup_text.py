@@ -769,6 +769,49 @@ def test_unigram_segment_counts_matches_reference(spark):
     assert got[2] == (0, 0, 0)
 
 
+def test_linear_quality_classifier_matches_reference(spark):
+    """The classifier inference path must reproduce the reference
+    integer arithmetic exactly — hash → bucket → micro-unit weight →
+    integer margin — with the keep decision on the INTEGER sum (no
+    float boundary), the empty doc neutral (margin 0, keep False), and
+    the logistic score at the documented rounding."""
+    import math
+
+    docs = [
+        (0, "alpha beta gamma alpha"),
+        (1, ""),
+        (2, "one"),
+        (3, "a b c d e f g h i j"),
+    ]
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    got = {
+        r["doc_id"]: (
+            r["n_tokens"], r["margin_sum"], r["margin"], r["score"],
+            r["keep"],
+        )
+        for r in tx.linear_quality_scores(df, "doc_id", "text").collect()
+    }
+
+    def weight(tok):
+        h = 0
+        for ch in tok:
+            h = (h * 31 + ord(ch)) % 1_000_000_007
+        b = h % tx.CLASSIFIER_DIM
+        return (
+            b * tx.CLASSIFIER_WEIGHT_MULT + tx.CLASSIFIER_WEIGHT_ADD
+        ) % tx.CLASSIFIER_WEIGHT_MOD - tx.CLASSIFIER_WEIGHT_SHIFT
+
+    for doc_id, text in docs:
+        ws = [w for w in text.split() if w]
+        z = sum(weight(w) for w in ws)
+        n = len(ws)
+        margin = round(z / (n * 1e6), 9) if n else 0.0
+        score = round(1.0 / (1.0 + math.exp(-margin)), 6)
+        keep = n > 0 and z >= 0
+        assert got[doc_id] == (n, z, margin, score, keep), doc_id
+    assert got[1] == (0, 0, 0.0, 0.5, False)  # empty doc: neutral, dropped
+
+
 def test_bpe_segment_words_matches_reference_application(spark):
     """Inference: applying the learned merges must segment every word
     exactly like the reference greedy leftmost-first loop (overlap case

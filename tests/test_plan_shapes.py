@@ -507,6 +507,23 @@ def test_unigram_estep_single_aggregation_no_join(spark, sf_dir):
     assert "Sort" not in plan
 
 
+def test_quality_classifier_zero_shuffle_projection(spark, sf_dir):
+    """The linear quality classifier's scale claim: one scan, pure
+    projection — no exchange, no join, no aggregation node (the margin
+    fold is an expression, not a physical aggregate)."""
+    import os
+
+    os.environ["SPARK_GRAFT_INCLUDE_PENDING"] = "1"
+    try:
+        plan = plan_of(spark, "quality_classifier_documents", sf_dir)
+    finally:
+        os.environ.pop("SPARK_GRAFT_INCLUDE_PENDING", None)
+    assert "Exchange" not in plan
+    assert "Join" not in plan
+    assert "HashAggregate" not in plan
+    assert plan.count("FileScan parquet") == 1
+
+
 def test_bpe_merge_artifact_served_equals_trained(spark, sf_dir):
     """Pending r11 debut (invoked directly — registration-independent):
     the persisted BPE merge-table artifact serves segmentation
