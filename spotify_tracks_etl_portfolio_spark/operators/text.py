@@ -285,6 +285,127 @@ def linear_quality_scores(
     )
 
 
+#: C4 (Raffel et al. 2020, §2.2) line/page rule constants. The
+#: bad-word list is a NEUTRAL STAND-IN pair for the LDNOOBW blocklist
+#: the paper uses (shipping the real list adds nothing to the engine;
+#: the rule machinery — page-level word scan — is what runs at scale).
+C4_MIN_LINE_WORDS = 5
+C4_MIN_SENTENCES = 3
+C4_TERMINALS = (".", "!", "?", '"')
+C4_BADWORD_STANDINS = ("badword_a", "badword_b")
+C4_LINE_WRAP = 7
+
+
+def _c4_line_ok(line: Column) -> Column:
+    """C4 line-retention rule: ends in terminal punctuation, has at
+    least C4_MIN_LINE_WORDS words, and does not mention javascript."""
+    t = F.trim(line)
+    ends = F.lit(False)
+    for suffix in C4_TERMINALS:
+        ends = ends | F.endswith(t, F.lit(suffix))
+    words = F.size(F.split(t, r"\s+"))
+    no_js = ~F.contains(F.lower(t), F.lit("javascript"))
+    return ends & (words >= C4_MIN_LINE_WORDS) & no_js
+
+
+def c4_line_stats(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """C4-style rule-based cleaning (Raffel et al. 2020, §2.2) — the
+    LINE-level complement of the document-level ``gopher_rules`` gate:
+    keep only lines that end in terminal punctuation, carry >= 5 words,
+    and don't mention javascript; then drop whole pages with fewer than
+    3 sentences in the retained text, or containing ``lorem ipsum``, a
+    curly brace, or a blocklist word (neutral stand-ins here). The
+    cross-page 3-sentence-span dedup step of C4 is the separate
+    ``passage_dedup_documents`` operator.
+
+    Pure zero-shuffle JVM projection (split/filter/HOFs — no UDF, no
+    exchange): one codegen'd pass at 100 TB. Returns per page:
+    (id, n_lines, n_kept_lines, n_sentences, has_lorem, has_brace,
+    has_badword, page_ok, kept_chars)."""
+    text = F.col(text_col)
+    lines = F.split(text, "\n")
+    kept = F.filter(lines, _c4_line_ok)
+    kept_text = F.array_join(kept, "\n")
+    n_sentences = F.regexp_count(kept_text, F.lit(r"[.!?]"))
+    lower = F.lower(text)
+    has_lorem = F.contains(lower, F.lit("lorem ipsum"))
+    has_brace = F.contains(text, F.lit("{"))
+    has_badword = F.lit(False)
+    for w in C4_BADWORD_STANDINS:
+        has_badword = has_badword | F.contains(lower, F.lit(w))
+    page_ok = (
+        ~has_lorem
+        & ~has_brace
+        & ~has_badword
+        & (n_sentences >= C4_MIN_SENTENCES)
+    )
+    return df.select(
+        F.col(id_col),
+        F.size(lines).cast("int").alias("n_lines"),
+        F.size(kept).cast("int").alias("n_kept_lines"),
+        n_sentences.cast("int").alias("n_sentences"),
+        has_lorem.alias("has_lorem"),
+        has_brace.alias("has_brace"),
+        has_badword.alias("has_badword"),
+        page_ok.alias("page_ok"),
+        F.length(kept_text).cast("long").alias("kept_chars"),
+    )
+
+
+def synthesize_pages(
+    df: DataFrame, id_col: str, text_col: str, wrap: int = C4_LINE_WRAP
+) -> DataFrame:
+    """Deterministic REAL multi-line pages from single-line corpus text
+    — the text twin of ``attach_encoded_media``'s synthesize-then-
+    really-decode pattern (the driver corpus is single-line word salad,
+    so the line gate needs genuine line structure to chew on): tokens
+    re-wrap into ``wrap``-word lines, each line's terminal punctuation
+    chosen by its own rolling hash (period / bang / question / none /
+    a javascript mention — hitting every line rule), and page-level
+    defect lines (lorem ipsum, a brace block) are planted on fixed id
+    residues. Everything replays in SQL from the same hash."""
+    from spotify_tracks_etl_portfolio_spark.functions import rolling_hash
+
+    toks = tokens(text_col)
+    n_chunks = F.ceil(F.size(toks) / F.lit(wrap)).cast("int")
+    # guard the empty page: sequence(0, -1) would generate a DESCENDING
+    # range, not an empty one
+    chunks = F.when(
+        n_chunks > 0,
+        F.transform(
+            F.sequence(F.lit(0), n_chunks - 1),
+            lambda i: F.array_join(
+                F.slice(toks, i * wrap + 1, wrap), " "
+            ),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+
+    def line_of(c: Column) -> Column:
+        h = rolling_hash(c) % 5
+        return (
+            F.when(h == 0, F.concat(c, F.lit(".")))
+            .when(h == 1, F.concat(c, F.lit("!")))
+            .when(h == 2, F.concat(c, F.lit("?")))
+            .when(h == 3, c)
+            .otherwise(F.concat(c, F.lit(" javascript embed.")))
+        )
+
+    lines = F.transform(chunks, line_of)
+    did = F.col(id_col)
+    extras = F.concat(
+        F.when(
+            did % 17 == 0,
+            F.array(F.lit("lorem ipsum dolor sit amet consectetur elit.")),
+        ).otherwise(F.array().cast("array<string>")),
+        F.when(
+            did % 13 == 0,
+            F.array(F.lit("function() { var x = 1; }")),
+        ).otherwise(F.array().cast("array<string>")),
+    )
+    page = F.array_join(F.concat(extras, lines), "\n")
+    return df.select(did, page.alias("page"))
+
+
 def redact(
     df: DataFrame,
     col: str,

@@ -1128,6 +1128,122 @@ def quality_classifier_documents(
     return _tx.linear_quality_scores(docs, "doc_id", "text")
 
 
+def _c4_gate_oracle() -> str:
+    wrap = _tx.C4_LINE_WRAP
+    badw = " OR ".join(
+        f"contains(lower(page), '{w}')" for w in _tx.C4_BADWORD_STANDINS
+    )
+    return rf"""
+WITH c4t AS (
+  SELECT doc_id,
+         CASE WHEN trim(text) = '' THEN CAST([] AS VARCHAR[])
+              ELSE string_split_regex(trim(text), '\s+') END AS w
+  FROM documents
+),
+c4chunks AS (
+  SELECT doc_id,
+         CASE WHEN len(w) > 0 THEN
+           list_transform(
+             range(0, CAST(ceil(len(w) / {wrap}.0) AS INT)),
+             i -> array_to_string(
+               list_slice(w, CAST(i * {wrap} + 1 AS INT),
+                          CAST(i * {wrap} + {wrap} AS INT)), ' '))
+         ELSE CAST([] AS VARCHAR[]) END AS chunks
+  FROM c4t
+),
+c4l AS (
+  SELECT doc_id,
+         list_transform(chunks, c ->
+           CASE (list_reduce(list_prepend(CAST(0 AS BIGINT),
+                   list_transform(string_split(c, ''),
+                                  ch -> CAST(ascii(ch) AS BIGINT))),
+                 (a, b) -> (a * 31 + b) % 1000000007) % 5)
+             WHEN 0 THEN c || '.'
+             WHEN 1 THEN c || '!'
+             WHEN 2 THEN c || '?'
+             WHEN 3 THEN c
+             ELSE c || ' javascript embed.'
+           END) AS lines
+  FROM c4chunks
+),
+c4page AS (
+  SELECT doc_id,
+         COALESCE(array_to_string(list_concat(list_concat(
+           CASE WHEN doc_id % 17 = 0
+                THEN ['lorem ipsum dolor sit amet consectetur elit.']
+                ELSE CAST([] AS VARCHAR[]) END,
+           CASE WHEN doc_id % 13 = 0
+                THEN ['function() {{ var x = 1; }}']
+                ELSE CAST([] AS VARCHAR[]) END),
+           lines), chr(10)), '') AS page
+  FROM c4l
+),
+c4k AS (
+  SELECT doc_id, page,
+         len(string_split(page, chr(10))) AS n_lines,
+         COALESCE(array_to_string(
+           list_filter(string_split(page, chr(10)), l ->
+             (ends_with(trim(l), '.') OR ends_with(trim(l), '!')
+              OR ends_with(trim(l), '?') OR ends_with(trim(l), '"'))
+             AND len(string_split_regex(trim(l), '\s+')) >= {_tx.C4_MIN_LINE_WORDS}
+             AND NOT contains(lower(trim(l)), 'javascript')),
+           chr(10)), '') AS kept_text,
+         len(list_filter(string_split(page, chr(10)), l ->
+             (ends_with(trim(l), '.') OR ends_with(trim(l), '!')
+              OR ends_with(trim(l), '?') OR ends_with(trim(l), '"'))
+             AND len(string_split_regex(trim(l), '\s+')) >= {_tx.C4_MIN_LINE_WORDS}
+             AND NOT contains(lower(trim(l)), 'javascript')))
+           AS n_kept_lines
+  FROM c4page
+),
+c4s AS (
+  SELECT doc_id, n_lines, n_kept_lines,
+         len(regexp_extract_all(kept_text, '[.!?]')) AS n_sentences,
+         contains(lower(page), 'lorem ipsum') AS has_lorem,
+         contains(page, '{{') AS has_brace,
+         ({badw}) AS has_badword,
+         CAST(len(kept_text) AS BIGINT) AS kept_chars
+  FROM c4k
+)
+SELECT doc_id,
+       CAST(n_lines AS INT) AS n_lines,
+       CAST(n_kept_lines AS INT) AS n_kept_lines,
+       CAST(n_sentences AS INT) AS n_sentences,
+       has_lorem, has_brace, has_badword,
+       NOT has_lorem AND NOT has_brace AND NOT has_badword
+         AND n_sentences >= {_tx.C4_MIN_SENTENCES} AS page_ok,
+       kept_chars
+FROM c4s
+"""
+
+
+@register_pending_r14(
+    "c4_line_gate_documents",
+    oracle=_c4_gate_oracle(),
+    description="C4-style rule-based cleaning (Raffel et al. 2020, "
+    "§2.2) — the LINE-level complement of the document-level Gopher "
+    "gate, completing the rule-based filter family: keep lines that "
+    "end in terminal punctuation, carry >= 5 words, and don't mention "
+    "javascript; drop pages under 3 retained sentences or containing "
+    "lorem ipsum / a curly brace / a blocklist word (neutral "
+    "stand-ins). The driver corpus is single-line word salad, so the "
+    "gate chews on deterministic REAL multi-line pages synthesized "
+    "from each document's own tokens (the attach_encoded_media "
+    "pattern: line punctuation varies by the line's rolling hash — "
+    "hitting every rule — and page defects plant on fixed id "
+    "residues); the oracle replays synthesis AND gate from the same "
+    "hash. C4's cross-page 3-sentence-span dedup is the separate "
+    "passage_dedup_documents. Zero-shuffle single-scan JVM projection.",
+    tags=("extension", "text", "curation"),
+)
+def c4_line_gate_documents(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    docs = read_parquet_table(spark, sf_dir, "documents")
+    pages = _tx.synthesize_pages(docs, "doc_id", "text")
+    return _tx.c4_line_stats(pages, "doc_id", "page")
+
+
 
 @register(
     "bpe_segment_documents",

@@ -812,6 +812,67 @@ def test_linear_quality_classifier_matches_reference(spark):
     assert got[1] == (0, 0, 0.0, 0.5, False)  # empty doc: neutral, dropped
 
 
+def test_c4_line_gate_rules_on_planted_pages(spark):
+    """Each C4 rule verified on planted multi-line pages through the
+    REAL gate (no synthesis): line retention (terminal punctuation,
+    >=5 words, no javascript), page rejection (lorem ipsum, brace,
+    blocklist stand-in, <3 sentences), and a clean page passing."""
+    good = (
+        "the first full sentence has enough words here.\n"
+        "a second proper sentence also carries enough words!\n"
+        "and a third one closes the page out properly?"
+    )
+    pages = [
+        (0, good),
+        (1, "no terminal punctuation on this long enough line\n" + good),
+        (2, "too short.\n" + good),
+        (3, "this line mentions javascript so it must go.\n" + good),
+        (4, good + "\nlorem ipsum dolor sit amet consectetur elit."),
+        (5, good + "\nfunction() { var x = 1; }"),
+        (6, good + "\nthis page contains badword_a in running text."),
+        (7, "only two sentences here which is too few.\nsecond one also fine and long enough!"),
+        (8, ""),
+    ]
+    df = spark.createDataFrame(pages, "doc_id long, page string")
+    got = {r["doc_id"]: r for r in tx.c4_line_stats(df, "doc_id", "page").collect()}
+
+    assert got[0]["page_ok"] and got[0]["n_kept_lines"] == 3
+    assert got[0]["n_sentences"] == 3
+    # rule-violating EXTRA lines are dropped but the page survives
+    for i in (1, 2, 3):
+        assert got[i]["n_lines"] == 4 and got[i]["n_kept_lines"] == 3, i
+        assert got[i]["page_ok"], i
+    # page-level rejections keep their lines but fail the page
+    assert got[4]["has_lorem"] and not got[4]["page_ok"]
+    assert got[5]["has_brace"] and not got[5]["page_ok"]
+    assert got[6]["has_badword"] and not got[6]["page_ok"]
+    # the lorem line itself passes the LINE rules (ends with '.')
+    assert got[4]["n_kept_lines"] == 4
+    # under 3 sentences -> page dropped even though every line is kept
+    assert got[7]["n_kept_lines"] == 2 and not got[7]["page_ok"]
+    assert got[8]["n_kept_lines"] == 0 and not got[8]["page_ok"]
+    assert got[8]["kept_chars"] == 0
+
+
+def test_synthesize_pages_deterministic_and_multiline(spark):
+    """The page synthesizer is deterministic and produces genuine line
+    structure with every punctuation class present across the corpus."""
+    docs = [
+        (i, ("alpha beta gamma delta epsilon zeta eta " * 4).strip()
+         + f" tail{i}")
+        for i in (1, 13, 17, 221)
+    ]
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    a = {r["doc_id"]: r["page"] for r in tx.synthesize_pages(df, "doc_id", "text").collect()}
+    b = {r["doc_id"]: r["page"] for r in tx.synthesize_pages(df, "doc_id", "text").collect()}
+    assert a == b
+    assert all("\n" in p for p in a.values())
+    # planted page defects land on their id residues
+    assert "lorem ipsum" in a[17] and "lorem ipsum" in a[221]
+    assert "{" in a[13] and "{" in a[221]
+    assert "lorem ipsum" not in a[1] and "{" not in a[1]
+
+
 def test_bpe_segment_words_matches_reference_application(spark):
     """Inference: applying the learned merges must segment every word
     exactly like the reference greedy leftmost-first loop (overlap case

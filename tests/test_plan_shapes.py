@@ -524,6 +524,23 @@ def test_quality_classifier_zero_shuffle_projection(spark, sf_dir):
     assert plan.count("FileScan parquet") == 1
 
 
+def test_c4_line_gate_zero_shuffle_projection(spark, sf_dir):
+    """The C4 gate's scale claim: page synthesis + line filter + page
+    verdicts compose into ONE scan and pure projections — no exchange,
+    no join, no aggregate."""
+    import os
+
+    os.environ["SPARK_GRAFT_INCLUDE_PENDING"] = "1"
+    try:
+        plan = plan_of(spark, "c4_line_gate_documents", sf_dir)
+    finally:
+        os.environ.pop("SPARK_GRAFT_INCLUDE_PENDING", None)
+    assert "Exchange" not in plan
+    assert "Join" not in plan
+    assert "HashAggregate" not in plan
+    assert plan.count("FileScan parquet") == 1
+
+
 def test_bpe_merge_artifact_served_equals_trained(spark, sf_dir):
     """Pending r11 debut (invoked directly — registration-independent):
     the persisted BPE merge-table artifact serves segmentation
