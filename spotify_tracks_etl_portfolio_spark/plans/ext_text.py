@@ -1064,6 +1064,48 @@ def unigram_segment_documents(
     return _tx.unigram_segment_counts(docs, "doc_id", "text", lp)
 
 
+@register_pending_r14(
+    "unigram_segment_documents_served",
+    oracle=_unigram_segment_oracle(),
+    description="Served-artifact twin of unigram_segment_documents "
+    "(the bpe_segment_documents_served pattern): the trained "
+    "untruncated unigram model persists once per (session, sf_dir, "
+    "em_rounds) as a small parquet artifact — pieces, Viterbi counts, "
+    "and EXACT 9-dp log-probs as strings so the DECIMAL model "
+    "round-trips bit-identically — and segmentation passes load it "
+    "instead of re-training (tokenizers change rarely; token "
+    "accounting runs daily). Zero-RNG trainer ⇒ the oracle is "
+    "VERBATIM the per-call query's; served==trained equality and "
+    "artifact reuse are pytest-pinned.",
+    tags=("extension", "text", "iterative"),
+)
+def unigram_segment_documents_served(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    from decimal import Decimal
+
+    docs = read_parquet_table(spark, sf_dir, "documents")
+    root = _artifact_root(
+        spark,
+        "unigram_model",
+        f"{os.path.realpath(sf_dir)}|em={_tx.UNIGRAM_EM_ROUNDS}",
+    )
+
+    def _build(tmp: str) -> None:
+        vocab, lp = _tx.unigram_train_model(docs, "text")
+        spark.createDataFrame(
+            [(p, c, str(lp[p])) for p, c in sorted(vocab.items())],
+            "piece string, cnt long, lp string",
+        ).coalesce(1).write.parquet(f"{tmp}/model")
+
+    _build_artifact_once(root, "model", _build)
+    lp = {
+        r["piece"]: Decimal(r["lp"])
+        for r in spark.read.parquet(f"{root}/model").collect()
+    }
+    return _tx.unigram_segment_counts(docs, "doc_id", "text", lp)
+
+
 def _classifier_oracle() -> str:
     d = _tx.CLASSIFIER_DIM
     mult = _tx.CLASSIFIER_WEIGHT_MULT

@@ -1108,6 +1108,10 @@ def test_persisted_index_artifacts_reused_across_calls(spark, sf_dir):
         # partitioned by IVF cell; key pins both derived geometries)
         ("embedding_ivfpq_topk", "ivfpq_index", "codes",
          f"|kc={ivf_k}|iters=3|m=8|sub=8|kq={pq_k}|pqi=2"),
+        # round-13: the persisted unigram tokenizer model (exact
+        # DECIMAL log-probs round-trip as strings)
+        ("unigram_segment_documents_served", "unigram_model", "model",
+         "|em=2"),
     ]
     from spotify_tracks_etl_portfolio_spark.plans.extensions import (
         SEMX_NEW_MAX,
@@ -1148,3 +1152,9 @@ def test_persisted_index_artifacts_reused_across_calls(spark, sf_dir):
     ).collect()
     dfresh = qs["decontamination_overlap_spans"].fn(spark, sf_dir).collect()
     assert sorted(map(tuple, dserved)) == sorted(map(tuple, dfresh))
+    if "unigram_segment_documents_served" in qs:
+        userved = qs["unigram_segment_documents_served"].fn(
+            spark, sf_dir
+        ).collect()
+        ufresh = qs["unigram_segment_documents"].fn(spark, sf_dir).collect()
+        assert sorted(map(tuple, userved)) == sorted(map(tuple, ufresh))
