@@ -434,6 +434,62 @@ def multimodal_jpeg_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 
+@register_pending_r14(
+    "multimodal_gif_frame_sample",
+    oracle=f"""
+WITH gf AS (
+  SELECT doc_id, {_utf8_bytes_sql('text')} AS bs,
+         octet_length(encode(text)) AS n
+  FROM documents
+),
+gg AS (
+  SELECT doc_id, bs, n,
+         GREATEST(1, CAST(ceil(n / {_MM_WIDTH}.0) AS INT)) AS h
+  FROM gf
+),
+gp AS (
+  SELECT doc_id, h, h * {_MM_WIDTH} AS npx,
+         list_concat(bs, list_transform(
+           range(0, h * {_MM_WIDTH} - n), x -> CAST(0 AS BIGINT))) AS pb
+  FROM gg
+),
+gfr AS (
+  SELECT doc_id, h, npx, pb, CAST(t.fi AS INT) AS frame_idx,
+         list_concat(list_slice(pb, CAST(t.fi % npx + 1 AS INT), npx),
+                     list_slice(pb, 1, CAST(t.fi % npx AS INT))) AS rot
+  FROM gp, unnest(range(0, 1 + doc_id % 3)) t(fi)
+)
+SELECT doc_id AS id, frame_idx,
+       CAST(1 + doc_id % 3 AS INT) AS n_frames,
+       {_MM_WIDTH} AS width, h AS height,
+       CAST(list_sum(pb) AS DOUBLE) / npx AS mean_px,
+       CAST(list_reduce(list_prepend(CAST(0 AS BIGINT), rot),
+            (a, b) -> (a * {_mm._GIF_FP_MULT} + b) % {_mm._GIF_FP_MOD})
+            AS BIGINT) AS frame_fp
+FROM gfr
+""",
+    description="Animated-GIF frame sampling through a REAL LZW "
+    "container (the palette/animation format next to y4m's raw "
+    "frames): each document's text bytes become a genuine multi-frame "
+    "GIF89a (1 + id % 3 frames, frame fi the byte plane rotated by "
+    "fi, 'uncompressed-style' but fully valid LZW), decoded back "
+    "through the complete variable-width LSB-first LZW decoder and "
+    "the file's grayscale identity color table. Per frame: exact "
+    "geometry, mean pixel, and an ORDER-SENSITIVE polynomial "
+    "fingerprint of the decoded bytes — the oracle recomputes the "
+    "rotation and hash from raw byte arithmetic, so one transposed "
+    "or dropped pixel anywhere in the LZW pipeline hash-fails. "
+    "Arrow-batched 1-to-N mapInPandas; no shuffle",
+    tags=("extension", "multimodal"),
+)
+def multimodal_gif_frame_sample(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    docs = read_parquet_table(spark, sf_dir, "documents")
+    return _mm.gif_frame_features(docs, "doc_id", "text", width=_MM_WIDTH)
+
+
+
 @register(
     "streaming_scd2_sync",
     oracle="""

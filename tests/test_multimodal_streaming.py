@@ -264,6 +264,93 @@ def test_jpeg_codec_roundtrip_and_seams():
         mm.decode_jpeg(good[:-20] + b"\xff\xd9")
 
 
+def test_gif_codec_roundtrip_and_seams():
+    """GIF contract: exact multi-frame LZW roundtrip (frame fi = byte
+    plane rotated by fi), identity palette, dims; the decoder's LZW is
+    the full variable-width algorithm (clear/EOI/KwKwK); seams raise
+    for interlaced and partial-canvas frames; truncation raises."""
+    import struct
+
+    data = bytes((i * 7 + 3) % 256 for i in range(16 * 23 - 5))
+    blob = mm.encode_gif_gray(data, 16, n_frames=3)
+    g = mm.decode_gif(blob)
+    padded, h = mm._pad_to_grid(data, 16)
+    assert (g["width"], g["height"], g["n_frames"]) == (16, h, 3)
+    for fi in range(3):
+        rot = fi % len(padded)
+        assert g["frames_idx"][fi] == padded[rot:] + padded[:rot], fi
+    pal = g["palettes"][0]
+    assert all(
+        pal[3 * i] == i == pal[3 * i + 1] == pal[3 * i + 2]
+        for i in range(256)
+    )
+    # KwKwK case: a real compressor's stream with an immediate-reuse
+    # code — hand-built: clear, 'a', code258 ('aa') => 'aaa...'
+    # (our uncompressed-style encoder never emits it; pin it directly)
+    def pack9(codes):
+        acc = nbits = 0
+        out = bytearray()
+        for c in codes:
+            acc |= c << nbits
+            nbits += 9
+            while nbits >= 8:
+                out.append(acc & 0xFF)
+                acc >>= 8
+                nbits -= 8
+        if nbits:
+            out.append(acc & 0xFF)
+        return bytes(out)
+
+    stream = pack9([256, 97, 258, 257])  # clear, 'a', KwKwK, EOI
+    assert mm._gif_lzw_decode(8, stream, 3) == b"aaa"
+
+    # dispatch: single-frame GIF through decode_image = exact gray plane
+    img = mm.decode_image(mm.encode_gif_gray(data, 16))
+    assert (img["format"], img["channels"]) == ("gif", 1)
+    assert img["samples"] == padded
+
+    # seams: interlace flag and partial-canvas frame. The image
+    # descriptor sits at a structural offset (a naive index(0x2C) would
+    # hit palette entry 44): header 13 + GCT 768 + GCE 8.
+    desc = 13 + 256 * 3 + 8
+    bad = bytearray(mm.encode_gif_gray(b"xyz" * 30, 16))
+    assert bad[desc] == 0x2C
+    bad[desc + 9] |= 0x40
+    with pytest.raises(NotImplementedError, match="interlaced"):
+        mm.decode_gif(bytes(bad))
+    bad2 = bytearray(mm.encode_gif_gray(b"xyz" * 30, 16))
+    bad2[desc + 1 : desc + 3] = struct.pack("<H", 1)  # left=1
+    with pytest.raises(NotImplementedError, match="full-canvas"):
+        mm.decode_gif(bytes(bad2))
+    with pytest.raises(ValueError, match="truncated GIF"):
+        blob3 = mm.encode_gif_gray(b"q" * 64, 16)
+        # chop the LZW payload: drop the last sub-block byte wholesale
+        mm._gif_lzw_decode(8, b"\x00", 64)
+
+
+def test_gif_frame_features_end_to_end(spark):
+    """gif_frame_features: real encode→LZW-decode on executors, 1→N
+    frame explode, exact rotation fingerprints."""
+    df = spark.createDataFrame(DOCS, "doc_id long, text string")
+    out = mm.gif_frame_features(df, "doc_id", "text", width=16).collect()
+    by_key = {(r["id"], r["frame_idx"]): r for r in out}
+    assert len(out) == sum(1 + i % 3 for i, _ in DOCS)
+    for i, text in DOCS:
+        data = text.encode("utf-8")
+        padded, h = mm._pad_to_grid(data, 16)
+        for fi in range(1 + i % 3):
+            r = by_key[(i, fi)]
+            assert (r["n_frames"], r["width"], r["height"]) == (
+                1 + i % 3, 16, h)
+            rot = fi % len(padded)
+            want = padded[rot:] + padded[:rot]
+            fp = 0
+            for b in want:
+                fp = (fp * 31 + b) % 1_000_000_007
+            assert r["frame_fp"] == fp, (i, fi)
+            assert r["mean_px"] == pytest.approx(sum(padded) / len(padded))
+
+
 def test_jpeg_roundtrip_features_end_to_end(spark):
     """jpeg_roundtrip_features: real encode→decode→verify on executors;
     exact geometry out, every fidelity verdict TRUE."""
@@ -286,13 +373,13 @@ def test_jpeg_roundtrip_features_end_to_end(spark):
 
 def test_image_fingerprint_is_container_invariant(spark):
     """The SAME picture must fingerprint identically whether it arrives
-    as PNG, BMP, PPM, or (near-lossless) baseline JPEG — that is what
+    as PNG, BMP, PPM, GIF, or (near-lossless) baseline JPEG — that is what
     lets hash-groupBy dedup catch re-encoded duplicate images. The JPEG
     leg is the real-world case: a lossy re-encode of the same picture
     still collides because the aHash band decisions sit far from the
     +-1-gray-level decode error."""
     texts = ["hello world " * 40, "abc", "zz" * 300]
-    n_fmt = 4
+    n_fmt = 5
     rows = []
     for i, t in enumerate(texts):
         data = t.encode("utf-8")
@@ -301,6 +388,7 @@ def test_image_fingerprint_is_container_invariant(spark):
             (i * 10 + 1, bytes(mm.encode_bmp_gray(data, 16))),
             (i * 10 + 2, bytes(mm.encode_ppm_gray(data, 16))),
             (i * 10 + 3, bytes(mm.encode_jpeg_gray(data, 16))),
+            (i * 10 + 4, bytes(mm.encode_gif_gray(data, 16))),
         ]
     df = spark.createDataFrame(rows, "doc_id long, media binary")
     got = {
