@@ -87,6 +87,7 @@ HEADLINE = [
     # history starts when they debut
     "multimodal_jpeg_roundtrip",
     "unigram_train_vocab_documents",
+    "multimodal_gif_frame_sample",
 ]
 # Round-9 verdict item 4: the FROZEN-TOY twins simhash_near_dups and
 # embedding_lsh_near_dups are demoted from this list — both are

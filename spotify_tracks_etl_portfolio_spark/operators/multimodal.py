@@ -1013,8 +1013,10 @@ def jpeg_roundtrip_features(
     — while the lossy-decode fidelity collapses to deterministic
     boolean verdicts, so the whole result stays hash-checkable despite
     DCT rounding. One Arrow-batched ``mapInPandas`` projection over a
-    single scan: no shuffle, no driver collect; at 100 TB the codec
-    work is embarrassingly parallel per input split."""
+    single scan: no driver collect, and the only possible exchange is
+    the small-input codec fan-out (``_fan_out_for_codec``) — at 100 TB
+    the codec work is embarrassingly parallel per input split and the
+    fan-out is a no-op."""
     import numpy as np
 
     def roundtrip(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
@@ -1069,7 +1071,7 @@ def jpeg_roundtrip_features(
                  "restart_interval": "int32"}
             )
 
-    return df.select(id_col, text_col).mapInPandas(
+    return _fan_out_for_codec(df.select(id_col, text_col)).mapInPandas(
         roundtrip, JPEG_ROUNDTRIP_SCHEMA
     )
 
@@ -1671,6 +1673,23 @@ _GIF_FP_MULT = 31
 _GIF_FP_MOD = 1_000_000_007
 
 
+def _fan_out_for_codec(df: DataFrame) -> DataFrame:
+    """Codec-bound stages are CPU-heavy Python per row, so their
+    parallelism must come from PARTITION COUNT, not data size: a small
+    corpus arrives as one parquet split and would serialize the whole
+    codec pass onto one core (measured: the JPEG roundtrip at sf0.1 ran
+    27 s on local[32] — zero parallelism — vs ~2 s fanned out). When
+    the input has fewer partitions than cores, round-robin repartition
+    to defaultParallelism — a tiny shuffle of (id, text) rows that buys
+    full-width codec execution. At 100 TB inputs arrive as thousands of
+    splits and this is a no-op."""
+    sc = df.sparkSession.sparkContext
+    target = sc.defaultParallelism
+    if df.rdd.getNumPartitions() < target:
+        return df.repartition(target)
+    return df
+
+
 def gif_frame_features(
     df: DataFrame, id_col: str, text_col: str, width: int = 16
 ) -> DataFrame:
@@ -1718,7 +1737,7 @@ def gif_frame_features(
                  "width": "int32", "height": "int32", "frame_fp": "int64"}
             )
 
-    return df.select(id_col, text_col).mapInPandas(
+    return _fan_out_for_codec(df.select(id_col, text_col)).mapInPandas(
         sample,
         "id long, frame_idx int, n_frames int, width int, height int, "
         "mean_px double, frame_fp long",
