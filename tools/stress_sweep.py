@@ -144,7 +144,9 @@ def main() -> None:
             flush=True,
         )
 
-    os.makedirs(os.path.dirname(args.out), exist_ok=True)
+    out_dir = os.path.dirname(args.out)
+    if out_dir:
+        os.makedirs(out_dir, exist_ok=True)
     with open(args.out, "w") as fh:
         json.dump(results, fh, indent=1)
     total_b = sum(r["base"]["best"] for r in results.values())
