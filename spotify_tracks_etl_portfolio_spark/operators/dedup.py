@@ -905,7 +905,13 @@ def passage_dedup(
         ),
     ).otherwise(F.array().cast("array<string>"))
 
-    ex = df.select(
+    # scan_parallelism (r13 optimization round): the block-build +
+    # explode map phase inherits the scan's partitioning — rescue the
+    # unsplittable-small-file layout (no-op at real scale; the window
+    # + agg downstream are order-insensitive, answers bit-identical).
+    # The ``totals`` projection below stays on the raw scan: it is one
+    # cheap column expression per doc, not worth an exchange.
+    ex = scan_parallelism(df).select(
         F.col(id_col), F.posexplode(blocks).alias("pos", "passage")
     )
     w = Window.partitionBy("passage").orderBy(
@@ -943,11 +949,24 @@ EXACT_SUBSTR_TOKENS = 8
 def _stride1_kgrams(df: DataFrame, id_col: str, text_col: str, k: int):
     """(id, pos, kg): every overlapping k-token window of every doc,
     1-based start position, window re-joined with single spaces.
-    Narrow (flatMap-shaped) — no shuffle. Memory note: the window array
-    is materialized per row before posexplode, a transient ~k× copy of
-    the doc's text — row-local and bounded by the longest single doc,
-    never by the corpus (at 100 TB the per-executor cost is
-    max_doc_tokens · k · avg_token_len per concurrently-open row)."""
+    Narrow (flatMap-shaped) — no shuffle beyond the small-scan rescue.
+    Memory note: the window array is materialized per row before
+    posexplode, a transient ~k× copy of the doc's text — row-local and
+    bounded by the longest single doc, never by the corpus (at 100 TB
+    the per-executor cost is max_doc_tokens · k · avg_token_len per
+    concurrently-open row).
+
+    scan_parallelism (r13 optimization round, guide §2.6/§6): the
+    tokenize + window-build + explode is the heaviest map phase of
+    every ExactSubstr consumer and it inherits the SCAN's partitioning
+    — a single-file toy/stress corpus serialized the whole phase into
+    1-2 tasks (measured: the bare explode over sf0.1 documents ran
+    3.2 s on local[32]; ~0.3 s fanned out). Round-robin rescue only
+    when input splits < cores — a NO-OP at production scale, and
+    per-row-deterministic work feeding order-insensitive aggregations,
+    so answers are bit-identical (same sanction as shingle_hash_arrays
+    since r07)."""
+    df = scan_parallelism(df)
     trimmed = F.trim(F.col(text_col))
     toks = F.when(trimmed == "", F.array().cast("array<string>")).otherwise(
         F.split(trimmed, r"\s+")

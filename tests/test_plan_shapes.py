@@ -760,11 +760,20 @@ def test_incremental_substring_corpus_side_never_shuffles(spark, sf_dir):
     # SMJ line is its two input subtrees
     join_sub = plan[plan.index("SortMergeJoin"):]
     assert "Bucketed: true" in join_sub, "corpus k-gram scan not bucketed"
-    assert join_sub.count("Exchange") == 1, (
-        "expected exactly the batch-side exchange below the semi-join:\n"
-        + join_sub
+    # exactly ONE hash exchange below the semi-join — the batch side
+    # shuffling into the bucket layout; a second would mean the corpus
+    # k-gram table re-shuffled. (The r13 scan_parallelism rescue may
+    # add a batch-side ROUND-ROBIN exchange at toy scale — a no-op at
+    # production scale and never a corpus-side shuffle, so the
+    # structural claim is pinned on hash exchanges.)
+    import re as _re
+
+    assert len(_re.findall(r"Exchange hashpartitioning", join_sub)) == 1, (
+        "expected exactly the batch-side hash exchange below the "
+        "semi-join:\n" + join_sub
     )
     assert "Exchange hashpartitioning(kg" in join_sub
+    assert "Exchange rangepartitioning" not in join_sub
 
 
 def test_near_dedup_corpus_side_never_shuffles(spark, sf_dir):
