@@ -1580,6 +1580,56 @@ def _pq_adc_literal(
     import functools
     import operator
 
+    q_rows = sorted(
+        (r["query_id"], [float(x) for x in r["__qv"]]) for r in qs.collect()
+    )
+    spark = codes.sparkSession
+    qid_lit, lut_lits = _adc_micro_luts(spark, books, q_rows, m, sub_dim)
+
+    fanout = codes.select(
+        "neighbor_id",
+        *[f"code_{mi}" for mi in range(m)],
+        F.explode(
+            F.array(*[F.lit(i) for i in range(len(q_rows))])
+        ).alias("__qi"),
+    )
+    adc_micro = functools.reduce(
+        operator.add,
+        [
+            F.element_at(
+                F.element_at(lut_lits[mi], F.col("__qi") + 1),
+                F.col(f"code_{mi}").cast("int") + 1,
+            )
+            for mi in range(m)
+        ],
+    )
+    return fanout.select(
+        "neighbor_id",
+        F.element_at(qid_lit, F.col("__qi") + 1).alias("query_id"),
+        # exact integer sum → one correctly-rounded division: equals
+        # the DECIMAL(18,6)-sum path's BigDecimal.doubleValue
+        (adc_micro.cast("double") / F.lit(1000000.0)).alias("__adc"),
+    )
+
+
+def _adc_micro_luts(
+    spark,
+    books: list[list[tuple[int, list[float]]]],
+    q_rows: list[tuple[int, list[float]]],
+    m: int,
+    sub_dim: int,
+) -> tuple[Column, list[Column]]:
+    """(qid_lit, lut_lits) — the literal-array halves of the exact ×10⁶
+    micro-int ADC LUT for a driver-bounded query batch: ``qid_lit`` is
+    the sorted query-id array, ``lut_lits[mi][qi][cell]`` the partial
+    similarity of query ``qid_lit[qi]`` against subspace ``mi``'s cell.
+    Shared by :func:`_pq_adc_literal` (flat PQ serve) and the composed
+    IVF×PQ serve's literal ADC (r13 optimization round — replaces its m
+    broadcast LUT joins for bounded batches). Entries come from ONE
+    tiny Spark job so each is Spark's own
+    ``round(vec_dot(...), 6) :: DECIMAL(18,6)`` bit-for-bit; raises
+    ``_AdcLutOverflow`` when the integer ADC sum could wrap (callers
+    fall back to the DECIMAL-sum join path, answers identical)."""
     for book in books:
         if sorted(c for c, _ in book) != list(range(len(book))):
             raise ValueError(
@@ -1587,11 +1637,6 @@ def _pq_adc_literal(
                 "cell ids (every codebook this module trains has them); "
                 f"got {sorted(c for c, _ in book)}"
             )
-    q_rows = sorted(
-        (r["query_id"], [float(x) for x in r["__qv"]]) for r in qs.collect()
-    )
-
-    spark = codes.sparkSession
     lut_src = spark.createDataFrame(
         [
             (mi, qi, cell, qv[mi * sub_dim : (mi + 1) * sub_dim], cv)
@@ -1626,51 +1671,37 @@ def _pq_adc_literal(
             "could wrap; serving falls back to the DECIMAL-sum join LUT"
         )
 
-    # lut[mi][qi][cell] — micro-int partial similarities; arrays cast
-    # to long so the ADC sum can never wrap int32, and element_at
-    # returns BIGINT down the whole chain
+    # lut[mi][qi][cell] — micro-int partial similarities; arrays typed
+    # long (the L suffix) so the ADC sum can never wrap int32, and
+    # element_at returns BIGINT down the whole chain. ONE SQL expr()
+    # per book (r13 optimization round): both the per-element
+    # F.array(F.lit(...)) form AND pyspark's F.lit(nested_list) expand
+    # to one py4j round-trip per element — measured 2.5-3.4 s of pure
+    # driver time at the gate geometry (3,600 entries); a single
+    # JVM-parsed array literal string is ~0.01 s. Values identical:
+    # exact integer literals, same array<array<bigint>> column.
+    def _larr(xs) -> str:
+        return "array(" + ",".join(f"{int(x)}L" for x in xs) + ")"
+
+    # the trailing casts are value no-ops that keep containsNull=true —
+    # the nullability the F.array(F.lit...).cast(...) form produced, so
+    # downstream schemas (element_at nullability) are bit-identical to
+    # the pre-r13 plans (pinned by the literal-vs-join schema tests)
     lut_lits = [
-        F.array(
-            *[
-                F.array(
-                    *[
-                        F.lit(int(micro[(mi, qi, cell)]))
-                        for cell, _ in sorted(book)
-                    ]
-                ).cast("array<long>")
+        F.expr(
+            "array("
+            + ",".join(
+                _larr(
+                    micro[(mi, qi, cell)] for cell, _ in sorted(book)
+                )
                 for qi in range(len(q_rows))
-            ]
-        )
+            )
+            + ")"
+        ).cast("array<array<long>>")
         for mi, book in enumerate(books)
     ]
-    qid_lit = F.array(*[F.lit(int(qid)) for qid, _ in q_rows]).cast(
-        "array<long>"
-    )
-
-    fanout = codes.select(
-        "neighbor_id",
-        *[f"code_{mi}" for mi in range(m)],
-        F.explode(
-            F.array(*[F.lit(i) for i in range(len(q_rows))])
-        ).alias("__qi"),
-    )
-    adc_micro = functools.reduce(
-        operator.add,
-        [
-            F.element_at(
-                F.element_at(lut_lits[mi], F.col("__qi") + 1),
-                F.col(f"code_{mi}").cast("int") + 1,
-            )
-            for mi in range(m)
-        ],
-    )
-    return fanout.select(
-        "neighbor_id",
-        F.element_at(qid_lit, F.col("__qi") + 1).alias("query_id"),
-        # exact integer sum → one correctly-rounded division: equals
-        # the DECIMAL(18,6)-sum path's BigDecimal.doubleValue
-        (adc_micro.cast("double") / F.lit(1000000.0)).alias("__adc"),
-    )
+    qid_lit = F.expr(_larr(qid for qid, _ in q_rows)).cast("array<long>")
+    return qid_lit, lut_lits
 
 
 def _pq_adc_join(
@@ -2190,10 +2221,16 @@ def ivfpq_query_index(
        (static partition pruning via a literal IN under
        ``IVF_PRUNE_LITERAL_MAX``, else the equi-join prunes) — the
        scan touches m small codes per vector, never embeddings;
-    3. ADC-score candidates against per-(query, subspace, cell)
-       DECIMAL(18,6) lookup tables built ON the cluster and broadcast
-       (the ``_pq_adc_join`` formulation — query vectors never reach
-       the driver), keep the per-query ``shortlist`` survivors;
+    3. ADC-score candidates: for driver-bounded query batches (≤
+       ``PQ_LITERAL_LUT_MAX`` LUT entries — the serving norm) the
+       per-(query, subspace, cell) partial similarities fold into the
+       projection as exact ×10⁶ micro-int LITERALS (zero LUT joins —
+       the ``_pq_adc_literal`` machinery); wider batches fall back to
+       per-subspace DECIMAL(18,6) lookup tables built ON the cluster
+       and broadcast (the ``_pq_adc_join`` formulation — query vectors
+       never reach the driver). Both paths are answer-identical
+       (equality pytest-pinned); keep the per-query ``shortlist``
+       survivors;
     4. exact re-rank: survivors equi-join their TRUE vectors from
        ``corpus`` (bounded: shortlist × |queries| rows fetched).
 
@@ -2252,34 +2289,86 @@ def ivfpq_query_index(
         .join(qcells, "cell")
         .filter(F.col("neighbor_id") != F.col("query_id"))
     )
-    # ADC via broadcast LUT joins — identical math to _pq_adc_join
-    # (DECIMAL(18,6) entries and sum), but candidates already carry
-    # query_id from the cell join, so every LUT join is on
-    # (query_id, code); the codebook frame's cell-id column is named
-    # apart from the IVF "cell" partition column
-    scored = cand
-    for mi, book in enumerate(books):
-        cb = spark.createDataFrame(
-            [(c, v) for c, v in book], "pq_cell long, __cv array<double>"
+    # ADC scoring (r13 optimization round): for a driver-bounded query
+    # batch (the serving norm) the per-(query, subspace, cell) partial
+    # similarities fold into the projection as exact ×10⁶ micro-int
+    # LITERALS (the _pq_adc_literal machinery) — zero LUT joins, zero
+    # broadcast builds, one whole-stage-codegen pass over the pruned
+    # candidates. Gate = the same PQ_LITERAL_LUT_MAX entry budget the
+    # flat-PQ serve uses; the bounded limit(cap+1).collect() probes the
+    # ACTUAL batch size with one tiny job (collecting ≤ cap+1 query
+    # vectors — the same driver sanction as _pq_adc_literal). Wide
+    # batches and LUT-magnitude overflows keep the broadcast
+    # DECIMAL-sum join formulation below — answers identical either
+    # way (integer micro-sum/1e6 and the DECIMAL(18,6) sum correctly
+    # round the same rational; equality pytest-pinned).
+    total_k = sum(len(book) for book in books)
+    cap = PQ_LITERAL_LUT_MAX // total_k if total_k else 0
+    q_probe = qs.limit(cap + 1).collect() if cap else []
+    adc = None
+    if 0 < len(q_probe) <= cap:
+        q_rows = sorted(
+            (r["query_id"], [float(x) for x in r["__qv"]]) for r in q_probe
         )
-        lut = qs.crossJoin(F.broadcast(cb)).select(
-            "query_id",
-            F.col("pq_cell").alias(f"code_{mi}"),
-            F.round(
-                vec_dot(F.slice("__qv", mi * sub_dim + 1, sub_dim), "__cv"), 6
+        try:
+            qid_lit, lut_lits = _adc_micro_luts(
+                spark, books, q_rows, m, sub_dim
             )
-            .cast("decimal(18,6)")
-            .alias(f"__lv{mi}"),
+        except _AdcLutOverflow:
+            pass
+        else:
+            qi = F.array_position(qid_lit, F.col("query_id")).cast("int")
+            adc_micro = functools.reduce(
+                operator.add,
+                [
+                    F.element_at(
+                        F.element_at(lut_lits[mi], qi),
+                        F.col(f"code_{mi}").cast("int") + 1,
+                    )
+                    for mi in range(m)
+                ],
+            )
+            adc = cand.select(
+                "query_id",
+                "neighbor_id",
+                # exact integer sum → one correctly-rounded division:
+                # equals the DECIMAL-sum path's BigDecimal.doubleValue
+                (adc_micro.cast("double") / F.lit(1000000.0)).alias(
+                    "__adc"
+                ),
+            )
+    if adc is None:
+        # ADC via broadcast LUT joins — identical math to _pq_adc_join
+        # (DECIMAL(18,6) entries and sum), but candidates already carry
+        # query_id from the cell join, so every LUT join is on
+        # (query_id, code); the codebook frame's cell-id column is named
+        # apart from the IVF "cell" partition column
+        scored = cand
+        for mi, book in enumerate(books):
+            cb = spark.createDataFrame(
+                [(c, v) for c, v in book], "pq_cell long, __cv array<double>"
+            )
+            lut = qs.crossJoin(F.broadcast(cb)).select(
+                "query_id",
+                F.col("pq_cell").alias(f"code_{mi}"),
+                F.round(
+                    vec_dot(
+                        F.slice("__qv", mi * sub_dim + 1, sub_dim), "__cv"
+                    ),
+                    6,
+                )
+                .cast("decimal(18,6)")
+                .alias(f"__lv{mi}"),
+            )
+            scored = scored.join(F.broadcast(lut), ["query_id", f"code_{mi}"])
+        lv_sum = functools.reduce(
+            operator.add, [F.col(f"__lv{mi}") for mi in range(m)]
         )
-        scored = scored.join(F.broadcast(lut), ["query_id", f"code_{mi}"])
-    lv_sum = functools.reduce(
-        operator.add, [F.col(f"__lv{mi}") for mi in range(m)]
-    )
-    adc = scored.select(
-        "query_id",
-        "neighbor_id",
-        F.round(lv_sum, 6).cast("double").alias("__adc"),
-    )
+        adc = scored.select(
+            "query_id",
+            "neighbor_id",
+            F.round(lv_sum, 6).cast("double").alias("__adc"),
+        )
     cand_ids = per_group_topk(
         adc, "query_id", "__adc", "neighbor_id", shortlist, "__crn"
     ).select("query_id", "neighbor_id")

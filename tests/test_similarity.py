@@ -776,6 +776,35 @@ def test_pq_topk_join_lut_fallback_matches_literal(spark, sf_dir, monkeypatch):
     )
 
 
+def test_ivfpq_query_literal_adc_matches_join_lut(
+    spark, sf_dir, tmp_path, monkeypatch
+):
+    """The composed IVF×PQ serve's literal-array ADC (r13 optimization:
+    zero LUT joins for driver-bounded query batches) must reproduce the
+    broadcast-LUT-join formulation EXACTLY — same shortlist, same final
+    rows, same schema. The join path is the reference semantics the
+    DuckDB oracle replays."""
+    emb = read_parquet_table(spark, sf_dir, "embeddings")
+    root = str(tmp_path / "ivfpq_adc")
+    sim.build_ivfpq_index(emb, "vec_id", "embedding", root, k_cells=8, pq_k=16)
+    queries = emb.filter(F.col("vec_id") < 10)
+    literal = sim.ivfpq_query_index(
+        spark, root, queries, emb, "vec_id", "embedding", 5, nprobe=2
+    )
+    lit_plan = literal._jdf.queryExecution().optimizedPlan().toString()
+    lit_rows = sorted(map(tuple, literal.collect()))
+    monkeypatch.setattr(sim, "PQ_LITERAL_LUT_MAX", 0)
+    joined = sim.ivfpq_query_index(
+        spark, root, queries, emb, "vec_id", "embedding", 5, nprobe=2
+    )
+    # the branch actually switched: the join formulation carries the m
+    # per-subspace LUT joins the literal projection doesn't have
+    jn_plan = joined._jdf.queryExecution().optimizedPlan().toString()
+    assert jn_plan.count("Join") > lit_plan.count("Join")
+    assert literal.schema == joined.schema
+    assert lit_rows == sorted(map(tuple, joined.collect()))
+
+
 def test_pq_topk_pre_encoded_codes_match_inline(spark, sf_dir, tmp_path):
     """pq_topk(codes=...) — the persisted-index serving shape — must
     reproduce the inline-encode result exactly, including through a
