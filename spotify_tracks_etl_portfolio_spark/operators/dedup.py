@@ -639,24 +639,43 @@ def connected_components(
         .withColumn("comp", F.col("node"))
         .localCheckpoint(eager=True)
     )
-    for _ in range(max_iter):
+    for it in range(max_iter):
         nbr = sym.join(labels, sym["b"] == labels["node"]).select(
             sym["a"].alias("node"), F.col("comp")
         )
+        # Convergence detection fused into the round (r13 optimization
+        # round): each node's OLD label rides the union as a third
+        # column (labels rows carry __old = comp; neighbor rows NULL),
+        # so min(__old) recovers it in the SAME aggregation — the
+        # changed set {node: new comp < old} is computed without the
+        # former per-round labels⋈new_labels join+count job; the check
+        # itself is an isEmpty() (take-1) over the checkpointed blocks.
+        # Round 1 skips the check outright: any edge (a,b), a<b forces
+        # node b's label to drop below b, so a non-empty graph ALWAYS
+        # changes in round 1 (an empty graph just runs one extra
+        # trivially-empty round). Same labels, same round count, same
+        # fixpoint as the joined formulation.
         new_labels = (
-            labels.union(nbr)
+            labels.select(
+                "node", "comp", F.col("comp").alias("__old")
+            )
+            .union(
+                nbr.withColumn(
+                    "__old",
+                    F.lit(None).cast(labels.schema["comp"].dataType),
+                )
+            )
             .groupBy("node")
-            .agg(F.min("comp").alias("comp"))
+            .agg(
+                F.min("comp").alias("comp"),
+                F.min("__old").alias("__old"),
+            )
             .localCheckpoint(eager=True)
         )
-        changed = (
-            labels.withColumnRenamed("comp", "old")
-            .join(new_labels, "node")
-            .filter(F.col("old") != F.col("comp"))
-            .count()
-        )
-        labels = new_labels
-        if changed == 0:
+        labels = new_labels.select("node", "comp")
+        if it > 0 and new_labels.filter(
+            F.col("comp") < F.col("__old")
+        ).isEmpty():
             break
     else:
         # no fixpoint within max_iter (diameter > max_iter): returning

@@ -74,12 +74,20 @@ def pagerank(
         .agg(F.count(F.lit(1)).alias("deg"))
         .localCheckpoint(eager=True)
     )
-    n_nodes = deg.agg(F.count(F.lit(1)).cast("double").alias("n"))
+    # Node count as a DRIVER SCALAR (r13 optimization round): one
+    # bounded count over the checkpointed degree table replaces a
+    # 1-row broadcast nested-loop join per iteration (plus its agg
+    # subtree re-executing every round). The two scalar terms below
+    # replay the ORIGINAL IEEE op sequence exactly — Python doubles
+    # and Spark doubles run the same hardware ops in the same order
+    # (1/N; (1-d) then /N) — so every rank trajectory is bit-identical
+    # to the broadcast formulation and the unrolled DuckDB oracle.
+    n = deg.count()
+    inv_n = 1.0 / float(n) if n else 0.0
+    teleport = (1.0 - damping) / float(n) if n else 0.0
 
     # r0 = 1/N for every node (one IEEE division — exact).
-    ranks = deg.crossJoin(F.broadcast(n_nodes)).select(
-        "node", "deg", (F.lit(1.0) / F.col("n")).alias("rank"), "n"
-    )
+    ranks = deg.select("node", "deg", F.lit(inv_n).alias("rank"))
 
     for _ in range(iters):
         contrib = e.join(
@@ -94,19 +102,17 @@ def pagerank(
         summed = contrib.groupBy("node").agg(F.sum("__c").alias("__s"))
         ranks = (
             deg.join(summed, "node", "left")
-            .crossJoin(F.broadcast(n_nodes))
             .select(
                 "node",
                 "deg",
                 F.round(
-                    (F.lit(1.0) - F.lit(damping)) / F.col("n")
+                    F.lit(teleport)
                     + F.lit(damping)
                     * F.coalesce(
                         F.col("__s").cast("double"), F.lit(0.0)
                     ),
                     CONTRIB_DP,
                 ).alias("rank"),
-                "n",
             )
         ).localCheckpoint(eager=True)
     # ranks is materialized by the checkpoint — its plan no longer

@@ -93,8 +93,16 @@ FROM documents
     tags=("extension", "text"),
 )
 def document_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from spotify_tracks_etl_portfolio_spark.functions import scan_parallelism
+
     docs = read_parquet_table(spark, sf_dir, "documents")
-    return docs.select("doc_id", rolling_hash("text").alias("fingerprint"))
+    # scan_parallelism (r13 optimization round): the per-char rolling
+    # hash is pure map-side work on the scan's partitioning — rescue
+    # the unsplittable-small-file layout (no-op at real scale; the
+    # fingerprint is per-row deterministic).
+    return scan_parallelism(docs).select(
+        "doc_id", rolling_hash("text").alias("fingerprint")
+    )
 
 
 

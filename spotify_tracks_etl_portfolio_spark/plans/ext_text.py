@@ -431,6 +431,11 @@ def unigram_logprob_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     from spotify_tracks_etl_portfolio_spark.operators.text import tokens
 
     docs = read_parquet_table(spark, sf_dir, "documents")
+    # (r13 optimization round: a scan_parallelism fan-out of this
+    # explode was measured and REVERTED — the token explode is cheap
+    # per row and feeds multiple consumers, so the extra round-robin
+    # exchange cost more than the serial map phase it rescued:
+    # 0.87 s → 1.3 s at sf0.1.)
     toks = docs.select("doc_id", F.explode(tokens("text")).alias("token"))
     tf = toks.groupBy("token").agg(F.count(F.lit(1)).alias("cnt"))
     total = tf.agg(F.sum("cnt").cast("double").alias("n"))
@@ -532,6 +537,10 @@ def bigram_logprob_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = read_parquet_table(spark, sf_dir, "documents")
     toks = tokens("text")
+    # (r13 optimization round: a scan_parallelism fan-out of the pair
+    # explode was measured and REVERTED — three consumers re-explode
+    # the pairs, so the added round-robin exchange cost more than the
+    # serial map phase it rescued: 2.05 s → 2.45 s at sf0.1.)
     # greatest(…, 0): slice() rejects negative lengths, and empty/1-token
     # docs would produce size-1 = -1 (verified crash) — they must yield
     # zero pairs instead.
