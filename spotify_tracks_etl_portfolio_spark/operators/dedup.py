@@ -428,19 +428,33 @@ def simhash(
         ),
     )
 
-    def bit_at(j: int) -> Column:
-        src, off = ("h", j) if j < SIMHASH_BITS else ("h2", j - SIMHASH_BITS)
-        return F.shiftright(F.col(src), off).bitwiseAND(F.lit(1))
+    # Per-bit vote and fingerprint-reassembly expressions are built as
+    # JVM-parsed SQL strings (r13 optimization round): the Column-API
+    # form was one py4j round-trip per operator — ~1.0 s of pure driver
+    # time per call at bits=59 (measured; the expr form is ~0.02 s).
+    # Arithmetic is identical: same shiftright/&/CASE ops on the same
+    # long-typed inputs, and the reassembly terms carry explicit L
+    # suffixes so the sum is the same BIGINT the lit(1 << j) chain
+    # produced (hash-identical at every width, frozen oracle included).
+    def bit_src(j: int) -> tuple[str, int]:
+        return ("h", j) if j < SIMHASH_BITS else ("h2", j - SIMHASH_BITS)
 
-    votes = [
-        F.sum(F.when(bit_at(j) == 1, 1).otherwise(-1)).alias(f"v_{j}")
-        for j in range(bits)
-    ]
-    voted = tok.groupBy(id_col).agg(*votes)
-    sim = None
+    votes = []
     for j in range(bits):
-        bit = F.when(F.col(f"v_{j}") > 0, F.lit(1 << j)).otherwise(F.lit(0))
-        sim = bit if sim is None else sim + bit
+        src, off = bit_src(j)
+        votes.append(
+            F.expr(
+                f"sum(CASE WHEN (shiftright({src}, {off}) & 1) = 1 "
+                "THEN 1 ELSE -1 END)"
+            ).alias(f"v_{j}")
+        )
+    voted = tok.groupBy(id_col).agg(*votes)
+    sim = F.expr(
+        " + ".join(
+            f"(CASE WHEN v_{j} > 0 THEN {1 << j}L ELSE 0L END)"
+            for j in range(bits)
+        )
+    )
     return voted.select(id_col, sim.cast("long").alias("simhash"))
 
 

@@ -610,15 +610,18 @@ def plane_dots(
         F.col(id_col), F.posexplode(quantized).alias("__d", "__q")
     )
 
-    def weight(j: int) -> Column:
-        raw = (
-            F.lit(j * HP_A) + F.col("__d").cast("long") * F.lit(HP_B) + F.lit(HP_C)
-        ) % F.lit(HP_M)
-        return raw * F.lit(2) - F.lit(HP_M)
-
+    # Plane-sum aggregates as JVM-parsed SQL strings (r13 optimization
+    # round): the Column-API form was ~10 py4j round-trips per plane —
+    # a real driver constant at 64 planes (the wide LSH geometry);
+    # arithmetic is identical (same closed-formula long ops: every
+    # literal carries an L suffix and __d is cast BIGINT, exactly the
+    # promotion the lit/cast chain produced — hash-identical outputs).
     return exploded.groupBy(id_col).agg(
         *[
-            F.sum(F.col("__q") * weight(j)).alias(f"{prefix}{j}")
+            F.expr(
+                f"sum(__q * ((({j * HP_A}L + CAST(__d AS BIGINT) * "
+                f"{HP_B}L + {HP_C}L) % {HP_M}L) * 2L - {HP_M}L))"
+            ).alias(f"{prefix}{j}")
             for j in range(n_planes)
         ]
     )
@@ -697,12 +700,18 @@ def hyperplane_sketch(
         rows = auto_hyperplane_rows(df.count())
     dots = plane_dots(df, id_col, vec_col, bands * rows, "__dot_")
 
+    # Sign-bit packing as a JVM-parsed SQL string per band (r13
+    # optimization round — same py4j-constant rationale as plane_dots);
+    # plain INT literals keep the band columns the IntegerType the
+    # lit(1 << r) chain produced (rows ≤ 24 always fits).
     def band_sig(bi: int) -> Column:
-        sig = F.lit(0)
-        for r in range(rows):
-            dot = F.col(f"__dot_{bi * rows + r}")
-            sig = sig + F.when(dot >= 0, F.lit(1 << r)).otherwise(F.lit(0))
-        return sig.alias(f"band_{bi}")
+        return F.expr(
+            " + ".join(
+                f"(CASE WHEN __dot_{bi * rows + r} >= 0 "
+                f"THEN {1 << r} ELSE 0 END)"
+                for r in range(rows)
+            )
+        ).alias(f"band_{bi}")
 
     return dots.select(F.col(id_col), *[band_sig(bi) for bi in range(bands)])
 

@@ -160,6 +160,55 @@ def test_simhash_chunk_bounds_cover_all_bits():
             pos += ln
 
 
+def test_simhash_expr_votes_match_column_api_reference(spark, sf_dir):
+    """r13 optimization: the per-bit vote/reassembly expressions moved
+    from the Column API to JVM-parsed SQL strings (a py4j-round-trip
+    constant at wide widths). Pin the rewrite against the original
+    Column-API chain — values AND schema must be identical at both the
+    frozen 30-bit oracle geometry and the wide 59-bit one."""
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+
+    def reference(df, bits):
+        from spotify_tracks_etl_portfolio_spark.functions import rolling_hash
+
+        tok = dd.scan_parallelism(df).select(
+            "doc_id", F.explode(tx.tokens("text")).alias("__t")
+        ).select(
+            "doc_id",
+            rolling_hash(F.col("__t")).alias("h"),
+            *(
+                [rolling_hash(F.col("__t"), 37, dd.SIMHASH_MOD2).alias("h2")]
+                if bits > dd.SIMHASH_BITS
+                else []
+            ),
+        )
+
+        def bit_at(j):
+            src, off = (
+                ("h", j) if j < dd.SIMHASH_BITS else ("h2", j - dd.SIMHASH_BITS)
+            )
+            return F.shiftright(F.col(src), off).bitwiseAND(F.lit(1))
+
+        votes = [
+            F.sum(F.when(bit_at(j) == 1, 1).otherwise(-1)).alias(f"v_{j}")
+            for j in range(bits)
+        ]
+        voted = tok.groupBy("doc_id").agg(*votes)
+        sim = None
+        for j in range(bits):
+            bit = F.when(F.col(f"v_{j}") > 0, F.lit(1 << j)).otherwise(F.lit(0))
+            sim = bit if sim is None else sim + bit
+        return voted.select("doc_id", sim.cast("long").alias("simhash"))
+
+    for bits in (dd.SIMHASH_BITS, 59):
+        got = dd.simhash(docs, "doc_id", "text", bits)
+        want = reference(docs, bits)
+        assert got.schema == want.schema, bits
+        assert sorted(map(tuple, got.collect())) == sorted(
+            map(tuple, want.collect())
+        ), bits
+
+
 def test_simhash_blocked_equals_all_pairs(spark, sf_dir):
     """Pigeonhole blocking is exact: the chunk-join candidates plus the
     Hamming verify reproduce the brute-force pair set bit-for-bit."""

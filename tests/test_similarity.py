@@ -257,6 +257,61 @@ def test_auto_ivf_and_pq_closed_forms():
     assert fr == sorted(fr, reverse=True)
 
 
+def test_hyperplane_sketch_expr_matches_column_api_reference(spark, sf_dir):
+    """r13 optimization: plane-sum aggregates and sign-bit packing moved
+    from the Column API to JVM-parsed SQL strings (a py4j constant at
+    the 64-plane wide geometry). Pin values AND schema against the
+    original Column-API chain at the frozen 8-row oracle geometry and
+    the wide 16-row one."""
+    emb = read_parquet_table(spark, sf_dir, "embeddings")
+
+    def reference(df, rows):
+        quantized = F.transform(
+            F.col("embedding"),
+            lambda x: F.round(
+                x.cast("double") * F.lit(float(sim.HP_SCALE))
+            ).cast("long"),
+        )
+        exploded = sim.scan_parallelism(df).select(
+            F.col("vec_id"), F.posexplode(quantized).alias("__d", "__q")
+        )
+
+        def weight(j):
+            raw = (
+                F.lit(j * sim.HP_A)
+                + F.col("__d").cast("long") * F.lit(sim.HP_B)
+                + F.lit(sim.HP_C)
+            ) % F.lit(sim.HP_M)
+            return raw * F.lit(2) - F.lit(sim.HP_M)
+
+        dots = exploded.groupBy("vec_id").agg(
+            *[
+                F.sum(F.col("__q") * weight(j)).alias(f"__dot_{j}")
+                for j in range(sim.HP_BANDS * rows)
+            ]
+        )
+
+        def band_sig(bi):
+            sig = F.lit(0)
+            for r in range(rows):
+                sig = sig + F.when(
+                    F.col(f"__dot_{bi * rows + r}") >= 0, F.lit(1 << r)
+                ).otherwise(F.lit(0))
+            return sig.alias(f"band_{bi}")
+
+        return dots.select(
+            F.col("vec_id"), *[band_sig(bi) for bi in range(sim.HP_BANDS)]
+        )
+
+    for rows in (sim.HP_ROWS, 16):
+        got = sim.hyperplane_sketch(emb, "vec_id", "embedding", rows=rows)
+        want = reference(emb, rows)
+        assert got.schema == want.schema, rows
+        assert sorted(map(tuple, got.collect())) == sorted(
+            map(tuple, want.collect())
+        ), rows
+
+
 def test_hyperplane_lsh_vs_brute_force(spark, sf_dir):
     """The registered embedding near-dup path (hyperplane LSH) against
     its test-only brute-force baseline: every LSH pair must be a true
