@@ -195,46 +195,29 @@ def _book_matrix(cent_rows: list[tuple[int, list[float]]]):
     return cells, mn
 
 
-def probe_cells_udf(cent_rows: list[tuple[int, list[float]]], nprobe: int):
-    """Arrow-batched cell-probe: cosine of each vector against the (tiny,
-    closure-captured) centroid matrix as ONE numpy matmul per batch,
-    returning the ``nprobe`` best cells. This is the sanctioned Pandas-UDF
-    case — a dense 64×k GEMM per row that interpreted Column HOFs evaluate
-    element-by-element (~20× slower measured). Ties resolve to the
-    smallest cell (stable argsort over ascending cells), matching the
-    exact path's (desc sim, asc cell) ordering; similarities are rounded
-    to 6 dp before ranking, also matching.
-
-    Past ``FLAT_PROBE_MAX_K`` centroids the probe is two-level (a
-    deterministic coarse quantizer over the centroids themselves, then
-    a scan of only the best ``COARSE_NPROBE`` coarse cells' members):
-    per-vector cost drops from k to ~2·√k dot products, which is what
-    keeps k ∝ n SemDeDup assignment near-linear instead of n²/512.
-    The two-level result is approximate in WHICH cell a borderline
-    vector lands (identical vectors still always land identically —
-    the assignment stays a pure deterministic function of the vector),
-    exact in everything downstream: zero RNG, so re-runs reproduce the
-    identical output."""
+def probe_cells_fn(cent_rows: list[tuple[int, list[float]]], nprobe: int):
+    """The numpy core of :func:`probe_cells_udf`: a callable
+    ``(n, dim) float64 matrix -> (n, nprobe) int64 cell matrix``. One
+    implementation serves BOTH the Arrow-batched executor UDF and the
+    driver-side probe of a bounded, already-collected query batch
+    (``ivfpq_query_index``'s literal serve path — r14 optimization
+    round): the exact same numpy ops run either place, so the two call
+    sites are bit-identical by construction."""
     import numpy as np
-    import pandas as pd
-    from pyspark.sql.functions import pandas_udf
 
     cells, mn = _book_matrix(cent_rows)
 
     if len(cells) <= FLAT_PROBE_MAX_K:
-        # no type hints: module-level `from __future__ import annotations`
-        # stringifies them and pyspark can't resolve function-local `pd`
-        @pandas_udf("array<long>")
-        def probe(vs):
-            x = np.stack(vs.to_numpy()).astype(np.float64)
+
+        def run(x):
             xn = x / np.maximum(
                 np.linalg.norm(x, axis=1, keepdims=True), 1e-12
             )
             sims = np.round(xn @ mn.T, 6)
             order = np.argsort(-sims, axis=1, kind="stable")[:, :nprobe]
-            return pd.Series(list(cells[order]))
+            return cells[order]
 
-        return probe
+        return run
 
     # ---- two-level path: deterministic coarse k-means OVER the fine
     # centroids (driver-side numpy; first-√k init, 3 Lloyd rounds,
@@ -260,9 +243,7 @@ def probe_cells_udf(cent_rows: list[tuple[int, list[float]]], nprobe: int):
     assign = np.argmax(sims, axis=1)
     member_idx = [np.where(assign == ci)[0] for ci in range(n_coarse)]
 
-    @pandas_udf("array<long>")
-    def probe2(vs):
-        x = np.stack(vs.to_numpy()).astype(np.float64)
+    def run2(x):
         xn = x / np.maximum(np.linalg.norm(x, axis=1, keepdims=True), 1e-12)
         csims = np.round(xn @ cn.T, 6)
         corder = np.argsort(-csims, axis=1, kind="stable")[:, :COARSE_NPROBE]
@@ -280,9 +261,46 @@ def probe_cells_udf(cent_rows: list[tuple[int, list[float]]], nprobe: int):
             fsims = np.round(xn[rows] @ mn[cand].T, 6)
             order = np.argsort(-fsims, axis=1, kind="stable")[:, :nprobe]
             out[rows] = cells[cand[order]]
-        return pd.Series(list(out))
+        return out
 
-    return probe2
+    return run2
+
+
+def probe_cells_udf(cent_rows: list[tuple[int, list[float]]], nprobe: int):
+    """Arrow-batched cell-probe: cosine of each vector against the (tiny,
+    closure-captured) centroid matrix as ONE numpy matmul per batch,
+    returning the ``nprobe`` best cells. This is the sanctioned Pandas-UDF
+    case — a dense 64×k GEMM per row that interpreted Column HOFs evaluate
+    element-by-element (~20× slower measured). Ties resolve to the
+    smallest cell (stable argsort over ascending cells), matching the
+    exact path's (desc sim, asc cell) ordering; similarities are rounded
+    to 6 dp before ranking, also matching.
+
+    Past ``FLAT_PROBE_MAX_K`` centroids the probe is two-level (a
+    deterministic coarse quantizer over the centroids themselves, then
+    a scan of only the best ``COARSE_NPROBE`` coarse cells' members):
+    per-vector cost drops from k to ~2·√k dot products, which is what
+    keeps k ∝ n SemDeDup assignment near-linear instead of n²/512.
+    The two-level result is approximate in WHICH cell a borderline
+    vector lands (identical vectors still always land identically —
+    the assignment stays a pure deterministic function of the vector),
+    exact in everything downstream: zero RNG, so re-runs reproduce the
+    identical output. The numpy math lives in :func:`probe_cells_fn`
+    (shared with the driver-side bounded-batch probe)."""
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql.functions import pandas_udf
+
+    run = probe_cells_fn(cent_rows, nprobe)
+
+    # no type hints: module-level `from __future__ import annotations`
+    # stringifies them and pyspark can't resolve function-local `pd`
+    @pandas_udf("array<long>")
+    def probe(vs):
+        x = np.stack(vs.to_numpy()).astype(np.float64)
+        return pd.Series(list(run(x)))
+
+    return probe
 
 
 def _exploded_assignment(df: DataFrame, probe, vec_col: str) -> DataFrame:
@@ -1579,12 +1597,11 @@ def _pq_adc_literal(
     """(neighbor_id, query_id, __adc) via the literal-array LUT: the
     per-(query, subspace, cell) partial similarities are folded into
     the projection as exact ×10⁶ micro-int literals — zero joins, one
-    whole-stage-codegen pass over the codes. The entries come from ONE
-    tiny Spark job over the (query, subspace, cell) cross product
-    (n_queries × m × k rows, driver-built), so each is Spark's own
-    ``round(vec_dot(...), 6) :: DECIMAL(18,6)`` bit-for-bit on any JVM
-    — no driver-side float-formatting replication to drift. Collects
-    the query VECTORS driver-side, so it is gated behind
+    whole-stage-codegen pass over the codes. Entries are driver-side
+    exact integer math with a provability guard (see
+    ``_adc_micro_luts`` — values the guard cannot prove fall back to
+    the original one-tiny-Spark-job path, bit-identical either way).
+    Collects the query VECTORS driver-side, so it is gated behind
     ``PQ_LITERAL_LUT_MAX`` by the caller."""
     import functools
     import operator
@@ -1621,31 +1638,74 @@ def _pq_adc_literal(
     )
 
 
-def _adc_micro_luts(
-    spark,
-    books: list[list[tuple[int, list[float]]]],
-    q_rows: list[tuple[int, list[float]]],
-    m: int,
-    sub_dim: int,
-) -> tuple[Column, list[Column]]:
-    """(qid_lit, lut_lits) — the literal-array halves of the exact ×10⁶
-    micro-int ADC LUT for a driver-bounded query batch: ``qid_lit`` is
-    the sorted query-id array, ``lut_lits[mi][qi][cell]`` the partial
-    similarity of query ``qid_lit[qi]`` against subspace ``mi``'s cell.
-    Shared by :func:`_pq_adc_literal` (flat PQ serve) and the composed
-    IVF×PQ serve's literal ADC (r13 optimization round — replaces its m
-    broadcast LUT joins for bounded batches). Entries come from ONE
-    tiny Spark job so each is Spark's own
-    ``round(vec_dot(...), 6) :: DECIMAL(18,6)`` bit-for-bit; raises
-    ``_AdcLutOverflow`` when the integer ADC sum could wrap (callers
-    fall back to the DECIMAL-sum join path, answers identical)."""
-    for book in books:
-        if sorted(c for c, _ in book) != list(range(len(book))):
-            raise ValueError(
-                "pq literal-LUT serving requires contiguous 0..k-1 "
-                "cell ids (every codebook this module trains has them); "
-                f"got {sorted(c for c, _ in book)}"
-            )
+def _micro_int_exact(x: float) -> int | None:
+    """Driver-side replay of Spark's
+    ``round(x, 6) :: DECIMAL(18,6) × 10⁶ :: BIGINT`` for a double ``x``
+    — returns the micro-int ONLY when the result is PROVABLY the one
+    any JVM computes, else ``None`` (caller falls back to the Spark
+    job; r14 optimization round).
+
+    Why provable: Spark's ``round(double, 6)`` is
+    ``BigDecimal.valueOf(x).setScale(6, HALF_UP)`` —
+    ``Double.toString``-based, and the JDK's decimal rendering of a
+    double is any round-tripping representation r (shortest on 19+,
+    sometimes longer digits of the exact expansion before JDK-4511638).
+    Every round-tripping r lies within one ulp of x, and HALF_UP at 6 dp
+    maps the whole interval (x−ulp, x+ulp) to the SAME grid value
+    unless a half-grid boundary (k+½)·10⁻⁶ falls inside it. So: check
+    exactly (integer arithmetic on ``as_integer_ratio``) that no
+    boundary is within one ulp — then the nearest-grid value computed
+    from x's exact rational equals Spark's result on ANY JDK; otherwise
+    report unprovable. The follow-up double→DECIMAL(18,6) cast is the
+    identity on the rounded value (a 6-dp grid double's own interval
+    never reaches a boundary below ~4×10⁹, guarded by the magnitude
+    check)."""
+    import math
+
+    if not math.isfinite(x) or abs(x) > 1e9:
+        return None
+    num, den = x.as_integer_ratio()  # exact rational of x (den = 2^e)
+    un, ud = math.ulp(x).as_integer_ratio()
+    snum = num * 1_000_000  # x·10⁶ = snum/den, exact
+    fl = snum // den  # floor toward −inf
+    rem = snum - fl * den  # 0 ≤ rem < den
+    # boundary-distance check, all integers:
+    #   |x·10⁶ − (fl+½)| > ulp(x)·10⁶  ⇔  |2·rem − den|·ud > 2·den·un·10⁶
+    if abs(2 * rem - den) * ud <= 2 * den * un * 1_000_000:
+        return None
+    return fl + 1 if 2 * rem > den else fl
+
+
+def _adc_micro_entries_driver(books, q_rows, sub_dim) -> dict | None:
+    """The r14 zero-job LUT-entry path: vec_dot's exact IEEE fold
+    replayed in Python (same binary64 ops, same order) + the provable
+    round chain (``_micro_int_exact``). Returns None as soon as any
+    entry is unprovable — the caller then runs the Spark-job twin for
+    the WHOLE batch (``test_adc_micro_luts_driver_math_matches_spark_job``
+    pins dict equality between the two)."""
+    micro: dict = {}
+    for mi, book in enumerate(books):
+        for qi, (_, qv) in enumerate(q_rows):
+            sub = qv[mi * sub_dim : (mi + 1) * sub_dim]
+            for cell, cv in sorted(book):
+                if len(sub) != len(cv):
+                    # zip_with would null-pad — not replayable here
+                    return None
+                acc = 0.0
+                for a, b in zip(sub, cv):
+                    acc = acc + a * b  # vec_dot's exact fold order
+                v = _micro_int_exact(acc)
+                if v is None:
+                    return None
+                micro[(mi, qi, cell)] = v
+    return micro
+
+
+def _adc_micro_entries_spark(spark, books, q_rows, sub_dim) -> dict:
+    """The original one-tiny-Spark-job LUT-entry computation — each
+    entry IS Spark's own ``round(vec_dot(...), 6) :: DECIMAL(18,6)``.
+    Kept as the fallback for entries the driver-side integer replay
+    cannot prove (``_micro_int_exact`` → None)."""
     lut_src = spark.createDataFrame(
         [
             (mi, qi, cell, qv[mi * sub_dim : (mi + 1) * sub_dim], cv)
@@ -1655,7 +1715,7 @@ def _adc_micro_luts(
         ],
         "mi int, qi int, cell int, qv array<double>, cv array<double>",
     )
-    micro = {
+    return {
         (r["mi"], r["qi"], r["cell"]): r["micro"]
         for r in lut_src.select(
             "mi",
@@ -1669,6 +1729,46 @@ def _adc_micro_luts(
             .alias("micro"),
         ).collect()
     }
+
+
+def _adc_micro_luts(
+    spark,
+    books: list[list[tuple[int, list[float]]]],
+    q_rows: list[tuple[int, list[float]]],
+    m: int,
+    sub_dim: int,
+) -> tuple[Column, list[Column]]:
+    """(qid_lit, lut_lits) — the literal-array halves of the exact ×10⁶
+    micro-int ADC LUT for a driver-bounded query batch: ``qid_lit`` is
+    the sorted query-id array, ``lut_lits[mi][qi][cell]`` the partial
+    similarity of query ``qid_lit[qi]`` against subspace ``mi``'s cell.
+    Shared by :func:`_pq_adc_literal` (flat PQ serve) and the composed
+    IVF×PQ serve's literal ADC (r13 optimization round — replaces its m
+    broadcast LUT joins for bounded batches).
+
+    Entries are computed DRIVER-SIDE with zero Spark jobs (r14
+    optimization round): the dot product replays ``vec_dot``'s exact
+    IEEE fold (acc = 0.0; acc = acc + qv[i]·cv[i] — Python doubles and
+    JVM doubles run the identical binary64 ops in the identical order),
+    and the round→DECIMAL→×10⁶ chain replays through
+    ``_micro_int_exact``, which PROVES each value equals Spark's own
+    (any value whose JDK decimal rendering could be HALF_UP-ambiguous
+    reports unprovable). If ANY entry is unprovable the whole batch
+    falls back to the original one-tiny-Spark-job path
+    (``_adc_micro_entries_spark``) — bit-identical either way, pinned by
+    ``test_adc_micro_luts_driver_math_matches_spark_job``. Raises
+    ``_AdcLutOverflow`` when the integer ADC sum could wrap (callers
+    fall back to the DECIMAL-sum join path, answers identical)."""
+    for book in books:
+        if sorted(c for c, _ in book) != list(range(len(book))):
+            raise ValueError(
+                "pq literal-LUT serving requires contiguous 0..k-1 "
+                "cell ids (every codebook this module trains has them); "
+                f"got {sorted(c for c, _ in book)}"
+            )
+    micro = _adc_micro_entries_driver(books, q_rows, sub_dim)
+    if micro is None:
+        micro = _adc_micro_entries_spark(spark, books, q_rows, sub_dim)
 
     # the ADC score sums m micro-int entries: validate the worst-case
     # |sum| fits BIGINT (exactness guarantee of the integer-sum path);
@@ -1790,12 +1890,13 @@ def pq_topk(
     (``test_pq_topk_join_lut_fallback_matches_literal``).
 
     Determinism: every LUT entry IS Spark's
-    ``round(vec_dot(...), 6) :: DECIMAL(18,6)`` — computed by one tiny
-    Spark job over the (query, subspace, cell) cross product and folded
-    back as an exact ×10⁶ BIGINT literal; the ADC score is the exact
-    integer sum cast to double via one correctly-rounded division,
-    which equals the DECIMAL-sum path's value (both correctly round the
-    same rational). The exact re-rank rounds the true dot to 6 dp — the
+    ``round(vec_dot(...), 6) :: DECIMAL(18,6)`` — computed driver-side
+    by an exact integer replay with a provability guard (unprovable
+    values fall back to the original one-tiny-Spark-job path, see
+    ``_adc_micro_luts``) and folded back as an exact ×10⁶ BIGINT
+    literal; the ADC score is the exact integer sum cast to double via
+    one correctly-rounded division, which equals the DECIMAL-sum
+    path's value (both correctly round the same rational). The exact re-rank rounds the true dot to 6 dp — the
     full pipeline (codebooks → codes → LUTs → shortlist → re-rank) is
     hash-checkable, and ``test_pq_literal_lut_matches_join_lut`` pins
     equality against the broadcast-LUT-join formulation. Approximate =
@@ -2224,8 +2325,11 @@ def ivfpq_query_index(
     """Query a persisted IVF×PQ index (``build_ivfpq_index``):
 
     1. probe each query's top-``nprobe`` cells against the stored IVF
-       centroids (Arrow-batched numpy probe — same math as
-       ``ivf_query_index``);
+       centroids (same math as ``ivf_query_index``; for a
+       driver-bounded query batch the probe runs driver-side on the
+       collected vectors via the shared ``probe_cells_fn`` numpy core —
+       bit-identical cells, zero probe jobs — wider batches keep the
+       Arrow-batched executor UDF);
     2. scan ONLY the probed cells' partitions of the CODES table
        (static partition pruning via a literal IN under
        ``IVF_PRUNE_LITERAL_MAX``, else the equi-join prunes) — the
@@ -2268,18 +2372,79 @@ def ivfpq_query_index(
         (int(r["cell"]), [float(x) for x in r[vec_col]])
         for r in cents.collect()
     ]
-    probe_n = probe_cells_udf(cent_rows, nprobe=nprobe)
     qs = queries.select(
         F.col(id_col).alias("query_id"), F.col(vec_col).alias("__qv")
     )
-    qcells = qs.select(
-        "query_id", F.explode(probe_n(F.col("__qv"))).alias("cell")
-    )
-    # probed-cell set: bounded by |queries| × nprobe — driver metadata,
-    # same sanction as ivf_query_index
-    probed = sorted(
-        {r["cell"] for r in qcells.select("cell").distinct().collect()}
-    )
+    books = load_pq_codebooks(spark, f"{index_root}/codebooks")
+    m = len(books)
+    sub_dim = len(books[0][0][1])
+    # ADC scoring gate (r13/r14 optimization rounds): for a
+    # driver-bounded query batch (the serving norm) the per-(query,
+    # subspace, cell) partial similarities fold into the projection as
+    # exact ×10⁶ micro-int LITERALS (the _pq_adc_literal machinery) —
+    # zero LUT joins, zero broadcast builds, one whole-stage-codegen
+    # pass over the pruned candidates. Gate = the same
+    # PQ_LITERAL_LUT_MAX entry budget the flat-PQ serve uses; the
+    # bounded limit(cap+1).collect() probes the ACTUAL batch size with
+    # one tiny job (collecting ≤ cap+1 query vectors — the same driver
+    # sanction as _pq_adc_literal). Wide batches and LUT-magnitude
+    # overflows keep the broadcast DECIMAL-sum join formulation below —
+    # answers identical either way (integer micro-sum/1e6 and the
+    # DECIMAL(18,6) sum correctly round the same rational; equality
+    # pytest-pinned).
+    #
+    # For the bounded batch, the collected rows ARE the query set for
+    # the WHOLE serve (r14): the cell probe runs driver-side on them
+    # (probe_cells_fn — the same numpy core the executor UDF wraps, so
+    # cells are bit-identical), qcells/probed/the re-rank broadcast all
+    # derive from this ONE evaluation of `queries`. That removes two
+    # driver jobs per serve (the qcells distinct().collect() and the
+    # separate re-rank scan of `queries`) AND makes the literal LUT
+    # consistent with the candidate set by construction even when the
+    # caller's frame is nondeterministic (r13 advice item: a sampled
+    # `queries` evaluated twice could otherwise put a query_id in the
+    # candidates that is absent from the LUT, and element_at(..., 0)
+    # raised instead of falling back).
+    total_k = sum(len(book) for book in books)
+    cap = PQ_LITERAL_LUT_MAX // total_k if total_k else 0
+    q_probe = qs.limit(cap + 1).collect() if cap else []
+    bounded = 0 < len(q_probe) <= cap
+    if bounded:
+        import numpy as np
+
+        from pyspark.sql.types import LongType, StructField, StructType
+
+        q_rows = sorted(
+            (r["query_id"], [float(x) for x in r["__qv"]]) for r in q_probe
+        )
+        cell_rows = probe_cells_fn(cent_rows, nprobe=nprobe)(
+            np.array([qv for _, qv in q_rows], dtype=np.float64)
+        )
+        qcell_pairs = [
+            (qid, int(c))
+            for (qid, _), row in zip(q_rows, cell_rows)
+            for c in row
+        ]
+        qcells = spark.createDataFrame(
+            qcell_pairs,
+            StructType(
+                [qs.schema["query_id"], StructField("cell", LongType())]
+            ),
+        )
+        probed = sorted({c for _, c in qcell_pairs})
+        # every later use of the query set reads the collected batch —
+        # `queries` is evaluated exactly once per serve
+        qs = spark.createDataFrame(q_probe, qs.schema)
+    else:
+        probe_n = probe_cells_udf(cent_rows, nprobe=nprobe)
+        qcells = qs.select(
+            "query_id", F.explode(probe_n(F.col("__qv"))).alias("cell")
+        )
+        # probed-cell set: bounded by |queries| × nprobe — driver
+        # metadata, same sanction as ivf_query_index
+        probed = sorted(
+            {r["cell"] for r in qcells.select("cell").distinct().collect()}
+        )
     codes = spark.read.parquet(f"{index_root}/codes")
     if len(probed) <= IVF_PRUNE_LITERAL_MAX:
         # literal IN on the partition column → PartitionFilters prune
@@ -2289,36 +2454,14 @@ def ivfpq_query_index(
     # guard ivf_query_index documents)
     if where is not None:
         codes = codes.filter(where)
-    books = load_pq_codebooks(spark, f"{index_root}/codebooks")
-    m = len(books)
-    sub_dim = len(books[0][0][1])
     cand = (
         scan_parallelism(codes)
         .withColumnRenamed(id_col, "neighbor_id")
         .join(qcells, "cell")
         .filter(F.col("neighbor_id") != F.col("query_id"))
     )
-    # ADC scoring (r13 optimization round): for a driver-bounded query
-    # batch (the serving norm) the per-(query, subspace, cell) partial
-    # similarities fold into the projection as exact ×10⁶ micro-int
-    # LITERALS (the _pq_adc_literal machinery) — zero LUT joins, zero
-    # broadcast builds, one whole-stage-codegen pass over the pruned
-    # candidates. Gate = the same PQ_LITERAL_LUT_MAX entry budget the
-    # flat-PQ serve uses; the bounded limit(cap+1).collect() probes the
-    # ACTUAL batch size with one tiny job (collecting ≤ cap+1 query
-    # vectors — the same driver sanction as _pq_adc_literal). Wide
-    # batches and LUT-magnitude overflows keep the broadcast
-    # DECIMAL-sum join formulation below — answers identical either
-    # way (integer micro-sum/1e6 and the DECIMAL(18,6) sum correctly
-    # round the same rational; equality pytest-pinned).
-    total_k = sum(len(book) for book in books)
-    cap = PQ_LITERAL_LUT_MAX // total_k if total_k else 0
-    q_probe = qs.limit(cap + 1).collect() if cap else []
     adc = None
-    if 0 < len(q_probe) <= cap:
-        q_rows = sorted(
-            (r["query_id"], [float(x) for x in r["__qv"]]) for r in q_probe
-        )
+    if bounded:
         try:
             qid_lit, lut_lits = _adc_micro_luts(
                 spark, books, q_rows, m, sub_dim

@@ -1158,6 +1158,70 @@ def test_pq_adc_literal_overflow_falls_back_to_join_lut(spark):
     )
 
 
+def test_micro_int_exact_matches_spark_round_chain(spark):
+    """r14: the driver-side micro-int replay must agree with Spark's
+    own ``round(x,6)::DECIMAL(18,6)×1e6::BIGINT`` wherever it claims
+    provability, and must REFUSE (None → Spark-job fallback) on values
+    whose decimal rendering straddles a 6-dp HALF_UP tie (the JDK
+    Double.toString ambiguity window the guard exists for)."""
+    provable = [
+        0.123456789,
+        -0.987654321,
+        1.0,
+        -1.0,
+        0.0,
+        123.000001499,
+        -3.0000004999,
+        7.25e-7,
+        1e-12,
+        42.4242424242,
+        -0.1,
+        0.1 + 0.2,
+        999999.999999123,
+        -42.000000749999,
+    ]
+    # doubles within one ulp of a (k+½)·10⁻⁶ boundary: 6-dp HALF_UP of
+    # their shortest rendering vs their exact expansion can differ
+    ambiguous = [5e-07, 1.5e-06, 2.5e-06, -5e-07, -1.5e-06, 0.1234565]
+    for x in ambiguous:
+        assert sim._micro_int_exact(x) is None, x
+    assert sim._micro_int_exact(float("inf")) is None
+    assert sim._micro_int_exact(float("nan")) is None
+    assert sim._micro_int_exact(2e9) is None  # magnitude guard
+    got = {x: sim._micro_int_exact(x) for x in provable}
+    assert all(v is not None for v in got.values())  # fast path taken
+    rows = spark.createDataFrame(
+        [(i, x) for i, x in enumerate(provable)], "i int, x double"
+    ).select(
+        "i",
+        (F.round(F.col("x"), 6).cast("decimal(18,6)") * F.lit(1000000))
+        .cast("long")
+        .alias("micro"),
+    ).collect()
+    want = {provable[r["i"]]: r["micro"] for r in rows}
+    assert got == want
+
+
+def test_adc_micro_luts_driver_math_matches_spark_job(spark, sf_dir):
+    """r14: on the real gate geometry (sf embeddings, trained books,
+    the registered 10-query batch) the zero-job driver LUT entries must
+    equal the Spark-job entries EXACTLY — and the driver path must
+    actually engage (no silent permanent fallback)."""
+    emb = read_parquet_table(spark, sf_dir, "embeddings")
+    books = sim.pq_train_codebooks(emb, "vec_id", "embedding")
+    qs = emb.filter(F.col("vec_id") < 10).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("__qv")
+    )
+    q_rows = sorted(
+        (r["query_id"], [float(x) for x in r["__qv"]]) for r in qs.collect()
+    )
+    sub_dim = len(books[0][0][1])
+    drv = sim._adc_micro_entries_driver(books, q_rows, sub_dim)
+    assert drv is not None, "gate data must take the zero-job path"
+    spk = sim._adc_micro_entries_spark(spark, books, q_rows, sub_dim)
+    assert drv == spk
+
+
 def test_kmeans_centroids_partitioning_invariant(spark, sf_dir):
     """Round-7 advice item: the Lloyd mean update sums 9-dp fixed-point
     BIGINTs (``_fixed_point_mean``; the DECIMAL(28,9) sum was the
