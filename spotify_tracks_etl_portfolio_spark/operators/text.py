@@ -763,6 +763,30 @@ def _unigram_lp_table(vocab: dict[str, int]) -> dict:
     }
 
 
+def _lp_map_expr(lp: dict):
+    """The piece→logprob literal map as ONE JVM-parsed SQL ``map(...)``
+    expression (r14 optimization round). ``F.create_map`` over
+    ``F.lit`` pairs costs one py4j round-trip PER ELEMENT — ~2·|vocab|
+    driver calls per build, and the trainer builds the map once per EM
+    round plus once for serving (the same per-element construct cost
+    class as the r13 SimHash/LSH expr rewrites). Values identical:
+    fixed-point-formatted exact Decimal literals parse as DECIMAL and
+    cast to the same DECIMAL(28,9) the lit/cast chain produced
+    (``test_lp_map_expr_matches_create_map`` pins column equality);
+    keys are escaped string literals. Empty vocab keeps the old
+    ``create_map()`` corner verbatim."""
+    if not lp:
+        return F.create_map()
+    parts = []
+    for piece, v in lp.items():
+        esc = piece.replace("\\", "\\\\").replace("'", "\\'")
+        # {:f} prints Decimal fixed-point (never scientific), so the
+        # literal parses as an exact DECIMAL, not a double
+        parts.append(f"'{esc}'")
+        parts.append(f"CAST({v:f} AS DECIMAL(28,9))")
+    return F.expr("map(" + ",".join(parts) + ")")
+
+
 def _unigram_viterbi_pieces(lp: dict, maxlen: int = UNIGRAM_PIECE_MAXLEN):
     """Column expression: the Viterbi segmentation (array of pieces) of
     column ``w`` under the driver-held piece→logprob table ``lp``.
@@ -777,13 +801,7 @@ def _unigram_viterbi_pieces(lp: dict, maxlen: int = UNIGRAM_PIECE_MAXLEN):
     same substring, so (score, piece-length) orders candidates totally
     and the chosen path is unique — the same argument makes the oracle's
     ``row_number() OVER (ORDER BY score, plen DESC)`` deterministic."""
-    lpmap = F.create_map(
-        *[
-            x
-            for piece, v in lp.items()
-            for x in (F.lit(piece), F.lit(v).cast("decimal(28,9)"))
-        ]
-    )
+    lpmap = _lp_map_expr(lp)
     w = F.col("w")
     n = F.length(w)
     cand = F.filter(
@@ -915,15 +933,23 @@ def unigram_train_model(
         .groupBy("piece")
         .agg(F.sum("freq").alias("cnt"))
     )
-    # bounded collects (the sanctioned model-state pattern): top multis
-    # by (count desc, UTF-8 bytes asc) + the whole alphabet
-    multis = (
+    # bounded collect (the sanctioned model-state pattern): top multis
+    # by (count desc, UTF-8 bytes asc) + the whole alphabet, in ONE job
+    # (r14 optimization round — the former two separate collects each
+    # re-ran the substring explode + aggregation, because exchange
+    # reuse only applies within one plan; the union shares the
+    # exploded partial-agg exchange, so the corpus-scale pass runs
+    # once and only the cheap final aggregation duplicates). The multi
+    # branch keeps its TakeOrdered shape (no single-task sort).
+    seed_rows = (
         subs.filter(F.length("piece") >= 2)
         .orderBy(F.desc("cnt"), F.asc(F.encode("piece", "UTF-8")))
         .limit(seed_multi)
+        .unionByName(subs.filter(F.length("piece") == 1))
         .collect()
     )
-    chars = subs.filter(F.length("piece") == 1).collect()
+    chars = [r for r in seed_rows if len(r["piece"]) == 1]
+    multis = [r for r in seed_rows if len(r["piece"]) >= 2]
     char_set = {r["piece"] for r in chars}
     vocab: dict[str, int] = {r["piece"]: int(r["cnt"]) for r in chars}
     vocab.update({r["piece"]: int(r["cnt"]) for r in multis})

@@ -760,6 +760,41 @@ def test_unigram_train_vocab_matches_reference(spark):
     )
 
 
+def test_lp_map_expr_matches_create_map(spark):
+    """r14: the parsed-SQL map literal must be COLUMN-IDENTICAL to the
+    retired ``create_map(lit, lit.cast(...))`` loop — same type, same
+    lookups — including quote/backslash keys and a tiny logprob whose
+    plain str() would print scientific notation (the {:f} formatting
+    the expr relies on)."""
+    from decimal import Decimal
+
+    lp = {
+        "ab": Decimal("-3.218875825"),
+        "a'b": Decimal("-0.000000001"),
+        'q"\\x': Decimal("-12.123456789"),
+        "z": Decimal("0.000000000"),
+    }
+    old = F.create_map(
+        *[
+            x
+            for piece, v in lp.items()
+            for x in (F.lit(piece), F.lit(v).cast("decimal(28,9)"))
+        ]
+    )
+    new = tx._lp_map_expr(lp)
+    df = spark.createDataFrame(
+        [(k,) for k in list(lp) + ["missing"]], "w string"
+    ).select(
+        F.element_at(old, F.col("w")).alias("o"),
+        F.element_at(new, F.col("w")).alias("n"),
+    )
+    assert df.schema["o"].dataType == df.schema["n"].dataType
+    rows = df.collect()
+    assert all(r["o"] == r["n"] for r in rows)
+    # empty vocab keeps the old corner verbatim
+    assert repr(tx._lp_map_expr({})) == repr(F.create_map())
+
+
 def test_unigram_segment_counts_matches_reference(spark):
     """Serving half: per-doc word/piece/OOV counts under the trained
     UNTRUNCATED model must match a reference segmentation — including
