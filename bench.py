@@ -8,6 +8,12 @@ warm query to absorb JVM/codegen startup).  Round 2 showed single-run
 timings swing 30-40% on 2-3 s queries from JIT/GC jitter alone
 (VERDICT.md round 2, "LSH bench regressions"), so n=1 cannot
 distinguish a real plan regression from noise; the median of 3 can.
+
+r14 ADDITIVE keys (existing keys unchanged): "queries_min" = per-query
+min of the same 3 samples (bounds the quiet-host cost when one
+contended lap inflates the median) and "calibration_end" = the canary
+re-run AFTER the queries (late-run host drift is invisible to the
+start-of-run canary alone).
 """
 
 from __future__ import annotations
@@ -157,6 +163,7 @@ def main() -> None:
     calibration = run_canary(spark)
 
     timings: dict[str, float] = {}
+    timings_min: dict[str, float] = {}
     for name in HEADLINE:
         spec = specs.get(name)
         if spec is None:
@@ -174,6 +181,19 @@ def main() -> None:
             df.write.format("noop").mode("overwrite").save()
             samples.append(time.time() - t0)
         timings[name] = round(_median(samples), 3)
+        timings_min[name] = round(min(samples), 3)
+
+    # Noise-diagnosis additions (r14, ADDITIVE ONLY — the driver's
+    # contract keys "queries"/"value"/"calibration" are untouched):
+    # per-query MIN alongside the median (a median inflated by one
+    # contended lap reads as a regression; the min bounds the query's
+    # quiet-host cost within the same run), and a SECOND canary at
+    # end-of-run (the single start-of-run canary is blind to late-run
+    # host drift — r13 verdict: 19/35 'regressed' rows with
+    # byte-identical plans). A regressed median with a flat min and/or
+    # calibration_end >> calibration is host weather, not a plan
+    # change.
+    calibration_end = run_canary(spark)
 
     print(
         json.dumps(
@@ -182,7 +202,9 @@ def main() -> None:
                 "value": round(sum(timings.values()), 3),
                 "unit": "sec",
                 "queries": timings,
+                "queries_min": timings_min,
                 "calibration": calibration,
+                "calibration_end": calibration_end,
                 "sf": sf,
             }
         )
