@@ -107,6 +107,27 @@ def _fold_token_hashes(th: Column) -> Column:
     )
 
 
+def _rolling_hash_sql(var: str) -> str:
+    """SQL text of ``functions.rolling_hash`` at its frozen defaults
+    (mult=31, mod=1e9+7): same aggregate/split/ascii ops on the same
+    long-typed accumulator, L-suffixed literals replaying the exact
+    type promotions of the Column form."""
+    return (
+        f"aggregate(split({var}, ''), 0L, "
+        f"(acc, ch) -> (acc * 31L + ascii(ch)) % {FINGERPRINT_MOD}L)"
+    )
+
+
+def _tokens_sql(text_col: str) -> str:
+    """SQL text of ``text.tokens``: whitespace tokens of trimmed text,
+    empty text -> empty array."""
+    return (
+        f"CASE WHEN trim(`{text_col}`) = '' THEN "
+        "CAST(array() AS ARRAY<STRING>) "
+        f"ELSE split(trim(`{text_col}`), '\\\\s+') END"
+    )
+
+
 def shingle_hash_arrays(
     df: DataFrame, id_col: str, text_col: str, k: int = SHINGLE_K
 ) -> DataFrame:
@@ -123,31 +144,41 @@ def shingle_hash_arrays(
 
     Note: excludes ``InferFiltersFromGenerate`` for the WHOLE session
     (see ``_tune_generate``)."""
-    # explicit lambda: passing rolling_hash bare would make Spark infer
-    # the HOF arity from its Python signature (3 params incl. the
-    # (mult, mod) knobs) and reject the 1-arg transform
+    # The token-hash projection and the k-wide window fold are built as
+    # JVM-parsed SQL strings (r14 optimization round): the Column/HOF
+    # form paid one py4j round-trip per operator plus ~20 ms per
+    # _create_lambda — ~0.3 s of pure driver time per call (measured;
+    # the expr form is ~0.01 s). Arithmetic is identical: same
+    # split/ascii/aggregate ops over the same long accumulators,
+    # L-suffixed literals replaying the exact type promotions
+    # (bit-identity pinned by test_shingle_hash_exprs_match_column_form
+    # + the oracle).
     # scan_parallelism: tokenizing + hashing + the k-wide window fold
     # below all run map-side on df's partitioning — rescue the
     # unsplittable-small-file layout (no-op at real scale; per-row
     # deterministic work)
     th = _tune_generate(scan_parallelism(df)).select(
         id_col,
-        F.transform(tokens(text_col), lambda t: rolling_hash(t)).alias("__th"),
+        F.expr(
+            f"transform({_tokens_sql(text_col)}, t -> {_rolling_hash_sql('t')})"
+        ).alias("__th"),
     )
 
-    def window_hash(i: Column) -> Column:
-        acc = F.element_at(F.col("__th"), (i + 1).cast("int"))
-        for j in range(1, k):
-            acc = (
-                acc * F.lit(SHINGLE_B)
-                + F.element_at(F.col("__th"), (i + j + 1).cast("int"))
-            ) % F.lit(FINGERPRINT_MOD)
-        return acc
-
-    n = F.size("__th")
-    windows = F.transform(F.sequence(F.lit(0), n - k), window_hash)
-    hashes = F.when(n >= k, F.array_distinct(windows)).otherwise(
-        F.array(_fold_token_hashes(F.col("__th")))
+    acc = "element_at(__th, CAST(i + 1 AS INT))"
+    for j in range(1, k):
+        acc = (
+            f"((({acc}) * {SHINGLE_B}L + "
+            f"element_at(__th, CAST(i + {j + 1} AS INT))) "
+            f"% {FINGERPRINT_MOD}L)"
+        )
+    windows = f"transform(sequence(0, size(__th) - {k}), i -> {acc})"
+    fold_all = (
+        f"aggregate(__th, 0L, "
+        f"(acc, x) -> (acc * {SHINGLE_B}L + x) % {FINGERPRINT_MOD}L)"
+    )
+    hashes = F.expr(
+        f"CASE WHEN size(__th) >= {k} THEN array_distinct({windows}) "
+        f"ELSE array({fold_all}) END"
     )
     return th.select(id_col, hashes.alias("__hashes"))
 
@@ -261,13 +292,14 @@ def jaccard_pairs(
 def _signature_cols() -> list[Column]:
     """mh_i = array_min(transform(hashes, h → (a_i·h + b_i) mod P)) —
     a pure projection over the hash array: computing signatures costs
-    NO shuffle (vs. explode + groupBy, which shuffles every (id, h))."""
+    NO shuffle (vs. explode + groupBy, which shuffles every (id, h)).
+    Parsed SQL exprs, not Column/HOF loops: 12 lambdas cost ~0.3 s of
+    py4j driver time per call the expr form does not (r14; bit-identity
+    pinned by test_shingle_hash_exprs_match_column_form)."""
     return [
-        F.array_min(
-            F.transform(
-                F.col("__hashes"),
-                lambda h: (h * F.lit(a) + F.lit(b)) % F.lit(MINHASH_P),
-            )
+        F.expr(
+            f"array_min(transform(__hashes, "
+            f"h -> (h * {a}L + {b}L) % {MINHASH_P}L))"
         ).alias(f"mh_{i}")
         for i, (a, b) in enumerate(MINHASH_COEFFS)
     ]
@@ -284,26 +316,21 @@ def minhash_signatures(
 
 def minhash_band_rows(signatures: DataFrame, id_col: str) -> DataFrame:
     """(id, band, sig) rows — the LSH blocking key. A pure projection +
-    explode of the signature columns (4 rows/doc, no shuffle)."""
+    explode of the signature columns (4 rows/doc, no shuffle). One
+    parsed expr instead of the nested struct/concat Column loop (r14:
+    ~0.15 s of py4j driver time per call; same explode/named_struct/
+    concat_ws ops, bit-identity pinned by the minhash equality test)."""
+    structs = ", ".join(
+        "named_struct('band', {bi}, 'sig', concat_ws('_', {cols}))".format(
+            bi=bi,
+            cols=", ".join(
+                f"mh_{bi * LSH_ROWS + r}" for r in range(LSH_ROWS)
+            ),
+        )
+        for bi in range(LSH_BANDS)
+    )
     return signatures.select(
-        id_col,
-        F.explode(
-            F.array(
-                *[
-                    F.struct(
-                        F.lit(bi).alias("band"),
-                        F.concat_ws(
-                            "_",
-                            *[
-                                F.col(f"mh_{bi * LSH_ROWS + r}")
-                                for r in range(LSH_ROWS)
-                            ],
-                        ).alias("sig"),
-                    )
-                    for bi in range(LSH_BANDS)
-                ]
-            )
-        ).alias("bs"),
+        id_col, F.expr(f"explode(array({structs}))").alias("bs")
     ).select(id_col, "bs.band", "bs.sig")
 
 
@@ -665,10 +692,14 @@ def connected_components(
         # former per-round labels⋈new_labels join+count job; the check
         # itself is an isEmpty() (take-1) over the checkpointed blocks.
         # Round 1 skips the check outright: any edge (a,b), a<b forces
-        # node b's label to drop below b, so a non-empty graph ALWAYS
-        # changes in round 1 (an empty graph just runs one extra
-        # trivially-empty round). Same labels, same round count, same
-        # fixpoint as the joined formulation.
+        # node b's label to drop below b, so a graph with at least one
+        # non-self-loop edge ALWAYS changes in round 1. Inputs already
+        # at fixpoint (empty or self-loop-only edge lists) just run one
+        # extra trivially-empty round — and in the degenerate
+        # max_iter=1 + already-converged corner, fall through to the
+        # star fallback, which returns the same (correct) labels via
+        # the singleton restore below at the cost of a redundant star
+        # pass. Same labels, same fixpoint as the joined formulation.
         new_labels = (
             labels.select(
                 "node", "comp", F.col("comp").alias("__old")

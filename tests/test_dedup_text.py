@@ -209,6 +209,96 @@ def test_simhash_expr_votes_match_column_api_reference(spark, sf_dir):
         ), bits
 
 
+def test_shingle_hash_exprs_match_column_form(spark, sf_dir):
+    """r14 optimization: the shingle-hash window fold, minhash signature
+    columns and band-row assembly moved from Column/HOF loops to
+    JVM-parsed SQL strings (~0.4 s of py4j driver time per construct).
+    Pin each rewrite against the original Column-API chain — values AND
+    schema must be identical (same long arithmetic, same promotions)."""
+    from spotify_tracks_etl_portfolio_spark.functions import rolling_hash
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    k = dd.SHINGLE_K
+
+    def ref_hash_arrays(df):
+        th = dd.scan_parallelism(df).select(
+            "doc_id",
+            F.transform(
+                tx.tokens("text"), lambda t: rolling_hash(t)
+            ).alias("__th"),
+        )
+
+        def window_hash(i):
+            acc = F.element_at(F.col("__th"), (i + 1).cast("int"))
+            for j in range(1, k):
+                acc = (
+                    acc * F.lit(dd.SHINGLE_B)
+                    + F.element_at(F.col("__th"), (i + j + 1).cast("int"))
+                ) % F.lit(dd.FINGERPRINT_MOD)
+            return acc
+
+        n = F.size("__th")
+        windows = F.transform(F.sequence(F.lit(0), n - k), window_hash)
+        hashes = F.when(n >= k, F.array_distinct(windows)).otherwise(
+            F.array(dd._fold_token_hashes(F.col("__th")))
+        )
+        return th.select("doc_id", hashes.alias("__hashes"))
+
+    def ref_signature_cols():
+        return [
+            F.array_min(
+                F.transform(
+                    F.col("__hashes"),
+                    lambda h: (h * F.lit(a) + F.lit(b)) % F.lit(dd.MINHASH_P),
+                )
+            ).alias(f"mh_{i}")
+            for i, (a, b) in enumerate(dd.MINHASH_COEFFS)
+        ]
+
+    def ref_band_rows(signatures):
+        return signatures.select(
+            "doc_id",
+            F.explode(
+                F.array(
+                    *[
+                        F.struct(
+                            F.lit(bi).alias("band"),
+                            F.concat_ws(
+                                "_",
+                                *[
+                                    F.col(f"mh_{bi * dd.LSH_ROWS + r}")
+                                    for r in range(dd.LSH_ROWS)
+                                ],
+                            ).alias("sig"),
+                        )
+                        for bi in range(dd.LSH_BANDS)
+                    ]
+                )
+            ).alias("bs"),
+        ).select("doc_id", "bs.band", "bs.sig")
+
+    want_h = ref_hash_arrays(docs)
+    got_h = dd.shingle_hash_arrays(docs, "doc_id", "text")
+    assert got_h.schema == want_h.schema
+    assert sorted(map(tuple, got_h.collect())) == sorted(
+        map(tuple, want_h.collect())
+    )
+
+    want_s = want_h.select("doc_id", *ref_signature_cols())
+    got_s = got_h.select("doc_id", *dd._signature_cols())
+    assert got_s.schema == want_s.schema
+    assert sorted(map(tuple, got_s.collect())) == sorted(
+        map(tuple, want_s.collect())
+    )
+
+    want_b = ref_band_rows(want_s)
+    got_b = dd.minhash_band_rows(got_s, "doc_id")
+    assert got_b.schema == want_b.schema
+    assert sorted(map(tuple, got_b.collect())) == sorted(
+        map(tuple, want_b.collect())
+    )
+
+
 def test_simhash_blocked_equals_all_pairs(spark, sf_dir):
     """Pigeonhole blocking is exact: the chunk-join candidates plus the
     Hamming verify reproduce the brute-force pair set bit-for-bit."""

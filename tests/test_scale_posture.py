@@ -315,3 +315,26 @@ def test_runtime_bloom_filter_prunes_fact_side_of_smj(spark, sf_dir):
                 spark.conf.unset(k)
             else:
                 spark.conf.set(k, v)
+
+
+def test_derived_state_partitions_floor_volume_cap(spark):
+    """r14: streaming state partitions derive from source volume with
+    the core count as the floor — locally identical to the old
+    core-count pin (bench-neutral by construction), linear in bytes at
+    scale, hard-capped for state-store file-count sanity."""
+    from spotify_tracks_etl_portfolio_spark.streaming.pipeline import (
+        STATE_PARTITION_CAP,
+        STATE_SOURCE_BYTES_PER_PARTITION,
+        derived_state_partitions,
+    )
+
+    cores = spark.sparkContext.defaultParallelism
+    # tiny local drain: floor = cores (the old pin, unchanged bench)
+    assert derived_state_partitions(spark, 2 * 1024 * 1024) == cores
+    # day-scale source: grows linearly with volume past the floor
+    big = 10_000 * STATE_SOURCE_BYTES_PER_PARTITION
+    assert derived_state_partitions(spark, big) == max(cores, 10_000)
+    # absurd volume: capped
+    assert (
+        derived_state_partitions(spark, 10**18) == STATE_PARTITION_CAP
+    )
