@@ -1080,22 +1080,31 @@ def add_lang_id(
     projection/aggregation path, not to predicates (those evaluate the
     expression once per row inside the pushed filter regardless)."""
 
-    def marker_filter(markers: tuple[str, ...]):
-        return lambda t: t.isin(*markers)
-
+    # Marker scores and the argmax CASE are JVM-parsed SQL strings (r14
+    # optimization round): the Column/HOF form paid ~20 ms per filter
+    # lambda plus a py4j round-trip per operator — ~0.4 s of driver
+    # time per call. Same size/filter/IN/greatest ops; the CASE's first
+    # match replays the reversed when-chain's tie-break (first lang in
+    # LANG_MARKERS wins). Bit-identity pinned by
+    # test_add_lang_id_quality_exprs_match_column_form + the oracle.
     d = df.withColumn("__li_toks", tokens(col))
     for lang, markers in LANG_MARKERS.items():
+        in_list = ", ".join(f"'{m}'" for m in markers)
         d = d.withColumn(
             f"__li_{lang}",
-            F.size(F.filter(F.col("__li_toks"), marker_filter(markers))),
+            F.expr(f"size(filter(__li_toks, t -> t IN ({in_list})))"),
         )
-    best = F.greatest(*[F.col(f"__li_{lang}") for lang in LANG_MARKERS])
-    expr: Column = F.lit("und")
-    for lang in reversed(list(LANG_MARKERS)):
-        expr = F.when(
-            (F.col(f"__li_{lang}") == best) & (best > 0), F.lit(lang)
-        ).otherwise(expr)
-    return d.withColumn(out, expr).drop(
+    langs = list(LANG_MARKERS)
+    best_sql = "greatest(" + ", ".join(f"__li_{la}" for la in langs) + ")"
+    case = (
+        "CASE "
+        + " ".join(
+            f"WHEN __li_{la} = {best_sql} AND {best_sql} > 0 THEN '{la}'"
+            for la in langs
+        )
+        + " ELSE 'und' END"
+    )
+    return d.withColumn(out, F.expr(case)).drop(
         "__li_toks", *[f"__li_{lang}" for lang in LANG_MARKERS]
     )
 
@@ -1109,9 +1118,13 @@ def add_quality(
     c = F.col(col)
     d = df.withColumn("__q_toks", tokens(col))
     d = d.withColumn("__q_ntok", F.size(F.col("__q_toks")))
+    # parsed expr, not a filter-HOF lambda (~20 ms of py4j per call —
+    # same size/filter/IN ops, r14; pinned by the lang-id/quality
+    # equality test)
+    stop_list = ", ".join(f"'{s}'" for s in QUALITY_STOPWORDS)
     d = d.withColumn(
         "__q_nstop",
-        F.size(F.filter(F.col("__q_toks"), lambda t: t.isin(*QUALITY_STOPWORDS))),
+        F.expr(f"size(filter(__q_toks, t -> t IN ({stop_list})))"),
     )
     safe_tok = F.greatest(F.col("__q_ntok"), F.lit(1))
     safe_chars = F.greatest(F.length(c), F.lit(1))

@@ -1842,3 +1842,88 @@ def test_text_index_append_frozen_stats_contract(spark, sf_dir, tmp_path):
         man = json.load(fh)
     assert man["type"] == "append" and man["postings"] == len(p_batch)
     assert man["buckets"] == sorted({t[-1] for t in p_batch})
+
+
+def test_add_lang_id_quality_exprs_match_column_form(spark, sf_dir):
+    """r14 optimization: add_lang_id's marker scores / argmax CASE and
+    add_quality's stopword count moved from Column/HOF loops to
+    JVM-parsed SQL strings. Pin against the original Column chains —
+    values AND schema identical (same IN/greatest/when semantics,
+    including the first-lang tie-break)."""
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+
+    def ref_lang_id(df, col="text", out="predicted_lang"):
+        def marker_filter(markers):
+            return lambda t: t.isin(*markers)
+
+        d = df.withColumn("__li_toks", tx.tokens(col))
+        for lang, markers in tx.LANG_MARKERS.items():
+            d = d.withColumn(
+                f"__li_{lang}",
+                F.size(F.filter(F.col("__li_toks"), marker_filter(markers))),
+            )
+        best = F.greatest(
+            *[F.col(f"__li_{lang}") for lang in tx.LANG_MARKERS]
+        )
+        expr = F.lit("und")
+        for lang in reversed(list(tx.LANG_MARKERS)):
+            expr = F.when(
+                (F.col(f"__li_{lang}") == best) & (best > 0), F.lit(lang)
+            ).otherwise(expr)
+        return d.withColumn(out, expr).drop(
+            "__li_toks", *[f"__li_{lang}" for lang in tx.LANG_MARKERS]
+        )
+
+    def ref_quality(df, col="text", out="quality_score"):
+        c = F.col(col)
+        d = df.withColumn("__q_toks", tx.tokens(col))
+        d = d.withColumn("__q_ntok", F.size(F.col("__q_toks")))
+        d = d.withColumn(
+            "__q_nstop",
+            F.size(
+                F.filter(
+                    F.col("__q_toks"),
+                    lambda t: t.isin(*tx.QUALITY_STOPWORDS),
+                )
+            ),
+        )
+        safe_tok = F.greatest(F.col("__q_ntok"), F.lit(1))
+        safe_chars = F.greatest(F.length(c), F.lit(1))
+        stopword_ratio = F.round(
+            F.col("__q_nstop").cast("double") / safe_tok, 6
+        )
+        punct_ratio = F.round(
+            F.regexp_count(c, F.lit(r"[.,!?;:]")).cast("double") / safe_chars,
+            6,
+        )
+        digit_ratio = F.round(
+            F.regexp_count(c, F.lit(r"[0-9]")).cast("double") / safe_chars, 6
+        )
+        length_ok = (F.col("__q_ntok") >= 5) & (F.col("__q_ntok") <= 5000)
+        score = F.round(
+            F.when(length_ok, F.lit(1.0)).otherwise(F.lit(0.3)) * 0.5
+            + F.least(stopword_ratio * 4.0, F.lit(1.0)) * 0.3
+            + (
+                F.lit(1.0)
+                - F.least((punct_ratio + digit_ratio) * 2.0, F.lit(1.0))
+            )
+            * 0.2,
+            6,
+        )
+        return d.withColumn(out, score).drop(
+            "__q_toks", "__q_ntok", "__q_nstop"
+        )
+
+    got_l = tx.add_lang_id(docs)
+    want_l = ref_lang_id(docs)
+    assert got_l.schema == want_l.schema
+    assert sorted(map(tuple, got_l.collect())) == sorted(
+        map(tuple, want_l.collect())
+    )
+
+    got_q = tx.add_quality(docs)
+    want_q = ref_quality(docs)
+    assert got_q.schema == want_q.schema
+    assert sorted(map(tuple, got_q.collect())) == sorted(
+        map(tuple, want_q.collect())
+    )
