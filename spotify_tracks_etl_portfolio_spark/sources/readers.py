@@ -67,6 +67,18 @@ def read_csv(
     return reader.csv(path)
 
 
+#: (path, mtime_ns, size) → the PROBED physical schema of that exact
+#: file vintage. Metadata memo only — every query still scans the
+#: parquet; this skips re-reading the footer to re-infer an identical
+#: schema on every DataFrame construct (~0.13 s/table/call locally,
+#: r14 optimization round; at scale the same footer round-trips are
+#: object-store requests). The probe itself still runs, once per file
+#: vintage: the key carries mtime+size, so regenerated testdata (the
+#: ns→µs vintage change the runtime probing exists for) re-probes
+#: instead of serving a stale schema.
+_RAW_SCHEMA_MEMO: dict[tuple[str, int, int], T.StructType] = {}
+
+
 def read_parquet_table(
     spark: SparkSession, sf_dir: str, table: str, schema: T.StructType | None = None
 ) -> DataFrame:
@@ -86,7 +98,21 @@ def read_parquet_table(
     # would shift every formatted hour/day string.
     spark.conf.set("spark.sql.session.timeZone", "UTC")
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    df = spark.read.parquet(path)
+    try:
+        st = os.stat(path)
+        key = (os.path.abspath(path), st.st_mtime_ns, st.st_size)
+    except OSError:
+        key = None
+    raw = _RAW_SCHEMA_MEMO.get(key) if key is not None else None
+    if raw is None:
+        df = spark.read.parquet(path)
+        if key is not None:
+            _RAW_SCHEMA_MEMO[key] = df.schema
+    else:
+        # the memoized schema IS the probed schema of this exact file —
+        # supplying it back reproduces the inferred relation verbatim
+        # while skipping the footer read
+        df = spark.read.schema(raw).parquet(path)
     target = schema or TESTDATA_SCHEMAS.get(table)
     if target is not None:
         actual = dict(df.dtypes)

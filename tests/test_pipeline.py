@@ -420,3 +420,49 @@ def test_read_csv_capture_corrupt_requires_schema(spark, tmp_path):
     p.write_text("a,b\n1,2\n")
     with pytest.raises(ValueError, match="explicit schema"):
         read_csv(spark, str(p), infer=True, capture_corrupt=True)
+
+
+def test_read_parquet_table_schema_memo(spark, sf_dir, tmp_path):
+    """r14: the probed physical schema is memoized per (path, mtime,
+    size) so repeated constructs skip re-reading the footer. The memo
+    must (a) reproduce the probed relation verbatim and (b) invalidate
+    when the file changes vintage (the ns->us testdata-regeneration
+    case the runtime probe exists for)."""
+    import shutil
+
+    from spotify_tracks_etl_portfolio_spark.sources import readers as R
+
+    R._RAW_SCHEMA_MEMO.clear()
+    a = R.read_parquet_table(spark, sf_dir, "events")  # probes
+    assert len(R._RAW_SCHEMA_MEMO) == 1
+    b = R.read_parquet_table(spark, sf_dir, "events")  # memo hit
+    assert a.schema == b.schema
+    assert sorted(map(tuple, a.limit(20).collect())) == sorted(
+        map(tuple, b.limit(20).collect())
+    )
+
+    # a DIFFERENT file vintage at the same logical table name must
+    # re-probe, not reuse: copy the µs-vintage table elsewhere, read it,
+    # then overwrite with the ns-INT64 vintage (pandas/pyarrow writes
+    # ns timestamps) — the reader's runtime probe must see the new raw
+    # schema (bigint under nanosAsLong) and normalize it to the SAME
+    # declared schema and values via the div-1000 path
+    d = tmp_path / "sfx"
+    d.mkdir()
+    shutil.copy(f"{sf_dir}/events.parquet", d / "events.parquet")
+    first = R.read_parquet_table(spark, str(d), "events")
+    rows_first = sorted(map(tuple, first.collect()))
+    raw_first = {
+        k: v for k, v in R._RAW_SCHEMA_MEMO.items() if str(d) in k[0]
+    }
+    pdf = spark.read.parquet(f"{sf_dir}/events.parquet").toPandas()
+    pdf.to_parquet(d / "events.parquet")  # pyarrow: TIMESTAMP(ns)
+    second = R.read_parquet_table(spark, str(d), "events")
+    raw_second = {
+        k: v for k, v in R._RAW_SCHEMA_MEMO.items() if str(d) in k[0]
+    }
+    # the probe re-ran for the new vintage (new key, bigint raw ts)...
+    assert set(raw_second) - set(raw_first), "memo key did not rotate"
+    # ...and the normalized relation is identical in schema AND values
+    assert second.schema == first.schema
+    assert sorted(map(tuple, second.collect())) == rows_first
