@@ -463,22 +463,29 @@ def simhash(
     # long-typed inputs, and the reassembly terms carry explicit L
     # suffixes so the sum is the same BIGINT the lit(1 << j) chain
     # produced (hash-identical at every width, frozen oracle included).
+    # r14: all ``bits`` vote sums ride ONE struct-of-aggregates expr
+    # instead of one F.expr + alias per bit (~120 py4j calls and a
+    # 59-element _to_seq at bits=59; measured construct 0.27→0.15 s).
+    # Values/schema are pinned identical by
+    # test_simhash_expr_votes_match_column_api_reference; the only plan
+    # delta is one extra Project over the aggregate (the struct-field
+    # extraction), fused by whole-stage codegen — no new exchange.
     def bit_src(j: int) -> tuple[str, int]:
         return ("h", j) if j < SIMHASH_BITS else ("h2", j - SIMHASH_BITS)
 
-    votes = []
-    for j in range(bits):
-        src, off = bit_src(j)
-        votes.append(
-            F.expr(
-                f"sum(CASE WHEN (shiftright({src}, {off}) & 1) = 1 "
-                "THEN 1 ELSE -1 END)"
-            ).alias(f"v_{j}")
+    votes_sql = ", ".join(
+        "sum(CASE WHEN (shiftright({src}, {off}) & 1) = 1 "
+        "THEN 1 ELSE -1 END) AS v_{j}".format(
+            src=bit_src(j)[0], off=bit_src(j)[1], j=j
         )
-    voted = tok.groupBy(id_col).agg(*votes)
+        for j in range(bits)
+    )
+    voted = tok.groupBy(id_col).agg(
+        F.expr(f"struct({votes_sql})").alias("__vs")
+    )
     sim = F.expr(
         " + ".join(
-            f"(CASE WHEN v_{j} > 0 THEN {1 << j}L ELSE 0L END)"
+            f"(CASE WHEN __vs.v_{j} > 0 THEN {1 << j}L ELSE 0L END)"
             for j in range(bits)
         )
     )
