@@ -299,7 +299,22 @@ def scan_parallelism(df):
     if _OWNS_PARTITIONING.search(plan):
         return df
     try:
-        files = df.inputFiles()
+        jfiles = df._jdf.inputFiles()
+        # Scans with >= cores FILES can never need the rescue, and the
+        # proof needs only the COUNT: total >= n*openCost in both
+        # max_split branches forces est >= n >= want, and the row-group
+        # refinement requires len < want — so the outcome is `return
+        # df` regardless of sizes. Short-circuit on len() (ONE py4j
+        # call) instead of transferring the file list: pyspark's
+        # df.inputFiles() iterates the Java array one py4j round-trip
+        # per element (~0.3 s for the 1.1k-file codes artifact, per
+        # scan_parallelism call — r14 optimization round). This also
+        # covers REMOTE many-file scans, which previously fell through
+        # to the plan→RDD probe — a >=cores-file scan never needs the
+        # rescue, and skipping the probe there is strictly safer.
+        if len(jfiles) >= want:
+            return df
+        files = list(jfiles)
     except Exception:
         files = None
     if files:

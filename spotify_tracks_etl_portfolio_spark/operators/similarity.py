@@ -23,6 +23,8 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
+from spotify_tracks_etl_portfolio_spark.sources.readers import read_parquet_memo
+
 from spotify_tracks_etl_portfolio_spark.functions import (
     scan_parallelism,
     vec_dot,
@@ -522,7 +524,7 @@ def ivf_query_index(
     post-filtering a fixed candidate list (the recall failure mode of
     filter-after-search); recall vs a filtered brute force is the same
     nprobe/k trade as unfiltered IVF."""
-    cents = spark.read.parquet(f"{index_root}/centroids")
+    cents = read_parquet_memo(spark, f"{index_root}/centroids")
     cent_rows = [
         (int(r["cell"]), [float(x) for x in r[vec_col]])
         for r in cents.collect()
@@ -537,7 +539,7 @@ def ivf_query_index(
     probed = sorted(
         {r["cell"] for r in qcells.select("cell").distinct().collect()}
     )
-    corpus = spark.read.parquet(f"{index_root}/assignments")
+    corpus = read_parquet_memo(spark, f"{index_root}/assignments")
     if len(probed) <= IVF_PRUNE_LITERAL_MAX:
         # literal IN on the partition column → PartitionFilters prune
         # the scan to the probed cell directories (plan-gated)
@@ -2141,7 +2143,7 @@ def append_to_ivfpq_index(
     import os
 
     spark = new_batch.sparkSession
-    cents = spark.read.parquet(f"{index_root}/centroids")
+    cents = read_parquet_memo(spark, f"{index_root}/centroids")
     cent_rows = [
         (int(r["cell"]), [float(x) for x in r[vec_col]])
         for r in cents.collect()
@@ -2367,7 +2369,7 @@ def ivfpq_query_index(
     import functools
     import operator
 
-    cents = spark.read.parquet(f"{index_root}/centroids")
+    cents = read_parquet_memo(spark, f"{index_root}/centroids")
     cent_rows = [
         (int(r["cell"]), [float(x) for x in r[vec_col]])
         for r in cents.collect()
@@ -2445,7 +2447,7 @@ def ivfpq_query_index(
         probed = sorted(
             {r["cell"] for r in qcells.select("cell").distinct().collect()}
         )
-    codes = spark.read.parquet(f"{index_root}/codes")
+    codes = read_parquet_memo(spark, f"{index_root}/codes")
     if len(probed) <= IVF_PRUNE_LITERAL_MAX:
         # literal IN on the partition column → PartitionFilters prune
         # the scan to the probed cell directories (plan-gated)

@@ -13,6 +13,8 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
+from spotify_tracks_etl_portfolio_spark.sources.readers import read_parquet_memo
+
 # Fixed marker-word lists for the n-gram/stopword language heuristic.
 # Order matters: ties break to the FIRST language in this list.
 LANG_MARKERS: dict[str, tuple[str, ...]] = {
@@ -1264,12 +1266,12 @@ def bm25_query_index(
     to the self-contained operator (fixed-order per-term addition)."""
     buckets = sorted({py_token_bucket(t) for t in terms})
     postings = (
-        spark.read.parquet(f"{root}/postings")
+        read_parquet_memo(spark, f"{root}/postings")
         .filter(F.col("bucket").isin(buckets))
         .filter(F.col("token").isin(*terms))
     )
-    dl = spark.read.parquet(f"{root}/doc_lengths")
-    stats = spark.read.parquet(f"{root}/stats")
+    dl = read_parquet_memo(spark, f"{root}/doc_lengths")
+    stats = read_parquet_memo(spark, f"{root}/stats")
     dfreq = postings.groupBy("token").agg(
         F.countDistinct("doc_id").cast("double").alias("df")
     )
@@ -1364,7 +1366,7 @@ def trigram_index_candidates(spark, root: str, pattern: str) -> DataFrame:
     pattern_trgms = sorted({pattern[i : i + 3] for i in range(len(pattern) - 2)})
     buckets = sorted({py_token_bucket(t) for t in pattern_trgms})
     postings = (
-        spark.read.parquet(f"{root}/postings")
+        read_parquet_memo(spark, f"{root}/postings")
         .filter(F.col("bucket").isin(buckets))
         .filter(F.col("tg").isin(pattern_trgms))
     )

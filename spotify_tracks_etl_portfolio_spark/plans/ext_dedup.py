@@ -22,7 +22,10 @@ from spotify_tracks_etl_portfolio_spark.plans import (
     register_pending_r11,
 )
 
-from spotify_tracks_etl_portfolio_spark.sources.readers import read_parquet_table
+from spotify_tracks_etl_portfolio_spark.sources.readers import (
+    read_parquet_memo,
+    read_parquet_table,
+)
 
 from spotify_tracks_etl_portfolio_spark.streaming.pipeline import (
     pinned_stream_session,
@@ -825,7 +828,7 @@ def semantic_dedup_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
         .coalesce(1)
         .write.parquet(f"{tmp}/centroids"),
     )
-    cents = spark.read.parquet(f"{root}/centroids")
+    cents = read_parquet_memo(spark, f"{root}/centroids")
     return _sim.semantic_dedup(
         emb, "vec_id", "embedding", threshold=0.9, centroids=cents
     )
@@ -1004,7 +1007,7 @@ def semantic_dedup_new_vs_corpus_served(
         .coalesce(1)
         .write.parquet(f"{tmp}/centroids"),
     )
-    cents = spark.read.parquet(f"{root}/centroids")
+    cents = read_parquet_memo(spark, f"{root}/centroids")
     return _sim.semantic_dedup_new_vs_corpus(
         new,
         corpus,
@@ -1384,7 +1387,7 @@ def _bench_kgram_artifact(spark: SparkSession, sf_dir: str):
         .distinct()
         .write.parquet(f"{tmp}/kgrams"),
     )
-    return spark.read.parquet(f"{root}/kgrams")
+    return read_parquet_memo(spark, f"{root}/kgrams")
 
 
 

@@ -22,7 +22,10 @@ from spotify_tracks_etl_portfolio_spark.plans import (
     register_pending_r11,
 )
 
-from spotify_tracks_etl_portfolio_spark.sources.readers import read_parquet_table
+from spotify_tracks_etl_portfolio_spark.sources.readers import (
+    read_parquet_memo,
+    read_parquet_table,
+)
 
 from spotify_tracks_etl_portfolio_spark.operators import text as _tx  # noqa: E402
 
@@ -698,7 +701,7 @@ def embedding_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     _build_artifact_once(root, "codes", _build)
     books = _sim.load_pq_codebooks(spark, f"{root}/codebooks")
-    codes = spark.read.parquet(f"{root}/codes")
+    codes = read_parquet_memo(spark, f"{root}/codes")
     return _sim.pq_topk(emb, "vec_id", "embedding", books=books, codes=codes)
 
 
@@ -1117,7 +1120,7 @@ FROM cc, t
 )
 def ivfpq_cell_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
     root, _nprobe = _ivfpq_incr_index(spark, sf_dir)
-    codes = spark.read.parquet(f"{root}/codes").select("vec_id", "cell")
+    codes = read_parquet_memo(spark, f"{root}/codes").select("vec_id", "cell")
     is_new = F.expr(_IVFPQ_APPEND_BATCH)
     cc = codes.groupBy("cell").agg(
         F.sum(F.when(~is_new, 1).otherwise(0)).cast("long").alias("n_base"),
